@@ -1,13 +1,221 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+import graft.operators.{KMeans, Quality}
+import graft.operators.KMeans.Centroid
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each paired (where ANSI-SQL-expressible) with a DuckDB oracle over the
+  * same parquet tables.
+  *
+  * ORACLE-EXACTNESS RULES (see VectorOps.sumFx): aggregates over non-integral
+  * doubles go through fixed-point integer sums so float summation order can
+  * never flip a hash compare; per-row rounded outputs are emitted as
+  * fixed-point BIGINT columns; all other double outputs are derived from
+  * bit-identical inputs by identical IEEE op sequences. Integer outputs are
+  * always BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full k-means fit (seed → Lloyd loop → assignment) on the
+    * 64-dim embeddings table at sf0.001; driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pts = Tables.yhEmbeddings(spark, "/root/testdata/sf0.001").cache()
+    val fit = KMeans.fit(pts, k = 10, dim = 64)
+    KMeans.assign(pts, fit.centroids)
+      .select(col("i").as("vec_id"), col("j"))
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Deterministic fixed centroid set shared by the component-operator
+    * oracles: the 4 lowest-key points of the orders-YH binding, j = 1..4.
+    */
+  private def c4(spark: SparkSession, dir: String): Seq[Centroid] =
+    KMeans.seedFirstK(Tables.yhOrders(spark, dir), 4)
+
+  private def xy(df: DataFrame): DataFrame =
+    df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
+
+  // Shared oracle CTE fragments (DuckDB SQL).
+  private val YH = Tables.yhOrdersSql
+  private val C4 =
+    """c AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, x, y
+      |  FROM (SELECT i, x, y FROM yh ORDER BY i LIMIT 4) t)""".stripMargin
+  /** Nearest-of-c assignment (argmin, ties → lowest j) for a relation named `s`. */
+  private val ASSIGN =
+    """a AS (SELECT i, x, y, j FROM (
+      |  SELECT s.i, s.x, s.y, c.j,
+      |    row_number() OVER (PARTITION BY s.i
+      |      ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y), c.j) AS rn
+      |  FROM s CROSS JOIN c) t WHERE rn = 1)""".stripMargin
+  private val LLOYD =
+    """l AS (SELECT j, count(*) AS n,
+      |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cx,
+      |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cy
+      |  FROM a GROUP BY j)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- standard relational sanity (S1, A1/A9/A11, J4, W4) ----
+    "q1_agg" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sumFx(col("l_extendedprice"), 100.0).as("sum_base"),
+          sumFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0).as("sum_disc"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (sumFx(col("l_extendedprice"), 100.0) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q_topn_join" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val cust = Tables.read(s, dir, "customer")
+      val nat = Tables.read(s, dir, "nation")
+      val rev = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sumFx(col("o_totalprice"), 100.0).as("revenue"))
+      val w = Window.partitionBy("c_nationkey").orderBy(desc("revenue"), col("o_custkey"))
+      rev.join(broadcast(nat), rev("c_nationkey") === nat("n_nationkey"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("n_name"), col("o_custkey").as("c_custkey"), col("revenue"), col("rnk"))
+    }),
+
+    // ---- the YH input-adapter contract (S4/P1/P2) ----
+    "km_yh" -> ((s, dir) => xy(Tables.yhOrders(s, dir))),
+
+    // ---- seeding (O4; §2.11 op 1) ----
+    "km_seed_first" -> ((s, dir) => {
+      xy(Tables.yhOrders(s, dir)).orderBy("i").limit(1)
+        .select(lit(1L).as("j"), col("x"), col("y"))
+    }),
+    // k-means++ round (J1/J3/A3/W1/W2/P6/O2; §2.11 op 2), u = 1/2 fixed draw
+    "km_seed_next" -> ((s, dir) => {
+      val yh = Tables.yhOrders(s, dir)
+      val next = KMeans.seedNextInverseCdf(yh, c4(s, dir).take(1), uNum = 1, uDen = 2)
+      next.select(col("j"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
+    }),
+
+    // ---- assignment (O5/A2; §2.11 op 3) ----
+    "km_assign" -> ((s, dir) => {
+      KMeans.assign(Tables.yhOrders(s, dir), c4(s, dir)).select(col("i"), col("j"))
+    }),
+
+    // ---- Lloyd step (A1/A11/P4/P5; §2.11 op 4) ----
+    "km_lloyd_step" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables.yhOrders(s, dir), c4(s, dir))
+      KMeans.lloydStepDF(assigned, dim = 2, fxScale = 1e4)
+        .select(col("j"), col("n"),
+          element_at(col("C"), 1).as("cx"), element_at(col("C"), 2).as("cy"))
+    }),
+
+    // ---- convergence delta (A6/A9/W4; §2.11 op 5, intended Q2 semantics) ----
+    "km_delta" -> ((s, dir) => {
+      import s.implicits._
+      val cs0 = c4(s, dir)
+      val assigned = KMeans.assign(Tables.yhOrders(s, dir), cs0)
+      val cs1 = KMeans.lloydStep(assigned, dim = 2, fxScale = 1e4)
+      val byJ = cs0.map(c => c.j -> c.c).toMap
+      cs1.flatMap(n => byJ.get(n.j).map(p => (n.j, p(0), p(1), n.c(0), n.c(1))))
+        .toDF("j", "x0", "y0", "x1", "y1")
+        .select(col("j"),
+          round(sqrt((col("x1") - col("x0")) * (col("x1") - col("x0")) +
+            (col("y1") - col("y0")) * (col("y1") - col("y0"))) * 1e6).cast("long").as("move_e6"))
+    }),
+
+    // ---- elbow (§2.11 op 6; Q3: d1 = reference, d2 = textbook WCSS) ----
+    "km_elbow" -> ((s, dir) => Quality.elbow(Tables.yhOrders(s, dir), c4(s, dir))),
+
+    // ---- simplified silhouette on a deterministic sample (§2.11 op 7) ----
+    "km_silhouette" -> ((s, dir) => {
+      val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
+      Quality.silhouetteSimplified(KMeans.assign(sample, c4(s, dir)))
+    }),
+
+    // ---- full fit loop (E1; no SQL oracle — iterative) ----
+    "km_fit" -> ((s, dir) => {
+      val pts = Tables.yhEmbeddings(s, dir).cache()
+      val fit = KMeans.fit(pts, k = 10, dim = 64)
+      KMeans.assign(pts, fit.centroids).groupBy("j").agg(count(lit(1)).as("n"))
+        .select(col("j"), col("n"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*10000.0) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc,
+        |  sum(l_quantity)/count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topn_join" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+        |    CAST(sum(CAST(round(o.o_totalprice*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |r AS (
+        |  SELECT n.n_name, rev.ck AS c_custkey, rev.revenue,
+        |    CAST(row_number() OVER (PARTITION BY rev.nk ORDER BY rev.revenue DESC, rev.ck) AS BIGINT) AS rnk
+        |  FROM rev JOIN nation n ON rev.nk = n.n_nationkey)
+        |SELECT n_name, c_custkey, revenue, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "km_yh" -> s"WITH $YH SELECT i, x, y FROM yh",
+    "km_seed_first" ->
+      s"WITH $YH SELECT CAST(1 AS BIGINT) AS j, x, y FROM yh ORDER BY i LIMIT 1",
+    "km_seed_next" ->
+      s"""WITH $YH,
+         |c1 AS (SELECT x, y FROM yh ORDER BY i LIMIT 1),
+         |w AS (SELECT y.i, y.x, y.y,
+         |    CAST(round((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS BIGINT) AS w
+         |  FROM yh y CROSS JOIN c1 c
+         |  WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.x = y.x AND c1.y = y.y)),
+         |s AS (SELECT i, x, y,
+         |    sum(w) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |    sum(w) OVER () AS tw
+         |  FROM w)
+         |SELECT CAST(2 AS BIGINT) AS j, x, y FROM s WHERE cw*2 >= tw ORDER BY cw, i LIMIT 1""".stripMargin,
+    "km_assign" ->
+      s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
+    "km_lloyd_step" ->
+      s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN
+         |SELECT j, count(*) AS n,
+         |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cx,
+         |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cy
+         |FROM a GROUP BY j""".stripMargin,
+    "km_delta" ->
+      s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN, $LLOYD
+         |SELECT l.j,
+         |  CAST(round(sqrt((l.cx-c.x)*(l.cx-c.x)+(l.cy-c.y)*(l.cy-c.y))*1e6) AS BIGINT) AS move_e6
+         |FROM l JOIN c ON l.j = c.j""".stripMargin,
+    "km_elbow" ->
+      s"""WITH $YH, $C4,
+         |m AS (SELECT y.i, min((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS msq
+         |  FROM yh y CROSS JOIN c GROUP BY y.i)
+         |SELECT CAST(sum(CAST(round(sqrt(msq)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS elbow_d1,
+         |       CAST(sum(CAST(round(msq*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS elbow_d2
+         |FROM m""".stripMargin,
+    "km_silhouette" ->
+      s"""WITH $YH, $C4, s AS (SELECT * FROM yh WHERE i % 23 = 0), $ASSIGN,
+         |p AS (SELECT a1.j AS j1, a2.j AS j2,
+         |    sqrt((a1.x-a2.x)*(a1.x-a2.x)+(a1.y-a2.y)*(a1.y-a2.y)) AS d
+         |  FROM a a1 JOIN a a2 ON a1.i <> a2.i),
+         |g AS (SELECT
+         |  CAST(sum(CASE WHEN j1 = j2 THEN CAST(round(d*1e3) AS BIGINT) END) AS DOUBLE)/1e3
+         |    / sum(CASE WHEN j1 = j2 THEN 1 ELSE 0 END) AS ai,
+         |  CAST(sum(CASE WHEN j1 <> j2 THEN CAST(round(d*1e3) AS BIGINT) END) AS DOUBLE)/1e3
+         |    / sum(CASE WHEN j1 <> j2 THEN 1 ELSE 0 END) AS bi
+         |  FROM p)
+         |SELECT ai, bi, (bi-ai)/greatest(ai,bi) AS si FROM g""".stripMargin
+  )
 }

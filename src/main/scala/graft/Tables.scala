@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table readers + the reference's `YH` input-adapter contract.
+  *
+  * The reference decouples its algorithm from storage with a user-redefined
+  * view `YH(i, Y)` (reference k-means.sql:7, README.md:34-36): a row key `i`
+  * and a coordinate vector `Y` of any dimension. Here the adapter is a plain
+  * function `DataFrame => DataFrame` producing `(i: long, Y: array<double>)`;
+  * `ArrayType(DoubleType)` keeps the whole engine dimension-generic (the
+  * reference needs schema-macro tricks — `untuple`/`COLUMNS('…') APPLY` at
+  * k-means.sql:37,44 — to get the same genericity).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** 2-D YH binding over `orders` (o_orderkey is unique; lineitem's composite
+    * key is not unique in this synthetic data). Mirrors reference
+    * k-means.sql:7 `select i, (x,y) as Y from sourceData`.
+    */
+  def yhOrders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders").select(
+      col("o_orderkey").as("i"),
+      array(col("o_totalprice"), (col("o_custkey") % 1009).cast("double")).as("Y"))
+
+  /** N-D YH binding over `embeddings` (64-dim float vectors + ground-truth
+    * label) — proves the adapter's dimension genericity (README.md:36).
+    */
+  def yhEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings").select(
+      col("vec_id").as("i"),
+      col("embedding").cast("array<double>").as("Y"))
+
+  /** SQL fragment used by every k-means oracle: same projection as
+    * [[yhOrders]], exploded to scalar columns for ANSI-SQL friendliness.
+    */
+  val yhOrdersSql: String =
+    "yh AS (SELECT o_orderkey AS i, o_totalprice AS x, CAST(o_custkey % 1009 AS DOUBLE) AS y FROM orders)"
+}

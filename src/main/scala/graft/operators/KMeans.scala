@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** K-means (k-means++ seeding + Lloyd iterations) as Spark dataflow.
+  *
+  * Mirrors the reference's architecture (reference k-means.sql + k-means.sh):
+  * the data plane is declarative relational dataflow over a points relation
+  * `YH(i: long, Y: array<double>)`, while the *loop decision lives outside the
+  * engine* — the reference drives it from bash (k-means.sh:16-33), we drive it
+  * from the Spark driver, which is exactly how iterative ML is idiomatically
+  * written on Spark.
+  *
+  * Scale design (100 TB posture):
+  *  - Centroid state is k·dim doubles held on the DRIVER and shipped to
+  *    executors as literals — the analog of the reference's scalar-subquery
+  *    broadcast of `(groupArray(j), groupArray(C))` (k-means.sql:36). No
+  *    join, no shuffle for assignment; O(k·dim) per row inside whole-stage
+  *    codegen.
+  *  - Each Lloyd step is ONE shuffle: partial (map-side) per-dimension sums +
+  *    counts, final merge of k·dim values. Spark's partial/final aggregation
+  *    is the property that made the reference shard-friendly (README.md:15).
+  *  - Plans are rebuilt from the cached points DF each iteration — lineage
+  *    stays O(1); nothing driver-side ever holds O(n) data.
+  *  - Per-dimension sums use fixed-point integer accumulation by default
+  *    (`round(x*scale)::long`), making results independent of partition count
+  *    and merge order — a deterministic distributed k-means. Disable (scale
+  *    `<= 0`) for raw-double speed when exact reproducibility isn't needed,
+  *    or when `max|x|·scale·rowsPerCluster` could approach 2^63.
+  */
+object KMeans {
+
+  /** One centroid: id `j` (reference k-means.sql:11 `j Int32`, widened to
+    * long) + coordinates. The full `Seq` is the reference's latest-step WCR
+    * slice.
+    */
+  final case class Centroid(j: Long, c: Seq[Double])
+
+  /** Centroid log entry — the WCR table analog (k-means.sql:11). */
+  final case class LogEntry(step: Long, j: Long, c: Seq[Double])
+
+  final case class FitResult(
+      centroids: Seq[Centroid],
+      log: Seq[LogEntry],
+      steps: Long,
+      finalMovement: Double)
+
+  private def ids(cs: Seq[Centroid]): Seq[Long] = cs.map(_.j)
+  private def coords(cs: Seq[Centroid]): Seq[Seq[Double]] = cs.map(_.c)
+
+  // ---------------------------------------------------------------- seeding
+
+  /** Deterministic seed: the k points with the smallest keys, j = 1..k in key
+    * order. The reference's first seed is a (shell-randomized) offset-limit
+    * pick (k-means.sql:12, k-means.sh:9); we fix the draw for reproducibility.
+    */
+  def seedFirstK(points: DataFrame, k: Int): Seq[Centroid] =
+    points.orderBy("i").limit(k).collect().zipWithIndex.map { case (r, ix) =>
+      Centroid(ix + 1L, r.getSeq[Double](r.fieldIndex("Y")))
+    }.toSeq
+
+  /** One k-means++ seeding round, exact inverse-CDF form — the reference's
+    * `centroidsInit` view (k-means.sql:16-33): anti-join points already chosen
+    * (by COORDINATES, not keys — k-means.sql:27 `Y not in (select C from
+    * WCR)`), weight every remaining point by its distance to the nearest
+    * chosen centroid, then draw one point ∝ weight via cumulative sum +
+    * threshold (k-means.sql:21-33).
+    *
+    * Divergence (SURVEY.md Q1): the reference weights by PLAIN distance
+    * (k-means.sql:24, despite its `dx2` alias); we implement textbook
+    * k-means++ D² weighting.
+    *
+    * The uniform draw u = uNum/uDen is caller-supplied (seeded / fixed for
+    * the oracle) as a RATIONAL so the threshold compare `cum·uDen ≥
+    * total·uNum` stays in exact integer domain — weights are rounded to
+    * integers, making cumulative sums order-exact and the whole draw
+    * bit-reproducible against the DuckDB oracle.
+    *
+    * NOTE scale: the unpartitioned running-sum window is single-partition —
+    * fine for the oracle's sf, but O(n) through one task at 100 TB. Use
+    * [[seedPlusPlusScalable]] in production fits.
+    */
+  def seedNextInverseCdf(points: DataFrame, chosen: Seq[Centroid],
+      uNum: Long, uDen: Long, weightScale: Double = 1.0): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val chosenDf = chosen.map(_.c).toDF("C")
+    val surviving = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
+    val weighted = surviving.withColumn(
+      "w", round(nearestSqDist(col("Y"), coords(chosen)) * weightScale).cast("long"))
+    val cumW = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val next = weighted
+      .withColumn("cw", sum("w").over(cumW))
+      .withColumn("tw", sum("w").over(totW))
+      .filter(col("cw") * uDen >= col("tw") * uNum)
+      .orderBy("cw", "i")
+      .limit(1)
+    next.select(lit(chosen.map(_.j).max + 1).as("j"), col("i"), col("Y"))
+  }
+
+  /** Scalable k-means++ round: same distribution, no global prefix sum.
+    * Weighted sampling via the exponential-race trick: each point draws
+    * key = rand()^(1/w) and the global max wins — a single map + one k-row
+    * reduce, fully parallel (A-Res / Efraimidis–Spirakis weighted reservoir
+    * sampling). This is what survives 1000 executors.
+    */
+  def seedPlusPlusScalable(points: DataFrame, chosen: Seq[Centroid], seed: Long): Centroid = {
+    val w = nearestSqDist(col("Y"), coords(chosen))
+    val key = when(w > 0, pow(rand(seed), lit(1.0) / w)).otherwise(lit(-1.0))
+    val r = points
+      .select(col("i"), col("Y"), key.as("skey"))
+      .agg(max_by(struct(col("i"), col("Y")), col("skey")).as("win"))
+      .select(col("win.Y"))
+      .head()
+    Centroid(chosen.map(_.j).max + 1, r.getSeq[Double](0))
+  }
+
+  /** Full k-means++ seeding: first centroid = deterministic min-key point,
+    * then k−1 scalable weighted rounds (reference k-means.sh:9-13).
+    */
+  def seedPlusPlus(points: DataFrame, k: Int, seed: Long): Seq[Centroid] = {
+    var cs = seedFirstK(points, 1)
+    while (cs.size < k)
+      cs = cs :+ seedPlusPlusScalable(points, cs, seed + cs.size)
+    cs
+  }
+
+  // ------------------------------------------------------------- assignment
+
+  /** Reference `nearestCentroid` view (k-means.sql:35-39): adds column `j` =
+    * id of nearest centroid. Centroids travel as literals (broadcast-in-plan);
+    * zero shuffle, codegen'd argmin fold.
+    */
+  def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame =
+    points.withColumn("j", nearestId(col("Y"), ids(cs), coords(cs)))
+
+  // ------------------------------------------------------------- Lloyd step
+
+  /** New centroids = per-cluster, per-dimension mean (reference Lloyd insert,
+    * k-means.sql:42-46: `GROUP BY j, step` + `COLUMNS('tupleElement') APPLY
+    * avg`). The schema-macro trick becomes plain programmatic column
+    * generation. Returns the aggregate as a DataFrame of
+    * (j, n, c: array<double>): one shuffle of k·(dim+2) values.
+    *
+    * Empty clusters silently disappear (GROUP BY emits no row) — the
+    * reference's semantics (SURVEY.md §2.11.4); `fit` logs when k shrinks.
+    */
+  def lloydStepDF(assigned: DataFrame, dim: Int, fxScale: Double = 1e6): DataFrame = {
+    val dims = (0 until dim).map(d => element_at(col("Y"), d + 1).as(s"_c$d"))
+    val flat = assigned.select((col("j") +: dims): _*)
+    val means: Seq[Column] =
+      if (fxScale > 0) (0 until dim).map(d => avgFx(col(s"_c$d"), fxScale).as(s"_m$d"))
+      else (0 until dim).map(d => avg(col(s"_c$d")).as(s"_m$d"))
+    val agged = flat.groupBy("j").agg(count(lit(1)).as("n"), means: _*)
+    agged.select(col("j"), col("n"),
+      array((0 until dim).map(d => col(s"_m$d")): _*).as("C"))
+  }
+
+  def lloydStep(assigned: DataFrame, dim: Int, fxScale: Double = 1e6): Seq[Centroid] =
+    lloydStepDF(assigned, dim, fxScale).collect().map { r =>
+      Centroid(r.getLong(0), r.getSeq[Double](2))
+    }.toSeq.sortBy(_.j)
+
+  // ------------------------------------------------------------ convergence
+
+  /** Total centroid movement between two consecutive steps — the intended
+    * semantics of the reference's `deltaFinish` (k-means.sql:49-56): distance
+    * between the last two positions PER CENTROID, summed. (The reference's
+    * `limit 2 by step` is a bug — SURVEY.md Q2 — keeping 2 arbitrary
+    * centroids per step instead of 2 steps per centroid; we implement the
+    * stated intent.) Vanished centroids contribute nothing.
+    */
+  def movement(prev: Seq[Centroid], next: Seq[Centroid]): Double = {
+    val byJ = prev.map(c => c.j -> c.c).toMap
+    next.flatMap { n =>
+      byJ.get(n.j).map { p =>
+        math.sqrt(p.zip(n.c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.sum
+  }
+
+  // -------------------------------------------------------------- fit loop
+
+  /** The reference's full driver loop (k-means.sh:16-33): iterate
+    * assign → re-average until total movement < `tol` (reference stop:
+    * `toUInt32(sum(d)*100) == 0`, i.e. movement < 0.01) or `maxIter`.
+    * `points` should be cached by the caller (reference `Memory` engine).
+    */
+  def fit(points: DataFrame, k: Int, dim: Int, tol: Double = 0.01,
+      maxIter: Int = 50, seed: Long = 42L, plusPlus: Boolean = false,
+      fxScale: Double = 1e6): FitResult = {
+    var cs = if (plusPlus) seedPlusPlus(points, k, seed) else seedFirstK(points, k)
+    var log = cs.map(c => LogEntry(0L, c.j, c.c))
+    var step = 0L
+    var move = Double.MaxValue
+    while (move >= tol && step < maxIter) {
+      step += 1
+      val next = lloydStep(assign(points, cs), dim, fxScale)
+      if (next.size < cs.size)
+        logger.warn(
+          s"kmeans: ${cs.size - next.size} cluster(s) emptied at step $step (reference drop semantics)")
+      move = movement(cs, next)
+      cs = next
+      log = log ++ cs.map(c => LogEntry(step, c.j, c.c))
+    }
+    FitResult(cs, log, step, move)
+  }
+
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.kmeans")
+}

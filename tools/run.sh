@@ -1,0 +1,25 @@
+#!/bin/bash
+# Fast runner: java with the sbt-exported classpath (skip sbt startup).
+# Usage: tools/run.sh graft.Smoke [args...]
+# Refresh classpath after build.sbt changes:
+#   sbt -batch "export Runtime/fullClasspath" | grep -E '^/' | tail -1 > /tmp/cp.txt
+set -e
+CP=$(cat /tmp/cp.txt)
+MAIN=$1; shift
+exec java \
+  --add-opens java.base/java.lang=ALL-UNNAMED \
+  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens java.base/java.io=ALL-UNNAMED \
+  --add-opens java.base/java.net=ALL-UNNAMED \
+  --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -cp "$CP" "$MAIN" "$@"
