@@ -131,7 +131,10 @@ object SparkEntry {
     }),
 
     // ---- elbow (§2.11 op 6; Q3: d1 = reference, d2 = textbook WCSS) ----
-    "km_elbow" -> ((s, dir) => Quality.elbow(Tables.yhOrders(s, dir), c4(s, dir))),
+    // Coarse fixed-point scales sized for this binding's 1e5..1e11 magnitudes
+    // (must stay in sync with the oracle SQL's 1e4 / 0.01 literals).
+    "km_elbow" -> ((s, dir) =>
+      Quality.elbow(Tables.yhOrders(s, dir), c4(s, dir), d1Scale = 1e4, d2Scale = 0.01)),
 
     // ---- simplified silhouette on a deterministic sample (§2.11 op 7) ----
     "km_silhouette" -> ((s, dir) => {
@@ -145,6 +148,14 @@ object SparkEntry {
       val fit = KMeans.fit(pts, k = 10, dim = 64)
       KMeans.assign(pts, fit.centroids).groupBy("j").agg(count(lit(1)).as("n"))
         .select(col("j"), col("n"))
+    }),
+
+    // ---- MLlib-native alternate fit path (no SQL oracle) ----
+    "km_fit_mllib" -> ((s, dir) => {
+      val pts = Tables.yhEmbeddings(s, dir).cache()
+      val fit = operators.KMeansML.fit(pts, k = 10)
+      operators.KMeansML.transform(fit, pts)
+        .groupBy("j").agg(count(lit(1)).as("n")).select(col("j"), col("n"))
     })
   )
 

@@ -15,7 +15,7 @@ object Quality {
     * squares). Single aggregated row; fixed-point sums for oracle exactness.
     */
   def elbow(points: DataFrame, cs: Seq[Centroid],
-      d1Scale: Double = 1e4, d2Scale: Double = 0.01): DataFrame = {
+      d1Scale: Double = 1e6, d2Scale: Double = 1e6): DataFrame = {
     val msq = nearestSqDist(col("Y"), cs.map(_.c))
     points.select(msq.as("msq"))
       .agg(

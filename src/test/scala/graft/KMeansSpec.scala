@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+import graft.operators.KMeans.Centroid
+
+/** Unit + property coverage for the k-means operators (SURVEY.md §5 plan). */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toDF("i", "Y")
+
+  private val squareCorners = pts(
+    1L -> Seq(0.0, 0.0), 2L -> Seq(10.0, 0.0), 3L -> Seq(0.0, 10.0), 4L -> Seq(10.0, 10.0))
+
+  test("assign picks the true argmin") {
+    val cs = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)))
+    val got = KMeans.assign(squareCorners, cs).select("i", "j").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(4L) == 2L)
+    // (10,0) and (0,10) are equidistant from both centroids -> tie goes to lowest j
+    assert(got(2L) == 1L && got(3L) == 1L)
+  }
+
+  test("assign tie-break matches the reference's stable sort (lowest j wins)") {
+    val cs = Seq(Centroid(3, Seq(5.0, 5.0)), Centroid(7, Seq(5.0, 5.0)))
+    val got = KMeans.assign(pts(1L -> Seq(1.0, 1.0)), cs).select("j").as[Long].head()
+    assert(got == 3L)
+  }
+
+  test("lloyd step computes exact per-cluster per-dimension means") {
+    val cs = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(100.0, 100.0)))
+    val data = pts(
+      1L -> Seq(1.0, 2.0), 2L -> Seq(3.0, 4.0),          // cluster 1: mean (2,3)
+      3L -> Seq(99.0, 98.0), 4L -> Seq(101.0, 102.0))    // cluster 2: mean (100,100)
+    val next = KMeans.lloydStep(KMeans.assign(data, cs), dim = 2)
+    assert(next == Seq(Centroid(1, Seq(2.0, 3.0)), Centroid(2, Seq(100.0, 100.0))))
+  }
+
+  test("empty clusters silently disappear (reference GROUP BY semantics)") {
+    val cs = Seq(
+      Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)),
+      Centroid(3, Seq(1e6, 1e6))) // nothing will be nearest to this one
+    val next = KMeans.lloydStep(KMeans.assign(squareCorners, cs), dim = 2)
+    assert(next.map(_.j) == Seq(1L, 2L))
+  }
+
+  test("movement = sum of per-centroid displacement, vanished centroids ignored") {
+    val prev = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 0.0)))
+    val next = Seq(Centroid(1, Seq(3.0, 4.0))) // moved 5; centroid 2 vanished
+    assert(KMeans.movement(prev, next) == 5.0)
+  }
+
+  test("k-means++ inverse-CDF round excludes chosen coordinates and honors the draw") {
+    // chosen = (0,0); remaining weights (sqdist): p2=100, p3=400, p4=25
+    // cum in i-order: p2:100, p3:500, p4:525; u=1/2 -> threshold 262.5 -> p3
+    val chosen = Seq(Centroid(1, Seq(0.0, 0.0)))
+    val data = pts(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(10.0, 0.0), 3L -> Seq(0.0, 20.0), 4L -> Seq(5.0, 0.0))
+    val got = KMeans.seedNextInverseCdf(data, chosen, uNum = 1, uDen = 2)
+      .select("i").as[Long].head()
+    assert(got == 3L)
+    // u = 0 edge: first nonzero-cum point wins (p2)
+    val got0 = KMeans.seedNextInverseCdf(data, chosen, uNum = 0, uDen = 1)
+      .select("i").as[Long].head()
+    assert(got0 == 2L)
+  }
+
+  test("fit recovers the reference's planted 4-cluster fixture") {
+    // Reference test-data generator (k-means.sql:1-4): 4 seed points, each
+    // cloned 500x with bounded jitter — rebuilt with seeded rand.
+    val seeds = Seq((0.0, 0.0), (60.0, 10.0), (10.0, 70.0), (70.0, 80.0))
+    val seedDf = seeds.zipWithIndex.map { case ((x, y), ix) => (ix.toLong, x, y) }
+      .toDF("s", "sx", "sy")
+    val data = seedDf
+      .crossJoin(spark.range(500).select(col("id")))
+      .select(
+        (col("s") * 500 + col("id") + 1).as("i"),
+        array(
+          col("sx") + rand(42) * 15.0,
+          col("sy") + rand(43) * 15.0).as("Y"))
+      .cache()
+    val fit = KMeans.fit(data, k = 4, dim = 2, plusPlus = true, seed = 7)
+    assert(fit.centroids.size == 4, s"expected 4 surviving clusters, got ${fit.centroids}")
+    assert(fit.finalMovement < 0.01)
+    // each recovered centroid lies near one distinct plant site (+7.5 jitter mean)
+    val expected = seeds.map { case (x, y) => (x + 7.5, y + 7.5) }
+    val matched = expected.map { case (ex, ey) =>
+      fit.centroids.minBy(c => math.pow(c.c(0) - ex, 2) + math.pow(c.c(1) - ey, 2))
+    }
+    assert(matched.toSet.size == 4, "centroids must match plant sites 1:1")
+    matched.zip(expected).foreach { case (c, (ex, ey)) =>
+      val d = math.sqrt(math.pow(c.c(0) - ex, 2) + math.pow(c.c(1) - ey, 2))
+      assert(d < 3.0, s"centroid ${c.c} too far from plant ($ex,$ey): $d")
+    }
+    // cluster sizes ~500 each
+    val sizes = KMeans.assign(data, fit.centroids).groupBy("j").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(s => s > 400 && s < 600), s"sizes: ${sizes.toSeq}")
+  }
+
+  test("property: WCSS is non-increasing across Lloyd iterations") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    var cs = KMeans.seedFirstK(data, 5)
+    var last = Double.MaxValue
+    for (_ <- 1 to 4) {
+      val assigned = KMeans.assign(data, cs)
+      cs = KMeans.lloydStep(assigned, dim = 64)
+      val wcss = operators.Quality.elbow(data, cs).select("elbow_d2").as[Double].head()
+      assert(wcss <= last + 1e-6, s"WCSS increased: $last -> $wcss")
+      last = wcss
+    }
+  }
+
+  test("fit quality matches MLlib KMeans (WCSS cross-check)") {
+    // NOTE: the embeddings' `label` column is NOT L2-recoverable (nearest-
+    // true-label-centroid accuracy is only ~37% on this synthetic data), so
+    // the meaningful oracle is cost parity with MLlib's native KMeans, not
+    // label purity.
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val ours = KMeans.fit(data, k = 10, dim = 64, plusPlus = true, seed = 42)
+    val ourCost = operators.Quality.elbow(data, ours.centroids)
+      .select("elbow_d2").as[Double].head()
+    val ml = operators.KMeansML.fit(data, k = 10, seed = 42)
+    assert(ours.centroids.size == 10)
+    assert(ourCost <= ml.cost * 1.05,
+      s"our WCSS $ourCost vs MLlib ${ml.cost} — more than 5% worse")
+  }
+
+  test("assignment is idempotent at the fixpoint") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val fit = KMeans.fit(data, k = 5, dim = 64, tol = 1e-9, maxIter = 100)
+    val again = KMeans.lloydStep(KMeans.assign(data, fit.centroids), dim = 64)
+    val move = KMeans.movement(fit.centroids, again)
+    assert(move < 1e-3, s"converged fit moved $move on an extra step")
+  }
+}

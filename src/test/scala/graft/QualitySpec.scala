@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KMeans, Quality}
+import graft.operators.KMeans.Centroid
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("elbow: d1 = sum of nearest distances, d2 = WCSS, computed exactly") {
+    val data = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(3.0, 4.0)),   // nearest c1: d=0, 5
+      (3L, Seq(100.0, 100.0))                      // nearest c2: d=0
+    ).toDF("i", "Y")
+    val cs = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(100.0, 100.0)))
+    val r = Quality.elbow(data, cs, d1Scale = 1e6, d2Scale = 1e6)
+      .as[(Double, Double)].head()
+    assert(r._1 == 5.0)   // 0 + 5 + 0
+    assert(r._2 == 25.0)  // 0 + 25 + 0
+  }
+
+  test("silhouette: two tight far-apart clusters -> si near 1") {
+    val data = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(100.0, 100.0)), (5L, Seq(101.0, 100.0)), (6L, Seq(100.0, 101.0))
+    ).toDF("i", "Y")
+    val cs = Seq(Centroid(1, Seq(0.3, 0.3)), Centroid(2, Seq(100.3, 100.3)))
+    val r = Quality.silhouetteSimplified(KMeans.assign(data, cs))
+      .select("si").as[Double].head()
+    assert(r > 0.95, s"si=$r")
+  }
+
+  test("elbow decreases as k grows (on real embeddings)") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val wcss = Seq(2, 5, 10).map { k =>
+      val fit = KMeans.fit(data, k = k, dim = 64, maxIter = 10)
+      Quality.elbow(data, fit.centroids).select("elbow_d2").as[Double].head()
+    }
+    assert(wcss(0) > wcss(1) && wcss(1) > wcss(2), s"wcss=$wcss")
+  }
+}
