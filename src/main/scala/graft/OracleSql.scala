@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Dedup
+
+/** DuckDB-SQL fragments mirroring the Catalyst HOF pipelines bit-for-bit.
+  *
+  * Every fragment mirrors a specific `Column` builder (cited per function) so
+  * the driver's hash compare sees identical values: identical IEEE op order,
+  * integer-domain threshold compares, and the same deterministic hash
+  * coefficients.
+  */
+object OracleSql {
+
+  /** Mirror of [[Dedup.tokenId]]: left-fold polynomial codepoint hash.
+    * `list_reduce` seeds from the first element, so a prepended 0 replicates
+    * Spark's `aggregate(..., 0, ...)` init exactly.
+    */
+  def tokenId(t: String): String =
+    s"list_reduce(list_prepend(0, list_transform(string_split($t,''), c -> ascii(c))), " +
+      s"(h,c) -> (h*31+c) % 1000003)"
+
+  /** Mirror of [[Dedup.shingles]]: distinct word n-grams. */
+  def shingles(toks: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len($toks)-${n - 1},1)+1), " +
+      s"k -> array_to_string(list_slice($toks, k, k+${n - 1}), ' ')))"
+
+  /** Mirror of VectorOps.dot: left fold `(((0+p1)+p2)+…)`. */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), " +
+      s"(x,y) -> x+y)"
+
+  /** Mirror of VectorOps.cosine. */
+  def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  val dedupExact: String =
+    "SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text"
+
+  def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, inter/uni AS jac FROM p WHERE inter*$thrDen >= uni*$thrNum""".stripMargin
+
+  def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String = {
+    val rows = numHashes / bands
+    val sigExprs = (0 until numHashes).map { i =>
+      s"list_min(list_transform(ids, x -> (x*${Dedup.mhA(i)}+${Dedup.mhB(i)}) % ${Dedup.MinhashP}))"
+    }.mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { bnd =>
+      val keys = (bnd * rows + 1 to (bnd + 1) * rows).map(i => s"sig[$i]").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $keys) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)}, s -> ${tokenId("s")})) AS ids
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM t),
+       |b AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |m AS (SELECT c.a_id, c.b_id,
+       |    list_sum(list_transform(range(1, ${numHashes + 1}),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS matches
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, matches/$numHashes AS est_jac FROM m
+       |WHERE matches*$thrDen >= $numHashes*$thrNum""".stripMargin
+  }
+
+  def dedupSimhash(bits: Int, maxHamming: Int): String = {
+    val fpExpr = (0 until bits).map { b =>
+      s"(CASE WHEN sum(CASE WHEN ((id >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT doc_id, lang,
+       |    unnest(list_transform(string_split(text,' '), t -> ${tokenId("t")})) AS id
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, CAST($fpExpr AS BIGINT) AS fp FROM e GROUP BY doc_id, lang)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming""".stripMargin
+  }
+
+  def dedupEmbCosine(thrE6: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosine("a.v", "b.v")} AS c
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM p
+       |WHERE CAST(round(c*1e6) AS BIGINT) >= $thrE6""".stripMargin
+}

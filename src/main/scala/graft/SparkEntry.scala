@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{KMeans, Quality}
+import graft.operators.{Dedup, KMeans, Quality}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -156,7 +156,19 @@ object SparkEntry {
       val fit = operators.KMeansML.fit(pts, k = 10)
       operators.KMeansML.transform(fit, pts)
         .groupBy("j").agg(count(lit(1)).as("n")).select(col("j"), col("n"))
-    })
+    }),
+
+    // ---- dedup family (beyond-reference: training-data pipeline ops) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.read(s, dir, "documents"))),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.read(s, dir, "documents"))),
+    "dedup_embcos" -> ((s, dir) =>
+      Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -227,6 +239,11 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN j1 <> j2 THEN CAST(round(d*1e3) AS BIGINT) END) AS DOUBLE)/1e3
          |    / sum(CASE WHEN j1 <> j2 THEN 1 ELSE 0 END) AS bi
          |  FROM p)
-         |SELECT ai, bi, (bi-ai)/greatest(ai,bi) AS si FROM g""".stripMargin
+         |SELECT ai, bi, (bi-ai)/greatest(ai,bi) AS si FROM g""".stripMargin,
+    "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
+    "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
+    "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L)
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Everything is Catalyst-native (built-ins + HOF lambdas, no UDF closures).
+  *
+  * ORACLE PARITY: similarity pipelines need a token hash computable
+  * identically in Spark and the DuckDB oracle, so the hash here is a plain
+  * polynomial left-fold over character codepoints (`h = (h*31 + code) % M`)
+  * — arithmetic both engines evaluate bit-identically. In a production
+  * deployment swap [[tokenId]] for `xxhash64(t)` (codegen'd, 64-bit, faster,
+  * collision-safer); every downstream operator only sees long ids.
+  *
+  * SCALE: blocking keys (lang, LSH bands, SimHash prefixes) turn the O(n²)
+  * pair space into shuffle-partitioned equi-joins — the only joins here are
+  * hash joins on block keys, never a global cross join. At 100 TB the same
+  * plans hold: band tables are (docs × bands) rows, self-joined on band key.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Whitespace tokens (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Oracle-parity token id: polynomial fold over codepoints, mod 1e6+3.
+    * DuckDB mirror: `list_reduce(list_prepend(0, list_transform(
+    * string_split(t,''), c -> ascii(c))), (h,c) -> (h*31+c) % 1000003)`.
+    */
+  def tokenId(t: Column): Column =
+    aggregate(transform(split(t, ""), ch => ascii(ch)),
+      lit(0L), (h, c) => (h * 31 + c) % 1000003)
+
+  /** Distinct word n-gram shingles as strings. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      k => concat_ws(" ", slice(toks, k, lit(n)))))
+
+  // ---------------------------------------------------------- exact dedup
+
+  /** Exact dedup: one row per distinct text — keeper id (min) + duplicate
+    * count. At 100 TB, group by `xxhash64(text)` instead of the full text to
+    * keep shuffle rows narrow ([[exactByHash]]).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n")
+
+  /** Scale variant: narrow shuffle via 64-bit content hash. */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n")
+
+  // --------------------------------------------------- n-gram Jaccard dedup
+
+  /** Near-dup pairs by exact n-gram Jaccard within a blocking key (lang):
+    * J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| ≥ thrNum/thrDen. The threshold compare
+    * stays in exact integer domain; the reported `jac` is an int/int divide —
+    * bit-identical across engines.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      shingles(tokens(col("text")), n).as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("sh").as("sb"))
+    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .filter(col("inter") * thrDen >= col("uni") * thrNum)
+      .select(col("a_id"), col("b_id"), (col("inter") / col("uni")).as("jac"))
+  }
+
+  // --------------------------------------------------------- MinHash + LSH
+
+  /** Universal-ish hash family over shingle ids: h_i(x) = (a_i·x + b_i) mod P.
+    * Deterministic coefficients so the DuckDB oracle can mirror them.
+    */
+  val MinhashP = 2147483647L
+  def mhA(i: Int): Long = 2L * i + 3
+  def mhB(i: Int): Long = 104729L * i + 12345
+
+  /** Per-doc MinHash signature columns s0..s{numHashes-1} over distinct
+    * n-gram shingle ids.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val ids = array_distinct(transform(shingles(tokens(col("text")), n), tokenId _))
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(col("ids"), x => (x * mhA(i) + mhB(i)) % MinhashP)).as(s"s$i")
+    }
+    docs.select(col("doc_id"), ids.as("ids")).select((col("doc_id") +: sigs): _*)
+  }
+
+  /** MinHash LSH near-dup candidates: signatures → `bands` band keys → self
+    * equi-join per band (THE scale trick: no cross join, just a shuffle on
+    * band key) → distinct pairs → estimated Jaccard = matching signature
+    * fraction, kept when ≥ thrNum/thrDen (integer-domain compare).
+    */
+  def minhashLSH(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes)
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val withArr = sig.select(col("doc_id"), sigArr.as("sig"))
+    val bandEntries = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("key"))
+    }: _*)
+    val banded = withArr.select(col("doc_id"), explode(bandEntries).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = withArr.select(col("doc_id").as("a_id"), col("sig").as("siga"))
+    val sb = withArr.select(col("doc_id").as("b_id"), col("sig").as("sigb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("matches",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("matches") * thrDen >= lit(numHashes) * thrNum)
+      .select(col("a_id"), col("b_id"), (col("matches") / lit(numHashes)).as("est_jac"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** Per-doc SimHash fingerprint over frequency-weighted token ids: bit b is
+    * set when `sum over tokens of ±1 (bit b of id)` is positive. Computed via
+    * explode + one grouped aggregate of `bits` sums (single shuffle), not
+    * per-row nested folds.
+    */
+  def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame = {
+    val exploded = docs.select(col("doc_id"), col("lang"),
+      explode(transform(tokens(col("text")), tokenId _)).as("id"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("id"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    exploded.groupBy("doc_id", "lang").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints, then pairs within the lang block
+    * with Hamming distance ≤ maxHamming. (At scale, block additionally on
+    * fingerprint chunks — pigeonhole: some ⌈bits/(maxHamming+1)⌉-bit chunk
+    * must match exactly — turning this too into an equi-join.)
+    */
+  def simhashPairs(docs: DataFrame, bits: Int = 32, maxHamming: Int = 6): DataFrame = {
+    val fp = simhashFingerprints(docs, bits)
+    val a = fp.select(col("doc_id").as("a_id"), col("lang"), col("fp").as("fa"))
+    val b = fp.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("fp").as("fb"))
+    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  // ----------------------------------------------- embedding-cosine near-dup
+
+  /** Near-dup pairs by embedding cosine ≥ thrE6/1e6. Brute-force O(n²) pair
+    * join — correct baseline; the ANN path for scale is
+    * [[Similarity.ivfTopK]]'s cell blocking. Output similarity is fixed-point
+    * (`cos_e6`) so the selection and the value share one rounding.
+    */
+  def embeddingCosine(emb: DataFrame, thrE6: Long): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_e6",
+        round(cosine(col("va"), col("vb")) * 1e6).cast("long"))
+      .filter(col("cos_e6") >= thrE6)
+      .select("a_id", "b_id", "cos_e6")
+  }
+}

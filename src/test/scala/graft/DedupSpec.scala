@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog", "en"),     // near dup of 1
+    (4L, "completely different words entirely here now", "en"),
+    (5L, "der schnelle braune fuchs springt hoch", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val got = Dedup.exact(docs).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L)                   // docs 1+2 collapse to keeper 1
+    assert(got(3L) == 1L && got(4L) == 1L)
+    assert(Dedup.exactByHash(docs).count() == 4)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(docs, n = 3, thrNum = 1, thrDen = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // jac of identical docs is exactly 1.0
+    val jac11 = Dedup.ngramJaccard(docs, 3, 1, 5)
+      .filter(col("a_id") === 1 && col("b_id") === 2).select("jac").as[Double].head()
+    assert(jac11 == 1.0)
+  }
+
+  test("minhash LSH: exact dups collide in every band (est_jac 1.0); no spurious pairs") {
+    // NOTE (1,3) has shingle-jaccard ~0.4 — below the ~0.8 similarity a
+    // 4x4-band scheme reliably catches, so only the exact pair is required.
+    val got = Dedup.minhashLSH(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // identical docs -> identical signatures; different docs -> different
+    val sigs = Dedup.minhashSignatures(docs, n = 3, numHashes = 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close; lang blocks respected") {
+    val got = Dedup.simhashPairs(docs, maxHamming = 6).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 0L)
+    assert(got.get((1L, 3L)).exists(_ <= 6L))
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // de block alone
+  }
+
+  test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosine(emb, thrE6 = 950000L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 1000000L)
+    assert(got.contains((1L, 3L)))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
