@@ -83,6 +83,46 @@ object OracleSql {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming""".stripMargin
   }
 
+  /** Mirror of VectorOps.sqDist: left fold of squared differences. */
+  def sqdist(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), " +
+      s"(x,y) -> x+y)"
+
+  /** Mirror of [[graft.operators.Similarity.bruteForceTopK]]. */
+  def simTopK(nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT q.q_id, e.vec_id AS n_id, ${cosine("q.qv", "e.v")} AS c
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.ivfTopK]] with fixed coarse
+    * centroids (vec_id < nCells, cell id = vec_id + 1).
+    */
+  def simIvf(nCells: Int, nQueries: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM (
+       |  SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
+       |WHERE rnk <= $k""".stripMargin
+
   def dedupEmbCosine(thrE6: Long): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosine("a.v", "b.v")} AS c

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, KMeans, Quality}
+import graft.operators.{Dedup, KMeans, Quality, Similarity}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -168,7 +168,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.read(s, dir, "documents"))),
     "dedup_embcos" -> ((s, dir) =>
-      Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L))
+      Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L)),
+
+    // ---- similarity search (beyond-reference) ----
+    "sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings"))),
+    "sim_ivf" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -244,6 +252,8 @@ object SparkEntry {
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
-    "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L)
+    "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
+    "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
+    "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10)
   )
 }

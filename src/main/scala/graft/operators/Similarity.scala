@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: the correctness baseline.
+  *    O(q·n) pair space; fine when the query set is small (broadcast) or as
+  *    the final re-rank inside a candidate cell.
+  *  - [[ivfTopK]] — IVF-style ANN: partition vectors into coarse cells
+  *    (inverted file), probe only the nProbe nearest cells per query. The
+  *    candidate join is an EQUI-join on cell id — the property that scales:
+  *    at 100 TB the vectors are hash-partitioned by cell, each probe touches
+  *    nProbe/nCells of the data, and no global cross join ever happens.
+  *
+  * Coarse centroids are caller-supplied (here: deterministic fixed vectors so
+  * the DuckDB oracle can replay the exact plan); production wires
+  * `KMeans.fit(...).centroids` in — same shapes.
+  */
+object Similarity {
+
+  private def emb2v(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-k cosine neighbors for each query vector (queries = vec_id <
+    * nQueries, deterministic). Ties broken by neighbor id; similarity
+    * reported fixed-point (`cos_e6`).
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = emb2v(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("c"))
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** IVF ANN: assign every vector to its nearest coarse cell (argmin over the
+    * literal centroid set — zero-shuffle, codegen'd), probe the nProbe
+    * nearest cells per query, exact re-rank inside the probed cells.
+    */
+  def ivfTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb2v(emb)
+    val cells = e.withColumn("cell", nearestId(col("v"), ids, cs))
+    // per-query cell ranking: explode the literal centroid set against the
+    // (tiny) query side, rank by distance
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cellDists = q.select(col("q_id"), col("qv"),
+        explode(zip_with(typedlit(ids), typedlit(cs),
+          (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
+      .select(col("q_id"), col("qv"), col("x.cid").as("cell"), col("x.d").as("d"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
+    val probes = cellDists.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    // THE scale join: candidates via equi-join on cell id
+    val cand = probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("c"))
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** Deterministic fixed coarse centroids for the oracle: the vectors with
+    * vec_id < nCells, cell id = vec_id + 1 in vec_id order.
+    */
+  def fixedCentroids(emb: DataFrame, nCells: Int): Seq[KMeans.Centroid] = {
+    emb2v(emb).filter(col("vec_id") < nCells).orderBy("vec_id").collect().map { r =>
+      KMeans.Centroid(r.getLong(0) + 1, r.getSeq[Double](1))
+    }.toSeq
+  }
+}

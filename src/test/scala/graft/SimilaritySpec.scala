@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{KMeans, Similarity}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 tight clusters around orthogonal axes; ids 0,1 are queries
+  private lazy val emb = Seq(
+    (0L, Array(1.00f, 0.01f, 0.00f)), (1L, Array(0.00f, 1.00f, 0.01f)),
+    (2L, Array(0.99f, 0.02f, 0.00f)), (3L, Array(0.98f, 0.00f, 0.01f)),
+    (4L, Array(0.01f, 0.99f, 0.00f)), (5L, Array(0.00f, 0.98f, 0.02f)),
+    (6L, Array(0.00f, 0.01f, 0.99f)), (7L, Array(0.02f, 0.00f, 0.98f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val got = Similarity.bruteForceTopK(emb, nQueries = 1, k = 3)
+      .orderBy("rnk").select("n_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 7L), s"got $got") // same-cluster first
+  }
+
+  test("IVF with cluster-aligned centroids reproduces brute-force exactly") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    val ivf = Similarity.ivfTopK(emb, cents, nQueries = 2, nProbe = 3, k = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 2, k = 3)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == bf) // nProbe = nCells -> identical to exact search
+  }
+
+  test("IVF probes restrict candidates to the nearest cells") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    // query 0 (x-cluster) with nProbe=1 must only return x-cluster members
+    val got = Similarity.ivfTopK(emb, cents, nQueries = 1, nProbe = 1, k = 5)
+      .select("n_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"got $got")
+  }
+
+  test("IVF recall vs brute force on real embeddings (sanity, not exactness)") {
+    val real = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(real, 16)
+    val ivf = Similarity.ivfTopK(real, cents, nQueries = 3, nProbe = 8, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(real, nQueries = 3, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall $recall") // random cells: probing half the space
+  }
+}
