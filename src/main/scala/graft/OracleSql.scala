@@ -36,6 +36,98 @@ object OracleSql {
   val dedupExact: String =
     "SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text"
 
+  // --------------------------------------------------------- text analysis
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def stopHits(lang: String): String = {
+    val words = operators.TextAnalysis.Stopwords.find(_._1 == lang).get._2
+    s"len(list_intersect(dt, ${sqlList(words)}))"
+  }
+
+  val textStats: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  list_sum(list_transform(string_split(text,' '), t -> length(t)))
+      |    / len(string_split(text,' ')) AS avg_tok_len
+      |FROM documents""".stripMargin
+
+  /** Mirror of TextAnalysis.langId: first language in declaration order whose
+    * distinct-stopword hit count is positive and >= all others.
+    */
+  def textLangId: String = {
+    val langs = operators.TextAnalysis.Stopwords.map(_._1)
+    val scoreCols = langs.map(l => s"${stopHits(l)} AS s_$l").mkString(",\n    ")
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS dt FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM t),
+       |g AS (SELECT doc_id, lang,
+       |  CASE $cases
+       |    ELSE 'und' END AS guess
+       |  FROM s)
+       |SELECT doc_id, lang, guess, CAST(guess = lang AS BIGINT) AS hit FROM g""".stripMargin
+  }
+
+  def textQuality(minTokens: Int, maxTokens: Int): String = {
+    val allStops = operators.TextAnalysis.Stopwords.map(s => stopHits(s._1)).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+       |    list_distinct(string_split(text,' ')) AS dt FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) AS punct_ratio,
+       |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio,
+       |  ($allStops) / len(toks) AS stop_ratio,
+       |  CAST(len(toks) >= $minTokens AND len(toks) <= $maxTokens AND
+       |    ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)) < 0.2
+       |    AS BIGINT) AS keep
+       |FROM t""".stripMargin
+  }
+
+  val textFingerprint: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(text,' '), t -> ${tokenId("t")})),
+       |    (h,x) -> (h*131+x) % 1000000007) AS fp
+       |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------------- events
+
+  def eventsSessionize(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+       |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) > $gapUs THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM e),
+       |g AS (SELECT user_id, us,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM f)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  count(*) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
+       |FROM g GROUP BY user_id, session_id""".stripMargin
+  }
+
+  val eventsWindow: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val eventsJson: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) / count(*) AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, KMeans, Quality, Similarity}
+import graft.operators.{Dedup, Events, KMeans, Quality, Similarity, TextAnalysis}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -176,7 +176,25 @@ object SparkEntry {
     "sim_ivf" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
-    })
+    }),
+
+    // ---- text analysis (beyond-reference) ----
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.read(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.read(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.read(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.read(s, dir, "documents"))),
+
+    // ---- events (beyond-reference) ----
+    "events_sessionize" -> ((s, dir) =>
+      Events.sessionize(Tables.readEvents(s, dir))),
+    "events_window" -> ((s, dir) =>
+      Events.windowAgg(Tables.readEvents(s, dir))),
+    "events_json" -> ((s, dir) =>
+      Events.jsonStats(Tables.readEvents(s, dir)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -254,6 +272,13 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
-    "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10)
+    "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "text_stats" -> OracleSql.textStats,
+    "text_langid" -> OracleSql.textLangId,
+    "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),
+    "text_fingerprint" -> OracleSql.textFingerprint,
+    "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
+    "events_window" -> OracleSql.eventsWindow,
+    "events_json" -> OracleSql.eventsJson
   )
 }

@@ -17,6 +17,22 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts` normalized to TimestampType (µs). The parquet stores
+    * TIMESTAMP(NANOS), which Spark only reads as long nanos (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
+    * builder here); all values are whole microseconds, and DuckDB downcasts
+    * the same way, so the two engines see identical µs instants. Integer
+    * `div` keeps the conversion exact (nanos exceed 2^53 — no doubles).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** 2-D YH binding over `orders` (o_orderkey is unique; lineitem's composite
     * key is not unique in this synthetic data). Mirrors reference
     * k-means.sql:7 `select i, (x,y) as Y from sourceData`.

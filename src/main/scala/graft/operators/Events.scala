@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** Event-stream batch analytics: sessionization, tumbling-window aggregation,
+  * JSON property extraction. (The Structured-Streaming twins of these live in
+  * `graft.streaming`.)
+  *
+  * Timestamps cross the oracle boundary as integer MICROSECONDS
+  * (`unix_micros` / DuckDB `epoch_us`) — exact, no float rounding, no
+  * timezone ambiguity.
+  */
+object Events {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapMinutes`. One window partitioned by
+    * user — shuffles once on user_id and scales with user cardinality.
+    * Output: one row per session with event count and duration.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val flagged = events
+      .withColumn("us", us)
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(w) > gapUs, 1)
+          .otherwise(when(lag("us", 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        (max("us") - min("us")).as("dur_us"))
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("n_events"), col("start_us"), col("dur_us"))
+  }
+
+  /** Tumbling-window aggregation (batch form of the streaming windowed agg):
+    * epoch-aligned 1-hour buckets per event type.
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumFx(col("value"), 100.0).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** JSON property extraction + rollup: pull `props.k` (the only key in the
+    * synthetic data) and aggregate per event type. At scale this is a single
+    * narrow scan — extraction is a per-row codegen'd path expression.
+    */
+  def jsonStats(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        (sum("k") / count(lit(1))).as("avg_k"))
+  }
+}

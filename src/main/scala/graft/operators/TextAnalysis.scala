@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup.{tokens, tokenId}
+
+/** Text analysis for training-data pipelines: token statistics, language ID,
+  * quality scoring, document fingerprinting. All per-row Catalyst expressions
+  * — embarrassingly parallel, no shuffle except final output.
+  */
+object TextAnalysis {
+
+  /** Public common stopwords per language (tiny lists — the heuristic's
+    * discriminative power, not completeness, is the point).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "von", "mit", "den", "nicht"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "que", "los", "por", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est", "que", "les", "des"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "个", "人", "这"))
+
+  private def distinctToks: Column = array_distinct(tokens(col("text")))
+
+  private def stopHits(lang: String): Column =
+    size(array_intersect(distinctToks,
+      typedlit(Stopwords.find(_._1 == lang).get._2)))
+
+  /** Per-doc token statistics. `avg_tok_len` is an int/int divide —
+    * bit-identical across engines.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      (aggregate(transform(tokens(col("text")), t => length(t)),
+        lit(0), (acc, v) => acc + v) / size(tokens(col("text")))).as("avg_tok_len"))
+
+  /** Stopword-hit language ID. Guess = language with the most DISTINCT
+    * stopword hits; ties resolve in [[Stopwords]] declaration order (en
+    * first) — a fixed CASE chain both engines evaluate identically.
+    * Emits the ground-truth `lang` and a hit flag for accuracy rollups.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = Stopwords.map { case (l, _) => l -> stopHits(l) }
+    val guess = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      val isMax = scores.filter(_._1 != l).map(_._2)
+        .foldLeft(s > lit(0))((acc, o) => acc && s >= o)
+      when(isMax, lit(l)).otherwise(els)
+    }
+    docs.select(col("doc_id"), col("lang"), guess.as("guess"))
+      .withColumn("hit", (col("guess") === col("lang")).cast("long"))
+  }
+
+  /** Quality signals: length, punctuation density, stopword ratio, digit
+    * ratio, plus a boolean keep-flag — the standard cheap pre-filter before
+    * expensive dedup/training steps.
+    */
+  def qualityScore(docs: DataFrame,
+      minTokens: Int = 5, maxTokens: Int = 5000): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val stops = Stopwords.map(s => stopHits(s._1)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (punct / nChars).as("punct_ratio"),
+      (digits / nChars).as("digit_ratio"),
+      (stops / nTok).as("stop_ratio"),
+      (nTok >= minTokens && nTok <= maxTokens && (punct / nChars) < 0.2)
+        .cast("long").as("keep"))
+  }
+
+  /** Order-sensitive rolling-hash fingerprint over token ids:
+    * h = (h·131 + id) mod 1e9+7, left fold. Two docs share a fingerprint iff
+    * (modulo collisions) their token sequences are identical — the cheap
+    * content-identity key for shuffle-narrow exact dedup at scale.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(transform(tokens(col("text")), tokenId _),
+        lit(0L), (h, x) => (h * 131 + x) % 1000000007L).as("fp"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Events, TextAnalysis}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TextEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats counts tokens/chars and exact mean token length") {
+    val docs = Seq((1L, "ab cde f", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.tokenStats(docs).as[(Long, Long, Long, Double)].head()
+    assert(r == ((1L, 3L, 8L, 2.0))) // tokens ab,cde,f; 8 chars; mean len 6/3
+  }
+
+  test("langId guesses by stopword hits with declaration-order tie-break") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here", "en"),
+      (2L, "der hund und die katze ist da", "de"),
+      (3L, "xyzzy plugh foobar", "en")              // no stopwords -> und
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langId(docs)
+      .select("doc_id", "guess").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+
+  test("qualityScore flags short and punctuation-heavy docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it", "en"),
+      (2L, "hi", "en"),                              // too short
+      (3L, "a.. b,, c!! d?? e;; f::", "en")          // punct-heavy
+    ).toDF("doc_id", "text", "lang")
+    val keep = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "keep").as[(Long, Long)].collect().toMap
+    assert(keep(1L) == 1L && keep(2L) == 0L && keep(3L) == 0L)
+  }
+
+  test("fingerprint is order-sensitive content identity") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "gamma beta alpha", "en")
+    ).toDF("doc_id", "text", "lang")
+    val fp = TextAnalysis.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("sessionize splits on gaps > 30min per user") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),
+      (3L, ts(70), 7L, "view", 1.0, "{}"),   // 60min gap -> new session
+      (4L, ts(5), 8L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionize(ev)
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("windowAgg buckets into epoch-aligned hours") {
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val r = Events.windowAgg(ev)
+    // every bucket start is hour-aligned and counts add up to the table size
+    val aligned = r.filter(col("win_us") % (3600L * 1000000L) =!= 0).count()
+    assert(aligned == 0)
+    assert(r.agg(sum("n")).as[Long].head() == ev.count())
+  }
+
+  test("jsonStats extracts props.k for every event type") {
+    val r = Events.jsonStats(Tables.readEvents(spark, sf("0.001")))
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.map(_._2).sum == 1000)
+    r.foreach { case (_, n, sumK, avgK) => assert(avgK == sumK.toDouble / n) }
+  }
+}
