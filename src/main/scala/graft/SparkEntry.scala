@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, Events, KMeans, Quality, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -188,6 +188,22 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.read(s, dir, "documents"))),
 
+    // ---- assignment via the native codegen'd SqDist Expression: same
+    // oracle as km_assign — proves the custom kernel is bit-compatible ----
+    "km_assign_native" -> ((s, dir) => {
+      val cs = c4(s, dir)
+      Tables.yhOrders(s, dir)
+        .withColumn("j", plans.native.nearestIdNative(col("Y"), cs.map(_.j), cs.map(_.c)))
+        .select(col("i"), col("j"))
+    }),
+
+    // ---- multimodal plumbing (decode stubbed; rows-only check) ----
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+      Multimodal.featureStats(Multimodal.decodeFeatures(media))
+        .select(col("kind"), col("n"), col("total_bytes"))
+    }),
+
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.readEvents(s, dir))),
@@ -235,6 +251,8 @@ object SparkEntry {
          |  FROM w)
          |SELECT CAST(2 AS BIGINT) AS j, x, y FROM s WHERE cw*2 >= tw ORDER BY cw, i LIMIT 1""".stripMargin,
     "km_assign" ->
+      s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
+    "km_assign_native" ->
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
     "km_lloyd_step" ->
       s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN

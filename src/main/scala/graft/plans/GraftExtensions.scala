@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * with the SQL function registry.
+  *
+  * Use either at session build time:
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  * or via config `spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * post-hoc on a live session with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      SqDist.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqDist(exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register on an already-built session (tests, driver-owned sessions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+}
+
+/** Column-API surface for graft's native expressions. */
+object native {
+  import org.apache.spark.sql.{Column, GraftColumnShim}
+  import org.apache.spark.sql.functions._
+
+  /** Codegen'd squared distance — drop-in, bit-identical replacement for
+    * `VectorOps.sqDist` (see [[SqDist]]).
+    */
+  def sq_dist(a: Column, b: Column): Column =
+    GraftColumnShim.column(SqDist(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** `VectorOps.nearestId` with the native distance kernel. */
+  def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column = {
+    val pairs = zip_with(typedlit(ids), typedlit(cs),
+      (j, c) => struct(j.as("j"), sq_dist(c, y).as("d")))
+    aggregate(
+      pairs,
+      struct(lit(-1L).as("j"), lit(Double.MaxValue).as("d")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc),
+      acc => acc.getField("j"))
+  }
+}

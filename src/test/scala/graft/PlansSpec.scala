@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.plans.{native, GraftExtensions}
+import org.apache.spark.sql.functions._
+
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.0)),
+    (2L, Seq(0.1, 0.2, 0.3), Seq(0.1, 0.2, 0.3)),
+    (3L, Seq(-1.0, 1e-9, 1e9), Seq(1.0, -1e-9, -1e9))
+  ).toDF("id", "a", "b")
+
+  test("native sq_dist is bit-identical to the HOF composition") {
+    val both = vecs.select(
+      native.sq_dist(col("a"), col("b")).as("nat"),
+      VectorOps.sqDist(col("a"), col("b")).as("hof"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("sq_dist registers as a SQL function via GraftExtensions") {
+    GraftExtensions.register(spark)
+    vecs.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT sq_dist(a, b) AS d FROM vecs WHERE id = 1")
+      .as[Double].head()
+    assert(r == 25.0) // 9 + 16 + 0
+  }
+
+  test("sq_dist participates in whole-stage codegen") {
+    // a file-backed plan: local relations get constant-folded before codegen
+    val emb = Tables.yhEmbeddings(spark, sf("0.001"))
+    val plan = emb.select(native.sq_dist(col("Y"), col("Y")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [sq_dist"), s"plan:\n$plan")
+  }
+
+  test("nearestIdNative agrees with nearestId on random vectors") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001"))
+    val cs = operators.KMeans.seedFirstK(data, 7)
+    val cmp = data.select(
+      VectorOps.nearestId(col("Y"), cs.map(_.j), cs.map(_.c)).as("a"),
+      native.nearestIdNative(col("Y"), cs.map(_.j), cs.map(_.c)).as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+}

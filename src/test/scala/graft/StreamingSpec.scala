@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.KMeans.Centroid
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming nearest-centroid assignment over micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val assigned = StreamingOps.assignStream(
+      in.toDF().toDF("i", "Y"),
+      Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0))))
+    val q = assigned.writeStream.format("memory").queryName("assign_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, Seq(1.0, 1.0)), (2L, Seq(9.0, 9.0)))
+      q.processAllAvailable()
+      in.addData((3L, Seq(0.5, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("assign_out").select("i", "j")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts emit per hour bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in.addData((ts(1, 5), "click", 1.0), (ts(1, 40), "click", 2.0), (ts(2, 10), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("event_type", "n").as[(String, Long)].collect().toMap
+      assert(got == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sessions = StreamingOps.sessionizeStream(in.toDS(), gapMinutes = 30, timeoutMs = 0)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val min = 60L * 1000000L
+      // user 7: events at t=0,10min (one session), then t=100min (new session
+      // -> closes the first one in the same batch)
+      in.addData(Ev(7, 1, 0), Ev(7, 2, 10 * min), Ev(7, 3, 100 * min))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events", "dur_us")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((7L, 2L, 10 * min)))
+    } finally q.stop()
+  }
+}
