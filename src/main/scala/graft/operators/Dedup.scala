@@ -36,11 +36,26 @@ object Dedup {
     aggregate(transform(split(t, ""), ch => ascii(ch)),
       lit(0L), (h, c) => (h * 31 + c) % 1000003)
 
-  /** Distinct word n-gram shingles as strings. */
+  /** Distinct word n-gram shingles as strings.
+    *
+    * IMPORTANT: pass a MATERIALIZED token column (see [[shingled]]), not
+    * `tokens(col("text"))` directly — a raw split expression captured in the
+    * slice lambda is re-evaluated per array element (O(tokens²) per doc).
+    */
   def shingles(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       k => concat_ws(" ", slice(toks, k, lit(n)))))
+
+  /** (doc_id, lang, sh) with tokens and shingles materialized as separate
+    * projections, so each expensive expression is computed once per row —
+    * CollapseProject keeps multi-use aliases apart, and explode's implicit
+    * non-empty filter sees a cheap attribute instead of re-deriving the
+    * whole shingle pipeline.
+    */
+  def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), shingles(col("toks"), n).as("sh"))
 
   // ---------------------------------------------------------- exact dedup
 
@@ -62,18 +77,32 @@ object Dedup {
   // --------------------------------------------------- n-gram Jaccard dedup
 
   /** Near-dup pairs by exact n-gram Jaccard within a blocking key (lang):
-    * J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| ≥ thrNum/thrDen. The threshold compare
-    * stays in exact integer domain; the reported `jac` is an int/int divide —
-    * bit-identical across engines.
+    * J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| ≥ thrNum/thrDen (thrNum must be ≥ 1).
+    * The threshold compare stays in exact integer domain; the reported `jac`
+    * is an int/int divide — bit-identical across engines.
+    *
+    * Computed via the INVERTED-INDEX formulation: explode to (shingle, doc)
+    * postings, self equi-join on (lang, shingle), count shared shingles per
+    * pair. Candidate work is Σ_shingle df² — pairs sharing no shingle are
+    * never materialized — instead of |block|² set intersections. (A pair
+    * with zero shared shingles has J = 0 < thrNum/thrDen, so the outputs are
+    * identical to the naive all-pairs form.) At 100 TB add a stop-shingle
+    * df cap only if skew demands it — it changes semantics.
     */
   def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"),
-      shingles(tokens(col("text")), n).as("sh"))
-    val a = t.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sa"))
-    val b = t.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("sh").as("sb"))
-    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+    require(thrNum >= 1, "inverted-index form requires a positive threshold")
+    val t = shingled(docs, n)
+    val ex = t.select(col("doc_id"), col("lang"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("a_id"), col("sz").as("sza"),
+      col("lang"), col("s"))
+    val b = ex.select(col("doc_id").as("b_id"), col("sz").as("szb"),
+      col("lang").as("lang_b"), col("s").as("s_b"))
+    a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "sza", "szb")
+      .agg(count(lit(1)).cast("int").as("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * thrDen >= col("uni") * thrNum)
       .select(col("a_id"), col("b_id"), (col("inter") / col("uni")).as("jac"))
   }
@@ -91,11 +120,13 @@ object Dedup {
     * n-gram shingle ids.
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val ids = array_distinct(transform(shingles(tokens(col("text")), n), tokenId _))
     val sigs = (0 until numHashes).map { i =>
       array_min(transform(col("ids"), x => (x * mhA(i) + mhB(i)) % MinhashP)).as(s"s$i")
     }
-    docs.select(col("doc_id"), ids.as("ids")).select((col("doc_id") +: sigs): _*)
+    shingled(docs, n)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), tokenId _)).as("ids"))
+      .select((col("doc_id") +: sigs): _*)
   }
 
   /** MinHash LSH near-dup candidates: signatures → `bands` band keys → self
@@ -139,8 +170,10 @@ object Dedup {
     * per-row nested folds.
     */
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"), col("lang"),
-      explode(transform(tokens(col("text")), tokenId _)).as("id"))
+    val exploded = docs
+      .select(col("doc_id"), col("lang"),
+        transform(tokens(col("text")), tokenId _).as("ids"))
+      .select(col("doc_id"), col("lang"), explode(col("ids")).as("id"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("id"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
@@ -174,12 +207,17 @@ object Dedup {
     * (`cos_e6`) so the selection and the value share one rounding.
     */
   def embeddingCosine(emb: DataFrame, thrE6: Long): DataFrame = {
+    import graft.plans.native
+    // norms precomputed once per vector; the native dot kernel keeps the
+    // per-pair cost one fused loop (bit-identical to the HOF/oracle form)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nv").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nv").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos_e6",
-        round(cosine(col("va"), col("vb")) * 1e6).cast("long"))
+        round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long"))
       .filter(col("cos_e6") >= thrE6)
       .select("a_id", "b_id", "cos_e6")
   }

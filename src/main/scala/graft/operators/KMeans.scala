@@ -165,6 +165,26 @@ object KMeans {
       Centroid(r.getLong(0), r.getSeq[Double](2))
     }.toSeq.sortBy(_.j)
 
+  /** Same values as [[lloydStep]] (fixed-point path), via ONE
+    * `vector_sum_long` aggregate instead of `dim` per-coordinate aggregates —
+    * the Catalyst analysis/optimization cost per iteration drops from
+    * O(dim) expressions to O(1), which dominates the fit loop's wall time
+    * (every iteration is a fresh plan: the centroid literals change).
+    * Rounding is applied by the same `round(x*scale)::long` expression, and
+    * long sums are exact in any merge order, so the centroid doubles are
+    * bit-identical to the per-dimension form.
+    */
+  def lloydStepFast(assigned: DataFrame, dim: Int, fxScale: Double): Seq[Centroid] = {
+    val fx = transform(col("Y"), v => round(v * fxScale).cast("long"))
+    assigned.groupBy("j")
+      .agg(count(lit(1)).as("n"), graft.plans.native.vector_sum_long(fx, dim).as("s"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        val sums = r.getSeq[Long](2)
+        Centroid(r.getLong(0), sums.map(s => s.toDouble / fxScale / n))
+      }.toSeq.sortBy(_.j)
+  }
+
   // ------------------------------------------------------------ convergence
 
   /** Total centroid movement between two consecutive steps — the intended
@@ -199,7 +219,9 @@ object KMeans {
     var move = Double.MaxValue
     while (move >= tol && step < maxIter) {
       step += 1
-      val next = lloydStep(assign(points, cs), dim, fxScale)
+      val next =
+        if (fxScale > 0) lloydStepFast(assign(points, cs), dim, fxScale)
+        else lloydStep(assign(points, cs), dim, fxScale)
       if (next.size < cs.size)
         logger.warn(
           s"kmeans: ${cs.size - next.size} cluster(s) emptied at step $step (reference drop semantics)")

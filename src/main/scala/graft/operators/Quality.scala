@@ -34,8 +34,11 @@ object Quality {
   def silhouetteSimplified(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
     val a = assigned.select(col("i").as("i1"), col("Y").as("Y1"), col("j").as("j1"))
     val b = assigned.select(col("i").as("i2"), col("Y").as("Y2"), col("j").as("j2"))
+    // native kernel: O(n²) pairs is the reference's own cost model
+    // (OptimalK.sql:19) — keep the per-pair work one fused loop
     val pairs = a.join(b, col("i1") =!= col("i2"))
-      .select(col("j1"), col("j2"), l2Dist(col("Y1"), col("Y2")).as("d"))
+      .select(col("j1"), col("j2"),
+        sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))).as("d"))
     val same = col("j1") === col("j2")
     def condAvg(cond: Column): Column =
       (sum(when(cond, round(col("d") * dScale).cast("long"))).cast("double") / dScale) /

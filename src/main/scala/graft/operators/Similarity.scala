@@ -31,13 +31,14 @@ object Similarity {
     * reported fixed-point (`cos_e6`).
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val e = emb2v(emb)
+    import graft.plans.native
+    val e = emb2v(emb).withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("qv"), col("v")).as("c"))
+        (native.dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("c"))
     val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -71,7 +72,9 @@ object Similarity {
     val cand = probes.join(cells, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("qv"), col("v")).as("c"))
+        (graft.plans.native.dot(col("qv"), col("v")) /
+          (sqrt(graft.plans.native.dot(col("qv"), col("qv"))) *
+            sqrt(graft.plans.native.dot(col("v"), col("v"))))).as("c"))
     val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SqDist.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SqDist(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      Dot.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Dot(exprs(0), exprs(1))))
   }
 }
 
@@ -39,6 +44,18 @@ object native {
   def sq_dist(a: Column, b: Column): Column =
     GraftColumnShim.column(SqDist(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Codegen'd dot product — bit-identical to `VectorOps.dot`. */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnShim.column(Dot(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Single-expression elementwise long-vector sum (see [[VectorSumLong]]).
+    * `c` must be `array<long>` (pre-rounded fixed-point values).
+    */
+  def vector_sum_long(c: Column, dim: Int): Column =
+    GraftColumnShim.column(
+      VectorSumLong(GraftColumnShim.expression(c), dim).toAggregateExpression())
 
   /** `VectorOps.nearestId` with the native distance kernel. */
   def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column = {

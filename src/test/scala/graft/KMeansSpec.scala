@@ -100,6 +100,19 @@ class KMeansSpec extends SparkSpec {
     assert(sizes.forall(s => s > 400 && s < 600), s"sizes: ${sizes.toSeq}")
   }
 
+  test("lloydStepFast (single vector_sum_long aggregate) is bit-identical to lloydStep") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val assigned = KMeans.assign(data, KMeans.seedFirstK(data, 7))
+    val slow = KMeans.lloydStep(assigned, dim = 64, fxScale = 1e6)
+    val fast = KMeans.lloydStepFast(assigned, dim = 64, fxScale = 1e6)
+    assert(slow.map(_.j) == fast.map(_.j))
+    slow.zip(fast).foreach { case (a, b) =>
+      a.c.zip(b.c).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
   test("property: WCSS is non-increasing across Lloyd iterations") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     var cs = KMeans.seedFirstK(data, 5)
