@@ -142,12 +142,29 @@ object SparkEntry {
       Quality.silhouetteSimplified(KMeans.assign(sample, c4(s, dir)))
     }),
 
+    // ---- pivot-viz (§2.11 op 8; reference k-means.sql:58-66): manual
+    // per-cluster pivot if(j=m, y, null) for scatter-plotting ----
+    "km_pivot_viz" -> ((s, dir) => {
+      val assigned = KMeans.assign(Tables.yhOrders(s, dir), c4(s, dir))
+      val cols = (1 to 4).map(m =>
+        when(col("j") === m, element_at(col("Y"), 2)).as(s"c$m"))
+      assigned.select((col("i") +: element_at(col("Y"), 1).as("x") +: cols): _*)
+    }),
+
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
       val pts = Tables.yhEmbeddings(s, dir).cache()
       val fit = KMeans.fit(pts, k = 10, dim = 64)
       KMeans.assign(pts, fit.centroids).groupBy("j").agg(count(lit(1)).as("n"))
         .select(col("j"), col("n"))
+    }),
+
+    // ---- the WCR centroid log (S2: append-only iteration history) ----
+    "km_wcr_log" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.yhEmbeddings(s, dir).cache()
+      val fit = KMeans.fit(pts, k = 10, dim = 64)
+      fit.log.map(e => (e.step, e.j, e.c.head)).toDF("step", "j", "c0")
     }),
 
     // ---- MLlib-native alternate fit path (no SQL oracle) ----
@@ -254,6 +271,12 @@ object SparkEntry {
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
     "km_assign_native" ->
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
+    "km_pivot_viz" ->
+      s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN
+         |SELECT i, x,
+         |  CASE WHEN j = 1 THEN y END AS c1, CASE WHEN j = 2 THEN y END AS c2,
+         |  CASE WHEN j = 3 THEN y END AS c3, CASE WHEN j = 4 THEN y END AS c4
+         |FROM a""".stripMargin,
     "km_lloyd_step" ->
       s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN
          |SELECT j, count(*) AS n,

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks mirroring the reference's data-interface contract. */
+object Sinks {
+
+  /** The reference's TSV export (k-means.sh:4,45): `TSVWithNames` with
+    * `--format_tsv_null_representation ' '` — tab-separated, header row,
+    * nulls rendered as a single space (so sparse pivot columns plot cleanly
+    * in a spreadsheet). `coalesce(1)` mirrors the reference's single output
+    * stream; drop it for sharded exports at scale.
+    */
+  def writeTsv(df: DataFrame, path: String, single: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // render nulls ourselves: the CSV writer's nullValue option is not
+    // reliably applied on write, and the reference contract needs ' '
+    val rendered = df.select(df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit(" ")).as(c)): _*)
+    val out = if (single) rendered.coalesce(1) else rendered
+    out.write
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")  // keep the ' ' null marker
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite")
+      .csv(path)
+  }
+
+  /** Parquet append — the `INSERT INTO … SELECT` / MergeTree-log analog
+    * (reference S2/S5): an append-only materialization of e.g. the WCR
+    * centroid log.
+    */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}
