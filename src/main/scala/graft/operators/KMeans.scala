@@ -91,12 +91,14 @@ object KMeans {
     val surviving = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
     val weighted = surviving.withColumn(
       "w", round(nearestSqDist(col("Y"), coords(chosen)) * weightScale).cast("long"))
+    // total via a scalar aggregate (integer sum — order-independent, so the
+    // value is identical to the oracle's windowed total), not a second
+    // single-partition full-frame window pass
+    val total = weighted.agg(sum("w")).head().getLong(0)
     val cumW = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val next = weighted
       .withColumn("cw", sum("w").over(cumW))
-      .withColumn("tw", sum("w").over(totW))
-      .filter(col("cw") * uDen >= col("tw") * uNum)
+      .filter(col("cw") * uDen >= lit(total) * uNum)
       .orderBy("cw", "i")
       .limit(1)
     next.select(lit(chosen.map(_.j).max + 1).as("j"), col("i"), col("Y"))
@@ -133,10 +135,12 @@ object KMeans {
 
   /** Reference `nearestCentroid` view (k-means.sql:35-39): adds column `j` =
     * id of nearest centroid. Centroids travel as literals (broadcast-in-plan);
-    * zero shuffle, codegen'd argmin fold.
+    * zero shuffle, argmin fold with the native `sq_dist` kernel (bit-identical
+    * to the pure-HOF form — see PlansSpec).
     */
   def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame =
-    points.withColumn("j", nearestId(col("Y"), ids(cs), coords(cs)))
+    points.withColumn("j",
+      graft.plans.native.nearestIdNative(col("Y"), ids(cs), coords(cs)))
 
   // ------------------------------------------------------------- Lloyd step
 

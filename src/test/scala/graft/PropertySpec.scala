@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, KMeans}
+import graft.operators.KMeans.Centroid
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties (SURVEY.md §5 plan). The
+  * scalatest/scalacheck bridge isn't on the offline classpath, so generators
+  * are sampled directly with fixed seeds — deterministic and replayable.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val pointGen: Gen[Seq[(Long, Seq[Double])]] = for {
+    n <- Gen.choose(8, 24)
+    xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    ys <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield xs.zip(ys).zipWithIndex.map { case ((x, y), ix) =>
+    (ix.toLong + 1, Seq(x, y))
+  }
+
+  private val docGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(3, 8)
+    docs <- Gen.listOfN(n, Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, ix) => (ix.toLong + 1, t, "en") }
+
+  test("assignment is permutation-invariant in input order") {
+    samples(pointGen, 5).foreach { pts =>
+      val cs = Seq(Centroid(1, pts.head._2), Centroid(2, pts.last._2))
+      val fwd = KMeans.assign(pts.toDF("i", "Y"), cs)
+        .select("i", "j").as[(Long, Long)].collect().toMap
+      val rev = KMeans.assign(pts.reverse.toDF("i", "Y"), cs)
+        .select("i", "j").as[(Long, Long)].collect().toMap
+      assert(fwd == rev)
+    }
+  }
+
+  test("Lloyd step keeps centroids inside the bounding box of their members") {
+    samples(pointGen, 5).foreach { pts =>
+      val df = pts.toDF("i", "Y").cache()
+      val cs = KMeans.seedFirstK(df, 3)
+      val next = KMeans.lloydStep(KMeans.assign(df, cs), dim = 2)
+      val xs = pts.map(_._2(0))
+      val ys = pts.map(_._2(1))
+      next.foreach { c =>
+        assert(c.c(0) >= xs.min - 1e-6 && c.c(0) <= xs.max + 1e-6, s"cx ${c.c(0)}")
+        assert(c.c(1) >= ys.min - 1e-6 && c.c(1) <= ys.max + 1e-6, s"cy ${c.c(1)}")
+      }
+    }
+  }
+
+  test("jaccard is within [0,1] and exactly 1.0 for identical docs") {
+    samples(docGen, 5).foreach { docs =>
+      val withDup = docs :+ (99L, docs.head._2, "en")
+      val pairs = Dedup.ngramJaccard(withDup.toDF("doc_id", "text", "lang"),
+        n = 2, thrNum = 1, thrDen = 100).collect()
+      pairs.foreach { r =>
+        val j = r.getDouble(2)
+        assert(j >= 0.0 && j <= 1.0)
+      }
+      val dupPair = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 99L)
+      assert(dupPair.exists(_.getDouble(2) == 1.0), s"missing dup pair in ${pairs.toSeq}")
+    }
+  }
+
+  test("simhash hamming distance is symmetric and zero on self") {
+    samples(docGen, 5).foreach { docs =>
+      val fp = Dedup.simhashFingerprints(docs.toDF("doc_id", "text", "lang"), bits = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      for (a <- fp.keys; b <- fp.keys) {
+        val hAB = java.lang.Long.bitCount(fp(a) ^ fp(b))
+        assert(hAB == java.lang.Long.bitCount(fp(b) ^ fp(a)))
+        if (a == b) assert(hAB == 0)
+      }
+    }
+  }
+}
