@@ -25,7 +25,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val pts = Tables.yhEmbeddings(spark, "/root/testdata/sf0.001").cache()
-    val fit = KMeans.fit(pts, k = 10, dim = 64)
+    val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
     KMeans.assign(pts, fit.centroids)
       .select(col("i").as("vec_id"), col("j"))
   }
@@ -154,7 +154,7 @@ object SparkEntry {
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
       val pts = Tables.yhEmbeddings(s, dir).cache()
-      val fit = KMeans.fit(pts, k = 10, dim = 64)
+      val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
       KMeans.assign(pts, fit.centroids).groupBy("j").agg(count(lit(1)).as("n"))
         .select(col("j"), col("n"))
     }),
@@ -163,7 +163,7 @@ object SparkEntry {
     "km_wcr_log" -> ((s, dir) => {
       import s.implicits._
       val pts = Tables.yhEmbeddings(s, dir).cache()
-      val fit = KMeans.fit(pts, k = 10, dim = 64)
+      val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
       fit.log.map(e => (e.step, e.j, e.c.head)).toDF("step", "j", "c0")
     }),
 
