@@ -88,6 +88,45 @@ object SparkEntry {
         .select(col("n_name"), col("o_custkey").as("c_custkey"), col("revenue"), col("rnk"))
     }),
 
+    // filtered aggregation: predicate + projection reach the parquet scan
+    "q_filter_pushdown" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30.0 && col("l_discount") >= 0.05)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sumFx(col("l_extendedprice") * col("l_discount"), 10000.0).as("disc_revenue"))
+    }),
+    // 5-way star join, all dimension sides broadcast
+    "q_multijoin" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val cust = Tables.read(s, dir, "customer")
+      val nat = Tables.read(s, dir, "nation")
+      val reg = Tables.read(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"),
+          sumFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0)
+            .as("revenue"))
+    }),
+    // anti join: customers with no high-value order (NOT EXISTS + predicate;
+    // every customer has SOME order in this synthetic data)
+    "q_antijoin" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "customer")
+      val big = Tables.read(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    }),
+    // rollup: per (returnflag, linestatus) + subtotals + grand total
+    "q_rollup" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // ---- the YH input-adapter contract (S4/P1/P2) ----
     "km_yh" -> ((s, dir) => xy(Tables.yhOrders(s, dir))),
 
@@ -183,7 +222,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.read(s, dir, "documents"))),
+      // direct block join: this synthetic vocab clusters fingerprints so
+      // heavily that pigeonhole chunks aren't selective (see simhashPairs)
+      Dedup.simhashPairs(Tables.read(s, dir, "documents"), chunkBlocked = false)),
     "dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L)),
 
@@ -252,6 +293,30 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY rev.nk ORDER BY rev.revenue DESC, rev.ck) AS BIGINT) AS rnk
         |  FROM rev JOIN nation n ON rev.nk = n.n_nationkey)
         |SELECT n_name, c_custkey, revenue, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice*l_discount*10000.0) AS BIGINT)) AS DOUBLE)/10000.0 AS disc_revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 30.0 AND l_discount >= 0.05
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_multijoin" ->
+      """SELECT r.r_name, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*10000.0) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "km_yh" -> s"WITH $YH SELECT i, x, y FROM yh",
     "km_seed_first" ->
       s"WITH $YH SELECT CAST(1 AS BIGINT) AS j, x, y FROM yh ORDER BY i LIMIT 1",

@@ -55,6 +55,15 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // de block alone
   }
 
+  test("simhash pigeonhole chunk-blocking is lossless vs the direct block join") {
+    val real = Tables.read(spark, sf("0.001"), "documents")
+    val direct = Dedup.simhashPairs(real, chunkBlocked = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = Dedup.simhashPairs(real, chunkBlocked = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked == direct)
+  }
+
   test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -40,6 +40,32 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [sq_dist"), s"plan:\n$plan")
   }
 
+  test("plan hygiene: filters and column pruning reach the parquet scan") {
+    val plan = SparkEntry.queries("q_filter_pushdown")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), s"plan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,30.0)"), s"plan:\n$plan")
+    // only the 4 needed columns are read, not the 11-column table
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_returnflag:string>"), s"plan:\n$plan")
+  }
+
+  test("plan hygiene: dimension joins broadcast, fact side never shuffles for them") {
+    val plan = SparkEntry.queries("q_multijoin")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // customer/nation/region joins must all be broadcast (3+ occurrences)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, s"plan:\n$plan")
+  }
+
+  test("plan hygiene: assignment plan is shuffle-free (centroids ride as literals)") {
+    val cs = operators.KMeans.seedFirstK(Tables.yhEmbeddings(spark, sf("0.001")), 5)
+    val plan = operators.KMeans.assign(Tables.yhEmbeddings(spark, sf("0.001")), cs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
   test("nearestIdNative agrees with nearestId on random vectors") {
     val data = Tables.yhEmbeddings(spark, sf("0.001"))
     val cs = operators.KMeans.seedFirstK(data, 7)
