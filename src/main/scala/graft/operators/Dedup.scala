@@ -125,7 +125,7 @@ object Dedup {
     }
     shingled(docs, n)
       .select(col("doc_id"),
-        array_distinct(transform(col("sh"), tokenId _)).as("ids"))
+        array_distinct(transform(col("sh"), graft.plans.native.poly_hash _)).as("ids"))
       .select((col("doc_id") +: sigs): _*)
   }
 
@@ -172,7 +172,7 @@ object Dedup {
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), col("lang"),
-        transform(tokens(col("text")), tokenId _).as("ids"))
+        transform(tokens(col("text")), graft.plans.native.poly_hash _).as("ids"))
       .select(col("doc_id"), col("lang"), explode(col("ids")).as("id"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("id"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")

@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Dot.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Dot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      PolyHash.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(exprs.head)))
   }
 }
 
@@ -49,6 +54,10 @@ object native {
   def dot(a: Column, b: Column): Column =
     GraftColumnShim.column(Dot(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Codegen'd polynomial codepoint hash — identical to `Dedup.tokenId`. */
+  def poly_hash(s: Column): Column =
+    GraftColumnShim.column(PolyHash(GraftColumnShim.expression(s)))
 
   /** Single-expression elementwise long-vector sum (see [[VectorSumLong]]).
     * `c` must be `array<long>` (pre-rounded fixed-point values).

@@ -66,6 +66,15 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("native poly_hash equals the HOF tokenId fold on real document tokens") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    val cmp = toks.select(
+      native.poly_hash(col("t")).as("a"),
+      graft.operators.Dedup.tokenId(col("t")).as("b"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("nearestIdNative agrees with nearestId on random vectors") {
     val data = Tables.yhEmbeddings(spark, sf("0.001"))
     val cs = operators.KMeans.seedFirstK(data, 7)
