@@ -181,6 +181,12 @@ object SparkEntry {
       Quality.silhouetteSimplified(KMeans.assign(sample, c4(s, dir)))
     }),
 
+    // ---- textbook per-point Rousseeuw silhouette (beyond reference) ----
+    "km_silhouette_rousseeuw" -> ((s, dir) => {
+      val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
+      Quality.silhouetteRousseeuw(KMeans.assign(sample, c4(s, dir)))
+    }),
+
     // ---- pivot-viz (§2.11 op 8; reference k-means.sql:58-66): manual
     // per-cluster pivot if(j=m, y, null) for scatter-plotting ----
     "km_pivot_viz" -> ((s, dir) => {
@@ -372,6 +378,20 @@ object SparkEntry {
          |    / sum(CASE WHEN j1 <> j2 THEN 1 ELSE 0 END) AS bi
          |  FROM p)
          |SELECT ai, bi, (bi-ai)/greatest(ai,bi) AS si FROM g""".stripMargin,
+    "km_silhouette_rousseeuw" ->
+      s"""WITH $YH, $C4, s AS (SELECT * FROM yh WHERE i % 23 = 0), $ASSIGN,
+         |p AS (SELECT a1.i AS i1, a1.j AS j1, a2.j AS j2,
+         |    CAST(round(sqrt((a1.x-a2.x)*(a1.x-a2.x)+(a1.y-a2.y)*(a1.y-a2.y))*1e3) AS BIGINT) AS dfx
+         |  FROM a a1 JOIN a a2 ON a1.i <> a2.i),
+         |tc AS (SELECT i1, j1, j2, CAST(sum(dfx) AS DOUBLE)/1e3/count(*) AS md
+         |  FROM p GROUP BY i1, j1, j2),
+         |ai AS (SELECT i1, md AS a FROM tc WHERE j1 = j2),
+         |bi AS (SELECT i1, min(md) AS b FROM tc WHERE j1 <> j2 GROUP BY i1),
+         |si AS (SELECT (bi.b - ai.a)/greatest(ai.a, bi.b) AS si
+         |  FROM ai JOIN bi ON ai.i1 = bi.i1)
+         |SELECT CAST(sum(CAST(round(si*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS mean_si,
+         |  count(*) AS n_points
+         |FROM si""".stripMargin,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

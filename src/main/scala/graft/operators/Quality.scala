@@ -23,6 +23,36 @@ object Quality {
         sumFx(col("msq"), d2Scale).as("elbow_d2"))
   }
 
+  /** Textbook per-point Rousseeuw silhouette, averaged: for each point,
+    * a(i) = mean distance to its own cluster's other members, b(i) = min
+    * over other clusters of the mean distance to that cluster,
+    * s(i) = (b−a)/max(a,b); the output is mean s(i) — the standard quality
+    * score the reference's simplified global form approximates. Same O(n²)
+    * pair space (pre-sample at scale); all means derive from fixed-point
+    * integer sums so the DuckDB oracle matches bit-for-bit.
+    */
+  def silhouetteRousseeuw(assigned: DataFrame, dScale: Double = 1e3,
+      siScale: Double = 1e6): DataFrame = {
+    val a = assigned.select(col("i").as("i1"), col("Y").as("Y1"), col("j").as("j1"))
+    val b = assigned.select(col("i").as("i2"), col("Y").as("Y2"), col("j").as("j2"))
+    val pairs = a.join(b, col("i1") =!= col("i2"))
+      .select(col("i1"), col("j1"), col("j2"),
+        round(sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))) * dScale)
+          .cast("long").as("dfx"))
+    // mean distance from each point to each cluster (exact integer sums)
+    val toCluster = pairs.groupBy("i1", "j1", "j2")
+      .agg((sum("dfx").cast("double") / dScale / count(lit(1))).as("md"))
+    val ai = toCluster.filter(col("j1") === col("j2"))
+      .select(col("i1").as("ia"), col("md").as("a"))
+    val bi = toCluster.filter(col("j1") =!= col("j2"))
+      .groupBy("i1").agg(min("md").as("b"))
+      .select(col("i1").as("ib"), col("b"))
+    val si = ai.join(bi, col("ia") === col("ib"))
+      .select(((col("b") - col("a")) / greatest(col("a"), col("b"))).as("si"))
+    si.agg((sum(round(col("si") * siScale).cast("long")).cast("double") / siScale /
+      count(lit(1))).as("mean_si"), count(lit(1)).as("n_points"))
+  }
+
   /** Simplified GLOBAL silhouette (reference OptimalK.sql:10-21): over all
     * point pairs (a ≠ b), `ai` = mean same-cluster distance, `bi` = mean
     * cross-cluster distance, `si = (bi−ai)/max(ai,bi)`. One number, not the

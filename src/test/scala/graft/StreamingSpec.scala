@@ -45,6 +45,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch re-assignment of streaming points against fixed centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val cs = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)))
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    val q = in.toDF().toDF("i", "Y").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.KMeans.assign(batch, cs)
+          .select("i", "j").collect()
+          .foreach(r => seen.synchronized { seen(r.getLong(0)) = r.getLong(1) })
+      }
+      .start()
+    try {
+      in.addData((1L, Seq(1.0, 1.0)), (2L, Seq(9.0, 9.0)))
+      q.processAllAvailable()
+      in.addData((3L, Seq(10.0, 11.0)))
+      q.processAllAvailable()
+      assert(seen.toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
