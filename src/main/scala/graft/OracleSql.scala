@@ -137,6 +137,7 @@ object OracleSql {
        |SELECT a_id, b_id, inter/uni AS jac FROM p WHERE inter*$thrDen >= uni*$thrNum""".stripMargin
 
   def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
     val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(ids, x -> (x*${Dedup.mhA(i)}+${Dedup.mhB(i)}) % ${Dedup.MinhashP}))"

@@ -52,6 +52,27 @@ object SparkEntry {
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
 
+  /** Both silhouette queries derive exactly from ONE O(n²) pair-stats stage
+    * (Quality.silhouettePairStats) — n_sample × k rows of pure integers, so
+    * memoizing the collected rows is deterministic and tiny. The quadratic
+    * join runs once per JVM instead of once per silhouette query.
+    */
+  private val silStatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
+  private def silPairStats(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i1", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("j1", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("j2", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sfx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
+    val rows = silStatsCache.getOrElseUpdate(dir, {
+      val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
+      Quality.silhouettePairStats(KMeans.assign(sample, c4(s, dir))).collect()
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   // Shared oracle CTE fragments (DuckDB SQL).
   private val YH = Tables.yhOrdersSql
   private val C4 =
@@ -186,17 +207,14 @@ object SparkEntry {
     "km_elbow" -> ((s, dir) =>
       Quality.elbow(Tables.yhOrders(s, dir), c4(s, dir), d1Scale = 1e4, d2Scale = 0.01)),
 
-    // ---- simplified silhouette on a deterministic sample (§2.11 op 7) ----
-    "km_silhouette" -> ((s, dir) => {
-      val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
-      Quality.silhouetteSimplified(KMeans.assign(sample, c4(s, dir)))
-    }),
+    // ---- simplified silhouette on a deterministic sample (§2.11 op 7);
+    // shares the memoized O(n²) pair stage with the Rousseeuw variant ----
+    "km_silhouette" -> ((s, dir) =>
+      Quality.silhouetteSimplifiedFromStats(silPairStats(s, dir))),
 
     // ---- textbook per-point Rousseeuw silhouette (beyond reference) ----
-    "km_silhouette_rousseeuw" -> ((s, dir) => {
-      val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
-      Quality.silhouetteRousseeuw(KMeans.assign(sample, c4(s, dir)))
-    }),
+    "km_silhouette_rousseeuw" -> ((s, dir) =>
+      Quality.silhouetteRousseeuwFromStats(silPairStats(s, dir))),
 
     // ---- pivot-viz (§2.11 op 8; reference k-means.sql:58-66): manual
     // per-cluster pivot if(j=m, y, null) for scatter-plotting ----

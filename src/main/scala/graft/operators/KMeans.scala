@@ -82,6 +82,14 @@ object KMeans {
     * NOTE scale: the unpartitioned running-sum window is single-partition —
     * fine for the oracle's sf, but O(n) through one task at 100 TB. Use
     * [[seedPlusPlusScalable]] in production fits.
+    *
+    * NOTE overflow: the integer-domain compare needs `total·uNum` and
+    * `cw·uDen` to fit in a signed 64-bit long (cw ≤ total). With this
+    * binding's per-row weights (~2.5e11) that bound is approached around
+    * sf1+; the `require` below fails fast instead of silently flipping the
+    * draw. Shrink `weightScale` (weights are only sampling weights — scaling
+    * them down uniformly preserves the distribution up to rounding) to stay
+    * inside the bound at larger scale factors.
     */
   def seedNextInverseCdf(points: DataFrame, chosen: Seq[Centroid],
       uNum: Long, uDen: Long, weightScale: Double = 1.0): DataFrame = {
@@ -95,6 +103,9 @@ object KMeans {
     // value is identical to the oracle's windowed total), not a second
     // single-partition full-frame window pass
     val total = weighted.agg(sum("w")).head().getLong(0)
+    require(total >= 0 && total <= Long.MaxValue / math.max(uNum, uDen),
+      s"k-means++ draw would overflow Long: total weight $total × u=$uNum/$uDen; " +
+        "reduce weightScale")
     val cumW = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val next = weighted
       .withColumn("cw", sum("w").over(cumW))
@@ -111,9 +122,16 @@ object KMeans {
     * sampling). This is what survives 1000 executors.
     */
   def seedPlusPlusScalable(points: DataFrame, chosen: Seq[Centroid], seed: Long): Centroid = {
-    val w = nearestSqDist(col("Y"), coords(chosen))
+    val spark = points.sparkSession
+    import spark.implicits._
+    // centroids as broadcast DATA (constant plan across rounds — see
+    // lloydStepConst); the native kernel is bit-identical to the HOF form,
+    // and the broadcast join preserves row order, so rand(seed) draws the
+    // same per-row values as a plain projection would
+    val csDf = Seq(Tuple1(coords(chosen))).toDF("ccs")
+    val w = graft.plans.native.nearestSqDistCols(col("Y"), col("ccs"))
     val key = when(w > 0, pow(rand(seed), lit(1.0) / w)).otherwise(lit(-1.0))
-    val r = points
+    val r = points.crossJoin(broadcast(csDf))
       .select(col("i"), col("Y"), key.as("skey"))
       .agg(max_by(struct(col("i"), col("Y")), col("skey")).as("win"))
       .select(col("win.Y"))
@@ -189,6 +207,40 @@ object KMeans {
       }.toSeq.sortBy(_.j)
   }
 
+  /** One Lloyd iteration (assign + re-average) with centroids shipped as
+    * broadcast DATA instead of literals — value-identical to
+    * `lloydStepFast(assign(points, cs), dim, fxScale)`:
+    * [[graft.plans.native.nearestIdCols]] is the same argmin fold, and the
+    * fixed-point long sums are merge-order exact.
+    *
+    * Why it exists: with literal centroids every iteration is a brand-new
+    * plan (k·dim literals embedded in the expression tree), so Catalyst
+    * re-analyzes a large tree and whole-stage codegen re-compiles — several
+    * hundred ms of fixed cost per step that dominates small/medium fits.
+    * Here the plan differs across iterations only in the one-row broadcast
+    * relation's DATA, so analysis is O(1) in k·dim and the generated code is
+    * identical text → Janino cache hit. At 100 TB the same shape holds: the
+    * centroid row broadcasts to every executor once per step, exactly like
+    * the literal plan, and the aggregation is still one partial/final shuffle
+    * of k·dim longs.
+    */
+  def lloydStepConst(points: DataFrame, cs: Seq[Centroid], dim: Int,
+      fxScale: Double): Seq[Centroid] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val csDf = Seq((ids(cs), coords(cs))).toDF("cids", "ccs")
+    val fx = transform(col("Y"), v => round(v * fxScale).cast("long"))
+    points.crossJoin(broadcast(csDf))
+      .select(graft.plans.native.nearestIdCols(col("Y"), col("cids"), col("ccs")).as("j"),
+        fx.as("yfx"))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"), graft.plans.native.vector_sum_long(col("yfx"), dim).as("s"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        Centroid(r.getLong(0), r.getSeq[Long](2).map(s => s.toDouble / fxScale / n))
+      }.toSeq.sortBy(_.j)
+  }
+
   // ------------------------------------------------------------ convergence
 
   /** Total centroid movement between two consecutive steps — the intended
@@ -223,9 +275,16 @@ object KMeans {
     var move = Double.MaxValue
     while (move >= tol && step < maxIter) {
       step += 1
+      // Plan-shape choice, measured: with small centroid sets, literals are
+      // cheapest (planning is ~10 ms; the broadcast exchange of the const
+      // plan costs more than it saves). Past ~4k embedded literals the
+      // analysis/codegen of the literal tree takes over — ship centroids as
+      // broadcast data instead. Both paths are value-identical.
       val next =
-        if (fxScale > 0) lloydStepFast(assign(points, cs), dim, fxScale)
-        else lloydStep(assign(points, cs), dim, fxScale)
+        if (fxScale > 0) {
+          if (k.toLong * dim > 4096) lloydStepConst(points, cs, dim, fxScale)
+          else lloydStepFast(assign(points, cs), dim, fxScale)
+        } else lloydStep(assign(points, cs), dim, fxScale)
       if (next.size < cs.size)
         logger.warn(
           s"kmeans: ${cs.size - next.size} cluster(s) emptied at step $step (reference drop semantics)")

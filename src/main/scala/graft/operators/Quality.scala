@@ -23,25 +23,50 @@ object Quality {
         sumFx(col("msq"), d2Scale).as("elbow_d2"))
   }
 
-  /** Textbook per-point Rousseeuw silhouette, averaged: for each point,
-    * a(i) = mean distance to its own cluster's other members, b(i) = min
-    * over other clusters of the mean distance to that cluster,
-    * s(i) = (b−a)/max(a,b); the output is mean s(i) — the standard quality
-    * score the reference's simplified global form approximates. Same O(n²)
-    * pair space (pre-sample at scale); all means derive from fixed-point
-    * integer sums so the DuckDB oracle matches bit-for-bit.
+  /** The shared O(n²) stage behind BOTH silhouette variants: for every
+    * (point i1 in cluster j1, other cluster j2) the exact integer sum of
+    * rounded pair distances (`sfx = Σ round(d·dScale)`) and the pair count.
+    * n_points × k rows — tiny; both [[silhouetteRousseeuw]] and
+    * [[silhouetteSimplified]] derive from it EXACTLY (long sums are
+    * associative, so any regrouping is value-identical), which lets callers
+    * run the quadratic pair join once and reuse it.
+    *
+    * The pair join is a non-equi self-join (`i1 =!= i2`) — O(n²) is the
+    * reference's own cost model (OptimalK.sql:19); `assigned` must be a
+    * (deterministic) pre-sample at scale, with columns (i, Y, j).
     */
-  def silhouetteRousseeuw(assigned: DataFrame, dScale: Double = 1e3,
-      siScale: Double = 1e6): DataFrame = {
+  def silhouettePairStats(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
     val a = assigned.select(col("i").as("i1"), col("Y").as("Y1"), col("j").as("j1"))
     val b = assigned.select(col("i").as("i2"), col("Y").as("Y2"), col("j").as("j2"))
+    // native kernel: keep the per-pair work one fused codegen'd loop
     val pairs = a.join(b, col("i1") =!= col("i2"))
       .select(col("i1"), col("j1"), col("j2"),
         round(sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))) * dScale)
           .cast("long").as("dfx"))
-    // mean distance from each point to each cluster (exact integer sums)
-    val toCluster = pairs.groupBy("i1", "j1", "j2")
-      .agg((sum("dfx").cast("double") / dScale / count(lit(1))).as("md"))
+    pairs.groupBy("i1", "j1", "j2")
+      .agg(sum("dfx").as("sfx"), count(lit(1)).as("cnt"))
+  }
+
+  /** Textbook per-point Rousseeuw silhouette, averaged: for each point,
+    * a(i) = mean distance to its own cluster's other members, b(i) = min
+    * over other clusters of the mean distance to that cluster,
+    * s(i) = (b−a)/max(a,b); the output is mean s(i) — the standard quality
+    * score the reference's simplified global form approximates. All means
+    * derive from fixed-point integer sums so the DuckDB oracle matches
+    * bit-for-bit.
+    */
+  def silhouetteRousseeuw(assigned: DataFrame, dScale: Double = 1e3,
+      siScale: Double = 1e6): DataFrame =
+    silhouetteRousseeuwFromStats(silhouettePairStats(assigned, dScale), dScale, siScale)
+
+  /** Rousseeuw silhouette from a precomputed [[silhouettePairStats]]
+    * intermediate (same dScale). Value-identical to computing from pairs
+    * directly: `md = sfx/dScale/cnt` is the exact per-(point, cluster) mean.
+    */
+  def silhouetteRousseeuwFromStats(stats: DataFrame, dScale: Double = 1e3,
+      siScale: Double = 1e6): DataFrame = {
+    val toCluster = stats.select(col("i1"), col("j1"), col("j2"),
+      (col("sfx").cast("double") / dScale / col("cnt")).as("md"))
     val ai = toCluster.filter(col("j1") === col("j2"))
       .select(col("i1").as("ia"), col("md").as("a"))
     val bi = toCluster.filter(col("j1") =!= col("j2"))
@@ -61,19 +86,20 @@ object Quality {
     * pre-sample, so `assigned` here is expected to be a (deterministic)
     * sample with columns (i, Y, j).
     */
-  def silhouetteSimplified(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
-    val a = assigned.select(col("i").as("i1"), col("Y").as("Y1"), col("j").as("j1"))
-    val b = assigned.select(col("i").as("i2"), col("Y").as("Y2"), col("j").as("j2"))
-    // native kernel: O(n²) pairs is the reference's own cost model
-    // (OptimalK.sql:19) — keep the per-pair work one fused loop
-    val pairs = a.join(b, col("i1") =!= col("i2"))
-      .select(col("j1"), col("j2"),
-        sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))).as("d"))
+  def silhouetteSimplified(assigned: DataFrame, dScale: Double = 1e3): DataFrame =
+    silhouetteSimplifiedFromStats(silhouettePairStats(assigned, dScale), dScale)
+
+  /** Simplified global silhouette from a precomputed
+    * [[silhouettePairStats]] intermediate (same dScale). The global
+    * conditional sums are regroupings of the per-point integer sums, so the
+    * result is bit-identical to the direct pair aggregation.
+    */
+  def silhouetteSimplifiedFromStats(stats: DataFrame, dScale: Double = 1e3): DataFrame = {
     val same = col("j1") === col("j2")
     def condAvg(cond: Column): Column =
-      (sum(when(cond, round(col("d") * dScale).cast("long"))).cast("double") / dScale) /
-        sum(when(cond, 1).otherwise(0))
-    pairs
+      (sum(when(cond, col("sfx"))).cast("double") / dScale) /
+        sum(when(cond, col("cnt")).otherwise(0L))
+    stats
       .agg(condAvg(same).as("ai"), condAvg(!same).as("bi"))
       .select(col("ai"), col("bi"),
         ((col("bi") - col("ai")) / greatest(col("ai"), col("bi"))).as("si"))

@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd dot product between two `array<double>` columns. Same
   * left-to-right summation as `VectorOps.dot`, so bit-identical — see
-  * [[SqDist]] for the pattern rationale. Registered as SQL `dot_product`.
+  * [[SqDist]] for the pattern rationale (including the documented
+  * ragged-input divergence: min-length fuse here vs NULL from the HOF
+  * form). Registered as SQL `dot_product`.
   */
 case class Dot(left: Expression, right: Expression) extends BinaryExpression {
 

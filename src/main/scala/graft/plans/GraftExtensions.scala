@@ -32,10 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Register on an already-built session (tests, driver-owned sessions). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register on an already-built session (tests, driver-owned sessions).
+    * Mirrors [[GraftExtensions.apply]]: all three functions, same names.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "sq_dist", exprs => SqDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => Dot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+  }
 }
 
 /** Column-API surface for graft's native expressions. */
@@ -67,8 +75,18 @@ object native {
       VectorSumLong(GraftColumnShim.expression(c), dim).toAggregateExpression())
 
   /** `VectorOps.nearestId` with the native distance kernel. */
-  def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column = {
-    val pairs = zip_with(typedlit(ids), typedlit(cs),
+  def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column =
+    nearestIdCols(y, typedlit(ids), typedlit(cs))
+
+  /** [[nearestIdNative]] with the centroid set supplied as COLUMNS
+    * (`ids: array<long>`, `cs: array<array<double>>`) instead of literals —
+    * same fold order and tie-breaking, so assignments are identical. Lets
+    * iterative callers ship centroids as broadcast DATA: the plan (and the
+    * generated whole-stage code) stays constant across Lloyd iterations
+    * instead of being re-analyzed/re-compiled for every new literal set.
+    */
+  def nearestIdCols(y: Column, ids: Column, cs: Column): Column = {
+    val pairs = zip_with(ids, cs,
       (j, c) => struct(j.as("j"), sq_dist(c, y).as("d")))
     aggregate(
       pairs,
@@ -76,4 +94,15 @@ object native {
       (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc),
       acc => acc.getField("j"))
   }
+
+  /** `VectorOps.nearestSqDist` with column-supplied centroids
+    * (`cs: array<array<double>>`) and the native kernel — same min fold,
+    * value-identical; the constant-plan building block for iterative
+    * seeding (see [[nearestIdCols]] for the rationale).
+    */
+  def nearestSqDistCols(y: Column, cs: Column): Column =
+    aggregate(
+      transform(cs, c => sq_dist(c, y)),
+      lit(Double.MaxValue),
+      (acc, v) => when(v < acc, v).otherwise(acc))
 }

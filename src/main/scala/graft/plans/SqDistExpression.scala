@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * so results are bit-identical to the HOF form (and to the DuckDB oracle) —
   * the two implementations are interchangeable under the same oracle.
   *
+  * DIVERGENCE on ragged input: when the arrays differ in length this fuses
+  * over `min(len(a), len(b))` elements, while the HOF form (`zip_with` pads
+  * the short side with nulls) returns NULL. Every graft pipeline feeds
+  * equal-length vectors (fixed `dim`), where the two are bit-identical; do
+  * not rely on either behavior for malformed input.
+  *
   * Registered as SQL function `sq_dist` by [[GraftExtensions]].
   */
 case class SqDist(left: Expression, right: Expression)

@@ -21,5 +21,5 @@ exec java \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Xmx${SPARK_DRIVER_MEM:-32g} \
   -cp "$CP" "$MAIN" "$@"
