@@ -207,6 +207,19 @@ object SparkEntry {
     "km_elbow" -> ((s, dir) =>
       Quality.elbow(Tables.yhOrders(s, dir), c4(s, dir), d1Scale = 1e4, d2Scale = 0.01)),
 
+    // ---- OptimalK sweep (reference OptimalK.sql / README.md:39-43): one
+    // row (k, elbow_d1, elbow_d2, si) per k = 2..8. Centroid sets are the
+    // NESTED deterministic first-k seeds so the whole sweep is ANSI-SQL
+    // expressible (the fit-per-k form is Quality.optimalKSweep; iterative,
+    // so not oracle-able). One scan computes all 7 elbows; the O(n²)
+    // silhouette pair stage runs once, shared across every k. ----
+    "km_optimal_k" -> ((s, dir) => {
+      val yh = Tables.yhOrders(s, dir)
+      Quality.optimalKNested(yh, sample = yh.filter(col("i") % 97 === 0),
+        seeds = KMeans.seedFirstK(yh, 8), ks = 2 to 8,
+        d1Scale = 1e4, d2Scale = 0.01)
+    }),
+
     // ---- simplified silhouette on a deterministic sample (§2.11 op 7);
     // shares the memoized O(n²) pair stage with the Rousseeuw variant ----
     "km_silhouette" -> ((s, dir) =>
@@ -393,6 +406,38 @@ object SparkEntry {
          |SELECT CAST(sum(CAST(round(sqrt(msq)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS elbow_d1,
          |       CAST(sum(CAST(round(msq*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS elbow_d2
          |FROM m""".stripMargin,
+    "km_optimal_k" ->
+      s"""WITH $YH,
+         |c8 AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, x, y
+         |  FROM (SELECT i, x, y FROM yh ORDER BY i LIMIT 8) t),
+         |ks AS (SELECT CAST(unnest([2,3,4,5,6,7,8]) AS BIGINT) AS k),
+         |m AS (SELECT ks.k, y.i, min((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS msq
+         |  FROM ks CROSS JOIN yh y JOIN c8 c ON c.j <= ks.k
+         |  GROUP BY ks.k, y.i),
+         |e AS (SELECT k,
+         |  CAST(sum(CAST(round(sqrt(msq)*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS elbow_d1,
+         |  CAST(sum(CAST(round(msq*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS elbow_d2
+         |  FROM m GROUP BY k),
+         |s AS (SELECT * FROM yh WHERE i % 97 = 0),
+         |a AS (SELECT k, i, j FROM (
+         |  SELECT ks.k, s.i, c.j,
+         |    row_number() OVER (PARTITION BY ks.k, s.i
+         |      ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y), c.j) AS rn
+         |  FROM ks CROSS JOIN s JOIN c8 c ON c.j <= ks.k) t WHERE rn = 1),
+         |pd AS (SELECT s1.i AS i1, s2.i AS i2,
+         |    CAST(round(sqrt((s1.x-s2.x)*(s1.x-s2.x)+(s1.y-s2.y)*(s1.y-s2.y))*1e3) AS BIGINT) AS dfx
+         |  FROM s s1 JOIN s s2 ON s1.i <> s2.i),
+         |g AS (SELECT a1.k,
+         |    CAST(sum(CASE WHEN a1.j = a2.j THEN dfx END) AS DOUBLE)/1e3
+         |      / sum(CASE WHEN a1.j = a2.j THEN 1 ELSE 0 END) AS ai,
+         |    CAST(sum(CASE WHEN a1.j <> a2.j THEN dfx END) AS DOUBLE)/1e3
+         |      / sum(CASE WHEN a1.j <> a2.j THEN 1 ELSE 0 END) AS bi
+         |  FROM pd
+         |  JOIN a a1 ON a1.i = pd.i1
+         |  JOIN a a2 ON a2.k = a1.k AND a2.i = pd.i2
+         |  GROUP BY a1.k)
+         |SELECT e.k, e.elbow_d1, e.elbow_d2, (g.bi-g.ai)/greatest(g.ai,g.bi) AS si
+         |FROM e JOIN g ON e.k = g.k""".stripMargin,
     "km_silhouette" ->
       s"""WITH $YH, $C4, s AS (SELECT * FROM yh WHERE i % 23 = 0), $ASSIGN,
          |p AS (SELECT a1.j AS j1, a2.j AS j2,

@@ -23,6 +23,91 @@ object Quality {
         sumFx(col("msq"), d2Scale).as("elbow_d2"))
   }
 
+  /** The reference's second entry point — the OptimalK sweep (reference
+    * OptimalK.sql:3-21, README.md:39-43): run a full fit for each candidate
+    * k and emit one row (k, elbow_d1, elbow_d2, silhouette) so the user can
+    * eyeball the knee / silhouette peak. The reference drives this from the
+    * shell around OptimalK.sql; here the loop is the driver, like
+    * [[KMeans.fit]].
+    *
+    * `sample` is the silhouette pre-sample (the pair stage is O(|sample|²)
+    * — see [[silhouettePairStats]]); `points` should be cached by the
+    * caller, since each k re-scans it (seeding + Lloyd loop + elbow).
+    */
+  def optimalKSweep(points: DataFrame, sample: DataFrame, dim: Int, ks: Seq[Int],
+      seed: Long = 42L, d1Scale: Double = 1e6, d2Scale: Double = 1e6,
+      maxIter: Int = 50): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    ks.map { k =>
+      val fit = KMeans.fit(points, k = k, dim = dim, seed = seed,
+        plusPlus = true, maxIter = maxIter)
+      val e = elbow(points, fit.centroids, d1Scale, d2Scale).head()
+      val si = silhouetteSimplified(KMeans.assign(sample, fit.centroids))
+        .select(col("si")).head()
+      (k.toLong, e.getDouble(0), e.getDouble(1),
+        if (si.isNullAt(0)) Double.NaN else si.getDouble(0))
+    }.toDF("k", "elbow_d1", "elbow_d2", "silhouette")
+  }
+
+  /** OptimalK curve over NESTED seed prefixes (centroid set for k is
+    * `seeds.take(k)`) — the fully relational, oracle-able form of the sweep:
+    * one row (k, elbow_d1, elbow_d2, si) per k.
+    *
+    * Scale shape (why this isn't a loop over [[elbow]] + [[silhouetteSimplified]]):
+    *  - ALL elbows come from ONE scan of `points`: the per-k nearest-distance
+    *    folds are just ks.size expressions in a single multi-aggregate
+    *    projection, unpivoted with `stack`. No repeated scans.
+    *  - The O(|sample|²) pair-distance stage runs ONCE — pair distances don't
+    *    depend on k; only the per-k labels do, and those are a tiny
+    *    (|sample|·ks.size rows) broadcast equi-join back onto the pairs.
+    *  - Nesting makes both elbows provably monotone non-increasing in k (a
+    *    min over a superset of centroids can't grow) — QualitySpec asserts it.
+    *
+    * Value-identity: the label joins regroup the same `round(d·dScale)` longs
+    * that [[silhouetteSimplified]] sums, and long sums are associative, so
+    * each per-k row is bit-identical to running the single-k operators.
+    */
+  def optimalKNested(points: DataFrame, sample: DataFrame, seeds: Seq[Centroid],
+      ks: Seq[Int], d1Scale: Double = 1e6, d2Scale: Double = 1e6,
+      dScale: Double = 1e3): DataFrame = {
+    require(ks.nonEmpty && ks.max <= seeds.size, s"need ${ks.max} seeds, got ${seeds.size}")
+    // -- elbows: one scan, 2·ks.size fixed-point sums, stack() to rows
+    val elbowAggs = ks.flatMap { k =>
+      val msq = nearestSqDist(col("Y"), seeds.take(k).map(_.c))
+      Seq(sumFx(sqrt(msq), d1Scale).as(s"d1_$k"), sumFx(msq, d2Scale).as(s"d2_$k"))
+    }
+    val elbows = points.agg(elbowAggs.head, elbowAggs.tail: _*)
+      .select(expr(s"stack(${ks.size}, " +
+        ks.map(k => s"CAST($k AS BIGINT), d1_$k, d2_$k").mkString(", ") +
+        ") AS (k, elbow_d1, elbow_d2)"))
+    // -- silhouettes: pair distances once (k-independent), labels per k
+    val a = sample.select(col("i").as("i1"), col("Y").as("Y1"))
+    val b = sample.select(col("i").as("i2"), col("Y").as("Y2"))
+    val pd = a.join(b, col("i1") =!= col("i2"))
+      .select(col("i1"), col("i2"),
+        round(sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))) * dScale)
+          .cast("long").as("dfx"))
+    val labels = ks.map { k =>
+      KMeans.assign(sample, seeds.take(k))
+        .select(lit(k.toLong).as("k"), col("i"), col("j"))
+    }.reduce(_ unionAll _)
+    val l1 = labels.select(col("k"), col("i").as("i1"), col("j").as("j1"))
+    val l2 = labels.select(col("k").as("k2"), col("i").as("i2b"), col("j").as("j2"))
+    val same = col("j1") === col("j2")
+    def condAvg(cond: Column): Column =
+      (sum(when(cond, col("dfx"))).cast("double") / dScale) /
+        sum(when(cond, 1L).otherwise(0L))
+    val sil = pd.join(broadcast(l1), Seq("i1"))
+      .join(broadcast(l2), col("k2") === col("k") && col("i2b") === col("i2"))
+      .groupBy("k")
+      .agg(condAvg(same).as("ai"), condAvg(!same).as("bi"))
+      .select(col("k").as("sk"),
+        ((col("bi") - col("ai")) / greatest(col("ai"), col("bi"))).as("si"))
+    elbows.join(sil, col("k") === col("sk"))
+      .select(col("k"), col("elbow_d1"), col("elbow_d2"), col("si"))
+  }
+
   /** The shared O(n²) stage behind BOTH silhouette variants: for every
     * (point i1 in cluster j1, other cluster j2) the exact integer sum of
     * rounded pair distances (`sfx = Σ round(d·dScale)`) and the pair count.

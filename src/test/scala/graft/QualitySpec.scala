@@ -30,6 +30,42 @@ class QualitySpec extends SparkSpec {
     assert(r > 0.95, s"si=$r")
   }
 
+  test("optimalKNested: monotone elbows, per-row parity with single-k operators") {
+    val yh = Tables.yhOrders(spark, sf("0.001")).cache()
+    val sample = yh.filter(col("i") % 29 === 0)
+    val seeds = KMeans.seedFirstK(yh, 6)
+    val ks = 2 to 6
+    val rows = Quality.optimalKNested(yh, sample, seeds, ks,
+        d1Scale = 1e4, d2Scale = 0.01)
+      .orderBy("k").as[(Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == ks.map(_.toLong))
+    // nested prefixes: min over a centroid superset can't grow
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"elbow_d1 not monotone: $a -> $b")
+      assert(b._3 <= a._3, s"elbow_d2 not monotone: $a -> $b")
+    }
+    // bit-identical to running the single-k operators separately
+    ks.zip(rows).foreach { case (k, row) =>
+      val ck = seeds.take(k)
+      val e = Quality.elbow(yh, ck, d1Scale = 1e4, d2Scale = 0.01)
+        .as[(Double, Double)].head()
+      val si = Quality.silhouetteSimplified(KMeans.assign(sample, ck))
+        .select("si").as[Double].head()
+      assert(row._2 == e._1 && row._3 == e._2, s"k=$k elbow mismatch: $row vs $e")
+      assert(row._4 == si, s"k=$k si mismatch: ${row._4} vs $si")
+    }
+  }
+
+  test("optimalKSweep (fit-per-k): one row per k, WCSS decreasing") {
+    val yh = Tables.yhOrders(spark, sf("0.001")).cache()
+    val sample = yh.filter(col("i") % 29 === 0)
+    val rows = Quality.optimalKSweep(yh, sample, dim = 2, ks = Seq(2, 4),
+        d1Scale = 1e4, d2Scale = 0.01, maxIter = 5)
+      .orderBy("k").as[(Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L))
+    assert(rows(1)._3 <= rows(0)._3, s"fit WCSS should not grow with k: $rows")
+  }
+
   test("elbow decreases as k grows (on real embeddings)") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val wcss = Seq(2, 5, 10).map { k =>
