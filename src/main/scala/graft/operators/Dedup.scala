@@ -89,11 +89,10 @@ object Dedup {
     * identical to the naive all-pairs form.) At 100 TB add a stop-shingle
     * df cap only if skew demands it — it changes semantics.
     */
-  def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int): DataFrame = {
+  def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int,
+      dfCap: Int = 0): DataFrame = {
     require(thrNum >= 1, "inverted-index form requires a positive threshold")
-    val t = shingled(docs, n)
-    val ex = t.select(col("doc_id"), col("lang"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+    val ex = ngramPostings(docs, n, dfCap)
     val a = ex.select(col("doc_id").as("a_id"), col("sz").as("sza"),
       col("lang"), col("s"))
     val b = ex.select(col("doc_id").as("b_id"), col("sz").as("szb"),
@@ -105,6 +104,38 @@ object Dedup {
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * thrDen >= col("uni") * thrNum)
       .select(col("a_id"), col("b_id"), (col("inter") / col("uni")).as("jac"))
+  }
+
+  /** Posting lists (doc_id, lang, sz, s) behind [[ngramJaccard]], with the
+    * SKEW GUARD: when `dfCap > 0`, shingles whose document frequency within
+    * the lang block exceeds the cap ("stop-shingles" — boilerplate headers,
+    * license blurbs) are dropped from the postings.
+    *
+    * Why it exists: candidate work in the inverted-index join is Σ_shingle
+    * df². One natural-data boilerplate shingle with df = 10⁶ creates 10¹²
+    * join rows ON ONE KEY — a skewed partition plus a quadratic blowup that
+    * no AQE setting can save. Capping bounds every shingle's contribution to
+    * ≤ dfCap² candidate rows.
+    *
+    * Semantics: APPROXIMATE when capping fires — a dropped shingle can only
+    * reduce `inter` (union sizes `sz` still count every shingle), so capped
+    * Jaccard underestimates and pairs whose overlap is mostly boilerplate
+    * are (intentionally) missed. `dfCap <= 0` is the exact form.
+    */
+  def ngramPostings(docs: DataFrame, n: Int, dfCap: Int = 0): DataFrame = {
+    val t = shingled(docs, n)
+    val ex = t.select(col("doc_id"), col("lang"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    if (dfCap <= 0) ex
+    else {
+      val hot = ex.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("lang").as("lang_h"), col("s").as("s_h"))
+      // hot set is tiny by construction (only over-represented shingles) —
+      // broadcast anti join, no extra shuffle of the postings
+      ex.join(broadcast(hot),
+        col("lang") === col("lang_h") && col("s") === col("s_h"), "left_anti")
+    }
   }
 
   // --------------------------------------------------------- MinHash + LSH
@@ -260,5 +291,46 @@ object Dedup {
           .cast("long"))
       .filter(col("cos_e6") >= thrE6)
       .select("a_id", "b_id", "cos_e6")
+  }
+
+  /** THE SCALE PATH for embedding near-dup: IVF cell blocking (same shapes
+    * as [[Similarity.ivfTopK]]). Every vector is indexed under its `nProbe`
+    * nearest coarse cells — computed PER ROW by sorting the literal-centroid
+    * distance array inside codegen (no shuffle, unlike a window rank) — and
+    * candidate pairs come from a shuffle-partitioned EQUI-join on cell id,
+    * never a BroadcastNestedLoopJoin. Exact cosine re-ranks the candidates.
+    *
+    * Approximate by construction: a pair whose members share none of their
+    * nProbe cells is missed; (nCells, nProbe) is the recall/cost knob. At
+    * 100 TB the index side is hash-partitioned by cell and each cell's pair
+    * space is (|cell|·nProbe)² — bounded by construction, tunable via
+    * nCells. [[embeddingCosine]] stays as the exact small-sf cross-check.
+    */
+  def embeddingCosineBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      thrE6: Long, nProbe: Int = 2): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    // nProbe nearest cells, ties -> lowest cell id: array_sort on
+    // (distance, cid) structs orders lexicographically, all row-local
+    val cellArr = slice(
+      array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+      1, nProbe)
+    val indexed = e
+      .select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
+      .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"))
+    val a = indexed.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = indexed.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= thrE6)
+      .distinct()
   }
 }
