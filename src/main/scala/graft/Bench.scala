@@ -47,6 +47,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val unknown = args.filterNot(a => all.exists(_._1 == a))
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query name(s) ignored: ${unknown.mkString(", ")}")
     val selected = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
 
     // warm-up (untimed): JIT, codegen, shuffle/broadcast infrastructure,
@@ -55,7 +58,13 @@ object Bench {
     try {
       SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      val tiny = Tables.yhEmbeddings(spark, "/root/testdata/sf0.001").cache()
+      // smallest sibling sf dir next to the bench target (falls back to the
+      // target itself), so the warm-up fit isn't pinned to one absolute path
+      val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+      val tinyDir = Option(parent.listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("sf")))
+        .map(_.sortBy(f => f.getName.stripPrefix("sf").toDoubleOption.getOrElse(Double.MaxValue)))
+        .flatMap(_.headOption).map(_.getPath).getOrElse(sfDir)
+      val tiny = Tables.yhEmbeddings(spark, tinyDir).cache()
       operators.KMeans.fit(tiny, k = 4, dim = 64, maxIter = 3, plusPlus = true, seed = 1L)
       tiny.unpersist()
     } catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
@@ -74,14 +83,18 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, (gcMillis() - gc0) / 1e3, cpuSec() - cpu0)
     }
+    def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
     val gc = jmap(results.map(r => r._1 -> r._3))
     val cpu = jmap(results.map(r => r._1 -> r._4))
     val errs = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gc,"cpu":$cpu,"errors":$errs,"sf":"$sfDir"}""")
+    // The contract line stays COMPACT (the harness captures a bounded output
+    // tail and json-parses this one line); gc/cpu diagnostics go to stderr.
+    System.err.println(s"""{"diag":"bench","gc":$gc,"cpu":$cpu,"errors":$errs}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
