@@ -136,6 +136,24 @@ object OracleSql {
        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
        |SELECT a_id, b_id, inter/uni AS jac FROM p WHERE inter*$thrDen >= uni*$thrNum""".stripMargin
 
+  /** Mirror of [[Dedup.ngramJaccard]] with the df cap: postings whose shingle
+    * document frequency within the lang block exceeds the cap are dropped
+    * before pairing, while union sizes `sz` still count every shingle — so
+    * capped Jaccard underestimates exactly like the Spark side.
+    */
+  def dedupNgramCapped(n: Int, thrNum: Int, thrDen: Int, dfCap: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
+       |ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM t),
+       |hot AS (SELECT lang, s FROM ex GROUP BY lang, s HAVING count(*) > $dfCap),
+       |kept AS (SELECT ex.doc_id, ex.lang, ex.sz, ex.s FROM ex
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.lang = ex.lang AND h.s = ex.s)),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza, b.sz AS szb,
+       |    CAST(count(*) AS INT) AS inter
+       |  FROM kept a JOIN kept b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a_id, b_id, inter/(sza+szb-inter) AS jac FROM p
+       |WHERE inter*$thrDen >= (sza+szb-inter)*$thrNum""".stripMargin
+
   def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
@@ -215,6 +233,23 @@ object OracleSql {
        |  SELECT q_id, n_id, c,
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
+
+  /** Mirror of [[Dedup.embeddingCosineBlocked]] with fixed coarse centroids
+    * (vec_id < nCells, cell id = vec_id + 1): every vector indexed under its
+    * nProbe nearest cells (ties → lowest cell id, same as the row-local
+    * struct sort), pairs from the cell equi-join, exact cosine re-rank.
+    */
+  def dedupEmbCosineBlocked(nCells: Int, nProbe: Int, thrE6: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |idx AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn <= $nProbe)
+       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) AS cos_e6
+       |FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) >= $thrE6""".stripMargin
 
   def dedupEmbCosine(thrE6: Long): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

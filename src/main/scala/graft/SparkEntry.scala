@@ -265,6 +265,13 @@ object SparkEntry {
       Dedup.exact(Tables.read(s, dir, "documents"))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5)),
+    // skew-guarded form: stop-shingles (df > cap within the lang block) are
+    // dropped from the postings, bounding the inverted-index join's per-key
+    // fan-out to cap² — THE guard that keeps one boilerplate shingle with
+    // df=10⁶ from creating 10¹² join rows on a single key at 100 TB
+    "dedup_ngram_capped" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5,
+        dfCap = 3)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -273,6 +280,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.read(s, dir, "documents"), chunkBlocked = false)),
     "dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L)),
+    // THE scale path for embedding near-dup: IVF cell blocking — candidates
+    // from an equi-join on cell id (never a BroadcastNestedLoopJoin; asserted
+    // in PlansSpec), exact cosine re-rank. dedup_embcos stays as the exact
+    // all-pairs cross-check at small sf.
+    "dedup_embcos_blocked" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Dedup.embeddingCosineBlocked(emb, Similarity.fixedCentroids(emb, 16),
+        thrE6 = 350000L, nProbe = 2)
+    }),
 
     // ---- similarity search (beyond-reference) ----
     "sim_topk" -> ((s, dir) =>
@@ -466,9 +482,11 @@ object SparkEntry {
          |FROM si""".stripMargin,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
+    "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
+    "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "text_stats" -> OracleSql.textStats,

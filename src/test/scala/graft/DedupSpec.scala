@@ -64,6 +64,48 @@ class DedupSpec extends SparkSpec {
     assert(chunked == direct)
   }
 
+  test("ngram df cap drops hot-shingle postings and bounds the candidate blowup") {
+    // 30 docs sharing a boilerplate prefix (every prefix shingle has df = 30)
+    // plus unique tails: uncapped postings join quadratically on the hot
+    // shingles; dfCap = 5 removes them entirely.
+    val boiler = "terms of service apply to all users of this site"
+    val hotDocs = (1 to 30).map(i => (i.toLong, s"$boiler unique tail $i-a $i-b $i-c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val uncapped = Dedup.ngramPostings(hotDocs, n = 3)
+    val capped = Dedup.ngramPostings(hotDocs, n = 3, dfCap = 5)
+    // the hot shingles are gone from the postings…
+    assert(capped.filter(col("s") === "terms of service").count() == 0)
+    assert(uncapped.filter(col("s") === "terms of service").count() == 30)
+    // …so candidate work collapses from quadratic to zero shared keys
+    def candidates(p: org.apache.spark.sql.DataFrame): Long = {
+      val a = p.select(col("doc_id").as("a_id"), col("lang"), col("s"))
+      val b = p.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("s").as("s_b"))
+      a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b") &&
+        col("a_id") < col("b_id")).count()
+    }
+    val hotPairs = 30L * 29 / 2
+    assert(candidates(uncapped) >= hotPairs * 7) // 7 fully-hot boilerplate shingles
+    assert(candidates(capped) == 0)
+    // cap = 0 is the exact form: identical output to the default
+    val exact = Dedup.ngramJaccard(docs, 3, 1, 5).collect().toSet
+    val cap0 = Dedup.ngramJaccard(docs, 3, 1, 5, dfCap = 0).collect().toSet
+    assert(exact == cap0)
+  }
+
+  test("blocked embedding near-dup equals brute force when probes cover all cells") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = graft.operators.Similarity.fixedCentroids(emb, 4)
+    val brute = Dedup.embeddingCosine(emb, thrE6 = 350000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Dedup.embeddingCosineBlocked(emb, cents, thrE6 = 350000L, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute) // nProbe = nCells → lossless blocking
+    // restricted probes stay a subset (approximation only ever drops pairs)
+    val probed = Dedup.embeddingCosineBlocked(emb, cents, thrE6 = 350000L, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed.subsetOf(brute))
+  }
+
   test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

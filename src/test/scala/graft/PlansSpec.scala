@@ -66,6 +66,14 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("plan hygiene: blocked embedding dedup is an equi-join, never a nested loop") {
+    val plan = SparkEntry.queries("dedup_embcos_blocked")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))
