@@ -155,7 +155,8 @@ object OracleSql {
        |WHERE inter*$thrDen >= (sza+szb-inter)*$thrNum""".stripMargin
 
   def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
     val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(ids, x -> (x*${Dedup.mhA(i)}+${Dedup.mhB(i)}) % ${Dedup.MinhashP}))"

@@ -38,13 +38,25 @@ object SparkEntry {
   private def c4(spark: SparkSession, dir: String): Seq[Centroid] =
     KMeans.seedFirstK(Tables.yhOrders(spark, dir), 4)
 
-  /** The flagship embeddings fit is fully deterministic per input dir, and
+  /** Cache key for per-dir memoization: the dir plus a cheap content
+    * fingerprint (parquet file names, sizes, mtimes), so data rewritten under
+    * the same path within one JVM's lifetime invalidates the entry instead of
+    * serving stale results.
+    */
+  private def dirKey(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}=${f.length}@${f.lastModified}")
+      .mkString(dir + "|", ",", "")
+  }
+
+  /** The flagship embeddings fit is fully deterministic per input data, and
     * several queries consume it (`km_fit`, `km_wcr_log`) — memoize so one
     * JVM run fits once.
     */
   private val fitCache = scala.collection.concurrent.TrieMap.empty[String, KMeans.FitResult]
   private def embFit(s: SparkSession, dir: String): KMeans.FitResult =
-    fitCache.getOrElseUpdate(dir, {
+    fitCache.getOrElseUpdate(dirKey(dir), {
       val pts = Tables.yhEmbeddings(s, dir).cache()
       KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
     })
@@ -66,7 +78,7 @@ object SparkEntry {
       org.apache.spark.sql.types.StructField("j2", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("sfx", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
-    val rows = silStatsCache.getOrElseUpdate(dir, {
+    val rows = silStatsCache.getOrElseUpdate(dirKey(dir), {
       val sample = Tables.yhOrders(s, dir).filter(col("i") % 23 === 0)
       Quality.silhouettePairStats(KMeans.assign(sample, c4(s, dir))).collect()
     })

@@ -62,6 +62,21 @@ object KMeans {
       Centroid(ix + 1L, r.getSeq[Double](r.fieldIndex("Y")))
     }.toSeq
 
+  /** Reference-fidelity first seed: the reference randomizes the first
+    * centroid with a shell-random offset-limit pick over the points relation
+    * (`limit $((1 + $RANDOM % 100)),1`, k-means.sh:9). Same behavior, made
+    * reproducible: a seeded PRNG draws offset ∈ [1, maxOffset], and the
+    * offset-th point in key order is the seed (key order stands in for the
+    * reference's insertion order, which Spark does not guarantee).
+    * `seedFirstK(points, 1)` remains the deterministic default.
+    */
+  def seedFirstRandom(points: DataFrame, seed: Long, maxOffset: Int = 100): Seq[Centroid] = {
+    val offset = 1 + new scala.util.Random(seed).nextInt(maxOffset)
+    points.orderBy("i").offset(offset).limit(1).collect().map { r =>
+      Centroid(1L, r.getSeq[Double](r.fieldIndex("Y")))
+    }.toSeq
+  }
+
   /** One k-means++ seeding round, exact inverse-CDF form — the reference's
     * `centroidsInit` view (k-means.sql:16-33): anti-join points already chosen
     * (by COORDINATES, not keys — k-means.sql:27 `Y not in (select C from
@@ -90,15 +105,23 @@ object KMeans {
     * draw. Shrink `weightScale` (weights are only sampling weights — scaling
     * them down uniformly preserves the distribution up to rounding) to stay
     * inside the bound at larger scale factors.
+    *
+    * `d1Weights = true` is the BUG-COMPAT mode: weight by plain L2 distance
+    * exactly as the reference's `centroidsInit` actually computes it
+    * (k-means.sql:24 — `dx2` in name only), reproducing the reference
+    * as-built rather than as-intended. Default stays textbook D².
     */
   def seedNextInverseCdf(points: DataFrame, chosen: Seq[Centroid],
-      uNum: Long, uDen: Long, weightScale: Double = 1.0): DataFrame = {
+      uNum: Long, uDen: Long, weightScale: Double = 1.0,
+      d1Weights: Boolean = false): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val chosenDf = chosen.map(_.c).toDF("C")
     val surviving = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
+    val d2 = nearestSqDist(col("Y"), coords(chosen))
+    val weight = if (d1Weights) sqrt(d2) else d2
     val weighted = surviving.withColumn(
-      "w", round(nearestSqDist(col("Y"), coords(chosen)) * weightScale).cast("long"))
+      "w", round(weight * weightScale).cast("long"))
     // total via a scalar aggregate (integer sum — order-independent, so the
     // value is identical to the oracle's windowed total), not a second
     // single-partition full-frame window pass

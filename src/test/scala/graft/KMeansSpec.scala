@@ -67,6 +67,67 @@ class KMeansSpec extends SparkSpec {
     assert(got0 == 2L)
   }
 
+  test("seedFirstRandom mirrors the reference's randomized offset pick, reproducibly") {
+    val data = pts((1L to 200L).map(i => i -> Seq(i.toDouble, -i.toDouble)): _*)
+    val a = KMeans.seedFirstRandom(data, seed = 9)
+    val b = KMeans.seedFirstRandom(data, seed = 9)
+    assert(a == b, "same seed must reproduce the same pick")
+    assert(a.head.j == 1L)
+    // offset ∈ [1, 100] → picks the (offset+1)-th point in key order, never i=1
+    val x = a.head.c.head
+    assert(x >= 2.0 && x <= 101.0, s"pick $x outside the offset-limit window")
+    // different seeds reach different offsets (97 and 9 differ for Random)
+    assert(KMeans.seedFirstRandom(data, seed = 97) != a)
+  }
+
+  test("d1Weights reproduces the reference's plain-distance seeding (Q1 bug-compat)") {
+    // chosen = (0,0); remaining at distance 10, 20, 5 (i-order: p2, p3, p4)
+    //   D² weights: 100, 400, 25  → cum 100, 500, 525; u=1/2 → 262.5 → p3
+    //   D¹ weights:  10,  20,  5  → cum  10,  30,  35; u=1/2 → 17.5  → p3
+    //   but u=1/5:   D² → 105 → p3;  D¹ → 7 → p2   (modes diverge)
+    val chosen = Seq(Centroid(1, Seq(0.0, 0.0)))
+    val data = pts(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(10.0, 0.0), 3L -> Seq(0.0, 20.0), 4L -> Seq(5.0, 0.0))
+    def draw(d1: Boolean, uNum: Long, uDen: Long): Long =
+      KMeans.seedNextInverseCdf(data, chosen, uNum, uDen, d1Weights = d1)
+        .select("i").as[Long].head()
+    assert(draw(d1 = true, 1, 2) == 3L)
+    assert(draw(d1 = false, 1, 5) == 3L)
+    assert(draw(d1 = true, 1, 5) == 2L) // the as-built reference diverges here
+  }
+
+  test("lloydStepConst (broadcast-data plan) is bit-identical to lloydStepFast") {
+    // pins the plan-shape switch fit() makes past 4096 embedded literals,
+    // which no small-k spec reaches organically
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val cs = KMeans.seedFirstK(data, 7)
+    val fast = KMeans.lloydStepFast(KMeans.assign(data, cs), dim = 64, fxScale = 1e6)
+    val const = KMeans.lloydStepConst(data, cs, dim = 64, fxScale = 1e6)
+    assert(fast.map(_.j) == const.map(_.j))
+    fast.zip(const).foreach { case (a, b) =>
+      a.c.zip(b.c).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("seedPlusPlusScalable draws identically to the literal-centroid formulation") {
+    // regression pin: the broadcast-join form must keep drawing the same
+    // rand(seed) values as a plain literal projection — a planner/AQE change
+    // that reorders the stream side would silently alter every ++ fit
+    import graft.functions.VectorOps
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val chosen = KMeans.seedFirstK(data, 3)
+    val got = KMeans.seedPlusPlusScalable(data, chosen, seed = 11)
+    val w = VectorOps.nearestSqDist(col("Y"), chosen.map(_.c))
+    val key = when(w > 0, pow(rand(11), lit(1.0) / w)).otherwise(lit(-1.0))
+    val want = data.select(col("i"), col("Y"), key.as("skey"))
+      .agg(max_by(struct(col("i"), col("Y")), col("skey")))
+      .head().getStruct(0).getSeq[Double](1)
+    assert(got.j == 4L)
+    assert(got.c == want)
+  }
+
   test("fit recovers the reference's planted 4-cluster fixture") {
     // Reference test-data generator (k-means.sql:1-4): 4 seed points, each
     // cloned 500x with bounded jitter — rebuilt with seeded rand.
