@@ -11,12 +11,54 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("payload") == "binary")
     assert(schema("kind") == "string" && schema("width") == "int")
     assert(media.count() == 500)
-    // payload round-trips the source text
-    val r = media.select(col("media_id"), length(col("payload")).as("len"))
+    val joined = media
+      .select(col("media_id"), col("kind"), length(col("payload")).as("len"))
       .join(Tables.read(spark, sf("0.001"), "documents"),
         col("media_id") === col("doc_id"))
-      .filter(col("len") =!= length(col("text")))
-    assert(r.count() == 0)
+    // image/video payloads round-trip the source text
+    assert(joined.filter(col("kind") =!= "audio" &&
+      col("len") =!= length(col("text"))).count() == 0)
+    // audio payloads are real WAV containers: 44-byte header + 2 bytes/sample
+    assert(joined.filter(col("kind") === "audio" &&
+      col("len") =!= lit(44) + (col("n_chars") % 480 + 48) * 2).count() == 0)
+  }
+
+  test("WAV decode extracts exact header facts and amplitude stats") {
+    // hand-built container with known samples: peak 32767, 2 sign flips
+    val samples = Array[Short](0, 1000, -2000, 32767, 0, -1)
+    val wav = Multimodal.wavBytes(8000, samples)
+    val w = Multimodal.decodeWav(wav)
+    assert(w.sampleRate == 8000)
+    assert(w.nSamples == 6)
+    assert(w.peak == 32767)
+    assert(w.zeroCrossings == 3) // 1000→-2000, -2000→32767, 32767→-1 (zeros skipped)
+    val expRms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(math.abs(w.rms - expRms) < 1e-9)
+    // malformed payloads fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not a wav at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("audio rows decode for real: features come from the container, not metadata") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val media = Multimodal.mediaTable(docs)
+    val audio = Multimodal.decodeFeatures(media, dim = 8)
+      .filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      assert(f.features(0) == 16000.0f, "f0 must be the parsed sample rate")
+      assert(f.features(1) >= 48.0f && f.features(1) <= 527.0f, "n_samples from data chunk")
+      assert(f.features(2) > 0.0f && f.features(2) <= 1.0f, "peak must be real amplitude")
+      assert(f.features(4) > 0.0f, "a sine wave has zero crossings")
+      // n_bytes is the container size, consistent with the parsed sample count
+      assert(f.n_bytes == 44 + 2 * f.features(1).toLong)
+    }
+    // the tone generator is seeded per doc: decode matches an offline encode
+    val one = audio.minBy(_.media_id)
+    val expected = Multimodal.decodeWav(
+      Multimodal.wavBytes(16000, Multimodal.pcmSamples(one.media_id, one.features(1).toInt, 16000)))
+    assert(one.features(2) == expected.peak / 32767.0f)
   }
 
   test("decode pipeline is deterministic, batched, and partition-parallel") {
