@@ -250,6 +250,17 @@ object SparkEntry {
       assigned.select((col("i") +: element_at(col("Y"), 1).as("x") +: cols): _*)
     }),
 
+    // ---- assignment over the 3-D events binding: the YH adapter bound to a
+    // third relation with a timestamp-derived coordinate (README.md:34-36's
+    // "redefine YH over your table" contract) ----
+    "km_assign_events" -> ((s, dir) => {
+      val yh = Tables.yhEvents(s, dir)
+      KMeans.assign(yh, KMeans.seedFirstK(yh, 3))
+        .groupBy("j").agg(count(lit(1)).as("n"),
+          sumFx(element_at(col("Y"), 2), 100.0).as("sum_value"))
+        .select(col("j"), col("n"), col("sum_value"))
+    }),
+
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
       val fit = embFit(s, dir)
@@ -492,6 +503,18 @@ object SparkEntry {
          |SELECT CAST(sum(CAST(round(si*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS mean_si,
          |  count(*) AS n_points
          |FROM si""".stripMargin,
+    "km_assign_events" ->
+      s"""WITH ${Tables.yhEventsSql},
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, x, y, z
+         |  FROM (SELECT i, x, y, z FROM yhe ORDER BY i LIMIT 3) t),
+         |a AS (SELECT i, y, j FROM (
+         |  SELECT s.i, s.y, c.j,
+         |    row_number() OVER (PARTITION BY s.i
+         |      ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y)+(s.z-c.z)*(s.z-c.z), c.j) AS rn
+         |  FROM yhe s CROSS JOIN c) t WHERE rn = 1)
+         |SELECT j, count(*) AS n,
+         |  CAST(sum(CAST(round(y*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+         |FROM a GROUP BY j""".stripMargin,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),

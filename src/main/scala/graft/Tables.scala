@@ -50,9 +50,27 @@ object Tables {
       col("vec_id").as("i"),
       col("embedding").cast("array<double>").as("Y"))
 
+  /** 3-D YH binding over `events` (hour-of-day, value, user bucket) — a
+    * third, mixed-derivation binding proving the adapter works over any
+    * relation, including timestamp-derived coordinates. Integer µs math keeps
+    * the hour exact (`div`, not float division) so the oracle mirrors it.
+    */
+  def yhEvents(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir).select(
+      col("event_id").as("i"),
+      array(
+        expr("CAST((unix_micros(ts) div 3600000000) % 24 AS DOUBLE)"),
+        col("value"),
+        (col("user_id") % 101).cast("double")).as("Y"))
+
   /** SQL fragment used by every k-means oracle: same projection as
     * [[yhOrders]], exploded to scalar columns for ANSI-SQL friendliness.
     */
   val yhOrdersSql: String =
     "yh AS (SELECT o_orderkey AS i, o_totalprice AS x, CAST(o_custkey % 1009 AS DOUBLE) AS y FROM orders)"
+
+  /** Oracle mirror of [[yhEvents]] (DuckDB `//` = integer division). */
+  val yhEventsSql: String =
+    "yhe AS (SELECT event_id AS i, CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x, " +
+      "value AS y, CAST(user_id % 101 AS DOUBLE) AS z FROM events)"
 }
