@@ -47,15 +47,14 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       k => concat_ws(" ", slice(toks, k, lit(n)))))
 
-  /** (doc_id, lang, sh) with tokens and shingles materialized as separate
-    * projections, so each expensive expression is computed once per row —
-    * CollapseProject keeps multi-use aliases apart, and explode's implicit
-    * non-empty filter sees a cheap attribute instead of re-deriving the
-    * whole shingle pipeline.
+  /** (doc_id, lang, sh) via the native [[graft.plans.ShingleOps]] kernel —
+    * one straight-line pass per row instead of the interpreted HOF chain
+    * (value-identical; parity pinned in PlansSpec). The HOF forms above stay
+    * as the executable spec the native expressions are tested against.
     */
   def shingled(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), shingles(col("toks"), n).as("sh"))
+    docs.select(col("doc_id"), col("lang"),
+      graft.plans.native.word_shingles(col("text"), n).as("sh"))
 
   // ---------------------------------------------------------- exact dedup
 
@@ -154,9 +153,8 @@ object Dedup {
     val sigs = (0 until numHashes).map { i =>
       array_min(transform(col("ids"), x => (x * mhA(i) + mhB(i)) % MinhashP)).as(s"s$i")
     }
-    shingled(docs, n)
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"), graft.plans.native.poly_hash _)).as("ids"))
+    docs
+      .select(col("doc_id"), graft.plans.native.shingle_ids(col("text"), n).as("ids"))
       .select((col("doc_id") +: sigs): _*)
   }
 
@@ -206,7 +204,7 @@ object Dedup {
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), col("lang"),
-        transform(tokens(col("text")), graft.plans.native.poly_hash _).as("ids"))
+        graft.plans.native.token_ids(col("text")).as("ids"))
       .select(col("doc_id"), col("lang"), explode(col("ids")).as("id"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("id"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")

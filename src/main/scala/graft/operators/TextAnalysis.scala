@@ -81,6 +81,6 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      aggregate(transform(tokens(col("text")), graft.plans.native.poly_hash _),
+      aggregate(graft.plans.native.token_ids(col("text")),
         lit(0L), (h, x) => (h * 131 + x) % 1000000007L).as("fp"))
 }

@@ -28,12 +28,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PolyHash.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      WordShingles.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(exprs(0), GraftExtensions.intArg(exprs(1), "word_shingles"))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_ids"),
+      ShingleIds.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleIds(exprs(0), GraftExtensions.intArg(exprs(1), "shingle_ids"))))
+    e.injectFunction((
+      FunctionIdentifier("token_ids"),
+      TokenIds.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenIds(exprs.head)))
   }
 }
 
 object GraftExtensions {
+  /** Extract a foldable int argument (SQL-surface `n` parameters). */
+  private[plans] def intArg(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: n must be a literal")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$fn: n must be an integer literal, got $other")
+    }
+  }
+
   /** Register on an already-built session (tests, driver-owned sessions).
-    * Mirrors [[GraftExtensions.apply]]: all three functions, same names.
+    * Mirrors [[GraftExtensions.apply]]: all six functions, same names.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -43,6 +70,12 @@ object GraftExtensions {
       "dot_product", exprs => Dot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_ids", exprs => ShingleIds(exprs(0), intArg(exprs(1), "shingle_ids")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_ids", exprs => TokenIds(exprs.head), "built-in")
   }
 }
 
@@ -66,6 +99,24 @@ object native {
   /** Codegen'd polynomial codepoint hash — identical to `Dedup.tokenId`. */
   def poly_hash(s: Column): Column =
     GraftColumnShim.column(PolyHash(GraftColumnShim.expression(s)))
+
+  /** Distinct word n-gram shingles — identical to `Dedup.shingles` over
+    * `split(text, " ")` (see [[WordShingles]]).
+    */
+  def word_shingles(text: Column, n: Int): Column =
+    GraftColumnShim.column(WordShingles(GraftColumnShim.expression(text), n))
+
+  /** Distinct poly_hash ids of the distinct shingles — the fused
+    * `array_distinct(transform(word_shingles(text, n), poly_hash))`.
+    */
+  def shingle_ids(text: Column, n: Int): Column =
+    GraftColumnShim.column(ShingleIds(GraftColumnShim.expression(text), n))
+
+  /** Per-token poly_hash ids, duplicates kept — the fused
+    * `transform(split(text, " "), poly_hash)`.
+    */
+  def token_ids(text: Column): Column =
+    GraftColumnShim.column(TokenIds(GraftColumnShim.expression(text)))
 
   /** Single-expression elementwise long-vector sum (see [[VectorSumLong]]).
     * `c` must be `array<long>` (pre-rounded fixed-point values).

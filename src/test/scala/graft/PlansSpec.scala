@@ -83,6 +83,38 @@ class PlansSpec extends SparkSpec {
     assert(cmp.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("native shingle expressions equal their HOF executable specs") {
+    import graft.operators.Dedup
+    // real documents + handpicked edge cases: empty text, single token,
+    // consecutive/trailing spaces (split(" ") keeps empty tokens), repeats
+    val edge = Seq("", "one", "a b", "a  b", "trail ", "x y x y x y").toDF("text")
+    val real = Tables.read(spark, sf("0.001"), "documents").select("text")
+    for (df <- Seq(edge, real); n <- Seq(1, 3, 5)) {
+      val hofSh = Dedup.shingles(Dedup.tokens(col("text")), n)
+      val cmp = df.select(
+        native.word_shingles(col("text"), n).as("nat"),
+        hofSh.as("hof"),
+        native.shingle_ids(col("text"), n).as("nat_ids"),
+        array_distinct(transform(hofSh, native.poly_hash _)).as("hof_ids"),
+        native.token_ids(col("text")).as("nat_tok"),
+        transform(split(col("text"), " "), native.poly_hash _).as("hof_tok"))
+      assert(cmp.filter(col("nat") =!= col("hof")).count() == 0, s"shingles n=$n")
+      assert(cmp.filter(col("nat_ids") =!= col("hof_ids")).count() == 0, s"ids n=$n")
+      assert(cmp.filter(col("nat_tok") =!= col("hof_tok")).count() == 0, "token ids")
+    }
+  }
+
+  test("word_shingles registers in SQL and participates in whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    docs.createOrReplaceTempView("docs_ws")
+    val r = spark.sql("SELECT size(word_shingles(text, 3)) AS n FROM docs_ws")
+    assert(r.agg(min(col("n"))).head().getInt(0) >= 1)
+    val plan = docs.select(native.word_shingles(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [word_shingles"), s"plan:\n$plan")
+  }
+
   test("nearestIdNative agrees with nearestId on random vectors") {
     val data = Tables.yhEmbeddings(spark, sf("0.001"))
     val cs = operators.KMeans.seedFirstK(data, 7)
