@@ -125,6 +125,15 @@ object native {
     GraftColumnShim.column(
       VectorSumLong(GraftColumnShim.expression(c), dim).toAggregateExpression())
 
+  /** The silhouette pair stage as one codegen'd pass (see [[PairDistStats]]);
+    * the sample rides in the plan, value-identical to the O(n²) pair join.
+    */
+  def pair_dist_stats(i: Column, y: Column, sampleIds: Array[Long],
+      sampleJs: Array[Long], sampleYs: Array[Array[Double]], dScale: Double): Column =
+    GraftColumnShim.column(PairDistStats(
+      GraftColumnShim.expression(i), GraftColumnShim.expression(y),
+      sampleIds, sampleJs, sampleYs, dScale))
+
   /** `VectorOps.nearestId` with the native distance kernel. */
   def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column =
     nearestIdCols(y, typedlit(ids), typedlit(cs))
