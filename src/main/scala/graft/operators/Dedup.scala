@@ -166,7 +166,7 @@ object Dedup {
   def minhashLSH(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
     require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands); " +
+      s"numHashes ($numHashes) must be divisible by bands ($bands); " +
         "trailing signatures would silently never participate in banding")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, n, numHashes)

@@ -94,9 +94,17 @@ object KMeans {
     * integers, making cumulative sums order-exact and the whole draw
     * bit-reproducible against the DuckDB oracle.
     *
-    * NOTE scale: the unpartitioned running-sum window is single-partition —
-    * fine for the oracle's sf, but O(n) through one task at 100 TB. Use
-    * [[seedPlusPlusScalable]] in production fits.
+    * NOTE scale: the global running sum is a two-level prefix sum, not a
+    * single-partition window. Rows are bucketed by a DETERMINISTIC range
+    * function of the key (`(i - min_i) div width`, monotone in `i`), each
+    * bucket computes its local prefix in parallel, and the ≤P per-bucket
+    * totals are folded into exclusive offsets on the driver. Because weights
+    * are integers, `offset(bucket) + local_prefix` is bit-identical to the
+    * one-window form in any partitioning — the oracle compare stays exact
+    * while the stage scales as P parallel tasks. (Bucketing is a pure
+    * function of the data, so re-executions of the lazy plan can never
+    * disagree with the offsets job.) [[seedPlusPlusScalable]] remains the
+    * production fit path — it needs no prefix sum at all.
     *
     * NOTE overflow: the integer-domain compare needs `total·uNum` and
     * `cw·uDen` to fit in a signed 64-bit long (cw ≤ total). With this
@@ -122,16 +130,27 @@ object KMeans {
     val weight = if (d1Weights) sqrt(d2) else d2
     val weighted = surviving.withColumn(
       "w", round(weight * weightScale).cast("long"))
-    // total via a scalar aggregate (integer sum — order-independent, so the
-    // value is identical to the oracle's windowed total), not a second
-    // single-partition full-frame window pass
-    val total = weighted.agg(sum("w")).head().getLong(0)
+    // one scalar-aggregate pass: total weight (integer sum — order-independent,
+    // identical to the oracle's windowed total) + the key range for bucketing
+    val head = weighted.agg(sum("w"), min("i"), max("i"), count(lit(1))).head()
+    if (head.isNullAt(0)) // no surviving points — empty draw
+      return weighted.select(lit(chosen.map(_.j).max + 1).as("j"), col("i"), col("Y")).limit(0)
+    val (total, minI, maxI) = (head.getLong(0), head.getLong(1), head.getLong(2))
     require(total >= 0 && total <= Long.MaxValue / math.max(uNum, uDen),
       s"k-means++ draw would overflow Long: total weight $total × u=$uNum/$uDen; " +
         "reduce weightScale")
-    val cumW = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val next = weighted
-      .withColumn("cw", sum("w").over(cumW))
+    // two-level prefix sum over deterministic key-range buckets (see scaladoc)
+    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    val width = math.max(1L, (maxI - minI) / nBuckets + 1)
+    val bucketed = weighted.withColumn("b", ((col("i") - minI) / width).cast("int"))
+    val bucketSums = bucketed.groupBy("b").agg(sum("w").as("bw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = bucketSums.map(_._1)
+      .zip(bucketSums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val localW = Window.partitionBy("b").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val next = bucketed
+      .withColumn("cw", element_at(typedLit(offsets), col("b")) + sum("w").over(localW))
       .filter(col("cw") * uDen >= lit(total) * uNum)
       .orderBy("cw", "i")
       .limit(1)

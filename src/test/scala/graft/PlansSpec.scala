@@ -74,6 +74,22 @@ class PlansSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("roundHalfUp fast path equals the BigDecimal HALF_UP definition") {
+    import graft.plans.PairDistStats.{roundHalfUp, roundHalfUpBigDecimal}
+    val boundaries = (0 to 60).map(k => k + 0.5)
+    val nearBoundaries = boundaries.flatMap(b =>
+      Seq(Math.nextDown(b), b, Math.nextUp(b)))
+    val adversarial = Seq(0.0, 0.49999999999999994, 0.9999999999999999,
+      1.4999999999999998, 2.4999999999999996, 4503599627370495.5,
+      Math.nextDown(4.503599627370496e15), 1e15 + 0.5, 123456.789)
+    val rnd = new scala.util.Random(7)
+    val randoms = Seq.fill(200000)(rnd.nextDouble() * 2e9)
+    (nearBoundaries ++ adversarial ++ randoms).foreach { d =>
+      assert(roundHalfUp(d) == roundHalfUpBigDecimal(d),
+        s"d=$d fast=${roundHalfUp(d)} bd=${roundHalfUpBigDecimal(d)}")
+    }
+  }
+
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))

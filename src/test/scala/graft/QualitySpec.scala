@@ -30,6 +30,18 @@ class QualitySpec extends SparkSpec {
     assert(r > 0.95, s"si=$r")
   }
 
+  test("native pair-stats kernel is bit-identical to the relational pair join") {
+    val yh = Tables.yhOrders(spark, sf("0.001"))
+    val sample = yh.filter(col("i") % 29 === 0)
+    val assigned = KMeans.assign(sample, KMeans.seedFirstK(yh, 4)).cache()
+    val native = Quality.silhouettePairStats(assigned)
+      .orderBy("i1", "j2").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val join = Quality.silhouettePairStatsJoin(assigned)
+      .orderBy("i1", "j2").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assigned.unpersist()
+    assert(native.nonEmpty && native == join)
+  }
+
   test("optimalKNested: monotone elbows, per-row parity with single-k operators") {
     val yh = Tables.yhOrders(spark, sf("0.001")).cache()
     val sample = yh.filter(col("i") % 29 === 0)
