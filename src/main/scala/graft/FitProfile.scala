@@ -25,7 +25,7 @@ object FitProfile {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     val parts = sys.env.getOrElse("FIT_PARTS", "0").toInt
     val base = Tables.yhEmbeddings(spark, sfDir)
-    val pts = (if (parts > 0) base.coalesce(parts) else base).cache()
+    val pts = (if (parts > 0) base.repartition(parts, col("i")) else base).cache()
     t("materialize cache")(pts.count())
     System.out.println(s"[profile] partitions = ${pts.rdd.getNumPartitions}")
 

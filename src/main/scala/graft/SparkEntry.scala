@@ -57,6 +57,12 @@ object SparkEntry {
   private val fitCache = scala.collection.concurrent.TrieMap.empty[String, KMeans.FitResult]
   private def embFit(s: SparkSession, dir: String): KMeans.FitResult =
     fitCache.getOrElseUpdate(dirKey(dir), {
+      // NOTE: the parquet lands as ONE input split at these sfs, so the fit
+      // jobs run single-task. Measured (FitProfile, sf0.1): hash-repartitioning
+      // to 32 does NOT help — per-iteration fixed cost (plan + codegen +
+      // scheduling) dominates at 15k rows, and the shuffle + 32-way partial
+      // merges cost more than the parallelism buys. At real scale the input
+      // arrives multi-partition and the same plan parallelizes naturally.
       val pts = Tables.yhEmbeddings(s, dir).cache()
       KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
     })

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * The AUDIO kind is decoded FOR REAL: payloads are RIFF/WAVE containers
   * (16-bit PCM) and [[decodeWav]] is a genuine chunk-walking parser that
   * validates magics, extracts the format block, and computes amplitude
-  * features from the PCM frames. Image/video stay STUBBED (no codec
-  * libraries in this environment): [[decodeStub]] derives a deterministic
-  * fake feature vector from the payload bytes. Swap `decodeStub` for a real
-  * decoder (JNI codec, ONNX runtime, subprocess) — everything around it
-  * (schema, partition-wise batching, feature schema) is real and tested.
+  * features from the PCM frames. The IMAGE kind is decoded FOR REAL too:
+  * payloads are 24-bit uncompressed BMP containers and [[decodeBmp]] parses
+  * the BITMAPFILEHEADER/BITMAPINFOHEADER (magic, data offset, geometry,
+  * bit depth), then walks the bottom-up padded pixel rows for per-channel
+  * means and luma statistics. VIDEO stays STUBBED (no codec libraries in
+  * this environment): [[decodeStub]] derives a deterministic fake feature
+  * vector from the payload bytes. Swap `decodeStub` for a real decoder
+  * (JNI codec, ONNX runtime, subprocess) — everything around it (schema,
+  * partition-wise batching, feature schema) is real and tested.
   *
   * Scale notes: decode runs via `mapPartitions` so a real decoder amortizes
   * model/codec initialization once per partition (NOT per row), and media
@@ -74,11 +78,56 @@ object Multimodal {
       (math.sin(2 * math.Pi * freq * t / sampleRate) * amp).toShort)
   }
 
+  /** Minimal 24-bit uncompressed BMP encoder (bottom-up rows, 4-byte row
+    * padding) — the synthetic stand-in for real image files landed by
+    * `spark.read.format("binaryFile")`. `rgb(x, y)` returns `0xRRGGBB`.
+    */
+  def bmpBytes(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataLen = stride * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)      // reserved, pixel-data offset
+    bb.putInt(40)                              // BITMAPINFOHEADER
+      .putInt(width).putInt(height)
+      .putShort(1)                             // planes
+      .putShort(24)                            // bits per pixel
+      .putInt(0)                               // BI_RGB (uncompressed)
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1                         // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val c = rgb(x, y)
+        bb.put((c & 0xff).toByte).put(((c >> 8) & 0xff).toByte)
+          .put(((c >> 16) & 0xff).toByte)      // BGR on disk
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic pixel pattern for doc `id`: channel gradients plus an
+    * id-keyed diagonal, seeded purely by (id, x, y) so reruns and partition
+    * layouts agree.
+    */
+  def bmpPixel(id: Long)(x: Int, y: Int): Int = {
+    val r = (x * 37 + id) % 256
+    val g = (y * 53 + id * 7) % 256
+    val b = (x + y + id * 13) % 256
+    (r.toInt << 16) | (g.toInt << 8) | b.toInt
+  }
+
   /** Synthesize a deterministic media table from `documents`. Audio rows get
-    * a REAL WAV container (decoded for real downstream); image/video keep the
-    * text bytes as an opaque stand-in payload. Typed map instead of Column
-    * expressions — this is the data-generation stand-in for a binaryFile
-    * scan, not a hot-path operator.
+    * a REAL WAV container and image rows a REAL BMP container (both decoded
+    * for real downstream); video keeps the text bytes as an opaque stand-in
+    * payload. Typed map instead of Column expressions — this is the
+    * data-generation stand-in for a binaryFile scan, not a hot-path operator.
+    * Image width/height metadata is the ACTUAL container geometry (small —
+    * payloads are per-row synthetic, not storage-backed).
     */
   def mediaTable(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -89,11 +138,18 @@ object Multimodal {
         val kind =
           if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
         val sr = if (kind == "audio") 16000 else 0
-        val payload =
-          if (kind == "audio") wavBytes(sr, pcmSamples(id, (nChars % 480 + 48).toInt, sr))
-          else text.getBytes("UTF-8")
-        MediaRow(id, kind, payload,
-          (nChars % 640 + 64).toInt, (nChars % 480 + 48).toInt, sr)
+        kind match {
+          case "audio" =>
+            MediaRow(id, kind, wavBytes(sr, pcmSamples(id, (nChars % 480 + 48).toInt, sr)),
+              (nChars % 640 + 64).toInt, (nChars % 480 + 48).toInt, sr)
+          case "image" =>
+            val w = (id % 24 + 8).toInt
+            val h = (id % 16 + 8).toInt
+            MediaRow(id, kind, bmpBytes(w, h, bmpPixel(id)), w, h, 0)
+          case _ =>
+            MediaRow(id, kind, text.getBytes("UTF-8"),
+              (nChars % 640 + 64).toInt, (nChars % 480 + 48).toInt, 0)
+        }
       }.toDF()
   }
 
@@ -176,6 +232,78 @@ object Multimodal {
       java.util.Arrays.copyOf(base, math.max(dim, base.length)))
   }
 
+  /** Parsed BMP facts — everything below comes from actually reading the
+    * container, not from row metadata.
+    */
+  final case class BmpInfo(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double,
+      meanLuma: Double, lumaVar: Double)
+
+  /** REAL BMP decode: validate the `BM` magic, read the pixel-data offset
+    * from the file header and the geometry/bit-depth/compression fields from
+    * the BITMAPINFOHEADER (offsets are read, not assumed — a v5 header with
+    * a bigger info block still parses), then walk the bottom-up 4-byte-padded
+    * BGR rows accumulating per-channel sums and luma moments (Rec.601
+    * weights).
+    */
+  def decodeBmp(payload: Array[Byte]): BmpInfo = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining() >= 54, "truncated BMP header")
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP container")
+    bb.getInt                       // file size
+    bb.getInt                       // reserved
+    val dataOffset = bb.getInt
+    val infoSize = bb.getInt        // 40 for BITMAPINFOHEADER, larger for v4/v5
+    require(infoSize >= 40, s"unsupported info header size $infoSize")
+    val width = bb.getInt
+    val height = bb.getInt
+    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    require(bb.getShort == 1, "planes must be 1")
+    val bpp = bb.getShort
+    require(bpp == 24, s"only 24-bit BMP supported, got $bpp")
+    require(bb.getInt == 0, "only uncompressed (BI_RGB) supported")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(payload.length >= dataOffset + stride * height, "truncated pixel data")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var sl = 0.0; var sl2 = 0.0
+    var y = 0
+    while (y < height) {
+      var base = dataOffset + (height - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val b = payload(base) & 0xff
+        val g = payload(base + 1) & 0xff
+        val r = payload(base + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sl += luma; sl2 += luma * luma
+        base += 3
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    val ml = sl / n
+    BmpInfo(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      ml, sl2 / n - ml * ml)
+  }
+
+  /** Image features from the REAL decode: [width, height, meanR/255,
+    * meanG/255, meanB/255, meanLuma/255, luma stddev/255, aspect ratio],
+    * zero-padded to `dim`.
+    */
+  def decodeBmpFeatures(row: MediaRow, dim: Int): MediaFeatures = {
+    val b = decodeBmp(row.payload)
+    val base = Array[Float](
+      b.width.toFloat, b.height.toFloat,
+      (b.meanR / 255.0).toFloat, (b.meanG / 255.0).toFloat, (b.meanB / 255.0).toFloat,
+      (b.meanLuma / 255.0).toFloat,
+      (math.sqrt(math.max(b.lumaVar, 0.0)) / 255.0).toFloat,
+      b.width.toFloat / b.height)
+    MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+      java.util.Arrays.copyOf(base, math.max(dim, base.length)))
+  }
+
   /** STUB decoder for the kinds without an in-container codec — a real
     * implementation would decode `payload` and run a feature extractor. The
     * fake is deterministic in the payload bytes so tests and reruns agree.
@@ -194,11 +322,12 @@ object Multimodal {
     MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, feats)
   }
 
-  /** Per-row dispatch: audio decodes for real, image/video fall back to the
-    * stub until a codec is wired in.
+  /** Per-row dispatch: audio and image decode for real, video falls back to
+    * the stub until a codec is wired in.
     */
   def decodeOne(row: MediaRow, dim: Int): MediaFeatures = row.kind match {
     case "audio" => decodeWavFeatures(row, dim)
+    case "image" => decodeBmpFeatures(row, dim)
     case _       => decodeStub(row, dim)
   }
 

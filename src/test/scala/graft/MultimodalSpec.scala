@@ -15,12 +15,58 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), col("kind"), length(col("payload")).as("len"))
       .join(Tables.read(spark, sf("0.001"), "documents"),
         col("media_id") === col("doc_id"))
-    // image/video payloads round-trip the source text
-    assert(joined.filter(col("kind") =!= "audio" &&
+    // video payloads round-trip the source text
+    assert(joined.filter(col("kind") === "video" &&
       col("len") =!= length(col("text"))).count() == 0)
     // audio payloads are real WAV containers: 44-byte header + 2 bytes/sample
     assert(joined.filter(col("kind") === "audio" &&
       col("len") =!= lit(44) + (col("n_chars") % 480 + 48) * 2).count() == 0)
+    // image payloads are real BMP containers: 54-byte header + padded rows,
+    // and the metadata geometry is the actual container geometry
+    assert(media.filter(col("kind") === "image" &&
+      length(col("payload")) =!= lit(54) +
+        expr("((width * 3 + 3) div 4) * 4") * col("height")).count() == 0)
+  }
+
+  test("BMP decode extracts exact geometry and channel stats") {
+    // 2x2 image with known pixels: solid red, green, blue, white
+    val px = Map((0, 0) -> 0xff0000, (1, 0) -> 0x00ff00,
+      (0, 1) -> 0x0000ff, (1, 1) -> 0xffffff)
+    val bmp = Multimodal.bmpBytes(2, 2, (x, y) => px((x, y)))
+    val b = Multimodal.decodeBmp(bmp)
+    assert(b.width == 2 && b.height == 2)
+    assert(b.meanR == 255 / 2.0 && b.meanG == 255 / 2.0 && b.meanB == 255 / 2.0)
+    val lumas = Seq(0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0)
+    val ml = lumas.sum / 4
+    assert(math.abs(b.meanLuma - ml) < 1e-9)
+    assert(math.abs(b.lumaVar - (lumas.map(l => l * l).sum / 4 - ml * ml)) < 1e-9)
+    // row padding honored: odd width forces a 4-byte stride
+    val b3 = Multimodal.decodeBmp(Multimodal.bmpBytes(3, 1, (_, _) => 0x010203))
+    assert(b3.width == 3 && b3.meanR == 1.0 && b3.meanG == 2.0 && b3.meanB == 3.0)
+    // malformed payloads fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("definitely not a bitmap".getBytes("UTF-8"))
+    }
+  }
+
+  test("image rows decode for real: features come from the container") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val media = Multimodal.mediaTable(docs)
+    val images = Multimodal.decodeFeatures(media, dim = 8)
+      .filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { f =>
+      assert(f.features(0) >= 8.0f && f.features(0) <= 31.0f, "width from header")
+      assert(f.features(1) >= 8.0f && f.features(1) <= 23.0f, "height from header")
+      assert(f.features(5) > 0.0f && f.features(5) < 1.0f, "mean luma from pixels")
+    }
+    // decode matches an offline re-encode of the same deterministic pattern
+    val one = images.minBy(_.media_id)
+    val (w, h) = (one.features(0).toInt, one.features(1).toInt)
+    val expected = Multimodal.decodeBmp(
+      Multimodal.bmpBytes(w, h, Multimodal.bmpPixel(one.media_id)))
+    assert(one.features(2) == (expected.meanR / 255.0).toFloat)
+    assert(one.features(6) == (math.sqrt(expected.lumaVar) / 255.0).toFloat)
   }
 
   test("WAV decode extracts exact header facts and amplitude stats") {
