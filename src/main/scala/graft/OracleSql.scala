@@ -97,6 +97,28 @@ object OracleSql {
        |    (h,x) -> (h*131+x) % 1000000007) AS fp
        |FROM documents""".stripMargin
 
+  /** Mirror of [[TextAnalysis.chunk]]: chunk starts every `stride` tokens,
+    * `list_slice` is 1-based with an inclusive clamped end (= Spark `slice`'s
+    * start/length contract), `//` keeps chunk ids in integer domain.
+    */
+  def textChunk(chunkSize: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, greatest(len(toks)-1, 0), $stride)) AS start
+       |  FROM t)
+       |SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |  CAST(len(list_slice(toks, start+1, start+$chunkSize)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(toks, start+1, start+$chunkSize), ' ') AS chunk_text
+       |FROM s WHERE start < len(toks)""".stripMargin
+
+  /** Mirror of [[TextAnalysis.topkTokens]]: integer counts; the (cnt DESC,
+    * token ASC) order makes the k-cut deterministic in both engines.
+    */
+  def textTopkTokens(k: Int): String =
+    s"""SELECT token, count(*) AS cnt
+       |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT $k""".stripMargin
+
   // ----------------------------------------------------------------- events
 
   def eventsSessionize(gapMinutes: Int): String = {
@@ -127,6 +149,19 @@ object OracleSql {
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) / count(*) AS avg_k
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Mirror of [[Events.asofJoin]] via DuckDB's native ASOF LEFT JOIN — an
+    * independent implementation of the same semantics (latest right-side
+    * event per user at or before each left event; unmatched stay NULL), so
+    * the union + carry-forward window is checked against a real range
+    * algorithm, not a re-statement of itself.
+    */
+  def eventsAsof(leftType: String, rightType: String): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = '$leftType'),
+       |r AS (SELECT user_id, us FROM e WHERE event_type = '$rightType')
+       |SELECT l.event_id, l.user_id, l.us, r.us AS asof_us
+       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
 
   def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),

@@ -336,6 +336,10 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.read(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.read(s, dir, "documents"))),
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.read(s, dir, "documents"))),
+    "text_topk_tokens" -> ((s, dir) =>
+      TextAnalysis.topkTokens(Tables.read(s, dir, "documents"))),
 
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
@@ -359,7 +363,11 @@ object SparkEntry {
     "events_window" -> ((s, dir) =>
       Events.windowAgg(Tables.readEvents(s, dir))),
     "events_json" -> ((s, dir) =>
-      Events.jsonStats(Tables.readEvents(s, dir)))
+      Events.jsonStats(Tables.readEvents(s, dir))),
+    // as-of join (click → latest prior purchase per user) via the union +
+    // carry-forward window — oracled against DuckDB's native ASOF JOIN
+    "events_asof" -> ((s, dir) =>
+      Events.asofJoin(Tables.readEvents(s, dir)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -534,8 +542,11 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangId,
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),
     "text_fingerprint" -> OracleSql.textFingerprint,
+    "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),
+    "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
-    "events_json" -> OracleSql.eventsJson
+    "events_json" -> OracleSql.eventsJson,
+    "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase")
   )
 }

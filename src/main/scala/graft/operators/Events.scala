@@ -52,6 +52,36 @@ object Events {
       .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** As-of join without a join: for every `leftType` event, the timestamp of
+    * the most recent `rightType` event by the same user at or before it
+    * (classic event-to-state attribution, e.g. click → latest prior
+    * purchase).
+    *
+    * Shape: tag both sides, UNION, one window over (user_id; ts) carrying
+    * the last right-side timestamp forward with `last(ignoreNulls)`. ONE
+    * shuffle on user_id and a linear pass per user — no range join, no
+    * per-row probe; this is the form that survives a billion-event day.
+    * Right rows sort BEFORE left rows at equal timestamps (tag 0 < 1), so
+    * a same-instant right event matches, mirroring ASOF `l.ts >= r.ts`.
+    * Unmatched left rows keep a NULL `asof_us`.
+    */
+  def asofJoin(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase"): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val lRows = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), us.as("us"), col("event_id").as("oid"),
+        lit(1).as("tag"), lit(null).cast("long").as("r_us"))
+    val rRows = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), us.as("us"), col("event_id").as("oid"),
+        lit(0).as("tag"), us.as("r_us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "tag", "oid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lRows.unionAll(rRows)
+      .withColumn("asof_us", last("r_us", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("oid").as("event_id"), col("user_id"), col("us"), col("asof_us"))
+  }
+
   /** JSON property extraction + rollup: pull `props.k` (the only key in the
     * synthetic data) and aggregate per event type. At scale this is a single
     * narrow scan — extraction is a per-row codegen'd path expression.

@@ -74,6 +74,37 @@ object TextAnalysis {
         .cast("long").as("keep"))
   }
 
+  /** Fixed-size overlapping token chunks — the standard pre-tokenization
+    * split for long-document training pipelines. Chunk `c` covers tokens
+    * `[c·stride, c·stride + chunkSize)`; the tail chunk may be short. One
+    * narrow explode per doc (ceil(n/stride) rows), no shuffle — chunking
+    * stays embarrassingly parallel at any scale.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, s"chunkSize=$chunkSize stride=$stride must be positive")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .filter(col("start") < size(col("toks")))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+
+  /** Corpus-level top-k tokens by frequency (vocabulary head) — ties broken
+    * by token text so the cut is deterministic. Shape at scale: map-side
+    * partial counts, one shuffle on token, then a k-row TakeOrdered — no
+    * global sort of the vocabulary.
+    */
+  def topkTokens(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(k)
+
   /** Order-sensitive rolling-hash fingerprint over token ids:
     * h = (h·131 + id) mod 1e9+7, left fold. Two docs share a fingerprint iff
     * (modulo collisions) their token sequences are identical — the cheap

@@ -75,4 +75,46 @@ class TextEventsSpec extends SparkSpec {
     assert(r.map(_._2).sum == 1000)
     r.foreach { case (_, n, sumK, avgK) => assert(avgK == sumK.toDouble / n) }
   }
+
+  test("chunk: overlapping fixed-size token windows with a short tail") {
+    val docs = Seq((1L, (1 to 7).map(i => f"t$i%02d").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.chunk(docs, chunkSize = 4, stride = 3)
+      .orderBy("chunk_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "t01 t02 t03 t04"),
+      (1L, 1L, 4L, "t04 t05 t06 t07"),  // overlap of chunkSize - stride = 1
+      (1L, 2L, 1L, "t07")))             // short tail chunk
+    // chunk count over real docs: ceil(n_tokens / stride) rows per doc
+    val real = Tables.read(spark, sf("0.001"), "documents")
+    val n = TextAnalysis.chunk(real).groupBy("doc_id").count()
+      .join(TextAnalysis.tokenStats(real), "doc_id")
+      .filter(col("count") =!= ceil(col("n_tokens") / 24.0)).count()
+    assert(n == 0)
+  }
+
+  test("topkTokens: deterministic frequency head with text tie-break") {
+    val docs = Seq((1L, "b a b c a b", "en"), (2L, "c d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.topkTokens(docs, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("b", 3L), ("a", 2L), ("c", 2L))) // a before c on ties
+  }
+
+  test("asofJoin: latest right-side event at or before, per user") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "purchase", 1.0, "{}"),
+      (2L, ts(5), 7L, "click", 1.0, "{}"),    // -> purchase @0
+      (3L, ts(9), 7L, "purchase", 1.0, "{}"),
+      (4L, ts(9), 7L, "click", 1.0, "{}"),    // same instant matches (>=)
+      (5L, ts(20), 7L, "click", 1.0, "{}"),   // -> purchase @9
+      (6L, ts(3), 8L, "click", 1.0, "{}")     // no purchase -> NULL
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.asofJoin(ev)
+      .select("event_id", "asof_us").as[(Long, Option[Long])].collect().toMap
+    def us(m: Long) = (1700000000000L + m * 60000L) * 1000L
+    assert(got == Map(2L -> Some(us(0)), 4L -> Some(us(9)),
+      5L -> Some(us(9)), 6L -> None))
+  }
 }
