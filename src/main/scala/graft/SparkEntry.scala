@@ -70,6 +70,12 @@ object SparkEntry {
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
 
+  /** Drop the cross-query memos (fit + silhouette pair stats). Bench calls
+    * this before an anomaly RE-RUN so the repeated query redoes its real
+    * work instead of reading a memo and reporting a flattering near-zero.
+    */
+  def clearMemos(): Unit = { fitCache.clear(); silStatsCache.clear() }
+
   /** Both silhouette queries derive exactly from ONE O(n²) pair-stats stage
     * (Quality.silhouettePairStats) — n_sample × k rows of pure integers, so
     * memoizing the collected rows is deterministic and tiny. The quadratic
