@@ -30,6 +30,9 @@ object FitProfile {
     System.out.println(s"[profile] partitions = ${pts.rdd.getNumPartitions}")
 
     val seeds = t("seedPlusPlus k=10")(KMeans.seedPlusPlus(pts, 10, 42L))
+    t("seedParallel k=10 (1st)")(KMeans.seedParallel(pts, 10, 42L))
+    t("seedParallel k=10 (2nd)")(KMeans.seedParallel(pts, 10, 42L))
+    t("seedPlusPlus k=10 (2nd)")(KMeans.seedPlusPlus(pts, 10, 42L))
     var cs = seeds
     (1 to 10).foreach { i =>
       cs = t(s"lloydStepConst #$i")(KMeans.lloydStepConst(pts, cs, 64, 1e6))

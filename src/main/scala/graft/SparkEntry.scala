@@ -64,7 +64,8 @@ object SparkEntry {
       // merges cost more than the parallelism buys. At real scale the input
       // arrives multi-partition and the same plan parallelizes naturally.
       val pts = Tables.yhEmbeddings(s, dir).cache()
-      KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42)
+      // k-means|| seeding: rounds+1 scans instead of k-1 — the scale path
+      KMeans.fit(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
     })
 
   private def xy(df: DataFrame): DataFrame =

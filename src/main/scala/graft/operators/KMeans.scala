@@ -191,6 +191,134 @@ object KMeans {
     cs
   }
 
+  /** k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB 2012 —
+    * the algorithm MLlib also uses): instead of k−1 sequential cluster-wide
+    * rounds, run a FIXED small number of rounds that each oversample
+    * ~`overFactor·k` candidates in parallel (each point joins the candidate
+    * set independently with probability min(1, l·d²/ϕ)), then solve the
+    * tiny weighted clustering problem on the candidates driver-side.
+    *
+    * Why it matters at 100 TB: sequential ++ is k−1 full scans BY DESIGN
+    * (each round depends on the last); k-means|| needs `rounds`+1 scans
+    * regardless of k. Candidate sampling is deterministic — the per-point
+    * coin is `xxhash64(i, seed, round)` mapped to [0, 1), a pure function of
+    * the data, so any partitioning yields the same seeds (unlike `rand`,
+    * which draws per partition index).
+    *
+    * The driver-side refine is weighted k-means++ then weighted Lloyd on
+    * ≤ rounds·overFactor·k candidates (each weighted by the number of points
+    * it attracts) — O(candidates²·dim) driver work, microscopic next to one
+    * data scan.
+    */
+  def seedParallel(points: DataFrame, k: Int, seed: Long, rounds: Int = 3,
+      overFactor: Double = 2.0): Seq[Centroid] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    var cands = seedFirstK(points, 1).map(_.c).toVector
+    val l = overFactor * k
+    for (r <- 1 to rounds) {
+      // candidates ride as broadcast DATA through the native kernel (the
+      // lloydStepConst trick): constant plan text across rounds even as the
+      // candidate set grows, and the distance fold stays codegen'd instead
+      // of falling back to the interpreted literal HOF.
+      val csDf = Seq(Tuple1(cands.map(_.toSeq))).toDF("ccs")
+      val d2 = graft.plans.native.nearestSqDistCols(col("Y"), col("ccs"))
+      // fixed-point integer sum: ϕ is identical under ANY partitioning /
+      // merge order (a raw double sum is not), so the sampling threshold —
+      // and therefore the drawn candidate set — is a pure function of the
+      // data. ϕ only normalizes the sampling probability; whole-unit
+      // rounding is irrelevant to seeding quality.
+      val phi = points.crossJoin(broadcast(csDf))
+        .agg(sumFx(d2, 1.0)).head().getDouble(0)
+      if (phi > 0) {
+        // deterministic per-point uniform in [0,1): top 53 bits of xxhash64
+        val u = shiftrightunsigned(xxhash64(col("i"), lit(seed), lit(r)), 11)
+          .cast("double") / lit(9007199254740992.0) // 2^53
+        // sort by key: collect order is partition-dependent, candidate order
+        // must not be (it feeds the driver-side PRNG refine)
+        val drawn = points.crossJoin(broadcast(csDf))
+          .filter(u * phi < d2 * l)
+          .select(col("i"), col("Y")).collect()
+          .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toVector)
+        cands = (cands ++ drawn).distinct
+      }
+    }
+    // one pass: how many points each candidate attracts (its weight) —
+    // same broadcast-data argmin as lloydStepConst
+    val candCs = cands.zipWithIndex.map { case (c, ix) => Centroid(ix + 1L, c) }
+    val widsDf = Seq((candCs.map(_.j), candCs.map(_.c))).toDF("cids", "ccs")
+    val wByJ = points.crossJoin(broadcast(widsDf))
+      .select(graft.plans.native.nearestIdCols(col("Y"), col("cids"), col("ccs")).as("j"))
+      .groupBy("j").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weights = candCs.map(c => wByJ.getOrElse(c.j, 0L).toDouble)
+    localWeightedKMeans(cands.map(_.toArray).toArray, weights.toArray, k, seed)
+      .zipWithIndex.map { case (c, ix) => Centroid(ix + 1L, c.toSeq) }
+  }
+
+  /** Driver-side weighted k-means for the k-means|| refine: weighted ++
+    * seeding (deterministic PRNG) followed by weighted Lloyd to a fixpoint
+    * (≤ 30 iterations). Pure Scala on ≤ a few hundred candidate rows.
+    */
+  private[operators] def localWeightedKMeans(xs: Array[Array[Double]],
+      w: Array[Double], k: Int, seed: Long, maxIter: Int = 30): Seq[Array[Double]] = {
+    val n = xs.length
+    if (n <= k) return xs.toSeq
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { val t = a(d) - b(d); s += t * t; d += 1 }
+      s
+    }
+    // weighted ++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(xs(rnd.nextInt(n)))
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (centers.size < k) {
+      var i = 0
+      var tot = 0.0
+      while (i < n) {
+        val d = sq(xs(i), centers.last)
+        if (d < minD(i)) minD(i) = d
+        tot += minD(i) * w(i)
+        i += 1
+      }
+      val thr = rnd.nextDouble() * tot
+      var acc = 0.0
+      var pick = -1
+      i = 0
+      while (i < n && pick < 0) {
+        acc += minD(i) * w(i)
+        if (acc >= thr) pick = i
+        i += 1
+      }
+      centers += xs(if (pick < 0) n - 1 else pick)
+    }
+    // weighted Lloyd
+    val dim = xs(0).length
+    var cs = centers.toArray
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = Array.fill(k)(0.0)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val d = sq(xs(i), cs(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        var d = 0
+        while (d < dim) { sums(best)(d) += xs(i)(d) * w(i); d += 1 }
+        cnts(best) += w(i)
+        i += 1
+      }
+      val next = Array.tabulate(k)(j =>
+        if (cnts(j) > 0) Array.tabulate(dim)(d => sums(j)(d) / cnts(j)) else cs(j))
+      moved = next.zip(cs).exists { case (a, b) => sq(a, b) > 1e-12 }
+      cs = next
+      it += 1
+    }
+    cs.toSeq
+  }
+
   // ------------------------------------------------------------- assignment
 
   /** Reference `nearestCentroid` view (k-means.sql:35-39): adds column `j` =
@@ -310,8 +438,11 @@ object KMeans {
     */
   def fit(points: DataFrame, k: Int, dim: Int, tol: Double = 0.01,
       maxIter: Int = 50, seed: Long = 42L, plusPlus: Boolean = false,
-      fxScale: Double = 1e6): FitResult = {
-    var cs = if (plusPlus) seedPlusPlus(points, k, seed) else seedFirstK(points, k)
+      fxScale: Double = 1e6, parallelSeed: Boolean = false): FitResult = {
+    var cs =
+      if (parallelSeed) seedParallel(points, k, seed)
+      else if (plusPlus) seedPlusPlus(points, k, seed)
+      else seedFirstK(points, k)
     var log = cs.map(c => LogEntry(0L, c.j, c.c))
     var step = 0L
     var move = Double.MaxValue

@@ -146,6 +146,35 @@ class KMeansSpec extends SparkSpec {
     assert(got.c == want)
   }
 
+  test("seedParallel (k-means||) is deterministic and partitioning-independent") {
+    val yh = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val a = KMeans.seedParallel(yh, k = 6, seed = 7)
+    val b = KMeans.seedParallel(yh, k = 6, seed = 7)
+    assert(a == b, "same seed must reproduce the same centroids")
+    assert(a.size == 6 && a.map(_.j) == (1L to 6L))
+    // xxhash64 coins are a pure function of the data: a different partition
+    // layout draws the same candidates (rand() would not survive this)
+    val c = KMeans.seedParallel(yh.repartition(7, col("i")), k = 6, seed = 7)
+    assert(a == c, "partition layout must not change the seeding")
+  }
+
+  test("fit with k-means|| seeding matches ++ quality on the planted fixture") {
+    val rnd = new scala.util.Random(5)
+    val centersTrue = Seq(Seq(0.0, 0.0), Seq(50.0, 0.0), Seq(0.0, 50.0), Seq(50.0, 50.0))
+    val data = pts((1L to 400L).map { i =>
+      val c = centersTrue((i % 4).toInt)
+      i -> Seq(c(0) + rnd.nextGaussian(), c(1) + rnd.nextGaussian())
+    }: _*)
+    val fit = KMeans.fit(data, k = 4, dim = 2, parallelSeed = true, seed = 11)
+    assert(fit.centroids.size == 4)
+    // every true center has a fitted centroid within 1.0
+    centersTrue.foreach { t =>
+      val d = fit.centroids.map(c =>
+        math.sqrt(c.c.zip(t).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(d < 1.0, s"true center $t unmatched (nearest $d)")
+    }
+  }
+
   test("fit recovers the reference's planted 4-cluster fixture") {
     // Reference test-data generator (k-means.sql:1-4): 4 seed points, each
     // cloned 500x with bounded jitter — rebuilt with seeded rand.
