@@ -147,14 +147,17 @@ object Dedup {
   def mhB(i: Int): Long = 104729L * i + 12345
 
   /** Per-doc MinHash signature columns s0..s{numHashes-1} over distinct
-    * n-gram shingle ids.
+    * n-gram shingle ids. All mins come from ONE pass over the id array (the
+    * fused [[graft.plans.MinhashSigs]] kernel — bit-identical to the
+    * per-hash `array_min(transform(…))` composition, pinned in PlansSpec).
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sigs = (0 until numHashes).map { i =>
-      array_min(transform(col("ids"), x => (x * mhA(i) + mhB(i)) % MinhashP)).as(s"s$i")
+      element_at(col("sigs"), i + 1).as(s"s$i")
     }
     docs
-      .select(col("doc_id"), graft.plans.native.shingle_ids(col("text"), n).as("ids"))
+      .select(col("doc_id"), graft.plans.native.minhash_sigs(
+        graft.plans.native.shingle_ids(col("text"), n), numHashes).as("sigs"))
       .select((col("doc_id") +: sigs): _*)
   }
 

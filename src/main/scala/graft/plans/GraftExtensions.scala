@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenIds.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenIds(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      MinhashSigs.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigs(exprs(0), GraftExtensions.intArg(exprs(1), "minhash_sigs"))))
   }
 }
 
@@ -60,7 +65,7 @@ object GraftExtensions {
   }
 
   /** Register on an already-built session (tests, driver-owned sessions).
-    * Mirrors [[GraftExtensions.apply]]: all six functions, same names.
+    * Mirrors [[GraftExtensions.apply]]: all seven functions, same names.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -76,6 +81,8 @@ object GraftExtensions {
       "shingle_ids", exprs => ShingleIds(exprs(0), intArg(exprs(1), "shingle_ids")), "built-in")
     reg.createOrReplaceTempFunction(
       "token_ids", exprs => TokenIds(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigs(exprs(0), intArg(exprs(1), "minhash_sigs")), "built-in")
   }
 }
 
@@ -117,6 +124,13 @@ object native {
     */
   def token_ids(text: Column): Column =
     GraftColumnShim.column(TokenIds(GraftColumnShim.expression(text)))
+
+  /** All n MinHash mins over an id array in one codegen'd pass — the fused
+    * per-hash `array_min(transform(ids, x -> (x·a+b) % P))` (see
+    * [[MinhashSigs]]).
+    */
+  def minhash_sigs(ids: Column, numHashes: Int): Column =
+    GraftColumnShim.column(MinhashSigs(GraftColumnShim.expression(ids), numHashes))
 
   /** Single-expression elementwise long-vector sum (see [[VectorSumLong]]).
     * `c` must be `array<long>` (pre-rounded fixed-point values).

@@ -90,6 +90,26 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("native minhash_sigs equals the per-hash HOF composition on real docs") {
+    import graft.operators.Dedup.{mhA, mhB, MinhashP}
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), native.shingle_ids(col("text"), 3).as("ids"))
+    val hof = (0 until 16).map { i =>
+      array_min(transform(col("ids"), x => (x * mhA(i) + mhB(i)) % MinhashP)).as(s"h$i")
+    }
+    val both = docs.select(
+      (col("doc_id") +: native.minhash_sigs(col("ids"), 16).as("sigs") +: hof): _*)
+    val bad = both.filter((0 until 16)
+      .map(i => !(element_at(col("sigs"), i + 1) <=> col(s"h$i")))
+      .reduce(_ || _)).count()
+    assert(bad == 0)
+    // empty id array -> all-null signatures, like array_min over empty
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.sql("SELECT minhash_sigs(cast(array() as array<bigint>), 4) AS s")
+      .head().getSeq[Any](0)
+    assert(e.size == 4 && e.forall(_ == null))
+  }
+
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))
