@@ -119,6 +119,18 @@ object OracleSql {
        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
        |GROUP BY token ORDER BY cnt DESC, token LIMIT $k""".stripMargin
 
+  /** Mirror of [[TextAnalysis.stratifiedSample]]: same LCG hash order, same
+    * integer-domain ⌈cnt·num/den⌉ keep rule.
+    */
+  def docSample(num: Int, den: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents)
+       |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+       |FROM t WHERE rn * $den <= cnt * $num + ${den - 1}""".stripMargin
+
   // ----------------------------------------------------------------- events
 
   def eventsSessionize(gapMinutes: Int): String = {

@@ -347,6 +347,8 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.read(s, dir, "documents"))),
     "text_topk_tokens" -> ((s, dir) =>
       TextAnalysis.topkTokens(Tables.read(s, dir, "documents"))),
+    "doc_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.read(s, dir, "documents"))),
 
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
@@ -551,6 +553,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),
     "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
+    "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_json" -> OracleSql.eventsJson,

@@ -105,6 +105,30 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
 
+  /** Deterministic stratified sample: exactly ⌈n_stratum·num/den⌉ docs per
+    * language, chosen by a per-doc LCG hash so the draw is a pure function
+    * of the data (reruns, partitionings, and the DuckDB oracle all agree).
+    * Integer-domain everywhere: the keep rule `rn·den ≤ cnt·num + den − 1`
+    * is ⌈cnt·num/den⌉ without float division.
+    *
+    * Scale note: the per-stratum window is a sort within each language's
+    * partitions — exact per-stratum counts cost one shuffle on the stratum
+    * key. When approximate fractions suffice at 100 TB, drop the window and
+    * keep `hash % den < num` directly (no sort, no shuffle).
+    */
+  def stratifiedSample(docs: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
+    require(num > 0 && den >= num, s"need 0 < num <= den, got $num/$den")
+    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483647L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .filter(col("rn") * den <= col("cnt") * num + (den - 1))
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint over token ids:
     * h = (h·131 + id) mod 1e9+7, left fold. Two docs share a fingerprint iff
     * (modulo collisions) their token sequences are identical — the cheap

@@ -24,6 +24,22 @@ object StreamingOps {
     points.withColumn("j",
       VectorOps.nearestId(col("Y"), cs.map(_.j), cs.map(_.c)))
 
+  /** Streaming exact dedup (twin of `Dedup.exact`/`TextAnalysis.fingerprint`):
+    * arriving docs are fingerprinted with the rolling content hash and
+    * re-deliveries of an already-seen fingerprint are dropped while its
+    * watermark window is open. `dropDuplicatesWithinWatermark` keys state by
+    * fingerprint only — state is bounded by (docs per watermark window), not
+    * by stream history, which is what makes continuous dedup viable on an
+    * unbounded crawl feed.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", aggregate(graft.plans.native.token_ids(col("text")),
+        lit(0L), (h, x) => (h * 131 + x) % 1000000007L))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Watermarked tumbling-window counts per event type (streaming twin of
     * `Events.windowAgg`). Late data beyond 10 minutes is dropped; state is
     * bounded by watermark × type cardinality.

@@ -45,6 +45,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupStream(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // same content twice in one batch + once in a later batch, plus a
+      // distinct doc — only one copy of the duplicate may survive
+      in.addData((ts(0), 1L, "alpha beta gamma"), (ts(1), 2L, "alpha beta gamma"),
+        (ts(1), 3L, "totally different text"))
+      q.processAllAvailable()
+      in.addData((ts(5), 4L, "alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got.contains(3L) && got.size == 2, s"got=$got")
+      assert(got.intersect(Set(1L, 2L, 4L)).size == 1, "exactly one copy of the dup")
+    } finally q.stop()
+  }
+
   test("foreachBatch re-assignment of streaming points against fixed centroids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Seq[Double])]

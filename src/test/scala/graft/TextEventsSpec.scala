@@ -101,6 +101,22 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Seq(("b", 3L), ("a", 2L), ("c", 2L))) // a before c on ties
   }
 
+  test("stratifiedSample keeps exactly ceil(n/5) docs per language, deterministically") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val sample = TextAnalysis.stratifiedSample(docs)
+    val perLang = sample.groupBy("lang").count()
+      .join(docs.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+      .as[(String, Long, Long)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, kept, total) =>
+      assert(kept == (total + 4) / 5, s"$lang: kept $kept of $total")
+    }
+    // pure function of the data: identical under a different partitioning
+    val again = TextAnalysis.stratifiedSample(docs.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sample.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("asofJoin: latest right-side event at or before, per user") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
