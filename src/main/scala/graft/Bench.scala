@@ -148,14 +148,19 @@ object Bench {
     val firstPass = selected.map { case (name, fn) => runOne(name, fn) }
     // anomaly re-run: see scaladoc — keep the per-query minimum
     val sorted = firstPass.map(_._2).sorted
-    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    // lower median: with few queries the upper middle can be the outlier
+    // itself, which would disable the trigger exactly when it's needed
+    val median = if (sorted.isEmpty) 0.0 else sorted((sorted.size - 1) / 2)
     val threshold = math.max(3.0, 3.0 * median)
     val flagged = firstPass.filter(r => r._2 > threshold && !errors.contains(r._1)).map(_._1)
     val results = firstPass.map { case r @ (name, wall, _, _) =>
       if (flagged.contains(name)) {
         SparkEntry.clearMemos() // redo real work — no flattering memo hits
+        val errsBefore = errors
         val again = runOne(name, selected.find(_._1 == name).get._2)
-        if (again._2 < wall) again else r
+        if (errors ne errsBefore) { errors = errsBefore; r } // re-run failed: keep the honest first pass
+        else if (again._2 < wall) again
+        else r
       } else r
     }
     def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
