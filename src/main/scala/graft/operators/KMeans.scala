@@ -126,7 +126,7 @@ object KMeans {
     import spark.implicits._
     val chosenDf = chosen.map(_.c).toDF("C")
     val surviving = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
-    val d2 = nearestSqDist(col("Y"), coords(chosen))
+    val d2 = graft.plans.native.nearest_sq_dist(col("Y"), coords(chosen))
     val weight = if (d1Weights) sqrt(d2) else d2
     val weighted = surviving.withColumn(
       "w", round(weight * weightScale).cast("long"))

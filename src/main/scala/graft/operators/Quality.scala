@@ -16,7 +16,7 @@ object Quality {
     */
   def elbow(points: DataFrame, cs: Seq[Centroid],
       d1Scale: Double = 1e6, d2Scale: Double = 1e6): DataFrame = {
-    val msq = nearestSqDist(col("Y"), cs.map(_.c))
+    val msq = graft.plans.native.nearest_sq_dist(col("Y"), cs.map(_.c))
     points.select(msq.as("msq"))
       .agg(
         sumFx(sqrt(col("msq")), d1Scale).as("elbow_d1"),
@@ -77,7 +77,7 @@ object Quality {
     val spark = points.sparkSession
     // -- elbows: one scan, 2·ks.size fixed-point sums, stack() to rows
     val elbowAggs = ks.flatMap { k =>
-      val msq = nearestSqDist(col("Y"), seeds.take(k).map(_.c))
+      val msq = graft.plans.native.nearest_sq_dist(col("Y"), seeds.take(k).map(_.c))
       Seq(sumFx(sqrt(msq), d1Scale).as(s"d1_$k"), sumFx(msq, d2Scale).as(s"d2_$k"))
     }
     val elbows = points.agg(elbowAggs.head, elbowAggs.tail: _*)

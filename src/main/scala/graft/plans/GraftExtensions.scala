@@ -148,6 +148,14 @@ object native {
       GraftColumnShim.expression(i), GraftColumnShim.expression(y),
       sampleIds, sampleJs, sampleYs, dScale))
 
+  /** Squared distance to the nearest of a literal centroid set as ONE
+    * codegen'd call — bit-identical, faster replacement for the interpreted
+    * `VectorOps.nearestSqDist` HOF fold (see [[NearestSqDistLit]]).
+    */
+  def nearest_sq_dist(y: Column, cs: Seq[Seq[Double]]): Column =
+    GraftColumnShim.column(NearestSqDistLit(
+      GraftColumnShim.expression(y), cs.map(_.toArray).toArray))
+
   /** `VectorOps.nearestId` with the native distance kernel. */
   def nearestIdNative(y: Column, ids: Seq[Long], cs: Seq[Seq[Double]]): Column =
     nearestIdCols(y, typedlit(ids), typedlit(cs))

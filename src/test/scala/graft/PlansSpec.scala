@@ -90,6 +90,24 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("native nearest_sq_dist equals the HOF min fold on real data") {
+    val yh = Tables.yhOrders(spark, sf("0.001"))
+    val cs = graft.operators.KMeans.seedFirstK(yh, 5).map(_.c)
+    val bad = yh.select(
+      native.nearest_sq_dist(col("Y"), cs).as("a"),
+      VectorOps.nearestSqDist(col("Y"), cs).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(bad == 0)
+    // 64-dim embeddings too (different dim, negative coords)
+    val emb = Tables.yhEmbeddings(spark, sf("0.001"))
+    val ecs = graft.operators.KMeans.seedFirstK(emb, 3).map(_.c)
+    val badE = emb.select(
+      native.nearest_sq_dist(col("Y"), ecs).as("a"),
+      VectorOps.nearestSqDist(col("Y"), ecs).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(badE == 0)
+  }
+
   test("native minhash_sigs equals the per-hash HOF composition on real docs") {
     import graft.operators.Dedup.{mhA, mhB, MinhashP}
     val docs = Tables.read(spark, sf("0.001"), "documents")
