@@ -33,4 +33,20 @@ object Sinks {
     */
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Bucketed catalog table: pre-shuffle the data ONCE at write time so
+    * every later equi-join or aggregation on `keys` is co-located and plans
+    * with NO Exchange on this side — the lever that turns a repeated
+    * fact-to-fact shuffle (the dominant cost of a 100 TB join) into a local
+    * zip of bucket files. Sort-within-bucket keeps merge-join ready order.
+    * SinksSpec asserts the shuffle-free plan property on a real join.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -27,4 +27,34 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.orderBy("step").select("c0").as[Double].collect().toSeq == Seq(0.5, 0.7))
   }
+
+  test("bucketed tables join with NO exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.read(spark, sf("0.001"), "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val l = Tables.read(spark, sf("0.001"), "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    // the plain-join answer BEFORE bucketing (ground truth)
+    val expected = o.join(l, "o_orderkey").groupBy("o_orderkey")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Sinks.writeBucketed(o, "bkt_orders", 4, Seq("o_orderkey"))
+    Sinks.writeBucketed(l, "bkt_lineitem", 4, Seq("o_orderkey"))
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = j.queryExecution.executedPlan.toString
+      // bucket-aligned sort-merge join + partial agg: the ONLY acceptable
+      // plan has zero Exchange operators — the shuffle happened at write time
+      assert(!plan.contains("Exchange"), s"plan:\n$plan")
+      val got = j.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }
