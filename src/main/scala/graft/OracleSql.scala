@@ -248,6 +248,22 @@ object OracleSql {
       s"(x,y) -> x+y)"
 
   /** Mirror of [[graft.operators.Similarity.bruteForceTopK]]. */
+  /** Mirror of [[Similarity.normalizeQuantize]]: the norm is the identical
+    * left fold (list_reduce over a 0-prepended list), quantized dims the
+    * same `round(127·x/‖x‖)`, zero vectors quantize to 0.
+    */
+  def embNormalize(qDims: Int): String = {
+    val fold = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x*x)), (a, b) -> a + b))"
+    val qs = (1 to qDims).map(d =>
+      s"CASE WHEN nrm > 0 THEN CAST(round(v[$d] / nrm * 127) AS BIGINT) ELSE 0 END AS q$d")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, $fold AS nrm FROM e)
+       |SELECT vec_id, CAST(round(nrm * 1e6) AS BIGINT) AS norm_e6,
+       |  ${qs.mkString(",\n  ")}
+       |FROM n""".stripMargin
+  }
+
   def simTopK(nQueries: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),

@@ -333,6 +333,9 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // embedding post-processing: L2 norm + int8 quantization (pre-index shrink)
+    "emb_normalize" -> ((s, dir) =>
+      Similarity.normalizeQuantize(Tables.read(s, dir, "embeddings"))),
 
     // ---- text analysis (beyond-reference) ----
     "text_stats" -> ((s, dir) =>
@@ -547,6 +550,7 @@ object SparkEntry {
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),

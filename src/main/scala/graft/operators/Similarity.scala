@@ -26,6 +26,26 @@ object Similarity {
   private def emb2v(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Embedding post-processing for storage/ANN: L2 norm plus int8
+    * quantization of the leading dimensions (`round(127·x/‖x‖)`), the
+    * standard shrink step before writing a vector index. Per-row only — no
+    * shuffle, embarrassingly parallel at any scale. All outputs are integer
+    * (fixed-point norm, quantized dims) so the DuckDB oracle matches
+    * hash-exactly: the norm is the same left fold `(0+x₀²)+x₁²+…` both
+    * engines evaluate, and zero vectors quantize to 0 instead of NaN.
+    */
+  def normalizeQuantize(emb: DataFrame, qDims: Int = 4): DataFrame = {
+    val norm = sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+    val qs = (1 to qDims).map { d =>
+      when(col("norm") > 0,
+        round(element_at(col("v"), d) / col("norm") * 127).cast("long"))
+        .otherwise(0L).as(s"q$d")
+    }
+    emb2v(emb)
+      .withColumn("norm", norm)
+      .select(col("vec_id") +: round(col("norm") * 1e6).cast("long").as("norm_e6") +: qs: _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector (queries = vec_id <
     * nQueries, deterministic). Ties broken by neighbor id; similarity
     * reported fixed-point (`cos_e6`).

@@ -14,6 +14,21 @@ class SimilaritySpec extends SparkSpec {
     (6L, Array(0.00f, 0.01f, 0.99f)), (7L, Array(0.02f, 0.00f, 0.98f))
   ).toDF("vec_id", "embedding")
 
+  test("normalizeQuantize: exact norms, int8 range, zero vectors safe") {
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f)),   // norm 5, q1 = round(3/5*127) = 76
+      (2L, Array(0.0f, 0.0f, 0.0f))    // zero vector -> all-zero quants
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.normalizeQuantize(e, qDims = 3)
+      .orderBy("vec_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5000000L, 76L, 102L, 0L), (2L, 0L, 0L, 0L, 0L)))
+    // real embeddings: every quantized dim is a valid int8
+    val real = Similarity.normalizeQuantize(Tables.read(spark, sf("0.001"), "embeddings"))
+    val bad = real.filter((1 to 4).map(d =>
+      col(s"q$d") < -127 || col(s"q$d") > 127).reduce(_ || _)).count()
+    assert(bad == 0 && real.count() == 500)
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val got = Similarity.bruteForceTopK(emb, nQueries = 1, k = 3)
       .orderBy("rnk").select("n_id").as[Long].collect().toSeq
