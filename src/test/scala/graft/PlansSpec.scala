@@ -74,6 +74,24 @@ class PlansSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
+    // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
+    // the scale path); sim_topk broadcast-cross-joins the tiny query side by
+    // design. Everything else must never nested-loop.
+    val allowed = Set("dedup_embcos", "sim_topk")
+    // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
+    // O(n²) pair-stat collects) — their inner plans are asserted elsewhere
+    val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",
+      "km_silhouette", "km_silhouette_rousseeuw", "km_delta")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(eager).filterNot(allowed)
+      .filter { name =>
+        SparkEntry.queries(name)(spark, sf("0.001"))
+          .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"nested-loop joins in: $offenders")
+  }
+
   test("roundHalfUp fast path equals the BigDecimal HALF_UP definition") {
     import graft.plans.PairDistStats.{roundHalfUp, roundHalfUpBigDecimal}
     val boundaries = (0 to 60).map(k => k + 0.5)
