@@ -175,6 +175,28 @@ object OracleSql {
        |SELECT l.event_id, l.user_id, l.us, r.us AS asof_us
        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
 
+  /** Mirror of [[Events.funnel]]: chained min-join stages, epoch-µs integer
+    * timestamps so the window comparison is exact on both engines.
+    */
+  def eventsFunnel(stages: Seq[String], windowHours: Int): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = '$st' GROUP BY 1)"
+      else
+        s"""s${i + 1} AS (SELECT ev.user_id, min(us) AS t FROM ev
+           |  JOIN s$i ON ev.user_id = s$i.user_id
+           |  WHERE event_type = '$st' AND us > s$i.t AND us <= s$i.t + $winUs
+           |  GROUP BY ev.user_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage, '$st' AS event_type, (SELECT count(*) FROM s${i + 1}) AS users"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |$ctes
+       |$rows""".stripMargin
+  }
+
   def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,

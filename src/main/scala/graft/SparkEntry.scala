@@ -379,7 +379,28 @@ object SparkEntry {
     // as-of join (click → latest prior purchase per user) via the union +
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
-      Events.asofJoin(Tables.readEvents(s, dir)))
+      Events.asofJoin(Tables.readEvents(s, dir))),
+    // staged conversion funnel (windowFunnel analog): view → click → purchase
+    // within 24h per stage, chained min-joins — no windows, no per-user sort
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(Tables.readEvents(s, dir))),
+
+    // ---- exact grouped quantiles (A-family breadth): interpolated p25/50/75
+    // over INTEGER cents, so the interpolation arithmetic is error-free in
+    // IEEE double on both engines (quarter fracs + integer endpoints) and the
+    // hash compare can never flip. Spark's exact `percentile` buffers per
+    // group — bounded by per-group distinct values, the standard trade.
+    "q_quantiles" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          percentile(cents, typedlit(Seq(0.25, 0.5, 0.75))).as("q"))
+        .select(col("l_returnflag"), col("cnt"),
+          (element_at(col("q"), 1) / 100.0).as("p25"),
+          (element_at(col("q"), 2) / 100.0).as("p50"),
+          (element_at(col("q"), 3) / 100.0).as("p75"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -561,6 +582,16 @@ object SparkEntry {
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_json" -> OracleSql.eventsJson,
-    "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase")
+    "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
+    "events_funnel" -> OracleSql.eventsFunnel(
+      stages = Seq("view", "click", "purchase"), windowHours = 24),
+    "q_quantiles" ->
+      """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice*100.0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS cnt,
+        |  quantile_cont(cents, 0.25)/100.0 AS p25,
+        |  quantile_cont(cents, 0.50)/100.0 AS p50,
+        |  quantile_cont(cents, 0.75)/100.0 AS p75
+        |FROM c GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -82,6 +82,42 @@ object Events {
       .select(col("oid").as("event_id"), col("user_id"), col("us"), col("asof_us"))
   }
 
+  /** Staged conversion funnel (the `windowFunnel` analytic, e.g. reference
+    * ecosystem's funnel analysis re-expressed relationally): for each stage
+    * s ≥ 2, a user qualifies when they have a `stages(s)` event strictly
+    * after their stage-(s-1) completion time and within `windowHours` of it;
+    * completion time is the EARLIEST such event. Output: one row per stage
+    * with the surviving user count.
+    *
+    * Shape: stage 1 is one grouped min per user; each later stage is an
+    * equi-join on user_id against the previous stage's (user, t) relation
+    * followed by a grouped min — all hash joins + partial aggregation, no
+    * windows, no per-user sorting. At 100 TB each stage touches only that
+    * stage's event-type slice (predicate pushed to the scan) and the
+    * surviving-user relation shrinks monotonically, so later joins get
+    * cheaper; AQE can broadcast the survivor side once it fits.
+    */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowHours: Int = 24): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val winUs = windowHours * 3600L * 1000000L
+    val typed = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val reached = stages.tail.foldLeft(Vector(
+      typed.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min("us").as("t")))) { (acc, st) =>
+      val prev = acc.last.select(col("user_id"), col("t").as("tp"))
+      acc :+ typed.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("us") > col("tp") && col("us") <= col("tp") + winUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("stage"), lit(stages(i)).as("event_type"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** JSON property extraction + rollup: pull `props.k` (the only key in the
     * synthetic data) and aggregate per event type. At scale this is a single
     * narrow scan — extraction is a per-row codegen'd path expression.

@@ -68,6 +68,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact percentile over integers interpolates error-free at quarter fracs") {
+    // q_quantiles' oracle-exactness rests on this: integer endpoints +
+    // quarter fractions make lower + frac*(higher-lower) exactly
+    // representable, so ANY reasonable interpolation formula (Spark's or
+    // DuckDB's) produces the identical double.
+    import org.apache.spark.sql.functions._
+    val df = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val got = df.agg(percentile(col("v"), typedlit(Seq(0.25, 0.5, 0.75))))
+      .as[Seq[Double]].head()
+    assert(got == Seq(17.5, 25.0, 32.5)) // (n-1)*p = 0.75, 1.5, 2.25
+  }
+
   test("simhash hamming distance is symmetric and zero on self") {
     samples(docGen, 5).foreach { docs =>
       val fp = Dedup.simhashFingerprints(docs.toDF("doc_id", "text", "lang"), bits = 32)

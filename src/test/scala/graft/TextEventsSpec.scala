@@ -117,6 +117,44 @@ class TextEventsSpec extends SparkSpec {
     assert(again == sample.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("funnel: stage windows chain from each user's previous completion") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      // user 7 completes all three stages inside the windows
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(30), 7L, "click", 1.0, "{}"),
+      (3L, ts(60), 7L, "purchase", 1.0, "{}"),
+      // user 8 clicks too late (25h after the view)
+      (4L, ts(0), 8L, "view", 1.0, "{}"),
+      (5L, ts(25 * 60), 8L, "click", 1.0, "{}"),
+      // user 9: purchase BEFORE the click doesn't count; none after
+      (6L, ts(0), 9L, "view", 1.0, "{}"),
+      (7L, ts(10), 9L, "purchase", 1.0, "{}"),
+      (8L, ts(20), 9L, "click", 1.0, "{}"),
+      // user 10 never views; the click alone can't enter the funnel
+      (9L, ts(0), 10L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnel(ev)
+      .select("stage", "users").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("funnel stage windows restart at the min qualifying event, not any") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // click at +10min and +23h50min; purchase at +24h30min: within 24h of the
+    // SECOND click but the stage-2 completion is the FIRST click, so stage 3
+    // misses its window.
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),
+      (3L, ts(23 * 60 + 50), 7L, "click", 1.0, "{}"),
+      (4L, ts(24 * 60 + 30), 7L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnel(ev)
+      .select("stage", "users").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("asofJoin: latest right-side event at or before, per user") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
