@@ -122,6 +122,19 @@ object OracleSql {
   /** Mirror of [[TextAnalysis.stratifiedSample]]: same LCG hash order, same
     * integer-domain ⌈cnt·num/den⌉ keep rule.
     */
+  /** Mirror of [[TextAnalysis.tfidf]]: same integer-domain rational score. */
+  def textTfidf(k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (SELECT t.doc_id, t.token, t.tf, d.df,
+       |    CAST(round(t.tf * n.n_docs * 1000000.0 / d.df) AS BIGINT) AS score_e6
+       |  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score_e6 DESC, token) AS BIGINT) AS rnk FROM s)
+       |SELECT doc_id, rnk, token, tf, df, score_e6 FROM r WHERE rnk <= $k""".stripMargin
+
   def docSample(num: Int, den: Int): String =
     s"""WITH t AS (SELECT doc_id, lang,
        |    row_number() OVER (PARTITION BY lang
@@ -223,7 +236,11 @@ object OracleSql {
        |SELECT a_id, b_id, inter/(sza+szb-inter) AS jac FROM p
        |WHERE inter*$thrDen >= (sza+szb-inter)*$thrNum""".stripMargin
 
-  def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String = {
+  /** The MinHash-LSH candidate pipeline as a reusable CTE chain ending in
+    * `m(a_id, b_id, matches)` — shared by [[dedupMinhash]] and the
+    * connected-components oracles.
+    */
+  private def minhashCtes(n: Int, numHashes: Int, bands: Int): String = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
@@ -234,7 +251,7 @@ object OracleSql {
       val keys = (bnd * rows + 1 to (bnd + 1) * rows).map(i => s"sig[$i]").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $keys) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id,
+    s"""t AS (SELECT doc_id,
        |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)}, s -> ${tokenId("s")})) AS ids
        |  FROM documents),
        |sig AS (SELECT doc_id, $sigExprs AS sig FROM t),
@@ -245,10 +262,42 @@ object OracleSql {
        |m AS (SELECT c.a_id, c.b_id,
        |    list_sum(list_transform(range(1, ${numHashes + 1}),
        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS matches
-       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
+  }
+
+  def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String =
+    s"""WITH ${minhashCtes(n, numHashes, bands)}
        |SELECT a_id, b_id, matches/$numHashes AS est_jac FROM m
        |WHERE matches*$thrDen >= $numHashes*$thrNum""".stripMargin
-  }
+
+  /** Mirror of [[Dedup.connectedComponents]] over the MinHash pair edges:
+    * an independent algorithm — DuckDB's recursive CTE enumerates every
+    * (node, reachable-node) pair and takes the min, checking the iterative
+    * min-label propagation against a transitive-closure ground truth rather
+    * than re-stating it.
+    */
+  private def componentsCtes(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""${minhashCtes(n, numHashes, bands)},
+       |pairs AS (SELECT a_id, b_id FROM m
+       |  WHERE matches*$thrDen >= $numHashes*$thrNum),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)""".stripMargin
+
+  def dedupComponents(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
+       |SELECT doc_id, rep_id FROM comp""".stripMargin
+
+  def dedupKeepOne(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
+       |SELECT rep_id AS doc_id, count(*) AS cluster_size FROM comp GROUP BY rep_id""".stripMargin
 
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>

@@ -310,6 +310,19 @@ object SparkEntry {
         dfCap = 3)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
+    // duplicate-CLUSTER resolution: min-label propagation over the MinHash
+    // pair edges — every doc mapped to the min doc_id reachable through any
+    // pair chain (singletons → self). The step between pairwise dedup output
+    // and an actionable keep/drop set.
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
+    }),
+    // the keep-one corpus: one row per cluster (representative + size)
+    "dedup_keep" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.keepOne(Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // direct block join: this synthetic vocab clusters fingerprints so
       // heavily that pigeonhole chunks aren't selective (see simhashPairs)
@@ -352,6 +365,11 @@ object SparkEntry {
       TextAnalysis.topkTokens(Tables.read(s, dir, "documents"))),
     "doc_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.read(s, dir, "documents"))),
+    // TF-IDF keyword extraction: top-3 terms per doc by the log-free
+    // rational score tf·N·1e6/df (integer-domain; ranking-equivalent to
+    // tf·ln(N/df) for fixed N — see TextAnalysis.tfidf)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(Tables.read(s, dir, "documents"))),
 
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
@@ -566,6 +584,10 @@ object SparkEntry {
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_components" -> OracleSql.dedupComponents(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_keep" -> OracleSql.dedupKeepOne(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
@@ -579,6 +601,7 @@ object SparkEntry {
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),
     "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
     "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
+    "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_json" -> OracleSql.eventsJson,

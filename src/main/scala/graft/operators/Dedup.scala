@@ -334,4 +334,66 @@ object Dedup {
       .filter(col("cos_e6") >= thrE6)
       .distinct()
   }
+
+  // ------------------------------------------- duplicate-cluster resolution
+
+  /** Connected components over near-dup pair edges: every document gets the
+    * MINIMUM doc_id reachable through any chain of pairs as its cluster
+    * representative (`rep_id`); singletons map to themselves. This is the
+    * step that turns pairwise dedup output into an actionable keep/drop
+    * decision — "keep one doc per duplicate CLUSTER", not "per pair" (pair
+    * output alone over-drops: a–b and b–c does not mean a–c was ever
+    * compared, and naively dropping the right side of every pair can drop
+    * both endpoints of a chain).
+    *
+    * Algorithm: min-label propagation. labels ← id; each round every node
+    * takes the min of its own label and its neighbors' labels. Converges in
+    * O(diameter) rounds — near-dup clusters are short chains in practice, so
+    * this is 2–4 rounds; `maxIter` bounds adversarial chains. Each round is
+    * ONE equi-join (edges ⋈ labels on the source endpoint) + ONE grouped min
+    * — both shuffle-partitioned on doc_id, no driver-side graph state, and
+    * the label relation never grows. Convergence is detected by the exact
+    * integer invariant Σrep, strictly decreasing until fixed point.
+    * (At extreme diameters switch to alternating large-star/small-star,
+    * which converges in O(log n) rounds with identical per-round shapes.)
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
+      .unionAll(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+      .cache()
+    // localCheckpoint each round: without it the label plan embeds the
+    // previous round's plan TWICE (union + join), so analysis/AQE cost
+    // doubles per iteration even though caching bounds execution — the
+    // classic iterative-lineage trap. Checkpointing replaces the tree with a
+    // materialized leaf: constant per-round plan size, exactly what a
+    // Pregel-style loop does at cluster scale.
+    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("rep"))
+      .localCheckpoint(eager = true)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("rep")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("s") === labels("id"))
+        .select(col("t").as("id"), col("rep"))
+      val next = labels.unionAll(prop).groupBy("id")
+        .agg(min("rep").as("rep")).localCheckpoint(eager = true)
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("rep")).head().getLong(0)
+      labels = next
+      converged = nextSum == sum // Σrep monotone non-increasing, integer-exact
+      sum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** The keep-one corpus: one row per duplicate cluster — the representative
+    * doc plus how many documents it stands for. `documents ⋉ (rep_id)` (or a
+    * `doc_id = rep_id` filter on [[connectedComponents]]) is then the
+    * deduplicated training set.
+    */
+  def keepOne(components: DataFrame): DataFrame =
+    components.groupBy(col("rep_id").as("doc_id"))
+      .agg(count(lit(1)).as("cluster_size"))
 }

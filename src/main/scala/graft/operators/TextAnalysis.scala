@@ -105,6 +105,38 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
 
+  /** TF-IDF keyword extraction: the top `k` terms per document ranked by
+    * tf · (N/df) — the log-free rational form, so the score stays in exactly
+    * mirrorable arithmetic (`ln` is not guaranteed bit-identical across
+    * engines; the ranking it induces for fixed N is the same since x ↦ ln x
+    * is monotone). `score_e6 = round(tf·N·1e6/df)`: integer product exact in
+    * double (≤2^53 by construction), one correctly-rounded division, fixed-
+    * point round — both engines land the identical BIGINT.
+    *
+    * Shape: the classic two-shuffle TF-IDF — one groupBy (doc, token) for
+    * tf, one groupBy token for df, then an equi-join on token (df side is
+    * vocabulary-sized; partial aggregation keeps both map-side combined)
+    * and a per-doc top-k window. No collect, no driver state — at 100 TB
+    * the vocabulary join is a plain hash join keyed on token.
+    */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // scalar N joined on a constant key: plans as a 1-row BroadcastHASHJoin
+    // (a bare crossJoin of the aggregate would plan a nested loop)
+    val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("one", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
+    tf.join(df, "token").withColumn("one", lit(1)).join(broadcast(n), "one")
+      .withColumn("score_e6",
+        round(col("tf") * col("n_docs") * 1000000.0 / col("df")).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score_e6"))
+  }
+
   /** Deterministic stratified sample: exactly ⌈n_stratum·num/den⌉ docs per
     * language, chosen by a per-doc LCG hash so the draw is a pure function
     * of the data (reruns, partitionings, and the DuckDB oracle all agree).

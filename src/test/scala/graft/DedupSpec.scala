@@ -119,4 +119,25 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 3L)))
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("connected components: pair chains collapse to min-id clusters") {
+    val nodes = (1L to 6L).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    // 1–2, 2–3 chain (1 and 3 never directly paired) + isolated 4, 5–6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    val keep = Dedup.keepOne(Dedup.connectedComponents(nodes, pairs))
+      .as[(Long, Long)].collect().toMap
+    assert(keep == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("connected components: a long chain converges within the iteration bound") {
+    val n = 12L
+    val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L), s"chain did not collapse: $comp")
+  }
 }

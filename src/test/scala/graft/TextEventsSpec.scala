@@ -101,6 +101,25 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Seq(("b", 3L), ("a", 2L), ("c", 2L))) // a before c on ties
   }
 
+  test("tfidf ranks rare-but-frequent terms above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "rare rare common other", "en"),
+      (2L, "common other filler words", "en"),
+      (3L, "common things entirely new", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tfidf(docs, k = 2)
+      .select("doc_id", "rnk", "token", "tf", "df", "score_e6")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: "rare" (tf=2, df=1) beats "other" (tf=1, df=2) beats "common" (df=3)
+    assert(got(1L) == Seq("rare", "other"))
+    // doc 1 "rare": score = 2*3*1e6/1
+    val rareScore = TextAnalysis.tfidf(docs, k = 2)
+      .filter($"doc_id" === 1L && $"token" === "rare")
+      .select("score_e6").as[Long].head()
+    assert(rareScore == 6000000L)
+  }
+
   test("stratifiedSample keeps exactly ceil(n/5) docs per language, deterministically") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val sample = TextAnalysis.stratifiedSample(docs)
