@@ -345,6 +345,38 @@ object OracleSql {
        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
        |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[Similarity.lshTopK]]: identical ±1 sign vectors (same LCG
+    * family), identical sequential dot fold, so every projection lands on
+    * the same side of `> 0` in both engines.
+    */
+  def simLsh(nQueries: Int, bits: Int, tables: Int, dim: Int, k: Int): String = {
+    val signs = graft.operators.Similarity.lshSigns(bits * tables, dim)
+    def signList(j: Int): String =
+      signs(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def keyExpr(t: Int): String = (0 until bits).map { b =>
+      s"(CASE WHEN ${dot("v", signList(t * bits + b))} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val keyCols = (0 until tables).map(t =>
+      s"CAST(${keyExpr(t)} AS BIGINT) AS key$t").mkString(",\n  ")
+    val idxSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, key$t AS key FROM keyed").mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |keyed AS (SELECT vec_id, v,
+       |  $keyCols
+       |  FROM e),
+       |idx AS (
+       |  $idxSelects),
+       |q AS (SELECT vec_id AS q_id, tbl, key FROM idx WHERE vec_id < $nQueries),
+       |cand AS (SELECT DISTINCT q.q_id, i.vec_id AS n_id
+       |  FROM idx i JOIN q ON i.tbl = q.tbl AND i.key = q.key AND i.vec_id <> q.q_id),
+       |s AS (SELECT c.q_id, c.n_id, ${cosine("qe.v", "ne.v")} AS c
+       |  FROM cand c JOIN e qe ON qe.vec_id = c.q_id JOIN e ne ON ne.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM s)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.ivfTopK]] with fixed coarse
     * centroids (vec_id < nCells, cell id = vec_id + 1).
     */

@@ -346,6 +346,11 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // LSH ANN (sign random projections): the second classic ANN blocking
+    // scheme next to IVF — candidates from an equi-join on (table, bucket),
+    // exact cosine re-rank
+    "sim_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.read(s, dir, "embeddings"))),
     // embedding post-processing: L2 norm + int8 quantization (pre-index shrink)
     "emb_normalize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.read(s, dir, "embeddings"))),
@@ -594,6 +599,7 @@ object SparkEntry {
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
+    "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),

@@ -102,6 +102,68 @@ object Similarity {
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Deterministic ±1 hyperplane sign vectors for [[lshTopK]], drawn from
+    * the same LCG family as the MinHash signatures (`Dedup.mhA/mhB`) so the
+    * DuckDB oracle regenerates them exactly.
+    */
+  def lshSigns(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { d =>
+        if ((((d + 1) * Dedup.mhA(j) + Dedup.mhB(j)) % Dedup.MinhashP) % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+
+  /** LSH ANN via sign random projections (the second classic ANN blocking
+    * scheme next to [[ivfTopK]]'s IVF): each vector hashes to `tables`
+    * bucket keys — `bits` hyperplane sign bits each — and candidates come
+    * from an EQUI-join on (table, key). Exact cosine re-ranks candidates;
+    * a neighbor is missed only when it shares no bucket in any table
+    * (recall knob: more tables ↑ recall, more bits ↓ bucket sizes).
+    *
+    * Determinism across engines: the projection is the codegen'd
+    * sequential-fold [[graft.plans.Dot]] against a ±1 literal sign vector —
+    * the oracle replays the identical IEEE fold, so even a projection
+    * within 1 ulp of 0 lands on the same side of the `> 0` test in both.
+    *
+    * At 100 TB: the index side is (n·tables) rows hash-partitioned by
+    * bucket key, queries broadcast, and per-bucket candidate counts are the
+    * load-bounded unit — the same posture as the MinHash band join; no
+    * cross join at any size.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int = 5, bits: Int = 8, tables: Int = 4,
+      dim: Int = 64, k: Int = 10): DataFrame = {
+    import graft.plans.native
+    val signs = lshSigns(bits * tables, dim)
+    val e = emb2v(emb)
+    def keyCol(t: Int): Column = (0 until bits).map { b =>
+      when(native.dot(col("v"), typedlit(signs(t * bits + b))) > 0, lit(1L << b))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val tblEntries = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), keyCol(t).as("key"))
+    }: _*)
+    val idx = e.select(col("vec_id"), col("v"), explode(tblEntries).as("x"))
+      .select(col("vec_id"), col("v"), col("x.tbl").as("tbl"), col("x.key").as("key"))
+    val q = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("tbl").as("qtbl"), col("key").as("qkey"))
+    val cand = idx.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("key") === col("qkey") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .dropDuplicates("q_id", "n_id") // same pair via several tables; rows identical
+    val scored = cand.select(col("q_id"), col("n_id"),
+      (native.dot(col("qv"), col("v")) /
+        (sqrt(native.dot(col("qv"), col("qv"))) *
+          sqrt(native.dot(col("v"), col("v"))))).as("c"))
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Deterministic fixed coarse centroids for the oracle: the vectors with
     * vec_id < nCells, cell id = vec_id + 1 in vec_id order.
     */

@@ -68,4 +68,32 @@ class SimilaritySpec extends SparkSpec {
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(recall >= 0.3, s"recall $recall") // random cells: probing half the space
   }
+
+  test("LSH sign buckets: reported cosines match brute force; recall nontrivial") {
+    val real = Tables.read(spark, sf("0.001"), "embeddings")
+    val lsh = Similarity.lshTopK(real, nQueries = 3, k = 10)
+      .select("q_id", "n_id", "cos_e6").as[(Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every reported cosine is the true cosine (re-rank is exact): check
+    // against the brute-force scores for the pairs both returned
+    val bf = Similarity.bruteForceTopK(real, nQueries = 3, k = 500)
+      .select("q_id", "n_id", "cos_e6").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (q, n, c) =>
+      bf.get((q, n)).foreach(truth => assert(truth == c, s"pair ($q,$n)")) }
+    // per-query results are rank-consecutive from 1
+    val ranks = Similarity.lshTopK(real, nQueries = 3, k = 10)
+      .groupBy("q_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    ranks.foreach { case (_, n, mx) => assert(n == mx) }
+  }
+
+  test("LSH sign vectors are ±1 and deterministic") {
+    val s1 = Similarity.lshSigns(32, 64)
+    val s2 = Similarity.lshSigns(32, 64)
+    assert(s1 == s2)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs appear in every plane
+    s1.foreach(p => assert(p.contains(1.0) && p.contains(-1.0)))
+  }
 }
