@@ -119,9 +119,6 @@ object OracleSql {
        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
        |GROUP BY token ORDER BY cnt DESC, token LIMIT $k""".stripMargin
 
-  /** Mirror of [[TextAnalysis.stratifiedSample]]: same LCG hash order, same
-    * integer-domain ⌈cnt·num/den⌉ keep rule.
-    */
   /** Mirror of [[TextAnalysis.tfidf]]: same integer-domain rational score. */
   def textTfidf(k: Int): String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -135,6 +132,9 @@ object OracleSql {
        |    ORDER BY score_e6 DESC, token) AS BIGINT) AS rnk FROM s)
        |SELECT doc_id, rnk, token, tf, df, score_e6 FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[TextAnalysis.stratifiedSample]]: same LCG hash order, same
+    * integer-domain ⌈cnt·num/den⌉ keep rule.
+    */
   def docSample(num: Int, den: Int): String =
     s"""WITH t AS (SELECT doc_id, lang,
        |    row_number() OVER (PARTITION BY lang
@@ -210,6 +210,18 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Mirror of [[Events.retention]]: integer epoch-week cohorts (`//` =
+    * Spark's `div`, both pure integer division on BIGINT microseconds).
+    */
+  def eventsRetention(cohortType: String, maxOffset: Int): String =
+    s"""WITH su AS (SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+       |  FROM events WHERE event_type = '$cohortType' GROUP BY user_id),
+       |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events)
+       |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS users
+       |FROM su JOIN a ON su.user_id = a.user_id
+       |WHERE week - cohort_week BETWEEN 0 AND $maxOffset
+       |GROUP BY 1, 2""".stripMargin
+
   def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -240,7 +252,8 @@ object OracleSql {
     * `m(a_id, b_id, matches)` — shared by [[dedupMinhash]] and the
     * connected-components oracles.
     */
-  private def minhashCtes(n: Int, numHashes: Int, bands: Int): String = {
+  private def minhashCtes(n: Int, numHashes: Int, bands: Int,
+      src: String = "documents"): String = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
@@ -253,7 +266,7 @@ object OracleSql {
     }.mkString("\n  UNION ALL ")
     s"""t AS (SELECT doc_id,
        |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)}, s -> ${tokenId("s")})) AS ids
-       |  FROM documents),
+       |  FROM $src),
        |sig AS (SELECT doc_id, $sigExprs AS sig FROM t),
        |b AS (
        |  $bandSelects),
@@ -277,14 +290,14 @@ object OracleSql {
     * than re-stating it.
     */
   private def componentsCtes(n: Int, numHashes: Int, bands: Int,
-      thrNum: Int, thrDen: Int): String =
-    s"""${minhashCtes(n, numHashes, bands)},
+      thrNum: Int, thrDen: Int, src: String = "documents"): String =
+    s"""${minhashCtes(n, numHashes, bands, src)},
        |pairs AS (SELECT a_id, b_id FROM m
        |  WHERE matches*$thrDen >= $numHashes*$thrNum),
        |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
        |  UNION ALL SELECT b_id, a_id FROM pairs),
        |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $src
        |  UNION
        |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
        |comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)""".stripMargin
@@ -298,6 +311,22 @@ object OracleSql {
       thrNum: Int, thrDen: Int): String =
     s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
        |SELECT rep_id AS doc_id, count(*) AS cluster_size FROM comp GROUP BY rep_id""".stripMargin
+
+  /** Mirror of the `pipeline_clean` composition: quality gate → MinHash
+    * near-dup clustering over the survivors → keep one doc per cluster.
+    * The quality stage nests [[textQuality]] as a subquery (its own WITH is
+    * legal inside parentheses); the component stage reuses the recursive
+    * transitive closure with `clean` as its source relation.
+    */
+  def pipelineClean(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
+      bands: Int, thrNum: Int, thrDen: Int): String =
+    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")}
+       |SELECT c.doc_id, d.lang FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+       |WHERE c.doc_id = c.rep_id""".stripMargin
 
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>

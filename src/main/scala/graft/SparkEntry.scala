@@ -407,6 +407,26 @@ object SparkEntry {
     // within 24h per stage, chained min-joins — no windows, no per-user sort
     "events_funnel" -> ((s, dir) =>
       Events.funnel(Tables.readEvents(s, dir))),
+    // cohort retention: epoch-week signup cohorts × activity-week offsets
+    "events_retention" -> ((s, dir) =>
+      Events.retention(Tables.readEvents(s, dir))),
+
+    // ---- the composed training-data job (quality gate → near-dup
+    // clustering over survivors → keep one per cluster): every stage is an
+    // operator above; this query is the proof they compose into the actual
+    // 100 TB corpus-cleaning pipeline ----
+    "pipeline_clean" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      // stricter gate than text_quality's default so the stage is
+      // consequential on this corpus (token counts span 10..99)
+      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .filter(col("keep") === 1).select("doc_id")
+      val clean = docs.join(kept, "doc_id")
+      Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+        .filter(col("doc_id") === col("rep_id"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"))
+    }),
 
     // ---- exact grouped quantiles (A-family breadth): interpolated p25/50/75
     // over INTEGER cents, so the interpolation arithmetic is error-free in
@@ -614,6 +634,9 @@ object SparkEntry {
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
+    "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
+    "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "q_quantiles" ->
       """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice*100.0) AS BIGINT) AS cents
         |  FROM lineitem)

@@ -118,6 +118,31 @@ object Events {
     }.reduce(_.unionAll(_))
   }
 
+  /** Cohort retention: users are grouped into epoch-week cohorts by their
+    * FIRST `cohortType` event; a cohort member counts as retained at offset
+    * k when they have ANY event in cohort_week + k. Weeks are integer
+    * epoch-microsecond division (`div`) — exact and engine-independent.
+    *
+    * Shape: one grouped min for the cohort relation, one distinct over
+    * (user, week) for activity, then an equi-join on user_id + a grouped
+    * count — the (user, week) distinct is the only wide state and it's
+    * bounded by users × observed weeks.
+    */
+  def retention(events: DataFrame, cohortType: String = "signup",
+      maxOffset: Int = 3): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val week = expr(s"unix_micros(ts) div $weekUs")
+    val cohorts = events.filter(col("event_type") === cohortType)
+      .groupBy("user_id")
+      .agg(expr(s"min(unix_micros(ts)) div $weekUs").as("cohort_week"))
+    val active = events.select(col("user_id"), week.as("week")).distinct()
+    cohorts.join(active, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= maxOffset)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users")) // (user, week) distinct ⇒ rows unique
+  }
+
   /** JSON property extraction + rollup: pull `props.k` (the only key in the
     * synthetic data) and aggregate per event type. At scale this is a single
     * narrow scan — extraction is a per-row codegen'd path expression.

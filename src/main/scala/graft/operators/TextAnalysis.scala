@@ -123,12 +123,14 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // scalar N joined on a constant key: plans as a 1-row BroadcastHASHJoin
-    // (a bare crossJoin of the aggregate would plan a nested loop)
-    val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("one", lit(1))
+    // scalar N rides in as a 1-row broadcast: Catalyst plans a
+    // BroadcastNestedLoopJoin, which against a single-row build side IS the
+    // scalar-subquery plan — each stream row meets exactly one build row, no
+    // duplication, no quadratic anything (declared in PlansSpec's allowlist)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
-    tf.join(df, "token").withColumn("one", lit(1)).join(broadcast(n), "one")
+    tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score_e6",
         round(col("tf") * col("n_docs") * 1000000.0 / col("df")).cast("long"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -77,8 +77,10 @@ class PlansSpec extends SparkSpec {
   test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
     // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
     // the scale path); sim_topk broadcast-cross-joins the tiny query side by
-    // design. Everything else must never nested-loop.
-    val allowed = Set("dedup_embcos", "sim_topk")
+    // design; text_tfidf crossJoins a ONE-row aggregate (the scalar corpus
+    // size N — the scalar-subquery plan, each stream row meets exactly one
+    // build row). Everything else must never nested-loop.
+    val allowed = Set("dedup_embcos", "sim_topk", "text_tfidf")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere
     val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",

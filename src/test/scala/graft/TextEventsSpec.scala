@@ -174,6 +174,24 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("retention: week cohorts from first signup; offsets count active weeks") {
+    val weekMs = 7L * 86400L * 1000L
+    def ts(w: Long, m: Long = 0) = new Timestamp(w * weekMs + m * 60000L)
+    val ev = Seq(
+      (1L, ts(100), 7L, "signup", 1.0, "{}"),   // cohort week 100
+      (2L, ts(100, 30), 7L, "click", 1.0, "{}"),  // active offset 0
+      (3L, ts(102), 7L, "view", 1.0, "{}"),       // active offset 2
+      (4L, ts(101), 8L, "signup", 1.0, "{}"),   // cohort week 101
+      (5L, ts(108), 8L, "view", 1.0, "{}"),       // offset 7 > max: dropped
+      (6L, ts(99), 9L, "view", 1.0, "{}")       // never signs up: no cohort
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.retention(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    // user 7: signup itself makes offset 0 active; also offset 2
+    // user 8: only the signup week within range
+    assert(got == Set((100L, 0L, 1L), (100L, 2L, 1L), (101L, 0L, 1L)))
+  }
+
   test("asofJoin: latest right-side event at or before, per user") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
