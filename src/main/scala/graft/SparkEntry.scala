@@ -428,6 +428,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- distinct-count rollup: exact count(DISTINCT) per group. The
+    // approximate twin (HLL approx_count_distinct, the 100 TB default where
+    // a 2% answer in one pass beats an exact two-phase distinct) is pinned
+    // within its rsd bound against this exact query in PropertySpec ----
+    "q_distinct" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val cust = Tables.read(s, dir, "customer")
+      o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(countDistinct("o_custkey").as("n_buyers"), count(lit(1)).as("n_orders"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("n_buyers"), col("n_orders"))
+    }),
+
     // ---- exact grouped quantiles (A-family breadth): interpolated p25/50/75
     // over INTEGER cents, so the interpolation arithmetic is error-free in
     // IEEE double on both engines (quarter fracs + integer endpoints) and the
@@ -637,6 +651,11 @@ object SparkEntry {
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "q_distinct" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     "q_quantiles" ->
       """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice*100.0) AS BIGINT) AS cents
         |  FROM lineitem)

@@ -80,6 +80,19 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq(17.5, 25.0, 32.5)) // (n-1)*p = 0.75, 1.5, 2.25
   }
 
+  test("approx_count_distinct tracks the exact distinct count within its rsd") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.read(spark, sf("0.01"), "orders")
+    val Array(exact, approx) = o.agg(
+      countDistinct("o_custkey").cast("double"),
+      approx_count_distinct("o_custkey", rsd = 0.02).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    // 5 standard errors of the configured 2% rsd — deterministic data, so
+    // this pins HLL plumbing without flaking
+    assert(math.abs(approx - exact) / exact <= 0.10,
+      s"approx $approx vs exact $exact")
+  }
+
   test("simhash hamming distance is symmetric and zero on self") {
     samples(docGen, 5).foreach { docs =>
       val fp = Dedup.simhashFingerprints(docs.toDF("doc_id", "text", "lang"), bits = 32)
