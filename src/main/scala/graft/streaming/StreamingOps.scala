@@ -52,6 +52,71 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming mini-batch k-means state (MacQueen-style cumulative update,
+    * batch granularity): the driver holds the EXACT sufficient statistic per
+    * cluster — cumulative fixed-point coordinate sums `S_j` (longs: exact in
+    * any merge order) and counts `N_j` — and the current centroid is always
+    * `S_j / (N_j·fxScale)`, falling back to the seed centroid while a
+    * cluster is empty. Each micro-batch does ONE assignment pass (literal
+    * centroids, shuffle-free) + ONE `vector_sum_long` aggregation — the same
+    * per-iteration shapes as the batch fit loop, so the cost per arriving
+    * batch is O(batch) work + k·dim driver state regardless of stream
+    * history.
+    *
+    * Feeding the entire dataset as a single first batch reproduces one batch
+    * Lloyd step bit-for-bit (pinned in StreamingSpec) — the update rule
+    * `c_j = (N_j·c_j + batchSum_j) / (N_j + n_j)` degenerates to the plain
+    * batch mean when N_j = 0.
+    */
+  final class MiniBatchKMeans(initial: Seq[Centroid], dim: Int,
+      fxScale: Double = 1e6) extends Serializable {
+    private val init = initial.map(c => c.j -> c.c).toMap
+    private val sums = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    private val counts = scala.collection.mutable.Map.empty[Long, Long]
+
+    def centroids: Seq[Centroid] = initial.map(_.j).sorted.map { j =>
+      counts.get(j).filter(_ > 0).map { n =>
+        Centroid(j, sums(j).map(_.toDouble / fxScale / n).toSeq)
+      }.getOrElse(Centroid(j, init(j)))
+    }
+
+    def totalCount: Long = counts.values.sum
+
+    /** Fold one micro-batch of (i, Y) points into the model. */
+    def update(batch: DataFrame): Unit = {
+      val fx = transform(col("Y"), v => round(v * fxScale).cast("long"))
+      val rows = graft.operators.KMeans.assign(batch, centroids)
+        .groupBy("j")
+        .agg(count(lit(1)).as("n"),
+          graft.plans.native.vector_sum_long(fx, dim).as("s"))
+        .collect()
+      rows.foreach { r =>
+        val j = r.getLong(0)
+        val s = r.getSeq[Long](2)
+        val acc = sums.getOrElseUpdate(j, Array.fill(dim)(0L))
+        var d = 0
+        while (d < dim) { acc(d) += s(d); d += 1 }
+        counts(j) = counts.getOrElse(j, 0L) + r.getLong(1)
+      }
+    }
+  }
+
+  /** Continuous mini-batch fit: every arriving micro-batch refines the
+    * model via [[MiniBatchKMeans.update]] through a `foreachBatch` sink.
+    * Returns the started query plus the live model (read `model.centroids`
+    * any time; k·dim driver state).
+    */
+  def miniBatchFit(points: DataFrame, initial: Seq[Centroid], dim: Int,
+      fxScale: Double = 1e6): (org.apache.spark.sql.streaming.StreamingQuery,
+      MiniBatchKMeans) = {
+    val model = new MiniBatchKMeans(initial, dim, fxScale)
+    val q = points.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        model.update(batch.toDF()))
+      .start()
+    (q, model)
+  }
+
   final case class Ev(user_id: Long, event_id: Long, us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, start_us: Long, dur_us: Long, n_events: Long)

@@ -89,6 +89,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mini-batch streaming fit: one full batch equals one batch Lloyd step") {
+    implicit val sqlCtx = spark.sqlContext
+    val pts = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 0.0)),
+      (4L, Seq(9.0, 10.0)), (5L, Seq(10.0, 9.0)), (6L, Seq(11.0, 11.0)))
+    val init = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val (q, model) = StreamingOps.miniBatchFit(
+      in.toDF().toDF("i", "Y"), init, dim = 2, fxScale = 1e6)
+    try {
+      in.addData(pts: _*)
+      q.processAllAvailable()
+      val batchStep = graft.operators.KMeans.lloydStepFast(
+        graft.operators.KMeans.assign(pts.toDF("i", "Y"), init), dim = 2, fxScale = 1e6)
+      assert(model.centroids == batchStep) // bit-identical, not approximate
+      assert(model.totalCount == 6L)
+    } finally q.stop()
+  }
+
+  test("mini-batch streaming fit refines across micro-batches and keeps exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val init = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val (q, model) = StreamingOps.miniBatchFit(
+      in.toDF().toDF("i", "Y"), init, dim = 2, fxScale = 1e6)
+    try {
+      in.addData((1L, Seq(1.0, 1.0)), (2L, Seq(9.0, 9.0)))
+      q.processAllAvailable()
+      in.addData((3L, Seq(3.0, 1.0)), (4L, Seq(11.0, 9.0)))
+      q.processAllAvailable()
+      // cumulative means per cluster: c1 = mean((1,1),(3,1)), c2 = mean((9,9),(11,9))
+      assert(model.centroids == Seq(
+        Centroid(1, Seq(2.0, 1.0)), Centroid(2, Seq(10.0, 9.0))))
+      assert(model.totalCount == 4L)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
