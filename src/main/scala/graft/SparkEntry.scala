@@ -428,6 +428,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- window-function breadth (W-family): lag/lead neighbors, ntile
+    // quartiles, running sum — one shuffle on the partition key, integer
+    // cents so every windowed value is exact on both engines ----
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          lag("cents", 1).over(w).as("prev_cents"),
+          lead("cents", 1).over(w).as("next_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_cents"))
+    }),
+
     // ---- distinct-count rollup: exact count(DISTINCT) per group. The
     // approximate twin (HLL approx_count_distinct, the 100 TB default where
     // a 2% answer in one pass beats an exact two-phase distinct) is pinned
@@ -651,6 +667,17 @@ object SparkEntry {
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "q_window" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, cents,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
     "q_distinct" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
