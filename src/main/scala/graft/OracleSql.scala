@@ -210,6 +210,33 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Mirror of [[Events.topPaths]]: same session tagging as
+    * [[eventsSessionize]], per-session type sequences ordered by
+    * (us, event_id) — a total order, so `list(... ORDER BY ...)` and
+    * Spark's `sort_array(collect_list(struct))` agree — sliding n-grams,
+    * count, deterministic top-k.
+    */
+  def eventsPaths(n: Int, k: Int, gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+       |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $gapUs THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM e),
+       |g AS (SELECT user_id, event_type, us, event_id,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM f),
+       |seq AS (SELECT user_id, session_id, list(event_type ORDER BY us, event_id) AS types
+       |  FROM g GROUP BY user_id, session_id),
+       |grams AS (SELECT unnest(list_transform(range(1, len(types)-${n - 2}),
+       |    s -> array_to_string(list_slice(types, s, s+${n - 1}), '>'))) AS path
+       |  FROM seq WHERE len(types) >= $n)
+       |SELECT path, count(*) AS cnt FROM grams GROUP BY path
+       |ORDER BY cnt DESC, path LIMIT $k""".stripMargin
+  }
+
   /** Mirror of [[Events.retention]]: integer epoch-week cohorts (`//` =
     * Spark's `div`, both pure integer division on BIGINT microseconds).
     */

@@ -410,6 +410,10 @@ object SparkEntry {
     // cohort retention: epoch-week signup cohorts × activity-week offsets
     "events_retention" -> ((s, dir) =>
       Events.retention(Tables.readEvents(s, dir))),
+    // top within-session event-type paths (3-grams over the session's
+    // total-ordered sequence, counted corpus-wide)
+    "events_paths" -> ((s, dir) =>
+      Events.topPaths(Tables.readEvents(s, dir))),
 
     // ---- the composed training-data job (quality gate → near-dup
     // clustering over survivors → keep one per cluster): every stage is an
@@ -665,6 +669,7 @@ object SparkEntry {
     "events_funnel" -> OracleSql.eventsFunnel(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
+    "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "q_window" ->

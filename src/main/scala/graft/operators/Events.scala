@@ -20,18 +20,25 @@ object Events {
     * user — shuffles once on user_id and scales with user cardinality.
     * Output: one row per session with event count and duration.
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** Per-event session tagging (the shared first half of [[sessionize]] and
+    * [[topPaths]]): every event row gains `us` and its `session_id` within
+    * the user's stream.
+    */
+  def sessionized(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val us = unix_micros(col("ts"))
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = gapMinutes * 60L * 1000000L
-    val flagged = events
+    events
       .withColumn("us", us)
       .withColumn("new_s",
         when(col("us") - lag("us", 1).over(w) > gapUs, 1)
           .otherwise(when(lag("us", 1).over(w).isNull, 1).otherwise(0)))
       .withColumn("session_id",
         sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy("user_id", "session_id")
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    sessionized(events, gapMinutes).groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
         min("us").as("start_us"),
@@ -116,6 +123,34 @@ object Events {
       df.agg(count(lit(1)).as("users"))
         .select(lit(i + 1L).as("stage"), lit(stages(i)).as("event_type"), col("users"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** Top event-type PATHS: the most common length-`n` event sequences within
+    * a session across all sessions (the classic "what do users actually do"
+    * path analysis). Each session's events are ordered by (us, event_id) —
+    * a total order, so the extracted n-grams are a pure function of the
+    * data — and every sliding window of `n` consecutive types counts once.
+    *
+    * Shape: the sessionize window (one shuffle on user_id), one grouped
+    * sort_array(collect_list) per session — state bounded by session length,
+    * not stream history — then an explode + count + top-k. At 100 TB the
+    * heavy relation is (sessions × grams-per-session) rows flowing into a
+    * map-side-combined count.
+    */
+  def topPaths(events: DataFrame, n: Int = 3, k: Int = 20,
+      gapMinutes: Int = 30): DataFrame = {
+    val types = sessionized(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(struct(
+        col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+      .filter(size(col("types")) >= n) // guard: sequence(1, size-n+1) must ascend
+    val grams = types.select(explode(transform(
+      sequence(lit(1), size(col("types")) - (n - 1)),
+      s => concat_ws(">", slice(col("types"), s, n)))).as("path"))
+    grams.groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("path"))
+      .limit(k)
   }
 
   /** Cohort retention: users are grouped into epoch-week cohorts by their

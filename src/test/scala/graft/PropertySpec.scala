@@ -80,6 +80,32 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq(17.5, 25.0, 32.5)) // (n-1)*p = 0.75, 1.5, 2.25
   }
 
+  test("funnel stage counts are monotone non-increasing on real events") {
+    val got = graft.operators.Events.funnel(Tables.readEvents(spark, sf("0.01")))
+      .orderBy("stage").select("users").as[Long].collect().toSeq
+    assert(got.size == 3)
+    assert(got == got.sorted.reverse, s"not monotone: $got")
+    assert(got.head > 0)
+  }
+
+  test("retention offset-0 users equal the cohort sizes on real events") {
+    import graft.operators.Events
+    val ev = Tables.readEvents(spark, sf("0.01"))
+    val offset0 = Events.retention(ev).filter($"week_offset" === 0)
+      .select("cohort_week", "users").as[(Long, Long)].collect().toMap
+    // the signup event itself is activity in the cohort week, so offset 0
+    // must count every cohort member — computed here independently as the
+    // per-week first-signup histogram
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "min(unix_micros(ts)) div 604800000000").as("cw"))
+      .groupBy("cw").count()
+      .as[(Long, Long)].collect().toMap
+    assert(offset0 == cohorts)
+    assert(offset0.values.sum > 0)
+  }
+
   test("approx_count_distinct tracks the exact distinct count within its rsd") {
     import org.apache.spark.sql.functions._
     val o = Tables.read(spark, sf("0.01"), "orders")
