@@ -147,7 +147,7 @@ object Events {
       .filter(size(col("types")) >= n) // guard: sequence(1, size-n+1) must ascend
     val grams = types.select(explode(transform(
       sequence(lit(1), size(col("types")) - (n - 1)),
-      s => concat_ws(">", slice(col("types"), s, n)))).as("path"))
+      s => concat_ws(">", slice(col("types"), s, lit(n))))).as("path"))
     grams.groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("path"))
       .limit(k)
