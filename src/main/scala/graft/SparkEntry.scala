@@ -274,6 +274,18 @@ object SparkEntry {
         .select(col("j"), col("n"), col("sum_value"))
     }),
 
+    // ---- two unrolled fit iterations, hash-oracle-able (E1 exactness):
+    // the SAME assign/lloyd building blocks the fit loop composes, chained
+    // twice from the fixed c4 seed — closing the "loop ≡ composed steps"
+    // gap end-to-end with a DuckDB hash compare instead of rows-only ----
+    "km_fit2_exact" -> ((s, dir) => {
+      val yh = Tables.yhOrders(s, dir)
+      val cs1 = KMeans.lloydStep(KMeans.assign(yh, c4(s, dir)), dim = 2, fxScale = 1e4)
+      KMeans.lloydStepDF(KMeans.assign(yh, cs1), dim = 2, fxScale = 1e4)
+        .select(col("j"), col("n"),
+          element_at(col("C"), 1).as("cx"), element_at(col("C"), 2).as("cy"))
+    }),
+
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
       val fit = embFit(s, dir)
@@ -562,6 +574,18 @@ object SparkEntry {
          |SELECT l.j,
          |  CAST(round(sqrt((l.cx-c.x)*(l.cx-c.x)+(l.cy-c.y)*(l.cy-c.y))*1e6) AS BIGINT) AS move_e6
          |FROM l JOIN c ON l.j = c.j""".stripMargin,
+    "km_fit2_exact" ->
+      s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN, $LLOYD,
+         |c2 AS (SELECT j, cx AS x, cy AS y FROM l),
+         |a2 AS (SELECT i, x, y, j FROM (
+         |  SELECT s.i, s.x, s.y, c2.j,
+         |    row_number() OVER (PARTITION BY s.i
+         |      ORDER BY (s.x-c2.x)*(s.x-c2.x)+(s.y-c2.y)*(s.y-c2.y), c2.j) AS rn
+         |  FROM s CROSS JOIN c2) t WHERE rn = 1)
+         |SELECT j, count(*) AS n,
+         |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cx,
+         |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cy
+         |FROM a2 GROUP BY j""".stripMargin,
     "km_elbow" ->
       s"""WITH $YH, $C4,
          |m AS (SELECT y.i, min((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS msq
