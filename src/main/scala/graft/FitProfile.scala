@@ -56,6 +56,31 @@ object FitProfile {
     (1 to 3).foreach { i =>
       t(s"seed round #$i")(KMeans.seedPlusPlusScalable(pts, cs, 123L + i))
     }
+    // overhead floor: a minimal 2-stage (partial+final agg) job over the same
+    // cached data, no graft expressions at all
+    (1 to 3).foreach { i =>
+      t(s"floor 2-stage agg #$i")(pts.groupBy(col("i") % 7).count().collect())
+    }
+    (1 to 3).foreach { i =>
+      t(s"floor 1-stage count #$i")(pts.count())
+    }
+    // step cost split: assignment-only scan vs assignment+agg
+    (1 to 3).foreach { i =>
+      t(s"assign-only scan #$i")(
+        KMeans.assign(pts, cs).select(sum(col("j"))).collect())
+    }
+    // manual fit loop with per-step timing (mirrors KMeans.fit literal path)
+    t("manual fit loop") {
+      var mcs = t("  seed")(KMeans.seedPlusPlus(pts, 10, 42L))
+      var step = 0
+      var move = Double.MaxValue
+      while (move >= 0.01 && step < 50) {
+        step += 1
+        val next = t(f"  step $step%2d")(KMeans.lloydStepFast(KMeans.assign(pts, mcs), 64, 1e6))
+        move = KMeans.movement(mcs, next)
+        mcs = next
+      }
+    }
     // full fit: step count + movement trajectory
     val fit = t("full fit")(KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42))
     System.out.println(s"[profile] fit steps = ${fit.steps}, final movement = ${fit.finalMovement}")

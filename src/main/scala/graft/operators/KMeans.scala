@@ -438,7 +438,38 @@ object KMeans {
     */
   def fit(points: DataFrame, k: Int, dim: Int, tol: Double = 0.01,
       maxIter: Int = 50, seed: Long = 42L, plusPlus: Boolean = false,
-      fxScale: Double = 1e6, parallelSeed: Boolean = false): FitResult = {
+      fxScale: Double = 1e6, parallelSeed: Boolean = false): FitResult =
+    withIterConf(points.sparkSession) {
+      fitInner(points, k, dim, tol, maxIter, seed, plusPlus, fxScale, parallelSeed)
+    }
+
+  /** Per-iteration query tuning for the fit loop, restored on exit.
+    *
+    * Every shuffle inside the loop carries ≤ k·P rows AFTER map-side partial
+    * aggregation (each map task emits at most k partial rows), so the right
+    * reducer count is 1 — the default 32 final-stage tasks are pure
+    * scheduling overhead at ~0.08 s per step, and AQE's per-stage
+    * re-planning adds ~50 ms to every one of the loop's tiny jobs. At
+    * cluster scale the same logic holds: the single reducer reads P·k
+    * pre-aggregated rows — the same volume the driver collects one query
+    * later. Points-scale data never crosses a shuffle in this loop.
+    */
+  private def withIterConf[A](spark: SparkSession)(body: => A): A = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val parts = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
+  private def fitInner(points: DataFrame, k: Int, dim: Int, tol: Double,
+      maxIter: Int, seed: Long, plusPlus: Boolean,
+      fxScale: Double, parallelSeed: Boolean): FitResult = {
     var cs =
       if (parallelSeed) seedParallel(points, k, seed)
       else if (plusPlus) seedPlusPlus(points, k, seed)
