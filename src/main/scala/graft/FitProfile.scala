@@ -41,6 +41,11 @@ object FitProfile {
     (1 to 10).foreach { i =>
       cs2 = t(s"lloydStepFast(literal) #$i")(KMeans.lloydStepFast(KMeans.assign(pts, cs2), 64, 1e6))
     }
+    var cs3 = seeds
+    (1 to 10).foreach { i =>
+      cs3 = t(s"lloydStepOnePass #$i")(KMeans.lloydStepOnePass(pts, cs3, 64, 1e6))
+    }
+    System.out.println(s"[profile] onePass == fast: ${cs3 == cs2}")
     System.out.println(s"[profile] same centroids: ${cs == cs2}")
 
     // phase split of one literal step: analysis+optimization+physical planning

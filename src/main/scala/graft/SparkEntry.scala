@@ -64,8 +64,10 @@ object SparkEntry {
       // merges cost more than the parallelism buys. At real scale the input
       // arrives multi-partition and the same plan parallelizes naturally.
       val pts = Tables.yhEmbeddings(s, dir).cache()
-      // k-means|| seeding: rounds+1 scans instead of k-1 — the scale path
-      KMeans.fit(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
+      // k-means|| seeding: rounds+1 scans instead of k-1 — the scale path.
+      // fitAuto solves sub-threshold inputs driver-local with bit-identical
+      // results (KMeansSpec pin); at real scale the distributed loop runs.
+      KMeans.fitAuto(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
     })
 
   private def xy(df: DataFrame): DataFrame =

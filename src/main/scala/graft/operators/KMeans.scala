@@ -210,6 +210,15 @@ object KMeans {
     * it attracts) — O(candidates²·dim) driver work, microscopic next to one
     * data scan.
     */
+  /** The per-point, per-round sampling coin for k-means|| — a deterministic
+    * uniform in [0,1): the top 53 bits of `xxhash64(i, seed, round)`. One
+    * definition shared by the distributed and local paths so they draw
+    * bit-identical candidates.
+    */
+  private def coinCol(seed: Long, r: Int): Column =
+    shiftrightunsigned(xxhash64(col("i"), lit(seed), lit(r)), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+
   def seedParallel(points: DataFrame, k: Int, seed: Long, rounds: Int = 3,
       overFactor: Double = 2.0): Seq[Centroid] = {
     val spark = points.sparkSession
@@ -231,9 +240,7 @@ object KMeans {
       val phi = points.crossJoin(broadcast(csDf))
         .agg(sumFx(d2, 1.0)).head().getDouble(0)
       if (phi > 0) {
-        // deterministic per-point uniform in [0,1): top 53 bits of xxhash64
-        val u = shiftrightunsigned(xxhash64(col("i"), lit(seed), lit(r)), 11)
-          .cast("double") / lit(9007199254740992.0) // 2^53
+        val u = coinCol(seed, r)
         // sort by key: collect order is partition-dependent, candidate order
         // must not be (it feeds the driver-side PRNG refine)
         val drawn = points.crossJoin(broadcast(csDf))
@@ -377,6 +384,57 @@ object KMeans {
       }.toSeq.sortBy(_.j)
   }
 
+  /** One Lloyd iteration as a SINGLE STAGE: assignment + fixed-point
+    * per-partition sufficient statistics run inside one codegen'd scan, and
+    * the ≤ P·k partial rows merge on the driver — the
+    * collect-sufficient-stats shape MLlib's KMeans uses (its `runAlgorithm`
+    * folds per-partition (sum, count) pairs via `treeAggregate`; public
+    * Spark source, mllib/clustering/KMeans.scala). Value-identical to
+    * [[lloydStepFast]]: the same `round(x*scale)::long` fixed-point
+    * projection feeds the per-partition accumulators, and long adds are
+    * exact in any order (pinned in KMeansSpec).
+    *
+    * Why it exists: [[lloydStepFast]] is the declarative form (and stays the
+    * `km_lloyd_step` oracle query), but its final-aggregate stage — however
+    * small — costs a shuffle boundary per iteration: shuffle-file write +
+    * read, a second stage submit, and one more scheduling round-trip, ~50 ms
+    * of the ~110 ms step floor at sf0.1. Here each scan task emits its k
+    * partial rows straight to the driver. At cluster scale the collect is
+    * P·k tiny rows — the same volume the final shuffle's single reducer
+    * would read, minus the extra stage. (The per-partition map is bounded by
+    * k, not partition size.)
+    */
+  def lloydStepOnePass(points: DataFrame, cs: Seq[Centroid], dim: Int,
+      fxScale: Double): Seq[Centroid] = {
+    val fx = transform(col("Y"), v => round(v * fxScale).cast("long"))
+    val proj = assign(points, cs).select(col("j"), fx.as("yfx"))
+    val d = dim
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.LongMap.empty[(Array[Long], Long)]
+      while (it.hasNext) {
+        val row = it.next()
+        val j = row.getLong(0)
+        val v = row.getArray(1)
+        val cur = acc.getOrElse(j, (new Array[Long](d), 0L))
+        val sums = cur._1
+        var x = 0
+        while (x < d) { sums(x) += v.getLong(x); x += 1 }
+        acc.update(j, (sums, cur._2 + 1))
+      }
+      acc.iterator.map { case (j, (sums, n)) => (j, sums, n) }
+    }.collect()
+    val merged = scala.collection.mutable.LongMap.empty[(Array[Long], Long)]
+    partials.foreach { case (j, sums, n) =>
+      val cur = merged.getOrElse(j, (new Array[Long](d), 0L))
+      var x = 0
+      while (x < d) { cur._1(x) += sums(x); x += 1 }
+      merged.update(j, (cur._1, cur._2 + n))
+    }
+    merged.iterator.map { case (j, (sums, n)) =>
+      Centroid(j, sums.toSeq.map(s => s.toDouble / fxScale / n))
+    }.toSeq.sortBy(_.j)
+  }
+
   /** One Lloyd iteration (assign + re-average) with centroids shipped as
     * broadcast DATA instead of literals — value-identical to
     * `lloydStepFast(assign(points, cs), dim, fxScale)`:
@@ -428,6 +486,148 @@ object KMeans {
       }
     }.sum
   }
+
+  // ----------------------------------------------------- size-aware local fit
+
+  /** Size-aware fit: identical results to [[fit]] (bitwise, pinned in
+    * KMeansSpec), picked by input size — the optimizer move every mature
+    * engine makes. When `rows·dim` fits comfortably on the driver
+    * (`localMaxCells`, default 4M doubles = 32 MB), the 30-odd Lloyd
+    * iterations stop paying ~0.1 s of per-job scheduling each and run as a
+    * tight local loop on data collected ONCE; past the threshold — i.e. at
+    * any real scale — the distributed loop runs unchanged. The `plusPlus`
+    * seeding path stays distributed at any size: its `rand(seed)` draw is
+    * partition-seeded and has no order-independent local twin.
+    */
+  def fitAuto(points: DataFrame, k: Int, dim: Int, tol: Double = 0.01,
+      maxIter: Int = 50, seed: Long = 42L, plusPlus: Boolean = false,
+      fxScale: Double = 1e6, parallelSeed: Boolean = false,
+      localMaxCells: Long = 4000000L): FitResult = {
+    lazy val n = points.count()
+    if (plusPlus || fxScale <= 0 || n * dim > localMaxCells)
+      fit(points, k, dim, tol, maxIter, seed, plusPlus, fxScale, parallelSeed)
+    else fitLocal(points, k, dim, tol, maxIter, seed, fxScale, parallelSeed)
+  }
+
+  /** Driver-local twin of [[fit]] for small inputs — produces the identical
+    * `FitResult` bit-for-bit. Exactness by construction:
+    *  - the ONE collect computes the fixed-point vectors and the k-means||
+    *    sampling coins with the SAME Catalyst expressions the distributed
+    *    path uses (`round(x·scale)::long`, [[coinCol]]), so no local
+    *    re-implementation of Spark rounding/hashing exists to drift;
+    *  - local distance/argmin loops replicate the native kernels' exact
+    *    IEEE fold order (`sq_dist`'s left-to-right `acc += d²`,
+    *    `nearestIdCols`' strict-`<` earliest-wins tie break);
+    *  - cluster sums are exact longs, order-independent by definition;
+    *  - `phi` is the same `sum(round(d²)::long)` integer total (the only
+    *    local rounding — `roundHalfUpLong` — is pinned against Spark's
+    *    `round()` in PropertySpec).
+    */
+  def fitLocal(points: DataFrame, k: Int, dim: Int, tol: Double,
+      maxIter: Int, seed: Long, fxScale: Double, parallelSeed: Boolean,
+      rounds: Int = 3, overFactor: Double = 2.0): FitResult = {
+    // one pass over the data: Y, fixed-point Y, and the per-round coins, in
+    // key order (the local stand-in for every orderBy("i") in the seeders)
+    val fxCol = transform(col("Y"), v => round(v * fxScale).cast("long"))
+    val uCols = (1 to (if (parallelSeed) rounds else 0))
+      .map(r => coinCol(seed, r).as(s"_u$r"))
+    val rows = points
+      .select(Seq(col("i"), col("Y").as("_y"), fxCol.as("_fx")) ++ uCols: _*)
+      .orderBy("i").collect()
+    val nRows = rows.length
+    val ys = Array.tabulate(nRows)(ix => rows(ix).getSeq[Double](1).toArray)
+    val fxs = Array.tabulate(nRows)(ix => rows(ix).getSeq[Long](2).toArray)
+    val us = Array.tabulate(nRows)(ix =>
+      Array.tabulate(uCols.size)(r => rows(ix).getDouble(3 + r)))
+
+    // sq_dist's exact fold: left-to-right acc += (c[d]-y[d])²
+    def sqd(c: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      val lim = math.min(c.length, y.length)
+      while (d < lim) { val t = c(d) - y(d); s += t * t; d += 1 }
+      s
+    }
+    def nearestSq(y: Array[Double], css: Array[Array[Double]]): Double = {
+      var m = Double.MaxValue; var j = 0
+      while (j < css.length) { val v = sqd(css(j), y); if (v < m) m = v; j += 1 }
+      m
+    }
+    def nearestIx(y: Array[Double], css: Array[Array[Double]]): Int = {
+      var bi = -1; var bd = Double.MaxValue; var j = 0
+      while (j < css.length) { val v = sqd(css(j), y); if (v < bd) { bd = v; bi = j }; j += 1 }
+      bi
+    }
+
+    // ---- seeding: local twin of seedParallel / seedFirstK
+    var cs: Seq[Centroid] =
+      if (!parallelSeed) {
+        (0 until math.min(k, nRows)).map(ix => Centroid(ix + 1L, ys(ix).toSeq))
+      } else {
+        var cands = Vector[Seq[Double]](ys(0).toSeq)
+        val l = overFactor * k
+        for (r <- 1 to rounds) {
+          val candArr = cands.map(_.toArray).toArray
+          // phi: the same sum(round(d²·1.0)::long) integer total as
+          // sumFx(d2, 1.0) — order-independent by integer addition
+          var phiL = 0L
+          var ix = 0
+          while (ix < nRows) { phiL += roundHalfUpLong(nearestSq(ys(ix), candArr) * 1.0); ix += 1 }
+          val phi = phiL.toDouble / 1.0
+          if (phi > 0) {
+            val drawn = (0 until nRows).iterator
+              .filter(ix => us(ix)(r - 1) * phi < nearestSq(ys(ix), candArr) * l)
+              .map(ix => ys(ix).toVector).toVector
+            cands = (cands ++ drawn).distinct
+          }
+        }
+        val candArr = cands.map(_.toArray).toArray
+        val wByIx = new Array[Long](candArr.length)
+        var ix = 0
+        while (ix < nRows) { wByIx(nearestIx(ys(ix), candArr)) += 1; ix += 1 }
+        localWeightedKMeans(candArr, wByIx.map(_.toDouble), k, seed)
+          .zipWithIndex.map { case (c, i2) => Centroid(i2 + 1L, c.toSeq) }
+      }
+
+    // ---- Lloyd loop: same stop rule, log shape, and empty-cluster drop
+    var log = cs.map(c => LogEntry(0L, c.j, c.c))
+    var step = 0L
+    var move = Double.MaxValue
+    while (move >= tol && step < maxIter) {
+      step += 1
+      val ids0 = ids(cs).toArray
+      val css = coords(cs).map(_.toArray).toArray
+      val sums = Array.fill(css.length)(new Array[Long](dim))
+      val cnts = new Array[Long](css.length)
+      var ix = 0
+      while (ix < nRows) {
+        val a = nearestIx(ys(ix), css)
+        val f = fxs(ix)
+        val s = sums(a)
+        var d = 0
+        while (d < dim) { s(d) += f(d); d += 1 }
+        cnts(a) += 1
+        ix += 1
+      }
+      val next = ids0.indices.collect {
+        case j if cnts(j) > 0 =>
+          Centroid(ids0(j), sums(j).toSeq.map(s => s.toDouble / fxScale / cnts(j)))
+      }.toSeq.sortBy(_.j)
+      if (next.size < cs.size)
+        logger.warn(
+          s"kmeans: ${cs.size - next.size} cluster(s) emptied at step $step (reference drop semantics)")
+      move = movement(cs, next)
+      cs = next
+      log = log ++ cs.map(c => LogEntry(step, c.j, c.c))
+    }
+    FitResult(cs, log, step, move)
+  }
+
+  /** Spark's `round(x)` for doubles (`BigDecimal(x).setScale(0, HALF_UP)`)
+    * followed by a long cast — the one Spark scalar the local seeder must
+    * reproduce itself (pinned against the real `round()` in PropertySpec).
+    */
+  private[graft] def roundHalfUpLong(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
   // -------------------------------------------------------------- fit loop
 
@@ -487,7 +687,7 @@ object KMeans {
       val next =
         if (fxScale > 0) {
           if (k.toLong * dim > 4096) lloydStepConst(points, cs, dim, fxScale)
-          else lloydStepFast(assign(points, cs), dim, fxScale)
+          else lloydStepOnePass(points, cs, dim, fxScale)
         } else lloydStep(assign(points, cs), dim, fxScale)
       if (next.size < cs.size)
         logger.warn(

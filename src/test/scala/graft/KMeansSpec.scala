@@ -129,6 +129,48 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("lloydStepOnePass (single-stage driver merge) is bit-identical to lloydStepFast") {
+    // pins the fit loop's default step: the one-stage sufficient-stats
+    // collect must produce the same longs (and so the same doubles) as the
+    // declarative shuffle form, in any partitioning
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).repartition(5).cache()
+    val cs = KMeans.seedFirstK(data, 7)
+    val fast = KMeans.lloydStepFast(KMeans.assign(data, cs), dim = 64, fxScale = 1e6)
+    val one = KMeans.lloydStepOnePass(data, cs, dim = 64, fxScale = 1e6)
+    assert(fast.map(_.j) == one.map(_.j))
+    fast.zip(one).foreach { case (a, b) =>
+      a.c.zip(b.c).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+      }
+    }
+  }
+
+  test("fitLocal is bit-identical to the distributed fit (both seeding paths)") {
+    // the fitAuto size switch is only sound if the local twin reproduces the
+    // distributed FitResult exactly — full log equality, bitwise doubles
+    def logBits(r: KMeans.FitResult): Seq[(Long, Long, Seq[Long])] =
+      r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))
+    val emb = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val dist = KMeans.fit(emb, k = 6, dim = 64, parallelSeed = true, seed = 42)
+    val local = KMeans.fitLocal(emb, k = 6, dim = 64, tol = 0.01,
+      maxIter = 50, seed = 42, fxScale = 1e6, parallelSeed = true)
+    assert(logBits(local) == logBits(dist))
+    assert(local.steps == dist.steps && local.finalMovement == dist.finalMovement)
+
+    val ord = Tables.yhOrders(spark, sf("0.001")).cache()
+    val dist2 = KMeans.fit(ord, k = 4, dim = 2, seed = 7)
+    val local2 = KMeans.fitLocal(ord, k = 4, dim = 2, tol = 0.01,
+      maxIter = 50, seed = 7, fxScale = 1e6, parallelSeed = false)
+    assert(logBits(local2) == logBits(dist2))
+
+    // and fitAuto picks the local path below the threshold / distributed above
+    val auto = KMeans.fitAuto(emb, k = 6, dim = 64, parallelSeed = true, seed = 42)
+    assert(logBits(auto) == logBits(dist))
+    val forced = KMeans.fitAuto(emb, k = 6, dim = 64, parallelSeed = true,
+      seed = 42, localMaxCells = 1)
+    assert(logBits(forced) == logBits(dist))
+  }
+
   test("seedPlusPlusScalable draws identically to the literal-centroid formulation") {
     // regression pin: the broadcast-join form must keep drawing the same
     // rand(seed) values as a plain literal projection — a planner/AQE change

@@ -119,6 +119,23 @@ class PropertySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("roundHalfUpLong matches Spark's round()::long exactly") {
+    // the ONE Spark scalar fitLocal reproduces itself (the k-means|| phi
+    // rounding); everything else rides through real Spark expressions
+    import org.apache.spark.sql.functions.{col, round => sparkRound}
+    val tricky = Seq(0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49999999999999994,
+      -0.49999999999999994, 1e15 + 0.5, -1e15 - 0.5, 123456789.4999999,
+      3.0000000000000004, 0.0, -0.0)
+    val rnd = new scala.util.Random(11)
+    val xs = tricky ++ Seq.fill(500)(rnd.nextDouble() * math.pow(10, rnd.nextInt(12)) *
+      (if (rnd.nextBoolean()) 1 else -1))
+    val viaSpark = xs.toDF("x")
+      .select(sparkRound(col("x")).cast("long")).as[Long].collect()
+    xs.zip(viaSpark).foreach { case (x, expect) =>
+      assert(graft.operators.KMeans.roundHalfUpLong(x) == expect, s"x=$x")
+    }
+  }
+
   test("simhash hamming distance is symmetric and zero on self") {
     samples(docGen, 5).foreach { docs =>
       val fp = Dedup.simhashFingerprints(docs.toDF("doc_id", "text", "lang"), bits = 32)
