@@ -70,6 +70,36 @@ object SparkEntry {
       KMeans.fitAuto(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
     })
 
+  /** Bucketed-table pair for `q_bucketed_join`: pay the shuffle ONCE at
+    * write time (Sinks.writeBucketed), then every orderkey join/aggregation
+    * over the pair plans with zero Exchanges. Memoized per dir — the write
+    * is the amortized cost the pattern exists to amortize. Integer cents are
+    * computed at write time so downstream sums stay exact longs.
+    */
+  private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def ensureBucketed(s: SparkSession, dir: String): Unit =
+    bucketedCache.getOrElseUpdate(dirKey(dir), {
+      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      sources.Sinks.writeBucketed(
+        Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "graft_bkt_orders", 8, Seq("o_orderkey"), Some(s"$tmp/graft_bkt_orders"))
+      sources.Sinks.writeBucketed(
+        Tables.read(s, dir, "lineitem").select(
+          col("l_orderkey").as("o_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("l_cents")),
+        "graft_bkt_lineitem", 8, Seq("o_orderkey"), Some(s"$tmp/graft_bkt_lineitem"))
+    })
+
+  /** Spherical twin of [[embFit]] for cosine ANN: same k-means|| fit, run on
+    * the L2-normalized embeddings (`Similarity.normalize`).
+    */
+  private def embFitNorm(s: SparkSession, dir: String): KMeans.FitResult =
+    fitCache.getOrElseUpdate("norm|" + dirKey(dir), {
+      val pts = Similarity.normalize(Tables.read(s, dir, "embeddings"))
+        .select(col("vec_id").as("i"), col("embedding").as("Y")).cache()
+      KMeans.fitAuto(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
+    })
+
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
 
@@ -360,6 +390,16 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // the production-claimed composition, actually composed: coarse cells
+    // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
+    // (spherical cells — the geometrically sound blocking for cosine; see
+    // Similarity.normalize). Rows-only at the driver gate (fit centroids
+    // aren't ANSI-expressible); recall >= 0.9 vs brute force is pinned in
+    // SimilaritySpec.
+    "sim_ivf_fitted" -> ((s, dir) => {
+      val embN = Similarity.normalize(Tables.read(s, dir, "embeddings"))
+      Similarity.ivfTopK(embN, embFitNorm(s, dir).centroids, nProbe = 3)
+    }),
     // LSH ANN (sign random projections): the second classic ANN blocking
     // scheme next to IVF — candidates from an equi-join on (table, bucket),
     // exact cosine re-rank
@@ -491,6 +531,24 @@ object SparkEntry {
           (element_at(col("q"), 1) / 100.0).as("p25"),
           (element_at(col("q"), 2) / 100.0).as("p50"),
           (element_at(col("q"), 3) / 100.0).as("p75"))
+    }),
+
+    // ---- bucketed co-located join (S-family beyond the reference): both
+    // fact tables pre-shuffled into 8 orderkey buckets at write time
+    // (Sinks.writeBucketed), so the join AND the same-key aggregation plan
+    // with ZERO Exchange operators — the repeated-fact-join lever at 100 TB.
+    // PlansSpec asserts the exchange-free plan; the merge hints pin the
+    // bucket-aligned sort-merge join against broadcast auto-selection so the
+    // asserted shape is the one that runs at any size ----
+    "q_bucketed_join" -> ((s, dir) => {
+      ensureBucketed(s, dir)
+      val o = s.table("graft_bkt_orders").hint("merge")
+      val l = s.table("graft_bkt_lineitem").hint("merge")
+      o.join(l, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_cents")).as("cents"))
+        .select(col("o_orderkey"), col("n_items"),
+          (col("cents") / 100.0).as("revenue"))
     })
   )
 
@@ -721,6 +779,12 @@ object SparkEntry {
         |  quantile_cont(cents, 0.25)/100.0 AS p25,
         |  quantile_cont(cents, 0.50)/100.0 AS p50,
         |  quantile_cont(cents, 0.75)/100.0 AS p75
-        |FROM c GROUP BY l_returnflag""".stripMargin
+        |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderkey""".stripMargin
   )
 }

@@ -164,6 +164,20 @@ object Similarity {
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** L2-normalized copy of the embedding relation (`vec_id`, unit-length
+    * `embedding: array<double>`). Cosine ANN over IVF cells is geometrically
+    * sound only on the unit sphere — there `d² = 2 − 2·cos`, so the
+    * L2-argmin cell assignment and the cosine neighborhoods agree. Feed this
+    * (and a fit over it) to [[ivfTopK]] for cosine workloads; raw vectors
+    * make the coarse cells quantize magnitude instead of direction. Zero
+    * vectors map to the zero vector. Per-row, no shuffle.
+    */
+  def normalize(emb: DataFrame): DataFrame = {
+    val n = sqrt(graft.plans.native.dot(col("v"), col("v")))
+    emb2v(emb).select(col("vec_id"),
+      transform(col("v"), x => when(n > 0, x / n).otherwise(0.0)).as("embedding"))
+  }
+
   /** Deterministic fixed coarse centroids for the oracle: the vectors with
     * vec_id < nCells, cell id = vec_id + 1 in vec_id order.
     */

@@ -42,11 +42,17 @@ object Sinks {
     * SinksSpec asserts the shuffle-free plan property on a real join.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
-    df.write
+      keys: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
-      .saveAsTable(table)
+    // explicit location -> external table: callers that run from arbitrary
+    // working directories (Verify/Bench) keep the data out of ./spark-warehouse
+    path.fold(w.saveAsTable(table)) { p =>
+      df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+      w.option("path", p).saveAsTable(table)
+    }
+  }
 }

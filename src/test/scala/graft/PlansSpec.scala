@@ -74,6 +74,15 @@ class PlansSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("plan hygiene: q_bucketed_join plans with ZERO Exchange operators") {
+    // the whole point of the bucketed pair: join + same-key aggregation
+    // co-located at write time — any Exchange in this plan is a regression
+    val plan = SparkEntry.queries("q_bucketed_join")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected bucket-aligned SMJ:\n$plan")
+  }
+
   test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
     // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
     // the scale path); sim_topk broadcast-cross-joins the tiny query side by
