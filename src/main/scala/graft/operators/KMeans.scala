@@ -629,6 +629,30 @@ object KMeans {
   private[graft] def roundHalfUpLong(x: Double): Long =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
+  /** Q2 BUG-COMPAT movement: the reference's `deltaFinish` AS BUILT
+    * (k-means.sql:54 `order by step desc limit 2 by step`), which keeps 2
+    * arbitrary centroids PER STEP instead of 2 steps per centroid — so for
+    * k > 2 only the centroids that survive the per-step cut are distance-
+    * checked, and a centroid captured at a single step compares against the
+    * type default (ClickHouse out-of-bounds `l[2]` = zero tuple), i.e.
+    * contributes its NORM. ClickHouse's kept-2 choice is storage order
+    * (nondeterministic); this deterministic stand-in keeps the 2 lowest `j`
+    * per step, matching the Lloyd insert's GROUP BY output order in the
+    * common case. [[movement]] (per-centroid last-two-steps, the documented
+    * intent) remains the default everywhere; this exists to replay the
+    * reference as-built.
+    */
+  def movementRefLimit2ByStep(log: Seq[LogEntry]): Double = {
+    val kept = log.groupBy(_.step).toSeq.sortBy(-_._1).flatMap {
+      case (_, rows) => rows.sortBy(_.j).take(2)
+    }
+    kept.groupBy(_.j).map { case (_, rows) =>
+      val l = rows.take(2).map(_.c) // groupArray(2) in step-desc order
+      val l2 = if (l.size >= 2) l(1) else l.head.map(_ => 0.0) // zero default
+      math.sqrt(l.head.zip(l2).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sum
+  }
+
   // -------------------------------------------------------------- fit loop
 
   /** The reference's full driver loop (k-means.sh:16-33): iterate

@@ -129,6 +129,26 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("movementRefLimit2ByStep replays the reference's limit-2-by-step bug (Q2)") {
+    import KMeans.LogEntry
+    // 3 centroids over 2 steps; the per-step cut keeps j=1,2 only
+    val log = Seq(
+      LogEntry(0, 1, Seq(0.0, 0.0)), LogEntry(0, 2, Seq(4.0, 0.0)), LogEntry(0, 3, Seq(9.0, 0.0)),
+      LogEntry(1, 1, Seq(3.0, 4.0)), LogEntry(1, 2, Seq(4.0, 1.0)), LogEntry(1, 3, Seq(0.0, 0.0)))
+    // intended semantics counts all three: 5 + 1 + 9
+    val prev = Seq(KMeans.Centroid(1, Seq(0.0, 0.0)), KMeans.Centroid(2, Seq(4.0, 0.0)),
+      KMeans.Centroid(3, Seq(9.0, 0.0)))
+    val next = Seq(KMeans.Centroid(1, Seq(3.0, 4.0)), KMeans.Centroid(2, Seq(4.0, 1.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0)))
+    assert(KMeans.movement(prev, next) == 15.0)
+    // as-built: j=3 never survives the cut -> only 5 + 1
+    assert(KMeans.movementRefLimit2ByStep(log) == 6.0)
+    // a centroid seen at a single kept step compares against the zero tuple
+    // (ClickHouse out-of-bounds default) and contributes its norm
+    val single = Seq(LogEntry(0, 1, Seq(3.0, 4.0)))
+    assert(KMeans.movementRefLimit2ByStep(single) == 5.0)
+  }
+
   test("lloydStepOnePass (single-stage driver merge) is bit-identical to lloydStepFast") {
     // pins the fit loop's default step: the one-stage sufficient-stats
     // collect must produce the same longs (and so the same doubles) as the
