@@ -86,6 +86,10 @@ object FitProfile {
         mcs = next
       }
     }
+    t("fitHamerly (distributed)")(
+      KMeans.fitHamerly(pts, k = 10, dim = 64, parallelSeed = true, seed = 42))
+    t("fit plain (distributed)")(
+      KMeans.fit(pts, k = 10, dim = 64, parallelSeed = true, seed = 42))
     // full fit: step count + movement trajectory
     val fit = t("full fit")(KMeans.fit(pts, k = 10, dim = 64, plusPlus = true, seed = 42))
     System.out.println(s"[profile] fit steps = ${fit.steps}, final movement = ${fit.finalMovement}")

@@ -191,6 +191,31 @@ class KMeansSpec extends SparkSpec {
     assert(logBits(forced) == logBits(dist))
   }
 
+  test("fitHamerly (bounded acceleration) produces identical assignments and log") {
+    def logBits(r: KMeans.FitResult): Seq[(Long, Long, Seq[Long])] =
+      r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))
+    // planted 4-cluster fixture (the reference's data generator shape)
+    val seeds = Seq((0.0, 0.0), (60.0, 10.0), (10.0, 70.0), (70.0, 80.0))
+    val data = seeds.zipWithIndex.map { case ((x, y), ix) => (ix.toLong, x, y) }
+      .toDF("s", "sx", "sy")
+      .crossJoin(spark.range(500).select(col("id")))
+      .select((col("s") * 500 + col("id") + 1).as("i"),
+        array(col("sx") + rand(42) * 15.0, col("sy") + rand(43) * 15.0).as("Y"))
+      .cache()
+    val plain = KMeans.fit(data, k = 4, dim = 2, plusPlus = true, seed = 7)
+    val bounded = KMeans.fitHamerly(data, k = 4, dim = 2, plusPlus = true, seed = 7)
+    assert(logBits(bounded) == logBits(plain))
+    assert(KMeans.assign(data, bounded.centroids).groupBy("j").count().collect().toSet ==
+      KMeans.assign(data, plain.centroids).groupBy("j").count().collect().toSet)
+
+    // high-dim fixture, k-means|| seeding, a checkpoint inside the run
+    val emb = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val p2 = KMeans.fit(emb, k = 6, dim = 64, parallelSeed = true, seed = 42)
+    val b2 = KMeans.fitHamerly(emb, k = 6, dim = 64, parallelSeed = true, seed = 42,
+      checkpointEvery = 3)
+    assert(logBits(b2) == logBits(p2))
+  }
+
   test("seedPlusPlusScalable draws identically to the literal-centroid formulation") {
     // regression pin: the broadcast-join form must keep drawing the same
     // rand(seed) values as a plain literal projection — a planner/AQE change
