@@ -132,6 +132,43 @@ object OracleSql {
        |    ORDER BY score_e6 DESC, token) AS BIGINT) AS rnk FROM s)
        |SELECT doc_id, rnk, token, tf, df, score_e6 FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[TextAnalysis.repetitionStats]]: all-integer counts; the
+    * 2-gram slot count uses the shingler's `greatest(len−1, 1)` so both
+    * engines agree on sub-2-token docs; the e6 ratio is the identical
+    * `round(1e6·distinct/total)` double sequence.
+    */
+  def textRepetition: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    greatest(len(toks)-1, 1) - len(${shingles("toks", 2)}) AS rep_2gram
+       |  FROM tk),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |top AS (SELECT doc_id, max(cnt) AS top_tok_cnt FROM (
+       |    SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok) t
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, n_tokens, n_distinct, top_tok_cnt, rep_2gram,
+       |  CAST(round(1e6*n_distinct/n_tokens) AS BIGINT) AS distinct_ratio_e6
+       |FROM base b JOIN top USING (doc_id)""".stripMargin
+
+  /** Mirror of [[Dedup.decontaminate]]: same distinct shingle-id sets
+    * (shingles → tokenId, the minhash pipeline's front half), LEFT JOIN
+    * against the benchmark's distinct ids so `n_shared` counts matches,
+    * and the integer-domain threshold compare.
+    */
+  def dedupDecontaminate(n: Int, thrNum: Int, thrDen: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)}, s -> ${tokenId("s")})) AS ids
+       |  FROM documents),
+       |b AS (SELECT DISTINCT unnest(ids) AS id FROM t WHERE doc_id % 97 = 0),
+       |e AS (SELECT doc_id, len(ids) AS n_shingles, unnest(ids) AS id FROM t
+       |  WHERE doc_id % 97 <> 0),
+       |m AS (SELECT e.doc_id, max(e.n_shingles) AS n_shingles, count(b.id) AS n_shared
+       |  FROM e LEFT JOIN b ON e.id = b.id GROUP BY e.doc_id)
+       |SELECT doc_id, n_shingles, n_shared,
+       |  CAST(n_shared*$thrDen >= n_shingles*$thrNum AS BIGINT) AS contaminated
+       |FROM m""".stripMargin
+
   /** Mirror of [[TextAnalysis.stratifiedSample]]: same LCG hash order, same
     * integer-domain ⌈cnt·num/den⌉ keep rule.
     */

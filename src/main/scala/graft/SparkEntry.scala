@@ -367,6 +367,14 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       Dedup.keepOne(Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)))
     }),
+    // benchmark decontamination: n-gram overlap of every corpus doc against
+    // the held-out set (doc_id % 97 here), the test-set-leakage guard of
+    // public LLM pipelines; benchmark shingle ids broadcast by nature
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // direct block join: this synthetic vocab clusters fingerprints so
       // heavily that pigeonhole chunks aren't selective (see simhashPairs)
@@ -429,6 +437,10 @@ object SparkEntry {
     // tf·ln(N/df) for fixed N — see TextAnalysis.tfidf)
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(Tables.read(s, dir, "documents"))),
+    // Gopher-style repetition signals: distinct/total tokens, top-token
+    // count, repeated 2-gram instances — the degenerate-text filters
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.read(s, dir, "documents"))),
 
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
@@ -746,6 +758,8 @@ object SparkEntry {
     "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
     "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
+    "text_repetition" -> OracleSql.textRepetition,
+    "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_json" -> OracleSql.eventsJson,

@@ -396,4 +396,38 @@ object Dedup {
   def keepOne(components: DataFrame): DataFrame =
     components.groupBy(col("rep_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
+
+  // --------------------------------------------------- benchmark decontamination
+
+  /** Benchmark decontamination: for every corpus doc, how many of its
+    * distinct n-gram shingle ids appear ANYWHERE in the benchmark (held-out
+    * eval) set, and whether that overlap crosses `thrNum/thrDen` of the
+    * doc's own shingle count — the standard guard against test-set leakage
+    * into a training corpus (the n-gram-overlap decontamination used by
+    * public LLM data pipelines; 13-gram in GPT-3's appendix, 3-gram here to
+    * be exercised by the tiny fixtures).
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets are MBs
+    * against a 100 TB corpus), so its distinct shingle-id set BROADCASTs and
+    * the overlap count is a per-row broadcast-hash probe of exploded corpus
+    * postings — no shuffle wider than the corpus scan except the final
+    * per-doc count. Integer counts + integer-domain threshold → oracle
+    * hash-exact.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      thrNum: Int = 1, thrDen: Int = 10): DataFrame = {
+    val ids = graft.plans.native.shingle_ids(col("text"), n)
+    val benchIds = bench.select(explode(ids).as("id")).distinct()
+      .withColumn("hit", lit(1L))
+    val posts = docs.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_shingles"),
+        explode(col("ids")).as("id"))
+    posts.join(broadcast(benchIds), Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_shingles").as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * thrDen >= col("n_shingles") * thrNum)
+          .cast("long").as("contaminated"))
+  }
 }

@@ -163,6 +163,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Gopher-style repetition quality signals, per doc — the filters that
+    * catch boilerplate/degenerate generations in a training corpus:
+    * token count, distinct-token count, the most-frequent token's count,
+    * repeated 2-gram instances (total 2-gram slots minus distinct 2-grams,
+    * using the same `greatest(len−1, 1)` slot count as the shingler so
+    * sub-2-token docs read 0), and the distinct/total ratio in exact e6
+    * fixed point. One wordcount-shaped shuffle on (doc_id, token) with
+    * map-side combine — the only non-per-row stage; everything else is
+    * integers, so the oracle hash-matches.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (greatest(size(toks) - 1, lit(1)).cast("long") -
+        size(graft.plans.native.word_shingles(col("text"), 2)).cast("long"))
+        .as("rep_2gram"))
+    val top = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_tok_cnt"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_tok_cnt"), col("rep_2gram"),
+        round(lit(1e6) * col("n_distinct") / col("n_tokens")).cast("long")
+          .as("distinct_ratio_e6"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint over token ids:
     * h = (h·131 + id) mod 1e9+7, left fold. Two docs share a fingerprint iff
     * (modulo collisions) their token sequences are identical — the cheap

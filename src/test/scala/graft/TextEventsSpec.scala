@@ -35,6 +35,35 @@ class TextEventsSpec extends SparkSpec {
     assert(keep(1L) == 1L && keep(2L) == 0L && keep(3L) == 0L)
   }
 
+  test("repetitionStats: repeated tokens and 2-grams, exact fixed-point ratio") {
+    val docs = Seq(
+      (1L, "a a a b", "en"),   // 4 toks, 2 distinct, top=3; 2-grams: aa,aa,ab -> 1 repeat
+      (2L, "x y z", "en"),     // no repetition
+      (3L, "w", "en")          // sub-2-token doc: slot count = shingle count = 1
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.repetitionStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 3L, 1L, 500000L),
+      (2L, 3L, 3L, 1L, 0L, 1000000L),
+      (3L, 1L, 1L, 1L, 0L, 1000000L)))
+  }
+
+  test("decontaminate counts benchmark shingle overlap and flags the crossers") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps", "en")).toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (1L, "the quick brown fox ran", "en"),  // shares 2 of its 3 shingles
+      (2L, "totally different words here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.decontaminate(docs, bench, n = 3, thrNum = 1, thrDen = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: shingles {the quick brown, quick brown fox, brown fox ran};
+    // bench has {the quick brown, quick brown fox, brown fox jumps} -> 2 shared,
+    // 2*2 >= 3*1 -> contaminated
+    assert(got == Seq((1L, 3L, 2L, 1L), (2L, 2L, 0L, 0L)))
+  }
+
   test("fingerprint is order-sensitive content identity") {
     val docs = Seq(
       (1L, "alpha beta gamma", "en"),
