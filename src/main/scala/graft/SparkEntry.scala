@@ -561,6 +561,18 @@ object SparkEntry {
           (element_at(col("q"), 3) / 100.0).as("p75"))
     }),
 
+    // ---- set-operation breadth (§2.7 — the reference has none): UNION /
+    // INTERSECT / EXCEPT with set semantics over exact integer keys, tagged
+    // and stacked into one relation ----
+    "q_setops" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.union(b).distinct().select(lit("union").as("op"), col("o_custkey"))
+        .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("o_custkey")))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("o_custkey")))
+    }),
+
     // ---- the reference's TSV export contract (S7), exercised end-to-end:
     // write an all-integer relation through Sinks.writeTsv (TSVWithNames
     // shape: tab sep, header, nulls as ' '), read it back, and hash-match
@@ -822,6 +834,16 @@ object SparkEntry {
         |  quantile_cont(cents, 0.50)/100.0 AS p50,
         |  quantile_cont(cents, 0.75)/100.0 AS p75
         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'union' AS op, o_custkey
+        |  FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b) t
+        |UNION ALL SELECT 'intersect' AS op, o_custkey
+        |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) t
+        |UNION ALL SELECT 'except' AS op, o_custkey
+        |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) t""".stripMargin,
 
     "q_tsv_roundtrip" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

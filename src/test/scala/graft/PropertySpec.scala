@@ -119,6 +119,25 @@ class PropertySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("approx percentile stays within its rank-error contract vs exact") {
+    // the 100 TB default for quantiles is the one-pass sketch
+    // (percentile_approx, rank error <= n/accuracy); pin it inside the
+    // exact-percentile band the way the HLL pin bounds distinct counts
+    import org.apache.spark.sql.functions.{col, round => sround, percentile, percentile_approx, typedlit, element_at, lit}
+    val cents = sround(col("l_extendedprice") * 100).cast("long")
+    val li = Tables.read(spark, sf("0.01"), "lineitem").select(cents.as("c")).cache()
+    val n = li.count().toDouble
+    val acc = 10000
+    val eps = 1.0 / acc // rank-error fraction guaranteed by the GK sketch
+    val row = li.agg(
+      percentile(col("c"), typedlit(Seq(0.5 - 2 * eps, 0.5 + 2 * eps))).as("band"),
+      percentile_approx(col("c"), lit(0.5), lit(acc)).as("approx")).head()
+    val band = row.getSeq[Double](0)
+    val approx = row.getLong(1).toDouble
+    assert(approx >= band(0) && approx <= band(1),
+      s"approx p50 $approx outside exact band [${band(0)}, ${band(1)}] (n=$n)")
+  }
+
   test("roundHalfUpLong matches Spark's round()::long exactly") {
     // the ONE Spark scalar fitLocal reproduces itself (the k-means|| phi
     // rounding); everything else rides through real Spark expressions
