@@ -169,24 +169,32 @@ object TextAnalysis {
     * repeated 2-gram instances (total 2-gram slots minus distinct 2-grams,
     * using the same `greatest(len−1, 1)` slot count as the shingler so
     * sub-2-token docs read 0), and the distinct/total ratio in exact e6
-    * fixed point. One wordcount-shaped shuffle on (doc_id, token) with
-    * map-side combine — the only non-per-row stage; everything else is
-    * integers, so the oracle hash-matches.
+    * fixed point. ENTIRELY per-row: the top-token count is the longest run
+    * in the doc's SORTED token array (one fold), not a corpus-wide
+    * wordcount — zero shuffle at any scale, and all outputs are integers so
+    * the oracle hash-matches.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val base = docs.select(
+    // longest run over sorted tokens == the most frequent token's count
+    val topRun = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
+      topRun.as("top_tok_cnt"),
       (greatest(size(toks) - 1, lit(1)).cast("long") -
         size(graft.plans.native.word_shingles(col("text"), 2)).cast("long"))
         .as("rep_2gram"))
-    val top = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_tok_cnt"))
-    base.join(top, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("top_tok_cnt"), col("rep_2gram"),
         round(lit(1e6) * col("n_distinct") / col("n_tokens")).cast("long")
