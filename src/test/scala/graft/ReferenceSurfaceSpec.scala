@@ -60,6 +60,21 @@ class ReferenceSurfaceSpec extends SparkSpec {
     assert(sizes.sum == 800 && sizes.forall(s => s > 100 && s < 300), s"sizes ${sizes.toSeq}")
   }
 
+  test("the surface is dimension-generic (README.md:36): 3-D YH binding") {
+    // the reference's contract: redefine YH with any arity and the views
+    // follow — here the 3-D events binding, driven through the same SQL
+    val surf = new ReferenceSurface(spark, Tables.yhEvents(spark, sf("0.001")),
+      dim = 3, seed = 5)
+    surf.insertFirstCentroid()
+    surf.insertCentroidsInit()
+    surf.insertCentroidsInit()
+    val nc = spark.sql("SELECT i, y1, y2, y3, step, j FROM nearestCentroid")
+    assert(nc.columns.length == 6 && nc.count() > 0)
+    surf.insertLloydStep()
+    assert(spark.sql("SELECT count(*) FROM WCR WHERE step = 1").head().getLong(0) <= 3)
+    assert(spark.sql("SELECT size(C) FROM WCR LIMIT 1").head().getInt(0) == 3)
+  }
+
   test("pivotTsv exports the reference's sparse scatter shape") {
     val surf = new ReferenceSurface(spark, planted, dim = 2, seed = 7)
     surf.run(k = 4)
