@@ -561,6 +561,23 @@ object SparkEntry {
           (element_at(col("q"), 3) / 100.0).as("p75"))
     }),
 
+    // ---- skew-salted join (the hot-key lever at 100 TB): every lineitem
+    // row hits one of THREE returnflag keys — the worst-case hot-key shape.
+    // Joins.saltedEquiJoin spreads each key over 8 salts and replicates the
+    // 3-row side; values are identical to the plain join by construction,
+    // so this hash-matches the PLAIN-join DuckDB oracle ----
+    "q_salted_join" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val big = Tables.read(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), cents.as("cents"))
+      val small = big.groupBy("l_returnflag").agg(sum("cents").as("gcents"))
+      operators.Joins.saltedEquiJoin(big, small, "l_returnflag",
+          col("l_orderkey") * 7 + col("l_linenumber"), salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(lit(1e6) * col("cents") / col("gcents")).cast("long").as("share_e6"))
+    }),
+
     // ---- set-operation breadth (§2.7 — the reference has none): UNION /
     // INTERSECT / EXCEPT with set semantics over exact integer keys, tagged
     // and stacked into one relation ----
@@ -834,6 +851,15 @@ object SparkEntry {
         |  quantile_cont(cents, 0.50)/100.0 AS p50,
         |  quantile_cont(cents, 0.75)/100.0 AS p75
         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH c AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_returnflag, CAST(round(l_extendedprice*100.0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, sum(cents) AS gcents FROM c GROUP BY l_returnflag)
+        |SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+        |  CAST(round(1e6*cents/gcents) AS BIGINT) AS share_e6
+        |FROM c JOIN g USING (l_returnflag)""".stripMargin,
 
     "q_setops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),

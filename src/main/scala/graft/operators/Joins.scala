@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies beyond what a hint can say — the skew toolbox.
+  *
+  * Spark's AQE handles moderate skew by splitting oversized partitions
+  * (`spark.sql.adaptive.skewJoin`), but a HOT KEY joined against a
+  * non-broadcastable side still concentrates one key's rows in one task.
+  * The classic fix is SALTING: spread the big side's hot keys over `salts`
+  * synthetic sub-keys and replicate the small-but-not-broadcastable side
+  * once per salt — the join becomes an equi-join on (key, salt) whose
+  * per-task load is bounded by (hot-key rows / salts), at the cost of
+  * `salts`× the replicated side. Values are identical to the plain join by
+  * construction (every (big row, match) pair meets exactly once —
+  * `q_salted_join` hash-matches the PLAIN-join DuckDB oracle).
+  */
+object Joins {
+
+  /** Skew-safe inner equi-join on `key`.
+    *
+    * `saltBy` must be a deterministic per-row expression of the BIG side
+    * (any column(s) — uniqueness not required; it only spreads rows), so
+    * the salt — and therefore every intermediate — is a pure function of
+    * the data under any partitioning. `small` is replicated `salts`× via
+    * one `explode` (NOT broadcast: this operator exists precisely for the
+    * too-big-to-broadcast side; the replication rides the shuffle).
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBy: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(saltBy), lit(salts.toLong)).cast("int"))
+    val smallS = small.withColumn("_salt",
+      explode(typedlit((0 until salts).toVector)))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+}

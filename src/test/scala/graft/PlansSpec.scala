@@ -83,6 +83,23 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected bucket-aligned SMJ:\n$plan")
   }
 
+  test("plan hygiene: salted join spreads the hot key over (key, _salt) sub-keys") {
+    import org.apache.spark.sql.functions._
+    val big = Tables.read(spark, sf("0.001"), "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val small = big.groupBy("l_returnflag").count()
+    // hint the non-broadcast strategy the operator exists for (at real scale
+    // the small side is too big to broadcast; at sf0.001 we must force it)
+    val j = operators.Joins.saltedEquiJoin(big, small.hint("shuffle_hash"),
+      "l_returnflag", col("l_orderkey"), salts = 8)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(plan.contains("_salt"), s"join keys must include the salt:\n$plan")
+    // and the salted join's row multiset equals the plain join's
+    val plainCnt = big.join(small, "l_returnflag").count()
+    assert(j.count() == plainCnt)
+  }
+
   test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
     // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
     // the scale path); sim_topk broadcast-cross-joins the tiny query side by
