@@ -118,14 +118,26 @@ object KMeans {
     * exactly as the reference's `centroidsInit` actually computes it
     * (k-means.sql:24 — `dx2` in name only), reproducing the reference
     * as-built rather than as-intended. Default stays textbook D².
+    *
+    * `dedupY = true` replays the reference's `group by Y` (k-means.sql:28,
+    * A10): identical coordinates collapse to ONE weighted row before the
+    * cumulative draw — on duplicate-heavy data (the reference's own
+    * integer-grid demo) a popular point is drawn with a single point's
+    * weight, not its multiplicity. The collapsed row keeps the group's
+    * min key as its position in the (deterministic) key-ordered running
+    * sum. Default (false) weights every row — textbook k-means++ over a
+    * multiset.
     */
   def seedNextInverseCdf(points: DataFrame, chosen: Seq[Centroid],
       uNum: Long, uDen: Long, weightScale: Double = 1.0,
-      d1Weights: Boolean = false): DataFrame = {
+      d1Weights: Boolean = false, dedupY: Boolean = false): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val chosenDf = chosen.map(_.c).toDF("C")
-    val surviving = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
+    val antiJoined = points.join(chosenDf, points("Y") === chosenDf("C"), "left_anti")
+    val surviving =
+      if (dedupY) antiJoined.groupBy("Y").agg(min("i").as("i")).select("i", "Y")
+      else antiJoined
     val d2 = graft.plans.native.nearest_sq_dist(col("Y"), coords(chosen))
     val weight = if (d1Weights) sqrt(d2) else d2
     val weighted = surviving.withColumn(

@@ -114,6 +114,25 @@ class KMeansSpec extends SparkSpec {
     assert(draw(d1 = true, 1, 5) == 2L) // the as-built reference diverges here
   }
 
+  test("dedupY replays the reference's group-by-Y seeding collapse (A10)") {
+    // chosen = (0,0); p2 and p3 share the coordinate (10,0), p4 at (30,0).
+    //   multiset D²: 100,100,900 → cum 100,200,1100; u=1/2 → 550 → p4
+    //   dedup  D²: 100,    900 → cum 100,1000;      u=1/2 → 500 → p4? no:
+    //     threshold cum*2 >= 1000 → first cum=100 fails, 1000 passes → p4
+    //     ... so pick u where modes diverge: u=1/6:
+    //   multiset: 1100/6=183.3 → first cum≥183.3 → p3 (cum 200, i=3)
+    //   dedup:    1000/6=166.7 → first cum≥166.7 → p4 (cum 1000)
+    val chosen = Seq(Centroid(1, Seq(0.0, 0.0)))
+    val data = pts(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(10.0, 0.0), 3L -> Seq(10.0, 0.0),
+      4L -> Seq(30.0, 0.0))
+    def draw(dedup: Boolean): Long =
+      KMeans.seedNextInverseCdf(data, chosen, 1, 6, dedupY = dedup)
+        .select("i").as[Long].head()
+    assert(draw(dedup = false) == 3L)
+    assert(draw(dedup = true) == 4L)
+  }
+
   test("lloydStepConst (broadcast-data plan) is bit-identical to lloydStepFast") {
     // pins the plan-shape switch fit() makes past 4096 embedded literals,
     // which no small-k spec reaches organically
