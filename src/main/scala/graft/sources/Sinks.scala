@@ -15,7 +15,7 @@ object Sinks {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     // render nulls ourselves: the CSV writer's nullValue option is not
     // reliably applied on write, and the reference contract needs ' '
-    val rendered = df.select(df.columns.map(c =>
+    val rendered = df.select(df.columns.toIndexedSeq.map(c =>
       coalesce(col(c).cast("string"), lit(" ")).as(c)): _*)
     val out = if (single) rendered.coalesce(1) else rendered
     out.write
