@@ -40,6 +40,32 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming benchmark decontamination (twin of `Dedup.decontaminate`):
+    * arriving docs carry their benchmark-overlap count + contamination flag
+    * downstream. STATELESS by construction — no aggregation, no
+    * stream-stream join: the (small, static) benchmark's distinct shingle
+    * ids ride as ONE broadcast array row and each doc probes it per-row via
+    * `array_intersect`, so every micro-batch is a narrow stage and the
+    * operator composes with the dedup/quality stream stages. Same counts as
+    * the batch operator (both sides are distinct id sets). The benchmark
+    * set is fixed at query start — eval sets version slowly; restart to
+    * rotate.
+    */
+  def decontaminateStream(docs: DataFrame, benchDocs: DataFrame, n: Int = 3,
+      thrNum: Int = 1, thrDen: Int = 10): DataFrame = {
+    val ids = graft.plans.native.shingle_ids(col("text"), n)
+    val benchArr = benchDocs.select(explode(ids).as("id")).distinct()
+      .agg(collect_list(col("id")).as("bench_ids"))
+    docs.withColumn("ids", ids)
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_shingles", size(col("ids")).cast("long"))
+      .withColumn("n_shared",
+        size(array_intersect(col("ids"), col("bench_ids"))).cast("long"))
+      .withColumn("contaminated",
+        (col("n_shared") * thrDen >= col("n_shingles") * thrNum).cast("long"))
+      .drop("ids", "bench_ids")
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming twin of
     * `Events.windowAgg`). Late data beyond 10 minutes is dropped; state is
     * bounded by watermark × type cardinality.

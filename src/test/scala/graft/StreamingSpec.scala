@@ -68,6 +68,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags arriving docs against the static benchmark") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), bench, n = 3, thrNum = 1, thrDen = 2)
+    val q = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox ran"), (2L, "totally different words here"))
+      q.processAllAvailable()
+      val got = spark.table("decon_out")
+        .select("doc_id", "n_shingles", "n_shared", "contaminated")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // identical counts to the batch operator on the same fixture
+      val batch = graft.operators.Dedup.decontaminate(
+        Seq((1L, "the quick brown fox ran"), (2L, "totally different words here"))
+          .toDF("doc_id", "text"),
+        bench, n = 3, thrNum = 1, thrDen = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got == Set((1L, 3L, 2L, 1L), (2L, 2L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch re-assignment of streaming points against fixed centroids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Seq[Double])]
