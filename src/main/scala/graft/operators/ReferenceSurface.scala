@@ -81,8 +81,11 @@ final class ReferenceSurface(
     // becomes a seeded rational drawn at registration time.
     if (wcr.nonEmpty) {
       val uNum = (rng.nextLong() & Long.MaxValue) % uDen
+      // as-built fidelity: plain-distance weights (Q1) AND the group-by-Y
+      // collapse (A10) — identical coordinates weigh once, like
+      // k-means.sql:28
       KMeans.seedNextInverseCdf(yh, everChosen, uNum, uDen,
-          weightScale = 1.0, d1Weights = d1Weights)
+          weightScale = 1.0, d1Weights = d1Weights, dedupY = true)
         .select(lit(maxStep).as("step"), col("j"), col("Y").as("C"))
         .createOrReplaceTempView("centroidsInit")
     }
