@@ -66,20 +66,14 @@ object Similarity {
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
-  /** IVF ANN: assign every vector to its nearest coarse cell (argmin over the
-    * literal centroid set — zero-shuffle, codegen'd), probe the nProbe
-    * nearest cells per query, exact re-rank inside the probed cells.
+  /** The probe + exact re-rank half of IVF search, over ANY cells relation
+    * `(cell, vec_id, v)` — computed on the fly ([[ivfTopK]]) or read back
+    * from a persisted index ([[ivfTopKIndexed]]).
     */
-  def ivfTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
-    val ids = centroids.map(_.j)
-    val cs = centroids.map(_.c)
-    val e = emb2v(emb)
-    val cells = e.withColumn("cell", nearestId(col("v"), ids, cs))
+  private def ivfSearch(cells: DataFrame, q: DataFrame,
+      ids: Seq[Long], cs: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
     // per-query cell ranking: explode the literal centroid set against the
     // (tiny) query side, rank by distance
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cellDists = q.select(col("q_id"), col("qv"),
         explode(zip_with(typedlit(ids), typedlit(cs),
           (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
@@ -100,6 +94,48 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** IVF ANN: assign every vector to its nearest coarse cell (argmin over the
+    * literal centroid set — zero-shuffle, codegen'd), probe the nProbe
+    * nearest cells per query, exact re-rank inside the probed cells.
+    */
+  def ivfTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val e = emb2v(emb)
+    val cells = e.withColumn("cell", nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfSearch(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe, k)
+  }
+
+  /** BUILD the IVF index once: assign cells and persist as a table BUCKETED
+    * BY CELL — the build/probe split every vector store runs. The one
+    * all-rows shuffle happens here, at write time; after that each probe
+    * batch equi-joins candidates against co-located cell buckets (no
+    * index-side Exchange — asserted in SimilaritySpec), and the index
+    * re-reads across sessions without re-assigning a single vector.
+    */
+  def buildIvfIndex(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      table: String, buckets: Int = 8, path: Option[String] = None): Unit = {
+    val cells = emb2v(emb).withColumn("cell",
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+    graft.sources.Sinks.writeBucketed(
+      cells.select(col("cell"), col("vec_id"), col("v")), table, buckets,
+      Seq("cell"), path)
+  }
+
+  /** Probe a persisted [[buildIvfIndex]] table: same probes + exact re-rank
+    * as [[ivfTopK]], identical results (the stored doubles roundtrip parquet
+    * exactly), zero assignment work at query time.
+    */
+  def ivfTopKIndexed(emb: DataFrame, table: String,
+      centroids: Seq[KMeans.Centroid], nQueries: Int = 5, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val q = emb2v(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfSearch(emb.sparkSession.table(table), q,
+      centroids.map(_.j), centroids.map(_.c), nProbe, k)
   }
 
   /** Deterministic ±1 hyperplane sign vectors for [[lshTopK]], drawn from

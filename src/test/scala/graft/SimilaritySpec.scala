@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (|bf|=${bf.size}, hit=${(bf & ivf).size})")
   }
 
+  test("persisted IVF index probes identically to on-the-fly cells, no index-side Exchange") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    Similarity.buildIvfIndex(emb, cents, "spec_ivf_idx", buckets = 4,
+      Some(s"$tmp/spec_ivf_idx"))
+    try {
+      val direct = Similarity.ivfTopK(emb, cents)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val indexed = Similarity.ivfTopKIndexed(emb, "spec_ivf_idx", cents)
+      assert(indexed.as[(Long, Long, Long, Long)].collect().toSet == direct)
+      // probe-time plan: the index side is scanned pre-bucketed — no
+      // Exchange may feed the candidate join from the table side
+      val plan = indexed.queryExecution.executedPlan.toString
+      val joinPart = plan.split("\n").dropWhile(!_.contains("Join")).mkString("\n")
+      assert(!joinPart.contains("Exchange hashpartitioning(cell"),
+        s"index side must not re-shuffle on cell:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ivf_idx")
+  }
+
   test("IVF probes restrict candidates to the nearest cells") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
