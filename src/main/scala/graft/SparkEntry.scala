@@ -479,6 +479,11 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.read(s, dir, "documents"))),
 
+    // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
+    // standard choose-K metrics next to the reference's elbow/silhouette ----
+    "km_validity" -> ((s, dir) =>
+      Quality.validityIndices(Tables.yhOrders(s, dir), c4(s, dir))),
+
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
     "km_assign_native" -> ((s, dir) => {
@@ -703,6 +708,27 @@ object SparkEntry {
          |    sum(w) OVER () AS tw
          |  FROM w)
          |SELECT CAST(2 AS BIGINT) AS j, x, y FROM s WHERE cw*2 >= tw ORDER BY cw, i LIMIT 1""".stripMargin,
+    "km_validity" ->
+      s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN,
+         |per AS (SELECT a.j, count(*) AS n,
+         |    CAST(sum(CAST(round(sqrt((a.x-c.x)*(a.x-c.x)+(a.y-c.y)*(a.y-c.y))*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS sd,
+         |    any_value(c.x) AS cx, any_value(c.y) AS cy
+         |  FROM a JOIN c ON a.j = c.j GROUP BY a.j),
+         |p2 AS (SELECT j, n, sd/n AS sc, cx, cy FROM per),
+         |mx AS (SELECT l.j,
+         |    max((l.sc + r.sc)/sqrt((l.cx-r.cx)*(l.cx-r.cx)+(l.cy-r.cy)*(l.cy-r.cy))) AS mx
+         |  FROM p2 l JOIN p2 r ON l.j <> r.j GROUP BY l.j),
+         |db AS (SELECT CAST(sum(CAST(round(mx*1e6) AS BIGINT)) AS DOUBLE)/1e6/4 AS db_index FROM mx),
+         |g AS (SELECT CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS gx,
+         |    CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS gy,
+         |    count(*) AS n FROM yh),
+         |w AS (SELECT CAST(sum(CAST(round(((a.x-c.x)*(a.x-c.x)+(a.y-c.y)*(a.y-c.y))*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS w
+         |  FROM a JOIN c ON a.j = c.j),
+         |bb AS (SELECT CAST(sum(CAST(round((p.n*((p.cx-g.gx)*(p.cx-g.gx)+(p.cy-g.gy)*(p.cy-g.gy)))*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS b
+         |  FROM p2 p CROSS JOIN g)
+         |SELECT db.db_index, (bb.b/3)/(w.w/(g.n-4)) AS ch_index
+         |FROM db, w, bb, g""".stripMargin,
+
     "km_assign" ->
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
     "km_assign_native" ->

@@ -23,6 +23,66 @@ object Quality {
         sumFx(col("msq"), d2Scale).as("elbow_d2"))
   }
 
+  /** Davies–Bouldin + Calinski–Harabasz indices for a centroid set — the
+    * two standard choose-K validity indices next to the reference's
+    * elbow/silhouette (Davies & Bouldin 1979; Caliński & Harabasz 1974).
+    * One row `(db_index, ch_index)`; lower DB / higher CH = better.
+    *
+    * Fixed-point discipline throughout so the DuckDB oracle hash-matches:
+    * per-cluster scatters `s_j` and the global means are fixed-point sums;
+    * the k per-cluster DB maxes and the k between-variance terms are
+    * rounded to integers BEFORE the final k-row sum (doubles would sum in
+    * engine-dependent order); every division chain is the identical IEEE
+    * sequence on identical inputs.
+    *
+    * Scale: one shuffle over the assigned points (partial/final per-cluster
+    * aggregation) + k-row arithmetic. `assigned` = output of
+    * [[KMeans.assign]] joined coordinates — here recomputed from `cs`
+    * literals so the operator is self-contained.
+    */
+  def validityIndices(points: DataFrame, cs: Seq[Centroid],
+      sScale: Double = 1e4, dbScale: Double = 1e6,
+      bScale: Double = 1e2, wScale: Double = 1e2): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val k = cs.size
+    val csDf = cs.map(c => (c.j, c.c)).toDF("j", "C")
+    val a = KMeans.assign(points, cs)
+    // per-cluster size + scatter (mean distance to own centroid), and the
+    // pieces of W (within) and the global mean
+    val withC = a.join(broadcast(csDf), "j")
+    val per = withC.groupBy("j")
+      .agg(count(lit(1)).as("n"),
+        sumFx(sqrt(sqDist(col("Y"), col("C"))), sScale).as("sd"))
+      .join(broadcast(csDf), "j")
+      .select(col("j"), col("n"), (col("sd") / col("n")).as("s"), col("C"))
+    // DB: per cluster, max over others of (s_i + s_j) / d(c_i, c_j)
+    val l = per.select(col("j").as("ji"), col("s").as("si"), col("C").as("ci"))
+    val r = per.select(col("j").as("jj"), col("s").as("sj"), col("C").as("cj"))
+    val ratios = l.join(broadcast(r), col("ji") =!= col("jj"))
+      .select(col("ji"),
+        ((col("si") + col("sj")) / sqrt(sqDist(col("ci"), col("cj")))).as("ratio"))
+      .groupBy("ji").agg(max("ratio").as("mx"))
+    val db = ratios.agg(
+      (sum(round(col("mx") * dbScale).cast("long")).cast("double") / dbScale / k)
+        .as("db_index"))
+    // CH: (B/(k-1)) / (W/(n-k)); W = within sum of squares (elbow_d2 shape),
+    // B = sum over clusters of n_j * ||c_j - mean||^2, global mean fixed-point
+    val dim = cs.head.c.size
+    val gRow = points.select(
+        (0 until dim).map(d => avgFx(element_at(col("Y"), d + 1), sScale).as(s"g$d")) :+
+          count(lit(1)).as("n"): _*).head()
+    val g = (0 until dim).map(d => gRow.getDouble(d))
+    val n = gRow.getLong(dim)
+    val w = withC.agg(sumFx(sqDist(col("Y"), col("C")), wScale)).head().getDouble(0)
+    val b = per.select(
+        round((col("n") * sqDist(col("C"), typedlit(g))) * bScale).cast("long").as("t"))
+      .agg((sum("t").cast("double") / bScale).as("b")).head().getDouble(0)
+    val ch =
+      if (k > 1 && n > k) (b / (k - 1)) / (w / (n - k)) else Double.NaN
+    db.select(col("db_index"), lit(ch).as("ch_index"))
+  }
+
   /** The reference's second entry point — the OptimalK sweep (reference
     * OptimalK.sql:3-21, README.md:39-43): run a full fit for each candidate
     * k and emit one row (k, elbow_d1, elbow_d2, silhouette) so the user can

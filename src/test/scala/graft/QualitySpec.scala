@@ -78,6 +78,20 @@ class QualitySpec extends SparkSpec {
     assert(rows(1)._3 <= rows(0)._3, s"fit WCSS should not grow with k: $rows")
   }
 
+  test("validity indices match hand-computed values on a planted fixture") {
+    // two clusters {(0,0),(0,2)} and {(10,0),(10,2)} with centers (0,1),(10,1):
+    //   scatter s = 1 each, centroid distance 10 -> DB = (1+1)/10 = 0.2
+    //   W = 4*1; global mean (5,1); B = 2*25 + 2*25 = 100
+    //   CH = (100/(2-1)) / (4/(4-2)) = 50
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(10.0, 2.0))).toDF("i", "Y")
+    val cs = Seq(KMeans.Centroid(1, Seq(0.0, 1.0)), KMeans.Centroid(2, Seq(10.0, 1.0)))
+    val r = Quality.validityIndices(pts, cs).as[(Double, Double)].head()
+    assert(math.abs(r._1 - 0.2) < 1e-9, s"db=${r._1}")
+    assert(math.abs(r._2 - 50.0) < 1e-9, s"ch=${r._2}")
+  }
+
   test("elbow decreases as k grows (on real embeddings)") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val wcss = Seq(2, 5, 10).map { k =>
