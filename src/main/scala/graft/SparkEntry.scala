@@ -573,18 +573,37 @@ object SparkEntry {
     // ---- exact grouped quantiles (A-family breadth): interpolated p25/50/75
     // over INTEGER cents, so the interpolation arithmetic is error-free in
     // IEEE double on both engines (quarter fracs + integer endpoints) and the
-    // hash compare can never flip. Spark's exact `percentile` buffers per
-    // group — bounded by per-group distinct values, the standard trade.
+    // hash compare can never flip. Computed as a HISTOGRAM + interpolated
+    // rank lookup, not `percentile` (which buffers every value per group):
+    // the shuffle carries one row per DISTINCT (flag, cents) — the exact-
+    // quantile plan that survives 100x, value-identical by the shared
+    // v_lo + frac*(v_hi - v_lo) formula on exact integers ----
     "q_quantiles" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      Tables.read(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("cnt"),
-          percentile(cents, typedlit(Seq(0.25, 0.5, 0.75))).as("q"))
-        .select(col("l_returnflag"), col("cnt"),
-          (element_at(col("q"), 1) / 100.0).as("p25"),
-          (element_at(col("q"), 2) / 100.0).as("p50"),
-          (element_at(col("q"), 3) / 100.0).as("p75"))
+      val hist = Tables.read(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents.as("c"))
+        .groupBy("l_returnflag", "c").agg(count(lit(1)).as("w"))
+      val win = Window.partitionBy("l_returnflag").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("l_returnflag")
+      val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+      val cum = qs.foldLeft(
+          hist.withColumn("cum", sum("w").over(win))
+            .withColumn("cnt", sum("w").over(all))) {
+        case (df, (nm, q)) => df.withColumn(s"h_$nm", (col("cnt") - 1) * q)
+      }
+      val aggs = qs.flatMap { case (nm, _) => Seq(
+        min(when(col("cum") >= floor(col(s"h_$nm")) + 1, col("c"))).as(s"lo_$nm"),
+        min(when(col("cum") >= ceil(col(s"h_$nm")) + 1, col("c"))).as(s"hi_$nm"),
+        max(col(s"h_$nm") - floor(col(s"h_$nm"))).as(s"f_$nm"))
+      }
+      cum.groupBy("l_returnflag")
+        .agg(max("cnt").as("cnt"), aggs: _*)
+        .select(col("l_returnflag") +: col("cnt") +: qs.map { case (nm, _) =>
+          // index cnt-1: hi's when never fires -> coalesce back to lo
+          ((col(s"lo_$nm") + col(s"f_$nm") *
+            (coalesce(col(s"hi_$nm"), col(s"lo_$nm")) - col(s"lo_$nm"))) / 100.0).as(nm)
+        }: _*)
     }),
 
     // ---- skew-salted join (the hot-key lever at 100 TB): every lineitem
