@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, Events, KMeans, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Multimodal, Quality, Quantiles, Similarity, TextAnalysis}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -573,37 +573,19 @@ object SparkEntry {
     // ---- exact grouped quantiles (A-family breadth): interpolated p25/50/75
     // over INTEGER cents, so the interpolation arithmetic is error-free in
     // IEEE double on both engines (quarter fracs + integer endpoints) and the
-    // hash compare can never flip. Computed as a HISTOGRAM + interpolated
-    // rank lookup, not `percentile` (which buffers every value per group):
-    // the shuffle carries one row per DISTINCT (flag, cents) — the exact-
-    // quantile plan that survives 100x, value-identical by the shared
-    // v_lo + frac*(v_hi - v_lo) formula on exact integers ----
+    // hash compare can never flip. Computed by TWO-PASS DISTRIBUTED
+    // SELECTION (Quantiles.exactGroupedQuantiles): bucket counts locate each
+    // order statistic, a second scan touches only the target buckets — no
+    // per-group value buffering, no all-values sort, at any scale ----
     "q_quantiles" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
-      val hist = Tables.read(s, dir, "lineitem")
-        .select(col("l_returnflag"), cents.as("c"))
-        .groupBy("l_returnflag", "c").agg(count(lit(1)).as("w"))
-      val win = Window.partitionBy("l_returnflag").orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy("l_returnflag")
-      val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
-      val cum = qs.foldLeft(
-          hist.withColumn("cum", sum("w").over(win))
-            .withColumn("cnt", sum("w").over(all))) {
-        case (df, (nm, q)) => df.withColumn(s"h_$nm", (col("cnt") - 1) * q)
-      }
-      val aggs = qs.flatMap { case (nm, _) => Seq(
-        min(when(col("cum") >= floor(col(s"h_$nm")) + 1, col("c"))).as(s"lo_$nm"),
-        min(when(col("cum") >= ceil(col(s"h_$nm")) + 1, col("c"))).as(s"hi_$nm"),
-        max(col(s"h_$nm") - floor(col(s"h_$nm"))).as(s"f_$nm"))
-      }
-      cum.groupBy("l_returnflag")
-        .agg(max("cnt").as("cnt"), aggs: _*)
-        .select(col("l_returnflag") +: col("cnt") +: qs.map { case (nm, _) =>
-          // index cnt-1: hi's when never fires -> coalesce back to lo
-          ((col(s"lo_$nm") + col(s"f_$nm") *
-            (coalesce(col(s"hi_$nm"), col(s"lo_$nm")) - col(s"lo_$nm"))) / 100.0).as(nm)
-        }: _*)
+      val d = Tables.read(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents.as("cents"))
+      Quantiles.exactGroupedQuantiles(d, "l_returnflag", "cents",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .select(col("l_returnflag"), col("cnt"),
+          (col("p25") / 100.0).as("p25"), (col("p50") / 100.0).as("p50"),
+          (col("p75") / 100.0).as("p75"))
     }),
 
     // ---- skew-salted join (the hot-key lever at 100 TB): every lineitem

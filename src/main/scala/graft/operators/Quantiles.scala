@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact grouped quantiles by TWO-PASS DISTRIBUTED SELECTION — the plan
+  * that holds when neither "buffer every value per group" (Spark's exact
+  * `percentile`) nor "sort all distinct values" (a histogram + window
+  * prefix) does:
+  *
+  *  1. one scan aggregates per-(group, value-bucket) counts — a few
+  *     thousand rows regardless of data size — and the driver prefix-sums
+  *     them to locate, for every requested quantile, the ONE bucket holding
+  *     each needed order statistic;
+  *  2. a second scan touches ONLY those buckets (≤ groups·quantiles·2 of
+  *     them, each `bucketWidth` values wide), aggregates their exact
+  *     per-value counts, and the driver reads the order statistics off the
+  *     sorted runs.
+  *
+  * All counts are longs — exact under any partitioning — and the final
+  * interpolation `v_lo + frac·(v_hi − v_lo)` is the same formula Spark's
+  * `percentile` and DuckDB's `quantile_cont` evaluate, so results are
+  * value-identical on integer inputs with fp-exact fractions (the
+  * `q_quantiles` oracle pins this). Driver state: O(groups ·
+  * range/bucketWidth) bucket counts — tune `bucketWidth` to the value
+  * range, never to the row count.
+  */
+object Quantiles {
+
+  /** Exact interpolated quantiles of `valueCol` (integral long) per
+    * `groupCol`. Returns (group, cnt, q1, q2, …) with one column per
+    * requested quantile, named by `qs`' labels.
+    */
+  def exactGroupedQuantiles(data: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)], bucketWidth: Long = 4096L): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    val spark = data.sparkSession
+    // pass 1: per-(group, bucket) counts. floor() keeps negative values in
+    // their floor-division bucket (long `/` would truncate toward zero).
+    val b = floor(col(valueCol) / lit(bucketWidth.toDouble)).cast("long")
+    val buckets = data.groupBy(col(groupCol).as("g"), b.as("b"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // driver: per group, bucket prefix sums -> which (group, bucket) holds
+    // each needed 0-based order statistic
+    val byGroup = buckets.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val offsets = sorted.map(_._2).scanLeft(0L)(_ + _) // exclusive prefix
+      (g, sorted, offsets)
+    }.toSeq.sortBy(_._1)
+    final case class Need(g: String, bucket: Long, localRank: Long, tag: (String, Int))
+    val needs = scala.collection.mutable.ArrayBuffer.empty[Need]
+    byGroup.foreach { case (g, sorted, offsets) =>
+      val n = offsets.last
+      qs.zipWithIndex.foreach { case ((nm, q), _) =>
+        val h = (n - 1) * q
+        Seq(("lo", math.floor(h).toLong), ("hi", math.ceil(h).toLong)).foreach {
+          case (side, idx) =>
+            // order statistic idx lives in the bucket where cumBefore <= idx < cumThrough
+            val bi = offsets.indexWhere(_ > idx) - 1
+            needs += Need(g, sorted(bi)._1, idx - offsets(bi), (s"${nm}_$side", 0))
+        }
+      }
+    }
+
+    // pass 2: exact per-value counts inside ONLY the needed buckets
+    val neededPairs = needs.map(nd => (nd.g, nd.bucket)).distinct
+    val cond = neededPairs.map { case (g, bk) =>
+      col(groupCol) === g && b === bk
+    }.reduce(_ || _)
+    val vals = data.filter(cond)
+      .groupBy(col(groupCol).as("g"), b.as("b"), col(valueCol).as("c"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sortBy(_._1) }
+
+    // driver: read each order statistic off its bucket's sorted run, then
+    // interpolate with the shared formula
+    def statAt(g: String, bucket: Long, localRank: Long): Long = {
+      var rest = localRank
+      val run = vals((g, bucket))
+      var i = 0
+      while (rest >= run(i)._2) { rest -= run(i)._2; i += 1 }
+      run(i)._1
+    }
+    val found = needs.map(nd =>
+      (nd.g, nd.tag._1) -> statAt(nd.g, nd.bucket, nd.localRank)).toMap
+    val out = byGroup.map { case (g, _, offsets) =>
+      val n = offsets.last
+      val ps = qs.map { case (nm, q) =>
+        val h = (n - 1) * q
+        val lo = found((g, s"${nm}_lo")).toDouble
+        val hi = found((g, s"${nm}_hi")).toDouble
+        lo + (h - math.floor(h)) * (hi - lo)
+      }
+      Row.fromSeq(g +: n +: ps)
+    }
+    val schema = StructType(
+      StructField("g", StringType) +: StructField("cnt", LongType) +:
+        qs.map { case (nm, _) => StructField(nm, DoubleType) })
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      .withColumnRenamed("g", groupCol)
+  }
+}

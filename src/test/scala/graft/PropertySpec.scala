@@ -119,6 +119,33 @@ class PropertySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("two-pass distributed selection equals Spark's exact percentile") {
+    // negatives (floor-division buckets), heavy ties, a single-row group,
+    // random fills — the selection must match percentile on all of them
+    import org.apache.spark.sql.functions.{col, percentile, typedlit, element_at}
+    val rnd = new scala.util.Random(21)
+    val rows = Seq.fill(500)(("a", rnd.nextLong() % 10000L)) ++
+      Seq.fill(300)(("b", -5000L + rnd.nextInt(3))) ++  // 3 tied values
+      Seq(("c", 42L))
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Quantiles.exactGroupedQuantiles(
+        df, "g", "v", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)),
+        bucketWidth = 128)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val expect = df.groupBy("g")
+      .agg(percentile(col("v"), typedlit(Seq(0.25, 0.5, 0.75))).as("q"))
+      .select(col("g"), element_at(col("q"), 1), element_at(col("q"), 2),
+        element_at(col("q"), 3))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    expect.foreach { case (g, (e25, e50, e75)) =>
+      val (_, g25, g50, g75) = got(g)
+      assert(g25 == e25 && g50 == e50 && g75 == e75,
+        s"group $g: got ($g25,$g50,$g75) expected ($e25,$e50,$e75)")
+    }
+  }
+
   test("approx percentile stays within its rank-error contract vs exact") {
     // the 100 TB default for quantiles is the one-pass sketch
     // (percentile_approx, rank error <= n/accuracy); pin it inside the
