@@ -114,16 +114,21 @@ object SparkEntry {
   /** `dedup_components` and `dedup_keep` consume the SAME iterative
     * label-propagation result (5 LSH stages + ~log(cluster-diameter)
     * checkpointed rounds) — memoize the collected (doc_id, rep_id) pairs,
-    * exactly like the silhouette pair stats. Deterministic, tiny (one row
-    * per doc), honest under Bench's clearMemos re-run rule.
+    * exactly like the silhouette pair stats. Deterministic and honest under
+    * Bench's clearMemos re-run rule. The collect is one row per doc, so the
+    * memo only engages BELOW `memoMaxRows` — past it (i.e. at real scale)
+    * each caller gets the live distributed plan and shares nothing, which
+    * is the correct trade: an O(n) driver materialization is never worth a
+    * saved recompute.
     */
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
-  private def docComponents(s: SparkSession, dir: String): DataFrame = {
-    val rows = componentsCache.getOrElseUpdate(dirKey(dir), {
-      val docs = Tables.read(s, dir, "documents")
-      Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)).collect()
-    })
+  private def docComponents(s: SparkSession, dir: String,
+      memoMaxRows: Long = 1000000L): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    def live = Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
+    if (docs.count() > memoMaxRows) return live
+    val rows = componentsCache.getOrElseUpdate(dirKey(dir), live.collect())
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("rep_id", org.apache.spark.sql.types.LongType)))

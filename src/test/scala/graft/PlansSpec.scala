@@ -108,9 +108,11 @@ class PlansSpec extends SparkSpec {
     // build row). Everything else must never nested-loop.
     val allowed = Set("dedup_embcos", "sim_topk", "text_tfidf")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
-    // O(n²) pair-stat collects) — their inner plans are asserted elsewhere
+    // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
+    // km_validity's k×k (4×4-row) centroid-pair join is an intentional
+    // nested loop over driver-known-tiny sides, like the silhouettes'.
     val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",
-      "km_silhouette", "km_silhouette_rousseeuw", "km_delta")
+      "km_silhouette", "km_silhouette_rousseeuw", "km_delta", "km_validity")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).filterNot(allowed)
       .filter { name =>
