@@ -46,41 +46,54 @@ object Quality {
     val spark = points.sparkSession
     import spark.implicits._
     val k = cs.size
-    val csDf = cs.map(c => (c.j, c.c)).toDF("j", "C")
-    val a = KMeans.assign(points, cs)
-    // per-cluster size + scatter (mean distance to own centroid), and the
-    // pieces of W (within) and the global mean
-    val withC = a.join(broadcast(csDf), "j")
-    val per = withC.groupBy("j")
-      .agg(count(lit(1)).as("n"),
-        sumFx(sqrt(sqDist(col("Y"), col("C"))), sScale).as("sd"))
-      .join(broadcast(csDf), "j")
-      .select(col("j"), col("n"), (col("sd") / col("n")).as("s"), col("C"))
-    // DB: per cluster, max over others of (s_i + s_j) / d(c_i, c_j)
-    val l = per.select(col("j").as("ji"), col("s").as("si"), col("C").as("ci"))
-    val r = per.select(col("j").as("jj"), col("s").as("sj"), col("C").as("cj"))
-    val ratios = l.join(broadcast(r), col("ji") =!= col("jj"))
-      .select(col("ji"),
-        ((col("si") + col("sj")) / sqrt(sqDist(col("ci"), col("cj")))).as("ratio"))
-      .groupBy("ji").agg(max("ratio").as("mx"))
-    val db = ratios.agg(
-      (sum(round(col("mx") * dbScale).cast("long")).cast("double") / dbScale / k)
-        .as("db_index"))
-    // CH: (B/(k-1)) / (W/(n-k)); W = within sum of squares (elbow_d2 shape),
-    // B = sum over clusters of n_j * ||c_j - mean||^2, global mean fixed-point
     val dim = cs.head.c.size
-    val gRow = points.select(
-        (0 until dim).map(d => avgFx(element_at(col("Y"), d + 1), sScale).as(s"g$d")) :+
-          count(lit(1)).as("n"): _*).head()
-    val g = (0 until dim).map(d => gRow.getDouble(d))
-    val n = gRow.getLong(dim)
-    val w = withC.agg(sumFx(sqDist(col("Y"), col("C")), wScale)).head().getDouble(0)
-    val b = per.select(
-        round((col("n") * sqDist(col("C"), typedlit(g))) * bScale).cast("long").as("t"))
-      .agg((sum("t").cast("double") / bScale).as("b")).head().getDouble(0)
+    val csDf = cs.map(c => (c.j, c.c)).toDF("j", "C")
+    // ONE scan: per-cluster count, scatter sum (sqrt distances), within sum
+    // (squared distances), and per-dimension coordinate sums — all as exact
+    // longs. The per-cluster partials reassemble every global total the two
+    // indices need (integer sums are order-independent), so W and the
+    // global mean come for free instead of costing extra scans.
+    val d2 = sqDist(col("Y"), col("C"))
+    val perAggs =
+      Seq(count(lit(1)).as("n"),
+        sum(round(sqrt(d2) * sScale).cast("long")).as("sdL"),
+        sum(round(d2 * wScale).cast("long")).as("wL")) ++
+      (0 until dim).map(d =>
+        sum(round(element_at(col("Y"), d + 1) * sScale).cast("long")).as(s"xL$d"))
+    val rows = KMeans.assign(points, cs).join(broadcast(csDf), "j")
+      .groupBy("j").agg(perAggs.head, perAggs.tail: _*)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          (0 until dim).map(d => r.getLong(4 + d)))
+      }.sortBy(_._1)
+    // driver arithmetic replicates the oracle SQL's exact op sequences on
+    // the k collected rows (roundHalfUpLong = Spark/DuckDB round)
+    val byJ = cs.map(c => c.j -> c.c).toMap
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { val t = a(d) - b(d); s += t * t; d += 1 }
+      s
+    }
+    val scatter = rows.map { case (j, n, sdL, _, _) =>
+      j -> (sdL.toDouble / sScale) / n
+    }.toMap
+    val mxSum = rows.map { case (ji, _, _, _, _) =>
+      val mx = rows.collect { case (jj, _, _, _, _) if jj != ji =>
+        (scatter(ji) + scatter(jj)) / math.sqrt(sqd(byJ(ji), byJ(jj)))
+      }.max
+      KMeans.roundHalfUpLong(mx * dbScale)
+    }.sum
+    val dbIndex = mxSum.toDouble / dbScale / k
+    val nTot = rows.map(_._2).sum
+    val w = rows.map(_._4).sum.toDouble / wScale
+    val g = (0 until dim).map(d =>
+      rows.map(_._5(d)).sum.toDouble / sScale / nTot)
+    val b = rows.map { case (j, n, _, _, _) =>
+      KMeans.roundHalfUpLong((n * sqd(byJ(j), g)) * bScale)
+    }.sum.toDouble / bScale
     val ch =
-      if (k > 1 && n > k) (b / (k - 1)) / (w / (n - k)) else Double.NaN
-    db.select(col("db_index"), lit(ch).as("ch_index"))
+      if (k > 1 && nTot > k) (b / (k - 1)) / (w / (nTot - k)) else Double.NaN
+    Seq((dbIndex, ch)).toDF("db_index", "ch_index")
   }
 
   /** The reference's second entry point — the OptimalK sweep (reference
