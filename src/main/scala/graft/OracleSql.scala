@@ -376,6 +376,22 @@ object OracleSql {
     s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
        |SELECT rep_id AS doc_id, count(*) AS cluster_size FROM comp GROUP BY rep_id""".stripMargin
 
+  /** Mirror of the `dedup_keep_best` keep-rule: per cluster, the doc with
+    * the most tokens (ties → lowest id), via the deterministic
+    * (n_tokens DESC, doc_id) window cut.
+    */
+  def dedupKeepBest(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)},
+       |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |r AS (SELECT comp.rep_id, comp.doc_id, tk.n_tokens,
+       |    count(*) OVER (PARTITION BY comp.rep_id) AS cluster_size,
+       |    row_number() OVER (PARTITION BY comp.rep_id
+       |      ORDER BY tk.n_tokens DESC, comp.doc_id) AS rn
+       |  FROM comp JOIN tk ON comp.doc_id = tk.doc_id)
+       |SELECT rep_id, cluster_size, doc_id AS best_id, n_tokens AS best_tokens
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Mirror of the `pipeline_clean` composition: quality gate → MinHash
     * near-dup clustering over the survivors → keep one doc per cluster.
     * The quality stage nests [[textQuality]] as a subquery (its own WITH is

@@ -399,6 +399,19 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => docComponents(s, dir)),
     // the keep-one corpus: one row per cluster (representative + size)
     "dedup_keep" -> ((s, dir) => Dedup.keepOne(docComponents(s, dir))),
+    // production keep-rule: per duplicate cluster, keep the HIGHEST-QUALITY
+    // doc (most tokens; ties -> lowest id) instead of the min-id label —
+    // one max_by aggregation over components joined with per-doc stats
+    "dedup_keep_best" -> ((s, dir) => {
+      val ntok = Tables.read(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      docComponents(s, dir).join(ntok, "doc_id")
+        .groupBy("rep_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(col("doc_id"),
+            struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best_id"),
+          max("n_tokens").as("best_tokens"))
+    }),
     // benchmark decontamination: n-gram overlap of every corpus doc against
     // the held-out set (doc_id % 97 here), the test-set-leakage guard of
     // public LLM pipelines; benchmark shingle ids broadcast by nature
@@ -850,6 +863,8 @@ object SparkEntry {
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_keep_best" -> OracleSql.dedupKeepBest(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_keep" -> OracleSql.dedupKeepOne(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
