@@ -119,6 +119,23 @@ class PropertySpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("salted join equals the plain join on random skewed data (any salt count)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(33)
+    // heavy skew: 80% of rows hit one key
+    val big = Seq.tabulate(2000)(i =>
+      (i.toLong, if (rnd.nextInt(5) < 4) "hot" else s"k${rnd.nextInt(7)}")).toDF("id", "key")
+    val small = big.groupBy("key").count()
+    val plain = big.join(small, "key")
+      .select("id", "key", "count").as[(Long, String, Long)].collect().toSet
+    Seq(1, 3, 16).foreach { salts =>
+      val salted = graft.operators.Joins.saltedEquiJoin(
+          big, small, "key", col("id"), salts)
+        .select("id", "key", "count").as[(Long, String, Long)].collect().toSet
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
   test("two-pass distributed selection equals Spark's exact percentile") {
     // negatives (floor-division buckets), heavy ties, a single-row group,
     // random fills — the selection must match percentile on all of them
