@@ -496,6 +496,9 @@ object SparkEntry {
     // count, repeated 2-gram instances — the degenerate-text filters
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.read(s, dir, "documents"))),
+    // token budgeting under both conventions: whitespace + BPE-ish regex
+    "text_tokens_bpe" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.read(s, dir, "documents"))),
 
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
@@ -885,6 +888,10 @@ object SparkEntry {
     "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "text_repetition" -> OracleSql.textRepetition,
+    "text_tokens_bpe" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,

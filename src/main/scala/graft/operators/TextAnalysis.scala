@@ -163,6 +163,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Token counts under BOTH tokenization conventions a data pipeline
+    * budgets with: whitespace tokens and a BPE-ish pre-tokenization count —
+    * letter runs, digit runs, and single non-alphanumeric marks (the GPT-2
+    * pre-tokenizer's shape, restricted to the regex subset Java and RE2
+    * share so the oracle replays it exactly). Per-row, zero shuffle.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("n_bpe_tokens"))
+
   /** Gopher-style repetition quality signals, per doc — the filters that
     * catch boilerplate/degenerate generations in a training corpus:
     * token count, distinct-token count, the most-frequent token's count,
