@@ -90,6 +90,23 @@ object SparkEntry {
         "graft_bkt_lineitem", 8, Seq("o_orderkey"), Some(s"$tmp/graft_bkt_lineitem"))
     })
 
+  /** Date-partitioned events for `q_partition_prune`: one write pays the
+    * layout cost, then every date-ranged read scans ONLY the matching
+    * `d=YYYY-MM-DD/` directories — partition pruning is THE first-order
+    * lever against a 100 TB fact table (a 7-of-30-day query reads 23% of
+    * the data before any executor starts). Memoized per dir like the
+    * bucketed pair; PlansSpec asserts the pruned scan.
+    */
+  private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_events_by_day"
+    bucketedCache.getOrElseUpdate("evpart|" + dirKey(dir), {
+      Tables.readEvents(s, dir)
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("d").parquet(out)
+    })
+    out
+  }
+
   /** Persisted IVF index for `sim_ivf_indexed`: built once per dir (the
     * build-time shuffle is the cost the build/probe split amortizes).
     */
@@ -499,6 +516,17 @@ object SparkEntry {
     // token budgeting under both conventions: whitespace + BPE-ish regex
     "text_tokens_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.read(s, dir, "documents"))),
+    // PII scrub: the fixture has no natural PII, so augment each row with
+    // doc_id-derived contact strings (deterministic, oracle-reproducible) —
+    // every row then exercises all three redaction patterns
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(
+        Tables.read(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact "), col("source"),
+            col("doc_id").cast("string"), lit("@mail.example.com tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 end")).as("text")))),
 
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
@@ -666,6 +694,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("l_cents")).as("cents"))
         .select(col("o_orderkey"), col("n_items"),
           (col("cents") / 100.0).as("revenue"))
+    }),
+
+    // ---- date-partitioned layout + partition pruning: a one-week filter
+    // over the d=YYYY-MM-DD layout scans 7 of 30 directories — the scan
+    // never touches the other 23 days' files. PlansSpec asserts the pruned
+    // partition count; the oracle recomputes from the unpartitioned source ----
+    "q_partition_prune" -> ((s, dir) => {
+      val path = ensurePartitionedEvents(s, dir)
+      s.read.parquet(path)
+        .filter(col("d").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy("d", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 1000).cast("long")).as("value_mils"))
+        .select(col("d").cast("string").as("d"), col("event_type"),
+          col("cnt"), col("value_mils"))
+    }),
+
+    // ---- JSON-lines roundtrip (the interchange format LLM corpora actually
+    // arrive in): write documents as JSONL, read back with an explicit
+    // schema, hash-match row-for-row against the parquet original ----
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_jsonl_roundtrip"
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+        .json(out)
     })
   )
 
@@ -957,6 +1012,35 @@ object SparkEntry {
       """SELECT o.o_orderkey, count(*) AS n_items,
         |  CAST(sum(CAST(round(l.l_extendedprice*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |GROUP BY o.o_orderkey""".stripMargin
+        |GROUP BY o.o_orderkey""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com tel +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM aug""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+        |  count(*) AS cnt,
+        |  sum(CAST(round(value*1000.0) AS BIGINT)) AS value_mils
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents"
   )
 }

@@ -223,4 +223,37 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       aggregate(graft.plans.native.token_ids(col("text")),
         lit(0L), (h, x) => (h * 131 + x) % 1000000007L).as("fp"))
+
+  /** PII patterns shared by the redactor and its tests. Deliberately
+    * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree on every match; each is the standard corpus-scrub
+    * shape (email, international-ish phone, dotted-quad IP).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** PII redaction — the scrub step every training corpus runs before
+    * anything else sees the text. Counts each category then rewrites the
+    * text with typed placeholders, email → phone → IP (placeholders contain
+    * no digits or dots, so later passes can't re-match earlier rewrites).
+    * ENTIRELY per-row — zero shuffle at any scale.
+    *
+    * The synthetic `documents` fixture contains no natural PII, so the query
+    * wiring augments each row with contact strings derived from `doc_id`
+    * (deterministic, oracle-reproducible) — every row then exercises all
+    * three patterns end-to-end; literal-PII edge cases live in
+    * TextEventsSpec.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = PiiPatterns.zip(Seq("n_emails", "n_phones", "n_ips")).map {
+      case ((pat, _), name) =>
+        regexp_count(col(textCol), lit(pat)).cast("long").as(name)
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
 }

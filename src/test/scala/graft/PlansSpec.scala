@@ -83,6 +83,25 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected bucket-aligned SMJ:\n$plan")
   }
 
+  test("plan hygiene: q_partition_prune reads ONLY the 7 matching day directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = SparkEntry.queries("q_partition_prune")(spark, sf("0.001"))
+      .queryExecution.executedPlan
+    val inner = plan match { // unwrap AQE — the scan lives in the inner plan
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = inner.collectLeaves().collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"expected a FileSourceScan:\n$plan")
+    // the date-range predicate must land as a PARTITION filter (directory
+    // pruning before any file is opened), not a post-scan data filter
+    assert(scans.head.partitionFilters.nonEmpty,
+      s"date range must prune partitions:\n$plan")
+    val days = scans.head.selectedPartitions.partitionCount
+    assert(days == 7, s"one-week filter over 30 day-partitions must read 7, got $days")
+  }
+
   test("plan hygiene: salted join spreads the hot key over (key, _salt) sub-keys") {
     import org.apache.spark.sql.functions._
     val big = Tables.read(spark, sf("0.001"), "lineitem")

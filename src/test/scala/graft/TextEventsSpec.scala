@@ -237,4 +237,18 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Map(2L -> Some(us(0)), 4L -> Some(us(9)),
       5L -> Some(us(9)), 6L -> None))
   }
+
+  test("piiRedact: counts and rewrites emails, phones, IPs; leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.org and b@x.co, call +1-555-0199, from 192.168.0.1"),
+      (2L, "no pii here, just words and 42 numbers"),
+      (3L, "two ips 10.0.0.1 8.8.8.8 one phone +49-030-1234 end")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, from <IP>")))
+    assert(r(1) == ((2L, 0L, 0L, 0L, "no pii here, just words and 42 numbers")))
+    assert(r(2) == ((3L, 0L, 1L, 2L, "two ips <IP> <IP> one phone <PHONE> end")))
+  }
 }
