@@ -347,6 +347,29 @@ object OracleSql {
        |SELECT a_id, b_id, matches/$numHashes AS est_jac FROM m
        |WHERE matches*$thrDen >= $numHashes*$thrNum""".stripMargin
 
+  /** Mirror of [[Dedup.incrementalDedup]] over the same signature/band CTEs
+    * (the chain's `cand`/`m` tails go unused — DuckDB prunes them): delta =
+    * doc_id % 5 == 0, partners = corpus docs sharing a band key plus earlier
+    * delta docs, verified at ≥ thrNum/thrDen matching signatures.
+    */
+  def dedupIncremental(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""WITH ${minhashCtes(n, numHashes, bands)},
+       |dd AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |ip AS (SELECT DISTINCT d.doc_id AS doc_id, p.doc_id AS p_id
+       |  FROM b d JOIN b p ON d.band = p.band AND d.key = p.key
+       |  WHERE d.doc_id % 5 = 0 AND (p.doc_id % 5 != 0 OR p.doc_id < d.doc_id)),
+       |iv AS (SELECT ip.doc_id, ip.p_id,
+       |    list_sum(list_transform(range(1, ${numHashes + 1}),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS matches
+       |  FROM ip JOIN sig sa ON sa.doc_id = ip.doc_id
+       |    JOIN sig sb ON sb.doc_id = ip.p_id),
+       |ia AS (SELECT doc_id, min(p_id) AS dup_of, count(DISTINCT p_id) AS n_dups
+       |  FROM iv WHERE matches*$thrDen >= $numHashes*$thrNum GROUP BY doc_id)
+       |SELECT dd.doc_id, ia.dup_of,
+       |  CAST(coalesce(ia.n_dups, 0) AS BIGINT) AS n_dups
+       |FROM dd LEFT JOIN ia ON dd.doc_id = ia.doc_id""".stripMargin
+
   /** Mirror of [[Dedup.connectedComponents]] over the MinHash pair edges:
     * an independent algorithm — DuckDB's recursive CTE enumerates every
     * (node, reachable-node) pair and takes the min, checking the iterative

@@ -107,6 +107,19 @@ object SparkEntry {
     out
   }
 
+  /** Persisted banded-MinHash corpus index for `dedup_incremental` (corpus =
+    * doc_id % 5 != 0): built and bucketed ONCE; every delta batch probes it
+    * with zero corpus re-read and zero corpus-side shuffle.
+    */
+  private def ensureMinhashIndex(s: SparkSession, dir: String): Unit =
+    bucketedCache.getOrElseUpdate("mhidx|" + dirKey(dir), {
+      val corpus = Tables.read(s, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+      sources.Sinks.writeBucketed(Dedup.bandedSignatures(corpus),
+        "graft_mh_index", 8, Seq("band", "key"),
+        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mh_index"))
+    })
+
   /** Persisted IVF index for `sim_ivf_indexed`: built once per dir (the
     * build-time shuffle is the cost the build/probe split amortizes).
     */
@@ -428,6 +441,17 @@ object SparkEntry {
           max_by(col("doc_id"),
             struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best_id"),
           max("n_tokens").as("best_tokens"))
+    }),
+    // incremental (delta-vs-corpus) dedup — the daily-crawl pattern: the
+    // corpus's banded signatures persist as a bucketed index built once;
+    // the delta batch (doc_id % 5 == 0) probes it with zero corpus re-read
+    // and zero corpus-side shuffle (merge hint pins the bucket-aligned SMJ
+    // the pattern exists for; PlansSpec asserts the exchange-free side)
+    "dedup_incremental" -> ((s, dir) => {
+      ensureMinhashIndex(s, dir)
+      Dedup.incrementalDedup(
+        Tables.read(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        s.table("graft_mh_index").hint("merge"))
     }),
     // benchmark decontamination: n-gram overlap of every corpus doc against
     // the held-out set (doc_id % 97 here), the test-set-leakage guard of
@@ -920,6 +944,7 @@ object SparkEntry {
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_keep_best" -> OracleSql.dedupKeepBest(

@@ -197,6 +197,66 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (col("matches") / lit(numHashes)).as("est_jac"))
   }
 
+  /** Banded MinHash signatures: one row per (doc, band) carrying the band's
+    * concatenated row-signature key AND the doc's full signature array — the
+    * storage unit of the persisted incremental-dedup index (the sig rides
+    * along so candidate verification needs no second corpus join).
+    */
+  def bandedSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val withArr = minhashSignatures(docs, n, numHashes)
+      .select(col("doc_id"), sigArr.as("sig"))
+    val bandEntries = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("key"))
+    }: _*)
+    withArr.select(col("doc_id"), col("sig"), explode(bandEntries).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("sig"))
+  }
+
+  /** Incremental (delta-vs-corpus) near-dup detection — the daily-crawl
+    * pattern: the corpus's banded signatures are PERSISTED once (bucketed on
+    * the band key), and each new batch computes signatures only for its own
+    * rows, then equi-joins its band keys against the index plus itself. The
+    * corpus text is never re-read and — because the index arrives
+    * pre-bucketed — never re-shuffled; per-delta cost is independent of
+    * corpus size up to the candidate fan-out.
+    *
+    * A delta doc's partners = index docs sharing a band key, plus EARLIER
+    * delta docs (doc_id <), verified at ≥ thrNum/thrDen matching signatures.
+    * One row per delta doc: min verified partner (null ⇒ genuinely new) and
+    * the verified-partner count.
+    */
+  def incrementalDedup(delta: DataFrame, index: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    val db = bandedSignatures(delta, n, numHashes, bands)
+    def partners(p: DataFrame, extra: Column) =
+      db.alias("d").join(p.alias("p"),
+          col("d.band") === col("p.band") && col("d.key") === col("p.key") &&
+            extra)
+        .select(col("d.doc_id").as("doc_id"), col("p.doc_id").as("p_id"),
+          col("d.sig").as("siga"), col("p.sig").as("sigb"))
+    val cand = partners(index, lit(true))
+      .unionByName(partners(db, col("p.doc_id") < col("d.doc_id")))
+      .distinct()
+    val verified = cand.withColumn("matches",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .filter(col("matches") * thrDen >= lit(numHashes) * thrNum)
+    val agg = verified.groupBy("doc_id")
+      .agg(min(col("p_id")).as("dup_of"), countDistinct(col("p_id")).as("n_dups"))
+    delta.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Per-doc SimHash fingerprint over frequency-weighted token ids: bit b is

@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("incrementalDedup: delta matches corpus and earlier delta; new docs get null") {
+    // corpus keeps ids 1,3,4; delta = 10,12,20 (10 dups corpus-1, 12 dups
+    // delta-10 AND corpus-1, 20 is genuinely new)
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L, 4L))
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (12L, "the quick brown fox jumps over the lazy dog"), // dup of 1 AND 10
+      (20L, "unrelated fresh content with novel vocabulary only")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.bandedSignatures(corpus)
+    val got = Dedup.incrementalDedup(delta, idx)
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (k, d, n) => k -> ((d, n)) }.toMap
+    assert(got(10L) == ((Some(1L), 1L)))       // corpus partner only
+    assert(got(12L) == ((Some(1L), 2L)))       // corpus 1 + earlier delta 10
+    assert(got(20L) == ((None, 0L)))           // genuinely new
+  }
+
   test("simhash: identical docs at hamming 0; near dups close; lang blocks respected") {
     val got = Dedup.simhashPairs(docs, maxHamming = 6).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -102,6 +102,26 @@ class PlansSpec extends SparkSpec {
     assert(days == 7, s"one-week filter over 30 day-partitions must read 7, got $days")
   }
 
+  test("plan hygiene: dedup_incremental probes the corpus index without shuffling it") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = SparkEntry.queries("dedup_incremental")(spark, sf("0.001"))
+      .queryExecution.executedPlan
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the corpus-index side of the probe SMJ must be Exchange-free: the
+    // bucketed layout IS the shuffle, paid once at index-build time
+    val idxSides = inner.collect { case j: SortMergeJoinExec => j }
+      .flatMap(j => Seq(j.left, j.right))
+      .filter(_.toString.contains("graft_mh_index"))
+    assert(idxSides.nonEmpty, s"expected an SMJ probing graft_mh_index:\n$inner")
+    val clean = idxSides.filter(s => !s.toString.contains("Exchange"))
+    assert(clean.nonEmpty,
+      s"index side must arrive pre-bucketed, no Exchange:\n${idxSides.head}")
+  }
+
   test("plan hygiene: salted join spreads the hot key over (key, _salt) sub-keys") {
     import org.apache.spark.sql.functions._
     val big = Tables.read(spark, sf("0.001"), "lineitem")
