@@ -283,6 +283,30 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
     }),
+    // full set of cross marginals next to the rollup's prefix marginals
+    "q_cube" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    }),
+    // full outer join with genuine left-only / both / right-only cases
+    // (asymmetric filters force all three); one shuffle on the key — full
+    // outer can't broadcast, and this IS the plan shape at any scale
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+        .filter(col("c_nationkey") % 3 =!= 0)
+        .groupBy("c_nationkey")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"))
+        .select(col("c_nationkey").as("nk"), col("n_customers"))
+      val sup = Tables.read(s, dir, "supplier")
+        .filter(col("s_nationkey") % 2 =!= 0)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+        .select(col("s_nationkey").as("nk2"), col("n_suppliers"))
+      c.join(sup, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).cast("long").as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
 
     // ---- the YH input-adapter contract (S4/P1/P2) ----
     "km_yh" -> ((s, dir) => xy(Tables.yhOrders(s, dir))),
@@ -794,6 +818,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(DISTINCT c_custkey) AS n_customers
+        |  FROM customer WHERE c_nationkey % 3 != 0 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+        |  FROM supplier WHERE s_nationkey % 2 != 0 GROUP BY 1)
+        |SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        |  coalesce(c.n_customers, 0) AS n_customers,
+        |  coalesce(s.n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin,
     "km_yh" -> s"WITH $YH SELECT i, x, y FROM yh",
     "km_seed_first" ->
       s"WITH $YH SELECT CAST(1 AS BIGINT) AS j, x, y FROM yh ORDER BY i LIMIT 1",
