@@ -66,6 +66,53 @@ object StreamingOps {
       .drop("ids", "bench_ids")
   }
 
+  /** Streaming incremental dedup (twin of `Dedup.incrementalDedup`'s
+    * corpus-probe half): each arriving doc computes its banded MinHash
+    * signatures per-row and LEFT equi-joins the STATIC persisted corpus
+    * index — the stream-static join shape, stateless on the stream side;
+    * Spark re-reads only matching index buckets per micro-batch and no
+    * join state accumulates. Verified partners (≥ thrNum/thrDen matching
+    * signatures) fold back to one row per doc via a watermark-bounded
+    * windowed aggregation: `dup_of` = min verified corpus partner (null ⇒
+    * new), `n_dups` = verified-partner count. Band construction mirrors
+    * [[graft.operators.Dedup.bandedSignatures]] exactly (same key format,
+    * pinned in StreamingSpec against the same fixture as the batch spec).
+    * Delta-vs-delta pairs are the batch operator's job at compaction time —
+    * the streaming probe answers "is this a corpus dup?" at ingest.
+    */
+  def incrementalDedupStream(docs: DataFrame, index: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, thrNum: Int = 1, thrDen: Int = 2,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    val withSig = docs.withColumn("sig", graft.plans.native.minhash_sigs(
+      graft.plans.native.shingle_ids(col("text"), n), numHashes))
+    val bandEntries = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i =>
+          element_at(col("sig"), i + 1)): _*).as("key"))
+    }: _*)
+    val banded = withSig
+      .select(col("doc_id"), col("ts"), col("sig"), explode(bandEntries).as("b"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val idx = index.select(col("doc_id").as("p_id"), col("band").as("p_band"),
+      col("key").as("p_key"), col("sig").as("p_sig"))
+    val matches = aggregate(zip_with(col("sig"), col("p_sig"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    banded.join(idx,
+        col("band") === col("p_band") && col("key") === col("p_key"),
+        "left_outer")
+      .withColumn("vp", when(col("p_sig").isNotNull &&
+        matches * thrDen >= lit(numHashes) * thrNum, col("p_id")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), watermark), col("doc_id"))
+      .agg(min(col("vp")).as("dup_of"),
+        size(array_distinct(collect_list(col("vp")))).cast("long").as("n_dups"))
+      .select(col("doc_id"), col("dup_of"), col("n_dups"))
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming twin of
     * `Events.windowAgg`). Late data beyond 10 minutes is dropped; state is
     * bounded by watermark × type cardinality.

@@ -199,6 +199,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("piiRedact is idempotent: placeholders never re-match any pattern") {
+    val piiGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(3, 8)
+      docs <- Gen.listOfN(n, Gen.listOfN(10, Gen.oneOf(
+        "word", "user@example.com", "+1-555-0042", "10.20.30.40",
+        "a.b-c_d@sub.domain.io", "+49-123-9999", "plain", "192.168.1.255"
+      )).map(_.mkString(" ")))
+    } yield docs.zipWithIndex.map { case (t, ix) => (ix.toLong + 1, t) }
+    samples(piiGen, 5).foreach { docs =>
+      val once = graft.operators.TextAnalysis.piiRedact(docs.toDF("doc_id", "text"))
+        .select("doc_id", "redacted")
+      val twice = graft.operators.TextAnalysis.piiRedact(once, "redacted")
+      val r = twice.select("n_emails", "n_phones", "n_ips")
+        .as[(Long, Long, Long)].collect()
+      assert(r.forall(_ == ((0L, 0L, 0L))),
+        "a second redaction pass must find nothing")
+    }
+  }
+
   test("simhash hamming distance is symmetric and zero on self") {
     samples(docGen, 5).foreach { docs =>
       val fp = Dedup.simhashFingerprints(docs.toDF("doc_id", "text", "lang"), bits = 32)

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup probes the static corpus index per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over a lazy dog"),
+      (4L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.bandedSignatures(corpus)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = StreamingOps.incrementalDedupStream(
+      in.toDF().toDF("ts", "doc_id", "text"), idx)
+    val q = out.writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      in.addData((ts(1), 10L, "the quick brown fox jumps over the lazy dog"),
+        (ts(1), 20L, "unrelated fresh content with novel vocabulary only"))
+      q.processAllAvailable()
+      // advance the watermark far past hour 1 so its window finalizes
+      in.addData((ts(3), 99L, "flush marker document"))
+      q.processAllAvailable()
+      val got = spark.table("incdedup_out")
+        .as[(Long, Option[Long], Long)].collect()
+        .map { case (k, d, n) => k -> ((d, n)) }.toMap
+      assert(got(10L) == ((Some(1L), 1L)), s"got=$got") // corpus dup found
+      assert(got(20L) == ((None, 0L)), s"got=$got")     // genuinely new
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
