@@ -596,6 +596,20 @@ object SparkEntry {
       Multimodal.featureStats(Multimodal.decodeFeatures(media))
         .select(col("kind"), col("n"), col("total_bytes"))
     }),
+    // resize + frame-sample (rows-only: the decode isn't SQL-expressible):
+    // box-filtered luma thumbnails per image, k uniformly-spaced frame
+    // lumas per video — the fixed-budget preprocessing both vision and
+    // video training pipelines run before the encoder
+    "mm_thumbs" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+      val th = Multimodal.thumbnails(media).toDF()
+        .select(col("media_id"), lit("image").as("kind"),
+          size(col("thumb")).cast("long").as("n_vals"))
+      val fr = Multimodal.frameSamples(media).toDF()
+        .select(col("media_id"), lit("video").as("kind"),
+          size(col("lumas")).cast("long").as("n_vals"))
+      th.unionByName(fr)
+    }),
 
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>

@@ -382,7 +382,8 @@ object Multimodal {
     */
   final case class AviInfo(
       width: Int, height: Int, fpsRate: Int, fpsScale: Int, usPerFrame: Int,
-      nFrames: Int, meanLuma: Double, motion: Double)
+      nFrames: Int, meanLuma: Double, motion: Double,
+      frameMeanLumas: Array[Double] = Array.empty)
 
   /** REAL AVI decode: walk the RIFF lists (magic checks, chunk-size skips),
     * read the MainAVIHeader (`avih`: µs/frame, total frames, geometry) and
@@ -406,6 +407,7 @@ object Multimodal {
     var frames = 0
     var meanLumaSum = 0.0; var motionSum = 0.0; var motionFrames = 0
     var prev: Array[Double] = null
+    val perFrame = scala.collection.mutable.ArrayBuffer.empty[Double]
     def walkHdrl(end: Int): Unit = {
       while (bb.position() < end) {
         val id = fourCC()
@@ -471,7 +473,9 @@ object Multimodal {
             }
             y += 1
           }
-          meanLumaSum += lumas.sum / lumas.length
+          val frameMean = lumas.sum / lumas.length
+          meanLumaSum += frameMean
+          perFrame += frameMean
           if (prev != null) {
             var s = 0.0
             var i = 0
@@ -504,7 +508,8 @@ object Multimodal {
       s"movi frame count $frames != header dwTotalFrames $totalFrames")
     AviInfo(width, height, fpsRate, fpsScale, usPerFrame, frames,
       if (frames > 0) meanLumaSum / frames else 0.0,
-      if (motionFrames > 0) motionSum / motionFrames else 0.0)
+      if (motionFrames > 0) motionSum / motionFrames else 0.0,
+      perFrame.toArray)
   }
 
   /** Video features from the REAL decode: [width, height, fps, n_frames,
@@ -581,4 +586,101 @@ object Multimodal {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
         avg(element_at(col("features"), 1)).as("mean_f0"))
+
+  // ------------------------------------------------- resize / frame-sample
+
+  final case class Thumb(media_id: Long, tw: Int, th: Int, thumb: Array[Float])
+  final case class FrameSample(media_id: Long, n_frames: Int, lumas: Array[Float])
+
+  /** REAL image resize: decode the BMP's pixel rows and box-filter the luma
+    * plane down to a (tw × th) thumbnail — the fixed-budget preprocessing
+    * step before any vision encoder. Source rectangles use exact integer
+    * bounds (`ty·h/th … (ty+1)·h/th`), so the output is a pure function of
+    * the container bytes; values are luma/255 in row-major order.
+    */
+  def resizeBmpLuma(payload: Array[Byte], tw: Int, th: Int): Array[Float] = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining() >= 54, "truncated BMP header")
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP container")
+    bb.getInt; bb.getInt
+    val dataOffset = bb.getInt
+    require(bb.getInt >= 40, "unsupported info header size")
+    val width = bb.getInt
+    val height = bb.getInt
+    require(width > 0 && height > 0, s"unsupported geometry ${width}x$height")
+    require(bb.getShort == 1, "planes must be 1")
+    require(bb.getShort == 24, "only 24-bit BMP supported")
+    require(bb.getInt == 0, "only uncompressed (BI_RGB) supported")
+    require(tw >= 1 && th >= 1 && tw <= width && th <= height,
+      s"target ${tw}x$th must fit inside ${width}x$height")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(payload.length >= dataOffset + stride * height, "truncated pixel data")
+    val out = new Array[Float](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * height / th; val y1 = (ty + 1) * height / th
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * width / tw; val x1 = (tx + 1) * width / tw
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var base = dataOffset + (height - 1 - y) * stride + x0 * 3
+          var x = x0
+          while (x < x1) {
+            val b = payload(base) & 0xff
+            val g = payload(base + 1) & 0xff
+            val r = payload(base + 2) & 0xff
+            sum += 0.299 * r + 0.587 * g + 0.114 * b
+            base += 3
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0)) / 255.0).toFloat
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Image thumbnails over the media table (kind = image only): the same
+    * partition-batched decode shape as [[decodeFeatures]], emitting the
+    * box-filtered (tw × th) luma grid per image.
+    */
+  def thumbnails(media: DataFrame, tw: Int = 4, th: Int = 4,
+      batchSize: Int = 32): Dataset[Thumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(r =>
+          Thumb(r.media_id, tw, th, resizeBmpLuma(r.payload, tw, th))))
+      }
+  }
+
+  /** Video frame sampling (kind = video only): decode the AVI and keep k
+    * uniformly-spaced frames' mean lumas (indices `i·n/k`, the fixed-budget
+    * frame-sample every video training pipeline runs so cost per clip is
+    * O(k), not O(duration)). Clips shorter than k frames keep every frame.
+    */
+  def frameSamples(media: DataFrame, k: Int = 4,
+      batchSize: Int = 32): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { r =>
+          val v = decodeAvi(r.payload)
+          val idx =
+            if (v.nFrames <= k) 0 until v.nFrames
+            else (0 until k).map(i => i * v.nFrames / k)
+          FrameSample(r.media_id, v.nFrames,
+            idx.map(i => (v.frameMeanLumas(i) / 255.0).toFloat).toArray)
+        })
+      }
+  }
 }

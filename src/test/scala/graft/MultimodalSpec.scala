@@ -193,6 +193,45 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.size == 8)) // fixed feature shape
   }
 
+  test("resizeBmpLuma box-filters to exact integer-rectangle means") {
+    // 4x2 image, luma = r=g=b value per pixel: left half 40, right half 200
+    val bmp = Multimodal.bmpBytes(4, 2,
+      (x, _) => if (x < 2) 0x282828 else 0xC8C8C8)
+    val t = Multimodal.resizeBmpLuma(bmp, 2, 1)
+    assert(t.length == 2)
+    assert(math.abs(t(0) - 40.0f / 255) < 1e-6 &&
+      math.abs(t(1) - 200.0f / 255) < 1e-6)
+    // full-size resize is the identity on the luma plane
+    val id = Multimodal.resizeBmpLuma(bmp, 4, 2)
+    assert(id.length == 8 && math.abs(id(0) - 40.0f / 255) < 1e-6 &&
+      math.abs(id(3) - 200.0f / 255) < 1e-6)
+    intercept[IllegalArgumentException](Multimodal.resizeBmpLuma(bmp, 8, 2))
+  }
+
+  test("frameSamples keeps k uniformly-spaced frames' mean lumas") {
+    // 6 frames, frame f has constant luma 10f
+    val avi = Multimodal.aviBytes(4, 2, nFrames = 6, fpsRate = 25, fpsScale = 1,
+      (f, _, _) => (f * 10) * 0x010101)
+    val v = Multimodal.decodeAvi(avi)
+    assert(v.frameMeanLumas.toSeq == (0 until 6).map(_ * 10.0))
+    import spark.implicits._
+    val media = Seq((7L, "video", avi, 4, 2, 0))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val fs = Multimodal.frameSamples(media, k = 3).collect().head
+    assert(fs.n_frames == 6)
+    // indices 0, 2, 4 → lumas 0, 20, 40 (each /255)
+    assert(fs.lumas.length == 3)
+    fs.lumas.zip(Seq(0.0f, 20.0f / 255, 40.0f / 255)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"got ${fs.lumas.toSeq}") }
+    // image thumbnails flow through the same batched pipeline
+    val bmp = Multimodal.bmpBytes(4, 2, (x, _) => if (x < 2) 0x282828 else 0xC8C8C8)
+    val imedia = Seq((8L, "image", bmp, 4, 2, 0))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val th = Multimodal.thumbnails(imedia, tw = 2, th = 1).collect().head
+    th.thumb.zip(Seq(40.0f / 255, 200.0f / 255)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"got ${th.thumb.toSeq}") }
+  }
+
   test("feature stats roll decoded media back up per kind") {
     val media = Multimodal.mediaTable(Tables.read(spark, sf("0.001"), "documents"))
     val stats = Multimodal.featureStats(Multimodal.decodeFeatures(media))
