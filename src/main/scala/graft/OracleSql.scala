@@ -75,6 +75,37 @@ object OracleSql {
        |SELECT doc_id, lang, guess, CAST(guess = lang AS BIGINT) AS hit FROM g""".stripMargin
   }
 
+  /** Mirror of TextAnalysis.langIdNgram over the SAME [[operators.TextAnalysis.TrigramProfiles]]
+    * constant: distinct lowercase char trigrams (DuckDB `range(1, n)` is
+    * half-open, so `range(1, len-1)` yields starts 1..len-2 — exactly the
+    * Spark `sequence(1, len-2)` windows).
+    */
+  def textLangIdNgram: String = {
+    val profiles = operators.TextAnalysis.TrigramProfiles
+    val langs = profiles.map(_._1)
+    val scoreCols = profiles.map { case (l, ps) =>
+      s"len(list_intersect(gs, ${sqlList(ps)})) AS s_$l"
+    }.mkString(",\n    ")
+    val cases = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |    CASE WHEN len(lt) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(lt) - 1), i -> substr(lt, i, 3)))
+       |      ELSE [] END AS gs
+       |  FROM t),
+       |s AS (SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM g),
+       |r AS (SELECT doc_id, lang,
+       |  CASE $cases
+       |    ELSE 'und' END AS guess
+       |  FROM s)
+       |SELECT doc_id, lang, guess, CAST(guess = lang AS BIGINT) AS hit FROM r""".stripMargin
+  }
+
   def textQuality(minTokens: Int, maxTokens: Int): String = {
     val allStops = operators.TextAnalysis.Stopwords.map(s => stopHits(s._1)).mkString(" + ")
     s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,

@@ -542,6 +542,9 @@ object SparkEntry {
       TextAnalysis.tokenStats(Tables.read(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.read(s, dir, "documents"))),
+    // char-trigram twin of the word-level langId (n-gram heuristic)
+    "text_langid_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(Tables.read(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.read(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
@@ -1012,6 +1015,7 @@ object SparkEntry {
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
+    "text_langid_ngram" -> OracleSql.textLangIdNgram,
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),

@@ -53,6 +53,41 @@ object TextAnalysis {
       .withColumn("hit", (col("guess") === col("lang")).cast("long"))
   }
 
+  /** Tiny character-trigram profiles (Cavnar–Trenkle-style) for the
+    * char-level language ID. Latin-script languages only: CJK needs char
+    * unigrams, which the word-level [[Stopwords]] path already covers.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "hat"),
+    "de" -> Seq("der", "sch", "und", "ein", "ich"),
+    "es" -> Seq("que", "los", "ado", "nte", "cio"),
+    "fr" -> Seq("les", "des", "eur", "ait", "oir"))
+
+  /** Character-trigram language ID — the char-level n-gram twin of the
+    * word-level [[langId]]: the doc's DISTINCT lowercase char trigrams
+    * (windows span word boundaries) are intersected with each language's
+    * profile; guess = most hits, declaration-order tie-break, `und` when
+    * nothing scores. Per-row HOFs only — zero shuffle.
+    */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val grams = expr(
+      """CASE WHEN length(lower(text)) >= 3
+        |  THEN array_distinct(transform(
+        |    sequence(1, length(lower(text)) - 2),
+        |    i -> substring(lower(text), i, 3)))
+        |  ELSE CAST(array() AS array<string>) END""".stripMargin)
+    val withG = docs.select(col("doc_id"), col("lang"), grams.as("gs"))
+    val scores = TrigramProfiles.map { case (l, ps) =>
+      l -> size(array_intersect(col("gs"), typedlit(ps))) }
+    val guess = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      val isMax = scores.filter(_._1 != l).map(_._2)
+        .foldLeft(s > lit(0))((acc, o) => acc && s >= o)
+      when(isMax, lit(l)).otherwise(els)
+    }
+    withG.select(col("doc_id"), col("lang"), guess.as("guess"))
+      .withColumn("hit", (col("guess") === col("lang")).cast("long"))
+  }
+
   /** Quality signals: length, punctuation density, stopword ratio, digit
     * ratio, plus a boolean keep-flag — the standard cheap pre-filter before
     * expensive dedup/training steps.

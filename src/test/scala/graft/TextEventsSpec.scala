@@ -238,6 +238,22 @@ class TextEventsSpec extends SparkSpec {
       5L -> Some(us(9)), 6L -> None))
   }
 
+  test("langIdNgram guesses by char-trigram hits; windows span word breaks") {
+    val docs = Seq(
+      (1L, "the thing and the nation", "en"),     // the/ing/and/ion
+      (2L, "der schnelle und einfache", "de"),    // der/sch/und/ein
+      (3L, "xq zz qqq", "fr"),                    // nothing scores -> und
+      (4L, "ab", "en")                            // sub-trigram doc -> und
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdNgram(docs)
+      .select("doc_id", "guess", "hit").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("en", 1L)))
+    assert(got(2L) == (("de", 1L)))
+    assert(got(3L) == (("und", 0L)))
+    assert(got(4L) == (("und", 0L)))
+  }
+
   test("piiRedact: counts and rewrites emails, phones, IPs; leaves clean text alone") {
     val docs = Seq(
       (1L, "mail a.user+tag@sub.example.org and b@x.co, call +1-555-0199, from 192.168.0.1"),
