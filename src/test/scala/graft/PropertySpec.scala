@@ -199,6 +199,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup agrees with the batch LSH run over corpus ∪ delta") {
+    samples(docGen, 5).foreach { docs =>
+      val df = docs.toDF("doc_id", "text", "lang")
+      val corpus = df.filter($"doc_id" % 2 === 1)
+      val delta = df.filter($"doc_id" % 2 === 0)
+      val inc = Dedup.incrementalDedup(delta, Dedup.bandedSignatures(corpus))
+        .as[(Long, Option[Long], Long)].collect()
+        .map { case (k, d, n) => k -> ((d, n)) }.toMap
+      // independent route: full batch LSH over all docs, then restrict each
+      // delta doc's pairs to corpus partners + earlier delta partners
+      val pairs = Dedup.minhashLSH(df).select("a_id", "b_id")
+        .as[(Long, Long)].collect()
+      val corpusIds = docs.map(_._1).filter(_ % 2 == 1).toSet
+      docs.map(_._1).filter(_ % 2 == 0).foreach { d =>
+        val partners = pairs.flatMap { case (a, b) =>
+          if (a == d) Some(b) else if (b == d) Some(a) else None
+        }.filter(p => corpusIds(p) || p < d).toSet
+        val expected = if (partners.isEmpty) ((None, 0L))
+          else ((Some(partners.min), partners.size.toLong))
+        assert(inc(d) == expected, s"doc $d: got ${inc(d)}, want $expected")
+      }
+    }
+  }
+
   test("piiRedact is idempotent: placeholders never re-match any pattern") {
     val piiGen: Gen[Seq[(Long, String)]] = for {
       n <- Gen.choose(3, 8)
