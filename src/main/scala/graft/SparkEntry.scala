@@ -567,6 +567,10 @@ object SparkEntry {
     // token budgeting under both conventions: whitespace + BPE-ish regex
     "text_tokens_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.read(s, dir, "documents"))),
+    // sequence packing: fixed token-budget batch assignment by per-lang
+    // prefix sum — the concat-and-chunk fill step before pretraining
+    "doc_pack" -> ((s, dir) =>
+      TextAnalysis.packBatches(Tables.read(s, dir, "documents"))),
     // PII scrub: the fixture has no natural PII, so augment each row with
     // doc_id-derived contact strings (deterministic, oracle-reproducible) —
     // every row then exercises all three redaction patterns
@@ -1021,6 +1025,15 @@ object SparkEntry {
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),
     "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
     "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, (cum - n_tok) // 256 AS batch_id FROM c""".stripMargin,
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "text_repetition" -> OracleSql.textRepetition,
     "text_tokens_bpe" ->

@@ -70,12 +70,10 @@ object TextAnalysis {
     * nothing scores. Per-row HOFs only — zero shuffle.
     */
   def langIdNgram(docs: DataFrame): DataFrame = {
-    val grams = expr(
-      """CASE WHEN length(lower(text)) >= 3
-        |  THEN array_distinct(transform(
-        |    sequence(1, length(lower(text)) - 2),
-        |    i -> substring(lower(text), i, 3)))
-        |  ELSE CAST(array() AS array<string>) END""".stripMargin)
+    // native kernel: the HOF form (array_distinct over per-window substring
+    // lambdas) is CodegenFallback and was the bench's top cost; the fused
+    // expression computes identical values (PlansSpec parity test)
+    val grams = graft.plans.native.char_trigrams(col("text"))
     val withG = docs.select(col("doc_id"), col("lang"), grams.as("gs"))
     val scores = TrigramProfiles.map { case (l, ps) =>
       l -> size(array_intersect(col("gs"), typedlit(ps))) }
@@ -258,6 +256,25 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       aggregate(graft.plans.native.token_ids(col("text")),
         lit(0L), (h, x) => (h * 131 + x) % 1000000007L).as("fp"))
+
+  /** Sequence packing — assign docs to fixed token-budget training batches
+    * (the concat-and-chunk fill every pretraining pipeline runs so examples
+    * waste no context): within each language, docs in deterministic doc_id
+    * order fill batches by prefix sum; a doc's batch is its preceding token
+    * count `div` the budget. Contiguous fill — an over-budget doc straddles
+    * a boundary rather than opening a gap. ONE shuffle (the per-lang
+    * window); at larger scale the partition key extends to (lang, shard)
+    * and the same plan holds.
+    */
+  def packBatches(docs: DataFrame, budget: Int = 256): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr(s"(cum - n_tok) div $budget").as("batch_id"))
 
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2

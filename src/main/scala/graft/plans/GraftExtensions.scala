@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenIds(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("char_trigrams"),
+      CharTrigrams.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharTrigrams(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       MinhashSigs.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -81,6 +86,8 @@ object GraftExtensions {
       "shingle_ids", exprs => ShingleIds(exprs(0), intArg(exprs(1), "shingle_ids")), "built-in")
     reg.createOrReplaceTempFunction(
       "token_ids", exprs => TokenIds(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_trigrams", exprs => CharTrigrams(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinhashSigs(exprs(0), intArg(exprs(1), "minhash_sigs")), "built-in")
   }
@@ -124,6 +131,13 @@ object native {
     */
   def token_ids(text: Column): Column =
     GraftColumnShim.column(TokenIds(GraftColumnShim.expression(text)))
+
+  /** Distinct lowercase char trigrams — the fused
+    * `array_distinct(transform(sequence(...), i -> substring(lower(t), i, 3)))`
+    * (see [[CharTrigrams]]).
+    */
+  def char_trigrams(text: Column): Column =
+    GraftColumnShim.column(CharTrigrams(GraftColumnShim.expression(text)))
 
   /** All n MinHash mins over an id array in one codegen'd pass — the fused
     * per-hash `array_min(transform(ids, x -> (x·a+b) % P))` (see

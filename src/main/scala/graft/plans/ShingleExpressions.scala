@@ -83,6 +83,28 @@ object ShingleOps {
     while (i < toks.length) { out(i) = PolyHash.hash(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Distinct lowercase character trigrams, first-occurrence order — the
+    * fused `array_distinct(transform(sequence(1, length(lower(t)) - 2),
+    * i -> substring(lower(t), i, 3)))` incl. its len<3 → empty guard.
+    * Lowercasing and char (not byte) windows via UTF8String, exactly like
+    * Spark's `lower`/`substring`.
+    */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase
+    val n = lower.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 1
+    while (i <= n - 2) {
+      seen.add(lower.substringSQL(i, 3))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 private[plans] abstract class ShingleExpressionBase extends UnaryExpression {
@@ -150,4 +172,23 @@ case class TokenIds(child: Expression) extends ShingleExpressionBase {
 
 object TokenIds {
   val info: ExpressionInfo = new ExpressionInfo(classOf[TokenIds].getName, "token_ids")
+}
+
+/** `char_trigrams(text)` → `array<string>` distinct lowercase char trigrams. */
+case class CharTrigrams(child: Expression) extends ShingleExpressionBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.charTrigrams(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.charTrigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams")
 }

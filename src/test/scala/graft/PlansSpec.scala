@@ -215,6 +215,25 @@ class PlansSpec extends SparkSpec {
     assert(e.size == 4 && e.forall(_ == null))
   }
 
+  test("native char_trigrams equals the substring-HOF composition on real docs") {
+    val hof = expr(
+      """CASE WHEN length(lower(text)) >= 3
+        |  THEN array_distinct(transform(
+        |    sequence(1, length(lower(text)) - 2),
+        |    i -> substring(lower(text), i, 3)))
+        |  ELSE CAST(array() AS array<string>) END""".stripMargin)
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val bad = docs.select(native.char_trigrams(col("text")).as("a"), hof.as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(bad == 0)
+    // edge cases: sub-trigram strings, mixed case, multi-byte chars
+    import spark.implicits._
+    val edge = Seq("", "ab", "AbCd", "ÀbÇdÉ", "aaaa").toDF("text")
+    val badE = edge.select(native.char_trigrams(col("text")).as("a"), hof.as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(badE == 0)
+  }
+
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))

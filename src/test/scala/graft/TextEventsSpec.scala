@@ -238,6 +238,19 @@ class TextEventsSpec extends SparkSpec {
       5L -> Some(us(9)), 6L -> None))
   }
 
+  test("packBatches fills fixed token budgets by per-lang prefix sum") {
+    val docs = Seq(
+      (1L, "a b c", "en"),             // 3 tokens, prefix 0 -> batch 0
+      (2L, "d e f", "en"),             // prefix 3 -> batch 0
+      (3L, "g h i", "en"),             // prefix 6 -> batch 1
+      (4L, "a b c d e f g", "de"),     // 7 > budget, prefix 0 -> batch 0 (straddles)
+      (5L, "x", "de")                  // prefix 7 -> batch 1
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.packBatches(docs, budget = 5)
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("langIdNgram guesses by char-trigram hits; windows span word breaks") {
     val docs = Seq(
       (1L, "the thing and the nation", "en"),     // the/ing/and/ion
