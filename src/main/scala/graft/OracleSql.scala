@@ -462,6 +462,27 @@ object OracleSql {
        |SELECT c.doc_id, d.lang FROM comp c JOIN documents d ON c.doc_id = d.doc_id
        |WHERE c.doc_id = c.rep_id""".stripMargin
 
+  /** Mirror of the `pipeline_corpus` composition: [[pipelineClean]]'s kept
+    * representatives, then the `doc_pack` per-lang prefix-sum packing over
+    * exactly those docs.
+    */
+  def pipelineCorpus(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
+      bands: Int, thrNum: Int, thrDen: Int, budget: Int): String =
+    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
+       |kd AS (SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id = c.rep_id),
+       |pk AS (SELECT doc_id, lang, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM kd)
+       |SELECT doc_id, lang, n_tok, (cum - n_tok) // $budget AS batch_id FROM pk""".stripMargin
+
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN ((id >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"

@@ -658,6 +658,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- the full corpus build: quality gate → near-dup keep-one →
+    // sequence packing — the kept representatives land in fixed
+    // token-budget training batches, proving the packing stage composes
+    // with the clean pipeline ----
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .filter(col("keep") === 1).select("doc_id")
+      val clean = docs.join(kept, "doc_id")
+      val reps = Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+        .filter(col("doc_id") === col("rep_id")).select("doc_id")
+      TextAnalysis.packBatches(docs.join(reps, "doc_id"))
+    }),
+
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
@@ -1051,6 +1065,8 @@ object SparkEntry {
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "pipeline_corpus" -> OracleSql.pipelineCorpus(minTokens = 25, maxTokens = 5000,
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2, budget = 256),
     "q_window" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,
         |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)
