@@ -779,6 +779,24 @@ object SparkEntry {
           (col("cents") / 100.0).as("revenue"))
     }),
 
+    // ---- bucketized range join (J-family beyond the reference): orders'
+    // price points against per-priority lower-half price bands — a plain
+    // lo <= v < hi join plans as a nested loop; the bucket decomposition
+    // (Joins.rangeJoin) makes it a shuffled equi-join on bucket id, refined
+    // exactly. Covered by PlansSpec's global no-nested-loop assertion ----
+    "q_range_join" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), cents.as("v"))
+      val bands = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min(col("v")).as("lo"),
+          expr("min(v) + (max(v) - min(v)) div 2").as("hi"))
+      operators.Joins.rangeJoin(o.select(col("o_orderkey"), col("v")),
+          bands, width = 1000000L)
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_cents"))
+    }),
+
     // ---- date-partitioned layout + partition pruning: a one-week filter
     // over the d=YYYY-MM-DD layout scans 7 of 30 directories — the scan
     // never touches the other 23 days' files. PlansSpec asserts the pruned
@@ -1150,6 +1168,16 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_jsonl_roundtrip" ->
-      "SELECT doc_id, lang, source, n_chars, text FROM documents"
+      "SELECT doc_id, lang, source, n_chars, text FROM documents",
+
+    "q_range_join" ->
+      """WITH p AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice*100.0) AS BIGINT) AS v FROM orders),
+        |bands AS (SELECT o_orderpriority AS band, min(v) AS lo,
+        |    min(v) + (max(v) - min(v)) // 2 AS hi
+        |  FROM p GROUP BY 1)
+        |SELECT bands.band, count(*) AS cnt, sum(p.v) AS sum_cents
+        |FROM p JOIN bands ON p.v >= bands.lo AND p.v < bands.hi
+        |GROUP BY 1""".stripMargin
   )
 }

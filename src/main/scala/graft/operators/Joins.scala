@@ -36,4 +36,28 @@ object Joins {
       explode(typedlit((0 until salts).toVector)))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bucketized range join — point-in-interval (`lo <= v < hi`), the second
+    * classic join Spark lacks natively (a plain non-equi condition plans as
+    * a nested loop: O(|points|·|intervals|) comparisons). Decomposition:
+    * each interval explodes to the coarse buckets it covers
+    * ((hi−lo)/width + 1 rows), each point lands in exactly ONE bucket, the
+    * join becomes a shuffled equi-join on bucket id refined by the exact
+    * range predicate — and every qualifying (point, interval) pair meets
+    * exactly once, so no dedup stage is needed. `width` trades interval
+    * replication (≈ span/width rows) against candidate precision; both
+    * sides truncate with the same `div`, so bucket assignment is consistent
+    * for any sign.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, width: Long,
+      vCol: String = "v", loCol: String = "lo", hiCol: String = "hi"): DataFrame = {
+    require(width > 0, s"bucket width must be > 0, got $width")
+    val iv = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("_bkt", explode(sequence(
+        expr(s"$loCol div $width"), expr(s"($hiCol - 1) div $width"))))
+    points.withColumn("_bkt", expr(s"$vCol div $width"))
+      .join(iv, Seq("_bkt"))
+      .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
+      .drop("_bkt")
+  }
 }

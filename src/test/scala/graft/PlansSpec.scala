@@ -122,6 +122,29 @@ class PlansSpec extends SparkSpec {
       s"index side must arrive pre-bucketed, no Exchange:\n${idxSides.head}")
   }
 
+  test("rangeJoin: boundary semantics and exactly-once pairs across buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = Seq((1L, 0L), (2L, 5L), (3L, 9L), (4L, 10L), (5L, 25L), (6L, -3L))
+      .toDF("id", "v")
+    val iv = Seq(("a", 0L, 10L), ("b", 5L, 26L), ("c", 7L, 7L), ("d", -5L, 2L))
+      .toDF("band", "lo", "hi")
+    // width 4 forces every interval to span multiple buckets
+    val got = operators.Joins.rangeJoin(pts, iv, width = 4L)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a"), (2L, "a"), (3L, "a"),          // [0,10): 0,5,9 in; 10 out
+      (2L, "b"), (3L, "b"), (4L, "b"), (5L, "b"), // [5,26): incl. 25, excl. none
+      (1L, "d"), (6L, "d")))                     // [-5,2): 0 and -3; "c" empty
+    // exactly-once: no (point, interval) pair duplicated by the explode
+    val n = operators.Joins.rangeJoin(pts, iv, width = 4L).count()
+    assert(n == got.size)
+    // and the plan is an equi-join on the bucket, never a nested loop
+    val plan = operators.Joins.rangeJoin(pts, iv, width = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("plan hygiene: salted join spreads the hot key over (key, _salt) sub-keys") {
     import org.apache.spark.sql.functions._
     val big = Tables.read(spark, sf("0.001"), "lineitem")
