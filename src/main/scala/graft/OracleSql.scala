@@ -462,6 +462,30 @@ object OracleSql {
        |SELECT c.doc_id, d.lang FROM comp c JOIN documents d ON c.doc_id = d.doc_id
        |WHERE c.doc_id = c.rep_id""".stripMargin
 
+  /** Mirror of `text_cms`: the count-min estimate is `least` over the id's
+    * d bucket sums, and a bucket's sum is just a GROUP BY over the same
+    * transparent hash — generated from the SAME [[graft.plans.CmsSketch]]
+    * constants the aggregate uses.
+    */
+  def textCms(w: Int, d: Int): String = {
+    import graft.plans.CmsSketch.{A, B, P}
+    val bks = (0 until d).map { i =>
+      s"b$i AS (SELECT ((id*CAST(${A(i)} AS BIGINT)+${B(i)}) % $P) % $w AS bk, count(*) AS c FROM ids GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until d).map { i =>
+      s"JOIN b$i ON b$i.bk = ((t.id*CAST(${A(i)} AS BIGINT)+${B(i)}) % $P) % $w"
+    }.mkString("\n  ")
+    val leasts = (0 until d).map(i => s"b$i.c").mkString("least(", ", ", ")")
+    s"""WITH ids AS (SELECT unnest(list_transform(string_split(text, ' '), s -> ${tokenId("s")})) AS id
+       |  FROM documents),
+       |$bks,
+       |top AS (SELECT id, count(*) AS exact_cnt FROM ids GROUP BY id
+       |  ORDER BY exact_cnt DESC, id LIMIT 20)
+       |SELECT t.id, t.exact_cnt, $leasts AS est
+       |FROM top t
+       |  $joins""".stripMargin
+  }
+
   /** Mirror of the `pipeline_corpus` composition: [[pipelineClean]]'s kept
     * representatives, then the `doc_pack` per-lang prefix-sum packing over
     * exactly those docs.

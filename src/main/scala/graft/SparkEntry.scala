@@ -571,6 +571,22 @@ object SparkEntry {
     // prefix sum — the concat-and-chunk fill step before pretraining
     "doc_pack" -> ((s, dir) =>
       TextAnalysis.packBatches(Tables.read(s, dir, "documents"))),
+    // count-min sketch (custom TypedImperativeAggregate, transparent hash
+    // family): fixed d×w state summarizes corpus token frequencies; top-20
+    // exact counts ride alongside their sketch estimates (est >= exact by
+    // construction; equal here — the vocab is far below the width). The
+    // 1-row sketch crossJoin is the scalar-subquery plan (allowlisted).
+    "text_cms" -> ((s, dir) => {
+      val ids = Tables.read(s, dir, "documents")
+        .select(graft.plans.native.token_ids(col("text")).as("ids"))
+      val sk = ids.agg(graft.plans.native.cms_sketch(col("ids")).as("cms"))
+      val exact = ids.select(explode(col("ids")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("id")).limit(20)
+      exact.crossJoin(broadcast(sk))
+        .select(col("id"), col("exact_cnt"),
+          graft.plans.native.cms_estimate(col("cms"), col("id")).as("est"))
+    }),
     // PII scrub: the fixture has no natural PII, so augment each row with
     // doc_id-derived contact strings (deterministic, oracle-reproducible) —
     // every row then exercises all three redaction patterns
@@ -1052,6 +1068,7 @@ object SparkEntry {
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
     "text_langid_ngram" -> OracleSql.textLangIdNgram,
+    "text_cms" -> OracleSql.textCms(w = 1024, d = 4),
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),

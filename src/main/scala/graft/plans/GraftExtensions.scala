@@ -153,6 +153,23 @@ object native {
     GraftColumnShim.column(
       VectorSumLong(GraftColumnShim.expression(c), dim).toAggregateExpression())
 
+  /** Count-min sketch aggregate over `array<long>` id rows (see
+    * [[CmsSketch]]): one d×w long matrix summarizes any number of rows.
+    */
+  def cms_sketch(ids: Column, w: Int = 1024, d: Int = 4): Column =
+    GraftColumnShim.column(
+      CmsSketch(GraftColumnShim.expression(ids), w, d).toAggregateExpression())
+
+  /** Point estimate from a [[CmsSketch]] matrix — min over the id's d
+    * buckets, as plain element_at/least columns (relational end to end).
+    */
+  def cms_estimate(cms: Column, id: Column, w: Int = 1024, d: Int = 4): Column =
+    (0 until d).map { i =>
+      element_at(cms,
+        (((id * CmsSketch.A(i) + CmsSketch.B(i)) % CmsSketch.P) % w +
+          i * w + 1).cast("int"))
+    }.reduce(least(_, _))
+
   /** The silhouette pair stage as one codegen'd pass (see [[PairDistStats]]);
     * the sample rides in the plan, value-identical to the O(n²) pair join.
     */

@@ -165,10 +165,11 @@ class PlansSpec extends SparkSpec {
   test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
     // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
     // the scale path); sim_topk broadcast-cross-joins the tiny query side by
-    // design; text_tfidf crossJoins a ONE-row aggregate (the scalar corpus
-    // size N — the scalar-subquery plan, each stream row meets exactly one
-    // build row). Everything else must never nested-loop.
-    val allowed = Set("dedup_embcos", "sim_topk", "text_tfidf")
+    // design; text_tfidf and text_cms crossJoin a ONE-row aggregate (the
+    // scalar corpus size N / the d×w sketch matrix — the scalar-subquery
+    // plan, each stream row meets exactly one build row). Everything else
+    // must never nested-loop.
+    val allowed = Set("dedup_embcos", "sim_topk", "text_tfidf", "text_cms")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
@@ -255,6 +256,23 @@ class PlansSpec extends SparkSpec {
     val badE = edge.select(native.char_trigrams(col("text")).as("a"), hof.as("b"))
       .filter(!(col("a") <=> col("b"))).count()
     assert(badE == 0)
+  }
+
+  test("cms_sketch: estimates are exact-or-above and partitioning-invariant") {
+    import spark.implicits._
+    val ids = (1 to 500).map(i => Seq.fill(i % 7 + 1)(i.toLong)).toDF("ids")
+    // small width forces collisions — the one-sided error must stay one-sided
+    val sk1 = ids.repartition(7).agg(native.cms_sketch(col("ids"), w = 32, d = 2).as("cms"))
+    val sk2 = ids.repartition(2).agg(native.cms_sketch(col("ids"), w = 32, d = 2).as("cms"))
+    assert(sk1.head().getSeq[Long](0) == sk2.head().getSeq[Long](0),
+      "merge must be partitioning-invariant")
+    val exact = ids.select(explode(col("ids")).as("id")).groupBy("id").count()
+    val est = exact.crossJoin(broadcast(sk1)).select(col("id"), col("count"),
+      native.cms_estimate(col("cms"), col("id"), w = 32, d = 2).as("est"))
+    assert(est.filter(col("est") < col("count")).count() == 0,
+      "CMS may only over-estimate")
+    assert(est.filter(col("est") > col("count")).count() > 0,
+      "w=32 against 500 ids must actually collide, or the test is vacuous")
   }
 
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
