@@ -813,6 +813,17 @@ object SparkEntry {
           (col("cents") / 100.0).as("revenue"))
     }),
 
+    // ---- left semi join: customers WITH a qualifying order (EXISTS) —
+    // the complement of q_antijoin, emitting probe rows exactly once
+    // regardless of match multiplicity ----
+    "q_semijoin" -> ((s, dir) => {
+      val c = Tables.read(s, dir, "customer")
+      val big = Tables.read(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    }),
+
     // ---- bucketized range join (J-family beyond the reference): orders'
     // price points against per-priority lower-half price bands — a plain
     // lo <= v < hi join plans as a nested loop; the bucket decomposition
@@ -900,6 +911,11 @@ object SparkEntry {
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
