@@ -857,6 +857,24 @@ object SparkEntry {
           col("cnt"), col("value_mils"))
     }),
 
+    // ---- parquet schema evolution: a corpus written in two generations
+    // (v1 without `quality`, v2 with it) reads back as ONE relation under
+    // mergeSchema, absent columns null — the lake-format reality of any
+    // long-lived 100 TB corpus (schemas change; old files don't rewrite) ----
+    "q_schema_evolve" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_schema_evolve"
+      val docs = Tables.read(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("doc_id"), col("lang"), col("quality"), col("gen").cast("long").as("gen"))
+    }),
+
     // ---- JSON-lines roundtrip (the interchange format LLM corpora actually
     // arrive in): write documents as JSONL, read back with an explicit
     // schema, hash-match row-for-row against the parquet original ----
@@ -1220,6 +1238,13 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
+
+    "q_schema_evolve" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality, 1 AS gen
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars % 100 AS quality, 2 AS gen
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT o_orderkey, o_orderpriority,

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.Sinks
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import scala.jdk.CollectionConverters._
 
 class SinksSpec extends SparkSpec {
@@ -26,6 +27,36 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 2)
     assert(back.orderBy("step").select("c0").as[Double].collect().toSeq == Seq(0.5, 0.7))
+  }
+
+  test("JSONL ingest: corrupt lines quarantine in PERMISSIVE, abort in FAILFAST") {
+    // a real crawl feed always has a few broken lines — the ingest contract
+    // must surface them, not silently null them into the corpus
+    val dir = Files.createTempDirectory("graft_jsonl_bad").toString
+    Files.writeString(Paths.get(s"$dir/part.jsonl"),
+      """{"doc_id": 1, "text": "good row"}
+        |{"doc_id": 2, "text": "also fine"}
+        |{"doc_id": 3, "text": "truncated...
+        |not json at all
+        |{"doc_id": 4, "text": "after the noise"}
+        |""".stripMargin)
+    val schema = "doc_id BIGINT, text STRING, _corrupt_record STRING"
+    // cache first: Spark disallows querying only the corrupt column off raw
+    // files (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    val good = read.filter(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    val bad = read.filter(col("_corrupt_record").isNotNull).count()
+    assert(good == Set(1L, 2L, 4L))
+    assert(bad == 2, "both broken lines must be quarantined, not dropped")
+    // FAILFAST refuses the file outright
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id BIGINT, text STRING")
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
   }
 
   test("bucketed tables join with NO exchange on either side") {
