@@ -391,6 +391,14 @@ object SparkEntry {
         d1Scale = 1e4, d2Scale = 0.01)
     }),
 
+    // gap statistic over the same nested seed prefixes (rows-only: the
+    // uniform reference draw has no ANSI mirror) — completes the choose-K
+    // toolkit next to elbow / silhouettes / validity indices
+    "km_gap" -> ((s, dir) => {
+      val yh = Tables.yhOrders(s, dir).cache()
+      Quality.gapStatistic(yh, dim = 2, ks = 2 to 6)
+    }),
+
     // ---- simplified silhouette on a deterministic sample (§2.11 op 7);
     // shares the memoized O(n²) pair stage with the Rousseeuw variant ----
     "km_silhouette" -> ((s, dir) =>

@@ -284,4 +284,70 @@ object Quality {
       .select(col("ai"), col("bi"),
         ((col("bi") - col("ai")) / greatest(col("ai"), col("bi"))).as("si"))
   }
+
+  /** Gap statistic (Tibshirani, Walther & Hastie 2001), the textbook form:
+    * gap(k) = mean_b log W*_kb − log W_k, where W_k is the D² dispersion of
+    * the DATA under its own k-fit and each W*_kb is the dispersion of a
+    * uniform reference draw (data's bounding box) under THAT SET'S own
+    * k-fit; s_k = sd_b(log W*_kb)·√(1+1/B). `chosen` marks the standard
+    * pick — the smallest k with gap(k) ≥ gap(k+1) − s(k+1). Fitting both
+    * sides matters: un-fitted dispersion keeps falling past the true k and
+    * the criterion never fires.
+    *
+    * Scale shape: ks·(B+1) fits (each `fitAuto` — driver-local under the
+    * size threshold, the distributed loop above it) + one fused
+    * box-and-count scan; reference coordinates are pure xxhash64 functions
+    * of the row id (deterministic under ANY partitioning — `rand()` is
+    * not) and never driver-materialized. Only ks·(B+1) scalars collect.
+    */
+  def gapStatistic(points: DataFrame, dim: Int, ks: Seq[Int],
+      refSets: Int = 3, seed: Long = 42L, scale: Double = 1e4,
+      maxIter: Int = 20): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted, "need ascending ks")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val boxAggs = (0 until dim).flatMap { d =>
+      Seq(min(element_at(col("Y"), d + 1)).as(s"lo_$d"),
+        max(element_at(col("Y"), d + 1)).as(s"hi_$d"))
+    }
+    val row = points.agg(count(lit(1)).as("n"), boxAggs: _*).head()
+    val n = row.getLong(0)
+    val lo = (0 until dim).map(d => row.getDouble(1 + 2 * d))
+    val hi = (0 until dim).map(d => row.getDouble(2 + 2 * d))
+    val m = 1000003L // coordinate resolution of the hash-uniform draw
+    def refSet(b: Int): DataFrame = {
+      val coordCols = (0 until dim).map { d =>
+        val u = pmod(xxhash64(col("id"), lit(seed + b * dim + d)), lit(m))
+          .cast("double") / m.toDouble
+        u * (hi(d) - lo(d)) + lo(d)
+      }
+      spark.range(n).select((col("id") + 1).as("i"), array(coordCols: _*).as("Y"))
+    }
+    def wcss(df: DataFrame, k: Int): Double = {
+      // seeding matters twice here: first-k-by-key seeds can land in one
+      // true cluster (Lloyd never escapes, inverting the data/reference
+      // gap), and rand()-based ++ draws depend on partitioning — k-means||
+      // spreads seeds AND keeps the fit a pure function of the data
+      val fit = KMeans.fitAuto(df, k = k, dim = dim, seed = seed,
+        parallelSeed = true, maxIter = maxIter)
+      df.agg(sumFx(graft.plans.native.nearest_sq_dist(
+        col("Y"), fit.centroids.map(_.c)), scale).as("w")).head().getDouble(0)
+    }
+    val refs = (0 until refSets).map(b => refSet(b).cache())
+    def safeLog(x: Double) = math.log(math.max(x, 1e-300))
+    val stats = ks.map { k =>
+      val logs = refs.map(r => safeLog(wcss(r, k)))
+      val mean = logs.sum / logs.length
+      val sd = math.sqrt(logs.map(x => (x - mean) * (x - mean)).sum / logs.length)
+      (k, mean - safeLog(wcss(points, k)), sd * math.sqrt(1.0 + 1.0 / logs.length))
+    }
+    refs.foreach(_.unpersist())
+    val chosen = stats.zip(stats.drop(1)).collectFirst {
+      case ((k, gap, _), (_, gapNext, skNext)) if gap >= gapNext - skNext => k
+    }.getOrElse(ks.max)
+    stats.map { case (k, gap, sk) =>
+      (k.toLong, math.round(gap * 1e6), math.round(sk * 1e6),
+        if (k == chosen) 1L else 0L)
+    }.toDF("k", "gap_e6", "sk_e6", "chosen")
+  }
 }

@@ -92,6 +92,26 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(r._2 - 50.0) < 1e-9, s"ch=${r._2}")
   }
 
+  test("gap statistic picks the planted k on the 4-cluster fixture") {
+    val seeds4 = Seq((0.0, 0.0), (60.0, 10.0), (10.0, 70.0), (70.0, 80.0))
+    val data = seeds4.zipWithIndex.map { case ((x, y), ix) => (ix.toLong, x, y) }
+      .toDF("s", "sx", "sy")
+      .crossJoin(spark.range(200).select(col("id")))
+      .select((col("s") * 200 + col("id") + 1).as("i"),
+        array(col("sx") + rand(42) * 12.0, col("sy") + rand(43) * 12.0).as("Y"))
+      .cache()
+    val got = Quality.gapStatistic(data, dim = 2, ks = 2 to 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (2L to 6L), "one row per k, in order")
+    assert(got.count(_._4 == 1L) == 1, "exactly one chosen k")
+    assert(got.find(_._4 == 1L).get._1 == 4L,
+      s"must recover the planted k=4, got ${got.toSeq}")
+    // determinism under repartitioning (hash-uniform reference, not rand())
+    val again = Quality.gapStatistic(data.repartition(7), dim = 2, ks = 2 to 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("elbow decreases as k grows (on real embeddings)") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val wcss = Seq(2, 5, 10).map { k =>
