@@ -394,8 +394,11 @@ object SparkEntry {
     // gap statistic over the same nested seed prefixes (rows-only: the
     // uniform reference draw has no ANSI mirror) — completes the choose-K
     // toolkit next to elbow / silhouettes / validity indices
+    // deterministic i%7 sample, same discipline as the silhouette samples:
+    // the gap contrast needs the cluster GEOMETRY, not every row — ks·(B+1)
+    // fits over the sample keep the sweep's cost flat as sf grows
     "km_gap" -> ((s, dir) => {
-      val yh = Tables.yhOrders(s, dir).cache()
+      val yh = Tables.yhOrders(s, dir).filter(col("i") % 7 === 0).cache()
       Quality.gapStatistic(yh, dim = 2, ks = 2 to 6)
     }),
 

@@ -335,12 +335,26 @@ object Quality {
     }
     val refs = (0 until refSets).map(b => refSet(b).cache())
     def safeLog(x: Double) = math.log(math.max(x, 1e-300))
-    val stats = ks.map { k =>
-      val logs = refs.map(r => safeLog(wcss(r, k)))
-      val mean = logs.sum / logs.length
-      val sd = math.sqrt(logs.map(x => (x - mean) * (x - mean)).sum / logs.length)
-      (k, mean - safeLog(wcss(points, k)), sd * math.sqrt(1.0 + 1.0 / logs.length))
-    }
+    // the ks·(B+1) fits are independent and dominated by per-fit fixed cost
+    // (plan + codegen + scheduling), not data — run them concurrently;
+    // values are pure functions of (set, k), so completion order is moot
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(ks.size * (refSets + 1), 24))
+    val stats = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val wF = (for (df <- points +: refs; k <- ks)
+        yield (df, k) -> scala.concurrent.Future(wcss(df, k))).toMap
+      def w(df: DataFrame, k: Int): Double =
+        scala.concurrent.Await.result(wF((df, k)),
+          scala.concurrent.duration.Duration.Inf)
+      ks.map { k =>
+        val logs = refs.map(r => safeLog(w(r, k)))
+        val mean = logs.sum / logs.length
+        val sd = math.sqrt(logs.map(x => (x - mean) * (x - mean)).sum / logs.length)
+        (k, mean - safeLog(w(points, k)), sd * math.sqrt(1.0 + 1.0 / logs.length))
+      }
+    } finally pool.shutdown()
     refs.foreach(_.unpersist())
     val chosen = stats.zip(stats.drop(1)).collectFirst {
       case ((k, gap, _), (_, gapNext, skNext)) if gap >= gapNext - skNext => k
