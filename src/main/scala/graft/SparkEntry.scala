@@ -637,6 +637,16 @@ object SparkEntry {
     "km_validity" -> ((s, dir) =>
       Quality.validityIndices(Tables.yhOrders(s, dir), c4(s, dir))),
 
+    // ---- train→deploy roundtrip: the fixed centroid set is SAVED to
+    // parquet (the WCR shape), LOADED back, and served — hash-matching
+    // km_assign's oracle proves persistence is bit-exact ----
+    "km_model_roundtrip" -> ((s, dir) => {
+      val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_model_rt"
+      KMeans.saveModel(s, KMeans.FitResult(c4(s, dir), Nil, 0L, 0.0), path)
+      val loaded = KMeans.loadModel(s, path)
+      KMeans.assign(Tables.yhOrders(s, dir), loaded).select(col("i"), col("j"))
+    }),
+
     // ---- assignment via the native codegen'd SqDist Expression: same
     // oracle as km_assign — proves the custom kernel is bit-compatible ----
     "km_assign_native" -> ((s, dir) => {
@@ -1002,6 +1012,8 @@ object SparkEntry {
     "km_assign" ->
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
     "km_assign_native" ->
+      s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
+    "km_model_roundtrip" ->
       s"WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN SELECT i, j FROM a",
     "km_pivot_viz" ->
       s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN

@@ -908,5 +908,30 @@ object KMeans {
     FitResult(cs, log, step, move)
   }
 
+  // ------------------------------------------------------- model persistence
+
+  /** Persist a trained model: `<path>/centroids` (j, C) and `<path>/log`
+    * (step, j, C) as parquet — the WCR-table shape (k-means.sql:11), so the
+    * saved artifact doubles as the centroid log export. Coordinates are
+    * doubles in parquet: the round trip is bit-exact, and [[loadModel]] +
+    * [[assign]] serves the training-time assignments unchanged (pinned in
+    * KMeansSpec and by `km_model_roundtrip` sharing `km_assign`'s oracle).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, fit: FitResult,
+      path: String): Unit = {
+    import spark.implicits._
+    fit.centroids.toDF("j", "C").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    fit.log.toDF("step", "j", "C").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/log")
+  }
+
+  /** Load the centroid set saved by [[saveModel]], in j order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Centroid] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("j").collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1))).toSeq
+
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.kmeans")
 }

@@ -362,4 +362,25 @@ class KMeansSpec extends SparkSpec {
     val move = KMeans.movement(fit.centroids, again)
     assert(move < 1e-3, s"converged fit moved $move on an extra step")
   }
+
+  test("model save/load roundtrip is bit-exact and serves identical assignments") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val fit = KMeans.fit(data, k = 4, dim = 64, seed = 42)
+    val path = java.nio.file.Files.createTempDirectory("graft_model").toString
+    KMeans.saveModel(spark, fit, path)
+    val loaded = KMeans.loadModel(spark, path)
+    // bit-exact coordinates, j order preserved
+    assert(loaded.map(c => (c.j, c.c.map(java.lang.Double.doubleToLongBits))) ==
+      fit.centroids.sortBy(_.j).map(c => (c.j, c.c.map(java.lang.Double.doubleToLongBits))))
+    // and the served assignments equal training-time assignments
+    val a = KMeans.assign(data, fit.centroids).select("i", "j")
+      .as[(Long, Long)].collect().toMap
+    val b = KMeans.assign(data, loaded).select("i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // the saved log has the WCR shape
+    val log = spark.read.parquet(s"$path/log")
+    assert(log.columns.toSeq == Seq("step", "j", "C"))
+    assert(log.count() == fit.log.size)
+  }
 }
