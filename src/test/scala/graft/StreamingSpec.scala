@@ -97,6 +97,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row batch operators run UNCHANGED on a stream: PII redact") {
+    // the zero-shuffle text operators are stream-agnostic by construction —
+    // the same function object serves both planes, no streaming twin needed
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.piiRedact(
+      in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "reach me at who@example.org or 10.0.0.7"))
+      q.processAllAvailable()
+      val r = spark.table("pii_out")
+        .as[(Long, Long, Long, Long, String)].collect().head
+      assert(r == ((1L, 1L, 0L, 1L, "reach me at <EMAIL> or <IP>")))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arriving docs against the static benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
