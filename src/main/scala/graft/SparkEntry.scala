@@ -896,6 +896,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"), col("gen").cast("long").as("gen"))
     }),
 
+    // ---- small-files compaction roundtrip: a 16-way fragmented write
+    // (the residue every incremental writer leaves) compacts shuffle-free
+    // to few files, values hash-exact against the original ----
+    "q_compact" -> ((s, dir) => {
+      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$tmp/graft_fragmented")
+      sources.Sinks.compact(s, s"$tmp/graft_fragmented", s"$tmp/graft_compacted",
+        targetBytes = 64L * 1024)
+      s.read.parquet(s"$tmp/graft_compacted")
+    }),
+
     // ---- JSON-lines roundtrip (the interchange format LLM corpora actually
     // arrive in): write documents as JSONL, read back with an explicit
     // schema, hash-match row-for-row against the parquet original ----
@@ -1261,6 +1275,9 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
+
+    "q_compact" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
 
     "q_schema_evolve" ->
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality, 1 AS gen

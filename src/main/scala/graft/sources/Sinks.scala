@@ -41,6 +41,27 @@ object Sinks {
     * zip of bucket files. Sort-within-bucket keeps merge-join ready order.
     * SinksSpec asserts the shuffle-free plan property on a real join.
     */
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes/target) files. Millions of tiny files are the silent killer
+    * of a 100 TB table scan (per-file open + footer decode dominates) and
+    * the inevitable residue of streaming/incremental writers; compaction is
+    * the maintenance pass that restores scan efficiency. `coalesce` (not
+    * `repartition`) keeps it shuffle-free — each output file is a
+    * concatenation of input splits. Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = {
+      val files = Option(new java.io.File(inPath).listFiles()).getOrElse(Array.empty)
+      files.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], path: Option[String] = None): Unit = {
     val w = df.write

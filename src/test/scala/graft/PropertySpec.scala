@@ -199,6 +199,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin equals the naive non-equi join on random intervals, any width") {
+    val gen = for {
+      np <- Gen.choose(10, 40)
+      ni <- Gen.choose(3, 10)
+      pts <- Gen.listOfN(np, Gen.choose(-50L, 150L))
+      los <- Gen.listOfN(ni, Gen.choose(-60L, 140L))
+      lens <- Gen.listOfN(ni, Gen.choose(0L, 80L))
+    } yield (pts.zipWithIndex.map { case (v, ix) => (ix.toLong, v) },
+      los.zip(lens).zipWithIndex.map { case ((lo, len), ix) =>
+        (s"b$ix", lo, lo + len) })
+    samples(gen, 6).zip(Seq(1L, 3L, 7L, 16L, 64L, 1000L)).foreach {
+      case ((pts, ivs), width) =>
+        val p = pts.toDF("id", "v")
+        val iv = ivs.toDF("band", "lo", "hi")
+        val got = graft.operators.Joins.rangeJoin(p, iv, width)
+          .select("id", "band").as[(Long, String)].collect().toSet
+        val naive = p.join(iv, $"v" >= $"lo" && $"v" < $"hi")
+          .select("id", "band").as[(Long, String)].collect().toSet
+        assert(got == naive, s"width=$width")
+    }
+  }
+
   test("incremental dedup agrees with the batch LSH run over corpus ∪ delta") {
     samples(docGen, 5).foreach { docs =>
       val df = docs.toDF("doc_id", "text", "lang")

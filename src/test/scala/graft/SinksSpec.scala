@@ -59,6 +59,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a fragmented directory into few files, values intact") {
+    val in = Files.createTempDirectory("graft_frag").toString
+    val out = Files.createTempDirectory("graft_comp").toString
+    val df = spark.range(2000).selectExpr("id", "id * 3 AS v")
+    df.repartition(16).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 16, "fixture must actually be fragmented")
+    val n = Sinks.compact(spark, in, out, targetBytes = 1L << 20)
+    assert(n == 1 && parquetFiles(out) == 1, "2000 tiny rows fit one target file")
+    assert(spark.read.parquet(out).as[(Long, Long)].collect().toSet ==
+      df.as[(Long, Long)].collect().toSet)
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     import org.apache.spark.sql.functions._
     val o = Tables.read(spark, sf("0.001"), "orders")
