@@ -238,6 +238,23 @@ class TextEventsSpec extends SparkSpec {
       5L -> Some(us(9)), 6L -> None))
   }
 
+  test("observe: the quality gate reports kept/dropped counts in-flight") {
+    // production pipelines need stage telemetry WITHOUT a second scan —
+    // df.observe rides the existing pass and surfaces named metrics
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val obs = new org.apache.spark.sql.Observation("quality_gate")
+    val gated = TextAnalysis.qualityScore(docs, minTokens = 25)
+      .observe(obs, count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_kept"))
+      .filter(col("keep") === 1)
+    val kept = gated.count()
+    val m = obs.get
+    assert(m("n_total") == docs.count())
+    assert(m("n_kept") == kept)
+    assert(kept > 0 && kept < m("n_total").asInstanceOf[Long],
+      "the gate must be consequential on this corpus")
+  }
+
   test("packBatches fills fixed token budgets by per-lang prefix sum") {
     val docs = Seq(
       (1L, "a b c", "en"),             // 3 tokens, prefix 0 -> batch 0
