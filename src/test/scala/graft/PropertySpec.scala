@@ -199,6 +199,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cube contains rollup exactly: same rows plus the missing marginal") {
+    val roll = SparkEntry.queries("q_rollup")(spark, sf("0.001"))
+      .collect().map(_.toSeq).toSet
+    val cube = SparkEntry.queries("q_cube")(spark, sf("0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(roll.subsetOf(cube), "every rollup row must appear in the cube")
+    // the difference is exactly the (null, linestatus) marginal rollup skips
+    val extra = cube -- roll
+    assert(extra.nonEmpty && extra.forall(r => r.head == null && r(1) != null),
+      s"cube-only rows must be the flag-marginal: $extra")
+  }
+
   test("rangeJoin equals the naive non-equi join on random intervals, any width") {
     val gen = for {
       np <- Gen.choose(10, 40)
