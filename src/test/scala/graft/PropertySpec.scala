@@ -199,6 +199,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semi and anti joins partition the probe side exactly") {
+    val semi = SparkEntry.queries("q_semijoin")(spark, sf("0.001"))
+      .select("c_custkey").as[Long].collect().toSet
+    val anti = SparkEntry.queries("q_antijoin")(spark, sf("0.001"))
+      .select("c_custkey").as[Long].collect().toSet
+    val all = Tables.read(spark, sf("0.001"), "customer")
+      .select("c_custkey").as[Long].collect().toSet
+    assert((semi & anti).isEmpty, "EXISTS and NOT EXISTS cannot overlap")
+    assert((semi | anti) == all, "together they must cover every customer")
+  }
+
+  test("exact duplicates are caught by every dedup family") {
+    samples(docGen, 4).foreach { docs =>
+      // plant an exact dup of doc 1 with a fresh id
+      val planted = docs :+ ((docs.map(_._1).max + 1, docs.head._2, docs.head._3))
+      val df = planted.toDF("doc_id", "text", "lang")
+      val pair = (docs.head._1, planted.last._1)
+      val mh = Dedup.minhashLSH(df).select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(mh.contains(pair), s"minhash missed the exact dup $pair")
+      val sh = Dedup.simhashPairs(df, chunkBlocked = false)
+        .filter($"hamming" === 0).select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(sh.contains(pair), s"simhash missed the exact dup $pair")
+      val ng = Dedup.ngramJaccard(df, n = 3, thrNum = 1, thrDen = 2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(ng.contains(pair), s"ngram jaccard missed the exact dup $pair")
+      val ex = Dedup.exact(df).as[(Long, Long)].collect().toMap
+      assert(ex.contains(pair._1), "exact dedup must collapse the planted pair")
+    }
+  }
+
   test("cube contains rollup exactly: same rows plus the missing marginal") {
     val roll = SparkEntry.queries("q_rollup")(spark, sf("0.001"))
       .collect().map(_.toSeq).toSet
