@@ -59,6 +59,23 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces ONLY the day being rewritten") {
+    // the daily-restatement pattern on a date-partitioned corpus: static
+    // overwrite would truncate the whole table; dynamic mode replaces just
+    // the partitions present in the incoming batch
+    val dir = Files.createTempDirectory("graft_dynpart").toString
+    val base = spark.range(30).selectExpr("id AS d", "id * 10 AS v")
+    base.write.partitionBy("d").mode("overwrite").parquet(dir)
+    val restated = spark.range(1).selectExpr("7 AS d", "999 AS v")
+    restated.write.partitionBy("d").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    val got = spark.read.parquet(dir).select("d", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 30, "all 30 day-partitions must survive")
+    assert(got(7L) == 999L, "the restated day carries the new value")
+    assert(got(8L) == 80L && got(0L) == 0L, "untouched days keep old values")
+  }
+
   test("compact rewrites a fragmented directory into few files, values intact") {
     val in = Files.createTempDirectory("graft_frag").toString
     val out = Files.createTempDirectory("graft_comp").toString
