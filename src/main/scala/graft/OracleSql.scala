@@ -481,7 +481,7 @@ object OracleSql {
        |$bks,
        |top AS (SELECT id, count(*) AS exact_cnt FROM ids GROUP BY id
        |  ORDER BY exact_cnt DESC, id LIMIT 20)
-       |SELECT t.id, t.exact_cnt, $leasts AS est
+       |SELECT CAST(t.id AS BIGINT) AS id, t.exact_cnt, $leasts AS est
        |FROM top t
        |  $joins""".stripMargin
   }
@@ -505,7 +505,8 @@ object OracleSql {
        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM kd)
-       |SELECT doc_id, lang, n_tok, (cum - n_tok) // $budget AS batch_id FROM pk""".stripMargin
+       |SELECT doc_id, lang, n_tok,
+       |  CAST((cum - n_tok) // $budget AS BIGINT) AS batch_id FROM pk""".stripMargin
 
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>

@@ -1171,7 +1171,8 @@ object SparkEntry {
         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
-        |SELECT doc_id, lang, n_tok, (cum - n_tok) // 256 AS batch_id FROM c""".stripMargin,
+        |SELECT doc_id, lang, n_tok,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS batch_id FROM c""".stripMargin,
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "text_repetition" -> OracleSql.textRepetition,
     "text_tokens_bpe" ->
@@ -1198,8 +1199,8 @@ object SparkEntry {
         |  lag(cents, 1) OVER w AS prev_cents,
         |  lead(cents, 1) OVER w AS next_cents,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
     "q_distinct" ->
@@ -1268,7 +1269,7 @@ object SparkEntry {
     "q_partition_prune" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
         |  count(*) AS cnt,
-        |  sum(CAST(round(value*1000.0) AS BIGINT)) AS value_mils
+        |  CAST(sum(CAST(round(value*1000.0) AS BIGINT)) AS BIGINT) AS value_mils
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1, 2""".stripMargin,
@@ -1280,10 +1281,10 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars FROM documents",
 
     "q_schema_evolve" ->
-      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality, 1 AS gen
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality, CAST(1 AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 2 = 0
         |UNION ALL
-        |SELECT doc_id, lang, n_chars % 100 AS quality, 2 AS gen
+        |SELECT doc_id, lang, n_chars % 100 AS quality, CAST(2 AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "q_range_join" ->
@@ -1292,7 +1293,7 @@ object SparkEntry {
         |bands AS (SELECT o_orderpriority AS band, min(v) AS lo,
         |    min(v) + (max(v) - min(v)) // 2 AS hi
         |  FROM p GROUP BY 1)
-        |SELECT bands.band, count(*) AS cnt, sum(p.v) AS sum_cents
+        |SELECT bands.band, count(*) AS cnt, CAST(sum(p.v) AS BIGINT) AS sum_cents
         |FROM p JOIN bands ON p.v >= bands.lo AND p.v < bands.hi
         |GROUP BY 1""".stripMargin
   )

@@ -6,7 +6,13 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB (tables registered as
 views over <sfDir>/*.parquet), and compares: schema (column names), row
-count, and exact cell values after sorting rows and columns by name.
+count, exact cell values after sorting rows and columns by name, AND the
+Arrow-level column types. The driver's hash is typed: DuckDB `sum(BIGINT)`
+silently widening to DECIMAL128(38,0) hash-mismatches against Spark's int64
+even when every stringified cell agrees (the round-5 lesson — 5 queries
+passed this replica's value compare but failed the driver). Integer widths
+are normalized (int32 vs int64 passes, matching observed driver tolerance);
+any int-vs-decimal or int-vs-float divergence fails here first.
 """
 import json
 import sys
@@ -21,6 +27,19 @@ def canon(rows):
     def key(r):
         return tuple((v is None, str(v)) for v in r)
     return sorted(rows, key=key)
+
+
+def norm_type(t):
+    """Collapse Arrow types to compare families: int widths merge, string
+    flavors merge; decimal/float/date/timestamp stay distinct."""
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s in ("large_string", "string", "utf8", "large_utf8"):
+        return "string"
+    if s == "float":
+        return "double"
+    return s
 
 
 def main(sf_dir, out_dir):
@@ -42,22 +61,27 @@ def main(sf_dir, out_dir):
             failures += 0 if len(got) > 0 else 1
             continue
         try:
-            res = con.execute(oracle[name])
-            exp_cols_raw = [d[0] for d in res.description]
-            exp_rows = res.fetchall()
+            exp_tbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"  {name:<18} ORACLE SQL ERROR: {e}")
             failures += 1
             continue
+        exp_cols_raw = exp_tbl.column_names
         exp_cols = sorted(exp_cols_raw)
-        order = [exp_cols_raw.index(c) for c in exp_cols]
-        exp = [tuple(r[i] for i in order) for r in exp_rows]
+        exp = [tuple(row[c] for c in exp_cols) for row in exp_tbl.to_pylist()]
+        got_types = {f.name: norm_type(f.type) for f in got_tbl.schema}
+        exp_types = {f.name: norm_type(f.type) for f in exp_tbl.schema}
+        type_diff = [
+            f"{c}:{got_types[c]}!={exp_types[c]}"
+            for c in got_types if c in exp_types and got_types[c] != exp_types[c]]
         schema_ok = got_cols == exp_cols
+        types_ok = not type_diff
         rows_ok = len(got) == len(exp)
         vals_ok = canon(got) == canon(exp) if schema_ok and rows_ok else False
-        status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
+        status = "OK" if (schema_ok and types_ok and rows_ok and vals_ok) else "FAIL"
         print(f"  {name:<18} {status} rows={len(got)}/{len(exp)} "
-              f"schema={'ok' if schema_ok else f'{got_cols} != {exp_cols}'} vals={vals_ok}")
+              f"schema={'ok' if schema_ok else f'{got_cols} != {exp_cols}'} "
+              f"types={'ok' if types_ok else ','.join(type_diff)} vals={vals_ok}")
         if status == "FAIL":
             failures += 1
             if schema_ok and rows_ok:
