@@ -50,6 +50,15 @@ object SparkEntry {
       .mkString(dir + "|", ",", "")
   }
 
+  /** Identifier-safe digest of [[dirKey]], embedded in every persisted
+    * artifact's table/path name. The memo key alone is not enough: memos are
+    * per-JVM but the artifacts are global (warehouse tables, /tmp paths), so
+    * without the tag a process that served dir A after dir B would revisit
+    * A's memo entry and silently read B's data.
+    */
+  private def dirTag(dir: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(dirKey(dir)) & 0x7fffffff}%08x"
+
   /** The flagship embeddings fit is fully deterministic per input data, and
     * several queries consume it (`km_fit`, `km_wcr_log`) — memoize so one
     * JVM run fits once.
@@ -77,18 +86,22 @@ object SparkEntry {
     * computed at write time so downstream sums stay exact longs.
     */
   private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  private def ensureBucketed(s: SparkSession, dir: String): Unit =
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = dirTag(dir)
+    val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
     bucketedCache.getOrElseUpdate(dirKey(dir), {
       val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       sources.Sinks.writeBucketed(
         Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        "graft_bkt_orders", 8, Seq("o_orderkey"), Some(s"$tmp/graft_bkt_orders"))
+        oTbl, 8, Seq("o_orderkey"), Some(s"$tmp/$oTbl"))
       sources.Sinks.writeBucketed(
         Tables.read(s, dir, "lineitem").select(
           col("l_orderkey").as("o_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("l_cents")),
-        "graft_bkt_lineitem", 8, Seq("o_orderkey"), Some(s"$tmp/graft_bkt_lineitem"))
+        lTbl, 8, Seq("o_orderkey"), Some(s"$tmp/$lTbl"))
     })
+    (oTbl, lTbl)
+  }
 
   /** Date-partitioned events for `q_partition_prune`: one write pays the
     * layout cost, then every date-ranged read scans ONLY the matching
@@ -98,7 +111,7 @@ object SparkEntry {
     * bucketed pair; PlansSpec asserts the pruned scan.
     */
   private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_events_by_day"
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_events_by_day_${dirTag(dir)}"
     bucketedCache.getOrElseUpdate("evpart|" + dirKey(dir), {
       Tables.readEvents(s, dir)
         .withColumn("d", to_date(col("ts")))
@@ -111,25 +124,31 @@ object SparkEntry {
     * doc_id % 5 != 0): built and bucketed ONCE; every delta batch probes it
     * with zero corpus re-read and zero corpus-side shuffle.
     */
-  private def ensureMinhashIndex(s: SparkSession, dir: String): Unit =
+  private def ensureMinhashIndex(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_mh_index_${dirTag(dir)}"
     bucketedCache.getOrElseUpdate("mhidx|" + dirKey(dir), {
       val corpus = Tables.read(s, dir, "documents")
         .filter(col("doc_id") % 5 =!= 0)
       sources.Sinks.writeBucketed(Dedup.bandedSignatures(corpus),
-        "graft_mh_index", 8, Seq("band", "key"),
-        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mh_index"))
+        tbl, 8, Seq("band", "key"),
+        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/$tbl"))
     })
+    tbl
+  }
 
   /** Persisted IVF index for `sim_ivf_indexed`: built once per dir (the
     * build-time shuffle is the cost the build/probe split amortizes).
     */
-  private def ensureIvfIndex(s: SparkSession, dir: String): Unit =
+  private def ensureIvfIndex(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_ivf_idx_${dirTag(dir)}"
     bucketedCache.getOrElseUpdate("ivf|" + dirKey(dir), {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.buildIvfIndex(emb, Similarity.fixedCentroids(emb, 16),
-        "graft_ivf_idx", buckets = 8,
-        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ivf_idx"))
+        tbl, buckets = 8,
+        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/$tbl"))
     })
+    tbl
+  }
 
   /** Spherical twin of [[embFit]] for cosine ANN: same k-means|| fit, run on
     * the L2-normalized embeddings (`Similarity.normalize`).
@@ -505,10 +524,10 @@ object SparkEntry {
     // and zero corpus-side shuffle (merge hint pins the bucket-aligned SMJ
     // the pattern exists for; PlansSpec asserts the exchange-free side)
     "dedup_incremental" -> ((s, dir) => {
-      ensureMinhashIndex(s, dir)
+      val idx = ensureMinhashIndex(s, dir)
       Dedup.incrementalDedup(
         Tables.read(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-        s.table("graft_mh_index").hint("merge"))
+        s.table(idx).hint("merge"))
     }),
     // benchmark decontamination: n-gram overlap of every corpus doc against
     // the held-out set (doc_id % 97 here), the test-set-leakage guard of
@@ -558,8 +577,8 @@ object SparkEntry {
     "sim_ivf_indexed" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       val cents = Similarity.fixedCentroids(emb, 16)
-      ensureIvfIndex(s, dir)
-      Similarity.ivfTopKIndexed(emb, "graft_ivf_idx", cents)
+      val idx = ensureIvfIndex(s, dir)
+      Similarity.ivfTopKIndexed(emb, idx, cents)
     }),
     // LSH ANN (sign random projections): the second classic ANN blocking
     // scheme next to IVF — candidates from an equi-join on (table, bucket),
@@ -824,9 +843,9 @@ object SparkEntry {
     // bucket-aligned sort-merge join against broadcast auto-selection so the
     // asserted shape is the one that runs at any size ----
     "q_bucketed_join" -> ((s, dir) => {
-      ensureBucketed(s, dir)
-      val o = s.table("graft_bkt_orders").hint("merge")
-      val l = s.table("graft_bkt_lineitem").hint("merge")
+      val (oTbl, lTbl) = ensureBucketed(s, dir)
+      val o = s.table(oTbl).hint("merge")
+      val l = s.table(lTbl).hint("merge")
       o.join(l, "o_orderkey")
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"), sum(col("l_cents")).as("cents"))

@@ -862,17 +862,40 @@ object KMeans {
     * cluster scale the same logic holds: the single reducer reads P·k
     * pre-aggregated rows — the same volume the driver collects one query
     * later. Points-scale data never crosses a shuffle in this loop.
+    *
+    * Reentrancy: concurrent fits on one session (gapStatistic runs its
+    * per-k fits in parallel) must not interleave save/restore pairs — a
+    * naive save could capture ANOTHER fit's in-flight iter conf and
+    * "restore" the session to aqe=off/1-partition permanently. The guard is
+    * reference-counted per session: the first entrant saves the caller's
+    * conf and applies the iter conf, nested/concurrent entrants just bump
+    * the count (they want the identical conf), and the last leaver
+    * restores the original.
     */
+  private val iterConfDepth =
+    new java.util.IdentityHashMap[SparkSession, (Int, String, String)]()
   private def withIterConf[A](spark: SparkSession)(body: => A): A = {
     val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val parts = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", "1")
+    iterConfDepth.synchronized {
+      iterConfDepth.get(spark) match {
+        case null =>
+          val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+          val parts = conf.get("spark.sql.shuffle.partitions", "200")
+          conf.set("spark.sql.adaptive.enabled", "false")
+          conf.set("spark.sql.shuffle.partitions", "1")
+          iterConfDepth.put(spark, (1, aqe, parts))
+        case (n, aqe, parts) => iterConfDepth.put(spark, (n + 1, aqe, parts))
+      }
+    }
     try body
-    finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.shuffle.partitions", parts)
+    finally iterConfDepth.synchronized {
+      iterConfDepth.get(spark) match {
+        case (1, aqe, parts) =>
+          iterConfDepth.remove(spark)
+          conf.set("spark.sql.adaptive.enabled", aqe)
+          conf.set("spark.sql.shuffle.partitions", parts)
+        case (n, aqe, parts) => iterConfDepth.put(spark, (n - 1, aqe, parts))
+      }
     }
   }
 

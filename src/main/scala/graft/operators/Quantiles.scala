@@ -35,13 +35,23 @@ object Quantiles {
   def exactGroupedQuantiles(data: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Double)], bucketWidth: Long = 4096L): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    require(data.schema(groupCol).dataType == StringType,
+      s"exactGroupedQuantiles: group column '$groupCol' must be STRING, " +
+        s"got ${data.schema(groupCol).dataType.simpleString}")
     val spark = data.sparkSession
+    val outSchema = StructType(
+      StructField("g", StringType) +: StructField("cnt", LongType) +:
+        qs.map { case (nm, _) => StructField(nm, DoubleType) })
     // pass 1: per-(group, bucket) counts. floor() keeps negative values in
     // their floor-division bucket (long `/` would truncate toward zero).
     val b = floor(col(valueCol) / lit(bucketWidth.toDouble)).cast("long")
     val buckets = data.groupBy(col(groupCol).as("g"), b.as("b"))
       .agg(count(lit(1)).as("w"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (buckets.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+        .withColumnRenamed("g", groupCol)
 
     // driver: per group, bucket prefix sums -> which (group, bucket) holds
     // each needed 0-based order statistic
@@ -97,10 +107,7 @@ object Quantiles {
       }
       Row.fromSeq(g +: n +: ps)
     }
-    val schema = StructType(
-      StructField("g", StringType) +: StructField("cnt", LongType) +:
-        qs.map { case (nm, _) => StructField(nm, DoubleType) })
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
       .withColumnRenamed("g", groupCol)
   }
 }

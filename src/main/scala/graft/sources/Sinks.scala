@@ -52,10 +52,21 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // Size via Hadoop FS (recursive): works on partitioned layouts and on
+    // HDFS/S3, where java.io.File silently reports nothing — and a 0-byte
+    // estimate would coalesce the whole table into one file.
     val bytes = {
-      val files = Option(new java.io.File(inPath).listFiles()).getOrElse(Array.empty)
-      files.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+      val path = new org.apache.hadoop.fs.Path(inPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var total = 0L
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      }
+      total
     }
+    require(bytes > 0, s"compact: no parquet files found under $inPath")
     val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(n)
       .write.mode("overwrite").parquet(outPath)

@@ -383,4 +383,32 @@ class KMeansSpec extends SparkSpec {
     assert(log.columns.toSeq == Seq("step", "j", "C"))
     assert(log.count() == fit.log.size)
   }
+
+  test("concurrent fits restore the session conf (withIterConf reentrancy)") {
+    // gapStatistic runs its per-k fits in parallel on ONE session; an
+    // interleaved save/restore could capture another fit's in-flight iter
+    // conf and leave the session permanently at aqe=off/1-partition,
+    // degrading every later query in the process. The guard is
+    // reference-counted: stress it with staggered concurrent fits and
+    // assert the caller's conf survives.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    data.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until 8).map { i =>
+      Future {
+        Thread.sleep(i * 20L) // stagger entries/exits across fit lifetimes
+        KMeans.fit(data, k = 3, dim = 64, maxIter = 2 + i % 3, seed = 42 + i)
+      }
+    }
+    val results = Await.result(Future.sequence(fits), 5.minutes)
+    assert(results.forall(_.centroids.nonEmpty))
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+      "AQE setting not restored after concurrent fits")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+      "shuffle.partitions not restored after concurrent fits")
+  }
 }

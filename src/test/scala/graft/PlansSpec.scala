@@ -324,4 +324,22 @@ class PlansSpec extends SparkSpec {
       native.nearestIdNative(col("Y"), cs.map(_.j), cs.map(_.c)).as("b"))
     assert(cmp.filter(col("a") =!= col("b")).count() == 0)
   }
+
+  test("persisted artifacts are dir-keyed: a revisited dir serves its own data") {
+    // The artifact-backed queries (bucketed pair, MinHash index, IVF index,
+    // partitioned events) memoize the BUILD per dir but persist to global
+    // names; without a dir tag in the name, serving dir A, then dir B, then
+    // A again would hit A's memo and silently read B's artifact. Pin the
+    // A -> B -> A sequence on the three cheap artifact queries.
+    def counts(d: String): (Long, Long, Long) = (
+      SparkEntry.queries("q_bucketed_join")(spark, d).count(),
+      SparkEntry.queries("dedup_incremental")(spark, d).count(),
+      SparkEntry.queries("q_partition_prune")(spark, d)
+        .agg(sum(col("cnt"))).head().getLong(0))
+    val a1 = counts(sf("0.001"))
+    val b = counts(sf("0.01"))
+    val a2 = counts(sf("0.001"))
+    assert(a1 == a2, s"revisited dir must serve its own artifacts: $a1 vs $a2")
+    assert(a1 != b, "scale factors must be distinguishable for this pin to bite")
+  }
 }

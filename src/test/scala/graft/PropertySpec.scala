@@ -163,6 +163,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactGroupedQuantiles: empty input yields an empty typed result") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(String, Long)].toDF("g", "v")
+    val out = graft.operators.Quantiles.exactGroupedQuantiles(
+      empty, "g", "v", Seq(("p50", 0.5)))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("g", "cnt", "p50"))
+    // and a filter that matches nothing behaves the same as a truly empty frame
+    val none = Seq(("a", 1L)).toDF("g", "v").filter(col("v") > 100L)
+    assert(graft.operators.Quantiles.exactGroupedQuantiles(
+      none, "g", "v", Seq(("p50", 0.5))).count() == 0)
+  }
+
+  test("exactGroupedQuantiles: non-string group column fails fast with a clear error") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactGroupedQuantiles(df, "g", "v", Seq(("p50", 0.5)))
+    }
+    assert(e.getMessage.contains("must be STRING"))
+  }
+
   test("approx percentile stays within its rank-error contract vs exact") {
     // the 100 TB default for quantiles is the one-pass sketch
     // (percentile_approx, rank error <= n/accuracy); pin it inside the
