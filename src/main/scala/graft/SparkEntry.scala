@@ -623,6 +623,16 @@ object SparkEntry {
     // prefix sum — the concat-and-chunk fill step before pretraining
     "doc_pack" -> ((s, dir) =>
       TextAnalysis.packBatches(Tables.read(s, dir, "documents"))),
+    // corpus mixing: per-source token budgets (derived from the source id so
+    // the same formula runs at every SF) fill in deterministic doc order —
+    // the source-weighting step of a pretraining data mix
+    "doc_mix" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+      TextAnalysis.mixCorpus(docs, budgets)
+    }),
     // count-min sketch (custom TypedImperativeAggregate, transparent hash
     // family): fixed d×w state summarizes corpus token frequencies; top-20
     // exact counts ride alongside their sketch estimates (est >= exact by
@@ -809,6 +819,32 @@ object SparkEntry {
           col("l_orderkey") * 7 + col("l_linenumber"), salts = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(lit(1e6) * col("cents") / col("gcents")).cast("long").as("share_e6"))
+    }),
+
+    // ---- runtime bloom-filter semi-reduction (J-family beyond the
+    // reference): a selective dim predicate (p_size = 1 keeps <1% of part)
+    // joined against the fact table when the dim is TOO BIG TO BROADCAST —
+    // the second-order 100 TB join lever after broadcast. Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the filtered dim keys
+    // and applies it to the fact side BEFORE the shuffle, so ~99% of fact
+    // rows never cross the wire. Conf is scoped to a child session (shared
+    // SparkContext, isolated SQLConf): broadcast disabled to model the
+    // at-scale dim, the scan-size threshold dropped so the same plan shape
+    // runs at test SF. PlansSpec asserts might_contain on the fact side;
+    // values hash-match the plain-join oracle by construction ----
+    "q_bloom_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.read(s2, dir, "lineitem").select(
+        col("l_partkey"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val p = Tables.read(s2, dir, "part")
+        .filter(col("p_size") === 1).select(col("p_partkey"), col("p_brand"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
     }),
 
     // ---- set-operation breadth (§2.7 — the reference has none): UNION /
@@ -1192,6 +1228,20 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tok,
         |  CAST((cum - n_tok) // 256 AS BIGINT) AS batch_id FROM c""".stripMargin,
+    "doc_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT source,
+        |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
+        |      AS budget
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |c AS (SELECT t.doc_id, t.source, t.n_tok, b.budget,
+        |    sum(t.n_tok) OVER (PARTITION BY t.source ORDER BY t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t JOIN b ON t.source = b.source)
+        |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum - n_tok < budget""".stripMargin,
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "text_repetition" -> OracleSql.textRepetition,
     "text_tokens_bpe" ->
@@ -1305,6 +1355,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars % 100 AS quality, CAST(2 AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY 1""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT o_orderkey, o_orderpriority,

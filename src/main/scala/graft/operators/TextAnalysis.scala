@@ -276,6 +276,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         expr(s"(cum - n_tok) div $budget").as("batch_id"))
 
+  /** Corpus mixing — the pretraining-mix step that weights data sources:
+    * each source contributes docs in deterministic `doc_id` order until its
+    * token budget fills. `budgets` is a (source, budget) relation — tiny by
+    * nature (one row per source), so it broadcasts; sources absent from it
+    * contribute nothing (inner join). Contiguous fill like [[packBatches]]:
+    * the doc that crosses the budget boundary is KEPT (its preceding tokens
+    * are under budget), docs after it are dropped — so every budgeted
+    * source lands within one doc of its target. ONE shuffle (the per-source
+    * window); at larger scale the window key extends to (source, shard)
+    * with per-shard budget splits and the same plan holds.
+    */
+  def mixCorpus(docs: DataFrame, budgets: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(budgets), "source")
+      .withColumn("cum", sum(col("n_tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("cum") - col("n_tok") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
+
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
     * (DuckDB oracle) agree on every match; each is the standard corpus-scrub

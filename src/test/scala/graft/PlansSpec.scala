@@ -83,6 +83,18 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected bucket-aligned SMJ:\n$plan")
   }
 
+  test("plan hygiene: q_bloom_join applies a runtime bloom filter to the fact side") {
+    // the selective dim predicate must reach the fact scan as a bloom-filter
+    // semi-reduction (might_contain) BEFORE the join shuffle — the plan
+    // shape that cuts ~99% of fact traffic when the dim can't broadcast
+    val plan = SparkEntry.queries("q_bloom_join")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a runtime bloom filter on the fact side:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"dim modeled as non-broadcastable — expected a shuffle join:\n$plan")
+  }
+
   test("plan hygiene: q_partition_prune reads ONLY the 7 matching day directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -297,4 +297,21 @@ class TextEventsSpec extends SparkSpec {
     assert(r(1) == ((2L, 0L, 0L, 0L, "no pii here, just words and 42 numbers")))
     assert(r(2) == ((3L, 0L, 1L, 2L, "two ips <IP> <IP> one phone <PHONE> end")))
   }
+
+  test("mixCorpus: budgets fill in doc order; straddler kept; unbudgeted sources drop") {
+    // web budget 5: doc 1 (3 tok) fits, doc 2 (4 tok) straddles the
+    // boundary (preceding 3 < 5 -> kept), doc 3 starts past it -> dropped.
+    // wiki budget 2: first doc alone exceeds it but its preceding count is
+    // 0 < 2 -> kept, nothing after. books has no budget row -> contributes 0.
+    val docs = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e f g"), (3L, "web", "h"),
+      (10L, "wiki", "long doc of five tokens"), (11L, "wiki", "x"),
+      (20L, "books", "never sampled")
+    ).toDF("doc_id", "source", "text")
+    val budgets = Seq(("web", 5L), ("wiki", 2L)).toDF("source", "budget")
+    val got = TextAnalysis.mixCorpus(docs, budgets)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "web", 3L, 3L), (2L, "web", 4L, 7L), (10L, "wiki", 5L, 5L)))
+  }
 }
