@@ -487,6 +487,10 @@ object SparkEntry {
     // ---- dedup family (beyond-reference: training-data pipeline ops) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.read(s, dir, "documents"))),
+    // normalize-then-exact: case/punctuation/whitespace variants collapse
+    // before the same groupBy — the cheap pass between exact and MinHash
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(Tables.read(s, dir, "documents"))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5)),
     // skew-guarded form: stop-shingles (df > cap within the lang block) are
@@ -975,6 +979,17 @@ object SparkEntry {
         .write.mode("overwrite").json(out)
       s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
         .json(out)
+    }),
+
+    // ---- ORC roundtrip: the second columnar lake format next to parquet
+    // (long-lived corpora are rarely single-format); write + read back
+    // hash-matches the parquet original, proving format-agnostic fidelity ----
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_roundtrip"
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
     })
   )
 
@@ -1191,6 +1206,13 @@ object SparkEntry {
          |  CAST(sum(CAST(round(y*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
          |FROM a GROUP BY j""".stripMargin,
     "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n
+        |FROM (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS k
+        |  FROM documents)
+        |GROUP BY k""".stripMargin,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
@@ -1345,6 +1367,9 @@ object SparkEntry {
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
+
+    "q_orc_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
 
     "q_compact" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

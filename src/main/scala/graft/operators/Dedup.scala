@@ -73,6 +73,21 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
       .select("doc_id", "n")
 
+  /** Normalize-then-exact dedup — the standard "fuzzy-exact" pass between
+    * exact and MinHash: case-fold, strip everything but letters/digits/
+    * spaces (unicode classes, so CJK survives), collapse runs of spaces,
+    * trim, then group as in [[exact]]. Catches the trivial-variant
+    * duplicates (case, punctuation, whitespace) that exact misses at zero
+    * extra shuffle cost — same one groupBy, keys normalized per-row. The
+    * regexes are alternation-free so Java (Spark) and RE2 (oracle) agree.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^\\p{L}\\p{N} ]", ""), " +", " ")).as("k"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n")
+
   // --------------------------------------------------- n-gram Jaccard dedup
 
   /** Near-dup pairs by exact n-gram Jaccard within a blocking key (lang):

@@ -21,6 +21,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactByHash(docs).count() == 4)
   }
 
+  test("normalized dedup collapses case/punct/whitespace variants; CJK survives") {
+    val variants = Seq(
+      (1L, "The quick brown fox!"),
+      (2L, "the  quick   brown fox"),     // spacing + case variant of 1
+      (3L, "the quick, brown... FOX?"),   // punctuation variant of 1
+      (4L, "the quick brown foxes"),      // genuinely different
+      (5L, "你好，世界！"),                 // CJK with fullwidth punctuation
+      (6L, "你好，世界")                    // same letters, one mark fewer
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(variants).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 3L, s"1-3 must collapse under normalization: $got")
+    assert(got(4L) == 1L)
+    // CJK letters are PRESERVED by the unicode classes (an ASCII-only class
+    // would strip them and dump every CJK doc into one empty-key group):
+    // 5 and 6 differ only in punctuation -> they collapse with each other
+    assert(got(5L) == 2L, s"CJK variants must collapse, not vanish: $got")
+  }
+
   test("ngram jaccard finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.ngramJaccard(docs, n = 3, thrNum = 1, thrDen = 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
