@@ -851,6 +851,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
     }),
 
+    // ---- AQE skew-join (the automatic complement to q_salted_join's
+    // manual salting): 70% of the fact rows collapse onto one join key, and
+    // AQE's OptimizeSkewedJoin splits the oversized shuffle partition into
+    // advisory-sized slices at runtime — no query rewrite, no salt column.
+    // Thresholds are scoped to a child session so the split fires at test
+    // SF exactly as the defaults would at 100 TB; PlansSpec executes the
+    // query and asserts skew=true in the final adaptive plan ----
+    "q_skew_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // `pad` is high-entropy (md5) and consumed only AFTER the join, so the
+      // fact rows that cross the shuffle stay wide — the skewed partition
+      // clears the size threshold at test SF the way real fact rows would.
+      // The aggregation groups on `w` (NOT the join key): its exchange makes
+      // the skew split legal — a same-key agg fed directly by the join
+      // pins the join's partitioning and correctly vetoes any split.
+      val big = Tables.read(s2, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 7, 0L)
+          .otherwise(col("l_orderkey") % 10).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        md5(col("l_orderkey").cast("string")).as("pad"))
+      val dim = s2.range(10).select(col("id").as("k"), (col("id") + 100L).as("w"))
+      // a skewed REDUCE partition splits along MAPPER boundaries, and the
+      // test-SF parquet is a single row group = one mapper = unsplittable;
+      // the repartition models the multi-split arrival every real fact
+      // table has (a 100 TB scan runs thousands of map tasks)
+      big.repartition(8).join(dim, "k")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+          max(length(concat(col("pad"), col("w").cast("string"))))
+            .cast("long").as("pad_len"))
+    }),
+
     // ---- set-operation breadth (§2.7 — the reference has none): UNION /
     // INTERSECT / EXCEPT with set semantics over exact integer keys, tagged
     // and stacked into one relation ----
@@ -1380,6 +1416,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars % 100 AS quality, CAST(2 AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH big AS (SELECT
+        |    CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END AS k,
+        |    CAST(round(l_extendedprice*100.0) AS BIGINT) AS cents,
+        |    md5(CAST(l_orderkey AS VARCHAR)) AS pad
+        |  FROM lineitem),
+        |dim AS (SELECT range AS k, range + 100 AS w FROM range(10))
+        |SELECT dim.w, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(length(pad || CAST(dim.w AS VARCHAR))) AS BIGINT) AS pad_len
+        |FROM big JOIN dim ON big.k = dim.k
+        |GROUP BY 1""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT p_brand, count(*) AS cnt,

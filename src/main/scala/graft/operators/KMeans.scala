@@ -899,17 +899,40 @@ object KMeans {
     }
   }
 
+  /** Resume a fit from previously trained centroids — the restart path a
+    * multi-hour 100 TB fit needs: [[saveModel]] after any step, reload, and
+    * continue. Steps are numbered from `startStep` so a resumed run's log
+    * CONCATENATES with the original's into one coherent WCR history, and
+    * iterating from a converged-at-step-s state is bit-identical to having
+    * run the plain fit for s + extra steps (each Lloyd step depends only on
+    * the current centroid set — pinned in KMeansSpec).
+    */
+  def fitFrom(points: DataFrame, centroids: Seq[Centroid], dim: Int,
+      tol: Double = 0.01, maxIter: Int = 50, fxScale: Double = 1e6,
+      startStep: Long = 0L): FitResult =
+    withIterConf(points.sparkSession) {
+      iterate(points, centroids, dim, tol, maxIter, fxScale, startStep)
+    }
+
   private def fitInner(points: DataFrame, k: Int, dim: Int, tol: Double,
       maxIter: Int, seed: Long, plusPlus: Boolean,
       fxScale: Double, parallelSeed: Boolean): FitResult = {
-    var cs =
+    val cs =
       if (parallelSeed) seedParallel(points, k, seed)
       else if (plusPlus) seedPlusPlus(points, k, seed)
       else seedFirstK(points, k)
-    var log = cs.map(c => LogEntry(0L, c.j, c.c))
-    var step = 0L
+    iterate(points, cs, dim, tol, maxIter, fxScale, startStep = 0L)
+  }
+
+  private def iterate(points: DataFrame, init: Seq[Centroid], dim: Int,
+      tol: Double, maxIter: Int, fxScale: Double, startStep: Long): FitResult = {
+    var cs = init
+    // a resumed run's starting centroids were already logged (at startStep)
+    // by the run that produced them — only a fresh fit logs its seeds
+    var log = if (startStep == 0L) cs.map(c => LogEntry(0L, c.j, c.c)) else Nil
+    var step = startStep
     var move = Double.MaxValue
-    while (move >= tol && step < maxIter) {
+    while (move >= tol && step < startStep + maxIter) {
       step += 1
       // Plan-shape choice, measured: with small centroid sets, literals are
       // cheapest (planning is ~10 ms; the broadcast exchange of the const
@@ -918,7 +941,7 @@ object KMeans {
       // broadcast data instead. Both paths are value-identical.
       val next =
         if (fxScale > 0) {
-          if (k.toLong * dim > 4096) lloydStepConst(points, cs, dim, fxScale)
+          if (cs.size.toLong * dim > 4096) lloydStepConst(points, cs, dim, fxScale)
           else lloydStepOnePass(points, cs, dim, fxScale)
         } else lloydStep(assign(points, cs), dim, fxScale)
       if (next.size < cs.size)

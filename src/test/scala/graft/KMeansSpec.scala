@@ -384,6 +384,24 @@ class KMeansSpec extends SparkSpec {
     assert(log.count() == fit.log.size)
   }
 
+  test("fitFrom resumes through a save/load cycle, identical to the straight run") {
+    // the restart path of a multi-hour fit: run 2 steps, persist, reload,
+    // continue 2 more — centroids, step numbering, and the concatenated WCR
+    // log must all equal the uninterrupted 4-step fit's
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val full = KMeans.fit(data, k = 4, dim = 64, tol = 0.0, maxIter = 4, seed = 42)
+    val half = KMeans.fit(data, k = 4, dim = 64, tol = 0.0, maxIter = 2, seed = 42)
+    val path = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    KMeans.saveModel(spark, half, path)
+    val resumed = KMeans.fitFrom(data, KMeans.loadModel(spark, path), dim = 64,
+      tol = 0.0, maxIter = 2, startStep = half.steps)
+    assert(resumed.centroids == full.centroids,
+      "resumed centroids diverge from the uninterrupted fit")
+    assert(resumed.steps == full.steps)
+    assert((half.log ++ resumed.log) == full.log,
+      "half log + resumed log must concatenate into the full WCR history")
+  }
+
   test("concurrent fits restore the session conf (withIterConf reentrancy)") {
     // gapStatistic runs its per-k fits in parallel on ONE session; an
     // interleaved save/restore could capture another fit's in-flight iter

@@ -95,6 +95,16 @@ class PlansSpec extends SparkSpec {
       s"dim modeled as non-broadcastable — expected a shuffle join:\n$plan")
   }
 
+  test("plan hygiene: q_skew_join splits the skewed partition at runtime (AQE)") {
+    // skew optimization is a RUNTIME re-plan: execute first, then read the
+    // final adaptive plan — the oversized partition must carry skew=true
+    val df = SparkEntry.queries("q_skew_join")(spark, sf("0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to split the hot partition:\n$plan")
+  }
+
   test("plan hygiene: q_partition_prune reads ONLY the 7 matching day directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
