@@ -163,6 +163,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: doc_mix lands every budgeted source within one doc of its budget") {
+    // contiguous fill: kept tokens reach the budget, overshooting by at
+    // most the straddler doc — the bound that makes the mix predictable
+    import org.apache.spark.sql.functions.{col, size, split, sum => ssum, max => smax}
+    val totals = Tables.read(spark, sf("0.01"), "documents")
+      .groupBy("source")
+      .agg(ssum(size(split(col("text"), " ")).cast("long")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("doc_mix")(spark, sf("0.01"))
+      .groupBy("source")
+      .agg(ssum("n_tok").as("taken"), smax("n_tok").as("max_doc"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, taken, maxDoc) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val budget = 400L * (1L + src.drop(3).toLong % 3L)
+      // a source with enough material fills to its budget and stops within
+      // one straddler; a source smaller than its budget contributes all of it
+      if (totals(src) >= budget)
+        assert(taken >= budget, s"$src under-filled: $taken < $budget")
+      else
+        assert(taken == totals(src), s"$src must contribute everything: $taken")
+      assert(taken - maxDoc < budget,
+        s"$src kept a doc past the boundary: taken=$taken maxDoc=$maxDoc budget=$budget")
+    }
+  }
+
   test("exactGroupedQuantiles: empty input yields an empty typed result") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(String, Long)].toDF("g", "v")

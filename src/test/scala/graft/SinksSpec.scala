@@ -90,6 +90,25 @@ class SinksSpec extends SparkSpec {
       df.as[(Long, Long)].collect().toSet)
   }
 
+  test("compact sizes partitioned layouts recursively and refuses empty inputs") {
+    // the parquet files of a partitioned write live in SUBDIRECTORIES — a
+    // non-recursive local listing reads 0 bytes and would silently coalesce
+    // any dataset (100 TB included) into one file
+    val in = Files.createTempDirectory("graft_frag_part").toString
+    val out = Files.createTempDirectory("graft_comp_part").toString
+    val df = spark.range(4000).selectExpr("id", "id % 4 AS p", "id * 3 AS v")
+    df.repartition(8).write.mode("overwrite").partitionBy("p").parquet(in)
+    // tiny target -> the byte estimate must be NONZERO and produce >1 file
+    val n = Sinks.compact(spark, in, out, targetBytes = 16L * 1024)
+    assert(n > 1, s"recursive sizing must see the partition subdirs, got n=$n")
+    assert(spark.read.parquet(out).selectExpr("id", "v").as[(Long, Long)]
+      .collect().toSet == df.selectExpr("id", "v").as[(Long, Long)].collect().toSet)
+    val empty = Files.createTempDirectory("graft_comp_empty").toString
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, empty, out + "_e")
+    }
+  }
+
   test("bucketed tables join with NO exchange on either side") {
     import org.apache.spark.sql.functions._
     val o = Tables.read(spark, sf("0.001"), "orders")
