@@ -780,6 +780,22 @@ object SparkEntry {
     // approximate twin (HLL approx_count_distinct, the 100 TB default where
     // a 2% answer in one pass beats an exact two-phase distinct) is pinned
     // within its rsd bound against this exact query in PropertySpec ----
+    // rank-family windows: percent_rank/cume_dist are int/int divides of
+    // identical operands on both engines (bit-identical IEEE results);
+    // first/last over explicit frames close out the W-family
+    "q_window2" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first("cents").over(w).as("first_cents"),
+          last("cents").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("last_cents"))
+    }),
+
     "q_distinct" -> ((s, dir) => {
       val o = Tables.read(s, dir, "orders")
       val cust = Tables.read(s, dir, "customer")
@@ -1330,6 +1346,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    "q_window2" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(first_value(cents) OVER w AS BIGINT) AS first_cents,
+        |  CAST(last_value(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS last_cents
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
     "q_distinct" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
