@@ -82,9 +82,20 @@ object Dedup {
     * regexes are alternation-free so Java (Spark) and RE2 (oracle) agree.
     */
   def exactNormalized(docs: DataFrame): DataFrame =
-    docs.groupBy(
-        trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^\\p{L}\\p{N} ]", ""), " +", " ")).as("k"))
+    docs.groupBy(normalizedKey.as("k"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "n")
+
+  private def normalizedKey: org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^\\p{L}\\p{N} ]", ""), " +", " "))
+
+  /** Scale twin of [[exactNormalized]]: shuffle the 64-bit hash of the
+    * normalized key, not the key itself — same narrow-shuffle trade as
+    * [[exactByHash]]. DedupSpec pins group-structure agreement.
+    */
+  def exactNormalizedByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(normalizedKey).as("h"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
       .select("doc_id", "n")
 

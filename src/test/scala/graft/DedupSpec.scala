@@ -37,6 +37,10 @@ class DedupSpec extends SparkSpec {
     // would strip them and dump every CJK doc into one empty-key group):
     // 5 and 6 differ only in punctuation -> they collapse with each other
     assert(got(5L) == 2L, s"CJK variants must collapse, not vanish: $got")
+    // the narrow-shuffle hash twin produces the identical group structure
+    val byHash = Dedup.exactNormalizedByHash(variants)
+      .as[(Long, Long)].collect().toMap
+    assert(byHash == got, s"hash twin diverged: $byHash vs $got")
   }
 
   test("ngram jaccard finds exact and near dups, not unrelated docs") {
