@@ -665,6 +665,17 @@ object SparkEntry {
             lit(" host 10."), (col("doc_id") % 256).cast("string"),
             lit(".0.1 end")).as("text")))),
 
+    // per-domain rollup for domain-level filtering: the fixture has no
+    // URLs, so each doc gets a deterministic synthetic one (subdomain from
+    // doc_id, domain from source, tld alternating) — 40 domains roll up
+    "text_domains" -> ((s, dir) =>
+      TextAnalysis.domainStats(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text"),
+          concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
+            lit("."), col("source"), lit(".example."),
+            when(col("doc_id") % 2 === 0, "com").otherwise("org"),
+            lit("/p/"), col("doc_id").cast("string")).as("url")))),
+
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
     "km_validity" -> ((s, dir) =>
@@ -1322,6 +1333,21 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "text_domains" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.' || source
+        |      || '.example.'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END
+        |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, n_tok,
+        |    regexp_extract(url, '://([A-Za-z0-9.-]+)', 1) AS host FROM aug),
+        |d AS (SELECT doc_id, n_tok,
+        |    regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+\.[A-Za-z]+)$', 1)
+        |      AS domain FROM h)
+        |SELECT domain, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |FROM d GROUP BY 1""".stripMargin,
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,

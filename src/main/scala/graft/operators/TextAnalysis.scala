@@ -298,6 +298,23 @@ object TextAnalysis {
       .filter(col("cum") - col("n_tok") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
 
+  /** Per-domain corpus rollup — the domain-level quality/spam filter input
+    * every web-scale pipeline computes before doc-level scoring: host from
+    * the URL, registered domain as the trailing labels, then doc counts and
+    * token mass per domain. Expects (doc_id, url, text); regexes are
+    * group-capture only (no alternation) so Java and RE2 agree. One shuffle
+    * on the domain key; domains are few, counts pre-aggregate map-side.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract(col("url"), "://([A-Za-z0-9.-]+)", 1).as("host"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("domain",
+        regexp_extract(col("host"),
+          "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z]+)$", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
     * (DuckDB oracle) agree on every match; each is the standard corpus-scrub
