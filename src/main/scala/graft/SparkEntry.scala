@@ -852,6 +852,23 @@ object SparkEntry {
           round(lit(1e6) * col("cents") / col("gcents")).cast("long").as("share_e6"))
     }),
 
+    // ---- latest-wins upsert (the incremental corpus refresh): a delta
+    // batch re-delivers 10% of docs with new metadata; union + one
+    // window on the key keeps the newest generation per doc — the MERGE
+    // pattern expressed without a v2 catalog, one shuffle on the key ----
+    "q_upsert" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = docs.withColumn("gen", lit(1L))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx")).withColumn("gen", lit(2L))
+      val w = Window.partitionBy("doc_id").orderBy(desc("gen"))
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("gen"))
+    }),
+
     // ---- runtime bloom-filter semi-reduction (J-family beyond the
     // reference): a selective dim predicate (p_size = 1 keeps <1% of part)
     // joined against the fact table when the dim is TOO BIG TO BROADCAST —
@@ -1471,6 +1488,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars % 100 AS quality, CAST(2 AS BIGINT) AS gen
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_upsert" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars, CAST(2 AS BIGINT) AS gen
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC)
+        |    AS rn FROM u)
+        |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1""".stripMargin,
 
     "q_skew_join" ->
       """WITH big AS (SELECT
