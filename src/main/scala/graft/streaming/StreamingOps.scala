@@ -241,4 +241,30 @@ object StreamingOps {
           }
       }
   }
+
+  final case class Up(doc_id: Long, gen: Long, lang: String)
+
+  /** Streaming latest-wins upsert (twin of `q_upsert`): keyed state holds
+    * the highest generation seen per doc; a newer arrival emits an update,
+    * a stale or duplicate re-delivery emits nothing. This is the continuous
+    * corpus-maintenance half of the MERGE pattern — state is O(keys), and
+    * in production the key state would carry a TTL watermark exactly like
+    * [[dedupStream]]'s; the semantics pin (out-of-order deliveries never
+    * regress a doc) is what matters here.
+    */
+  def upsertLatestStream(updates: Dataset[Up]): Dataset[Up] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, Up](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Up], state: GroupState[Long]) =>
+          val best = rows.maxBy(r => (r.gen, r.lang))
+          val cur = state.getOption.getOrElse(Long.MinValue)
+          if (best.gen > cur) {
+            state.update(best.gen)
+            Iterator.single(best)
+          } else Iterator.empty
+      }
+  }
 }

@@ -216,4 +216,24 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((7L, 2L, 10 * min)))
     } finally q.stop()
   }
+
+  test("streaming latest-wins upsert never regresses a doc on stale re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Up
+    val in = MemoryStream[Up]
+    val out = StreamingOps.upsertLatestStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("upsert_out")
+      .outputMode("update").start()
+    try {
+      in.addData(Up(1L, 1L, "en"), Up(2L, 1L, "de"))
+      q.processAllAvailable()
+      // doc 1 advances; doc 2 gets a STALE re-delivery (gen 0) and a dup (gen 1)
+      in.addData(Up(1L, 2L, "xx"), Up(2L, 0L, "stale"), Up(2L, 1L, "de"))
+      q.processAllAvailable()
+      val got = spark.table("upsert_out")
+        .as[Up].collect().groupBy(_.doc_id).view.mapValues(_.map(u => (u.gen, u.lang)).toSet).toMap
+      assert(got(1L) == Set((1L, "en"), (2L, "xx")), s"doc 1 must emit both generations: $got")
+      assert(got(2L) == Set((1L, "de")), s"doc 2 must ignore stale/dup re-deliveries: $got")
+    } finally q.stop()
+  }
 }
