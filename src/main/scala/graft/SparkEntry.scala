@@ -55,9 +55,48 @@ object SparkEntry {
     * per-JVM but the artifacts are global (warehouse tables, /tmp paths), so
     * without the tag a process that served dir A after dir B would revisit
     * A's memo entry and silently read B's data.
+    *
+    * Tags minted this process are LIVE: stale-artifact pruning (the tag
+    * derives from fixture mtimes, so a rewritten fixture would otherwise
+    * leak the previous generation's dirs/tables forever) skips live tags —
+    * two dirs served by one process keep both artifact sets.
     */
-  private def dirTag(dir: String): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(dirKey(dir)) & 0x7fffffff}%08x"
+  private val liveTags = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tagOf(key: String): String = {
+    val t = f"${scala.util.hashing.MurmurHash3.stringHash(key) & 0x7fffffff}%08x"
+    liveTags.add(t)
+    t
+  }
+  private def dirTag(dir: String): String = tagOf(dirKey(dir))
+
+  /** Tagged /tmp path for a per-dir artifact; prunes stale (non-live-tag)
+    * generations of the same artifact before returning.
+    */
+  private def taggedTmpPath(prefix: String, tag: String): String = {
+    val tmpDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    Option(new java.io.File(tmpDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(prefix + "_") &&
+          !liveTags.contains(n.substring(n.lastIndexOf('_') + 1))
+      }
+      .foreach(deleteRec)
+    s"$tmpDir/${prefix}_$tag"
+  }
+
+  /** Drop stale (non-live-tag) catalog tables of a tagged artifact family. */
+  private def pruneStaleTables(s: SparkSession, prefix: String): Unit =
+    s.catalog.listTables().collect()
+      .map(_.name)
+      .filter { n =>
+        n.startsWith(prefix + "_") &&
+          !liveTags.contains(n.substring(n.lastIndexOf('_') + 1))
+      }
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
 
   /** The flagship embeddings fit is fully deterministic per input data, and
     * several queries consume it (`km_fit`, `km_wcr_log`) — memoize so one
@@ -87,18 +126,20 @@ object SparkEntry {
     */
   private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    val tag = dirTag(dir)
+    val key = dirKey(dir)
+    val tag = tagOf(key)
     val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
-    bucketedCache.getOrElseUpdate(dirKey(dir), {
-      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    bucketedCache.getOrElseUpdate(key, {
+      pruneStaleTables(s, "graft_bkt_orders")
+      pruneStaleTables(s, "graft_bkt_lineitem")
       sources.Sinks.writeBucketed(
         Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        oTbl, 8, Seq("o_orderkey"), Some(s"$tmp/$oTbl"))
+        oTbl, 8, Seq("o_orderkey"), Some(taggedTmpPath("graft_bkt_orders", tag)))
       sources.Sinks.writeBucketed(
         Tables.read(s, dir, "lineitem").select(
           col("l_orderkey").as("o_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("l_cents")),
-        lTbl, 8, Seq("o_orderkey"), Some(s"$tmp/$lTbl"))
+        lTbl, 8, Seq("o_orderkey"), Some(taggedTmpPath("graft_bkt_lineitem", tag)))
     })
     (oTbl, lTbl)
   }
@@ -111,8 +152,9 @@ object SparkEntry {
     * bucketed pair; PlansSpec asserts the pruned scan.
     */
   private def ensurePartitionedEvents(s: SparkSession, dir: String): String = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_events_by_day_${dirTag(dir)}"
-    bucketedCache.getOrElseUpdate("evpart|" + dirKey(dir), {
+    val key = dirKey(dir)
+    val out = taggedTmpPath("graft_events_by_day", tagOf(key))
+    bucketedCache.getOrElseUpdate("evpart|" + key, {
       Tables.readEvents(s, dir)
         .withColumn("d", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("d").parquet(out)
@@ -125,13 +167,15 @@ object SparkEntry {
     * with zero corpus re-read and zero corpus-side shuffle.
     */
   private def ensureMinhashIndex(s: SparkSession, dir: String): String = {
-    val tbl = s"graft_mh_index_${dirTag(dir)}"
-    bucketedCache.getOrElseUpdate("mhidx|" + dirKey(dir), {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_mh_index_$tag"
+    bucketedCache.getOrElseUpdate("mhidx|" + key, {
+      pruneStaleTables(s, "graft_mh_index")
       val corpus = Tables.read(s, dir, "documents")
         .filter(col("doc_id") % 5 =!= 0)
       sources.Sinks.writeBucketed(Dedup.bandedSignatures(corpus),
-        tbl, 8, Seq("band", "key"),
-        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/$tbl"))
+        tbl, 8, Seq("band", "key"), Some(taggedTmpPath("graft_mh_index", tag)))
     })
     tbl
   }
@@ -140,12 +184,14 @@ object SparkEntry {
     * build-time shuffle is the cost the build/probe split amortizes).
     */
   private def ensureIvfIndex(s: SparkSession, dir: String): String = {
-    val tbl = s"graft_ivf_idx_${dirTag(dir)}"
-    bucketedCache.getOrElseUpdate("ivf|" + dirKey(dir), {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_ivf_idx_$tag"
+    bucketedCache.getOrElseUpdate("ivf|" + key, {
+      pruneStaleTables(s, "graft_ivf_idx")
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.buildIvfIndex(emb, Similarity.fixedCentroids(emb, 16),
-        tbl, buckets = 8,
-        Some(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/$tbl"))
+        tbl, buckets = 8, Some(taggedTmpPath("graft_ivf_idx", tag)))
     })
     tbl
   }
@@ -685,7 +731,7 @@ object SparkEntry {
     // parquet (the WCR shape), LOADED back, and served — hash-matching
     // km_assign's oracle proves persistence is bit-exact ----
     "km_model_roundtrip" -> ((s, dir) => {
-      val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_model_rt"
+      val path = taggedTmpPath("graft_model_rt", dirTag(dir))
       KMeans.saveModel(s, KMeans.FitResult(c4(s, dir), Nil, 0L, 0.0), path)
       val loaded = KMeans.loadModel(s, path)
       KMeans.assign(Tables.yhOrders(s, dir), loaded).select(col("i"), col("j"))
@@ -948,7 +994,7 @@ object SparkEntry {
     // shape: tab sep, header, nulls as ' '), read it back, and hash-match
     // the original oracle — integers survive the text roundtrip exactly ----
     "q_tsv_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tsv_roundtrip"
+      val out = taggedTmpPath("graft_tsv_roundtrip", dirTag(dir))
       sources.Sinks.writeTsv(queries("q_distinct")(s, dir), out)
       s.read.option("sep", "\t").option("header", "true")
         .schema("c_nationkey BIGINT, n_buyers BIGINT, n_orders BIGINT")
@@ -1022,7 +1068,7 @@ object SparkEntry {
     // mergeSchema, absent columns null — the lake-format reality of any
     // long-lived 100 TB corpus (schemas change; old files don't rewrite) ----
     "q_schema_evolve" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_schema_evolve"
+      val out = taggedTmpPath("graft_schema_evolve", dirTag(dir))
       val docs = Tables.read(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
@@ -1039,21 +1085,20 @@ object SparkEntry {
     // (the residue every incremental writer leaves) compacts shuffle-free
     // to few files, values hash-exact against the original ----
     "q_compact" -> ((s, dir) => {
-      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .repartition(16)
-        .write.mode("overwrite").parquet(s"$tmp/graft_fragmented")
-      sources.Sinks.compact(s, s"$tmp/graft_fragmented", s"$tmp/graft_compacted",
-        targetBytes = 64L * 1024)
-      s.read.parquet(s"$tmp/graft_compacted")
+        .write.mode("overwrite").parquet(taggedTmpPath("graft_fragmented", dirTag(dir)))
+      sources.Sinks.compact(s, taggedTmpPath("graft_fragmented", dirTag(dir)),
+        taggedTmpPath("graft_compacted", dirTag(dir)), targetBytes = 64L * 1024)
+      s.read.parquet(taggedTmpPath("graft_compacted", dirTag(dir)))
     }),
 
     // ---- JSON-lines roundtrip (the interchange format LLM corpora actually
     // arrive in): write documents as JSONL, read back with an explicit
     // schema, hash-match row-for-row against the parquet original ----
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_jsonl_roundtrip"
+      val out = taggedTmpPath("graft_jsonl_roundtrip", dirTag(dir))
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
         .write.mode("overwrite").json(out)
@@ -1065,7 +1110,7 @@ object SparkEntry {
     // (long-lived corpora are rarely single-format); write + read back
     // hash-matches the parquet original, proving format-agnostic fidelity ----
     "q_orc_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_roundtrip"
+      val out = taggedTmpPath("graft_orc_roundtrip", dirTag(dir))
       Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").orc(out)

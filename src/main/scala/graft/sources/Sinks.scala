@@ -58,6 +58,7 @@ object Sinks {
     val bytes = {
       val path = new org.apache.hadoop.fs.Path(inPath)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(path), s"compact: input path does not exist: $inPath")
       var total = 0L
       val it = fs.listFiles(path, true)
       while (it.hasNext) {

@@ -245,24 +245,27 @@ object StreamingOps {
   final case class Up(doc_id: Long, gen: Long, lang: String)
 
   /** Streaming latest-wins upsert (twin of `q_upsert`): keyed state holds
-    * the highest generation seen per doc; a newer arrival emits an update,
-    * a stale or duplicate re-delivery emits nothing. This is the continuous
-    * corpus-maintenance half of the MERGE pattern — state is O(keys), and
-    * in production the key state would carry a TTL watermark exactly like
-    * [[dedupStream]]'s; the semantics pin (out-of-order deliveries never
-    * regress a doc) is what matters here.
+    * the winning row per doc; a strictly-better arrival emits an update, a
+    * stale or duplicate re-delivery emits nothing. "Better" is the full
+    * (gen, lang) order — comparing against the STORED ROW (not just its
+    * gen) makes the final winner independent of how deliveries land in
+    * micro-batches: equal-gen conflicts converge on the same row whether
+    * they arrive together or split. State is O(keys); in production the key
+    * state would carry a TTL watermark exactly like [[dedupStream]]'s.
     */
   def upsertLatestStream(updates: Dataset[Up]): Dataset[Up] = {
     val spark = updates.sparkSession
     import spark.implicits._
     updates.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Long, Up](
+      .flatMapGroupsWithState[Up, Up](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[Up], state: GroupState[Long]) =>
+        (_: Long, rows: Iterator[Up], state: GroupState[Up]) =>
           val best = rows.maxBy(r => (r.gen, r.lang))
-          val cur = state.getOption.getOrElse(Long.MinValue)
-          if (best.gen > cur) {
-            state.update(best.gen)
+          val better = state.getOption.forall(cur =>
+            Ordering.Tuple2[Long, String].gt(
+              (best.gen, best.lang), (cur.gen, cur.lang)))
+          if (better) {
+            state.update(best)
             Iterator.single(best)
           } else Iterator.empty
       }

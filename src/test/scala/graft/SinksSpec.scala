@@ -107,6 +107,10 @@ class SinksSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.compact(spark, empty, out + "_e")
     }
+    // a missing input gets the same clear contract, not a Hadoop stack trace
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, empty + "/no/such/dir", out + "_m")
+    }
   }
 
   test("bucketed tables join with NO exchange on either side") {

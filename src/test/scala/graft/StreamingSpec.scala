@@ -225,15 +225,20 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("upsert_out")
       .outputMode("update").start()
     try {
-      in.addData(Up(1L, 1L, "en"), Up(2L, 1L, "de"))
+      in.addData(Up(1L, 1L, "en"), Up(2L, 1L, "de"), Up(3L, 1L, "aa"))
       q.processAllAvailable()
-      // doc 1 advances; doc 2 gets a STALE re-delivery (gen 0) and a dup (gen 1)
-      in.addData(Up(1L, 2L, "xx"), Up(2L, 0L, "stale"), Up(2L, 1L, "de"))
+      // doc 1 advances; doc 2 gets a STALE re-delivery (gen 0) and a dup
+      // (gen 1); doc 3 gets an equal-gen conflict, split across batches
+      in.addData(Up(1L, 2L, "xx"), Up(2L, 0L, "stale"), Up(2L, 1L, "de"),
+        Up(3L, 1L, "zz"))
       q.processAllAvailable()
       val got = spark.table("upsert_out")
         .as[Up].collect().groupBy(_.doc_id).view.mapValues(_.map(u => (u.gen, u.lang)).toSet).toMap
       assert(got(1L) == Set((1L, "en"), (2L, "xx")), s"doc 1 must emit both generations: $got")
       assert(got(2L) == Set((1L, "de")), s"doc 2 must ignore stale/dup re-deliveries: $got")
+      // the equal-gen winner is the (gen, lang)-max row — the same final
+      // answer batched-together deliveries converge on
+      assert(got(3L) == Set((1L, "aa"), (1L, "zz")), s"doc 3 tie must converge on zz: $got")
     } finally q.stop()
   }
 }
