@@ -364,4 +364,15 @@ class PlansSpec extends SparkSpec {
     assert(a1 == a2, s"revisited dir must serve its own artifacts: $a1 vs $a2")
     assert(a1 != b, "scale factors must be distinguishable for this pin to bite")
   }
+
+  test("stale artifact generations are pruned; live-tag artifacts survive") {
+    // tags derive from fixture mtimes: a leftover dir from a rewritten
+    // fixture (its tag is not live in this process) must be cleaned up when
+    // the same artifact family is written again
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val stale = new java.io.File(s"$tmp/graft_orc_roundtrip_deadbeef")
+    stale.mkdirs()
+    assert(SparkEntry.queries("q_orc_roundtrip")(spark, sf("0.001")).count() > 0)
+    assert(!stale.exists(), "non-live generation must be pruned on rebuild")
+  }
 }
