@@ -508,6 +508,38 @@ object OracleSql {
        |SELECT doc_id, lang, n_tok,
        |  CAST((cum - n_tok) // $budget AS BIGINT) AS batch_id FROM pk""".stripMargin
 
+  /** Mirror of the FULL pretraining build (`pipeline_pretrain`): quality
+    * gate → near-dup keep-one → per-source token-budget MIX → per-lang
+    * sequence packing — [[pipelineCorpus]] with the `doc_mix` stage
+    * composed between keep and pack.
+    */
+  def pipelinePretrain(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
+      bands: Int, thrNum: Int, thrDen: Int, packBudget: Int): String =
+    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
+       |kt AS (SELECT d.doc_id, d.lang, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id = c.rep_id),
+       |bgt AS (SELECT source,
+       |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
+       |      AS budget
+       |  FROM (SELECT DISTINCT source FROM kt)),
+       |mx AS (SELECT kt.doc_id, kt.lang, kt.n_tok, bgt.budget,
+       |    sum(kt.n_tok) OVER (PARTITION BY kt.source ORDER BY kt.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS scum
+       |  FROM kt JOIN bgt ON kt.source = bgt.source),
+       |sel AS (SELECT doc_id, lang, n_tok FROM mx WHERE scum - n_tok < budget),
+       |pk AS (SELECT doc_id, lang, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sel)
+       |SELECT doc_id, lang, n_tok,
+       |  CAST((cum - n_tok) // $packBudget AS BIGINT) AS batch_id FROM pk""".stripMargin
+
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN ((id >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"

@@ -817,6 +817,21 @@ object SparkEntry {
       TextAnalysis.packBatches(docs.join(reps, "doc_id"))
     }),
 
+    // ---- the COMPLETE pretraining build: quality gate → near-dup keep-one
+    // → per-source token-budget mix → sequence packing — every stage an
+    // operator above, composed in the order a production corpus job runs ----
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val reps = cleanComponents(s, dir)
+        .filter(col("doc_id") === col("rep_id")).select("doc_id")
+      val kept = docs.join(reps, "doc_id")
+      val budgets = kept.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+      val mixed = TextAnalysis.mixCorpus(kept, budgets).select("doc_id")
+      TextAnalysis.packBatches(docs.join(mixed, "doc_id"))
+    }),
+
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
@@ -1423,6 +1438,8 @@ object SparkEntry {
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "pipeline_corpus" -> OracleSql.pipelineCorpus(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2, budget = 256),
+    "pipeline_pretrain" -> OracleSql.pipelinePretrain(minTokens = 25, maxTokens = 5000,
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2, packBudget = 256),
     "q_window" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,
         |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)

@@ -241,4 +241,36 @@ class StreamingSpec extends SparkSpec {
       assert(got(3L) == Set((1L, "aa"), (1L, "zz")), s"doc 3 tie must converge on zz: $got")
     } finally q.stop()
   }
+
+  test("streaming upsert converges to the batch upsert winners (cross-family pin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Up
+    val rows = (1L to 30L).map(i => Up(i, 1L, "l" + (i % 4))) ++
+      (1L to 30L).filter(_ % 3 == 0).map(i => Up(i, 2L, "xx")) ++
+      (1L to 30L).filter(_ % 5 == 0).map(i => Up(i, 0L, "stale"))
+    // batch winners: the q_upsert shape (union + one key window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("gen"), desc("lang"))
+    val batchWinners = rows.toDF("doc_id", "gen", "lang")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "gen", "lang")
+      .as[Up].collect().map(u => u.doc_id -> (u.gen, u.lang)).toMap
+    // stream the same deliveries in three interleaved slices
+    val in = MemoryStream[Up]
+    val q = StreamingOps.upsertLatestStream(in.toDS())
+      .writeStream.format("memory").queryName("upsert_conv")
+      .outputMode("update").start()
+    try {
+      val slices = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      slices.foreach { case (_, part) =>
+        in.addData(part.map(_._1)); q.processAllAvailable()
+      }
+      // emissions per doc are strictly increasing, so the max IS the final state
+      val streamWinners = spark.table("upsert_conv").as[Up].collect()
+        .groupBy(_.doc_id).view
+        .mapValues(us => us.map(u => (u.gen, u.lang)).max).toMap
+      assert(streamWinners == batchWinners,
+        s"stream final state diverges from batch winners")
+    } finally q.stop()
+  }
 }
