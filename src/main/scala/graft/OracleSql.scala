@@ -182,6 +182,76 @@ object OracleSql {
        |  CAST(round(1e6*n_distinct/n_tokens) AS BIGINT) AS distinct_ratio_e6
        |FROM base b JOIN top USING (doc_id)""".stripMargin
 
+  /** Multi-line doc synthesis + line relation shared by the boilerplate /
+    * paragraph-dedup oracles — mirrors the `mlDocs` query wiring (header
+    * variant from doc_id, the original text as the middle line, a footer
+    * shared by every doc) and [[operators.TextAnalysis.docLines]]'s 1-based
+    * positions.
+    */
+  private val mlLinesCte: String =
+    """ml AS (SELECT doc_id,
+      |    'corpus header v' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+      |      text || chr(10) || 'footer all rights reserved' AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT)
+      |      AS pos
+      |  FROM ml)""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.removeBoilerplate]]: corpus line
+    * frequencies, the `df <= maxDf` keep rule, ordered reassembly.
+    * `string_agg` skips the CASE's nulls exactly as `collect_list` does;
+    * the empty-doc `coalesce('')` matches `array_join` on an empty array.
+    */
+  def textBoilerplate(maxDf: Int): String =
+    s"""WITH $mlLinesCte,
+       |f AS (SELECT line, count(*) AS df FROM l GROUP BY line)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN df <= $maxDf THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  coalesce(string_agg(CASE WHEN df <= $maxDf THEN line END, chr(10)
+       |    ORDER BY pos), '') AS clean_text
+       |FROM l JOIN f USING (line) GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.dedupParagraphs]]: keep iff this
+    * (doc_id, pos) is the line's corpus-wide minimum — the window rn=1 form
+    * is value-identical to the Spark side's min(struct) groupBy.
+    */
+  def dedupParagraph: String =
+    s"""WITH $mlLinesCte,
+       |r AS (SELECT doc_id, pos, line, row_number() OVER
+       |    (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+       |    ORDER BY pos), '') AS clean_text
+       |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.unigramLm]]: `printf('%b', cnt)`
+    * digit count = Spark's `length(conv(cnt, 10, 2))` — the same exact
+    * integer floor(log2)+1; the e6 mean repeats the identical double ops.
+    */
+  val textUnigramLm: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(printf('%b', cnt))) AS BIGINT) AS lm_bits,
+      |  CAST(round(1e6 * sum(length(printf('%b', cnt))) / count(*)) AS BIGINT)
+      |    AS avg_bits_e6
+      |FROM tok JOIN v USING (token) GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[operators.Profiling.profile]]: one branch per column —
+    * the oracle spells out what the Spark side generates programmatically.
+    */
+  def qProfile(table: String, cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   /** Mirror of [[Dedup.decontaminate]]: same distinct shingle-id sets
     * (shingles → tokenId, the minhash pipeline's front half), LEFT JOIN
     * against the benchmark's distinct ids so `n_shared` counts matches,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, Events, KMeans, Multimodal, Quality, Quantiles, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Multimodal, Profiling, Quality, Quantiles, Similarity, TextAnalysis}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -37,6 +37,17 @@ object SparkEntry {
     */
   private def c4(spark: SparkSession, dir: String): Seq[Centroid] =
     KMeans.seedFirstK(Tables.yhOrders(spark, dir), 4)
+
+  /** Multi-line doc synthesis for the line-level operators: the single-line
+    * fixture text becomes the middle line between a deterministic header
+    * (3 variants by doc_id) and a footer every doc shares — mirrored by
+    * [[OracleSql.textBoilerplate]]/[[OracleSql.dedupParagraph]]'s CTE.
+    */
+  private def mlDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents").select(col("doc_id"), concat(
+      lit("corpus header v"), (col("doc_id") % 3).cast("string"), lit("\n"),
+      col("text"), lit("\n"),
+      lit("footer all rights reserved")).as("text"))
 
   /** Cache key for per-dir memoization: the dir plus a cheap content
     * fingerprint (parquet file names, sizes, mtimes), so data rewritten under
@@ -721,6 +732,29 @@ object SparkEntry {
             lit("."), col("source"), lit(".example."),
             when(col("doc_id") % 2 === 0, "com").otherwise("org"),
             lit("/p/"), col("doc_id").cast("string")).as("url")))),
+
+    // line-level boilerplate removal: the fixture is single-line, so each
+    // doc gains a deterministic header (3 variants — each ~n/3 occurrences)
+    // and a shared footer; both exceed the df cap and are stripped, the
+    // unique middle line survives
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplate(mlDocs(s, dir), maxDf = 10)),
+
+    // corpus-wide paragraph dedup over the same synthesized lines: each
+    // header variant survives only in its first (doc_id, pos) home, the
+    // footer only in doc 0 — CCNet's paragraph-hash pass
+    "dedup_paragraph" -> ((s, dir) =>
+      TextAnalysis.dedupParagraphs(mlDocs(s, dir))),
+
+    // unigram-LM familiarity: integer bitlen(corpus count) per token —
+    // the KenLM-perplexity role in exact arithmetic
+    "text_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLm(Tables.read(s, dir, "documents"))),
+
+    // one-scan per-column census of the widest table (schema-dynamic:
+    // the operator reads the DataFrame's own schema)
+    "q_profile" -> ((s, dir) =>
+      Profiling.profile(Tables.read(s, dir, "lineitem"))),
 
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
@@ -1425,6 +1459,13 @@ object SparkEntry {
         |      AS domain FROM h)
         |SELECT domain, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
         |FROM d GROUP BY 1""".stripMargin,
+    "text_boilerplate" -> OracleSql.textBoilerplate(maxDf = 10),
+    "dedup_paragraph" -> OracleSql.dedupParagraph,
+    "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "q_profile" -> OracleSql.qProfile("lineitem", Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")),
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,

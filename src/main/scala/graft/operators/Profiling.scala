@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality census a pipeline runs before trusting
+  * a new 100 TB drop: per column, row count, null count, distinct count.
+  * Schema-dynamic (works on any DataFrame, the `COLUMNS(*) APPLY` idea as
+  * programmatic column generation) and ONE scan: all per-column aggregates
+  * ride in a single `agg`, then the 1×(3k+1) result row unpivots via `stack`
+  * — no per-column jobs, no collect.
+  *
+  * Exact distinct counts plan through Spark's Expand (one extra row per
+  * profiled column); at extreme width or scale swap `countDistinct` for
+  * `approx_count_distinct` and the same single-scan shape holds with no
+  * Expand (the HLL-vs-exact contract is pinned for q_distinct in
+  * PropertySpec).
+  */
+object Profiling {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows_all, n_rows_all - `nn_$c`, `nd_$c`").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct)")
+  }
+}

@@ -315,6 +315,76 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
 
+  /** Line relation over multi-line documents: one row per (doc_id, pos,
+    * line), `pos` 1-based in document order. The unit for paragraph-level
+    * dedup and boilerplate removal; one narrow explode, no shuffle.
+    */
+  def docLines(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
+
+  private def reassemble(lines: DataFrame, keep: Column): DataFrame =
+    lines.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_lines"),
+      sum(keep.cast("long")).as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+        when(keep, struct(col("pos"), col("line"))))),
+        x => x.getField("line")), "\n").as("clean_text"))
+
+  /** Line-level boilerplate removal (the CCNet-style pass that strips
+    * headers/footers/nav text repeated across a web crawl): a line whose
+    * corpus-wide occurrence count exceeds `maxDf` is dropped from every doc;
+    * survivors are reassembled in original order. Shape at scale: line
+    * frequencies by groupBy (map-side combined — hot boilerplate lines
+    * pre-aggregate per partition, no skewed window), one equi-join back on
+    * the line key, one groupBy doc to reassemble. When the hot set is known
+    * small, the join side can shrink to `df > maxDf` lines and broadcast.
+    */
+  def removeBoilerplate(docs: DataFrame, maxDf: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val lines = docLines(docs, textCol)
+    val freq = lines.groupBy("line").agg(count(lit(1)).as("df"))
+    reassemble(lines.join(freq, "line"), col("df") <= maxDf)
+  }
+
+  /** Corpus-wide paragraph dedup (CCNet's sharded-hash pass): every line
+    * keeps only its FIRST occurrence — the (doc_id, pos)-least copy — and
+    * later copies are dropped from their docs. First occurrence is a
+    * `min(struct(doc_id, pos))` groupBy on the line key (map-side combined,
+    * skew-safe — no per-line window sort), then one equi-join back and a
+    * per-doc reassembly. At 100 TB the line key becomes a 64-bit content
+    * hash and the same two-shuffle plan holds.
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docLines(docs, textCol)
+    val first = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    reassemble(lines.join(first, "line"),
+      col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+  }
+
+  /** Unigram language-model familiarity score — the cheap LM-quality signal
+    * (the role KenLM perplexity plays in CCNet) in exact integer arithmetic:
+    * each token scores `bitlen(corpus count)` = floor(log2 cnt)+1, an
+    * integer log both engines compute exactly (binary digit count — no
+    * floating log calls), and a doc reports the sum and the e6 fixed-point
+    * mean. Rare/garbage tokens score low bits, common fluent tokens high —
+    * low `avg_bits_e6` flags unnatural text. Shape: one token-key groupBy
+    * for the vocab (map-side combined), one hash join back on token, one
+    * doc-key groupBy — the TF-IDF plan's shape, no collect, no driver state.
+    */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    tok.join(vocab, "token")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(length(conv(col("cnt"), 10, 2))).cast("long").as("lm_bits"))
+      .withColumn("avg_bits_e6",
+        round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
+  }
+
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
     * (DuckDB oracle) agree on every match; each is the standard corpus-scrub

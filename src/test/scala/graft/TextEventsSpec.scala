@@ -314,4 +314,49 @@ class TextEventsSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, "web", 3L, 3L), (2L, "web", 4L, 7L), (10L, "wiki", 5L, 5L)))
   }
+
+  test("removeBoilerplate strips over-df lines; all-boilerplate doc empties") {
+    val docs = Seq(
+      (1L, "nav menu\nunique one\nfooter"),
+      (2L, "nav menu\nunique two\nfooter"),
+      (3L, "nav menu\nfooter")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, maxDf = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // nav menu (df 3) and footer (df 3) exceed the cap; uniques survive
+    assert(got == Seq(
+      (1L, 3L, 1L, "unique one"),
+      (2L, 3L, 1L, "unique two"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("dedupParagraphs keeps only the (doc_id,pos)-first copy of each line") {
+    val docs = Seq(
+      (1L, "shared\nown a\nshared"),   // intra-doc repeat: pos 3 dropped
+      (2L, "shared\nown b")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, "shared\nown a"),
+      (2L, 2L, 1L, "own b")))
+  }
+
+  test("unigramLm scores bitlen of corpus counts; exact e6 mean") {
+    // corpus counts: a->4 (3 bits), b->2 (2 bits), c->1 (1 bit), d->1 (1 bit)
+    val docs = Seq(
+      (1L, "a a b c"),                 // bits 3+3+2+1 = 9, avg 2.25e6
+      (2L, "a a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLm(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 9L, 2250000L), (2L, 4L, 9L, 2250000L)))
+  }
+
+  test("profile: per-column rows/nulls/distinct in one scan, schema-dynamic") {
+    val df = Seq(
+      (1L, Some("x"), 1.5), (2L, None, 1.5), (3L, Some("y"), 2.0))
+      .toDF("id", "s", "v")
+    val got = graft.operators.Profiling.profile(df)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("id", 3L, 0L, 3L), ("s", 3L, 1L, 2L), ("v", 3L, 0L, 2L)))
+  }
 }
