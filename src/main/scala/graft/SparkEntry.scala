@@ -800,6 +800,24 @@ object SparkEntry {
           size(col("lumas")).cast("long").as("n_vals"))
       th.unionByName(fr)
     }),
+    // perceptual image dedup (rows-only: BMP decode isn't SQL-expressible):
+    // aHash per image plus the hamming-≤3 partner count off the pigeonhole
+    // chunk join. Every 5th image rides in twice (byte-identical copy under
+    // a shifted id), so the pairing path runs against real duplicates;
+    // planted-near-dup recall and blocking completeness are pinned in
+    // MultimodalSpec
+    "mm_phash" -> ((s, dir) => {
+      val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+        .filter(col("kind") === "image")
+      val copies = imgs.filter(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val hashes = Multimodal.aHashes(imgs.unionByName(copies)).toDF()
+      val dups = Multimodal.aHashPairs(hashes)
+        .groupBy("a_id").agg(count(lit(1)).as("n_dups"))
+      hashes.join(dups, hashes("media_id") === dups("a_id"), "left")
+        .select(col("media_id"), col("ahash"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+    }),
 
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>

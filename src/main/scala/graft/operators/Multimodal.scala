@@ -661,6 +661,73 @@ object Multimodal {
       }
   }
 
+  final case class PHash(media_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual average-hash (aHash) of one image: box-filter the decoded
+    * pixels to an 8×8 luma grid, set bit i when cell i exceeds the grid
+    * mean. Crops, light noise, and re-encodes move few bits, so near-dup
+    * frames land within a small hamming radius — the embedding-free image
+    * dedup key.
+    */
+  def aHashOf(payload: Array[Byte]): Long = {
+    val g = resizeBmpLuma(payload, 8, 8)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Per-image aHash over the media table (kind = image only), in the same
+    * partition-batched decode shape as [[thumbnails]].
+    */
+  def aHashes(media: DataFrame, batchSize: Int = 32): Dataset[PHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(r =>
+          PHash(r.media_id, r.width, r.height, aHashOf(r.payload))))
+      }
+  }
+
+  /** Near-duplicate image pairs at hamming ≤ `maxHamming` over aHash —
+    * the SimHash pigeonhole scaled to images: the 64 bits split into
+    * maxHamming+1 chunks, so any qualifying pair shares at least one equal
+    * chunk (≤ maxHamming differing bits cannot touch every chunk); blocked
+    * self-equi-join on (chunk, value), then the exact popcount refine. The
+    * only join is a hash join on the chunk key — no all-pairs anywhere, the
+    * same candidate-generation shape at any corpus size.
+    */
+  def aHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    val entries = array((0 until nChunks).map { c =>
+      val width = bounds(c + 1) - bounds(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("ahash"), bounds(c)).bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+    val blocked = hashes
+      .select(col("media_id"), col("ahash"), explode(entries).as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.chunk").as("chunk"), col("b.v").as("v"))
+    blocked.alias("x").join(blocked.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Video frame sampling (kind = video only): decode the AVI and keep k
     * uniformly-spaced frames' mean lumas (indices `i·n/k`, the fixed-budget
     * frame-sample every video training pipeline runs so cost per clip is

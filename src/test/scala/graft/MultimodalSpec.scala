@@ -239,4 +239,55 @@ class MultimodalSpec extends SparkSpec {
       .collect().toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  test("aHash: identical pixels hash equal; a light touch moves few bits") {
+    import java.lang.Long.bitCount
+    def checker(id: Long)(x: Int, y: Int): Int =
+      if ((x + y) % 2 == 0) 0xffffff else 0x000000
+    val a = Multimodal.aHashOf(Multimodal.bmpBytes(16, 16, checker(0)))
+    val b = Multimodal.aHashOf(Multimodal.bmpBytes(16, 16, checker(1)))
+    assert(a == b)                                  // same pixels, same hash
+    // perturb one 2x2 block: at most one of the 64 grid cells flips
+    val c = Multimodal.aHashOf(Multimodal.bmpBytes(16, 16, (x, y) =>
+      if (x < 2 && y < 2) 0x808080 else checker(0)(x, y)))
+    assert(bitCount(a ^ c) <= 2)
+    // a structurally different image is far away
+    val d = Multimodal.aHashOf(Multimodal.bmpBytes(16, 16, (x, y) =>
+      if (x < 8) 0xffffff else 0x000000))
+    assert(bitCount(a ^ d) > 3)
+  }
+
+  test("aHashPairs: pigeonhole blocking finds EVERY pair within the radius") {
+    import spark.implicits._
+    // adversarial bit spreads: differences land in 1, 2, and 3 distinct
+    // 16-bit chunks — the pigeonhole guarantees a shared chunk survives
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                            // hamming 1, chunk 0
+      3L -> (base ^ (1L << 17) ^ (1L << 33)),       // hamming 2, chunks 1+2
+      4L -> (base ^ (1L << 1) ^ (1L << 18) ^ (1L << 50)), // hamming 3, 3 chunks
+      5L -> (base ^ (1L << 2) ^ (1L << 19) ^ (1L << 34) ^ (1L << 51)) // 4 — out
+    ).toDF("media_id", "ahash")
+    val got = Multimodal.aHashPairs(rows, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L)).subsetOf(got))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // hamming 4 excluded
+  }
+
+  test("aHash pipeline: planted duplicate images pair; distinct ones don't") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.bmpBytes(16, 16, Multimodal.bmpPixel(7)), 16, 16, 0),
+      Multimodal.MediaRow(2L, "image",                   // byte-identical copy
+        Multimodal.bmpBytes(16, 16, Multimodal.bmpPixel(7)), 16, 16, 0),
+      Multimodal.MediaRow(3L, "image",                   // different content
+        Multimodal.bmpBytes(16, 16, (x, y) => if (x < 8) 0xffffff else 0),
+        16, 16, 0)).toDS().toDF()
+    val pairs = Multimodal.aHashPairs(Multimodal.aHashes(rows).toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
 }
