@@ -629,6 +629,70 @@ object OracleSql {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), " +
       s"(x,y) -> x+y)"
 
+  // ---------------------------------------------------- product quantization
+
+  private def sliceExpr(v: String, s: String, sub: Int): String =
+    s"list_slice($v, $s*$sub+1, $s*$sub+$sub)"
+
+  /** Shared PQ CTEs: codebook = slices of the first-k seed vectors
+    * ([[operators.Similarity.pqCodebook]]'s convention), per-(vector,
+    * subspace) argmin sub-centroid with the (d, t) tie order that matches
+    * the Spark fold's strict `<`.
+    */
+  private def pqCtes(m: Int, k: Int, sub: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS t, v AS cv FROM e WHERE vec_id < $k),
+       |sp AS (SELECT unnest(range($m)) AS s),
+       |pairs AS (SELECT e.vec_id, sp.s, cb.t,
+       |    ${sqdist(sliceExpr("e.v", "sp.s", sub), sliceExpr("cb.cv", "sp.s", sub))} AS d
+       |  FROM e CROSS JOIN sp CROSS JOIN cb),
+       |best AS (SELECT vec_id, s, t FROM (SELECT vec_id, s, t,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn
+       |  FROM pairs) x WHERE rn = 1)""".stripMargin
+
+  /** Mirror of [[operators.Similarity.pqEncode]]: codes pivoted wide plus
+    * the packed radix-k word.
+    */
+  def embPq(m: Int, k: Int, dim: Int): String = {
+    val sub = dim / m
+    val codeCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN t END) AS c$s").mkString(", ")
+    val factors = Seq.iterate(1L, m)(_ * k)
+    val packed = (0 until m).map(s => s"c$s*${factors(s)}").mkString(" + ")
+    s"""WITH ${pqCtes(m, k, sub)},
+       |codes AS (SELECT vec_id, $codeCols FROM best GROUP BY vec_id)
+       |SELECT vec_id,
+       |  ${(0 until m).map(s => s"CAST(c$s AS BIGINT) AS c$s").mkString(", ")},
+       |  CAST($packed AS BIGINT) AS packed
+       |FROM codes""".stripMargin
+  }
+
+  /** Mirror of [[operators.Similarity.pqAdcTopK]]: per-subspace partial
+    * distances pivoted wide, then the identical left-to-right chained double
+    * sum `((d0+d1)+…)` — never a SQL `sum()`, whose order is unspecified.
+    */
+  def simPqAdc(m: Int, k: Int, dim: Int, nQueries: Int, kNbrs: Int): String = {
+    val sub = dim / m
+    val dCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
+    val chain = (0 until m).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes(m, k, sub)},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |pd AS (SELECT q.q_id, b.vec_id AS n_id, b.s,
+       |    ${sqdist(sliceExpr("q.qv", "b.s", sub), sliceExpr("cb.cv", "b.s", sub))} AS d
+       |  FROM best b JOIN cb ON cb.t = b.t CROSS JOIN q
+       |  WHERE b.vec_id <> q.q_id),
+       |wide AS (SELECT q_id, n_id, $dCols
+       |  FROM pd GROUP BY q_id, n_id),
+       |adc AS (SELECT q_id, n_id, $chain AS adc FROM wide)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(adc*1e6) AS BIGINT) AS adc_e6 FROM (
+       |  SELECT q_id, n_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+       |  FROM adc) t
+       |WHERE rnk <= $kNbrs""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.bruteForceTopK]]. */
   /** Mirror of [[Similarity.normalizeQuantize]]: the norm is the identical
     * left fold (list_reduce over a 0-prepended list), quantized dims the

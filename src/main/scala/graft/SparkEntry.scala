@@ -646,6 +646,20 @@ object SparkEntry {
     // exact cosine re-rank
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.read(s, dir, "embeddings"))),
+    // product quantization: 8 sub-codes per 64-dim vector off the
+    // deterministic seed codebook — the 128x vector-compression step of
+    // IVF-PQ; zero-shuffle literal-codebook argmin per row
+    "emb_pq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.pqEncode(emb, Similarity.pqCodebook(emb))
+    }),
+    // the PQ search half: asymmetric-distance top-k over the compressed
+    // codes (the broadcast query scan is the declared-baseline shape, like
+    // sim_topk; recall vs exact is pinned in SimilaritySpec)
+    "sim_pq_adc" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb, Similarity.pqCodebook(emb))
+    }),
     // embedding post-processing: L2 norm + int8 quantization (pre-index shrink)
     "emb_normalize" -> ((s, dir) =>
       Similarity.normalizeQuantize(Tables.read(s, dir, "embeddings"))),
@@ -1423,6 +1437,8 @@ object SparkEntry {
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
+    "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
+    "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
     "text_langid_ngram" -> OracleSql.textLangIdNgram,

@@ -222,4 +222,74 @@ object Similarity {
       KMeans.Centroid(r.getLong(0) + 1, r.getSeq[Double](1))
     }.toSeq
   }
+
+  // --------------------------------------------------- product quantization
+
+  /** Product-quantization codebook: `m` subspaces × `k` sub-centroids, where
+    * sub-centroid `t` of subspace `s` is the s-th slice of seed vector
+    * `vec_id = t` — the [[fixedCentroids]] convention, so the DuckDB oracle
+    * re-derives the whole codebook from the data. Production swaps the seeds
+    * for per-subspace `KMeans.fit` centroids; every shape downstream is
+    * unchanged. k-row collect — sample-by-contract, like [[fixedCentroids]].
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 8, k: Int = 16): Seq[Seq[Seq[Double]]] = {
+    val rows = emb2v(emb).filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(rows.length == k, s"need $k seed vectors, got ${rows.length}")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    (0 until m).map(s => rows.toSeq.map(r => r.slice(s * sub, (s + 1) * sub).toSeq))
+  }
+
+  /** PQ encode — the vector-compression step that makes 100 TB ANN feasible:
+    * each vector becomes `m` sub-codes (argmin sub-centroid per subspace,
+    * ties → lowest code, the [[graft.functions.VectorOps.nearestId]] fold)
+    * plus the packed radix-k word. At dim=64/m=8/k=16 that is 4 bytes per
+    * vector against 512 raw — the 128× scan-size cut. Codebook rides as
+    * literals: zero shuffle, zero joins, codegen-friendly per-row argmin.
+    */
+  def pqEncode(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebook.length
+    val k = codebook.head.length
+    val sub = codebook.head.head.length
+    val codes = (0 until m).map { s =>
+      nearestId(slice(col("v"), s * sub + 1, sub),
+        (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
+    }
+    val factors = Seq.iterate(1L, m)(_ * k)
+    emb2v(emb).select(col("vec_id") +: codes: _*)
+      .withColumn("packed",
+        (0 until m).map(s => col(s"c$s") * factors(s)).reduce(_ + _))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance from
+    * a RAW query to an ENCODED vector = Σₛ sqdist(query slice s, the coded
+    * sub-centroid) — summed left-to-right per row so the oracle replays the
+    * exact double sequence. The scan side is the codes relation (4 bytes a
+    * vector), not the raw vectors: the deliberate exhaustive-scan-over-
+    * compressed-codes design (IVF cells bolt on in front exactly as in
+    * [[ivfTopK]] when even the code scan needs pruning). The query side
+    * broadcasts ([[bruteForceTopK]]'s declared-baseline shape).
+    */
+  def pqAdcTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int = 5, kNbrs: Int = 10): DataFrame = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val codes = pqEncode(emb, codebook)
+    val q = emb2v(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val adc = (0 until m).map { s =>
+      sqDist(slice(col("qv"), s * sub + 1, sub),
+        element_at(typedlit(codebook(s)), (col(s"c$s") + 1).cast("int")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kNbrs)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("adc") * 1e6).cast("long").as("adc_e6"))
+  }
 }

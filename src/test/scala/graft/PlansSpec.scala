@@ -186,12 +186,14 @@ class PlansSpec extends SparkSpec {
 
   test("plan hygiene: NO query plans a nested-loop join, except the declared baselines") {
     // dedup_embcos is the documented all-pairs BASELINE (its blocked twin is
-    // the scale path); sim_topk broadcast-cross-joins the tiny query side by
-    // design; text_tfidf and text_cms crossJoin a ONE-row aggregate (the
-    // scalar corpus size N / the d×w sketch matrix — the scalar-subquery
-    // plan, each stream row meets exactly one build row). Everything else
-    // must never nested-loop.
-    val allowed = Set("dedup_embcos", "sim_topk", "text_tfidf", "text_cms")
+    // the scale path); sim_topk and sim_pq_adc broadcast-cross-join the tiny
+    // query side by design (the ADC scan side is the compressed codes);
+    // text_tfidf and text_cms crossJoin a ONE-row aggregate (the scalar
+    // corpus size N / the d×w sketch matrix — the scalar-subquery plan, each
+    // stream row meets exactly one build row). Everything else must never
+    // nested-loop.
+    val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc", "text_tfidf",
+      "text_cms")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

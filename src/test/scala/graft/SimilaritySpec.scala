@@ -148,4 +148,56 @@ class SimilaritySpec extends SparkSpec {
     // not degenerate: both signs appear in every plane
     s1.foreach(p => assert(p.contains(1.0) && p.contains(-1.0)))
   }
+
+  test("PQ: seed vectors encode to themselves; codes in range; packed radix word") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cb = Similarity.pqCodebook(emb)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, cb)
+    val m = 8
+    val cCols = (0 until m).map(s => col(s"c$s"))
+    // every code within [0, 16)
+    assert(codes.filter(cCols.map(c => c < 0 || c >= 16).reduce(_ || _)).count() == 0)
+    // packed is exactly the radix-16 combination of the codes
+    val factors = Seq.iterate(1L, m)(_ * 16L)
+    assert(codes.filter(col("packed") =!=
+      (0 until m).map(s => col(s"c$s") * factors(s)).reduce(_ + _)).count() == 0)
+    // a seed vector's subvectors are distance-0 to their own sub-centroids,
+    // so seed t encodes to code t in EVERY subspace (lossless on seeds)
+    assert(codes.filter(col("vec_id") < 16)
+      .filter(cCols.map(c => c =!= col("vec_id")).reduce(_ || _)).count() == 0)
+  }
+
+  test("PQ ADC: exact on losslessly-coded seeds; recall floor vs exact L2") {
+    import graft.functions.VectorOps.sqDist
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cb = Similarity.pqCodebook(emb)
+    val adc = Similarity.pqAdcTopK(emb, cb)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d"), col("n_id"))
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), sqDist(col("qv"), col("v")).as("d"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 10)
+    // seeds quantize losslessly, so ADC(q, seed) = the true squared distance:
+    // every (q < 5, neighbor in 5..15) ADC value must equal the exact one
+    // (kNbrs = all so the seed neighbors survive the top-k cut)
+    val adcSeed = Similarity.pqAdcTopK(emb, cb, kNbrs = 1000)
+      .filter(col("n_id") >= 5 && col("n_id") < 16)
+      .select(col("q_id"), col("n_id"), col("adc_e6"))
+    val exSeed = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") >= 5 && col("vec_id") < 16 && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(sqDist(col("qv"), col("v")) * 1e6).cast("long").as("ex_e6"))
+    val joined = adcSeed.join(exSeed, Seq("q_id", "n_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("adc_e6") =!= col("ex_e6")).count() == 0)
+    // aggregate recall@10 floor vs exact L2 (measured 17/50; pin well below)
+    val a = adc.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val x = exact.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert((a & x).size >= 12, s"recall ${(a & x).size}/50 too low")
+  }
 }
