@@ -242,6 +242,34 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream interval join — the attribution join every
+    * event pipeline runs continuously (a click pairs with the same user's
+    * impressions from the preceding `windowMinutes`). Both sides carry
+    * watermarks and the join condition time-bounds BOTH directions, which is
+    * exactly what lets Spark expire join state: an impression falls out of
+    * state once the click watermark passes its window, so state is O(events
+    * per window), never stream history. The join itself is a keyed equi-join
+    * on user — the same hash-partitioned shape as the batch twin, applied
+    * per micro-batch.
+    */
+  def intervalJoinStream(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "20 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+        col("event_id").as("imp_id"))
+      .withWatermark("i_ts", watermark)
+    val clk = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    imp.join(clk,
+        col("i_user") === col("c_user") &&
+          col("c_ts") >= col("i_ts") &&
+          col("c_ts") <= col("i_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("i_user").as("user_id"), col("imp_id"), col("click_id"),
+        col("i_ts"), col("c_ts"))
+  }
+
   final case class Up(doc_id: Long, gen: Long, lang: String)
 
   /** Streaming latest-wins upsert (twin of `q_upsert`): keyed state holds

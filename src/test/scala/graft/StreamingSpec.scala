@@ -273,4 +273,39 @@ class StreamingSpec extends SparkSpec {
         s"stream final state diverges from batch winners")
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs clicks with in-window impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imp = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clk = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamingOps.intervalJoinStream(
+      imp.toDF().toDF("user_id", "ts", "event_id"),
+      clk.toDF().toDF("user_id", "ts", "event_id"), windowMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      imp.addData((1L, ts(1, 0), 100L), (1L, ts(1, 20), 101L), (2L, ts(1, 0), 102L))
+      clk.addData(
+        (1L, ts(1, 5), 200L),   // within 10m of imp 100
+        (1L, ts(1, 25), 201L),  // within 10m of imp 101 only
+        (2L, ts(1, 30), 202L),  // 30m after imp 102 — outside the window
+        (3L, ts(1, 5), 203L))   // no impression for this user
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .select("user_id", "imp_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L, 200L), (1L, 101L, 201L)))
+      // batch twin on identical rows produces identical pairs
+      val bImp = Seq((1L, ts(1, 0), 100L), (1L, ts(1, 20), 101L), (2L, ts(1, 0), 102L))
+        .toDF("user_id", "ts", "event_id")
+      val bClk = Seq((1L, ts(1, 5), 200L), (1L, ts(1, 25), 201L),
+        (2L, ts(1, 30), 202L), (3L, ts(1, 5), 203L))
+        .toDF("user_id", "ts", "event_id")
+      val batch = StreamingOps.intervalJoinStream(bImp, bClk, windowMinutes = 10)
+        .select("user_id", "imp_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
