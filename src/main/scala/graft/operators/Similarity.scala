@@ -242,6 +242,40 @@ object Similarity {
     (0 until m).map(s => rows.toSeq.map(r => r.slice(s * sub, (s + 1) * sub).toSeq))
   }
 
+  /** TRAINED PQ codebook — the production path: one k-means fit per
+    * subspace over that subspace's slices ([[graft.operators.KMeans.fitAuto]]
+    * — distributed Lloyd at scale, the bit-identical driver-local twin at
+    * these test sizes). Sub-centroid order follows centroid id so codes are
+    * deterministic. Same shapes as [[pqCodebook]] downstream; the seed
+    * variant stays as the oracle-replayable form.
+    */
+  def pqCodebookFitted(emb: DataFrame, m: Int = 8, k: Int = 16,
+      dim: Int = 64, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val e = emb2v(emb)
+    (0 until m).map { s =>
+      val yh = e.select(col("vec_id").as("i"),
+        slice(col("v"), s * sub + 1, sub).as("Y"))
+      KMeans.fitAuto(yh, k, sub, seed = seed + s).centroids
+        .sortBy(_.j).map(_.c.toSeq).toSeq
+    }
+  }
+
+  /** Total PQ quantization error (e6 fixed point): Σ over vectors of
+    * Σₛ min-distance to subspace s's codebook — the training objective, used
+    * to pin that the fitted codebook beats the seed codebook.
+    */
+  def pqError(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]]): Long = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val err = (0 until m).map(s =>
+      nearestSqDist(slice(col("v"), s * sub + 1, sub), codebook(s)))
+      .reduce(_ + _)
+    emb2v(emb).select(sum(round(err * 1e6).cast("long")).as("e"))
+      .head.getLong(0)
+  }
+
   /** PQ encode — the vector-compression step that makes 100 TB ANN feasible:
     * each vector becomes `m` sub-codes (argmin sub-centroid per subspace,
     * ties → lowest code, the [[graft.functions.VectorOps.nearestId]] fold)

@@ -200,4 +200,19 @@ class SimilaritySpec extends SparkSpec {
     val x = exact.select("q_id", "n_id").as[(Long, Long)].collect().toSet
     assert((a & x).size >= 12, s"recall ${(a & x).size}/50 too low")
   }
+
+  test("trained PQ codebook beats the seed codebook on quantization error") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val seedErr = Similarity.pqError(emb, Similarity.pqCodebook(emb))
+    val fitted = Similarity.pqCodebookFitted(emb)
+    assert(fitted.length == 8 && fitted.forall(_.length == 16) &&
+      fitted.forall(_.forall(_.length == 8)))
+    val fitErr = Similarity.pqError(emb, fitted)
+    assert(fitErr < seedErr,
+      s"trained codebook should cut error: fitted=$fitErr seed=$seedErr")
+    // codes stay in range under the trained codebook too
+    val codes = Similarity.pqEncode(emb, fitted)
+    assert(codes.filter((0 until 8).map(s => col(s"c$s") < 0 || col(s"c$s") >= 16)
+      .reduce(_ || _)).count() == 0)
+  }
 }
