@@ -1013,6 +1013,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("gen"))
     }),
 
+    // time-travel over a generation log with tombstones: gen 1 = full load,
+    // gen 2 = lang restatement for doc_id%10, gen 3 = deletes for doc_id%7;
+    // the as-of-3 state drops deleted keys and keeps the latest row per
+    // survivor (as-of monotonicity pinned in PropertySpec)
+    "q_snapshot" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val g1 = docs.withColumn("gen", lit(1L)).withColumn("op", lit("U"))
+      val g2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("gen", lit(2L)).withColumn("op", lit("U"))
+      val g3 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("gen", lit(3L)).withColumn("op", lit("D"))
+      operators.Joins.snapshotAsOf(g1.unionByName(g2).unionByName(g3),
+        Seq("doc_id"), gen = 3L)
+    }),
+
     // ---- runtime bloom-filter semi-reduction (J-family beyond the
     // reference): a selective dim predicate (p_size = 1 keeps <1% of part)
     // joined against the fact table when the dim is TOO BIG TO BROADCAST —
@@ -1652,6 +1669,20 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC)
         |    AS rn FROM u)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1""".stripMargin,
+
+    "q_snapshot" ->
+      """WITH lg AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars, CAST(2 AS BIGINT), 'U'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT), 'D'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC)
+        |    AS rn FROM lg WHERE gen <= 3)
+        |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "q_skew_join" ->
       """WITH big AS (SELECT

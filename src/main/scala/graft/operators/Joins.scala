@@ -60,4 +60,25 @@ object Joins {
       .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
       .drop("_bkt")
   }
+
+  /** Snapshot-as-of read over an append-only generation log with tombstones
+    * — the time-travel read a reproducible training pipeline needs (train
+    * against "the corpus as of gen G" while ingestion keeps appending).
+    * The log carries (keys…, gen, op) where op 'U' upserts the row and 'D'
+    * tombstones the key; the state as of `gen` is, per key, the row of the
+    * highest generation ≤ G — dropped entirely when that winner is a
+    * delete. One filter + the latest-wins key window (`q_upsert`'s shape);
+    * with the log bucketed by key even that shuffle disappears, and the
+    * `gen <= G` filter pushes to the scan so old snapshots read only their
+    * prefix of a generation-partitioned log.
+    */
+  def snapshotAsOf(log: DataFrame, keys: Seq[String], gen: Long,
+      opCol: String = "op"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(desc("gen"))
+    log.filter(col("gen") <= gen)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_rn", opCol)
+  }
 }

@@ -367,4 +367,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshotAsOf is monotone: each generation replays exactly its prefix") {
+    import org.apache.spark.sql.functions._
+    val base = (1L to 40L).map(i => (i, s"v$i", 1L, "U"))
+    val upd = (1L to 40L).filter(_ % 4 == 0).map(i => (i, "upd", 2L, "U"))
+    val del = (1L to 40L).filter(_ % 6 == 0).map(i => (i, s"x", 3L, "D"))
+    val log = (base ++ upd ++ del).toDF("id", "v", "gen", "op")
+    def state(g: Long): Map[Long, (String, Long)] =
+      graft.operators.Joins.snapshotAsOf(log, Seq("id"), g)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val s1 = state(1)
+    assert(s1.size == 40 && s1.forall { case (i, (v, g)) => v == s"v$i" && g == 1L })
+    val s2 = state(2)
+    assert(s2.size == 40)
+    assert((1L to 40L).forall(i =>
+      if (i % 4 == 0) s2(i) == (("upd", 2L)) else s2(i) == ((s"v$i", 1L))))
+    val s3 = state(3)
+    // deletes remove exactly the %6 keys; everyone else keeps their s2 row
+    assert(s3.keySet == s2.keySet.filterNot(_ % 6 == 0))
+    assert(s3.forall { case (i, row) => row == s2(i) })
+  }
 }
