@@ -1013,6 +1013,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("gen"))
     }),
 
+    // Morton z-value over (partkey, suppkey) — the interleaved layout key
+    // that keeps per-file min/max stats tight in both dimensions (the
+    // file-skipping win vs a linear sort is asserted in SinksSpec on real
+    // written layouts)
+    "q_zorder" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        graft.sources.Sinks.zValue(
+          pmod(col("l_partkey"), lit(1024L)),
+          pmod(col("l_suppkey"), lit(1024L)), 10).as("z"))),
+
     // time-travel over a generation log with tombstones: gen 1 = full load,
     // gen 2 = lang restatement for doc_id%10, gen 3 = deletes for doc_id%7;
     // the as-of-3 state drops deleted keys and keeps the latest row per
@@ -1669,6 +1680,17 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC)
         |    AS rn FROM u)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1""".stripMargin,
+
+    "q_zorder" -> {
+      // Σ_b ((x>>b)&1)·4^b + ((y>>b)&1)·2·4^b — the same interleave
+      val terms = (0 until 10).map { b =>
+        s"(((l_partkey % 1024) >> $b) & 1) * ${1L << (2 * b)} + " +
+          s"(((l_suppkey % 1024) >> $b) & 1) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($terms AS BIGINT) AS z
+         |FROM lineitem""".stripMargin
+    },
 
     "q_snapshot" ->
       """WITH lg AS (

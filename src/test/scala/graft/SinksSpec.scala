@@ -142,4 +142,53 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("zValue interleaves bits; z-layout beats linear sort on 2-D box skipping") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions._
+    // known interleavings: z(1,0)=1, z(0,1)=2, z(3,5)=0b100111=39
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 5L), (7L, 7L))
+      .toDF("x", "y").select(Sinks.zValue(col("x"), col("y"), 3)).as[Long].collect()
+    assert(z.toSeq == Seq(1L, 2L, 39L, 63L))
+
+    // full 128x128 grid -> 16 files under each layout
+    val grid = spark.range(128L * 128)
+      .select((col("id") % 128).as("px"), (col("id") / 128).as("sy"))
+    val zPath = java.nio.file.Files.createTempDirectory("zord").toString
+    val linPath = java.nio.file.Files.createTempDirectory("lin").toString
+    Sinks.writeZOrdered(grid, zPath, col("px"), col("sy"), 7, 16)
+    grid.repartitionByRange(16, col("px"), col("sy"))
+      .sortWithinPartitions("px", "sy")
+      .write.mode("overwrite").parquet(linPath)
+
+    // stats-based skipping model: a file survives a 2-D box predicate iff
+    // its per-file [min,max] rectangle intersects the box (what parquet
+    // row-group / file pruning actually evaluates)
+    def filesIntersecting(path: String, x0: Long, x1: Long, y0: Long, y1: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("px").as("pxl"), max("px").as("pxh"),
+          min("sy").as("syl"), max("sy").as("syh"))
+        .filter(col("pxh") >= x0 && col("pxl") <= x1 &&
+          col("syh") >= y0 && col("syl") <= y1)
+        .count()
+    // values intact under both layouts
+    assert(spark.read.parquet(zPath).count() == 128L * 128)
+    assert(spark.read.parquet(linPath).distinct().count() == 128L * 128)
+    // corner boxes: the z-curve keeps each 32x32 quadrant in ~1 contiguous
+    // z-range (± range-sampler boundary straddle); the px-sort spreads the
+    // sy constraint across every px stripe it touches
+    for ((x0, y0) <- Seq((0L, 0L), (64L, 96L))) {
+      val zf = filesIntersecting(zPath, x0, x0 + 31, y0, y0 + 31)
+      val lf = filesIntersecting(linPath, x0, x0 + 31, y0, y0 + 31)
+      assert(zf < lf, s"box($x0,$y0): z-layout $zf files vs linear $lf")
+    }
+    // the decisive case — a band on the NON-sort dimension: the linear
+    // px-sorted layout can skip nothing (all 16 files span full sy), the
+    // z-layout confines sy<=31 to the two low-y quadrant stripes
+    val zBand = filesIntersecting(zPath, 0, 127, 0, 31)
+    val lBand = filesIntersecting(linPath, 0, 127, 0, 31)
+    assert(lBand == 16L, s"linear layout should touch every file, got $lBand")
+    assert(zBand <= 8L, s"z-layout should confine the band, got $zBand")
+  }
 }
