@@ -782,6 +782,21 @@ object SparkEntry {
     "text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(Tables.read(s, dir, "documents"))),
 
+    // BPE training's merge statistic: frequency-weighted adjacent-symbol
+    // pair counts over the char start state, top-20 deterministic cut
+    // ("lft"/"rgt" aliases — LEFT/RIGHT are SQL keywords)
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWords(Tables.read(s, dir, "documents")))
+        .select(col("left").as("lft"), col("right").as("rgt"), col("cnt"))
+        .orderBy(desc("cnt"), asc("lft"), asc("rgt")).limit(20)),
+
+    // the full tokenizer-training loop: 5 learned merges (rows-only — the
+    // iterative argmax isn't ANSI; the merge sequence is pinned on a
+    // hand-computed corpus in TextEventsSpec)
+    "text_bpe_train" -> ((s, dir) =>
+      s.createDataFrame(TextAnalysis.bpeTrain(Tables.read(s, dir, "documents")))),
+
     // one-scan per-column census of the widest table (schema-dynamic:
     // the operator reads the DataFrame's own schema)
     "q_profile" -> ((s, dir) =>
@@ -1541,6 +1556,15 @@ object SparkEntry {
     "text_boilerplate" -> OracleSql.textBoilerplate(maxDf = 10),
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |s AS (SELECT freq, string_split(word, '') AS sy FROM w),
+        |ix AS (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM s),
+        |p AS (SELECT sy[i] AS lft, sy[i+1] AS rgt, freq FROM ix)
+        |SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 20""".stripMargin,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",

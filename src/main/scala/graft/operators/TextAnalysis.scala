@@ -385,6 +385,82 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  // ------------------------------------------------------------ BPE training
+
+  /** Word-frequency start state for BPE training: one row per distinct
+    * word with its corpus frequency and its character-symbol sequence.
+    * One token-key groupBy (map-side combined); every later iteration works
+    * on this vocabulary-sized relation, never the corpus again — the
+    * property that makes corpus-scale tokenizer training cheap: |vocab| ≪
+    * |corpus| and pair statistics are exact because frequency rides along.
+    */
+  def bpeWords(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Frequency-weighted adjacent-symbol pair counts over the current merge
+    * state — the statistic each BPE iteration maximizes. Zip of the symbol
+    * array against its own tail, one explode, one pair-key groupBy.
+    */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("left"), b.as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Apply one merge to a symbol array: leftmost-first, non-overlapping —
+    * the standard BPE apply — as a single left fold (carry = output so far +
+    * one pending symbol; a (pending=left, next=right) hit emits the merged
+    * symbol and clears the carry so overlaps can't double-merge).
+    */
+  def bpeApplyMerge(syms: Column, left: String, right: String): Column = {
+    val folded = aggregate(syms,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, s) => {
+        val out = acc.getField("out"); val prev = acc.getField("prev")
+        when(prev.isNull, struct(out.as("out"), s.as("prev")))
+          .when(prev === left && s === right,
+            struct(concat(out, array(lit(left + right))).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(out, array(prev)).as("out"), s.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+    folded
+  }
+
+  /** One learned merge: (rank, left, right, weighted count). */
+  final case class BpeMerge(merge_id: Long, left: String, right: String, cnt: Long)
+
+  /** BPE tokenizer training — learn the first `nMerges` merges from the
+    * corpus. Each iteration: distributed pair counts over the
+    * vocabulary-sized word relation, a ONE-row argmax collect (ties break
+    * (cnt desc, left, right) so training is deterministic), then the merge
+    * applies as a per-row fold. Driver state is O(nMerges); the corpus is
+    * read exactly once (bpeWords). The iterative loop is not
+    * ANSI-expressible — the gate covers the pair statistic (text_bpe_pairs)
+    * hash-exact and pins the learned merge sequence in TextEventsSpec.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): Seq[BpeMerge] = {
+    var words = bpeWords(docs).cache()
+    try {
+      (1 to nMerges).map { i =>
+        val best = bpePairCounts(words)
+          .orderBy(desc("cnt"), asc("left"), asc("right")).limit(1)
+          .collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        val next = words
+          .withColumn("syms", bpeApplyMerge(col("syms"), l, r)).cache()
+        words.unpersist(); words = next
+        BpeMerge(i.toLong, l, r, c)
+      }
+    } finally words.unpersist()
+  }
+
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
     * (DuckDB oracle) agree on every match; each is the standard corpus-scrub

@@ -350,6 +350,19 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 9L, 2250000L), (2L, 4L, 9L, 2250000L)))
   }
 
+  test("bpeTrain learns deterministic merges; apply is leftmost non-overlapping") {
+    val docs = Seq((1L, "aa ab aa aaa")).toDF("doc_id", "text")
+    // word freqs: aa->2, ab->1, aaa->1
+    // char-pair counts: (a,a) = 2 (aa x2) + 2 (aaa has two slots) = 4; (a,b) = 1
+    val merges = TextAnalysis.bpeTrain(docs, 3)
+    assert(merges(0) == TextAnalysis.BpeMerge(1, "a", "a", 4))
+    // after merge 1: aa->[aa], ab->[a,b], aaa->[aa,a] (leftmost-first, no
+    // overlap: the middle 'a' cannot merge twice). Remaining pairs tie at 1;
+    // ("a","b") orders before ("aa","a")
+    assert(merges(1) == TextAnalysis.BpeMerge(2, "a", "b", 1))
+    assert(merges(2) == TextAnalysis.BpeMerge(3, "aa", "a", 1))
+  }
+
   test("profile: per-column rows/nulls/distinct in one scan, schema-dynamic") {
     val df = Seq(
       (1L, Some("x"), 1.5), (2L, None, 1.5), (3L, Some("y"), 2.0))
