@@ -252,6 +252,33 @@ object OracleSql {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** Mirror of the `pipeline_cluster_stats` query: the simIvf cell
+    * assignment (fixed first-k centroids, (dist, cid) tie order) joined to
+    * the documents side on the shared id, rolled up per cell with the
+    * deterministic (count desc, lang) top-language pick.
+    */
+  def pipelineClusterStats(nCells: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |d AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |j AS (SELECT cell, lang, n_tok FROM cells c JOIN d ON c.vec_id = d.doc_id),
+       |base AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS sum_tok FROM j GROUP BY cell),
+       |bl AS (SELECT cell, lang, count(*) AS nl FROM j GROUP BY cell, lang),
+       |top AS (SELECT cell, lang AS top_lang, CAST(nl AS BIGINT)
+       |    AS top_lang_docs FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY cell ORDER BY nl DESC, lang) AS rn FROM bl) x
+       |  WHERE rn = 1)
+       |SELECT b.cell, b.n_docs, b.sum_tok, t.top_lang, t.top_lang_docs
+       |FROM base b JOIN top t USING (cell)""".stripMargin
+
   /** Mirror of [[Dedup.decontaminate]]: same distinct shingle-id sets
     * (shingles → tokenId, the minhash pipeline's front half), LEFT JOIN
     * against the benchmark's distinct ids so `n_shared` counts matches,

@@ -670,6 +670,32 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.pqAdcTopK(emb, Similarity.pqCodebook(emb))
     }),
+    // semantic corpus clustering rollup (the topic-level census behind
+    // cluster-aware data mixing, SemDeDup-style): assign each doc's
+    // EMBEDDING to a coarse cell (zero-shuffle literal-centroid argmin),
+    // join the TEXT side on the shared id, and roll up docs/tokens/top
+    // language per cell — the one query that fuses both modalities' tables
+    "pipeline_cluster_stats" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cents = Similarity.fixedCentroids(emb, 16)
+      val cells = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"),
+          nearestId(col("v"), cents.map(_.j), cents.map(_.c)).as("cell"))
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"),
+        col("lang"), size(Dedup.tokens(col("text"))).cast("long").as("n_tok"))
+      val j = cells.join(docs, cells("vec_id") === docs("doc_id"))
+      val base = j.groupBy("cell").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      val wTop = Window.partitionBy("cell")
+        .orderBy(desc("nl"), asc("lang"))
+      val top = j.groupBy("cell", "lang").agg(count(lit(1)).as("nl"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("cell"), col("lang").as("top_lang"),
+          col("nl").as("top_lang_docs"))
+      base.join(top, "cell")
+    }),
+
     // the production-claimed PQ composition, actually composed: per-subspace
     // TRAINED codebooks (one k-means fit per subspace — rows-only at the
     // gate, fits aren't ANSI-expressible; fitted-beats-seed quantization
@@ -1498,6 +1524,7 @@ object SparkEntry {
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
     "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
+    "pipeline_cluster_stats" -> OracleSql.pipelineClusterStats(nCells = 16),
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
