@@ -334,6 +334,37 @@ object OracleSql {
       |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[operators.Events.slidingWindowAgg]]: each event expands to
+    * its two 30-min-aligned 1-hour windows.
+    */
+  val eventsSliding: String =
+    """WITH x AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      |e AS (SELECT (tus // 1800000000 - k) * 1800000000 AS win_us,
+      |    event_type, value
+      |  FROM x, (SELECT unnest([0, 1]) AS k))
+      |SELECT win_us, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of [[operators.Events.sessionWindowAgg]]: the gap CTE with the
+    * built-in's boundary rule (diff >= gap starts a new session) and
+    * end = last event + gap.
+    */
+  def eventsSessionWindow(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH x AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT user_id, us,
+       |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+       |      >= $gapUs OR lag(us) OVER (PARTITION BY user_id ORDER BY us)
+       |      IS NULL THEN 1 ELSE 0 END AS new_s
+       |  FROM x),
+       |s AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id
+       |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+       |SELECT user_id, min(us) AS start_us, max(us) + $gapUs AS end_us,
+       |  count(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+  }
+
   val eventsJson: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -896,6 +896,13 @@ object SparkEntry {
       Events.sessionize(Tables.readEvents(s, dir))),
     "events_window" -> ((s, dir) =>
       Events.windowAgg(Tables.readEvents(s, dir))),
+    // hopping windows: 1h width every 30m — each event in 2 buckets
+    "events_sliding" -> ((s, dir) =>
+      Events.slidingWindowAgg(Tables.readEvents(s, dir))),
+    // the built-in session_window one-liner next to the explicit
+    // lag/cumsum sessionize (boundary rule: diff >= gap splits)
+    "events_session_window" -> ((s, dir) =>
+      Events.sessionWindowAgg(Tables.readEvents(s, dir))),
     "events_json" -> ((s, dir) =>
       Events.jsonStats(Tables.readEvents(s, dir))),
     // as-of join (click → latest prior purchase per user) via the union +
@@ -1599,6 +1606,8 @@ object SparkEntry {
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
+    "events_sliding" -> OracleSql.eventsSliding,
+    "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(

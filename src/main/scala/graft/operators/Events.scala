@@ -59,6 +59,36 @@ object Events {
       .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes —
+    * each event contributes to width/slide = 2 epoch-aligned windows (the
+    * smoother trend view next to [[windowAgg]]'s tumbling buckets). Spark's
+    * `window(ts, width, slide)` expands the membership per row; one shuffle
+    * on (window, type) with map-side partial aggregation, like the tumbling
+    * form.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumFx(col("value"), 100.0).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessions via Spark's built-in `session_window` — the
+    * idiomatic one-liner next to [[sessionize]]'s explicit lag/cumsum form.
+    * Window end = last event + gap by definition, and two events exactly
+    * `gap` apart start a NEW session (merge requires diff < gap — the
+    * built-in's boundary rule, which the oracle mirrors with `>=`;
+    * [[sessionize]]'s `>` differs only on exact-boundary pairs).
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+
   /** As-of join without a join: for every `leftType` event, the timestamp of
     * the most recent `rightType` event by the same user at or before it
     * (classic event-to-state attribution, e.g. click → latest prior
