@@ -447,17 +447,26 @@ object TextAnalysis {
     */
   def bpeTrain(docs: DataFrame, nMerges: Int = 5): Seq[BpeMerge] = {
     var words = bpeWords(docs).cache()
+    val out = Seq.newBuilder[BpeMerge]
     try {
-      (1 to nMerges).map { i =>
+      var i = 1
+      var exhausted = false
+      while (i <= nMerges && !exhausted) {
         val best = bpePairCounts(words)
           .orderBy(desc("cnt"), asc("left"), asc("right")).limit(1)
-          .collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        val next = words
-          .withColumn("syms", bpeApplyMerge(col("syms"), l, r)).cache()
-        words.unpersist(); words = next
-        BpeMerge(i.toLong, l, r, c)
+          .collect()
+        if (best.isEmpty) exhausted = true  // no adjacent pairs left to merge
+        else {
+          val (l, r, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += BpeMerge(i.toLong, l, r, c)
+          val next = words
+            .withColumn("syms", bpeApplyMerge(col("syms"), l, r)).cache()
+          words.unpersist(); words = next
+          i += 1
+        }
       }
+      out.result()
     } finally words.unpersist()
   }
 

@@ -361,6 +361,11 @@ class TextEventsSpec extends SparkSpec {
     // ("a","b") orders before ("aa","a")
     assert(merges(1) == TextAnalysis.BpeMerge(2, "a", "b", 1))
     assert(merges(2) == TextAnalysis.BpeMerge(3, "aa", "a", 1))
+    // pair space exhausts gracefully: single-char words offer nothing to
+    // merge, and a fully-merged corpus stops before nMerges
+    assert(TextAnalysis.bpeTrain(Seq((1L, "a b c a")).toDF("doc_id", "text"), 3).isEmpty)
+    assert(TextAnalysis.bpeTrain(Seq((1L, "ab ab")).toDF("doc_id", "text"), 5)
+      == Seq(TextAnalysis.BpeMerge(1, "a", "b", 2)))  // freq-weighted: ab ×2
   }
 
   test("profile: per-column rows/nulls/distinct in one scan, schema-dynamic") {
