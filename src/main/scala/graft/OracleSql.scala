@@ -252,6 +252,35 @@ object OracleSql {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** Mirror of [[Dedup.cdcStats]] over the `dedup_cdc` query's corpus
+    * (documents plus prefixed twins of every 5th doc): the per-row chunk
+    * fold re-expressed as a window cumsum — a token's segment is the count
+    * of boundary tokens (id ≡ 0 mod `mod`) strictly before it.
+    */
+  def dedupCdc(mod: Int): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, 'zzz ' || text AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tok AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS t,
+       |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+       |      AS pos
+       |  FROM corpus),
+       |tid AS (SELECT doc_id, t, pos, ${tokenId("t")} AS id FROM tok),
+       |seg AS (SELECT doc_id, t, pos,
+       |    coalesce(sum(CASE WHEN id % $mod = 0 THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |  FROM tid),
+       |ch AS (SELECT doc_id, s, string_agg(t, ' ' ORDER BY pos) AS chunk
+       |  FROM seg GROUP BY doc_id, s),
+       |cnt AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM ch JOIN cnt USING (chunk) GROUP BY doc_id""".stripMargin
+
   /** Mirror of the `pipeline_cluster_stats` query: the simIvf cell
     * assignment (fixed first-k centroids, (dist, cid) tie order) joined to
     * the documents side on the shared id, rolled up per cell with the

@@ -803,6 +803,19 @@ object SparkEntry {
     "dedup_paragraph" -> ((s, dir) =>
       TextAnalysis.dedupParagraphs(mlDocs(s, dir))),
 
+    // content-defined chunking: boundaries follow the content hash, so the
+    // prefixed twins (every 5th doc re-added under "zzz " + text) still
+    // share every chunk after their first boundary — the shift-robust
+    // dedup family fixed windows can't provide
+    "dedup_cdc" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val shifted = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("zzz "), col("text")).as("text"))
+      Dedup.cdcStats(docs.unionByName(shifted))
+    }),
+
     // unigram-LM familiarity: integer bitlen(corpus count) per token —
     // the KenLM-perplexity role in exact arithmetic
     "text_unigram_lm" -> ((s, dir) =>
@@ -1589,6 +1602,7 @@ object SparkEntry {
         |FROM d GROUP BY 1""".stripMargin,
     "text_boilerplate" -> OracleSql.textBoilerplate(maxDf = 10),
     "dedup_paragraph" -> OracleSql.dedupParagraph,
+    "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS freq FROM (

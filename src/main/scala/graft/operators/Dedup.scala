@@ -283,6 +283,52 @@ object Dedup {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
   }
 
+  // ---------------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunk partition of each doc — the shift-robust dedup
+    * unit (storage-dedup's Rabin chunking at token granularity): a chunk
+    * boundary falls AFTER every token whose content hash ≡ 0 (mod `mod`),
+    * so boundaries move with the content, not with positions — prepending
+    * text to a doc changes only the chunks up to the first boundary, and
+    * everything after still matches its twin byte-for-byte (where fixed
+    * windows would misalign every chunk). ONE per-row fold builds the chunk
+    * array (zero shuffle); expected chunk length = `mod` tokens.
+    */
+  def cdcChunkArray(text: Column, mod: Int = 8): Column = {
+    val pairs = zip_with(tokens(text), graft.plans.native.token_ids(text),
+      (t, id) => struct(t.as("t"), id.as("id")))
+    aggregate(pairs,
+      struct(array().cast("array<string>").as("chunks"), lit("").as("cur")),
+      (acc, p) => {
+        val chunks = acc.getField("chunks"); val cur = acc.getField("cur")
+        val ncur = when(cur === "", p.getField("t"))
+          .otherwise(concat(cur, lit(" "), p.getField("t")))
+        when(p.getField("id") % mod === 0,
+          struct(concat(chunks, array(ncur)).as("chunks"), lit("").as("cur")))
+          .otherwise(struct(chunks.as("chunks"), ncur.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
+        .otherwise(concat(acc.getField("chunks"), array(acc.getField("cur")))))
+  }
+
+  /** CDC dedup stats: per doc, its chunk count and how many of its chunks
+    * also appear in at least one OTHER doc. Chunk sharing is a groupBy on
+    * the chunk content key (at 100 TB: a 64-bit chunk hash) + one join back
+    * — the inverted-index shape every other dedup family here uses; chunk
+    * production itself never shuffles.
+    */
+  def cdcStats(docs: DataFrame, mod: Int = 8): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), posexplode(cdcChunkArray(col("text"), mod)))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    val cnt = ch.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(cnt, "chunk")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Per-doc SimHash fingerprint over frequency-weighted token ids: bit b is

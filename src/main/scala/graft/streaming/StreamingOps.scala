@@ -242,6 +242,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming gap sessions via the built-in `session_window` — the
+    * watermarked one-liner twin of [[sessionizeStream]]'s explicit
+    * flatMapGroupsWithState form (and of the batch
+    * `Events.sessionWindowAgg`). Sessions emit in append mode once the
+    * watermark passes their end, so state is bounded by open sessions per
+    * watermark window; values match the batch twin row-for-row
+    * (StreamingSpec pins it).
+    */
+  def sessionWindowStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+
   /** Watermarked stream-stream interval join — the attribution join every
     * event pipeline runs continuously (a click pairs with the same user's
     * impressions from the preceding `windowMinutes`). Both sides carry

@@ -180,4 +180,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(1L), s"chain did not collapse: $comp")
   }
+
+  test("CDC chunks follow content boundaries and survive a prefix shift") {
+    import org.apache.spark.sql.functions.col
+    // tokenId("x") = 120, 120 % 8 == 0 -> "x" is a boundary token;
+    // a/b/c/d/e hash to 97..101, none ≡ 0 (mod 8)
+    val docs = Seq(
+      (1L, "a b x c d x e"),
+      (2L, "zzz a b x c d x e")).toDF("doc_id", "text")
+    val chunks = docs.select(col("doc_id"),
+      Dedup.cdcChunkArray(col("text")).as("ch"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks(1L) == Seq("a b x", "c d x", "e"))
+    // the prefix lands in the FIRST chunk only; later chunks re-align
+    assert(chunks(2L) == Seq("zzz a b x", "c d x", "e"))
+    val stats = Dedup.cdcStats(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats(1L) == ((3L, 2L)) && stats(2L) == ((3L, 2L)))
+    // no trailing-empty chunk when the text ends exactly on a boundary
+    val exact = Seq((3L, "a x")).toDF("doc_id", "text")
+      .select(Dedup.cdcChunkArray(col("text"))).as[Seq[String]].head()
+    assert(exact == Seq("a x"))
+  }
 }

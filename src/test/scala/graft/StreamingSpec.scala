@@ -274,6 +274,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window emits closed sessions equal to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = StreamingOps.sessionWindowStream(
+      in.toDF().toDF("user_id", "ts"))
+    val q = sess.writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    try {
+      // u1: one 2-event session; u2: two sessions split by a >30m gap
+      in.addData((1L, ts(1, 0)), (1L, ts(1, 10)), (2L, ts(1, 0)), (2L, ts(2, 0)))
+      q.processAllAvailable()
+      // sentinel far ahead advances the watermark past every session end
+      in.addData((99L, ts(12, 0)))
+      q.processAllAvailable()
+      val got = spark.table("sess_win_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Events.sessionWindowAgg(
+        Seq((1L, ts(1, 0)), (1L, ts(1, 10)), (2L, ts(1, 0)), (2L, ts(2, 0)))
+          .toDF("user_id", "ts"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.size == 3 && got.exists(r => r._1 == 1L && r._4 == 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window impressions") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
