@@ -348,6 +348,22 @@ object TextAnalysis {
     reassemble(lines.join(freq, "line"), col("df") <= maxDf)
   }
 
+  /** The broadcast-hot-set twin of [[removeBoilerplate]]: only lines OVER
+    * the cap (the hot set — bounded by n/maxDf distinct values, tiny by
+    * construction) travel to the join, as a broadcast left-outer mark. The
+    * full line relation then never shuffles on the line key at all — one
+    * doc-key shuffle total. Value-identical to the join form (PropertySpec
+    * pins it); pick this shape when the corpus is huge and the cap is high.
+    */
+  def removeBoilerplateBroadcastHot(docs: DataFrame, maxDf: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val lines = docLines(docs, textCol)
+    val hot = lines.groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("line"), lit(1).as("_hot"))
+    reassemble(lines.join(broadcast(hot), Seq("line"), "left_outer"),
+      col("_hot").isNull)
+  }
+
   /** Corpus-wide paragraph dedup (CCNet's sharded-hash pass): every line
     * keeps only its FIRST occurrence — the (doc_id, pos)-least copy — and
     * later copies are dropped from their docs. First occurrence is a

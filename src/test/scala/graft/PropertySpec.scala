@@ -368,6 +368,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplate removal: broadcast-hot-set twin is value-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // generator-driven multi-line docs: line vocabulary small enough that
+    // some lines cross the df cap and some don't
+    val lineGen = Gen.chooseNum(0, 11).map(i => s"line $i")
+    val docGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      .toDF("doc_id", "text")
+    for (cap <- Seq(1, 5, 20)) {
+      val a = TextAnalysis.removeBoilerplate(docs, cap)
+        .as[(Long, Long, Long, String)].collect().toSet
+      val b = TextAnalysis.removeBoilerplateBroadcastHot(docs, cap)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(a == b, s"cap=$cap: join form and broadcast-hot form diverge")
+    }
+    // and the hot side actually broadcasts
+    val plan = TextAnalysis.removeBoilerplateBroadcastHot(docs, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("snapshotAsOf is monotone: each generation replays exactly its prefix") {
     import org.apache.spark.sql.functions._
     val base = (1L to 40L).map(i => (i, s"v$i", 1L, "U"))
