@@ -697,6 +697,52 @@ object OracleSql {
        |SELECT doc_id, lang, n_tok,
        |  CAST((cum - n_tok) // $packBudget AS BIGINT) AS batch_id FROM pk""".stripMargin
 
+  /** Mirror of the `pipeline_full` query — the COMPLETE curation chain:
+    * benchmark split (doc_id % 97), quality gate, MinHash keep-one,
+    * 3-gram decontamination of the survivors against the benchmark,
+    * source-budget mixing, sequence packing. Each stage is the same CTE
+    * fragment its standalone query uses.
+    */
+  def pipelineFull(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
+      bands: Int, thrNum: Int, thrDen: Int, dN: Int, dThrNum: Int,
+      dThrDen: Int, packBudget: Int): String =
+    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id
+       |  WHERE d.doc_id % 97 <> 0),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
+       |reps AS (SELECT d.* FROM clean d JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id = c.rep_id),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(${shingles("string_split(text,' ')", dN)},
+       |      s -> ${tokenId("s")})) AS ids
+       |  FROM documents),
+       |bn AS (SELECT DISTINCT unnest(ids) AS id FROM sh WHERE doc_id % 97 = 0),
+       |ex AS (SELECT s2.doc_id, len(s2.ids) AS ns, unnest(s2.ids) AS id
+       |  FROM sh s2 JOIN reps r ON s2.doc_id = r.doc_id),
+       |dm AS (SELECT ex.doc_id, max(ex.ns) AS ns, count(bn.id) AS nsh
+       |  FROM ex LEFT JOIN bn ON ex.id = bn.id GROUP BY ex.doc_id),
+       |surv AS (SELECT r.* FROM reps r JOIN dm ON r.doc_id = dm.doc_id
+       |  WHERE NOT (dm.nsh*$dThrDen >= dm.ns*$dThrNum)),
+       |kt AS (SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM surv),
+       |bgt AS (SELECT source,
+       |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
+       |      AS budget
+       |  FROM (SELECT DISTINCT source FROM kt)),
+       |mx AS (SELECT kt.doc_id, kt.lang, kt.n_tok, bgt.budget,
+       |    sum(kt.n_tok) OVER (PARTITION BY kt.source ORDER BY kt.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS scum
+       |  FROM kt JOIN bgt ON kt.source = bgt.source),
+       |sel AS (SELECT doc_id, lang, n_tok FROM mx WHERE scum - n_tok < budget),
+       |pk AS (SELECT doc_id, lang, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM sel)
+       |SELECT doc_id, lang, n_tok,
+       |  CAST((cum - n_tok) // $packBudget AS BIGINT) AS batch_id FROM pk""".stripMargin
+
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN ((id >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"

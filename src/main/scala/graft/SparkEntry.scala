@@ -976,6 +976,31 @@ object SparkEntry {
       TextAnalysis.packBatches(docs.join(mixed, "doc_id"))
     }),
 
+    // THE complete curation chain, decontamination included: benchmark
+    // split → quality gate → MinHash keep-one → 3-gram decontamination of
+    // survivors against the held-out set → source-budget mix → packing.
+    // Every stage is the exact operator its standalone query runs; the
+    // oracle chains the same CTE fragments.
+    "pipeline_full" -> ((s, dir) => {
+      val all = Tables.read(s, dir, "documents")
+      val docs = all.filter(col("doc_id") % 97 =!= 0)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .filter(col("keep") === 1).select("doc_id")
+      val clean = docs.join(kept, "doc_id")
+      val comps = Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+      val reps = clean.join(
+        comps.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+      val ok = Dedup.decontaminate(reps, bench)
+        .filter(col("contaminated") === 0).select("doc_id")
+      val surv = reps.join(ok, "doc_id")
+      val budgets = surv.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+      val mixed = TextAnalysis.mixCorpus(surv, budgets).select("doc_id")
+      TextAnalysis.packBatches(surv.join(mixed, "doc_id"))
+    }),
+
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
@@ -1634,6 +1659,9 @@ object SparkEntry {
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2, budget = 256),
     "pipeline_pretrain" -> OracleSql.pipelinePretrain(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2, packBudget = 256),
+    "pipeline_full" -> OracleSql.pipelineFull(minTokens = 25, maxTokens = 5000,
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
+      dN = 3, dThrNum = 1, dThrDen = 10, packBudget = 256),
     "q_window" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,
         |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)
