@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-stream restart from checkpoint is exactly-once end to end") {
+    // the fault-tolerance contract a 100 TB ingest lives on: source offsets
+    // commit to the checkpoint, the file sink commits via _spark_metadata,
+    // and a restarted query resumes AFTER the processed batch — every input
+    // row lands in the output exactly once across the restart
+    val src = java.nio.file.Files.createTempDirectory("gsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("gout").toString
+    val cents = Seq(Centroid(1, Seq(0.0, 0.0)), Centroid(2, Seq(10.0, 10.0)))
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Double])]): Unit = {
+      val f = new java.io.File(src, name)
+      val txt = rows.map { case (i, y) =>
+        s"""{"i": $i, "Y": [${y.mkString(",")}]}""" }.mkString("\n")
+      java.nio.file.Files.write(f.toPath, txt.getBytes("UTF-8"))
+    }
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema("i LONG, Y ARRAY<DOUBLE>").json(src)
+      val q = StreamingOps.assignStream(in, cents)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch("a.json", Seq(1L -> Seq(0.1, 0.2), 2L -> Seq(9.5, 9.9)))
+    run()
+    writeBatch("b.json", Seq(3L -> Seq(0.3, 0.1), 4L -> Seq(10.2, 9.8)))
+    run()   // fresh query instance, same checkpoint: resumes after batch a
+    val got = spark.read.parquet(out).select("i", "j")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L)),
+      s"restart lost or duplicated rows: $got")
+  }
+
   test("streaming session_window emits closed sessions equal to the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
