@@ -790,6 +790,25 @@ object SparkEntry {
             when(col("doc_id") % 2 === 0, "com").otherwise("org"),
             lit("/p/"), col("doc_id").cast("string")).as("url")))),
 
+    // URL blocklist filter: the same synthetic URLs as text_domains; the
+    // blocklist carries every src1 domain (both tlds) — those docs drop,
+    // everything else survives with its parsed host/domain attached
+    "text_url_filter" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
+          lit("."), col("source"), lit(".example."),
+          when(col("doc_id") % 2 === 0, "com").otherwise("org"),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      val block = docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("src1.example.com"),
+          org.apache.spark.sql.Row("src1.example.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      TextAnalysis.urlFilter(docs, block)
+    }),
+
     // line-level boilerplate removal: the fixture is single-line, so each
     // doc gains a deterministic header (3 variants — each ~n/3 occurrences)
     // and a shared footer; both exceed the df cap and are stripped, the
@@ -1625,6 +1644,20 @@ object SparkEntry {
         |      AS domain FROM h)
         |SELECT domain, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
         |FROM d GROUP BY 1""".stripMargin,
+    "text_url_filter" ->
+      """WITH aug AS (SELECT doc_id,
+        |    'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.' || source
+        |      || '.example.'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END
+        |      || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    regexp_extract(url, '://([A-Za-z0-9.-]+)', 1) AS host FROM aug),
+        |d AS (SELECT doc_id, url, host,
+        |    regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+\.[A-Za-z]+)$', 1)
+        |      AS domain FROM p)
+        |SELECT domain, doc_id, url, host FROM d
+        |WHERE domain NOT IN ('src1.example.com', 'src1.example.org')""".stripMargin,
     "text_boilerplate" -> OracleSql.textBoilerplate(maxDf = 10),
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),

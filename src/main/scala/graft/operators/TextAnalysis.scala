@@ -401,6 +401,22 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** URL blocklist filtering — the first gate of a web-crawl pipeline:
+    * drop docs whose registered domain is on the blocklist. The blocklist
+    * is tiny by nature (domains, not URLs) → broadcast anti-join; the
+    * host/domain parse is the [[domainStats]] regex pair, per-row. Output
+    * keeps the parse columns so downstream domain-level scoring reuses
+    * them without re-parsing.
+    */
+  def urlFilter(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val host = regexp_extract(col("url"), "://([A-Za-z0-9.-]+)", 1)
+    val parsed = docs.select(col("doc_id"), col("url"),
+        host.as("host"),
+        regexp_extract(host,
+          "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z]+)$", 1).as("domain"))
+    parsed.join(broadcast(blocklist), Seq("domain"), "left_anti")
+  }
+
   // ------------------------------------------------------------ BPE training
 
   /** Word-frequency start state for BPE training: one row per distinct
