@@ -18,11 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(col(c)))
+
+  /** The 100 TB shape: `approx_count_distinct` (HLL++) instead of exact —
+    * ONE pass with NO Expand in the plan (PropertySpec asserts both the
+    * plan property and that every estimate lands within tolerance of the
+    * exact census).
+    */
+  def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
+    profileWith(df, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
+      distinctAgg(c).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', n_rows_all, n_rows_all - `nn_$c`, `nd_$c`").mkString(", ")

@@ -368,6 +368,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("profileApprox: no Expand in the plan; estimates track the exact census") {
+    import graft.operators.Profiling
+    val df = Tables.read(spark, sf("0.001"), "lineitem")
+    val exact = Profiling.profile(df)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val approx = Profiling.profileApprox(df)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    approx.as[(String, Long, Long, Long)].collect().foreach {
+      case (c, n, nn, nd) =>
+        val (_, en, enn, end) = exact(c)
+        assert(n == en && nn == enn)                    // counts stay exact
+        assert(math.abs(nd - end) <= math.max(3L, (end * 0.1).toLong),
+          s"$c: approx $nd vs exact $end")
+    }
+    // the exact form pays the Expand; that's the documented trade
+    assert(Profiling.profile(df)
+      .queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("boilerplate removal: broadcast-hot-set twin is value-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis

@@ -368,6 +368,18 @@ class TextEventsSpec extends SparkSpec {
       == Seq(TextAnalysis.BpeMerge(1, "a", "b", 2)))  // freq-weighted: ab ×2
   }
 
+  test("urlFilter: blocklisted domains drop; unparseable URLs survive") {
+    val docs = Seq(
+      (1L, "https://a.bad.example.com/x"),
+      (2L, "https://a.good.example.org/y"),
+      (3L, "not a url at all")).toDF("doc_id", "url")
+    val block = Seq("bad.example.com").toDF("domain")
+    val got = TextAnalysis.urlFilter(docs, block)
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(2L, 3L))      // 1 blocked; 3 unparseable kept
+    assert(got(2L) == "good.example.org" && got(3L) == "")
+  }
+
   test("profile: per-column rows/nulls/distinct in one scan, schema-dynamic") {
     val df = Seq(
       (1L, Some("x"), 1.5), (2L, None, 1.5), (3L, Some("y"), 2.0))
