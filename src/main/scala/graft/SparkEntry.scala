@@ -860,6 +860,12 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       Profiling.profile(Tables.read(s, dir, "lineitem"))),
 
+    // balanced output sharding: round-robin over token-desc rank — shard
+    // token masses stay within one max-doc of each other (balance bound
+    // pinned in TextEventsSpec)
+    "doc_shard" -> ((s, dir) =>
+      TextAnalysis.shardBalanced(Tables.read(s, dir, "documents"))),
+
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
     "km_validity" -> ((s, dir) =>
@@ -1671,6 +1677,14 @@ object SparkEntry {
         |p AS (SELECT sy[i] AS lft, sy[i+1] AS rgt, freq FROM ix)
         |SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 20""".stripMargin,
+    "doc_shard" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk FROM t)
+        |SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
+        |FROM r""".stripMargin,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",

@@ -276,6 +276,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         expr(s"(cum - n_tok) div $budget").as("batch_id"))
 
+  /** Balanced output sharding — the writer-side step that splits a corpus
+    * into `nShards` files of near-equal token mass (so no trainer reads a
+    * straggler shard): docs rank by (tokens desc, doc_id) and take
+    * `rank % nShards` — the round-robin LPT approximation, whose imbalance
+    * is bounded by one max-size doc (pinned in TextEventsSpec). One global
+    * rank window at this size; at scale the same rule runs per (lang,
+    * partition) with per-partition shard offsets and stays one shuffle.
+    */
+  def shardBalanced(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_tok"), col("doc_id"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("n_tok"),
+        ((col("rnk") - 1) % nShards).cast("long").as("shard"))
+  }
+
   /** Corpus mixing — the pretraining-mix step that weights data sources:
     * each source contributes docs in deterministic `doc_id` order until its
     * token budget fills. `budgets` is a (source, budget) relation — tiny by

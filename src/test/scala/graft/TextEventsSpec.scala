@@ -368,6 +368,19 @@ class TextEventsSpec extends SparkSpec {
       == Seq(TextAnalysis.BpeMerge(1, "a", "b", 2)))  // freq-weighted: ab ×2
   }
 
+  test("shardBalanced: round-robin LPT keeps shard token mass within one max doc") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val n = 8
+    val masses = TextAnalysis.shardBalanced(docs, n)
+      .groupBy("shard").agg(org.apache.spark.sql.functions.sum("n_tok").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(masses.keySet == (0L until n).toSet)  // every shard populated
+    val maxDoc = TextAnalysis.shardBalanced(docs, n)
+      .agg(org.apache.spark.sql.functions.max("n_tok")).as[Long].head()
+    assert(masses.values.max - masses.values.min <= maxDoc,
+      s"imbalance ${masses.values.max - masses.values.min} > max doc $maxDoc")
+  }
+
   test("urlFilter: blocklisted domains drop; unparseable URLs survive") {
     val docs = Seq(
       (1L, "https://a.bad.example.com/x"),
