@@ -670,18 +670,13 @@ object OracleSql {
     * sequence packing — [[pipelineCorpus]] with the `doc_mix` stage
     * composed between keep and pack.
     */
-  def pipelinePretrain(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
-      bands: Int, thrNum: Int, thrDen: Int, packBudget: Int): String =
-    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
-       |${textQuality(minTokens, maxTokens)}
-       |) q WHERE keep = 1),
-       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
-       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
-       |kt AS (SELECT d.doc_id, d.lang, d.source,
-       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
-       |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
-       |  WHERE c.doc_id = c.rep_id),
-       |bgt AS (SELECT source,
+  /** Shared mix→pack tail (consumes a `kt(doc_id, lang, source, n_tok)`
+    * CTE): source budgets, budget-bounded selection in doc order, per-lang
+    * prefix-sum packing — the exact fragments `doc_mix` / `doc_pack` run
+    * standalone.
+    */
+  private def mixPackTail(packBudget: Int): String =
+    s"""bgt AS (SELECT source,
        |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
        |      AS budget
        |  FROM (SELECT DISTINCT source FROM kt)),
@@ -696,6 +691,19 @@ object OracleSql {
        |  FROM sel)
        |SELECT doc_id, lang, n_tok,
        |  CAST((cum - n_tok) // $packBudget AS BIGINT) AS batch_id FROM pk""".stripMargin
+
+  def pipelinePretrain(minTokens: Int, maxTokens: Int, n: Int, numHashes: Int,
+      bands: Int, thrNum: Int, thrDen: Int, packBudget: Int): String =
+    s"""WITH RECURSIVE qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
+       |kt AS (SELECT d.doc_id, d.lang, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id = c.rep_id),
+       |${mixPackTail(packBudget)}""".stripMargin
 
   /** Mirror of the `pipeline_full` query — the COMPLETE curation chain:
     * benchmark split (doc_id % 97), quality gate, MinHash keep-one,
@@ -727,21 +735,7 @@ object OracleSql {
        |  WHERE NOT (dm.nsh*$dThrDen >= dm.ns*$dThrNum)),
        |kt AS (SELECT doc_id, lang, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM surv),
-       |bgt AS (SELECT source,
-       |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
-       |      AS budget
-       |  FROM (SELECT DISTINCT source FROM kt)),
-       |mx AS (SELECT kt.doc_id, kt.lang, kt.n_tok, bgt.budget,
-       |    sum(kt.n_tok) OVER (PARTITION BY kt.source ORDER BY kt.doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS scum
-       |  FROM kt JOIN bgt ON kt.source = bgt.source),
-       |sel AS (SELECT doc_id, lang, n_tok FROM mx WHERE scum - n_tok < budget),
-       |pk AS (SELECT doc_id, lang, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM sel)
-       |SELECT doc_id, lang, n_tok,
-       |  CAST((cum - n_tok) // $packBudget AS BIGINT) AS batch_id FROM pk""".stripMargin
+       |${mixPackTail(packBudget)}""".stripMargin
 
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>

@@ -922,9 +922,13 @@ object SparkEntry {
       val copies = imgs.filter(col("media_id") % 5 === 0)
         .withColumn("media_id", col("media_id") + 1000000L)
       val hashes = Multimodal.aHashes(imgs.unionByName(copies)).toDF()
-      val dups = Multimodal.aHashPairs(hashes)
-        .groupBy("a_id").agg(count(lit(1)).as("n_dups"))
-      hashes.join(dups, hashes("media_id") === dups("a_id"), "left")
+      // pairs arrive once as (a_id < b_id); count BOTH endpoints so the
+      // larger-id twin of a duplicate pair reports its partner too
+      val pairs = Multimodal.aHashPairs(hashes)
+      val dups = pairs.select(col("a_id").as("id"))
+        .unionAll(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_dups"))
+      hashes.join(dups, hashes("media_id") === dups("id"), "left")
         .select(col("media_id"), col("ahash"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
     }),
@@ -1851,7 +1855,8 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT), 'D'
         |  FROM documents WHERE doc_id % 7 = 0),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC)
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY gen DESC, op ASC)
         |    AS rn FROM lg WHERE gen <= 3)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 

@@ -74,8 +74,11 @@ object Joins {
     */
   def snapshotAsOf(log: DataFrame, keys: Seq[String], gen: Long,
       opCol: String = "op"): DataFrame = {
+    // ties inside one generation resolve DELETE-wins ('D' < 'U' ascending):
+    // a key upserted and tombstoned in the same generation is deterministic-
+    // ally gone, never shuffle-order-dependent
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(desc("gen"))
+      .partitionBy(keys.map(col): _*).orderBy(desc("gen"), asc(opCol))
     log.filter(col("gen") <= gen)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "D")

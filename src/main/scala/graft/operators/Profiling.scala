@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   def profile(df: DataFrame): DataFrame =
-    profileWith(df, c => countDistinct(col(c)))
+    profileWith(df, c => countDistinct(c))
 
   /** The 100 TB shape: `approx_count_distinct` (HLL++) instead of exact —
     * ONE pass with NO Expand in the plan (PropertySpec asserts both the
@@ -27,14 +27,20 @@ object Profiling {
     * exact census).
     */
   def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
-    profileWith(df, c => approx_count_distinct(col(c), rsd))
+    profileWith(df, c => approx_count_distinct(c, rsd))
 
   private def profileWith(df: DataFrame,
-      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
+      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     val cols = df.columns.toSeq
+    // backtick-quote everywhere so dotted names profile as columns, not as
+    // struct-field paths; names containing the quote characters themselves
+    // can't be expressed in the generated stack literal — fail loudly
+    cols.foreach(c => require(!c.contains("`") && !c.contains("'"),
+      s"cannot profile column with quote characters in its name: $c"))
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      distinctAgg(c).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
+      count(col(s"`$c`")).as(s"nn_$c"),
+      distinctAgg(col(s"`$c`")).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', n_rows_all, n_rows_all - `nn_$c`, `nd_$c`").mkString(", ")

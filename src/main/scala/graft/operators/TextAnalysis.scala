@@ -513,7 +513,9 @@ object TextAnalysis {
           out += BpeMerge(i.toLong, l, r, c)
           val next = words
             .withColumn("syms", bpeApplyMerge(col("syms"), l, r)).cache()
-          words.unpersist(); words = next
+          next.count()        // materialize BEFORE evicting the parent —
+          words.unpersist()   // else every iteration recomputes from the corpus
+          words = next
           i += 1
         }
       }
