@@ -73,15 +73,42 @@ object SparkEntry {
     * two dirs served by one process keep both artifact sets.
     */
   private val liveTags = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Tags are PROCESS-SCOPED (pid prefix) and 64-bit (two independent murmur
+    * seeds): a concurrent JVM sharing /tmp and the warehouse (bench alongside
+    * sbt test) never sees this process's artifacts as prunable, and a tag
+    * collision between two dirs — fatal, because the memo is keyed by the
+    * full dirKey and would silently serve the wrong data — needs a
+    * simultaneous 64-bit collision instead of a 31-bit one.
+    */
+  private val pidPrefix = s"p${ProcessHandle.current().pid()}x"
   private def tagOf(key: String): String = {
-    val t = f"${scala.util.hashing.MurmurHash3.stringHash(key) & 0x7fffffff}%08x"
+    import scala.util.hashing.MurmurHash3
+    val t = f"$pidPrefix${MurmurHash3.stringHash(key) & 0xffffffffL}%08x${MurmurHash3.stringHash(key, 0x5bd1e995) & 0xffffffffL}%08x"
     liveTags.add(t)
     t
   }
   private def dirTag(dir: String): String = tagOf(dirKey(dir))
 
-  /** Tagged /tmp path for a per-dir artifact; prunes stale (non-live-tag)
-    * generations of the same artifact before returning.
+  /** Per-source token budget for the mix/pipeline queries, mirroring the
+    * oracle's `400*(1 + CAST(substr(source, 4) AS BIGINT) % 3)` with the
+    * SAME unbounded suffix (no length cap — a >10-digit source id would
+    * silently diverge under a capped substring).
+    */
+  private def sourceBudget =
+    lit(400L) * (lit(1L) + expr("substr(source, 4)").cast("long") % 3L)
+
+  /** Stale = a non-live tag minted by THIS process (a rewritten fixture's
+    * previous generation), or any generation older than [[staleAgeMs]]
+    * (leftovers of a dead JVM — live processes here never run that long).
+    * Another live process's fresh artifacts match neither arm.
+    */
+  private val staleAgeMs = 12L * 3600 * 1000
+  private def isStaleTag(tag: String, lastModified: Long): Boolean =
+    (tag.startsWith(pidPrefix) && !liveTags.contains(tag)) ||
+      (System.currentTimeMillis() - lastModified > staleAgeMs)
+
+  /** Tagged /tmp path for a per-dir artifact; prunes stale generations of
+    * the same artifact before returning.
     */
   private def taggedTmpPath(prefix: String, tag: String): String = {
     val tmpDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
@@ -93,19 +120,23 @@ object SparkEntry {
       .filter { f =>
         val n = f.getName
         n.startsWith(prefix + "_") &&
-          !liveTags.contains(n.substring(n.lastIndexOf('_') + 1))
+          isStaleTag(n.substring(n.lastIndexOf('_') + 1), f.lastModified)
       }
       .foreach(deleteRec)
     s"$tmpDir/${prefix}_$tag"
   }
 
-  /** Drop stale (non-live-tag) catalog tables of a tagged artifact family. */
+  /** Drop stale catalog tables of a tagged artifact family (own-pid scope
+    * only — the catalog exposes no age, so other processes' tables are left
+    * to their owners).
+    */
   private def pruneStaleTables(s: SparkSession, prefix: String): Unit =
     s.catalog.listTables().collect()
       .map(_.name)
       .filter { n =>
+        val tag = n.substring(n.lastIndexOf('_') + 1)
         n.startsWith(prefix + "_") &&
-          !liveTags.contains(n.substring(n.lastIndexOf('_') + 1))
+          tag.startsWith(pidPrefix) && !liveTags.contains(tag)
       }
       .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
 
@@ -748,7 +779,7 @@ object SparkEntry {
       val docs = Tables.read(s, dir, "documents")
       val budgets = docs.select(col("source")).distinct()
         .withColumn("budget",
-          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+          sourceBudget)
       TextAnalysis.mixCorpus(docs, budgets)
     }),
     // count-min sketch (custom TypedImperativeAggregate, transparent hash
@@ -1000,7 +1031,7 @@ object SparkEntry {
       val kept = docs.join(reps, "doc_id")
       val budgets = kept.select(col("source")).distinct()
         .withColumn("budget",
-          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+          sourceBudget)
       val mixed = TextAnalysis.mixCorpus(kept, budgets).select("doc_id")
       TextAnalysis.packBatches(docs.join(mixed, "doc_id"))
     }),
@@ -1025,7 +1056,7 @@ object SparkEntry {
       val surv = reps.join(ok, "doc_id")
       val budgets = surv.select(col("source")).distinct()
         .withColumn("budget",
-          lit(400L) * (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3L))
+          sourceBudget)
       val mixed = TextAnalysis.mixCorpus(surv, budgets).select("doc_id")
       TextAnalysis.packBatches(surv.join(mixed, "doc_id"))
     }),

@@ -38,12 +38,17 @@ object Profiling {
     // can't be expressed in the generated stack literal — fail loudly
     cols.foreach(c => require(!c.contains("`") && !c.contains("'"),
       s"cannot profile column with quote characters in its name: $c"))
-    val aggs = cols.flatMap(c => Seq(
-      count(col(s"`$c`")).as(s"nn_$c"),
-      distinctAgg(col(s"`$c`")).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows_all")
+    // positional internal aliases (_nn_0/_nd_0) — immune to a pre-existing
+    // column that happens to be named like a name-derived alias
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(s"`$c`")).as(s"_nn_$i"),
+      distinctAgg(col(s"`$c`")).as(s"_nd_$i")) } :+ count(lit(1)).as("_n_rows_all")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', n_rows_all, n_rows_all - `nn_$c`, `nd_$c`").mkString(", ")
+    // backslashes are escape characters inside the generated SQL string
+    // literal — double them so the emitted col_name round-trips verbatim
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'${c.replace("\\", "\\\\")}', _n_rows_all, _n_rows_all - _nn_$i, _nd_$i"
+    }.mkString(", ")
     row.selectExpr(
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct)")
   }

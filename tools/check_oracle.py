@@ -31,14 +31,14 @@ def canon(rows):
 
 def norm_type(t):
     """Collapse Arrow types to compare families: int widths merge, string
-    flavors merge; decimal/float/date/timestamp stay distinct."""
+    flavors merge; decimal/float32/float64/date/timestamp stay distinct —
+    the driver's hash is typed, so a float32-vs-float64 divergence must fail
+    HERE first, not at the driver."""
     s = str(t)
     if s.startswith("int") or s.startswith("uint"):
         return "int"
     if s in ("large_string", "string", "utf8", "large_utf8"):
         return "string"
-    if s == "float":
-        return "double"
     return s
 
 
