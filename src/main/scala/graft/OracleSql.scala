@@ -500,6 +500,68 @@ object OracleSql {
        |SELECT a_id, b_id, inter/(sza+szb-inter) AS jac FROM p
        |WHERE inter*$thrDen >= (sza+szb-inter)*$thrNum""".stripMargin
 
+  /** Mirror of [[Dedup.containment]] via the INDEPENDENT direct form: pair
+    * documents within the lang block, intersect shingle sets, normalize by
+    * the contained side. Directional (`a_id <> b_id`); a zero-overlap pair
+    * fails the positive threshold in both engines, so the inverted-index
+    * Spark plan and this all-pairs SQL agree exactly.
+    */
+  def dedupContainment(n: Int, thrNum: Int, thrDen: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS sza
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+       |SELECT a_id, b_id, inter/sza AS cont FROM p WHERE inter*$thrDen >= sza*$thrNum""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.noveltyScore]]: first-seen doc per
+    * shingle = min(doc_id), per-doc novel share in integer ppm.
+    */
+  def textNovelty(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
+       |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0),
+       |f AS (SELECT s, min(doc_id) AS first_seen FROM ex GROUP BY s)
+       |SELECT ex.doc_id, CAST(ex.sz AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_seen = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       |  CAST(sum(CASE WHEN f.first_seen = ex.doc_id THEN 1 ELSE 0 END) * 1000000 // ex.sz AS BIGINT) AS novelty_ppm
+       |FROM ex JOIN f ON ex.s = f.s
+       |GROUP BY ex.doc_id, ex.sz""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.sentenceStats]]: same terminator-run
+    * class split, trim, drop-empty; integer char counts.
+    */
+  val textSentences: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+      |      s -> length(s) > 0) AS segs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(segs) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(list_sum(list_transform(segs, s -> length(s))), 0) AS BIGINT) AS sent_chars,
+      |  CAST(coalesce(list_max(list_transform(segs, s -> length(s))), 0) AS BIGINT) AS max_sent_chars
+      |FROM t""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.balanceByLang]]. */
+  val docBalance: String =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |cap AS (SELECT lang, min(cnt) OVER () AS cap FROM c),
+      |r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk
+      |FROM r JOIN cap ON r.lang = cap.lang WHERE r.rnk <= cap.cap""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.qualityQuantileGate]]: DuckDB
+    * `median` over BIGINT interpolates even counts exactly like Spark's
+    * exact `percentile(x, 0.5)` — x.0/x.5 values, exact in a double.
+    */
+  val docQualityGate: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+      |m AS (SELECT source, median(n_tokens) AS med FROM t GROUP BY source)
+      |SELECT t.doc_id, t.source, t.n_tokens,
+      |  CAST(round(m.med * 10) AS BIGINT) AS med_d10
+      |FROM t JOIN m ON t.source = m.source WHERE t.n_tokens >= m.med""".stripMargin
+
   /** The MinHash-LSH candidate pipeline as a reusable CTE chain ending in
     * `m(a_id, b_id, matches)` — shared by [[dedupMinhash]] and the
     * connected-components oracles.
@@ -792,6 +854,38 @@ object OracleSql {
        |  ${(0 until m).map(s => s"CAST(c$s AS BIGINT) AS c$s").mkString(", ")},
        |  CAST($packed AS BIGINT) AS packed
        |FROM codes""".stripMargin
+  }
+
+  /** Mirror of [[operators.Similarity.pqRerankTopK]]: the simPqAdc chain
+    * truncated at `shortlist` nominates candidates, which join back to the
+    * raw vectors for the exact-cosine re-rank (identical [[cosine]] fold).
+    */
+  def simPqRerank(m: Int, k: Int, dim: Int, nQueries: Int,
+      shortlist: Int, kNbrs: Int): String = {
+    val sub = dim / m
+    val dCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
+    val chain = (0 until m).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes(m, k, sub)},
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |pd AS (SELECT q.q_id, b.vec_id AS n_id, b.s,
+       |    ${sqdist(sliceExpr("q.qv", "b.s", sub), sliceExpr("cb.cv", "b.s", sub))} AS d
+       |  FROM best b JOIN cb ON cb.t = b.t CROSS JOIN q
+       |  WHERE b.vec_id <> q.q_id),
+       |wide AS (SELECT q_id, n_id, $dCols
+       |  FROM pd GROUP BY q_id, n_id),
+       |adc AS (SELECT q_id, n_id, $chain AS adc FROM wide),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+       |    FROM adc) x WHERE rnk <= $shortlist),
+       |ex AS (SELECT cd.q_id, cd.n_id, ${cosine("q.qv", "e.v")} AS c
+       |  FROM cand cd JOIN e ON e.vec_id = cd.n_id JOIN q ON q.q_id = cd.q_id),
+       |r AS (SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM ex)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $kNbrs""".stripMargin
   }
 
   /** Mirror of [[operators.Similarity.pqAdcTopK]]: per-subspace partial

@@ -598,6 +598,11 @@ object SparkEntry {
     "dedup_ngram_capped" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5,
         dfCap = 3)),
+    // asymmetric CONTAINMENT (|A∩B|/|A|): catches a small doc quoted inside
+    // a much larger one, which Jaccard's union denominator suppresses —
+    // same inverted-index equi-join machinery as dedup_ngram
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(Tables.read(s, dir, "documents"), n = 3, thrNum = 3, thrDen = 10)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
@@ -701,6 +706,13 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.pqAdcTopK(emb, Similarity.pqCodebook(emb))
     }),
+    // two-stage retrieval: ADC over 4-byte codes nominates a 50-candidate
+    // shortlist, whose raw vectors alone are fetched (equi-join on vec_id)
+    // for the exact-cosine re-rank — the production PQ query shape
+    "sim_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.pqRerankTopK(emb, Similarity.pqCodebook(emb))
+    }),
     // semantic corpus clustering rollup (the topic-level census behind
     // cluster-aware data mixing, SemDeDup-style): assign each doc's
     // EMBEDDING to a coarse cell (zero-shuffle literal-centroid argmin),
@@ -756,6 +768,23 @@ object SparkEntry {
       TextAnalysis.topkTokens(Tables.read(s, dir, "documents"))),
     "doc_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.read(s, dir, "documents"))),
+    // n-gram novelty: share of each doc's shingles it is the FIRST (lowest
+    // doc_id) to contribute — the diversity signal that demotes documents
+    // that only re-cover already-seen text; postings-sized, never pairwise
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScore(Tables.read(s, dir, "documents"))),
+    // sentence segmentation census: terminator-run split, per-row only
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(Tables.read(s, dir, "documents"))),
+    // language-balanced corpus: every language keeps the min per-language
+    // count in deterministic doc order — the rebalancing step of a
+    // multilingual mix
+    "doc_balance" -> ((s, dir) =>
+      TextAnalysis.balanceByLang(Tables.read(s, dir, "documents"))),
+    // per-source MEDIAN length gate: relative-quality filter that adapts to
+    // each source's own distribution instead of one global constant
+    "doc_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityQuantileGate(Tables.read(s, dir, "documents"))),
     // TF-IDF keyword extraction: top-3 terms per doc by the log-free
     // rational score tf·N·1e6/df (integer-domain; ranking-equivalent to
     // tf·ln(N/df) for fixed N — see TextAnalysis.tfidf)
@@ -1123,6 +1152,18 @@ object SparkEntry {
         .select(col("l_returnflag"), col("cnt"),
           (col("p25") / 100.0).as("p25"), (col("p50") / 100.0).as("p50"),
           (col("p75") / 100.0).as("p75"))
+    }),
+
+    // ---- fixed-bin histogram census (the value-distribution profile a
+    // pipeline draws before choosing partition bounds): bin = integer
+    // division of exact cents — one map-side-combinable groupBy ----
+    "q_histogram" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      Tables.read(s, dir, "lineitem")
+        .select(cents.as("cents"))
+        .select(expr("cents div 500000").as("bin"), col("cents"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
     }),
 
     // ---- skew-salted join (the hot-key lever at 100 TB): every lineitem
@@ -1611,6 +1652,7 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY k""".stripMargin,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
+    "dedup_containment" -> OracleSql.dedupContainment(n = 3, thrNum = 3, thrDen = 10),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
@@ -1631,6 +1673,8 @@ object SparkEntry {
     "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
     "pipeline_cluster_stats" -> OracleSql.pipelineClusterStats(nCells = 16),
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
+    "sim_pq_rerank" -> OracleSql.simPqRerank(m = 8, k = 16, dim = 64,
+      nQueries = 5, shortlist = 50, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
     "text_langid_ngram" -> OracleSql.textLangIdNgram,
@@ -1640,6 +1684,15 @@ object SparkEntry {
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),
     "text_topk_tokens" -> OracleSql.textTopkTokens(k = 50),
     "doc_sample" -> OracleSql.docSample(num = 1, den = 5),
+    "text_novelty" -> OracleSql.textNovelty(n = 3),
+    "text_sentences" -> OracleSql.textSentences,
+    "doc_balance" -> OracleSql.docBalance,
+    "doc_quality_gate" -> OracleSql.docQualityGate,
+    "q_histogram" ->
+      """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)
+        |SELECT cents // 500000 AS bin, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY 1""".stripMargin,
     "doc_pack" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -131,6 +131,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (col("inter") / col("uni")).as("jac"))
   }
 
+  /** Asymmetric containment near-dup pairs: C(a→b) = |Sa ∩ Sb| / |Sa| ≥
+    * thrNum/thrDen, reported per direction (both orientations of a pair can
+    * qualify). Jaccard's union denominator hides a small document copied
+    * wholesale into a much larger one (J ≈ |Sa|/|Sb| → 0 as b grows);
+    * containment normalizes by the contained side only — the quote/excerpt
+    * detector of a curation pipeline. Same inverted-index equi-join shape as
+    * [[ngramJaccard]] (candidate work Σ_shingle df², lang-blocked, optional
+    * [[ngramPostings]] df cap), so the 100 TB posture is identical: pairs
+    * sharing no shingle are never materialized, and a zero-overlap pair
+    * cannot pass the positive threshold anyway.
+    */
+  def containment(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int,
+      dfCap: Int = 0): DataFrame = {
+    require(thrNum >= 1, "inverted-index form requires a positive threshold")
+    val ex = ngramPostings(docs, n, dfCap)
+    val a = ex.select(col("doc_id").as("a_id"), col("sz").as("sza"),
+      col("lang"), col("s"))
+    val b = ex.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("s").as("s_b"))
+    a.join(b, col("lang") === col("lang_b") && col("s") === col("s_b") &&
+        col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id", "sza")
+      .agg(count(lit(1)).cast("int").as("inter"))
+      .filter(col("inter") * thrDen >= col("sza") * thrNum)
+      .select(col("a_id"), col("b_id"), (col("inter") / col("sza")).as("cont"))
+  }
+
   /** Posting lists (doc_id, lang, sz, s) behind [[ngramJaccard]], with the
     * SKEW GUARD: when `dfCap > 0`, shingles whose document frequency within
     * the lang block exceeds the cap ("stop-shingles" — boilerplate headers,

@@ -273,7 +273,7 @@ object Similarity {
       nearestSqDist(slice(col("v"), s * sub + 1, sub), codebook(s)))
       .reduce(_ + _)
     emb2v(emb).select(sum(round(err * 1e6).cast("long")).as("e"))
-      .head.getLong(0)
+      .head().getLong(0)
   }
 
   /** PQ encode — the vector-compression step that makes 100 TB ANN feasible:
@@ -325,5 +325,37 @@ object Similarity {
       .filter(col("rnk") <= kNbrs)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("adc") * 1e6).cast("long").as("adc_e6"))
+  }
+
+  /** Two-stage PQ retrieval — the production ANN query shape: the cheap ADC
+    * scan over 4-byte codes nominates a `shortlist`-sized candidate set per
+    * query, then ONLY those candidates' raw vectors are fetched (equi-join on
+    * vec_id — at 100 TB that is shortlist·q rows of raw vectors read, not the
+    * corpus) and re-ranked by exact cosine. Recall loss is confined to the
+    * nomination stage; the reported ordering is exact over the shortlist.
+    * The ADC stage reuses [[pqAdcTopK]] verbatim (its crossJoin(broadcast)
+    * over codes is that declared baseline's shape — IVF cells bolt on in
+    * front when even the code scan needs pruning).
+    */
+  def pqRerankTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int = 5, shortlist: Int = 50, kNbrs: Int = 10): DataFrame = {
+    import graft.plans.native
+    val short = pqAdcTopK(emb, codebook, nQueries, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val e = emb2v(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    short
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"),
+        (native.dot(col("qv"), col("nv")) /
+          (sqrt(native.dot(col("qv"), col("qv"))) *
+            sqrt(native.dot(col("nv"), col("nv"))))).as("c"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kNbrs)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 }

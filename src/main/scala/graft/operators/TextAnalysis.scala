@@ -555,4 +555,75 @@ object TextAnalysis {
     }
     docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
   }
+
+  /** N-gram novelty: per doc, the share of its distinct shingles this doc is
+    * the FIRST to contribute (first = lowest doc_id over the whole corpus) —
+    * the diversity/novelty signal a mix builder uses to demote documents that
+    * only re-cover already-seen text. Two shuffles at any scale: min(doc_id)
+    * per shingle (postings-sized, linear — never pairwise), then the per-doc
+    * rollup. `novelty_ppm` stays in the exact integer domain. Docs shorter
+    * than `n` tokens have no shingles and drop out (mirrored by the oracle).
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = Dedup.shingled(docs, n)
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val first = ex.groupBy("s").agg(min("doc_id").as("first_seen"))
+    ex.join(first, "s")
+      .groupBy("doc_id", "sz")
+      .agg(sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("sz").cast("long").as("n_shingles"),
+        col("novel"), expr("novel * 1000000 div sz").as("novelty_ppm"))
+  }
+
+  /** Sentence segmentation stats: split on terminator runs (`[.!?]+`), trim,
+    * drop empties. Per-row only — zero shuffle. All outputs exact integers.
+    */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val segs = filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    docs.select(col("doc_id"),
+      size(segs).cast("long").as("n_sentences"),
+      aggregate(segs, lit(0L), (acc, s) => acc + length(s)).as("sent_chars"),
+      coalesce(array_max(transform(segs, s => length(s))), lit(0))
+        .cast("long").as("max_sent_chars"))
+  }
+
+  /** Language-balanced corpus: every language keeps the SAME number of docs
+    * — the minimum per-language count — in deterministic doc_id order. The
+    * cap is a window min over the per-language COUNTS relation (|langs|
+    * rows, trivial at any scale), broadcast back onto the ranked docs; the
+    * only full-data shuffle is the per-language row_number.
+    */
+  def balanceByLang(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val cap = counts.select(col("lang"),
+      min(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).as("cap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    docs.withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(cap), "lang")
+      .filter(col("rnk") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
+  /** Per-source median length gate: keep docs at or above their source's
+    * median token count — the relative-quality filter that adapts to each
+    * source's own distribution instead of a global constant. Medians come
+    * from one exact-percentile agg over (source) — |sources| rows, broadcast
+    * back — so the data shuffles once for the agg and never for the gate.
+    * The median of integer counts is x.0 or x.5, exact in a double, so the
+    * `>=` compare and the d10 fixed point are engine-stable.
+    */
+  def qualityQuantileGate(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val med = t.groupBy("source")
+      .agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    t.join(broadcast(med), "source")
+      .filter(col("n_tokens") >= col("med"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("med") * 10).cast("long").as("med_d10"))
+  }
 }

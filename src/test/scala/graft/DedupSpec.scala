@@ -202,4 +202,22 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.cdcChunkArray(col("text"))).as[Seq[String]].head()
     assert(exact == Seq("a x"))
   }
+
+  test("containment catches a small doc quoted inside a large one that Jaccard misses") {
+    val qd = Seq(
+      // doc 1's 3 shingles all appear verbatim inside doc 2's 17
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "intro words here alpha beta gamma delta epsilon plus lots more " +
+        "trailing content words apple banana cherry dog elephant", "en"),
+      (3L, "unrelated totally different text with other words", "en")
+    ).toDF("doc_id", "text", "lang")
+    val cont = Dedup.containment(qd, n = 3, thrNum = 9, thrDen = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 1-in-2 containment is 3/3 = 1.0; the reverse direction is 3/17 — the
+    // asymmetry is the operator's point
+    assert(cont == Seq((1L, 2L, 1.0)), s"got $cont")
+    // Jaccard of the same pair is 3/(3+17-3) ≈ 0.18: a 30% Jaccard gate
+    // misses the quoted doc entirely
+    assert(Dedup.ngramJaccard(qd, n = 3, thrNum = 3, thrDen = 10).count() == 0)
+  }
 }

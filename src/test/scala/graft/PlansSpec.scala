@@ -192,8 +192,10 @@ class PlansSpec extends SparkSpec {
     // corpus size N / the d×w sketch matrix — the scalar-subquery plan, each
     // stream row meets exactly one build row). Everything else must never
     // nested-loop.
-    val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc", "text_tfidf",
-      "text_cms")
+    // sim_pq_rerank embeds the sim_pq_adc nomination stage verbatim — same
+    // declared baseline; its re-rank half is an equi-join on vec_id.
+    val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc",
+      "sim_pq_rerank", "text_tfidf", "text_cms")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
@@ -370,14 +372,23 @@ class PlansSpec extends SparkSpec {
     assert(a1 != b, "scale factors must be distinguishable for this pin to bite")
   }
 
-  test("stale artifact generations are pruned; live-tag artifacts survive") {
-    // tags derive from fixture mtimes: a leftover dir from a rewritten
-    // fixture (its tag is not live in this process) must be cleaned up when
-    // the same artifact family is written again
+  test("stale artifact generations are pruned; foreign fresh artifacts survive") {
+    // tags derive from fixture mtimes: a leftover OWN-pid dir from a
+    // rewritten fixture (its tag is not live in this process) must be
+    // cleaned up when the same artifact family is written again — but a
+    // fresh dir owned by ANOTHER live process (different pid prefix) must
+    // NOT be, else a bench run alongside sbt test could delete the other
+    // JVM's live artifacts mid-query.
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val stale = new java.io.File(s"$tmp/graft_orc_roundtrip_deadbeef")
+    val pid = ProcessHandle.current().pid()
+    val stale = new java.io.File(s"$tmp/graft_orc_roundtrip_p${pid}xdeadbeef")
+    val foreign = new java.io.File(s"$tmp/graft_orc_roundtrip_p${pid + 1}xcafe")
     stale.mkdirs()
-    assert(SparkEntry.queries("q_orc_roundtrip")(spark, sf("0.001")).count() > 0)
-    assert(!stale.exists(), "non-live generation must be pruned on rebuild")
+    foreign.mkdirs()
+    try {
+      assert(SparkEntry.queries("q_orc_roundtrip")(spark, sf("0.001")).count() > 0)
+      assert(!stale.exists(), "own-pid non-live generation must be pruned on rebuild")
+      assert(foreign.exists(), "another live process's fresh artifact must survive")
+    } finally { foreign.delete(); () }
   }
 }

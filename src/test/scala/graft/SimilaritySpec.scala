@@ -201,6 +201,31 @@ class SimilaritySpec extends SparkSpec {
     assert((a & x).size >= 12, s"recall ${(a & x).size}/50 too low")
   }
 
+  test("PQ re-rank: exhaustive shortlist reproduces brute force exactly; 50-shortlist recall beats raw ADC") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cb = Similarity.pqCodebook(emb)
+    // shortlist >= corpus: every candidate is re-ranked by exact cosine, so
+    // the result must EQUAL brute force bit-for-bit (rnk and cos_e6 included)
+    val full = Similarity.pqRerankTopK(emb, cb, nQueries = 5, shortlist = 1000, kNbrs = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == bf, "exhaustive-shortlist re-rank must equal brute force")
+    // production shape (shortlist 50 of 500): exact re-rank over ADC
+    // nominations — recall@10 vs exact cosine must beat the raw ADC ordering
+    // trusted blind (ADC approximates L2, re-rank restores the cosine order)
+    val rr = Similarity.pqRerankTopK(emb, cb)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val adcTop = Similarity.pqAdcTopK(emb, cb)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val bfPairs = bf.map(r => (r._1, r._2))
+    val rrRecall = (rr & bfPairs).size
+    val adcRecall = (adcTop & bfPairs).size
+    assert(rrRecall >= adcRecall,
+      s"re-rank recall $rrRecall/50 below raw ADC $adcRecall/50")
+    assert(rrRecall >= 15, s"re-rank recall $rrRecall/50 too low")
+  }
+
   test("trained PQ codebook beats the seed codebook on quantization error") {
     val emb = Tables.read(spark, sf("0.001"), "embeddings")
     val seedErr = Similarity.pqError(emb, Similarity.pqCodebook(emb))

@@ -402,4 +402,60 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Seq(
       ("id", 3L, 0L, 3L), ("s", 3L, 1L, 2L), ("v", 3L, 0L, 2L)))
   }
+
+  test("noveltyScore: first contributor gets full ppm; an exact copy gets zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "alpha beta gamma delta", "en"),       // every shingle seen at 1
+      (3L, "totally different words here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.noveltyScore(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 2L, 0L, 0L)))
+    assert(got(3L) == ((3L, 2L, 2L, 1000000L)))
+  }
+
+  test("sentenceStats: terminator runs split; no terminator = one sentence") {
+    val docs = Seq(
+      (1L, "One two. Three!! Four? ", "en"),
+      (2L, "no terminator here", "en"),
+      (3L, "...", "en")                            // only terminators
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.sentenceStats(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 16L, 7L)))         // "One two","Three","Four"
+    assert(got(2L) == ((2L, 1L, 18L, 18L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("balanceByLang: every language keeps exactly the min per-language count") {
+    val docs = Seq(
+      (1L, "a", "en"), (2L, "b", "en"), (3L, "c", "en"),
+      (10L, "d", "de"), (11L, "e", "de"),
+      (20L, "f", "fr"), (21L, "g", "fr"), (22L, "h", "fr"), (23L, "i", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.balanceByLang(docs)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq
+    assert(got.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("en" -> 2, "de" -> 2, "fr" -> 2))
+    // deterministic doc_id order: the LOWEST ids survive per language
+    assert(got.toSet ==
+      Set(("en", 1L), ("en", 2L), ("de", 10L), ("de", 11L),
+        ("fr", 20L), ("fr", 21L)))
+  }
+
+  test("qualityQuantileGate keeps docs at/above their source's median tokens") {
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(1), "sA"), (2L, words(2), "sA"), (3L, words(3), "sA"),
+      (4L, words(2), "sB"), (5L, words(4), "sB")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityQuantileGate(docs)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // sA median 2 -> docs 2,3 pass; sB even count -> median 3.0 -> doc 5 only
+    assert(got == Map(2L -> ((2L, 20L)), 3L -> ((3L, 20L)),
+      5L -> ((4L, 30L))))
+  }
 }
