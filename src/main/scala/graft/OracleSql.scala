@@ -562,6 +562,55 @@ object OracleSql {
       |  CAST(round(m.med * 10) AS BIGINT) AS med_d10
       |FROM t JOIN m ON t.source = m.source WHERE t.n_tokens >= m.med""".stripMargin
 
+  /** Shared CTE chain for the duplicated-span oracles, ending in
+    * `isl(doc_id, pos, e, grp)` — positional grams, cross-doc duplicated
+    * grams (count(DISTINCT doc_id) >= minDocs), gaps-and-islands group ids.
+    * Same integer-only arithmetic as [[operators.Dedup.duplicatedSpans]].
+    */
+  private def spanCtes(n: Int, minDocs: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ex AS (SELECT doc_id, tk,
+       |    unnest(generate_series(1, greatest(len(tk) - ${n - 1}, 0))) AS pos
+       |  FROM t),
+       |g AS (SELECT doc_id, pos,
+       |    array_to_string(list_slice(tk, pos, pos + ${n - 1}), ' ') AS gram
+       |  FROM ex),
+       |d AS (SELECT gram FROM g GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= $minDocs),
+       |h AS (SELECT g.doc_id, g.pos, g.pos + ${n - 1} AS e
+       |  FROM g JOIN d USING (gram)),
+       |i AS (SELECT doc_id, pos, e,
+       |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM h),
+       |isl AS (SELECT doc_id, pos, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM i)""".stripMargin
+
+  /** Mirror of [[operators.Dedup.duplicatedSpans]]. */
+  def dedupSpans(n: Int, minDocs: Int): String =
+    s"""WITH ${spanCtes(n, minDocs)}
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_toks
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  /** Mirror of [[operators.Dedup.spanStats]]. */
+  def dedupSpanStats(n: Int, minDocs: Int): String =
+    s"""WITH ${spanCtes(n, minDocs)},
+       |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+       |  FROM isl GROUP BY doc_id, grp),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(e2 - s + 1) AS BIGINT) AS dup_tokens
+       |  FROM sp GROUP BY doc_id),
+       |nt AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT st.doc_id, st.n_spans, st.dup_tokens, nt.n_tokens,
+       |  CAST(st.dup_tokens * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
+       |FROM st JOIN nt USING (doc_id)""".stripMargin
+
   /** The MinHash-LSH candidate pipeline as a reusable CTE chain ending in
     * `m(a_id, b_id, matches)` — shared by [[dedupMinhash]] and the
     * connected-components oracles.

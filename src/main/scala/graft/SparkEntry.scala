@@ -603,6 +603,15 @@ object SparkEntry {
     // same inverted-index equi-join machinery as dedup_ngram
     "dedup_containment" -> ((s, dir) =>
       Dedup.containment(Tables.read(s, dir, "documents"), n = 3, thrNum = 3, thrDen = 10)),
+    // exact duplicated-SUBSTRING spans (token-granular suffix-array dedup a
+    // la Lee et al. 2022): maximal per-doc token ranges whose 5-grams occur
+    // in >=2 distinct docs — postings-sized, gaps-and-islands merge
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.read(s, dir, "documents"), n = 5)),
+    // per-doc duplication profile over the spans: the "drop docs more than
+    // X% copied" threshold input, in exact ppm
+    "dedup_span_stats" -> ((s, dir) =>
+      Dedup.spanStats(Tables.read(s, dir, "documents"), n = 5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
@@ -1654,6 +1663,8 @@ object SparkEntry {
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_containment" -> OracleSql.dedupContainment(n = 3, thrNum = 3, thrDen = 10),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
+    "dedup_spans" -> OracleSql.dedupSpans(n = 5, minDocs = 2),
+    "dedup_span_stats" -> OracleSql.dedupSpanStats(n = 5, minDocs = 2),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(

@@ -158,6 +158,78 @@ object Dedup {
       .select(col("a_id"), col("b_id"), (col("inter") / col("sza")).as("cont"))
   }
 
+  // ------------------------------------------- duplicated-substring spans
+
+  /** Positional gram postings (doc_id, pos, gram): every n-gram occurrence
+    * with its 1-based start token position. Built by the codegen'd
+    * [[graft.plans.ShingleExpressions]] `word_grams` kernel (one
+    * straight-line pass per row — no HOF slice lambda, no token-level window
+    * shuffle); a doc shorter than n tokens contributes nothing. Joining on
+    * the gram STRING keeps the pipeline collision-free; at 100 TB shuffle
+    * `xxhash64(gram)` instead to narrow the exchange (collisions only ever
+    * ADD span coverage, they cannot drop a true duplicate).
+    */
+  private def gramPostings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.plans.native.word_grams(col("text"), n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+
+  /** Exact duplicated-substring spans (the token-granular form of
+    * suffix-array training-data dedup — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): for each document, the
+    * maximal token ranges covered by n-grams that also occur in at least
+    * `minDocs` OTHER distinct documents. A shared run of m ≥ n tokens shows
+    * up as m−n+1 overlapping duplicated grams, which merge back into ONE
+    * [start, end] span via gaps-and-islands; the reported span boundaries
+    * are exactly the duplicated region's.
+    *
+    * Distributed shape — everything is linear in the posting count, never
+    * pairwise: one groupBy(gram) for the document frequencies, one hash
+    * join back to the postings, one per-doc window for the merge. This is
+    * why the inverted-index form (and not an actual suffix array, which is
+    * sequential) is the 100 TB standard.
+    *
+    * Output: (doc_id, span_start, span_end, span_toks), token positions
+    * 1-based inclusive.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gramPostings(docs, n)
+    val dup = g.groupBy("gram")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("gram")
+    val hits = g.join(dup, "gram")
+      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(col("pos") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L)
+    hits.withColumn("grp", sum(brk).over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_toks"))
+  }
+
+  /** Per-document duplication profile over [[duplicatedSpans]]: span count,
+    * duplicated token total, and the duplicated share in exact ppm — the
+    * number a curation pipeline thresholds ("drop docs more than X%
+    * copied"). Inner-joins back to the per-doc token counts, so only
+    * documents with at least one span appear (their complement is trivially
+    * dup_ppm = 0).
+    */
+  def spanStats(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val nt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    duplicatedSpans(docs, n, minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_toks").as("dup_tokens"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+  }
+
   /** Posting lists (doc_id, lang, sz, s) behind [[ngramJaccard]], with the
     * SKEW GUARD: when `dfCap > 0`, shingles whose document frequency within
     * the lang block exceeds the cap ("stop-shingles" — boilerplate headers,

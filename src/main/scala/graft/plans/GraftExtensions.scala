@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleIds(exprs(0), GraftExtensions.intArg(exprs(1), "shingle_ids"))))
     e.injectFunction((
+      FunctionIdentifier("word_grams"),
+      WordGrams.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordGrams(exprs(0), GraftExtensions.intArg(exprs(1), "word_grams"))))
+    e.injectFunction((
       FunctionIdentifier("token_ids"),
       TokenIds.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -70,7 +75,7 @@ object GraftExtensions {
   }
 
   /** Register on an already-built session (tests, driver-owned sessions).
-    * Mirrors [[GraftExtensions.apply]]: all seven functions, same names.
+    * Mirrors [[GraftExtensions.apply]]: every function, same names.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -84,6 +89,8 @@ object GraftExtensions {
       "word_shingles", exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles")), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_ids", exprs => ShingleIds(exprs(0), intArg(exprs(1), "shingle_ids")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_grams", exprs => WordGrams(exprs(0), intArg(exprs(1), "word_grams")), "built-in")
     reg.createOrReplaceTempFunction(
       "token_ids", exprs => TokenIds(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
@@ -125,6 +132,13 @@ object native {
     */
   def shingle_ids(text: Column, n: Int): Column =
     GraftColumnShim.column(ShingleIds(GraftColumnShim.expression(text), n))
+
+  /** ALL positional word n-grams, duplicates kept, empty when shorter than
+    * n tokens (see [[WordGrams]]) — posexplode this to get (pos, gram)
+    * postings in one codegen'd pass.
+    */
+  def word_grams(text: Column, n: Int): Column =
+    GraftColumnShim.column(WordGrams(GraftColumnShim.expression(text), n))
 
   /** Per-token poly_hash ids, duplicates kept — the fused
     * `transform(split(text, " "), poly_hash)`.

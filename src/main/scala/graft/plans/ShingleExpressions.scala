@@ -84,6 +84,33 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in position order, duplicates kept, NO truncated tail
+    * gram — a text shorter than n tokens yields an empty array. Gram at
+    * 1-based position k covers tokens k..k+n−1; `posexplode` over this array
+    * recovers (position, gram) postings without any HOF lambda (the
+    * interpreted `slice`-capture trap) and without shuffling tokens through
+    * a window. Non-distinct by design: span extraction needs every
+    * occurrence's position.
+    */
+  def grams(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    val count = math.max(toks.length - (n - 1), 0)
+    val out = new Array[Any](count)
+    var k = 0
+    while (k < count) {
+      val sb = new java.lang.StringBuilder
+      var i = k
+      while (i < k + n) {
+        if (i > k) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct lowercase character trigrams, first-occurrence order — the
     * fused `array_distinct(transform(sequence(1, length(lower(t)) - 2),
     * i -> substring(lower(t), i, 3)))` incl. its len<3 → empty guard.
@@ -153,6 +180,28 @@ case class ShingleIds(child: Expression, n: Int) extends ShingleExpressionBase {
 
 object ShingleIds {
   val info: ExpressionInfo = new ExpressionInfo(classOf[ShingleIds].getName, "shingle_ids")
+}
+
+/** `word_grams(text, n)` → `array<string>` positional n-grams (duplicates
+  * kept, empty when the text has fewer than n tokens).
+  */
+case class WordGrams(child: Expression, n: Int) extends ShingleExpressionBase {
+  require(n >= 1, s"gram width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.grams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.grams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[WordGrams].getName, "word_grams")
 }
 
 /** `token_ids(text)` → `array<long>` per-token poly_hash ids (duplicates kept). */

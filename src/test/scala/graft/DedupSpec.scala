@@ -203,6 +203,51 @@ class DedupSpec extends SparkSpec {
     assert(exact == Seq("a x"))
   }
 
+  test("duplicatedSpans merges overlapping grams into exact maximal ranges") {
+    val docs = Seq(
+      // docs 1 and 2 share the 6-token run "one two three four five six" —
+      // with n=3 that is 4 overlapping duplicated grams, which must merge
+      // into ONE span covering exactly the run
+      (1L, "aa bb one two three four five six cc dd", "en"),
+      (2L, "xx one two three four five six yy zz qq", "en"),
+      // doc 3 shares nothing 3-gram-sized with anyone
+      (3L, "totally different words with no common threes", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.duplicatedSpans(docs, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: tokens 3..8; doc 2: tokens 2..7
+    assert(got == Set((1L, 3L, 8L, 6L), (2L, 2L, 7L, 6L)), s"got $got")
+  }
+
+  test("duplicatedSpans: two separated shared runs stay two spans; within-doc repeats don't count") {
+    val docs = Seq(
+      (1L, "p q r GAP1 GAP2 s t u", "en"),
+      (2L, "p q r OTHER FILLER s t u", "en"),
+      // doc 3 repeats its own 3-gram twice but shares it with nobody:
+      // countDistinct(doc) == 1, so no span
+      (3L, "m n o m n o zz ww vv", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.duplicatedSpans(docs, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 3L), (1L, 6L, 8L, 3L),
+      (2L, 1L, 3L, 3L), (2L, 6L, 8L, 3L)), s"got $got")
+    // and the per-doc profile rolls the two spans up with exact ppm
+    val st = Dedup.spanStats(docs, n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(st == Set(
+      (1L, 2L, 6L, 8L, 750000L), (2L, 2L, 6L, 8L, 750000L)), s"got $st")
+  }
+
+  test("word_grams kernel: positional, non-distinct, empty under n tokens") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y")).toDF("id", "t")
+    val g = df.select(col("id"),
+      graft.plans.native.word_grams(col("t"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(g(1L) == Seq("a b a", "b a b", "a b a"))
+    assert(g(2L) == Seq.empty)
+  }
+
   test("containment catches a small doc quoted inside a large one that Jaccard misses") {
     val qd = Seq(
       // doc 1's 3 shingles all appear verbatim inside doc 2's 17
