@@ -611,6 +611,28 @@ object OracleSql {
        |  CAST(st.dup_tokens * 1000000 // nt.n_tokens AS BIGINT) AS dup_ppm
        |FROM st JOIN nt USING (doc_id)""".stripMargin
 
+  /** Mirror of [[operators.Dedup.removeSpans]]. */
+  def dedupSpanRemoval(n: Int, minDocs: Int): String =
+    s"""WITH ${spanCtes(n, minDocs)},
+       |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+       |  FROM isl GROUP BY doc_id, grp),
+       |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e2)) AS pos
+       |  FROM sp),
+       |tp AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos
+       |  FROM t),
+       |tk2 AS (SELECT doc_id, pos, tk[pos] AS token FROM tp),
+       |kept AS (SELECT k.doc_id, k.pos, k.token FROM tk2 k
+       |  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS ct,
+       |    CAST(count(*) AS BIGINT) AS kt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+       |  CAST(coalesce(a.kt, 0) AS BIGINT) AS kept_tokens,
+       |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kt, 0) AS BIGINT)
+       |    AS removed_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** The MinHash-LSH candidate pipeline as a reusable CTE chain ending in
     * `m(a_id, b_id, matches)` — shared by [[dedupMinhash]] and the
     * connected-components oracles.

@@ -612,6 +612,10 @@ object SparkEntry {
     // X% copied" threshold input, in exact ppm
     "dedup_span_stats" -> ((s, dir) =>
       Dedup.spanStats(Tables.read(s, dir, "documents"), n = 5)),
+    // the corpus REWRITE over the spans: cut every duplicated range and
+    // stitch the survivors back in order (aggressive every-occurrence form)
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeSpans(Tables.read(s, dir, "documents"), n = 5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
@@ -1665,6 +1669,7 @@ object SparkEntry {
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_spans" -> OracleSql.dedupSpans(n = 5, minDocs = 2),
     "dedup_span_stats" -> OracleSql.dedupSpanStats(n = 5, minDocs = 2),
+    "dedup_span_removal" -> OracleSql.dedupSpanRemoval(n = 5, minDocs = 2),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(

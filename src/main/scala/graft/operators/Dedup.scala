@@ -230,6 +230,42 @@ object Dedup {
         expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
   }
 
+  /** The corpus REWRITE over [[duplicatedSpans]] (the "remove duplicated
+    * substrings" step of Lee et al. 2022, aggressive every-occurrence form):
+    * drop each token position covered by a duplicated span and stitch the
+    * survivors back together in order. Docs with no spans pass through
+    * verbatim; a fully-duplicated doc yields an empty string.
+    *
+    * Distributed shape: the covered-position explode is bounded by the
+    * TOTAL duplicated token count (not corpus size), the kill join is a
+    * (doc_id, pos) equi-join, and the stitch is one per-doc aggregation of
+    * (pos, token) structs — `array_sort` on the collected structs keeps the
+    * rebuild deterministic without a per-token window.
+    */
+  def removeSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+    val covered = duplicatedSpans(docs, n, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val stitched = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("token")))).as("kt"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(kt, x -> x.token)")).as("clean_text"),
+        size(col("kt")).cast("long").as("kept_tokens"))
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   /** Posting lists (doc_id, lang, sz, s) behind [[ngramJaccard]], with the
     * SKEW GUARD: when `dfCap > 0`, shingles whose document frequency within
     * the lang block exceeds the cap ("stop-shingles" — boilerplate headers,

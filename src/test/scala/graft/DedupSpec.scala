@@ -248,6 +248,24 @@ class DedupSpec extends SparkSpec {
     assert(g(2L) == Seq.empty)
   }
 
+  test("removeSpans cuts exactly the duplicated ranges and stitches the rest in order") {
+    val docs = Seq(
+      (1L, "aa bb one two three four five six cc dd", "en"),
+      (2L, "xx one two three four five six yy zz qq", "en"),
+      (3L, "totally different words with no common threes", "en"),
+      // docs 4/5 are full duplicates of each other => everything removed
+      (4L, "all of this text is shared", "en"),
+      (5L, "all of this text is shared", "en")
+    ).toDF("doc_id", "text", "lang")
+    val byId = Dedup.removeSpans(docs, n = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(1L) == (("aa bb cc dd", 4L, 6L)))
+    assert(byId(2L) == (("xx yy zz qq", 4L, 6L)))
+    assert(byId(3L) == (("totally different words with no common threes", 7L, 0L)))
+    assert(byId(4L) == (("", 0L, 6L)))
+    assert(byId(5L) == (("", 0L, 6L)))
+  }
+
   test("containment catches a small doc quoted inside a large one that Jaccard misses") {
     val qd = Seq(
       // doc 1's 3 shingles all appear verbatim inside doc 2's 17
