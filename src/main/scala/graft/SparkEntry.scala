@@ -1420,6 +1420,18 @@ object SparkEntry {
       s.read.parquet(taggedTmpPath("graft_compacted", dirTag(dir)))
     }),
 
+    // ---- DataSource V2 connector for the reference's numbers(N) table
+    // (k-means.sql:6): range pushdown tightens the generated interval
+    // row-exactly BEFORE split planning, and pruning keeps hex out of the
+    // scan when unused — both visible in the BatchScan description ----
+    "q_dsv2_numbers" -> ((s, _) =>
+      s.read.format("graft-numbers")
+        .option("end", 100000L).option("splits", 32).load()
+        .filter(col("i") >= 20000L && col("i") < 80000L)
+        .groupBy((col("i") % 7L).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("i").as("s"),
+          max("hex").as("max_hex"))),
+
     // ---- JSON-lines roundtrip (the interchange format LLM corpora actually
     // arrive in): write documents as JSONL, read back with an explicit
     // schema, hash-match row-for-row against the parquet original ----
@@ -1907,6 +1919,12 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_dsv2_numbers" ->
+      """WITH n AS (SELECT unnest(generate_series(20000, 79999)) AS i)
+        |SELECT i % 7 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(i) AS BIGINT) AS s, max(printf('%x', i)) AS max_hex
+        |FROM n GROUP BY 1""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
