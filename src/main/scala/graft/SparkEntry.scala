@@ -1024,6 +1024,11 @@ object SparkEntry {
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
       Events.asofJoin(Tables.readEvents(s, dir))),
+    // the same as-of semantics as a NATIVE whole-operator plan: custom
+    // logical node + strategy + merge-scan exec (AsofJoinExec), O(1) state
+    // per co-partition instead of the union+window carry-forward
+    "events_asof_native" -> ((s, dir) =>
+      Events.asofJoinNative(Tables.readEvents(s, dir))),
     // staged conversion funnel (windowFunnel analog): view → click → purchase
     // within 24h per stage, chained min-joins — no windows, no per-user sort
     "events_funnel" -> ((s, dir) =>
@@ -1812,6 +1817,7 @@ object SparkEntry {
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
+    "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),

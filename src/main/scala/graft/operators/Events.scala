@@ -119,6 +119,43 @@ object Events {
       .select(col("oid").as("event_id"), col("user_id"), col("us"), col("asof_us"))
   }
 
+  /** [[asofJoin]] as a NATIVE whole-operator plan: same output, but planned
+    * through [[graft.plans.AsofJoinNode]] → [[graft.plans.AsofJoinExec]] — a
+    * custom logical node, planner strategy, and merge-scan physical operator
+    * with declared clustering/ordering requirements, instead of the
+    * union + window composition. The strategy installs itself idempotently
+    * on the session's experimental strategies.
+    */
+  def asofJoinNative(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.{AsofJoinNode, AsofJoinStrategy}
+    val spark = events.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val us = unix_micros(col("ts"))
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), us.as("us"))
+    // fresh aliases give the right side fresh exprIds — both sides derive
+    // from the same scan, and a hand-built node skips the analyzer's
+    // self-join deduplication
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user_id"), us.as("r_us"))
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      sys.error(s"missing column $n"))
+    val node = AsofJoinNode(lp, rp,
+      attr(lp, "user_id"), attr(rp, "r_user_id"),
+      attr(lp, "us"), attr(rp, "r_us"),
+      lp.output, AttributeReference("asof_us", LongType, nullable = true)())
+    org.apache.spark.sql.GraftPlanShim.ofRows(spark, node)
+      .select("event_id", "user_id", "us", "asof_us")
+  }
+
   /** Staged conversion funnel (the `windowFunnel` analytic, e.g. reference
     * ecosystem's funnel analysis re-expressed relationally): for each stage
     * s ≥ 2, a user qualifies when they have a `stages(s)` event strictly
