@@ -1028,7 +1028,13 @@ object SparkEntry {
     // logical node + strategy + merge-scan exec (AsofJoinExec), O(1) state
     // per co-partition instead of the union+window carry-forward
     "events_asof_native" -> ((s, dir) =>
-      Events.asofJoinNative(Tables.readEvents(s, dir))),
+      Events.asofJoinNative(Tables.readEvents(s, dir),
+        broadcast = Some(false))),
+    // the broadcast physical form of the same operator: the right side
+    // ships whole, the 100TB-side left stream is NEVER shuffled or sorted
+    "events_asof_bcast" -> ((s, dir) =>
+      Events.asofJoinNative(Tables.readEvents(s, dir),
+        broadcast = Some(true))),
     // staged conversion funnel (windowFunnel analog): view → click → purchase
     // within 24h per stage, chained min-joins — no windows, no per-user sort
     "events_funnel" -> ((s, dir) =>
@@ -1818,6 +1824,7 @@ object SparkEntry {
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
+    "events_asof_bcast" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),

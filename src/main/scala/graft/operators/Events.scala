@@ -127,7 +127,8 @@ object Events {
     * on the session's experimental strategies.
     */
   def asofJoinNative(events: DataFrame, leftType: String = "click",
-      rightType: String = "purchase"): DataFrame = {
+      rightType: String = "purchase",
+      broadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.LongType
     import graft.plans.{AsofJoinNode, AsofJoinStrategy}
@@ -151,7 +152,8 @@ object Events {
     val node = AsofJoinNode(lp, rp,
       attr(lp, "user_id"), attr(rp, "r_user_id"),
       attr(lp, "us"), attr(rp, "r_us"),
-      lp.output, AttributeReference("asof_us", LongType, nullable = true)())
+      lp.output, AttributeReference("asof_us", LongType, nullable = true)(),
+      broadcastHint = broadcast)
     org.apache.spark.sql.GraftPlanShim.ofRows(spark, node)
       .select("event_id", "user_id", "us", "asof_us")
   }

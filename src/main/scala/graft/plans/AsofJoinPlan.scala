@@ -32,7 +32,8 @@ case class AsofJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     passThrough: Seq[Attribute],
-    asofOut: AttributeReference) extends BinaryNode {
+    asofOut: AttributeReference,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] = passThrough :+ asofOut
   // asof_us is MINTED here, not consumed — keeps it out of missingInput
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -48,10 +49,100 @@ case class AsofJoinNode(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, pass, out) =>
-      AsofJoinExec(lk, rk, lt, rt, pass, out, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, pass, out, hint) =>
+      // same decision rule as Spark's own joins: broadcast when the right
+      // side's estimated size clears the session threshold (the dimension/
+      // state side of an as-of join usually does); hint forces either way
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= BigInt(threshold))
+      if (broadcast)
+        BroadcastAsofJoinExec(lk, rk, lt, rt, pass, out,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsofJoinExec(lk, rk, lt, rt, pass, out,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
+}
+
+/** The broadcast form: the right side ships whole to every task
+  * (IdentityBroadcastMode), gets indexed once per partition into a
+  * key → sorted-ts map, and every left row answers with a binary search —
+  * the LEFT SIDE IS NEVER SHUFFLED OR SORTED. This is the plan you want
+  * when the right side is dimension-sized state (prices, config
+  * generations, session starts) against a 100 TB event stream.
+  */
+case class BroadcastAsofJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    passThrough: Seq[Attribute], asofOut: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = passThrough :+ asofOut
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofOut :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, lt, rk, rt) = (leftKey, leftTs, rightKey, rightTs)
+    val outExprs: Seq[Expression] = output
+    val joinedSchema: Seq[Attribute] = lOut :+ asofOut
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rExtract = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // key -> ascending ts array, built once per partition from the
+      // broadcast rows (dimension-sized by the strategy's own test)
+      val index = new java.util.HashMap[Long, Array[Long]]()
+      locally {
+        val buf = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        bcast.value.foreach { row =>
+          val e = rExtract(row)
+          if (!e.isNullAt(0) && !e.isNullAt(1)) {
+            buf.computeIfAbsent(e.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += e.getLong(1)
+          }
+        }
+        buf.forEach { (k, v) => index.put(k, v.toArray.sorted) }
+      }
+      val lExtract = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val resultProj = UnsafeProjection.create(outExprs, joinedSchema)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
+      lIter.map { lRow =>
+        val e = lExtract(lRow)
+        extra.update(0, null)
+        if (!e.isNullAt(0) && !e.isNullAt(1)) {
+          val tss = index.get(e.getLong(0))
+          if (tss != null) {
+            // greatest ts <= t: binary search for the insertion point
+            val t = e.getLong(1)
+            var loI = 0
+            var hiI = tss.length // first index with ts > t
+            while (loI < hiI) {
+              val mid = (loI + hiI) >>> 1
+              if (tss(mid) <= t) loI = mid + 1 else hiI = mid
+            }
+            if (loI > 0) extra.update(0, tss(loI - 1))
+          }
+        }
+        resultProj(joined(lRow, extra))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
 }
 
 case class AsofJoinExec(

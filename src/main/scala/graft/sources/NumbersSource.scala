@@ -4,6 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -73,11 +75,13 @@ case class NumbersTable(start: Long, end: Long, splits: Int)
   */
 class NumbersScanBuilder(start: Long, end: Long, splits: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = start
   private var hi = end
   private var accepted = Array.empty[Filter]
   private var projected = NumbersTable.schema
+  private var pushedAggs: Option[Seq[AggregateFunc]] = None
 
   // saturating +1 / clamps keep Long.MaxValue bounds from wrapping
   private def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
@@ -109,7 +113,93 @@ class NumbersScanBuilder(start: Long, end: Long, splits: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     projected = requiredSchema
 
-  override def build(): Scan = NumbersScan(lo, math.max(lo, hi), splits, projected)
+  /** Global COUNT/SUM/MIN/MAX over a consecutive-integer range have closed
+    * forms — push them into the scan and answer from arithmetic, reading
+    * zero rows. `i` is unique and non-null, so DISTINCT variants coincide
+    * with the plain ones and both are accepted. Grouped aggregations are
+    * declined (Spark keeps its own aggregation, correct either way).
+    */
+  private def aggSupported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => isI(c.column) // non-null unique => count == rows
+    case m: Min => isI(m.column)
+    case m: Max => isI(m.column)
+    case s: Sum => isI(s.column)
+    case _ => false
+  }
+  private def isI(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("i"))
+      case _ => false
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(aggSupported)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    pushedAggs = Some(aggregation.aggregateExpressions.toSeq)
+    true
+  }
+
+  override def build(): Scan = {
+    val hiC = math.max(lo, hi)
+    pushedAggs match {
+      case Some(fs) => NumbersAggScan(lo, hiC, fs.map {
+        case _: CountStar => "count"
+        case _: Count => "count"
+        case _: Min => "min"
+        case _: Max => "max"
+        case _: Sum => "sum"
+      })
+      case None => NumbersScan(lo, hiC, splits, projected)
+    }
+  }
+}
+
+/** The completely-pushed-down aggregate scan: ONE partition, ONE row,
+  * computed from the residual `[lo, hi)` range in O(1). Sum wraps through
+  * the 128-bit closed form exactly like 64-bit wrapping addition would
+  * (matching Spark's non-ANSI overflow); empty ranges yield count 0 and
+  * NULL min/max/sum, matching Spark's global-aggregate semantics.
+  */
+case class NumbersAggScan(lo: Long, hi: Long, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-numbers AGG-PUSHDOWN range=[$lo, $hi) aggs=${funcs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(NumbersRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    NumbersAggReaderFactory(funcs)
+}
+
+case class NumbersAggReaderFactory(funcs: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val NumbersRange(lo, hi) = partition
+    val n = math.max(hi - lo, 0L)
+    val vals: Array[Any] = funcs.map {
+      case "count" => java.lang.Long.valueOf(n)
+      case _ if n == 0L => null
+      case "min" => java.lang.Long.valueOf(lo)
+      case "max" => java.lang.Long.valueOf(hi - 1)
+      case "sum" => // exact 128-bit closed form, truncated = 64-bit wrapping
+        java.lang.Long.valueOf(
+          ((BigInt(lo) + BigInt(hi - 1)) * BigInt(n) / 2).toLong)
+    }.toArray
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class NumbersRange(lo: Long, hi: Long) extends InputPartition

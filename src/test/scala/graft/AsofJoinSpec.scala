@@ -28,17 +28,19 @@ class AsofJoinSpec extends SparkSpec {
   ).map { case (e, u, t, s) => (e, u, t, ts(s)) }
     .toDF("event_id", "user_id", "event_type", "ts")
 
-  test("native as-of matches the hand-derivable fixture exactly") {
-    val got = Events.asofJoinNative(events)
-      .as[(Long, Long, Long, Option[Long])].collect()
-      .map(r => r._1 -> r._4).toMap
+  test("native as-of matches the hand-derivable fixture exactly (both physical forms)") {
     def us(s: String) = ts(s).getTime * 1000L
-    assert(got == Map(
-      2L -> Some(us("2024-01-01 10:00:00")),
-      4L -> Some(us("2024-01-01 10:10:00")), // same-instant purchase matches
-      5L -> Some(us("2024-01-01 10:10:00")),
-      6L -> None, // no prior purchase
-      8L -> Some(us("2024-01-01 09:30:00"))))
+    for (b <- Seq(Some(false), Some(true))) {
+      val got = Events.asofJoinNative(events, broadcast = b)
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(got == Map(
+        2L -> Some(us("2024-01-01 10:00:00")),
+        4L -> Some(us("2024-01-01 10:10:00")), // same-instant purchase matches
+        5L -> Some(us("2024-01-01 10:10:00")),
+        6L -> None, // no prior purchase
+        8L -> Some(us("2024-01-01 09:30:00"))), s"broadcast=$b")
+    }
   }
 
   test("native and compositional forms agree row-for-row on the sf0.001 events") {
@@ -51,7 +53,8 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   test("the plan is the custom exec: one exchange per side, no window, no union") {
-    val df = Events.asofJoinNative(Tables.readEvents(spark, sf("0.001")))
+    val df = Events.asofJoinNative(Tables.readEvents(spark, sf("0.001")),
+      broadcast = Some(false))
     val plan = df.queryExecution.executedPlan
     val s = plan.toString
     assert(s.contains("AsofJoin"), s"plan was:\n$s")
@@ -61,10 +64,31 @@ class AsofJoinSpec extends SparkSpec {
 
   test("survives a skewed pre-partitioning of the inputs") {
     // repartition the source badly; EnsureRequirements must still co-cluster
-    val got = Events.asofJoinNative(events.repartition(7, col("event_type")))
+    val got = Events.asofJoinNative(events.repartition(7, col("event_type")),
+        broadcast = Some(false))
       .filter(col("event_id") === 5L)
       .select("asof_us").as[Option[Long]].head()
     assert(got.contains(ts("2024-01-01 10:10:00").getTime * 1000L))
+  }
+
+  test("broadcast form agrees row-for-row and never shuffles the left side") {
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val bcast = Events.asofJoinNative(ev, broadcast = Some(true))
+    val got = bcast.as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    val want = Events.asofJoin(ev)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+    val s = bcast.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastAsofJoin"), s"plan was:\n$s")
+    assert(s.contains("BroadcastExchange"), s"plan was:\n$s")
+    assert(!s.contains("ShuffleExchange") && !s.contains("Exchange hashpartitioning"),
+      s"plan was:\n$s")
+  }
+
+  test("with no hint, stats pick broadcast for a dimension-sized right side") {
+    val df = Events.asofJoinNative(Tables.readEvents(spark, sf("0.001")))
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastAsofJoin"), s"plan was:\n$s")
   }
 
   test("left rows with null key or ts pass through with a null match") {
@@ -72,10 +96,12 @@ class AsofJoinSpec extends SparkSpec {
       (100L, null.asInstanceOf[java.lang.Long], "click", ts("2024-01-01 12:00:00")),
       (101L, java.lang.Long.valueOf(10L), "click", null.asInstanceOf[java.sql.Timestamp])
     ).toDF("event_id", "user_id", "event_type", "ts"))
-    val got = Events.asofJoinNative(withNulls)
-      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
-      .map(r => r._1 -> r._4).toMap
-    assert(got(100L).isEmpty && got(101L).isEmpty)
-    assert(got(2L).nonEmpty) // the rest is undisturbed
+    for (b <- Seq(Some(false), Some(true))) {
+      val got = Events.asofJoinNative(withNulls, broadcast = b)
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(got(100L).isEmpty && got(101L).isEmpty, s"broadcast=$b")
+      assert(got(2L).nonEmpty, s"broadcast=$b") // the rest is undisturbed
+    }
   }
 }

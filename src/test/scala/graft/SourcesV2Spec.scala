@@ -66,6 +66,34 @@ class SourcesV2Spec extends SparkSpec {
     assert(joined.count() == 100L)
   }
 
+  test("global COUNT/SUM/MIN/MAX push down completely: one partition, closed form") {
+    val df = numbers(1000000L, splits = 32)
+      .filter(col("i") >= 10L)
+      .agg(count(lit(1)).as("n"), sum("i").as("s"),
+        min("i").as("mn"), max("i").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHDOWN"), s"plan was:\n$plan")
+    val (n, s, mn, mx) = df.as[(Long, Long, Long, Long)].head()
+    assert(n == 999990L)
+    assert(mn == 10L && mx == 999999L)
+    assert(s == (10L + 999999L) * 999990L / 2L)
+  }
+
+  test("aggregate pushdown over an empty range yields count 0 and null extremes") {
+    val df = numbers(5L, start = 5L)
+      .agg(count(lit(1)).as("n"), sum("i").as("s"), min("i").as("mn"))
+    val row = df.as[(Long, Option[Long], Option[Long])].head()
+    assert(row == ((0L, None, None)))
+  }
+
+  test("grouped aggregation is declined and still answers correctly") {
+    val df = numbers(100L).groupBy((col("i") % 3L).as("b")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("AGG-PUSHDOWN"), s"plan was:\n$plan")
+    assert(df.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 34L, 1L -> 33L, 2L -> 33L))
+  }
+
   test("a modulo predicate stays as a residual post-scan filter") {
     val df = numbers(1000L).filter(col("i") % 7 === 0)
     assert(df.count() == 143L) // 0, 7, ..., 994
