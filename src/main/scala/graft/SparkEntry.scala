@@ -1117,6 +1117,21 @@ object SparkEntry {
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
+    // ---- GLOBAL total-order rank, terasort-shaped: range-partition on the
+    // order columns + local sort + zipWithIndex offsets over ONE shuffle —
+    // never the single-partition window a bare row_number() OVER (ORDER BY)
+    // would plan. The (price, orderkey, linenumber) order is total, so the
+    // ranks are invariant to input partitioning and parallelism ----
+    "q_global_sort" -> ((s, dir) =>
+      operators.Ranking.globalRank(
+          Tables.read(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_extendedprice")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("rnk"))),
+
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       Tables.read(s, dir, "orders")
@@ -1838,6 +1853,14 @@ object SparkEntry {
     "pipeline_full" -> OracleSql.pipelineFull(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       dN = 3, dThrNum = 1, dThrDen = 10, packBudget = 256),
+    "q_global_sort" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(round(l_extendedprice*100.0) AS BIGINT) AS price_cents,
+        |  CAST(row_number() OVER (
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT)
+        |    AS rnk
+        |FROM lineitem""".stripMargin,
+
     "q_window" ->
       """WITH t AS (SELECT o_orderkey, o_custkey,
         |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)

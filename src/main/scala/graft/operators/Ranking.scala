@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Total-order operations that survive 100 TB: the naive form —
+  * `row_number() OVER (ORDER BY …)` with no partition key — plans a
+  * SINGLE-partition window, i.e. every row through one task. These are the
+  * distributed equivalents.
+  */
+object Ranking {
+
+  /** Global rank over a total order, terasort-shaped: range-partition on
+    * the order columns (RangePartitioner's deterministic-seed sample picks
+    * the bounds), sort within each partition, then assign
+    * `rank = partition offset + local position` via `zipWithIndex` — whose
+    * two internal jobs share the one shuffle, so the data moves once and
+    * no task ever sees more than its own range slice.
+    *
+    * The order must be TOTAL (include a unique tie-break column): ranks are
+    * then invariant to input partitioning and parallelism. Output appends
+    * `rankCol` (1-based) to the input schema.
+    *
+    * (Row-conversion note: this materializes external `Row`s; the
+    * InternalRow/`toRdd` twin of the same shape drops that overhead if the
+    * rank ever shows up hot in a profile.)
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rnk",
+      parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = df.schema.add(rankCol, LongType, nullable = false)
+    val withRank = ranged.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withRank, schema)
+  }
+}
