@@ -1353,6 +1353,28 @@ object SparkEntry {
         .csv(out)
     }),
 
+    // ---- the same TSV contract through the V2 sink: the graft-tsv
+    // connector stages per-task files and publishes them atomically on job
+    // commit (TsvSinkSpec pins the abort path); reading the published dir
+    // back hash-matches the source aggregate ----
+    "q_tsv_dsv2" -> ((s, dir) => {
+      val out = taggedTmpPath("graft_tsv_dsv2", dirTag(dir))
+      val dest = new java.io.File(out)
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        if (dest.exists()) { // stale half-state from a pruned generation
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(dest)
+        }
+        queries("q_distinct")(s, dir).write.format("graft-tsv")
+          .option("path", out).mode("append").save()
+      }
+      s.read.option("sep", "\t").option("header", "true")
+        .schema("c_nationkey BIGINT, n_buyers BIGINT, n_orders BIGINT")
+        .csv(out)
+    }),
+
     // ---- bucketed co-located join (S-family beyond the reference): both
     // fact tables pre-shuffled into 8 orderkey buckets at write time
     // (Sinks.writeBucketed), so the join AND the same-key aggregation plan
@@ -1917,6 +1939,12 @@ object SparkEntry {
         |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) t
         |UNION ALL SELECT 'except' AS op, o_custkey
         |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) t""".stripMargin,
+
+    "q_tsv_dsv2" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "q_tsv_roundtrip" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
