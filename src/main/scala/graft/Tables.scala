@@ -17,19 +17,34 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` normalized to TimestampType (µs). The parquet stores
-    * TIMESTAMP(NANOS), which Spark only reads as long nanos (via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
-    * builder here); all values are whole microseconds, and DuckDB downcasts
-    * the same way, so the two engines see identical µs instants. Integer
-    * `div` keeps the conversion exact (nanos exceed 2^53 — no doubles).
+  /** `events` with `ts` normalized to TimestampType (µs), whatever encoding
+    * the fixture was written with. Observed encodings so far:
+    *  - TIMESTAMP(NANOS) → Spark reads long nanos (via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    *    builder here); all values are whole microseconds and DuckDB downcasts
+    *    the same way, so both engines see identical µs instants. Integer
+    *    `div` keeps the conversion exact (nanos exceed 2^53 — no doubles).
+    *  - timestamp[us] with isAdjustedToUTC=false → Spark 4 infers
+    *    TIMESTAMP_NTZ; every session here pins the timezone to UTC, so a cast
+    *    to TimestampType is instant-preserving and DuckDB reads the same file
+    *    natively.
+    * Any other encoding fails loudly with the observed type, so a future
+    * fixture re-encode trips one readable error instead of 9 suites.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other; " +
+            "expected TIMESTAMP(NANOS) as long, TIMESTAMP_NTZ, or TIMESTAMP " +
+            "(fixture re-encoded? extend Tables.readEvents)")
     }
   }
 
