@@ -172,8 +172,12 @@ object Bench {
     val errs = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reruns = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Top-level error count in BOTH output lines: a consumer reading only
+    // rc/nqueries must not mistake a red run for green (the errors array
+    // alone was missed by exactly that kind of consumer in round 8).
+    val nErrors = errors.distinct.size
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"quiesce_sec":${jnum(quiesced)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"quiesce_sec":${jnum(quiesced)}}"""
     // Full per-query record: stderr + a local file (the harness captures only
     // a bounded stdout tail; this keeps the complete map inspectable).
     System.err.println(fullLine)
@@ -188,7 +192,7 @@ object Bench {
     // fast tail is summarized so the line still accounts for every second.
     val budget = 1600
     val desc = results.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"sf":"$sfDir","queries":"""
+    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"n_errors":$nErrors,"sf":"$sfDir","queries":"""
     var kept = List.empty[(String, Double)]
     var len = prefix.length + 60 // headroom for the omitted-summary suffix
     desc.foreach { r =>
