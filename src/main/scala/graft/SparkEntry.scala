@@ -508,13 +508,23 @@ object SparkEntry {
         d1Scale = 1e4, d2Scale = 0.01)
     }),
 
-    // gap statistic over the same nested seed prefixes (rows-only: the
-    // uniform reference draw has no ANSI mirror) — completes the choose-K
-    // toolkit next to elbow / silhouettes / validity indices
+    // gap statistic over nested seed prefixes + transparent LCG reference
+    // draws — fully ANSI-mirrored (hash-exact), the choose-K toolkit's
+    // relational form next to elbow / silhouettes / validity indices.
     // deterministic i%7 sample, same discipline as the silhouette samples:
-    // the gap contrast needs the cluster GEOMETRY, not every row — ks·(B+1)
-    // fits over the sample keep the sweep's cost flat as sf grows
+    // the gap contrast needs the cluster GEOMETRY, not every row — one
+    // multi-aggregate scan over the sample keeps the sweep's cost flat
     "km_gap" -> ((s, dir) => {
+      val yh = Tables.yhOrders(s, dir).filter(col("i") % 7 === 0).cache()
+      Quality.gapStatisticNested(yh, dim = 2, ks = 2 to 6,
+        seeds = KMeans.seedFirstK(yh, 6))
+    }),
+
+    // the textbook fit-per-k gap statistic (Tibshirani et al. 2001) — the
+    // iterative twin of km_gap, rows-only like the other pure fits
+    // (emb_pq_fitted / sim_ivf_fitted pattern): Lloyd fits both sides, so
+    // no ANSI mirror exists; QualitySpec pins it on a planted fixture
+    "km_gap_fitted" -> ((s, dir) => {
       val yh = Tables.yhOrders(s, dir).filter(col("i") % 7 === 0).cache()
       Quality.gapStatistic(yh, dim = 2, ks = 2 to 6)
     }),
@@ -1678,6 +1688,59 @@ object SparkEntry {
          |  GROUP BY a1.k)
          |SELECT e.k, e.elbow_d1, e.elbow_d2, (g.bi-g.ai)/greatest(g.ai,g.bi) AS si
          |FROM e JOIN g ON e.k = g.k""".stripMargin,
+    // Mirror of Quality.gapStatisticNested: nested first-k seeds on the data
+    // side, LCG-uniform reference draws (GapLcg* constants) with their own
+    // nested seeds, fixed-point dispersions, and scalar log math written in
+    // the exact op order the Scala driver uses. `chosen` compares e6-rounded
+    // BIGINTs, so the pick is engine-exact.
+    "km_gap" ->
+      s"""WITH $YH,
+         |s AS (SELECT i, x, y FROM yh WHERE i % 7 = 0),
+         |box AS (SELECT min(x) AS lox, max(x) AS hix, min(y) AS loy, max(y) AS hiy FROM s),
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, x, y
+         |  FROM (SELECT i, x, y FROM s ORDER BY i LIMIT 6) t),
+         |ks AS (SELECT CAST(unnest([2,3,4,5,6]) AS BIGINT) AS k),
+         |r AS (SELECT s.i,
+         |  CAST((s.i*1103515245 + 12345) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x0,
+         |  CAST((s.i*1103515245 + 1012328) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y0,
+         |  CAST((s.i*1103515245 + 2012311) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x1,
+         |  CAST((s.i*1103515245 + 3012294) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y1,
+         |  CAST((s.i*1103515245 + 4012277) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x2,
+         |  CAST((s.i*1103515245 + 5012260) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y2
+         |  FROM s CROSS JOIN box b),
+         |rc AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j,
+         |    x0, y0, x1, y1, x2, y2
+         |  FROM (SELECT * FROM r ORDER BY i LIMIT 6) t),
+         |md AS (SELECT ks.k, s.i, min((s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y)) AS msq
+         |  FROM ks CROSS JOIN s JOIN c ON c.j <= ks.k GROUP BY ks.k, s.i),
+         |mr AS (SELECT ks.k, r.i,
+         |    min((r.x0-c.x0)*(r.x0-c.x0)+(r.y0-c.y0)*(r.y0-c.y0)) AS msq0,
+         |    min((r.x1-c.x1)*(r.x1-c.x1)+(r.y1-c.y1)*(r.y1-c.y1)) AS msq1,
+         |    min((r.x2-c.x2)*(r.x2-c.x2)+(r.y2-c.y2)*(r.y2-c.y2)) AS msq2
+         |  FROM ks CROSS JOIN r JOIN rc c ON c.j <= ks.k GROUP BY ks.k, r.i),
+         |w AS (SELECT md.k,
+         |    CAST(sum(CAST(round(md.msq*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS wd
+         |  FROM md GROUP BY md.k),
+         |wr AS (SELECT mr.k,
+         |    CAST(sum(CAST(round(mr.msq0*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w0,
+         |    CAST(sum(CAST(round(mr.msq1*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w1,
+         |    CAST(sum(CAST(round(mr.msq2*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w2
+         |  FROM mr GROUP BY mr.k),
+         |l AS (SELECT w.k, ln(wr.w0) AS l0, ln(wr.w1) AS l1, ln(wr.w2) AS l2,
+         |    ln(w.wd) AS ld, (ln(wr.w0)+ln(wr.w1)+ln(wr.w2))/3.0 AS mean
+         |  FROM w JOIN wr ON w.k = wr.k),
+         |f AS (SELECT k,
+         |    CAST(round((mean - ld)*1e6) AS BIGINT) AS gap_e6,
+         |    CAST(round(sqrt(((l0-mean)*(l0-mean)+(l1-mean)*(l1-mean)+(l2-mean)*(l2-mean))/3.0)
+         |      * sqrt(1.0 + 1.0/3.0) * 1e6) AS BIGINT) AS sk_e6
+         |  FROM l),
+         |sel AS (SELECT k, gap_e6, sk_e6,
+         |    lead(gap_e6) OVER (ORDER BY k) AS ng,
+         |    lead(sk_e6) OVER (ORDER BY k) AS nsk FROM f),
+         |ch AS (SELECT coalesce(min(CASE WHEN ng IS NOT NULL AND gap_e6 >= ng - nsk
+         |    THEN k END), 6) AS ck FROM sel)
+         |SELECT k, gap_e6, sk_e6, CAST(CASE WHEN k = ch.ck THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM sel CROSS JOIN ch""".stripMargin,
     "km_silhouette" ->
       s"""WITH $YH, $C4, s AS (SELECT * FROM yh WHERE i % 23 = 0), $ASSIGN,
          |p AS (SELECT a1.j AS j1, a2.j AS j2,

@@ -172,6 +172,95 @@ object Quality {
       .select(col("k"), col("elbow_d1"), col("elbow_d2"), col("si"))
   }
 
+  /** Gap statistic over NESTED seed prefixes — the fully relational,
+    * oracle-able sibling of [[gapStatistic]], exactly as [[optimalKNested]]
+    * is to [[optimalKSweep]]: the centroid set for k is `seeds.take(k)` on
+    * the data side and the k lowest-id reference draws on each reference
+    * side (no iterative fit anywhere, so every W term is ANSI-SQL
+    * expressible and the DuckDB oracle hash-matches).
+    *
+    * Reference draws are TRANSPARENT-hash uniforms (an LCG over the row id:
+    * `((i·A + C_bd) mod M)/M` stretched to the data's bounding box), not
+    * Spark's xxhash64 — the whole point is that the oracle can replay them
+    * in SQL, the same discipline as [[graft.Dedup]]'s minhash constants.
+    * Deterministic under any partitioning by construction.
+    *
+    * Scale shape: one box-agg scan + ONE multi-aggregate scan computing all
+    * (refSets+1)·|ks| fixed-point dispersions in a single pass (the
+    * reference coordinates are expressions over `i`, never materialized);
+    * only (refSets+1)·|ks| scalars reach the driver. The log / mean / sd
+    * arithmetic runs driver-side in the EXACT operation order the oracle
+    * SQL writes (mean = (l0+l1+l2)/3.0 etc.), and `chosen` compares the
+    * e6-rounded integers (not raw doubles) so the pick is engine-exact.
+    */
+  def gapStatisticNested(points: DataFrame, dim: Int, ks: Seq[Int],
+      seeds: Seq[Centroid], refSets: Int = 3, scale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.max <= seeds.size,
+      s"need ascending ks with ${ks.max} seeds")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val (lcgA, lcgM) = (GapLcgA, GapLcgM)
+    def lcgC(b: Int, d: Int): Long = GapLcgC0 + (b * dim + d).toLong * GapLcgCStep
+    // bounding box of the data (exact: min/max are comparisons, no rounding)
+    val boxAggs = (0 until dim).flatMap { d =>
+      Seq(min(element_at(col("Y"), d + 1)).as(s"lo_$d"),
+        max(element_at(col("Y"), d + 1)).as(s"hi_$d"))
+    }
+    val box = points.agg(boxAggs.head, boxAggs.tail: _*).head()
+    val lo = (0 until dim).map(d => box.getDouble(2 * d))
+    val hi = (0 until dim).map(d => box.getDouble(2 * d + 1))
+    // one reference coordinate vector per existing row id (same cardinality
+    // as the data, zero materialization — pure column expressions over i)
+    def refY(b: Int): Column = array((0 until dim).map { d =>
+      ((col("i") * lcgA + lcgC(b, d)) % lcgM).cast("double") /
+        lcgM.toDouble * (hi(d) - lo(d)) + lo(d)
+    }: _*)
+    // reference-side nested seeds: the draws at the ks.max smallest ids,
+    // computed with the identical integer-then-double op sequence
+    val seedIds = points.select(col("i")).orderBy("i").limit(ks.max)
+      .collect().map(_.getLong(0)).toSeq
+    def refSeeds(b: Int): Seq[Seq[Double]] = seedIds.map { i =>
+      (0 until dim).map { d =>
+        ((i * lcgA + lcgC(b, d)) % lcgM).toDouble /
+          lcgM.toDouble * (hi(d) - lo(d)) + lo(d)
+      }
+    }
+    // ONE scan: all (refSets+1)·|ks| fixed-point dispersions together
+    val aggs = ks.flatMap { k =>
+      sumFx(graft.plans.native.nearest_sq_dist(
+        col("Y"), seeds.take(k).map(_.c)), scale).as(s"wd_$k") +:
+        (0 until refSets).map(b => sumFx(graft.plans.native.nearest_sq_dist(
+          refY(b), refSeeds(b).take(k)), scale).as(s"wr_${b}_$k"))
+    }
+    val w = points.agg(aggs.head, aggs.tail: _*).head()
+    def wOf(name: String): Double = w.getDouble(w.fieldIndex(name))
+    // driver-side scalar math, op-for-op the oracle SQL's expressions
+    val stats = ks.map { k =>
+      val ls = (0 until refSets).map(b => math.log(wOf(s"wr_${b}_$k")))
+      val mean = ls.reduce(_ + _) / refSets.toDouble
+      val gap = mean - math.log(wOf(s"wd_$k"))
+      val sd = math.sqrt(ls.map(l => (l - mean) * (l - mean)).reduce(_ + _) /
+        refSets.toDouble)
+      val sk = sd * math.sqrt(1.0 + 1.0 / refSets.toDouble)
+      (k.toLong, math.round(gap * 1e6), math.round(sk * 1e6))
+    }
+    val chosen = stats.zip(stats.drop(1)).collectFirst {
+      case ((k, g, _), (_, gN, skN)) if g >= gN - skN => k
+    }.getOrElse(ks.max.toLong)
+    stats.map { case (k, g, sk) => (k, g, sk, if (k == chosen) 1L else 0L) }
+      .toDF("k", "gap_e6", "sk_e6", "chosen")
+  }
+
+  /** LCG constants for [[gapStatisticNested]]'s reference draws — small
+    * enough that `i·A + C` stays far below 2^63 for any realistic key space
+    * (DuckDB ERRORS on BIGINT overflow rather than wrapping, so the oracle
+    * must never overflow).
+    */
+  val GapLcgA = 1103515245L
+  val GapLcgM = 2147483647L
+  val GapLcgC0 = 12345L
+  val GapLcgCStep = 999983L
+
   /** The shared O(n²) stage behind BOTH silhouette variants: for every
     * (point i1 in cluster j1, other cluster j2) the exact integer sum of
     * rounded pair distances (`sfx = Σ round(d·dScale)`) and the pair count.

@@ -112,6 +112,21 @@ class QualitySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("nested gap statistic: shape, one chosen k, partition-determinism") {
+    val yh = Tables.yhOrders(spark, sf("0.001")).filter(col("i") % 7 === 0).cache()
+    val seeds = KMeans.seedFirstK(yh, 6)
+    val got = Quality.gapStatisticNested(yh, dim = 2, ks = 2 to 6, seeds = seeds)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (2L to 6L), "one row per k, in order")
+    assert(got.count(_._4 == 1L) == 1, "exactly one chosen k")
+    assert(got.forall(_._3 >= 0L), "s_k is a scaled sd — non-negative")
+    // the LCG reference draw is a pure function of the row id: identical
+    // output under any partitioning (rand()-based draws are not)
+    val again = Quality.gapStatisticNested(yh.repartition(7), dim = 2,
+      ks = 2 to 6, seeds = seeds).as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("elbow decreases as k grows (on real embeddings)") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val wcss = Seq(2, 5, 10).map { k =>
