@@ -29,6 +29,45 @@ object Profiling {
   def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
     profileWith(df, c => approx_count_distinct(c, rsd))
 
+  /** Exact census without the Expand: one small aggregate JOB PER COLUMN,
+    * submitted concurrently. A single `countDistinct` per job plans as a
+    * plain two-level aggregate (partial distinct map-side) — no Expand —
+    * and column pruning means each job scans ONLY its own column, so the
+    * total bytes read equal the one-scan form while the aggregate processes
+    * n rows per job instead of n·k expanded rows through k distinct
+    * buffers. Values are identical to [[profile]] (pinned in PlansSpec);
+    * the result is #columns driver-side scalars, same as the stack form.
+    *
+    * This is the 100 TB EXACT shape (the approx shape stays
+    * [[profileApprox]]): at scale the Expand's k× row multiplication is the
+    * dominant cost, while k concurrent column-pruned scans parallelize
+    * across the cluster and each shuffle only that column's distinct
+    * values.
+    */
+  def profileFast(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    cols.foreach(c => require(!c.contains("`") && !c.contains("'"),
+      s"cannot profile column with quote characters in its name: $c"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(cols.size, 8))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = cols.map { c =>
+        scala.concurrent.Future {
+          val r = df.agg(count(lit(1)).as("n"), count(col(s"`$c`")).as("nn"),
+            countDistinct(col(s"`$c`")).as("nd")).head()
+          (c, r.getLong(0), r.getLong(0) - r.getLong(1), r.getLong(2))
+        }
+      }
+      fs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        .toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+    } finally pool.shutdown()
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {

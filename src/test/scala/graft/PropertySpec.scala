@@ -387,6 +387,16 @@ class PropertySpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("profileFast: exact per-column-concurrent census ≡ the one-scan form") {
+    import graft.operators.Profiling
+    val df = Tables.read(spark, sf("0.001"), "lineitem")
+    val exact = Profiling.profile(df)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val fast = Profiling.profileFast(df)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast == exact, "profileFast must be value-identical to profile")
+  }
+
   test("boilerplate removal: broadcast-hot-set twin is value-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
