@@ -1279,6 +1279,23 @@ object SparkEntry {
         Seq("doc_id"), gen = 3L)
     }),
 
+    // log compaction over the same generation log: fold gens <= 2 into one
+    // materialized base generation, keep the gen-3 tombstone tail verbatim.
+    // Emits the compacted LOG (not a snapshot) — every later snapshot over
+    // it is provably identical to one over the raw log (PropertySpec pin)
+    "q_log_compact" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val g1 = docs.withColumn("gen", lit(1L)).withColumn("op", lit("U"))
+      val g2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("gen", lit(2L)).withColumn("op", lit("U"))
+      val g3 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("gen", lit(3L)).withColumn("op", lit("D"))
+      operators.Joins.logCompact(g1.unionByName(g2).unionByName(g3),
+        Seq("doc_id"), upTo = 2L)
+    }),
+
     // ---- runtime bloom-filter semi-reduction (J-family beyond the
     // reference): a selective dim predicate (p_size = 1 keeps <1% of part)
     // joined against the fact table when the dim is TOO BIG TO BROADCAST —
@@ -2106,6 +2123,23 @@ object SparkEntry {
         |    ORDER BY gen DESC, op ASC)
         |    AS rn FROM lg WHERE gen <= 3)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_log_compact" ->
+      """WITH lg AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars, CAST(2 AS BIGINT), 'U'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT), 'D'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY gen DESC, op ASC) AS rn FROM lg WHERE gen <= 2)
+        |SELECT doc_id, lang, n_chars, gen, 'U' AS op
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, gen, op FROM lg WHERE gen > 2""".stripMargin,
 
     "q_skew_join" ->
       """WITH big AS (SELECT

@@ -84,4 +84,32 @@ object Joins {
       .filter(col("_rn") === 1 && col(opCol) =!= "D")
       .drop("_rn", opCol)
   }
+
+  /** Generation-log compaction — the maintenance op every tombstone log
+    * needs once history outgrows its value (Delta/Iceberg checkpoint of the
+    * delta log, physical-rewrite flavor): keep, from the generations ≤
+    * `upTo`, only each key's as-of-`upTo` SURVIVING row — verbatim, original
+    * `gen` stamp and all — and the later generations untouched. Tombstoned
+    * keys and overwritten history vanish, so the compacted log is bounded by
+    * |live keys at upTo| + |tail|, and every later snapshot reads a short
+    * log prefix instead of the full history.
+    *
+    * Keeping the winner's own `gen` (rather than re-stamping at `upTo`)
+    * makes the invariant EXACT including provenance, pinned in PropertySpec
+    * and by the q_log_compact oracle: for ANY g ≥ upTo,
+    * `snapshotAsOf(logCompact(log, upTo), g) ≡ snapshotAsOf(log, g)` row
+    * for row. (Snapshots at g < upTo are the history the compaction
+    * deliberately discards.)
+    *
+    * Scale shape: one latest-wins key window over the ≤ upTo prefix (the
+    * `gen` filter pushes to the scan of a generation-partitioned log) + a
+    * union with the untouched tail — no join, one shuffle on the key.
+    */
+  def logCompact(log: DataFrame, keys: Seq[String], upTo: Long,
+      opCol: String = "op"): DataFrame = {
+    val base = snapshotAsOf(log, keys, upTo, opCol)
+      .withColumn(opCol, lit("U"))
+    base.select(log.columns.map(col): _*)
+      .unionByName(log.filter(col("gen") > upTo))
+  }
 }

@@ -232,6 +232,28 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(g - e) < 1e-6, s"got ${th.thumb.toSeq}") }
   }
 
+  test("mm_thumbs pinned bytes: every thumbnail equals an offline re-encode") {
+    // the thumbnail is a pure function of the container bytes, so the Spark
+    // pipeline output must be BIT-exact (Float ==, no tolerance) against an
+    // offline rebuild of the same deterministic BMP — the mm_phash
+    // pigeonhole pin's sibling for the resize path
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val media = Multimodal.mediaTable(docs)
+    val thumbs = Multimodal.thumbnails(media).collect()
+    val geo = media.filter(col("kind") === "image")
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(thumbs.nonEmpty && thumbs.map(_.media_id).toSet == geo.keySet,
+      "one thumbnail per image row, none dropped")
+    thumbs.foreach { t =>
+      val (w, h) = geo(t.media_id)
+      val expected = Multimodal.resizeBmpLuma(
+        Multimodal.bmpBytes(w, h, Multimodal.bmpPixel(t.media_id)), t.tw, t.th)
+      assert(t.thumb.toSeq == expected.toSeq,
+        s"media ${t.media_id}: thumbnail bytes drifted from the container")
+    }
+  }
+
   test("feature stats roll decoded media back up per kind") {
     val media = Multimodal.mediaTable(Tables.read(spark, sf("0.001"), "documents"))
     val stats = Multimodal.featureStats(Multimodal.decodeFeatures(media))

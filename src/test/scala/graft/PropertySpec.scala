@@ -440,4 +440,32 @@ class PropertySpec extends SparkSpec {
     assert(s3.keySet == s2.keySet.filterNot(_ % 6 == 0))
     assert(s3.forall { case (i, row) => row == s2(i) })
   }
+
+  test("logCompact preserves every snapshot at or after the compaction point") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Joins
+    // deletes BELOW the compaction point too, so compaction really discards
+    // tombstoned keys (gen 2 kills %5) and later gens still apply (gen 3)
+    val base = (1L to 40L).map(i => (i, s"v$i", 1L, "U"))
+    val g2u = (1L to 40L).filter(_ % 4 == 0).map(i => (i, "upd", 2L, "U"))
+    val g2d = (1L to 40L).filter(_ % 5 == 0).map(i => (i, "x", 2L, "D"))
+    val g3 = (1L to 40L).filter(_ % 6 == 0).map(i => (i, "late", 3L, "U"))
+    val log = (base ++ g2u ++ g2d ++ g3).toDF("id", "v", "gen", "op")
+    val compacted = Joins.logCompact(log, Seq("id"), upTo = 2L).cache()
+    def snap(df: org.apache.spark.sql.DataFrame, g: Long): Set[(Long, String, Long)] =
+      Joins.snapshotAsOf(df, Seq("id"), g).as[(Long, String, Long)].collect().toSet
+    for (g <- 2L to 3L)
+      assert(snap(compacted, g) == snap(log, g), s"snapshot diverges at gen $g")
+    // compaction dropped the overwritten/tombstoned history: shadowed gen-1
+    // rows of %4 keys are gone, %5 tombstoned keys left the base entirely
+    // (the gen-3 tail keeps its rows verbatim), no tombstone remains below
+    // the compaction point, and the log strictly shrank
+    val kept = compacted.as[(Long, String, Long, String)].collect()
+    assert(kept.filter(_._3 <= 2L).forall(_._4 == "U"))
+    assert(!kept.exists { case (i, _, g, _) => g == 1L && i % 4 == 0 },
+      "gen-1 rows shadowed by a gen-2 upsert must vanish")
+    assert(kept.filter(_._3 <= 2L).forall(_._1 % 5 != 0),
+      "keys tombstoned at or before the compaction point must leave the base")
+    assert(compacted.count() < log.count())
+  }
 }
