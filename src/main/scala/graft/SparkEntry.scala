@@ -1738,12 +1738,12 @@ object SparkEntry {
          |    min((r.x2-c.x2)*(r.x2-c.x2)+(r.y2-c.y2)*(r.y2-c.y2)) AS msq2
          |  FROM ks CROSS JOIN r JOIN rc c ON c.j <= ks.k GROUP BY ks.k, r.i),
          |w AS (SELECT md.k,
-         |    CAST(sum(CAST(round(md.msq*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS wd
+         |    CAST(sum(CAST(round(md.msq*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS wd
          |  FROM md GROUP BY md.k),
          |wr AS (SELECT mr.k,
-         |    CAST(sum(CAST(round(mr.msq0*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w0,
-         |    CAST(sum(CAST(round(mr.msq1*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w1,
-         |    CAST(sum(CAST(round(mr.msq2*1e4) AS BIGINT)) AS DOUBLE)/1e4 AS w2
+         |    CAST(sum(CAST(round(mr.msq0*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS w0,
+         |    CAST(sum(CAST(round(mr.msq1*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS w1,
+         |    CAST(sum(CAST(round(mr.msq2*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS w2
          |  FROM mr GROUP BY mr.k),
          |l AS (SELECT w.k, ln(wr.w0) AS l0, ln(wr.w1) AS l1, ln(wr.w2) AS l2,
          |    ln(w.wd) AS ld, (ln(wr.w0)+ln(wr.w1)+ln(wr.w2))/3.0 AS mean

@@ -192,9 +192,17 @@ object Quality {
     * arithmetic runs driver-side in the EXACT operation order the oracle
     * SQL writes (mean = (l0+l1+l2)/3.0 etc.), and `chosen` compares the
     * e6-rounded integers (not raw doubles) so the pick is engine-exact.
+    *
+    * `scale` follows the elbow's d2Scale convention (SMALL for SQUARED
+    * sums): with seeds that are arbitrary nested prefixes, per-row msq
+    * reaches the squared box diagonal (~3.6e11 on orders coordinates), so
+    * a 1e4 scale overflows the Long sum at a few thousand rows — the exact
+    * overflow ANSI mode catches at sf0.1 and DuckDB would refuse at any
+    * size. 0.01 keeps the per-row term ≤ ~4e9, leaving ~2^31 headroom on
+    * row count, and costs nothing after the log (relative error ~1e-13).
     */
   def gapStatisticNested(points: DataFrame, dim: Int, ks: Seq[Int],
-      seeds: Seq[Centroid], refSets: Int = 3, scale: Double = 1e4): DataFrame = {
+      seeds: Seq[Centroid], refSets: Int = 3, scale: Double = 0.01): DataFrame = {
     require(ks.nonEmpty && ks == ks.sorted && ks.max <= seeds.size,
       s"need ascending ks with ${ks.max} seeds")
     val spark = points.sparkSession

@@ -127,6 +127,21 @@ class QualitySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("nested gap statistic survives box-diagonal msq at volume (no Long overflow)") {
+    // every row sits the full box diagonal from the low-id seeds, the worst
+    // case for the fixed-point dispersion sum: 20k rows × msq ≈ 3.6e11 —
+    // a 1e4 scale would need ~7e19 and die under ANSI mode (the sf0.1
+    // regression this pins); the 0.01 d2-convention scale must survive
+    val pts = spark.range(20000).select(
+      (col("id") + 1).as("i"),
+      when(col("id") < 3, array(lit(0.0), lit(0.0)))
+        .otherwise(array(lit(600000.0), lit(1000.0))).as("Y"))
+    val seeds = KMeans.seedFirstK(pts, 2)
+    val rows = Quality.gapStatisticNested(pts, dim = 2, ks = Seq(2),
+      seeds = seeds).collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 1L)
+  }
+
   test("elbow decreases as k grows (on real embeddings)") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val wcss = Seq(2, 5, 10).map { k =>
