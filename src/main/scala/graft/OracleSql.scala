@@ -715,6 +715,21 @@ object OracleSql {
     s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
        |SELECT doc_id, rep_id FROM comp""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.leakproofSplit]]: the split bucket is
+    * the same transparent LCG over the component representative, so both
+    * engines assign every cluster — and therefore every doc — identically.
+    */
+  def docSplitLeakproof(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int, trainPct: Int, valPct: Int): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}
+       |SELECT doc_id, rep_id,
+       |  CASE WHEN ((rep_id*1103515245 + 12345) % 2147483647) % 100 < $trainPct
+       |         THEN 'train'
+       |       WHEN ((rep_id*1103515245 + 12345) % 2147483647) % 100 < ${trainPct + valPct}
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp""".stripMargin
+
   def dedupKeepOne(n: Int, numHashes: Int, bands: Int,
       thrNum: Int, thrDen: Int): String =
     s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)}

@@ -635,6 +635,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => docComponents(s, dir)),
     // the keep-one corpus: one row per cluster (representative + size)
     "dedup_keep" -> ((s, dir) => Dedup.keepOne(docComponents(s, dir))),
+    // leak-proof train/val/test split: every doc inherits its duplicate
+    // CLUSTER's split (LCG over rep_id), so near-duplicates can never
+    // straddle train and eval — the standard guard against benchmarks
+    // silently measuring memorization
+    "doc_split_leakproof" -> ((s, dir) =>
+      Dedup.leakproofSplit(docComponents(s, dir))),
     // production keep-rule: per duplicate cluster, keep the HIGHEST-QUALITY
     // doc (most tokens; ties -> lowest id) instead of the min-id label —
     // one max_by aggregation over components joined with per-doc stats
@@ -1816,6 +1822,9 @@ object SparkEntry {
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
+      trainPct = 80, valPct = 10),
     "dedup_keep_best" -> OracleSql.dedupKeepBest(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_keep" -> OracleSql.dedupKeepOne(

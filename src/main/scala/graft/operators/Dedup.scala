@@ -664,6 +664,35 @@ object Dedup {
     components.groupBy(col("rep_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
+  /** Leak-proof train/val/test split: assign every doc the split of its
+    * duplicate CLUSTER, never of the doc itself. Splitting by raw doc hash
+    * is the classic eval-leakage bug — two near-duplicates land in train
+    * and test and the benchmark silently measures memorization; hashing the
+    * component representative instead makes a whole near-dup cluster move
+    * as one unit, so no pair connected by ANY dedup edge can straddle the
+    * split boundary.
+    *
+    * The bucket is a transparent LCG over `rep_id` (same oracle-replayable
+    * discipline as the minhash constants — never a `rand()`), so the split
+    * is a pure function of the data: reproducible across runs, engines,
+    * and partitionings. One projection over the components relation — the
+    * heavy lifting (pair edges + label propagation) is
+    * [[connectedComponents]], shared with every other cluster consumer.
+    *
+    * `trainPct`/`valPct` are percentage points of the 100-bucket space;
+    * the remainder is test.
+    */
+  def leakproofSplit(components: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = ((col("rep_id") * 1103515245L + 12345L) % 2147483647L) % 100L
+    components.select(col("doc_id"), col("rep_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   // --------------------------------------------------- benchmark decontamination
 
   /** Benchmark decontamination: for every corpus doc, how many of its

@@ -283,4 +283,27 @@ class DedupSpec extends SparkSpec {
     // misses the quoted doc entirely
     assert(Dedup.ngramJaccard(qd, n = 3, thrNum = 3, thrDen = 10).count() == 0)
   }
+
+  test("leakproofSplit: no duplicate cluster ever straddles a split") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val comps = Dedup.connectedComponents(docs, Dedup.minhashLSH(docs)).cache()
+    val split = Dedup.leakproofSplit(comps).cache()
+    // every doc assigned exactly once, to a real split
+    assert(split.count() == docs.count())
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // THE property: a cluster maps to exactly one split — no near-dup pair
+    // can land in train and test
+    assert(split.groupBy("rep_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count() == 0)
+    // determinism: pure function of the data, invariant to partitioning
+    val again = Dedup.leakproofSplit(comps.repartition(7))
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == split.as[(Long, Long, String)].collect().toSet)
+    // the buckets actually cut: with 500 clusters all three splits are
+    // non-empty and train dominates
+    val bySplit = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
 }
