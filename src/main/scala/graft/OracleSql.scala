@@ -1083,6 +1083,42 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.annRecall]] over
+    * [[simTopK]]-exact vs [[simIvf]]-approximate: both ranking chains
+    * inlined with disjoint CTE names, then a (q_id, n_id) left join and
+    * integer recall ppm.
+    */
+  def simRecall(nCells: Int, nQueries: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (SELECT q.q_id, e.vec_id AS n_id, ${cosine("q.qv", "e.v")} AS c
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM xs) t WHERE rnk <= $k),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id),
+       |iv AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM cand) t WHERE rnk <= $k)
+       |SELECT ex.q_id,
+       |  CAST(sum(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST((sum(CASE WHEN iv.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id AND iv.n_id = ex.n_id
+       |GROUP BY ex.q_id""".stripMargin
+
   /** Mirror of [[Dedup.embeddingCosineBlocked]] with fixed coarse centroids
     * (vec_id < nCells, cell id = vec_id + 1): every vector indexed under its
     * nProbe nearest cells (ties → lowest cell id, same as the row-local

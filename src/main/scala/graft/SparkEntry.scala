@@ -696,6 +696,14 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // measured recall@k of the IVF search vs brute force, per query, in
+    // exact ppm — the gauge that justifies (or vetoes) a probe-count trade
+    "sim_recall" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(emb),
+        Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16)))
+    }),
     // the production-claimed composition, actually composed: coarse cells
     // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
     // (spherical cells — the geometrically sound blocking for cosine; see
@@ -1834,6 +1842,7 @@ object SparkEntry {
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),

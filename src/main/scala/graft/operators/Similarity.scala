@@ -66,6 +66,26 @@ object Similarity {
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Measured recall@k of an approximate top-k against the exact one — the
+    * "measure, don't guess" gauge every ANN deployment needs before trading
+    * recall for probe count. Inputs are any two (q_id, n_id, …) rankings
+    * (e.g. [[bruteForceTopK]] vs [[ivfTopK]]); output is one row per query:
+    * hit count, exact-list size, and recall in exact ppm (pure integer
+    * arithmetic end to end, so the DuckDB oracle hash-matches).
+    *
+    * Scale shape: one equi-join on (q_id, n_id) + one per-query aggregation
+    * over k·|queries| rows — negligible next to the searches themselves.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("k_exact"))
+      .select(col("q_id"), col("n_hit"), col("k_exact"),
+        expr("n_hit * 1000000 div k_exact").as("recall_ppm"))
+
   /** The probe + exact re-rank half of IVF search, over ANY cells relation
     * `(cell, vec_id, v)` — computed on the fly ([[ivfTopK]]) or read back
     * from a persisted index ([[ivfTopKIndexed]]).

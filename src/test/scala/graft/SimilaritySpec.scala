@@ -47,6 +47,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf) // nProbe = nCells -> identical to exact search
   }
 
+  test("annRecall: exact-vs-self is 1.0; disjoint is 0; partial counts hits") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 2, k = 3)
+    // self-recall: identical rankings → ppm exactly 1e6 for every query
+    val self = Similarity.annRecall(bf, bf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(self.length == 2 && self.forall(r => r._4 == 1000000L && r._2 == r._3))
+    // nProbe = nCells IVF ≡ brute force → also exactly 1e6
+    val ivf = Similarity.ivfTopK(emb, cents, nQueries = 2, nProbe = 3, k = 3)
+    assert(Similarity.annRecall(bf, ivf)
+      .as[(Long, Long, Long, Long)].collect().forall(_._4 == 1000000L))
+    // an empty approximate side scores 0 hits, never drops the query row
+    val none = Similarity.annRecall(bf, bf.filter(col("q_id") < 0))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(none.length == 2 && none.forall(r => r._2 == 0L && r._4 == 0L))
+  }
+
   test("IVF over REAL fitted centroids reaches recall >= 0.9 vs brute force") {
     // the sim_ivf_fitted composition — coarse cells from an actual
     // k-means|| + Lloyd fit — on a PLANTED clustered corpus. (The synthetic
