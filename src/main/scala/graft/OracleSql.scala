@@ -357,6 +357,30 @@ object OracleSql {
        |FROM g GROUP BY user_id, session_id""".stripMargin
   }
 
+  /** Mirror of [[operators.Events.anomalies]]: identical fixed-point rolling
+    * sums over the identical (us, event_id)-ordered ROWS frame, identical
+    * scalar mean/variance/z sequence, e6-integer threshold.
+    */
+  def eventsAnomaly(lookback: Int, minHistory: Int, thrE6: Long): String =
+    s"""WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    CAST(round(value*100.0) AS BIGINT) AS cents FROM events),
+       |wst AS (SELECT event_id, user_id, us, cents,
+       |    count(*) OVER w AS n, sum(cents) OVER w AS s,
+       |    sum(cents*cents) OVER w AS s2
+       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),
+       |st AS (SELECT event_id, user_id, us, n, cents,
+       |    CAST(s AS DOUBLE)/100.0/n AS mean,
+       |    CAST(s2 AS DOUBLE)/10000.0/n AS m2
+       |  FROM wst WHERE n >= $minHistory),
+       |z AS (SELECT event_id, user_id, us, n,
+       |    sqrt(greatest(m2 - mean*mean, 0.0)) AS sd,
+       |    CAST(round((CAST(cents AS DOUBLE)/100.0 - mean)
+       |      / sqrt(greatest(m2 - mean*mean, 0.0)) * 1e6) AS BIGINT) AS z_e6
+       |  FROM st)
+       |SELECT event_id, user_id, us, n, z_e6
+       |FROM z WHERE sd > 0 AND abs(z_e6) >= $thrE6""".stripMargin
+
   val eventsWindow: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
       |  count(*) AS n,

@@ -1046,6 +1046,10 @@ object SparkEntry {
       Events.sessionWindowAgg(Tables.readEvents(s, dir))),
     "events_json" -> ((s, dir) =>
       Events.jsonStats(Tables.readEvents(s, dir))),
+    // telemetry QA: per-user rolling z-score outliers (fixed-point rolling
+    // sums over an explicit ROWS frame; e6-integer threshold — hash-exact)
+    "events_anomaly" -> ((s, dir) =>
+      Events.anomalies(Tables.readEvents(s, dir))),
     // as-of join (click → latest prior purchase per user) via the union +
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
@@ -1957,6 +1961,8 @@ object SparkEntry {
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
+    "events_anomaly" -> OracleSql.eventsAnomaly(
+      lookback = 50, minHistory = 10, thrE6 = 3000000L),
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),

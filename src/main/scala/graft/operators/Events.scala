@@ -47,6 +47,42 @@ object Events {
         col("n_events"), col("start_us"), col("dur_us"))
   }
 
+  /** Per-user rolling z-score anomaly flags — the telemetry-QA pass every
+    * event pipeline runs before trusting a new drop: an event is anomalous
+    * when its value sits ≥ `thrE6`/1e6 standard deviations from the mean of
+    * the user's previous `lookback` events (the event's own value is
+    * excluded from its baseline; users with fewer than `minHistory` prior
+    * events are skipped — no self-justifying spikes, no cold-start noise).
+    *
+    * Oracle-exact discipline: the rolling sums are FIXED-POINT (integer
+    * cents and squared cents over an explicit ROWS frame with a total
+    * (ts, event_id) order), so both engines aggregate identical integers in
+    * a deterministic frame; the mean/variance/z scalar math is the
+    * identical IEEE sequence on those exact inputs, and the threshold
+    * compares e6-rounded integers. Shape: ONE shuffle on user_id (shared
+    * with every other per-user window op), everything else per-row.
+    */
+  def anomalies(events: DataFrame, lookback: Int = 50, minHistory: Int = 10,
+      thrE6: Long = 3000000L): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val w = order.rowsBetween(-lookback, -1)
+    val mean = col("s").cast("double") / 100.0 / col("n")
+    val m2 = col("s2").cast("double") / 10000.0 / col("n")
+    val sd = sqrt(greatest(m2 - mean * mean, lit(0.0)))
+    val z = (col("cents").cast("double") / 100.0 - mean) / sd
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= minHistory)
+      .select(col("event_id"), col("user_id"), col("us"), col("n"),
+        sd.as("sd"), round(z * 1e6).cast("long").as("z_e6"))
+      .filter(col("sd") > 0 && abs(col("z_e6")) >= thrE6)
+      .select(col("event_id"), col("user_id"), col("us"), col("n"), col("z_e6"))
+  }
+
   /** Tumbling-window aggregation (batch form of the streaming windowed agg):
     * epoch-aligned 1-hour buckets per event type.
     */

@@ -194,8 +194,11 @@ class PlansSpec extends SparkSpec {
     // nested-loop.
     // sim_pq_rerank embeds the sim_pq_adc nomination stage verbatim — same
     // declared baseline; its re-rank half is an equi-join on vec_id.
+    // sim_recall embeds sim_topk as the exact side BY PURPOSE (it measures
+    // the IVF ranking against the brute-force baseline); its own stages are
+    // an equi-join + aggregation.
     val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc",
-      "sim_pq_rerank", "text_tfidf", "text_cms")
+      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

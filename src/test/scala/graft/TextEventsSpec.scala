@@ -98,6 +98,29 @@ class TextEventsSpec extends SparkSpec {
     assert(r.agg(sum("n")).as[Long].head() == ev.count())
   }
 
+  test("anomalies flags exactly the planted spike, baseline excludes self") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // user 7: 12 steady events at 10.00, then one 500.00 spike; the spike's
+    // baseline is the 12 prior events (sd > 0 needs a little jitter)
+    val steady = (0 until 12).map(i =>
+      (i.toLong, ts(i), 7L, "view", if (i % 2 == 0) 10.0 else 10.02, "{}"))
+    val spike = Seq((99L, ts(60), 7L, "view", 500.0, "{}"))
+    // user 8: too little history — never flagged, even with a spike
+    val cold = Seq((201L, ts(0), 8L, "view", 10.0, "{}"),
+      (202L, ts(1), 8L, "view", 900.0, "{}"))
+    val ev = (steady ++ spike ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.anomalies(ev).as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(99L), s"got ${got.toSeq}")
+    val (_, user, _, n, z) = got.head
+    assert(user == 7L && n == 12L, "baseline = the 12 prior events, not itself")
+    assert(z > 3000000L, s"spike z must clear 3 sigma by far, got $z")
+    // determinism under repartitioning (fixed-point frame sums)
+    val again = Events.anomalies(ev.repartition(5))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("jsonStats extracts props.k for every event type") {
     val r = Events.jsonStats(Tables.readEvents(spark, sf("0.001")))
       .as[(String, Long, Long, Double)].collect()
