@@ -242,6 +242,56 @@ object StreamingOps {
       }
   }
 
+  final case class EvV(user_id: Long, event_id: Long, us: Long, cents: Long)
+  final case class AnomalyOut(event_id: Long, user_id: Long, us: Long,
+      n: Long, z_e6: Long)
+  final case class AnomalyState(recent: Vector[Long])
+
+  /** Streaming twin of `Events.anomalies`: per-user rolling z-score flags
+    * over the previous `lookback` events, evaluated continuously. State is
+    * a BOUNDED fixed-point buffer (≤ `lookback` integer cents per user —
+    * the design point: O(users · lookback) longs, never stream history).
+    *
+    * Exactness: the buffer holds the same integer cents the batch frame
+    * sums, the scalar mean/variance/z sequence is written in the batch
+    * operator's exact IEEE order, and rounding goes through BigDecimal
+    * HALF_UP — the same rule as Spark SQL `round` — so stream output ≡
+    * batch output row-for-row on in-order delivery (StreamingSpec pins it
+    * across micro-batch splits).
+    */
+  def anomalyStream(events: Dataset[EvV], lookback: Int = 50,
+      minHistory: Int = 10, thrE6: Long = 3000000L): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[EvV], state: GroupState[AnomalyState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Vector.empty)
+          val out = List.newBuilder[AnomalyOut]
+          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val n = recent.size
+            if (n >= minHistory) {
+              var s = 0L; var s2 = 0L
+              recent.foreach { c => s += c; s2 += c * c }
+              val mean = s.toDouble / 100.0 / n
+              val m2 = s2.toDouble / 10000.0 / n
+              val sd = math.sqrt(math.max(m2 - mean * mean, 0.0))
+              if (sd > 0) {
+                val z = (e.cents.toDouble / 100.0 - mean) / sd
+                // Spark SQL round()'s exact rule (proven in PlansSpec)
+                val zE6 = graft.plans.PairDistStats.roundHalfUp(z * 1e6)
+                if (math.abs(zE6) >= thrE6)
+                  out += AnomalyOut(e.event_id, user, e.us, n.toLong, zE6)
+              }
+            }
+            recent = (recent :+ e.cents).takeRight(lookback)
+          }
+          state.update(AnomalyState(recent))
+          out.result().iterator
+      }
+  }
+
   /** Streaming gap sessions via the built-in `session_window` — the
     * watermarked one-liner twin of [[sessionizeStream]]'s explicit
     * flatMapGroupsWithState form (and of the batch

@@ -217,6 +217,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags equal the batch operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EvV
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val batch = graft.operators.Events.anomalies(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture must contain at least one 3-sigma event")
+    // same integer cents the batch operator sums, delivered in (us,
+    // event_id) order but SPLIT across two micro-batches mid-stream —
+    // per-user state must carry the rolling window over the boundary
+    val rows = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EvV].collect().sortBy(e => (e.us, e.event_id))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EvV]
+    val q = StreamingOps.anomalyStream(in.toDS()).writeStream.format("memory")
+      .queryName("anom_out").outputMode("append").start()
+    try {
+      in.addData(a.toSeq)
+      q.processAllAvailable()
+      in.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"stream (${got.size}) and batch (${batch.size}) flag sets diverge")
+    } finally q.stop()
+  }
+
   test("streaming latest-wins upsert never regresses a doc on stale re-delivery") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.Up
