@@ -325,17 +325,52 @@ object Similarity {
     * compressed-codes design (IVF cells bolt on in front exactly as in
     * [[ivfTopK]] when even the code scan needs pruning). The query side
     * broadcasts ([[bruteForceTopK]]'s declared-baseline shape).
+    *
+    * Uses the textbook ADC LOOKUP TABLE: each query's m×k partial distances
+    * are computed ONCE (driver-side — queries are a handful by contract,
+    * the same k-sized-state discipline as centroid literals) with the exact
+    * left-fold order [[graft.functions.VectorOps.sqDist]] evaluates, so the
+    * per-row work drops from m·sub fused multiply-adds to m array lookups
+    * and the values are bit-identical to the inline form (pinned in
+    * SimilaritySpec).
     */
   def pqAdcTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
       nQueries: Int = 5, kNbrs: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
     val m = codebook.length
     val sub = codebook.head.head.length
     val codes = pqEncode(emb, codebook)
-    val q = emb2v(emb).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // per-query LUT: lut(s)(j) = sqdist(query slice s, codebook(s)(j)),
+    // accumulated in the identical element order as the sqDist fold
+    val qRows: Array[org.apache.spark.sql.Row] =
+      emb2v(emb).filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("v")).collect()
+    val qLut = qRows.map { r =>
+      val qv = r.getSeq[Double](1)
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        codebook(s).map { c =>
+          var acc = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = qv(s * sub + d) - c(d)
+            acc += diff * diff
+            d += 1
+          }
+          acc
+        }
+      }
+      org.apache.spark.sql.Row(r.getLong(0), lut)
+    }
+    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types
+          .ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qLut: _*), lutSchema)
     val adc = (0 until m).map { s =>
-      sqDist(slice(col("qv"), s * sub + 1, sub),
-        element_at(typedlit(codebook(s)), (col(s"c$s") + 1).cast("int")))
+      element_at(element_at(col("lut"), s + 1), (col(s"c$s") + 1).cast("int"))
     }.reduce(_ + _)
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
     codes.crossJoin(broadcast(q))

@@ -189,6 +189,37 @@ class SimilaritySpec extends SparkSpec {
       .filter(cCols.map(c => c =!= col("vec_id")).reduce(_ || _)).count() == 0)
   }
 
+  test("ADC lookup-table form is value-identical to the inline sqdist scan") {
+    import graft.functions.VectorOps.sqDist
+    import org.apache.spark.sql.expressions.Window
+    // the executable spec: the pre-LUT inline expression, subspace sqdist
+    // against the coded sub-centroid summed left-to-right — the LUT must
+    // reproduce every adc_e6 bit-for-bit
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val cb = Similarity.pqCodebook(embr)
+    val (m, sub) = (cb.length, cb.head.head.length)
+    val codes = Similarity.pqEncode(embr, cb)
+    val q = embr.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val adcInline = (0 until m).map { s =>
+      sqDist(slice(col("qv"), s * sub + 1, sub),
+        element_at(typedlit(cb(s)), (col(s"c$s") + 1).cast("int")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val spec = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adcInline.as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("adc") * 1e6).cast("long").as("adc_e6"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lut = Similarity.pqAdcTopK(embr, cb)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lut == spec, "LUT and inline ADC diverge")
+  }
+
   test("PQ ADC: exact on losslessly-coded seeds; recall floor vs exact L2") {
     import graft.functions.VectorOps.sqDist
     import org.apache.spark.sql.expressions.Window
