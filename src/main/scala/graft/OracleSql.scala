@@ -1107,6 +1107,32 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.epochAllocation]]: the same
+    * greedy waterfill walked as a recursive CTE over the sources ranked
+    * ascending by (tokens, source) — identical integer floor-division and
+    * `least` at every step, so the allocations are engine-exact.
+    */
+  def docEpochs(budget: Long, maxEpochs: Int): String =
+    s"""WITH RECURSIVE t AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |rk AS (SELECT source, tokens,
+       |    CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rn
+       |  FROM t),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+       |rec(rn, alloc, b_after) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST($budget AS BIGINT)
+       |  UNION ALL
+       |  SELECT rk.rn,
+       |    least(rk.tokens * $maxEpochs,
+       |      rec.b_after // ((SELECT n FROM n) - rec.rn)),
+       |    rec.b_after - least(rk.tokens * $maxEpochs,
+       |      rec.b_after // ((SELECT n FROM n) - rec.rn))
+       |  FROM rec JOIN rk ON rk.rn = rec.rn + 1)
+       |SELECT rk.source, rk.tokens, rec.alloc AS alloc_tokens,
+       |  CAST(rec.alloc * 1000000 // rk.tokens AS BIGINT) AS epochs_ppm
+       |FROM rec JOIN rk ON rk.rn = rec.rn""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.annRecall]] over
     * [[simTopK]]-exact vs [[simIvf]]-approximate: both ranking chains
     * inlined with disjoint CTE names, then a (q_id, n_id) left join and

@@ -848,6 +848,12 @@ object SparkEntry {
           sourceBudget)
       TextAnalysis.mixCorpus(docs, budgets)
     }),
+    // UniMax-style epoch allocation: a total token budget waterfilled
+    // across sources ascending by mass, repetition capped at 4 epochs —
+    // the "how often may each source repeat" input to the data mix
+    "doc_epochs" -> ((s, dir) =>
+      TextAnalysis.epochAllocation(Tables.read(s, dir, "documents"),
+        budget = 15000L, maxEpochs = 4)),
     // count-min sketch (custom TypedImperativeAggregate, transparent hash
     // family): fixed d×w state summarizes corpus token frequencies; top-20
     // exact counts ride alongside their sketch estimates (est >= exact by
@@ -1847,6 +1853,7 @@ object SparkEntry {
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),

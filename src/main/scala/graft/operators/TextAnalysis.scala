@@ -317,6 +317,45 @@ object TextAnalysis {
       .filter(col("cum") - col("n_tok") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum"))
 
+  /** UniMax-style epoch allocation (Chung et al. 2023): split a total
+    * training-token `budget` across sources by greedy waterfilling — walk
+    * sources ASCENDING by token mass, give each `min(tokens · maxEpochs,
+    * remaining_budget div remaining_sources)` tokens, subtract, continue.
+    * Small sources hit the repetition cap (`maxEpochs` epochs) and their
+    * unused share flows to larger sources; big sources absorb the fair
+    * share at under one epoch. The standard answer to "how many times may
+    * each source repeat in the mix" — doc-level budgets then come from
+    * [[mixCorpus]] with these allocations.
+    *
+    * Everything is INTEGER arithmetic over the per-source token sums
+    * (floor division, `least`, exact ppm at the end), so the DuckDB oracle
+    * (the same walk as a recursive CTE over the ranked sources) is
+    * hash-exact. The waterfill itself is a driver loop over the collected
+    * per-source rows — source cardinality is k-sized state by nature (a
+    * corpus has dozens of sources, not millions); the only distributed
+    * work is the one groupBy(source) token-mass aggregation.
+    */
+  def epochAllocation(docs: DataFrame, budget: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1, s"bad budget=$budget maxEpochs=$maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("tokens"))
+      .orderBy("tokens", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var bRem = budget
+    var nRem = perSource.length.toLong
+    val rows = perSource.map { case (src, t) =>
+      val a = math.min(t * maxEpochs, bRem / nRem)
+      bRem -= a
+      nRem -= 1
+      (src, t, a, a * 1000000L / t)
+    }
+    rows.toSeq.toDF("source", "tokens", "alloc_tokens", "epochs_ppm")
+  }
+
   /** Per-domain corpus rollup — the domain-level quality/spam filter input
     * every web-scale pipeline computes before doc-level scoring: host from
     * the URL, registered domain as the trailing labels, then doc counts and

@@ -338,6 +338,28 @@ class TextEventsSpec extends SparkSpec {
       (1L, "web", 3L, 3L), (2L, "web", 4L, 7L), (10L, "wiki", 5L, 5L)))
   }
 
+  test("epochAllocation waterfills ascending; caps small sources; spends the rest") {
+    // tiny=2 tok, mid=10 tok, big=40 tok; budget 30, cap 3 epochs.
+    // walk ascending: tiny fair=30/3=10, capped at 2*3=6 -> alloc 6 (3.0 ep)
+    //                 mid  fair=24/2=12, capped at 10*3=30 -> alloc 12 (1.2 ep)
+    //                 big  fair=12/1=12, cap 120 -> alloc 12 (0.3 ep)
+    val docs = Seq(
+      (1L, "tiny", "a b"),
+      (2L, "mid", "a b c d e f g h i j"),
+      (3L, "big", ("w " * 39).trim + " z")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.epochAllocation(docs, budget = 30L, maxEpochs = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("big", 40L, 12L, 300000L),
+      ("mid", 10L, 12L, 1200000L),
+      ("tiny", 2L, 6L, 3000000L)), s"got ${got.toSeq}")
+    // a budget above total*cap leaves every source at exactly the cap
+    val capped = TextAnalysis.epochAllocation(docs, budget = 1000L, maxEpochs = 2)
+      .as[(String, Long, Long, Long)].collect()
+    assert(capped.forall(r => r._3 == r._2 * 2 && r._4 == 2000000L))
+  }
+
   test("removeBoilerplate strips over-df lines; all-boilerplate doc empties") {
     val docs = Seq(
       (1L, "nav menu\nunique one\nfooter"),
