@@ -1303,6 +1303,26 @@ object SparkEntry {
         Seq("doc_id"), gen = 3L)
     }),
 
+    // MERGE INTO: one change set (updates for %10 non-%7 keys, deletes for
+    // %7 keys, inserts at doc_id+1000000 for %25 keys) applied to the
+    // documents target in a single full-outer pass — the canonical lake
+    // write statement next to q_upsert's latest-wins and q_snapshot's log
+    "q_merge" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val upd = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 1L)
+        .withColumn("op", lit("U"))
+      val del = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val ins = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("new").as("lang"),
+          col("source"), col("n_chars"), lit("U").as("op"))
+      operators.Joins.mergeInto(docs, upd.unionByName(del).unionByName(ins),
+        Seq("doc_id"))
+    }),
+
     // log compaction over the same generation log: fold gens <= 2 into one
     // materialized base generation, keep the gen-3 tombstone tail verbatim.
     // Emits the compacted LOG (not a snapshot) — every later snapshot over
@@ -2154,6 +2174,23 @@ object SparkEntry {
         |    ORDER BY gen DESC, op ASC)
         |    AS rn FROM lg WHERE gen <= 3)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_merge" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 'xx' AS lang, source, n_chars + 1 AS n_chars, 'U' AS op
+        |  FROM t WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars, 'D' FROM t WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', source, n_chars, 'U'
+        |  FROM t WHERE doc_id % 25 = 0)
+        |SELECT coalesce(t.doc_id, ch.doc_id) AS doc_id,
+        |  CASE WHEN ch.op = 'U' THEN ch.lang ELSE t.lang END AS lang,
+        |  CASE WHEN ch.op = 'U' THEN ch.source ELSE t.source END AS source,
+        |  CASE WHEN ch.op = 'U' THEN ch.n_chars ELSE t.n_chars END AS n_chars
+        |FROM t FULL OUTER JOIN ch ON t.doc_id = ch.doc_id
+        |WHERE coalesce(ch.op, '') <> 'D'""".stripMargin,
 
     "q_log_compact" ->
       """WITH lg AS (

@@ -112,4 +112,32 @@ object Joins {
     base.select(log.columns.map(col): _*)
       .unionByName(log.filter(col("gen") > upTo))
   }
+
+  /** MERGE INTO — the canonical lake write statement (Delta/Iceberg MERGE):
+    * apply a CHANGE SET to a target in one relational pass. Per change row:
+    * op 'U' updates the matched target row (or inserts when unmatched);
+    * op 'D' deletes the matched key (a delete of an absent key is a no-op).
+    * Target rows without a change pass through verbatim.
+    *
+    * Caller contract: `changes` carries at most one row per key (CDC compact
+    * first — [[snapshotAsOf]]'s latest-wins window is exactly that op), and
+    * has the target's schema plus `opCol`.
+    *
+    * Shape: ONE full-outer equi-join on the key (hash/SMJ — the change set
+    * shuffles, the target shuffles once; with a bucketed target even that
+    * disappears) + a projection. No window, no second pass. Values are
+    * engine-exact by construction — the q_merge oracle replays the same
+    * join + CASE.
+    */
+  def mergeInto(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val c = changes.select(
+      keys.map(col) ++ dataCols.map(n => col(n).as(s"_c_$n"))
+        :+ col(opCol).as("_op"): _*)
+    target.join(c, keys, "full_outer")
+      .filter(coalesce(col("_op"), lit("")) =!= "D")
+      .select(keys.map(col) ++ dataCols.map(n =>
+        when(col("_op") === "U", col(s"_c_$n")).otherwise(col(n)).as(n)): _*)
+  }
 }

@@ -441,6 +441,20 @@ class PropertySpec extends SparkSpec {
     assert(s3.forall { case (i, row) => row == s2(i) })
   }
 
+  test("mergeInto: update, delete, insert, absent-key-delete, pass-through") {
+    import graft.operators.Joins
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "B", "U"),              // matched update
+      (3L, null.asInstanceOf[String], "D"), // matched delete
+      (9L, "I", "U"),              // unmatched insert
+      (8L, null.asInstanceOf[String], "D")  // delete of an absent key: no-op
+    ).toDF("id", "v", "op")
+    val got = Joins.mergeInto(target, changes, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")), s"got $got")
+  }
+
   test("logCompact preserves every snapshot at or after the compaction point") {
     import org.apache.spark.sql.functions._
     import graft.operators.Joins
