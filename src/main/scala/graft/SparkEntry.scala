@@ -1303,6 +1303,21 @@ object SparkEntry {
         Seq("doc_id"), gen = 3L)
     }),
 
+    // SCD Type-2 over the same generation log: every upsert opens a
+    // version valid until the key's next change; deletes close timelines.
+    // Filtering valid_from <= G < valid_to reproduces q_snapshot (pinned)
+    "q_scd2" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val g1 = docs.withColumn("gen", lit(1L)).withColumn("op", lit("U"))
+      val g2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("gen", lit(2L)).withColumn("op", lit("U"))
+      val g3 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("gen", lit(3L)).withColumn("op", lit("D"))
+      operators.Joins.scd2(g1.unionByName(g2).unionByName(g3), Seq("doc_id"))
+    }),
+
     // MERGE INTO: one change set (updates for %10 non-%7 keys, deletes for
     // %7 keys, inserts at doc_id+1000000 for %25 keys) applied to the
     // documents target in a single full-outer pass — the canonical lake
@@ -2174,6 +2189,23 @@ object SparkEntry {
         |    ORDER BY gen DESC, op ASC)
         |    AS rn FROM lg WHERE gen <= 3)
         |SELECT doc_id, lang, n_chars, gen FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_scd2" ->
+      """WITH lg AS (
+        |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars, CAST(2 AS BIGINT), 'U'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT), 'D'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |v AS (SELECT doc_id, lang, n_chars, gen, op,
+        |    lead(gen) OVER (PARTITION BY doc_id ORDER BY gen ASC, op DESC)
+        |      AS next_gen
+        |  FROM lg)
+        |SELECT doc_id, lang, n_chars, gen AS valid_from, next_gen AS valid_to
+        |FROM v WHERE op <> 'D'""".stripMargin,
 
     "q_merge" ->
       """WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents),

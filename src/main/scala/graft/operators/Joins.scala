@@ -113,6 +113,27 @@ object Joins {
       .unionByName(log.filter(col("gen") > upTo))
   }
 
+  /** SCD Type-2 history — the warehouse-standard versioned read of a
+    * generation log: every upsert opens a version valid from its own
+    * generation until the key's next change (the following upsert OR the
+    * tombstone); the latest open version carries `valid_to` null. Delete
+    * rows close the prior version and emit nothing themselves, so the
+    * output is exactly the key's value timeline. One lead() window per key
+    * — the same single shuffle on the key as [[snapshotAsOf]], and the two
+    * agree by construction: filtering `valid_from <= G < coalesce(valid_to,
+    * ∞)` reproduces the as-of-G snapshot (PropertySpec pins it).
+    */
+  def scd2(log: DataFrame, keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(asc("gen"), desc(opCol))
+    log
+      .withColumn("_next", lead("gen", 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+      .withColumnRenamed("gen", "valid_from")
+      .withColumnRenamed("_next", "valid_to")
+  }
+
   /** MERGE INTO — the canonical lake write statement (Delta/Iceberg MERGE):
     * apply a CHANGE SET to a target in one relational pass. Per change row:
     * op 'U' updates the matched target row (or inserts when unmatched);

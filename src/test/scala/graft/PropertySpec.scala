@@ -455,6 +455,33 @@ class PropertySpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")), s"got $got")
   }
 
+  test("scd2 timelines reproduce every generation's snapshot when sliced") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Joins
+    val base = (1L to 40L).map(i => (i, s"v$i", 1L, "U"))
+    val upd = (1L to 40L).filter(_ % 4 == 0).map(i => (i, "upd", 2L, "U"))
+    val del = (1L to 40L).filter(_ % 6 == 0).map(i => (i, "x", 3L, "D"))
+    val log = (base ++ upd ++ del).toDF("id", "v", "gen", "op")
+    val hist = Joins.scd2(log, Seq("id")).cache()
+    // slicing the timeline at G = the as-of-G snapshot, for every G
+    for (g <- 1L to 3L) {
+      val slice = hist.filter(col("valid_from") <= g &&
+          (col("valid_to").isNull || col("valid_to") > g))
+        .select("id", "v").as[(Long, String)].collect().toSet
+      val snap = Joins.snapshotAsOf(log, Seq("id"), g)
+        .select("id", "v").as[(Long, String)].collect().toSet
+      assert(slice == snap, s"timeline slice diverges from snapshot at gen $g")
+    }
+    // every %6 key's timeline is fully closed (deleted); %4-non-%6 keys
+    // have exactly two versions: [1,2) then [2,null)
+    val open = hist.filter(col("valid_to").isNull)
+      .select("id").as[Long].collect().toSet
+    assert(open == (1L to 40L).filterNot(_ % 6 == 0).toSet)
+    val twoVer = hist.filter(col("id") % 4 === 0 && col("id") % 6 =!= 0)
+      .groupBy("id").count().select("count").as[Long].collect()
+    assert(twoVer.nonEmpty && twoVer.forall(_ == 2L))
+  }
+
   test("logCompact preserves every snapshot at or after the compaction point") {
     import org.apache.spark.sql.functions._
     import graft.operators.Joins
