@@ -1021,6 +1021,26 @@ object SparkEntry {
     // a shifted id), so the pairing path runs against real duplicates;
     // planted-near-dup recall and blocking completeness are pinned in
     // MultimodalSpec
+    // frame-level video near-dup (re-encoded clips, shared intros): every
+    // frame aHashed with the image hasher's exact loop, composite
+    // (video, frame) keys through the same pigeonhole blocking, rolled up
+    // to matched-frame counts per video pair. Planted copies (id-shifted
+    // re-encodes) guarantee real positives; rows-only like the rest of the
+    // mm family (binary container decode has no ANSI mirror)
+    "mm_frame_dedup" -> ((s, dir) => {
+      val vids = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+        .filter(col("kind") === "video")
+      val copies = vids.filter(col("media_id") % 5 === 1)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val fh = Multimodal.frameAHashes(vids.unionByName(copies)).toDF()
+        .select((col("media_id") * 100L + col("frame_ix")).as("media_id"),
+          col("ahash"))
+      val pairs = Multimodal.aHashPairs(fh, maxHamming = 0)
+      pairs.select(expr("a_id div 100").as("a_vid"),
+          expr("b_id div 100").as("b_vid"))
+        .groupBy("a_vid", "b_vid").agg(count(lit(1)).as("n_frames"))
+    }),
+
     "mm_phash" -> ((s, dir) => {
       val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
         .filter(col("kind") === "image")

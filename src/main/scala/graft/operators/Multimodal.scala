@@ -611,10 +611,21 @@ object Multimodal {
     require(bb.getShort == 1, "planes must be 1")
     require(bb.getShort == 24, "only 24-bit BMP supported")
     require(bb.getInt == 0, "only uncompressed (BI_RGB) supported")
-    require(tw >= 1 && th >= 1 && tw <= width && th <= height,
-      s"target ${tw}x$th must fit inside ${width}x$height")
     val stride = (width * 3 + 3) / 4 * 4
     require(payload.length >= dataOffset + stride * height, "truncated pixel data")
+    resizeDibLuma(payload, dataOffset, width, height, stride, tw, th)
+  }
+
+  /** The shared box-filter core over a raw bottom-up 24-bit DIB pixel block
+    * (the layout of both BMP pixel data and AVI `00db` frame chunks):
+    * exact-integer source rectangles, luma/255 row-major output. Factored
+    * so [[resizeBmpLuma]] and the per-frame video hashes run the IDENTICAL
+    * loop — image and frame aHashes stay mutually comparable.
+    */
+  private def resizeDibLuma(payload: Array[Byte], dataOffset: Int,
+      width: Int, height: Int, stride: Int, tw: Int, th: Int): Array[Float] = {
+    require(tw >= 1 && th >= 1 && tw <= width && th <= height,
+      s"target ${tw}x$th must fit inside ${width}x$height")
     val out = new Array[Float](tw * th)
     var ty = 0
     while (ty < th) {
@@ -669,16 +680,104 @@ object Multimodal {
     * frames land within a small hamming radius — the embedding-free image
     * dedup key.
     */
-  def aHashOf(payload: Array[Byte]): Long = {
-    val g = resizeBmpLuma(payload, 8, 8)
+  def aHashOf(payload: Array[Byte]): Long = gridAHash(resizeBmpLuma(payload, 8, 8))
+
+  /** aHash of a luma grid (≤ 64 cells): bit i set when cell i exceeds the
+    * grid mean — shared by image ([[aHashOf]], always 8×8) and video-frame
+    * ([[frameAHashesOf]], 8×8 clamped to the frame geometry) hashing so
+    * same-geometry hashes are exactly comparable.
+    */
+  private def gridAHash(g: Array[Float]): Long = {
+    val n = g.length
+    require(n >= 1 && n <= 64, s"grid must have 1..64 cells, got $n")
     var sum = 0.0
     var i = 0
-    while (i < 64) { sum += g(i); i += 1 }
-    val mean = sum / 64
+    while (i < n) { sum += g(i); i += 1 }
+    val mean = sum / n
     var h = 0L
     i = 0
-    while (i < 64) { if (g(i) > mean) h |= 1L << i; i += 1 }
+    while (i < n) { if (g(i) > mean) h |= 1L << i; i += 1 }
     h
+  }
+
+  /** Per-frame aHashes of an AVI payload: a light RIFF walk (hdrl geometry
+    * + `movi` frame chunks — [[decodeAvi]] is the full validating decoder)
+    * that box-filters each raw DIB frame to the 8×8 luma grid with the
+    * EXACT loop images use and hashes it. One pass, no frame buffer kept.
+    */
+  def frameAHashesOf(payload: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourCC() == "AVI ", "not an AVI file")
+    var width = 0; var height = 0
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (bb.remaining() >= 8) {
+      val id = fourCC()
+      val size = bb.getInt
+      val next = bb.position() + size + (size & 1)
+      if (id == "LIST") {
+        val listType = fourCC()
+        if (listType == "hdrl") {
+          while (bb.position() < next) {
+            val hid = fourCC()
+            val hsize = bb.getInt
+            val hnext = bb.position() + hsize + (hsize & 1)
+            if (hid == "avih") {
+              bb.getInt; bb.getInt; bb.getInt; bb.getInt; bb.getInt
+              bb.getInt; bb.getInt; bb.getInt
+              width = bb.getInt
+              height = bb.getInt
+            }
+            bb.position(hnext)
+          }
+        } else if (listType == "movi") {
+          require(width > 0 && height > 0, "movi before hdrl geometry")
+          val stride = (width * 3 + 3) / 4 * 4
+          while (bb.position() < next) {
+            val fid = fourCC()
+            val fsize = bb.getInt
+            val fnext = bb.position() + fsize + (fsize & 1)
+            if (fid.endsWith("db") || fid.endsWith("dc")) {
+              require(fsize == stride * height,
+                s"frame chunk $fsize != ${stride * height}")
+              // 8×8 clamped to the frame geometry (tiny fixture clips go
+              // down to 6 rows); same-geometry frames stay exactly
+              // comparable, which is all frame dedup compares
+              hashes += gridAHash(resizeDibLuma(payload, bb.position(),
+                width, height, stride, math.min(8, width), math.min(8, height)))
+            }
+            bb.position(fnext)
+          }
+        }
+      }
+      bb.position(next)
+    }
+    hashes.toArray
+  }
+
+  final case class FrameHash(media_id: Long, frame_ix: Long, ahash: Long)
+
+  /** Per-frame aHashes over the media table (kind = video only), in the
+    * same partition-batched decode shape as [[aHashes]]. Feed the result —
+    * keyed by a composite (media_id, frame_ix) id — into [[aHashPairs]]'s
+    * pigeonhole blocking for frame-level near-dup detection within and
+    * across videos (re-encoded clips, shared intros, freeze frames).
+    */
+  def frameAHashes(media: DataFrame, batchSize: Int = 32): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap(r =>
+          frameAHashesOf(r.payload).zipWithIndex.map { case (h, ix) =>
+            FrameHash(r.media_id, ix.toLong, h)
+          }))
+      }
   }
 
   /** Per-image aHash over the media table (kind = image only), in the same

@@ -254,6 +254,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame aHashes pair a byte-identical clip frame-for-frame") {
+    import spark.implicits._
+    // two byte-identical clips (a re-encode under a new id) + one different
+    val pat = (f: Int, x: Int, y: Int) =>
+      (((x * 37 + y * 11 + f * 53) % 200 + 20) * 0x010101)
+    val other = (f: Int, x: Int, y: Int) =>
+      (((x * 13 + y * 29 + f * 7) % 200 + 20) * 0x010101)
+    val avi = Multimodal.aviBytes(9, 8, nFrames = 4, fpsRate = 25, fpsScale = 1, pat)
+    val avi2 = Multimodal.aviBytes(9, 8, nFrames = 4, fpsRate = 25, fpsScale = 1, other)
+    val media = Seq((1L, "video", avi, 9, 8, 0), (2L, "video", avi, 9, 8, 0),
+        (3L, "video", avi2, 9, 8, 0))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val fh = Multimodal.frameAHashes(media).collect()
+    assert(fh.length == 12, "4 frames per clip, none dropped")
+    def hashes(id: Long): Seq[Long] =
+      fh.filter(_.media_id == id).sortBy(_.frame_ix).map(_.ahash).toSeq
+    assert(hashes(1L) == hashes(2L), "identical clips hash frame-for-frame")
+    assert(hashes(1L) != hashes(3L), "different content must differ somewhere")
+    // the raw per-frame hash agrees with hashing the same DIB wrapped as BMP
+    // (shared resize loop + shared gridAHash) — frame 0 of clip 1:
+    val bmp = Multimodal.bmpBytes(9, 8, (x, y) => pat(0, x, y))
+    assert(Multimodal.frameAHashesOf(avi).head == Multimodal.aHashOf(bmp),
+      "frame and image hashers must stay mutually comparable")
+    // a sub-8-row clip still hashes (grid clamps to the frame geometry)
+    val tiny = Multimodal.aviBytes(8, 6, nFrames = 2, fpsRate = 25, fpsScale = 1, pat)
+    assert(Multimodal.frameAHashesOf(tiny).length == 2)
+  }
+
   test("feature stats roll decoded media back up per kind") {
     val media = Multimodal.mediaTable(Tables.read(spark, sf("0.001"), "documents"))
     val stats = Multimodal.featureStats(Multimodal.decodeFeatures(media))
