@@ -1076,6 +1076,10 @@ object SparkEntry {
     // sums over an explicit ROWS frame; e6-integer threshold — hash-exact)
     "events_anomaly" -> ((s, dir) =>
       Events.anomalies(Tables.readEvents(s, dir))),
+    // the DAU/WAU census: exact distinct users per hour bucket (single
+    // countDistinct -> two-level aggregate, no Expand)
+    "events_active_users" -> ((s, dir) =>
+      Events.activeUsers(Tables.readEvents(s, dir))),
     // as-of join (click → latest prior purchase per user) via the union +
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
@@ -2025,6 +2029,11 @@ object SparkEntry {
     "events_sliding" -> OracleSql.eventsSliding,
     "events_anomaly" -> OracleSql.eventsAnomaly(
       lookback = 50, minHistory = 10, thrE6 = 3000000L),
+    "events_active_users" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),

@@ -83,6 +83,21 @@ object Events {
       .select(col("event_id"), col("user_id"), col("us"), col("n"), col("z_e6"))
   }
 
+  /** Windowed distinct-user census — the DAU/WAU-shaped count every event
+    * pipeline reports: per epoch-aligned 1-hour bucket, the exact distinct
+    * user count plus event volume. A single countDistinct per group plans
+    * as a plain two-level aggregate (partial distinct map-side, no Expand);
+    * at 100 TB the same shape swaps in `approx_count_distinct` exactly as
+    * [[graft.operators.Profiling.profileApprox]] does for the census.
+    */
+  def activeUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"),
+        col("n_users"), col("n_events"))
+
   /** Tumbling-window aggregation (batch form of the streaming windowed agg):
     * epoch-aligned 1-hour buckets per event type.
     */
