@@ -125,6 +125,25 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming DAU/WAU census — the exact-distinct twin of
+    * `Events.activeUsers`: watermark-bounded dedup on (window, user) drops
+    * every repeat visit inside the hour bucket, then a windowed count is a
+    * plain count of the survivors. Two chained stateful operators (dedup →
+    * windowed agg), both expiring with the same watermark, so state is
+    * O(distinct users per open window) — the streaming-exact form; swap
+    * `approx_count_distinct` in one aggregate when even that state is too
+    * much. Emits closed windows (append mode); values pinned ≡ the batch
+    * census in StreamingSpec.
+    */
+  def activeUsersStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("n_users"))
+
   /** Streaming mini-batch k-means state (MacQueen-style cumulative update,
     * batch granularity): the driver holds the EXACT sufficient statistic per
     * cluster — cumulative fixed-point coordinate sums `S_j` (longs: exact in

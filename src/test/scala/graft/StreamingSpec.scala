@@ -45,6 +45,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming active-users census equals the batch census on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = StreamingOps.activeUsersStream(in.toDF().toDF("ts", "user_id"))
+    val q = agg.writeStream.format("memory").queryName("au_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // hour 1: user 7 visits twice + user 8 → 2 distinct; hour 2: 8 and 9
+      // (twice) → 2 distinct; repeats must not inflate the census
+      val rows = Seq((ts(1, 5), 7L), (ts(1, 20), 7L), (ts(1, 40), 8L),
+        (ts(2, 10), 8L), (ts(2, 30), 9L), (ts(2, 45), 9L))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      // a later sentinel advances the watermark past both hours → they close
+      in.addData((ts(4, 30), 99L))
+      q.processAllAvailable()
+      val got = spark.table("au_out").as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Events.activeUsers(rows.toDF("ts", "user_id"))
+        .select("win_us", "n_users").as[(Long, Long)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.size == 2 && got.values.forall(_ == 2L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
