@@ -242,6 +242,30 @@ object OracleSql {
       |    AS avg_bits_e6
       |FROM tok JOIN v USING (token) GROUP BY doc_id""".stripMargin
 
+  /** Mirror of [[operators.TextAnalysis.bigramLm]]: the spanCtes 2-gram
+    * construction (list_slice join of adjacent tokens), then the unigram
+    * mirror's bitlen/e6 arithmetic; docs with no bigram left-join to 0.
+    */
+  val textBigramLm: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |ex AS (SELECT doc_id, tk,
+      |    unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS pos
+      |  FROM t),
+      |bg AS (SELECT doc_id,
+      |    array_to_string(list_slice(tk, pos, pos + 1), ' ') AS bigram
+      |  FROM ex),
+      |v AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(length(printf('%b', cnt))) AS BIGINT) AS lm_bits
+      |  FROM bg JOIN v USING (bigram) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(sc.lm_bits, 0) AS lm_bits,
+      |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+      |    THEN CAST(round(1e6 * sc.lm_bits / sc.n_bigrams) AS BIGINT)
+      |    ELSE 0 END AS avg_bits_e6
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** Mirror of [[operators.Profiling.profile]]: one branch per column —
     * the oracle spells out what the Spark side generates programmatically.
     */

@@ -943,6 +943,11 @@ object SparkEntry {
     "text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(Tables.read(s, dir, "documents"))),
 
+    // bigram-LM familiarity: the word-ORDER-sensitive next order (shuffled
+    // fluent tokens keep unigram score, lose bigram score)
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.read(s, dir, "documents"))),
+
     // BPE training's merge statistic: frequency-weighted adjacent-symbol
     // pair counts over the char start state, top-20 deterministic cut
     // ("lft"/"rgt" aliases — LEFT/RIGHT are SQL keywords)
@@ -2002,6 +2007,7 @@ object SparkEntry {
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "text_bigram_lm" -> OracleSql.textBigramLm,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)

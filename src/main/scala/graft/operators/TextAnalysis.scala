@@ -459,6 +459,35 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** Bigram language-model familiarity — the next-order LM-quality signal
+    * above [[unigramLm]], sensitive to word ORDER (shuffled fluent tokens
+    * keep their unigram score but lose their bigram one — the signature of
+    * spun/generated spam): each adjacent token pair scores
+    * `bitlen(corpus bigram count)`, docs report the sum and e6 mean over
+    * their bigram count. Bigrams come from the codegen'd `word_grams`
+    * kernel (n = 2) — no token-level window shuffle; then the same
+    * vocab-groupBy + join-back + doc-groupBy plan as the unigram. Docs
+    * shorter than two tokens carry zero bigrams and score 0 explicitly.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(graft.plans.native.word_grams(col("text"), 2)).as("bigram"))
+    val vocab = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val scored = bg.join(vocab, "bigram")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(length(conv(col("cnt"), 10, 2))).cast("long").as("lm_bits"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_bits"), lit(0L)).as("lm_bits"))
+      .withColumn("avg_bits_e6",
+        when(col("n_bigrams") > 0,
+          round(lit(1e6) * col("lm_bits") / col("n_bigrams")).cast("long"))
+          .otherwise(0L))
+  }
+
   /** URL blocklist filtering — the first gate of a web-crawl pipeline:
     * drop docs whose registered domain is on the blocklist. The blocklist
     * is tiny by nature (domains, not URLs) → broadcast anti-join; the

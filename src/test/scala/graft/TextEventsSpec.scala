@@ -338,6 +338,27 @@ class TextEventsSpec extends SparkSpec {
       (1L, "web", 3L, 3L), (2L, "web", 4L, 7L), (10L, "wiki", 5L, 5L)))
   }
 
+  test("bigramLm is order-sensitive where unigramLm is not") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"), // same token multiset, shuffled
+      (3L, "the cat sat on the mat"), // exact duplicate of 1
+      (4L, "solo")                    // no bigram at all
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLm(docs)
+      .select("doc_id", "avg_bits_e6").as[(Long, Long)].collect().toMap
+    assert(uni(1L) == uni(2L), "unigram score ignores order by design")
+    val bi = TextAnalysis.bigramLm(docs)
+      .select("doc_id", "n_bigrams", "avg_bits_e6")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bi(1L) == bi(3L), "identical docs score identically")
+    // docs 1/3 share every bigram (cnt 2 → 2 bits); doc 2's shuffled
+    // bigrams are corpus-unique (cnt 1 → 1 bit): order drops the score
+    assert(bi(1L)._2 == 2000000L && bi(2L)._2 == 1000000L,
+      s"got ${bi(1L)} vs ${bi(2L)}")
+    assert(bi(4L) == ((0L, 0L)), "a one-token doc has zero bigrams, score 0")
+  }
+
   test("epochAllocation waterfills ascending; caps small sources; spends the rest") {
     // tiny=2 tok, mid=10 tok, big=40 tok; budget 30, cap 3 epochs.
     // walk ascending: tiny fair=30/3=10, capped at 2*3=6 -> alloc 6 (3.0 ep)
