@@ -1216,4 +1216,111 @@ object OracleSql {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |SELECT a_id, b_id, CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM p
        |WHERE CAST(round(c*1e6) AS BIGINT) >= $thrE6""".stripMargin
+
+  /** Mirror of [[graft.operators.Dedup.semanticDedup]] with fixed coarse
+    * centroids (vec_id < nCells, cell id = vec_id + 1): nearest-cell
+    * assignment with the centroid cosine alongside, within-cell pairs over
+    * the fixed-point threshold, transitive closure as a recursive CTE, and
+    * the keep-the-outlier window cut on (cent_cos_e6, vec_id).
+    */
+  def dedupSemantic(nCells: Int, thrE6: Long): String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |asn AS (SELECT vec_id, v, cell, cent_cos FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell, ${cosine("e.v", "c.cv")} AS cent_cos,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) >= $thrE6),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT ed.t, reach.r FROM reach JOIN edges ed ON ed.s = reach.id),
+       |comp AS (SELECT id AS vec_id, min(r) AS rep_id FROM reach GROUP BY id),
+       |j AS (SELECT asn.vec_id, asn.cell,
+       |    CAST(round(asn.cent_cos*1e6) AS BIGINT) AS cent_cos_e6, comp.rep_id,
+       |    count(*) OVER (PARTITION BY comp.rep_id) AS cluster_size,
+       |    row_number() OVER (PARTITION BY comp.rep_id
+       |      ORDER BY CAST(round(asn.cent_cos*1e6) AS BIGINT), asn.vec_id) AS rn
+       |  FROM asn JOIN comp ON comp.vec_id = asn.vec_id)
+       |SELECT vec_id, cell, cent_cos_e6, rep_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM j""".stripMargin
+
+  /** Mirror of [[graft.operators.TextAnalysis.bm25]]: same token relation
+    * as [[textTfidf]], the data-derived top-term query, and the identical
+    * double sequence for the rational-IDF BM25 term score (constants
+    * interpolated via Scala's shortest-round-trip Double.toString, so both
+    * engines parse the same doubles). Integer sums only — DuckDB's
+    * sum(BIGINT) widening is cast back before the compare.
+    */
+  def textBm25(nTerms: Int, k: Int, k1: Double, b: Double): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tok),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS token FROM d) t
+       |  GROUP BY doc_id, dl, token),
+       |q AS (SELECT token, df FROM (
+       |    SELECT token, CAST(sum(tf) AS BIGINT) AS cnt, count(*) AS df
+       |    FROM tf GROUP BY token ORDER BY cnt DESC, token LIMIT $nTerms) t),
+       |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_len FROM d),
+       |s AS (SELECT tf.doc_id, tf.dl,
+       |    CAST(round(((n_docs - df + 0.5) / (df + 0.5)) * (tf.tf * ${k1 + 1.0}) /
+       |      (tf.tf + $k1 * (1.0 - $b + $b * tf.dl * n_docs / total_len)) * 1e6)
+       |      AS BIGINT) AS term_e6
+       |  FROM tf JOIN q ON tf.token = q.token CROSS JOIN scal),
+       |g AS (SELECT doc_id, dl, CAST(sum(term_e6) AS BIGINT) AS score_e6,
+       |    count(*) AS n_hit
+       |  FROM s GROUP BY doc_id, dl ORDER BY score_e6 DESC, doc_id LIMIT $k)
+       |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, dl, n_hit, score_e6 FROM g""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.hardNegatives]]: nProbe-cell
+    * indexing with the label carried, different-label candidates from the
+    * cell equi-join, per-anchor top-k by cosine.
+    */
+  def simHardNegatives(nCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    CAST(label AS BIGINT) AS label FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |idx AS (SELECT vec_id, v, label, cell FROM (
+       |  SELECT e.vec_id, e.v, e.label, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.label AS label_a,
+       |    b.vec_id AS n_id, b.label AS label_n, ${cosine("a.v", "b.v")} AS c
+       |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.label <> b.label),
+       |r AS (SELECT a_id, label_a, n_id, label_n, c,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM cand)
+       |SELECT a_id, label_a, n_id, label_n, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.knnGraph]]: nProbe-cell
+    * indexing, distinct directed candidates from the cell equi-join, the
+    * per-vector top-k window, and the mutuality self-join on the transposed
+    * directed edge list.
+    */
+  def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |idx AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn <= $nProbe),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosine("a.v", "b.v")} AS c
+       |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |d AS (SELECT a_id, b_id, c,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rnk
+       |  FROM cand)
+       |SELECT d1.a_id, d1.b_id, CAST(round(d1.c*1e6) AS BIGINT) AS cos_e6,
+       |  CAST(d1.rnk AS BIGINT) AS rnk_ab, CAST(d2.rnk AS BIGINT) AS rnk_ba
+       |FROM d d1 JOIN d d2 ON d2.a_id = d1.b_id AND d2.b_id = d1.a_id
+       |WHERE d1.rnk <= $k AND d2.rnk <= $k AND d1.a_id < d1.b_id""".stripMargin
 }

@@ -688,6 +688,16 @@ object SparkEntry {
       Dedup.embeddingCosineBlocked(emb, Similarity.fixedCentroids(emb, 16),
         thrE6 = 350000L, nProbe = 2)
     }),
+    // SemDeDup (semantic dedup): coarse cells -> within-cell cosine pairs ->
+    // transitive duplicate groups -> keep the lowest-centroid-cosine member
+    // per group (the paper's keep-the-outlier rule). Composes the IVF cell
+    // assignment, the cell equi-join, and connected components — every
+    // stage already bounded at scale.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, Similarity.fixedCentroids(emb, 16),
+        thrE6 = 500000L)
+    }),
 
     // ---- similarity search (beyond-reference) ----
     "sim_topk" -> ((s, dir) =>
@@ -729,6 +739,21 @@ object SparkEntry {
     // exact cosine re-rank
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.read(s, dir, "embeddings"))),
+    // mutual k-NN graph over ALL vectors (not a query handful): cell-blocked
+    // candidates, per-vector top-k window, mutuality via a self-join on the
+    // transposed directed edge list — the input structure of graph-based
+    // clustering/dedup
+    "sim_knn_graph" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnGraph(emb, Similarity.fixedCentroids(emb, 16))
+    }),
+    // contrastive hard-negative mining: per anchor, the top different-label
+    // candidates by cosine out of the blocked cells — the training-pair
+    // miner for embedding models
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // product quantization: 8 sub-codes per 64-dim vector off the
     // deterministic seed codebook — the 128x vector-compression step of
     // IVF-PQ; zero-shuffle literal-codebook argmin per row
@@ -827,6 +852,11 @@ object SparkEntry {
     // tf·ln(N/df) for fixed N — see TextAnalysis.tfidf)
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(Tables.read(s, dir, "documents"))),
+    // BM25 retrieval against the data-derived top-term query: rational IDF
+    // (ln-free, same discipline as tfidf), exact Okapi tf saturation,
+    // TakeOrdered k-cut — the classic sparse-retrieval scorer
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(Tables.read(s, dir, "documents"))),
     // Gopher-style repetition signals: distinct/total tokens, top-token
     // count, repeated 2-gram instances — the degenerate-text filters
     "text_repetition" -> ((s, dir) =>
@@ -1914,6 +1944,9 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
+    "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
+    "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
+    "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
@@ -1969,6 +2002,7 @@ object SparkEntry {
         |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum
         |FROM c WHERE cum - n_tok < budget""".stripMargin,
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
+    "text_bm25" -> OracleSql.textBm25(nTerms = 3, k = 10, k1 = 1.2, b = 0.75),
     "text_repetition" -> OracleSql.textRepetition,
     "text_tokens_bpe" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,

@@ -602,6 +602,68 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space coarsely, call two vectors semantic
+    * duplicates when their cosine crosses `thrE6/1e6` INSIDE a cluster,
+    * group duplicates transitively, and keep — per duplicate group — the
+    * member with the LOWEST cosine to its cluster centroid (the paper's
+    * keep-the-outlier rule: it preserves the most diverse exemplar and
+    * prunes the redundant core). Output is one row per vector:
+    * `(vec_id, cell, cent_cos_e6, rep_id, cluster_size, kept)`.
+    *
+    * Composition of three shapes this engine already scales:
+    *  1. cell assignment — per-row argmin over the literal centroid set
+    *     (zero shuffle, the [[Similarity.ivfTopK]] posture); the centroid
+    *     cosine rides along in the same row-local sorted struct.
+    *  2. candidate pairs — an EQUI-join on cell id (pair space bounded per
+    *     cell, never all-pairs; misses only cross-cell duplicates, the
+    *     deliberate SemDeDup approximation).
+    *  3. duplicate groups — [[connectedComponents]] min-label propagation
+    *     (per-round: one equi-join + one grouped min).
+    * The keep rule is one window over the components, ordered by the
+    * FIXED-POINT centroid cosine then vec_id, so the winner is
+    * engine-exact. Centroids are caller-supplied ([[Similarity
+    * .fixedCentroids]] for the oracle; a `KMeans.fit` over the normalized
+    * embeddings in production — same shapes).
+    */
+  def semanticDedup(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      thrE6: Long): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    // nearest cell + cosine to that centroid, all row-local: sort the
+    // (distance, cid, centroid-cos) structs, take the head (ties → lowest
+    // cid; the cos field never decides, (d, cid) is unique)
+    val asn = e.select(col("vec_id"), col("v"), col("nv"),
+      element_at(array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid"),
+          (native.dot(col("v"), c) / (col("nv") * sqrt(native.dot(c, c))))
+            .as("cc")))), 1).as("x"))
+      .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"),
+        round(col("x.cc") * 1e6).cast("long").as("cent_cos_e6"))
+    val a = asn.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = asn.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= thrE6)
+    val comp = connectedComponents(
+      asn.select(col("vec_id").as("doc_id")), pairs)
+    val wSize = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
+    val wKeep = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
+      .orderBy(col("cent_cos_e6"), col("vec_id"))
+    asn.select(col("vec_id"), col("cell"), col("cent_cos_e6"))
+      .join(comp.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("kept",
+        when(row_number().over(wKeep) === 1, 1L).otherwise(0L))
+  }
+
   // ------------------------------------------- duplicate-cluster resolution
 
   /** Connected components over near-dup pair edges: every document gets the

@@ -220,6 +220,111 @@ object Similarity {
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** MUTUAL k-NN graph over the whole embedding relation — the
+    * neighborhood structure that graph-based dedup/clustering (and
+    * agglomerative SemDeDup variants) consume. Every vector is indexed
+    * under its `nProbe` nearest coarse cells; directed candidate edges come
+    * from the cell EQUI-join; each vector keeps its `k` best candidates by
+    * cosine; an edge survives only when BOTH endpoints keep each other
+    * (mutuality — the standard noise filter: a hub's one-sided fans drop
+    * out). Output: canonical `a_id < b_id` edges with the fixed-point
+    * cosine and both directed ranks.
+    *
+    * Scale shape: no stage ever touches the O(n²) pair space — candidates
+    * are bounded per cell ((|cell|·nProbe)² like
+    * [[Dedup.embeddingCosineBlocked]]), the top-k cut is a window over the
+    * candidate set partitioned by vector, and the mutuality check is an
+    * equi-join of the k·n directed edge list against its own transpose.
+    * At 100 TB each stage hash-partitions on (cell) then (vec_id) — the
+    * graph never materializes anywhere whole.
+    */
+  def knnGraph(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb2v(emb)
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    // nProbe nearest cells per vector, row-local (the embeddingCosineBlocked
+    // indexing): sort (distance, cid) structs, slice the head
+    val cellArr = slice(
+      array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+      1, nProbe)
+    val indexed = e
+      .select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
+      .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"))
+    val a = indexed.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = indexed.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nv").as("nb"))
+    // directed candidates; a pair seen via two shared cells is identical in
+    // every column, so the (a_id, b_id) dedup is value-deterministic
+    val cand = a.join(b, col("cell") === col("cell_b") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (native.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .dropDuplicates("a_id", "b_id")
+    val w = Window.partitionBy("a_id").orderBy(desc("c"), col("b_id"))
+    val directed = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val transpose = directed.select(col("b_id").as("ta"), col("a_id").as("tb"),
+      col("rnk").as("rnk_ba"))
+    directed.join(transpose,
+        col("a_id") === col("ta") && col("b_id") === col("tb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"),
+        col("rnk").cast("long").as("rnk_ab"),
+        col("rnk_ba").cast("long").as("rnk_ba"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training: for every
+    * anchor vector, the `k` highest-cosine candidates with a DIFFERENT
+    * ground-truth label — the "looks similar, isn't" pairs that carry the
+    * gradient signal in triplet/InfoNCE training. Candidates come from the
+    * same nProbe-cell blocking as [[knnGraph]] (the hardest negatives are by
+    * definition nearby, so cell blocking loses little), ranked per anchor by
+    * exact cosine.
+    *
+    * Scale shape: identical to [[knnGraph]] minus the transpose join — cell
+    * equi-join candidates, per-anchor top-k window, never an all-pairs
+    * product; the label filter rides inside the join condition so same-label
+    * pairs are never materialized.
+    */
+  def hardNegatives(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 3): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    val cellArr = slice(
+      array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+      1, nProbe)
+    val indexed = e
+      .select(col("vec_id"), col("v"), col("nv"), col("label"),
+        explode(cellArr).as("x"))
+      .select(col("vec_id"), col("v"), col("nv"), col("label"),
+        col("x.cid").as("cell"))
+    val a = indexed.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nv").as("na"), col("label").as("label_a"))
+    val b = indexed.select(col("cell").as("cell_b"), col("vec_id").as("n_id"),
+      col("v").as("vb"), col("nv").as("nb"), col("label").as("label_n"))
+    val cand = a.join(b, col("cell") === col("cell_b") &&
+        col("label_a") =!= col("label_n"))
+      .select(col("a_id"), col("label_a"), col("n_id"), col("label_n"),
+        (native.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .dropDuplicates("a_id", "n_id")
+    val w = Window.partitionBy("a_id").orderBy(desc("c"), col("n_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("a_id"), col("label_a"), col("n_id"), col("label_n"),
+        col("rnk"), round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** L2-normalized copy of the embedding relation (`vec_id`, unit-length
     * `embedding: array<double>`). Cosine ANN over IVF cells is geometrically
     * sound only on the unit sphere — there `d² = 2 − 2·cos`, so the

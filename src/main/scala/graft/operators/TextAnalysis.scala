@@ -172,6 +172,56 @@ object TextAnalysis {
         col("score_e6"))
   }
 
+  /** BM25 document retrieval against a data-derived query: the `nTerms` most
+    * frequent corpus tokens (ties → token text) form the query, every doc is
+    * scored with the Okapi BM25 shape, and the `k` best docs come back
+    * ranked. One documented departure from the textbook: the IDF factor is
+    * the log-free rational `(N − df + ½)/(df + ½)` — `ln` is not guaranteed
+    * bit-identical across engines (same reasoning as [[tfidf]]'s score), and
+    * with ln dropped per-term the saturation shape `tf·(k1+1)/(tf + k1·(1 −
+    * b + b·dl/avgdl))` is untouched. Every per-term score is rounded to e6
+    * fixed point and the per-doc total is an INTEGER sum, so partial-
+    * aggregation order can't flake the hash.
+    *
+    * avgdl rides as the exact integer pair (total_len, n_docs) — the `b·dl·
+    * N/total_len` product stays well under 2^53 here; at extreme corpus
+    * sizes pre-divide into an e6 fixed-point avgdl instead.
+    *
+    * Scale shape: tf is the classic (doc, token) groupBy; the query-term and
+    * scalar relations are 1-to-nTerms rows and broadcast; the final cut is a
+    * TakeOrdered over per-doc scores (never a global sort), with the rank
+    * assigned among the k survivors only.
+    */
+  def bm25(docs: DataFrame, nTerms: Int = 3, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val q = tf.groupBy("token")
+      .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
+      .orderBy(desc("cnt"), asc("token")).limit(nTerms)
+      .select(col("token"), col("df"))
+    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val termE6 = round(
+      ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total_len"))) *
+        1e6).cast("long")
+    val scored = tf.join(broadcast(q), "token").crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("dl"), termE6.as("term_e6"))
+      .groupBy("doc_id", "dl")
+      .agg(sum("term_e6").as("score_e6"), count(lit(1)).as("n_hit"))
+      .orderBy(desc("score_e6"), asc("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_e6"), asc("doc_id"))
+    // rank over the k survivors only — the window sees k rows, not the corpus
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("dl"), col("n_hit"), col("score_e6"))
+  }
+
   /** Deterministic stratified sample: exactly ⌈n_stratum·num/den⌉ docs per
     * language, chosen by a per-doc LCG hash so the draw is a pure function
     * of the data (reruns, partitionings, and the DuckDB oracle all agree).

@@ -146,6 +146,37 @@ class DedupSpec extends SparkSpec {
     assert(probed.subsetOf(brute))
   }
 
+  test("semanticDedup: keep-the-outlier rule, per-cluster single keeper") {
+    import graft.operators.{KMeans, Similarity}
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)))
+    val emb = Seq(
+      (1L, Array(1.00f, 0.00f, 0.0f)), // cell1, cent_cos = 1.0 (the core)
+      (2L, Array(0.99f, 0.10f, 0.0f)), // cell1, dup of 1, lower cent_cos
+      (3L, Array(0.90f, 0.42f, 0.0f)), // cell1, below threshold vs 1 and 2
+      (4L, Array(0.00f, 1.00f, 0.0f))  // cell2 singleton
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(emb, cents, thrE6 = 990000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // {1,2} one duplicate group in cell 1: rep 1, size 2, keeper = 2 (the
+    // member FARTHEST from the centroid — SemDeDup keeps the outlier)
+    assert(got(1L) == (1L, 1L, 2L, 0L))
+    assert(got(2L) == (1L, 1L, 2L, 1L))
+    // singletons keep themselves
+    assert(got(3L) == (1L, 3L, 1L, 1L))
+    assert(got(4L) == (2L, 4L, 1L, 1L))
+    // real fixture: exactly one keeper per duplicate cluster
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val real = Dedup.semanticDedup(realEmb,
+      Similarity.fixedCentroids(realEmb, 16), thrE6 = 500000L)
+    val perCluster = real.groupBy("rep_id")
+      .agg(sum("kept").as("nk")).filter(col("nk") =!= 1L).count()
+    assert(perCluster == 0)
+    assert(real.count() == realEmb.count()) // one verdict row per vector
+  }
+
   test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -29,6 +29,59 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0 && real.count() == 500)
   }
 
+  test("knnGraph: within-cluster mutual edges, canonical ids, rank bounds") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    // nProbe=1, k=2: every 3-cluster member keeps both others -> all edges
+    // mutual; clusters {0,2,3}, {1,4,5}, {6,7} -> 3+3+1 canonical edges
+    val got = Similarity.knnGraph(emb, cents, nProbe = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2L), (0L, 3L), (2L, 3L),
+      (1L, 4L), (1L, 5L), (4L, 5L), (6L, 7L)))
+    // growing k only ever adds edges (a candidate's rank is k-independent)
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val realCents = Similarity.fixedCentroids(realEmb, 16)
+    def edges(k: Int) = Similarity.knnGraph(realEmb, realCents, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e4 = edges(4)
+    assert(e4.subsetOf(edges(8)))
+    assert(e4.nonEmpty && e4.forall { case (a, b) => a < b })
+    // every reported rank respects the k cut and mutuality
+    val ranks = Similarity.knnGraph(realEmb, realCents, k = 4)
+      .select(max(greatest(col("rnk_ab"), col("rnk_ba")))).head().getLong(0)
+    assert(ranks <= 4)
+  }
+
+  test("hardNegatives: cross-label only, ranked by cosine, bounded by k") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    val labeled = Seq(
+      (0L, Array(1.00f, 0.01f, 0.00f), 10), (2L, Array(0.99f, 0.02f, 0.00f), 20),
+      (3L, Array(0.98f, 0.00f, 0.01f), 10), (6L, Array(0.00f, 0.01f, 0.99f), 30),
+      (7L, Array(0.02f, 0.00f, 0.98f), 30)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(labeled, cents, nProbe = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> (r.getLong(2), r.getLong(1), r.getLong(3)))
+      .toMap
+    // cell 1 holds {0(A), 2(B), 3(A)}: anchors 0 and 3 mine 2; anchor 2
+    // mines 0 first (closer) then 3. Cell 3 is single-label: nothing mined.
+    assert(got == Map(
+      (0L, 1L) -> (2L, 10L, 20L),
+      (3L, 1L) -> (2L, 10L, 20L),
+      (2L, 1L) -> (0L, 20L, 10L),
+      (2L, 2L) -> (3L, 20L, 10L)))
+    // real fixture: labels always differ, ranks within k
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val real = Similarity.hardNegatives(realEmb,
+      Similarity.fixedCentroids(realEmb, 16))
+    assert(real.filter(col("label_a") === col("label_n")).count() == 0)
+    assert(real.filter(col("rnk") > 3).count() == 0 && real.count() > 0)
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val got = Similarity.bruteForceTopK(emb, nQueries = 1, k = 3)
       .orderBy("rnk").select("n_id").as[Long].collect().toSeq

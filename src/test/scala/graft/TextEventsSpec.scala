@@ -172,6 +172,26 @@ class TextEventsSpec extends SparkSpec {
     assert(rareScore == 6000000L)
   }
 
+  test("bm25: saturated tf ranking against the top-term query, hand-checked") {
+    val docs = Seq(
+      (1L, "a a b", "en"),   // dl=3, tf(b)=1
+      (2L, "a c", "en"),     // dl=2, no b -> absent from the result
+      (3L, "b b b c", "en")  // dl=4, tf(b)=3
+    ).toDF("doc_id", "text", "lang")
+    // query = top-1 token: b (cnt 4 beats a's 3); N=3, total_len=9, df(b)=2
+    // idf_r = 1.5/2.5 = 0.6
+    // d3: 0.6 * (3*2.2) / (3 + 1.2*(0.25 + 0.75*4*3/9)) = 0.6*6.6/4.5 = 0.88
+    // d1: 0.6 * (1*2.2) / (1 + 1.2*(0.25 + 0.75*3*3/9)) = 0.6*2.2/2.2 = 0.60
+    val got = TextAnalysis.bm25(docs, nTerms = 1, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 4L, 1L, 880000L), (2L, 1L, 3L, 1L, 600000L)))
+    // real fixture: k docs back, ranks contiguous, scores non-increasing
+    val real = TextAnalysis.bm25(Tables.read(spark, sf("0.001"), "documents"))
+      .orderBy("rnk").as[(Long, Long, Long, Long, Long)].collect()
+    assert(real.length == 10 && real.map(_._1).toSeq == (1L to 10L))
+    assert(real.sliding(2).forall(p => p(0)._5 >= p(1)._5))
+  }
+
   test("stratifiedSample keeps exactly ceil(n/5) docs per language, deterministically") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val sample = TextAnalysis.stratifiedSample(docs)
