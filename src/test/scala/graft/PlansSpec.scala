@@ -197,8 +197,10 @@ class PlansSpec extends SparkSpec {
     // sim_recall embeds sim_topk as the exact side BY PURPOSE (it measures
     // the IVF ranking against the brute-force baseline); its own stages are
     // an equi-join + aggregation.
+    // text_bm25 crossJoins the same ONE-row scalar aggregate as text_tfidf
+    // (corpus N + total length) next to its broadcast equi-join on token.
     val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc",
-      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms")
+      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms", "text_bm25")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
