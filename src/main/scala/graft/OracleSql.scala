@@ -242,6 +242,25 @@ object OracleSql {
       |    AS avg_bits_e6
       |FROM tok JOIN v USING (token) GROUP BY doc_id""".stripMargin
 
+  /** Mirror of [[operators.TextAnalysis.dsirScore]]: the unigram mirror's
+    * bitlen arithmetic with add-one smoothing, target count as a
+    * conditional sum against the lexicographically first source.
+    */
+  val docDsir: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS cnt,
+      |    CAST(sum(CASE WHEN source = (SELECT min(source) FROM documents)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      |  FROM tok GROUP BY token)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(printf('%b', cnt_t + 1))
+      |    - length(printf('%b', cnt + 1))) AS BIGINT) AS dsir_bits,
+      |  CAST(round(1e6 * sum(length(printf('%b', cnt_t + 1))
+      |    - length(printf('%b', cnt + 1))) / count(*)) AS BIGINT) AS avg_bits_e6
+      |FROM tok JOIN v USING (token) GROUP BY doc_id""".stripMargin
+
   /** Mirror of [[operators.TextAnalysis.bigramLm]]: the spanCtes 2-gram
     * construction (list_slice join of adjacent tokens), then the unigram
     * mirror's bitlen/e6 arithmetic; docs with no bigram left-join to 0.

@@ -972,6 +972,11 @@ object SparkEntry {
     // the KenLM-perplexity role in exact arithmetic
     "text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(Tables.read(s, dir, "documents"))),
+    // DSIR importance score: bitlen log-likelihood ratio of the target
+    // domain's unigram LM vs the corpus LM, add-one smoothed — the
+    // importance-resampling data-selection signal
+    "doc_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirScore(Tables.read(s, dir, "documents"))),
 
     // bigram-LM familiarity: the word-ORDER-sensitive next order (shuffled
     // fluent tokens keep unigram score, lose bigram score)
@@ -2041,6 +2046,7 @@ object SparkEntry {
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "doc_dsir" -> OracleSql.docDsir,
     "text_bigram_lm" -> OracleSql.textBigramLm,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS freq FROM (

@@ -509,6 +509,45 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** DSIR-style importance score for domain-targeted data selection (Xie et
+    * al. 2023, arXiv:2302.03169): every document is scored by how much more
+    * likely its tokens are under the TARGET domain's unigram LM than under
+    * the whole corpus's — the log-likelihood ratio that importance
+    * resampling then selects on. The target here is the lexicographically
+    * first `source` (data-derived and oracle-replayable, the same
+    * discipline as [[bm25]]'s top-term query; production passes any
+    * held-out in-domain sample).
+    *
+    * Integer discipline: each token occurrence contributes
+    * `bitlen(target cnt + 1) − bitlen(corpus cnt + 1)` — the [[unigramLm]]
+    * exact floor(log2)+1 arithmetic with add-one smoothing, so unseen-in-
+    * target tokens penalize instead of producing −∞. The corpus-size
+    * normalizers are per-corpus constants that shift every doc equally and
+    * drop out of the ranking, so they are omitted and the score stays an
+    * exact integer.
+    *
+    * Shape: one vocabulary groupBy computes BOTH counts (the target count
+    * as a conditional sum — no second scan), one join back on token, one
+    * per-doc aggregate. Identical scale posture to [[unigramLm]].
+    */
+  def dsirScore(docs: DataFrame): DataFrame = {
+    // one scalar of driver state, the fixedCentroids discipline
+    val tsrc = docs.agg(min("source")).head().getString(0)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("source") === tsrc, 1L).otherwise(0L)).as("cnt_t"))
+    val w = (length(conv(col("cnt_t") + 1, 10, 2)) -
+      length(conv(col("cnt") + 1, 10, 2))).cast("long")
+    tok.join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(w).cast("long").as("dsir_bits"))
+      .withColumn("avg_bits_e6",
+        round(lit(1e6) * col("dsir_bits") / col("n_tokens")).cast("long"))
+  }
+
   /** Bigram language-model familiarity — the next-order LM-quality signal
     * above [[unigramLm]], sensitive to word ORDER (shuffled fluent tokens
     * keep their unigram score but lose their bigram one — the signature of

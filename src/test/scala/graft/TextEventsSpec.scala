@@ -192,6 +192,23 @@ class TextEventsSpec extends SparkSpec {
     assert(real.sliding(2).forall(p => p(0)._5 >= p(1)._5))
   }
 
+  test("dsirScore ranks in-target-domain docs above out-of-domain ones") {
+    val docs = Seq(
+      (1L, "q q", "en", "a_src"),   // the target domain (min source)
+      (2L, "q r", "en", "b_src"),
+      (3L, "r r r", "en", "b_src")
+    ).toDF("doc_id", "text", "lang", "source")
+    // q: corpus 3 / target 2 -> bitlen(3)-bitlen(4) = -1
+    // r: corpus 4 / target 0 -> bitlen(1)-bitlen(5) = -2
+    val got = TextAnalysis.dsirScore(docs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 2L, -2L, -1000000L))
+    assert(got(2L) == (2L, 2L, -3L, -1500000L))
+    assert(got(3L) == (3L, 3L, -6L, -2000000L))
+    // the in-domain doc scores strictly highest
+    assert(got(1L)._4 > got(2L)._4 && got(2L)._4 > got(3L)._4)
+  }
+
   test("stratifiedSample keeps exactly ceil(n/5) docs per language, deterministically") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val sample = TextAnalysis.stratifiedSample(docs)
