@@ -530,20 +530,36 @@ object TextAnalysis {
     * as a conditional sum — no second scan), one join back on token, one
     * per-doc aggregate. Identical scale posture to [[unigramLm]].
     */
-  def dsirScore(docs: DataFrame): DataFrame = {
+  /** The fitted half of [[dsirScore]]: the `(token, cnt, cnt_t)` vocabulary
+    * with corpus and target-domain counts — built once offline, then joined
+    * to whatever needs scoring (the batch corpus here; arriving docs in
+    * [[graft.streaming.StreamingOps.dsirStream]]).
+    */
+  def dsirVocab(docs: DataFrame): DataFrame = {
     // one scalar of driver state, the fixedCentroids discipline
     val tsrc = docs.agg(min("source")).head().getString(0)
-    val tok = docs.select(col("doc_id"), col("source"),
+    docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("source") === tsrc, 1L).otherwise(0L)).as("cnt_t"))
+  }
+
+  /** Per-token-occurrence DSIR weight off a [[dsirVocab]] row: the bitlen
+    * likelihood ratio with add-one smoothing. Null counts (token absent
+    * from the fitted vocabulary — only possible for out-of-corpus stream
+    * docs) smooth to `bitlen(1) − bitlen(1) = 0`.
+    */
+  def dsirWeight: Column =
+    (length(conv(coalesce(col("cnt_t"), lit(0L)) + 1, 10, 2)) -
+      length(conv(coalesce(col("cnt"), lit(0L)) + 1, 10, 2))).cast("long")
+
+  def dsirScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("token"))
-    val vocab = tok.groupBy("token").agg(
-      count(lit(1)).as("cnt"),
-      sum(when(col("source") === tsrc, 1L).otherwise(0L)).as("cnt_t"))
-    val w = (length(conv(col("cnt_t") + 1, 10, 2)) -
-      length(conv(col("cnt") + 1, 10, 2))).cast("long")
-    tok.join(vocab, "token")
+    tok.join(dsirVocab(docs), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        sum(w).cast("long").as("dsir_bits"))
+        sum(dsirWeight).cast("long").as("dsir_bits"))
       .withColumn("avg_bits_e6",
         round(lit(1e6) * col("dsir_bits") / col("n_tokens")).cast("long"))
   }

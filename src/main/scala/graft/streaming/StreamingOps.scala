@@ -66,6 +66,34 @@ object StreamingOps {
       .drop("ids", "bench_ids")
   }
 
+  /** Streaming DSIR scoring (twin of `TextAnalysis.dsirScore`'s scoring
+    * half) — the offline-fit / online-apply split of importance-based data
+    * selection: the `(token, cnt, cnt_t)` vocabulary is FITTED once over a
+    * static corpus (`TextAnalysis.dsirVocab`) and arriving docs score
+    * against it. Tokens exploded per doc (ts carried), a stream-STATIC
+    * left join on token (stateless — Spark re-reads only matching vocab
+    * partitions per micro-batch, no join state), then one watermark-bounded
+    * windowed aggregation folds token weights back to a row per doc.
+    * Tokens unseen at fit time smooth to weight 0 (`bitlen(1) − bitlen(1)`,
+    * the add-one rule), so drift degrades scores gracefully instead of
+    * erroring. Same integers as the batch scorer for in-corpus docs —
+    * pinned in StreamingSpec.
+    */
+  def dsirStream(docs: DataFrame, vocab: DataFrame,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val tok = docs.withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    tok.join(vocab, Seq("token"), "left_outer")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(TextAnalysis.dsirWeight).cast("long").as("dsir_bits"))
+      .withColumn("avg_bits_e6",
+        round(lit(1e6) * col("dsir_bits") / col("n_tokens")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_bits"), col("avg_bits_e6"))
+  }
+
   /** Streaming incremental dedup (twin of `Dedup.incrementalDedup`'s
     * corpus-probe half): each arriving doc computes its banded MinHash
     * signatures per-row and LEFT equi-joins the STATIC persisted corpus

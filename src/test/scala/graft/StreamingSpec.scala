@@ -165,6 +165,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring equals batch on in-corpus docs; unseen tokens weigh 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "q q", "en", "a_src"),
+      (2L, "q r", "en", "b_src"),
+      (3L, "r r r", "en", "b_src")
+    ).toDF("doc_id", "text", "lang", "source")
+    val vocab = graft.operators.TextAnalysis.dsirVocab(corpus)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val out = StreamingOps.dsirStream(
+      in.toDF().toDF("doc_id", "text", "ts"), vocab)
+    val q = out.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "q q", t0), (3L, "r r r", t0),
+        (9L, "q zzz", t0)) // zzz unseen at fit time -> weight 0
+      q.processAllAvailable()
+      // push the watermark past the window so append mode emits
+      in.addData((99L, "q", java.sql.Timestamp.valueOf("2026-01-01 03:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("dsir_out")
+        .filter(col("doc_id") < 90)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.TextAnalysis.dsirScore(corpus)
+        .filter(col("doc_id").isin(1L, 3L))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch.subsetOf(got), s"stream=$got batch=$batch")
+      // doc 9: q scores -1, zzz smooths to 0 -> sum -1 over 2 tokens
+      assert(got.contains((9L, 2L, -1L, -500000L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch re-assignment of streaming points against fixed centroids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Seq[Double])]
