@@ -285,6 +285,32 @@ object OracleSql {
       |    ELSE 0 END AS avg_bits_e6
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Mirror of [[operators.Profiling.expectations]] over lineitem: one
+    * UNION ALL branch per rule (the oracle spells out what the Spark side
+    * sums in one scan), the same three-valued CASE WHEN per predicate, and
+    * the uniqueness rule as Σcnt − #keys.
+    */
+  val qExpectations: String = {
+    def rule(name: String, violPred: String): String =
+      s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $violPred THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |FROM lineitem""".stripMargin
+    val branches = Seq(
+      rule("orderkey_not_null", "l_orderkey IS NULL"),
+      rule("quantity_in_1_50", "NOT (l_quantity >= 1.0 AND l_quantity <= 50.0)"),
+      rule("price_positive", "l_extendedprice <= 0.0"),
+      rule("returnflag_in_set", "l_returnflag NOT IN ('A', 'N', 'R')"),
+      rule("discount_le_5pct", "l_discount > 0.05"),
+      s"""SELECT 'unique_l_orderkey_l_linenumber' AS rule,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_violations
+         |FROM (SELECT count(*) AS cnt FROM lineitem
+         |      GROUP BY l_orderkey, l_linenumber) g""".stripMargin)
+    s"""SELECT rule, n_rows, n_violations,
+       |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |FROM (${branches.mkString("\nUNION ALL\n")}) t""".stripMargin
+  }
+
   /** Mirror of [[operators.Profiling.profile]]: one branch per column —
     * the oracle spells out what the Spark side generates programmatically.
     */

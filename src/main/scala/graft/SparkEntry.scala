@@ -1004,6 +1004,20 @@ object SparkEntry {
     // identical to Profiling.profile, so the oracle is unchanged
     "q_profile" -> ((s, dir) =>
       Profiling.profileFast(Tables.read(s, dir, "lineitem"))),
+    // data-expectation contract checks (dbt-test shape): one scan for all
+    // predicate rules + one key-uniqueness groupBy; the discount contract
+    // is deliberately tighter than the data — and this synthetic lineitem's
+    // composite key is genuinely non-unique — so violation REPORTING (not
+    // just the all-pass path) is exercised
+    "q_expectations" -> ((s, dir) =>
+      Profiling.expectations(Tables.read(s, dir, "lineitem"), Seq(
+        "orderkey_not_null" -> col("l_orderkey").isNull,
+        "quantity_in_1_50" ->
+          !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+        "price_positive" -> (col("l_extendedprice") <= 0.0),
+        "returnflag_in_set" -> !col("l_returnflag").isin("A", "N", "R"),
+        "discount_le_5pct" -> (col("l_discount") > 0.05)),
+        uniqueKey = Seq("l_orderkey", "l_linenumber"))),
 
     // balanced output sharding: round-robin over token-desc rank — shard
     // token masses stay within one max-doc of each other (balance bound
@@ -2065,6 +2079,7 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk FROM t)
         |SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "q_expectations" -> OracleSql.qExpectations,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",

@@ -68,6 +68,43 @@ object Profiling {
     } finally pool.shutdown()
   }
 
+  /** Data-expectation checks — the contract-validation gate (the
+    * dbt-test / Great Expectations shape) a pipeline runs on every new
+    * drop before it reaches training: each named rule counts the rows
+    * VIOLATING its predicate, plus one key-uniqueness rule, and every rule
+    * reports `(rule, n_rows, n_violations, pass)`.
+    *
+    * Shape: all predicate rules ride ONE scan as conditional sums in a
+    * single aggregate (the [[profile]] posture), unpivoted via `stack`;
+    * the uniqueness rule is one groupBy on the key with
+    * `Σ(cnt) − #keys` as the violation count (rows that would need
+    * dropping). NULL predicate results count as non-violations — nulls are
+    * the not-null rules' job, mirroring SQL's three-valued CASE WHEN.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+      uniqueKey: Seq[String]): DataFrame = {
+    require(rules.nonEmpty && uniqueKey.nonEmpty, "need rules and a unique key")
+    rules.foreach { case (n, _) => require(!n.contains("'") && !n.contains("`"),
+      s"cannot name a rule with quote characters: $n") }
+    val aggs = count(lit(1)).cast("long").as("_n_rows_all") +:
+      rules.zipWithIndex.map { case ((_, viol), i) =>
+        sum(when(viol, 1L).otherwise(0L)).cast("long").as(s"_v_$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', _n_rows_all, _v_$i"
+    }.mkString(", ")
+    val scanRules = row.selectExpr(
+      s"stack(${rules.length}, $stackArgs) AS (rule, n_rows, n_violations)")
+    val uniq = df.groupBy(uniqueKey.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        (sum(col("cnt")) - count(lit(1))).cast("long").as("n_violations"))
+      .select(lit("unique_" + uniqueKey.mkString("_")).as("rule"),
+        col("n_rows"), col("n_violations"))
+    scanRules.unionByName(uniq)
+      .withColumn("pass", when(col("n_violations") === 0, 1L).otherwise(0L))
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {

@@ -29,6 +29,37 @@ class PropertySpec extends SparkSpec {
       Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.mkString(" ")))
   } yield docs.zipWithIndex.map { case (t, ix) => (ix.toLong + 1, t, "en") }
 
+  test("expectations: per-rule violation counts, uniqueness rule, pass flags") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 1, 10.0, 0.04, "A"),
+      (1L, 1, -5.0, 0.06, "N"), // duplicate key; price + discount violations
+      (2L, 1, 20.0, 0.05, "X"), // flag violation; 0.05 is NOT > 0.05
+      (3L, 2, 30.0, 0.10, "R")  // discount violation
+    ).toDF("k", "ln", "price", "disc", "flag")
+    val got = graft.operators.Profiling.expectations(df, Seq(
+        "price_positive" -> (col("price") <= 0.0),
+        "flag_in_set" -> !col("flag").isin("A", "N", "R"),
+        "disc_le_5pct" -> (col("disc") > 0.05)),
+      uniqueKey = Seq("k", "ln"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("price_positive") == (4L, 1L, 0L))
+    assert(got("flag_in_set") == (4L, 1L, 0L))
+    assert(got("disc_le_5pct") == (4L, 2L, 0L))
+    assert(got("unique_k_ln") == (4L, 1L, 0L))
+    // the real contract on the fixture: the structural rules pass; the
+    // deliberately tight discount rule AND the composite-key uniqueness
+    // rule report violations (this synthetic lineitem's (orderkey,
+    // linenumber) is known non-unique) without failing the run
+    val real = SparkEntry.queries("q_expectations")(spark, sf("0.001"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(real("orderkey_not_null") == 1L && real("quantity_in_1_50") == 1L
+      && real("price_positive") == 1L && real("returnflag_in_set") == 1L)
+    assert(real("discount_le_5pct") == 0L)
+    assert(real("unique_l_orderkey_l_linenumber") == 0L)
+  }
+
   test("assignment is permutation-invariant in input order") {
     samples(pointGen, 5).foreach { pts =>
       val cs = Seq(Centroid(1, pts.head._2), Centroid(2, pts.last._2))
