@@ -311,6 +311,44 @@ object OracleSql {
        |FROM (${branches.mkString("\nUNION ALL\n")}) t""".stripMargin
   }
 
+  /** Mirror of the `q_drift` composition: the q_snapshot generation-log
+    * CTE, both as-of snapshots, a per-column census branch per side (the
+    * oracle spells out what [[operators.Profiling.drift]] generates), and
+    * the #columns-row join with integer deltas.
+    */
+  val qDrift: String = {
+    val cols = Seq("doc_id", "lang", "n_chars")
+    def census(snap: String, suffix: String): String = cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS rows_$suffix,
+         |  CAST(count(*) - count($c) AS BIGINT) AS nulls_$suffix,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS distinct_$suffix
+         |FROM $snap""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH lg AS (
+       |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'xx' AS lang, n_chars, CAST(2 AS BIGINT), 'U'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT), 'D'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |snap1 AS (SELECT doc_id, lang, n_chars FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY gen DESC, op ASC) AS rn
+       |  FROM lg WHERE gen <= 1) t WHERE rn = 1 AND op <> 'D'),
+       |snap3 AS (SELECT doc_id, lang, n_chars FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY gen DESC, op ASC) AS rn
+       |  FROM lg WHERE gen <= 3) t WHERE rn = 1 AND op <> 'D'),
+       |b AS (${census("snap1", "before")}),
+       |a AS (${census("snap3", "after")})
+       |SELECT b.col_name, rows_before, nulls_before, distinct_before,
+       |  rows_after, nulls_after, distinct_after,
+       |  CAST(rows_after - rows_before AS BIGINT) AS rows_delta,
+       |  CAST(distinct_after - distinct_before AS BIGINT) AS distinct_delta
+       |FROM b JOIN a ON a.col_name = b.col_name""".stripMargin
+  }
+
   /** Mirror of [[operators.Profiling.profile]]: one branch per column —
     * the oracle spells out what the Spark side generates programmatically.
     */

@@ -1381,6 +1381,28 @@ object SparkEntry {
         Seq("doc_id"), gen = 3L)
     }),
 
+    // per-column stats drift between the gen-1 and gen-3 snapshots of the
+    // same generation log — the monitoring gate over q_snapshot's time
+    // travel: two profile scans + a #columns-row join surface row-count,
+    // null, and cardinality shifts (the lang restatement and the deletes
+    // both show up in the deltas)
+    "q_drift" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val g1 = docs.withColumn("gen", lit(1L)).withColumn("op", lit("U"))
+      val g2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("gen", lit(2L)).withColumn("op", lit("U"))
+      val g3 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("gen", lit(3L)).withColumn("op", lit("D"))
+      val log = g1.unionByName(g2).unionByName(g3)
+      Profiling.drift(
+        operators.Joins.snapshotAsOf(log, Seq("doc_id"), gen = 1L)
+          .select("doc_id", "lang", "n_chars"),
+        operators.Joins.snapshotAsOf(log, Seq("doc_id"), gen = 3L)
+          .select("doc_id", "lang", "n_chars"))
+    }),
+
     // SCD Type-2 over the same generation log: every upsert opens a
     // version valid until the key's next change; deletes close timelines.
     // Filtering valid_from <= G < valid_to reproduces q_snapshot (pinned)
@@ -2080,6 +2102,7 @@ object SparkEntry {
         |SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
         |FROM r""".stripMargin,
     "q_expectations" -> OracleSql.qExpectations,
+    "q_drift" -> OracleSql.qDrift,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag",

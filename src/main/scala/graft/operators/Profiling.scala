@@ -105,6 +105,26 @@ object Profiling {
       .withColumn("pass", when(col("n_violations") === 0, 1L).otherwise(0L))
   }
 
+  /** Per-column stats DRIFT between two generations of the same relation —
+    * the monitoring gate that catches silent upstream changes (row-count
+    * jumps, null floods, cardinality collapse) before a bad drop reaches
+    * training. Both sides run the [[profile]] census (one scan each), then
+    * one tiny join on column name — at 100 TB the joined relation is
+    * #columns rows, so drift costs exactly two profile scans.
+    */
+  def drift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = profile(before).select(col("col_name"),
+      col("n_rows").as("rows_before"), col("n_nulls").as("nulls_before"),
+      col("n_distinct").as("distinct_before"))
+    val a = profile(after).select(col("col_name"),
+      col("n_rows").as("rows_after"), col("n_nulls").as("nulls_after"),
+      col("n_distinct").as("distinct_after"))
+    b.join(a, "col_name")
+      .withColumn("rows_delta", col("rows_after") - col("rows_before"))
+      .withColumn("distinct_delta",
+        col("distinct_after") - col("distinct_before"))
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {

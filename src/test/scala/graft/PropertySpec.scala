@@ -60,6 +60,20 @@ class PropertySpec extends SparkSpec {
     assert(real("unique_l_orderkey_l_linenumber") == 0L)
   }
 
+  test("drift census reports row/null/distinct deltas per column") {
+    val before = Seq((1L, Some("en")), (2L, Some("en")), (3L, Some("fr")))
+      .toDF("id", "lang")
+    val after = Seq((1L, Some("en")), (3L, Option.empty[String]))
+      .toDF("id", "lang")
+    val got = graft.operators.Profiling.drift(before, after)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // lang: 3 rows/0 nulls/2 distinct -> 2 rows/1 null/1 distinct
+    assert(got("lang") == (3L, 0L, 2L, 2L, 1L, 1L, -1L, -1L))
+    assert(got("id") == (3L, 0L, 3L, 2L, 0L, 2L, -1L, -1L))
+  }
+
   test("assignment is permutation-invariant in input order") {
     samples(pointGen, 5).foreach { pts =>
       val cs = Seq(Centroid(1, pts.head._2), Centroid(2, pts.last._2))
