@@ -1131,6 +1131,43 @@ object OracleSql {
        |WHERE rnk <= $kNbrs""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfPqTopK]]: the fixed-centroid
+    * cell assignment, per-query nProbe probes, and the [[simPqAdc]] ADC
+    * arithmetic restricted to candidates from the probed cells.
+    */
+  def simIvfPq(nCells: Int, nProbe: Int, m: Int, k: Int, dim: Int,
+      nQueries: Int, kNbrs: Int): String = {
+    val sub = dim / m
+    val dCols = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN d END) AS d$s").mkString(", ")
+    val chain = (0 until m).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes(m, k, sub)},
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT DISTINCT p.q_id, p.qv, cl.vec_id AS n_id
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id),
+       |pd AS (SELECT cand.q_id, cand.n_id, b.s,
+       |    ${sqdist(sliceExpr("cand.qv", "b.s", sub), sliceExpr("cb.cv", "b.s", sub))} AS d
+       |  FROM cand JOIN best b ON b.vec_id = cand.n_id JOIN cb ON cb.t = b.t),
+       |wide AS (SELECT q_id, n_id, $dCols FROM pd GROUP BY q_id, n_id),
+       |adc AS (SELECT q_id, n_id, $chain AS adc FROM wide)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(adc*1e6) AS BIGINT) AS adc_e6 FROM (
+       |  SELECT q_id, n_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+       |  FROM adc) t
+       |WHERE rnk <= $kNbrs""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.bruteForceTopK]]. */
   /** Mirror of [[Similarity.normalizeQuantize]]: the norm is the identical
     * left fold (list_reduce over a 0-prepended list), quantized dims the

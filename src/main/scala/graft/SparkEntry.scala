@@ -775,6 +775,15 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.pqRerankTopK(emb, Similarity.pqCodebook(emb))
     }),
+    // IVF-PQ: the full 100 TB ANN composition — one zero-shuffle pass
+    // stores (cell, codes) per vector, probes rank only the probed cells'
+    // compressed codes by ADC lookup; cell pruning and PQ quantization
+    // compose, the code scan is no longer exhaustive
+    "sim_ivfpq" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, Similarity.fixedCentroids(emb, 16),
+        Similarity.pqCodebook(emb))
+    }),
     // semantic corpus clustering rollup (the topic-level census behind
     // cluster-aware data mixing, SemDeDup-style): assign each doc's
     // EMBEDDING to a coarse cell (zero-shuffle literal-centroid argmin),
@@ -1998,6 +2007,8 @@ object SparkEntry {
     "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
     "pipeline_cluster_stats" -> OracleSql.pipelineClusterStats(nCells = 16),
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
+    "sim_ivfpq" -> OracleSql.simIvfPq(nCells = 16, nProbe = 2, m = 8, k = 16,
+      dim = 64, nQueries = 5, kNbrs = 10),
     "sim_pq_rerank" -> OracleSql.simPqRerank(m = 8, k = 16, dim = 64,
       nQueries = 5, shortlist = 50, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,

@@ -444,14 +444,16 @@ object Similarity {
     * and the values are bit-identical to the inline form (pinned in
     * SimilaritySpec).
     */
-  def pqAdcTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
-      nQueries: Int = 5, kNbrs: Int = 10): DataFrame = {
-    val spark = emb.sparkSession
+  /** Per-query ADC lookup table as a (q_id, qv, lut) relation: lut(s)(j) =
+    * sqdist(query slice s, codebook(s)(j)), accumulated in the identical
+    * element order as the sqDist fold (bit-parity pinned in
+    * SimilaritySpec). Driver-side by contract — queries are a handful, the
+    * k-sized-state discipline of the centroid literals.
+    */
+  private def adcLutDf(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int): DataFrame = {
     val m = codebook.length
     val sub = codebook.head.head.length
-    val codes = pqEncode(emb, codebook)
-    // per-query LUT: lut(s)(j) = sqdist(query slice s, codebook(s)(j)),
-    // accumulated in the identical element order as the sqDist fold
     val qRows: Array[org.apache.spark.sql.Row] =
       emb2v(emb).filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("v")).collect()
@@ -469,16 +471,22 @@ object Similarity {
           acc
         }
       }
-      org.apache.spark.sql.Row(r.getLong(0), lut)
+      org.apache.spark.sql.Row(r.getLong(0), qv, lut)
     }
-    val lutSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("q_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("lut",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types
-          .ArrayType(org.apache.spark.sql.types.DoubleType)))))
-    val q = spark.createDataFrame(
+    import org.apache.spark.sql.types._
+    val lutSchema = StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("qv", ArrayType(DoubleType)),
+      StructField("lut", ArrayType(ArrayType(DoubleType)))))
+    emb.sparkSession.createDataFrame(
       java.util.Arrays.asList(qLut: _*), lutSchema)
+  }
+
+  def pqAdcTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int = 5, kNbrs: Int = 10): DataFrame = {
+    val m = codebook.length
+    val codes = pqEncode(emb, codebook)
+    val q = adcLutDf(emb, codebook, nQueries).select("q_id", "lut")
     val adc = (0 until m).map { s =>
       element_at(element_at(col("lut"), s + 1), (col(s"c$s") + 1).cast("int"))
     }.reduce(_ + _)
@@ -502,6 +510,60 @@ object Similarity {
     * over codes is that declared baseline's shape — IVF cells bolt on in
     * front when even the code scan needs pruning).
     */
+  /** IVF-PQ — the composition every scaladoc here promises ("IVF cells
+    * bolt on in front when even the code scan needs pruning"), actually
+    * composed: the index side is ONE zero-shuffle pass assigning each
+    * vector its coarse cell AND its m sub-codes (cell + 4 bytes a vector —
+    * what a 100 TB vector store persists); queries probe their nProbe
+    * nearest cells and rank ONLY the probed cells' codes by ADC lookup.
+    * Per query that touches ~nProbe/nCells of the compressed codes — the
+    * two approximations (cell pruning, PQ quantization) compose, and the
+    * exact re-rank of [[pqRerankTopK]] bolts on downstream unchanged.
+    * ADC values are bit-identical to [[pqAdcTopK]] for every surviving
+    * pair (same LUT, same fold), so the DuckDB oracle replays the whole
+    * plan.
+    */
+  def ivfPqTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      codebook: Seq[Seq[Seq[Double]]], nQueries: Int = 5, nProbe: Int = 2,
+      kNbrs: Int = 10): DataFrame = {
+    val m = codebook.length
+    val k = codebook.head.length
+    val sub = codebook.head.head.length
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb2v(emb)
+    // index build: cell + codes in one per-row pass (no joins, no shuffle)
+    val codeCols = (0 until m).map { s =>
+      nearestId(slice(col("v"), s * sub + 1, sub),
+        (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
+    }
+    val indexed = e.select(
+      col("vec_id") +: nearestId(col("v"), ids, cs).as("cell") +: codeCols: _*)
+    // query side: nProbe nearest cells per query, LUT riding along
+    val q = adcLutDf(emb, codebook, nQueries)
+    val cellDists = q.select(col("q_id"), col("lut"),
+        explode(zip_with(typedlit(ids), typedlit(cs),
+          (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
+      .select(col("q_id"), col("lut"), col("x.cid").as("cell"), col("x.d").as("d"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
+    val probes = cellDists.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("lut"), col("cell"))
+    // candidates: equi-join on cell against the COMPRESSED codes only
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1), (col(s"c$s") + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    probes.join(indexed, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id") // two shared cells -> identical rows
+      .select(col("q_id"), col("vec_id").as("n_id"), adc.as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= kNbrs)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("adc") * 1e6).cast("long").as("adc_e6"))
+  }
+
   def pqRerankTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
       nQueries: Int = 5, shortlist: Int = 50, kNbrs: Int = 10): DataFrame = {
     import graft.plans.native

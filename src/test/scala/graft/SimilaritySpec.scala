@@ -54,6 +54,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks <= 4)
   }
 
+  test("ivfPqTopK: lossless when probes cover all cells; subset ADC parity otherwise") {
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(realEmb, 4)
+    val cb = Similarity.pqCodebook(realEmb)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exhaustive = Similarity.pqAdcTopK(realEmb, cb)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    // nProbe = nCells -> every cell probed -> identical to the code scan
+    val full = Similarity.ivfPqTopK(realEmb, cents, cb, nProbe = 4)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(full == exhaustive)
+    // restricted probes: every surviving pair keeps the exact ADC value
+    val probed = Similarity.ivfPqTopK(realEmb, cents, cb, nProbe = 2)
+      .collect().map(r => key(r) -> r.getLong(3)).toMap
+    assert(probed.nonEmpty)
+    probed.foreach { case (k, adc) =>
+      assert(exhaustive.get(k).forall(_._2 == adc)) }
+  }
+
   test("hardNegatives: cross-label only, ranked by cosine, bounded by k") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
