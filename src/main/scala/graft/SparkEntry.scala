@@ -698,6 +698,24 @@ object SparkEntry {
       Dedup.semanticDedup(emb, Similarity.fixedCentroids(emb, 16),
         thrE6 = 500000L)
     }),
+    // measured recall of the single-cell SemDeDup blocking vs the exact
+    // all-pairs set at dedup_embcos's production threshold — the
+    // sim_recall gauge for the dedup side: the number that justifies (or
+    // vetoes) nCells/nProbe before anyone trusts the pruning
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cents = Similarity.fixedCentroids(emb, 16)
+      val exact = Dedup.embeddingCosine(emb, thrE6 = 350000L)
+        .select("a_id", "b_id")
+      val blocked = Dedup.embeddingCosineBlocked(emb, cents,
+          thrE6 = 350000L, nProbe = 1)
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      exact.join(blocked, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+    }),
 
     // ---- similarity search (beyond-reference) ----
     "sim_topk" -> ((s, dir) =>
@@ -1995,6 +2013,7 @@ object SparkEntry {
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
+    "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16, thrE6 = 350000L),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),

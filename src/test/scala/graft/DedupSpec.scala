@@ -177,6 +177,14 @@ class DedupSpec extends SparkSpec {
     assert(real.count() == realEmb.count()) // one verdict row per vector
   }
 
+  test("semantic-recall gauge: hits bound by exact pairs, ppm in range") {
+    val r = SparkEntry.queries("dedup_semantic_recall")(spark, sf("0.001"))
+      .head()
+    val (nExact, nHit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0 && nHit >= 0 && nHit <= nExact)
+    assert(ppm == nHit * 1000000L / nExact)
+  }
+
   test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
