@@ -1425,24 +1425,31 @@ object OracleSql {
     * threshold vs the single-cell blocked pair set, folded to one row of
     * integer recall ppm.
     */
-  def dedupSemanticRecall(nCells: Int, thrE6: Long): String =
+  def dedupSemanticRecall(nCells: Int, thrE6: Long, maxProbe: Int,
+      probeLevels: Seq[Int]): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
        |  WHERE CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) >= $thrE6),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
-       |idx AS (SELECT vec_id, v, cell FROM (
+       |idx AS (SELECT vec_id, v, cell, rn FROM (
        |  SELECT e.vec_id, e.v, c.cid AS cell,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
-       |  FROM e CROSS JOIN cent c) t WHERE rn <= 1),
-       |bl AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM e CROSS JOIN cent c) t WHERE rn <= $maxProbe),
+       |bl AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(min(greatest(a.rn, b.rn)) AS BIGINT) AS first_probe
        |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) >= $thrE6)
-       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
-       |  CAST(sum(CASE WHEN bl.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  CAST((sum(CASE WHEN bl.a_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |  WHERE CAST(round(${cosine("a.v", "b.v")}*1e6) AS BIGINT) >= $thrE6
+       |  GROUP BY a.vec_id, b.vec_id),
+       |j AS (SELECT ex.a_id, ex.b_id, bl.first_probe
+       |  FROM ex LEFT JOIN bl ON bl.a_id = ex.a_id AND bl.b_id = ex.b_id),
+       |p AS (SELECT unnest(${probeLevels.mkString("[", ", ", "]")}) AS n_probe)
+       |SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN j.first_probe <= p.n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((sum(CASE WHEN j.first_probe <= p.n_probe THEN 1 ELSE 0 END) * 1000000)
        |    // count(*) AS BIGINT) AS recall_ppm
-       |FROM ex LEFT JOIN bl ON bl.a_id = ex.a_id AND bl.b_id = ex.b_id""".stripMargin
+       |FROM j CROSS JOIN p GROUP BY p.n_probe""".stripMargin
 
   /** Mirror of [[graft.operators.Similarity.knnGraph]]: nProbe-cell
     * indexing, distinct directed candidates from the cell equi-join, the

@@ -698,22 +698,28 @@ object SparkEntry {
       Dedup.semanticDedup(emb, Similarity.fixedCentroids(emb, 16),
         thrE6 = 500000L)
     }),
-    // measured recall of the single-cell SemDeDup blocking vs the exact
-    // all-pairs set at dedup_embcos's production threshold — the
-    // sim_recall gauge for the dedup side: the number that justifies (or
-    // vetoes) nCells/nProbe before anyone trusts the pruning
+    // measured recall CURVE of the cell blocking vs the exact all-pairs
+    // set at dedup_embcos's production threshold — the sim_recall gauge
+    // for the dedup side, one row per nProbe: each blocked pair carries
+    // its FIRST-probe rank (min over shared cells of max(rank_a, rank_b)),
+    // so ONE indexing pass prices every probe level and the curve (24% ->
+    // 54% -> 93% -> 100% at sf0.01) is the instrument that picks
+    // nCells/nProbe before anyone trusts the pruning
     "dedup_semantic_recall" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       val cents = Similarity.fixedCentroids(emb, 16)
       val exact = Dedup.embeddingCosine(emb, thrE6 = 350000L)
         .select("a_id", "b_id")
-      val blocked = Dedup.embeddingCosineBlocked(emb, cents,
-          thrE6 = 350000L, nProbe = 1)
-        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
-      exact.join(blocked, Seq("a_id", "b_id"), "left")
+      val firstProbe = Dedup.blockedFirstProbe(emb, cents,
+        thrE6 = 350000L, maxProbe = 8)
+      exact.join(firstProbe, Seq("a_id", "b_id"), "left")
+        .select(col("first_probe"),
+          explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("n_probe"))
+        .groupBy("n_probe")
         .agg(count(lit(1)).cast("long").as("n_exact"),
-          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
-        .select(col("n_exact"), col("n_hit"),
+          sum(when(col("first_probe") <= col("n_probe"), 1L).otherwise(0L))
+            .cast("long").as("n_hit"))
+        .select(col("n_probe"), col("n_exact"), col("n_hit"),
           expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
     }),
 
@@ -2013,7 +2019,8 @@ object SparkEntry {
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
-    "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16, thrE6 = 350000L),
+    "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16,
+      thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),

@@ -177,12 +177,17 @@ class DedupSpec extends SparkSpec {
     assert(real.count() == realEmb.count()) // one verdict row per vector
   }
 
-  test("semantic-recall gauge: hits bound by exact pairs, ppm in range") {
-    val r = SparkEntry.queries("dedup_semantic_recall")(spark, sf("0.001"))
-      .head()
-    val (nExact, nHit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(nExact > 0 && nHit >= 0 && nHit <= nExact)
-    assert(ppm == nHit * 1000000L / nExact)
+  test("semantic-recall curve: monotone in nProbe, hits bound by exact pairs") {
+    val rows = SparkEntry.queries("dedup_semantic_recall")(spark, sf("0.001"))
+      .orderBy("n_probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (_, nExact, nHit, ppm) =>
+      assert(nExact > 0 && nHit >= 0 && nHit <= nExact)
+      assert(ppm == nHit * 1000000L / nExact)
+    }
+    // more probes can only surface more pairs
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted)
   }
 
   test("embedding cosine near-dup: identical vectors at cos_e6 = 1e6") {
