@@ -261,6 +261,34 @@ object OracleSql {
       |    - length(printf('%b', cnt + 1))) / count(*)) AS BIGINT) AS avg_bits_e6
       |FROM tok JOIN v USING (token) GROUP BY doc_id""".stripMargin
 
+  /** Mirror of the `pipeline_select` composition: quality gate →
+    * [[docDsir]]'s scoring over the survivors (vocab, target source, and
+    * corpus all drawn from the CLEANED relation) → top-⌈n/2⌉ per source by
+    * (avg_bits_e6 DESC, doc_id), the integer ceil rule `rnk·2 ≤ cnt+1`.
+    */
+  def pipelineSelect(minTokens: Int, maxTokens: Int): String =
+    s"""WITH qual AS (SELECT doc_id FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) q WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |tok AS (SELECT doc_id, source,
+       |    unnest(string_split(text, ' ')) AS token FROM clean),
+       |v AS (SELECT token, count(*) AS cnt,
+       |    CAST(sum(CASE WHEN source = (SELECT min(source) FROM clean)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+       |  FROM tok GROUP BY token),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(round(1e6 * sum(length(printf('%b', cnt_t + 1))
+       |      - length(printf('%b', cnt + 1))) / count(*)) AS BIGINT) AS avg_bits_e6
+       |  FROM tok JOIN v USING (token) GROUP BY doc_id),
+       |r AS (SELECT c.doc_id, c.source, sc.n_tokens, sc.avg_bits_e6,
+       |    CAST(row_number() OVER (PARTITION BY c.source
+       |      ORDER BY sc.avg_bits_e6 DESC, c.doc_id) AS BIGINT) AS rnk,
+       |    count(*) OVER (PARTITION BY c.source) AS cnt
+       |  FROM clean c JOIN sc ON sc.doc_id = c.doc_id)
+       |SELECT doc_id, source, n_tokens, avg_bits_e6, rnk
+       |FROM r WHERE rnk * 2 <= cnt + 1""".stripMargin
+
   /** Mirror of [[operators.TextAnalysis.bigramLm]]: the spanCtes 2-gram
     * construction (list_slice join of adjacent tokens), then the unigram
     * mirror's bitlen/e6 arithmetic; docs with no bigram left-join to 0.

@@ -1210,6 +1210,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- domain-targeted corpus build: quality gate → DSIR score over
+    // the survivors → top-half per source by importance — the composition
+    // that turns doc_dsir's scalar into an actual selection policy (the
+    // per-source quota keeps source balance while the LM ratio ranks
+    // within source) ----
+    "pipeline_select" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .filter(col("keep") === 1).select("doc_id")
+      val clean = docs.join(kept, "doc_id")
+      val scored = TextAnalysis.dsirScore(clean)
+      val w = Window.partitionBy("source")
+        .orderBy(desc("avg_bits_e6"), asc("doc_id"))
+      val cw = Window.partitionBy("source")
+      clean.select(col("doc_id"), col("source"))
+        .join(scored, "doc_id")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter(col("rnk") * 2 <= col("cnt") + 1) // top ceil(cnt/2)/source
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("avg_bits_e6"), col("rnk"))
+    }),
+
     // ---- the full corpus build: quality gate → near-dup keep-one →
     // sequence packing — the kept representatives land in fixed
     // token-budget training batches, proving the packing stage composes
@@ -2164,6 +2187,7 @@ object SparkEntry {
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
+    "pipeline_select" -> OracleSql.pipelineSelect(minTokens = 25, maxTokens = 5000),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "pipeline_corpus" -> OracleSql.pipelineCorpus(minTokens = 25, maxTokens = 5000,

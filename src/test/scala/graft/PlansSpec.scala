@@ -199,8 +199,12 @@ class PlansSpec extends SparkSpec {
     // an equi-join + aggregation.
     // text_bm25 crossJoins the same ONE-row scalar aggregate as text_tfidf
     // (corpus N + total length) next to its broadcast equi-join on token.
+    // dedup_semantic_recall embeds dedup_embcos's all-pairs baseline as its
+    // exact side BY PURPOSE (the recall curve measures the blocking against
+    // it) — the sim_recall precedent; its blocked side is the cell equi-join.
     val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc",
-      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms", "text_bm25")
+      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms", "text_bm25",
+      "dedup_semantic_recall")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
