@@ -708,11 +708,7 @@ object SparkEntry {
     "dedup_semantic_recall" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       val cents = Similarity.fixedCentroids(emb, 16)
-      val exact = Dedup.embeddingCosine(emb, thrE6 = 350000L)
-        .select("a_id", "b_id")
-      val firstProbe = Dedup.blockedFirstProbe(emb, cents,
-        thrE6 = 350000L, maxProbe = 8)
-      exact.join(firstProbe, Seq("a_id", "b_id"), "left")
+      Dedup.blockedFirstProbe(emb, cents, thrE6 = 350000L, maxProbe = 8)
         .select(col("first_probe"),
           explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("n_probe"))
         .groupBy("n_probe")

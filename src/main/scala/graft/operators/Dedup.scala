@@ -664,38 +664,42 @@ object Dedup {
         when(row_number().over(wKeep) === 1, 1L).otherwise(0L))
   }
 
-  /** For every over-threshold pair the `maxProbe`-cell index can EVER
-    * block: the smallest nProbe at which it surfaces — `min` over the
-    * pair's shared cells of `max(rank_a, rank_b)`. One indexing pass
-    * prices every probe level at once (the recall-curve instrument behind
-    * `dedup_semantic_recall`); the shapes are [[embeddingCosineBlocked]]'s
-    * with the cell rank carried through the equi-join.
+  /** For every over-threshold pair: the smallest nProbe at which the
+    * `maxProbe`-cell index surfaces it — `min` over the pair's shared
+    * cells of `max(rank_a, rank_b)`, null when no cell is shared at all.
+    * ONE pair join total: each vector carries its ranked cell LIST
+    * (row-local sorted-struct pick, maxProbe longs), the exact all-pairs
+    * threshold join attaches both lists, and first_probe is a row-local
+    * maxProbe² array expression — no second blocked join, no pair
+    * groupBy, so the recall-curve gauge costs the exact baseline plus an
+    * O(maxProbe²) codegen'd expression per surviving pair.
     */
   def blockedFirstProbe(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       thrE6: Long, maxProbe: Int): DataFrame = {
     import graft.plans.native
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
+    val cellList = transform(
+      slice(array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+        1, maxProbe),
+      x => x.getField("cid"))
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
-    val cellArr = slice(
-      array_sort(zip_with(typedlit(cs), typedlit(ids),
-        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
-      1, maxProbe)
-    val indexed = e
-      .select(col("vec_id"), col("v"), col("nv"),
-        posexplode(cellArr).as(Seq("p", "x")))
-      .select(col("vec_id"), col("v"), col("nv"),
-        col("x.cid").as("cell"), (col("p") + 1).cast("long").as("rn"))
-    val a = indexed.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("va"), col("nv").as("na"), col("rn").as("ra"))
-    val b = indexed.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
-      col("v").as("vb"), col("nv").as("nb"), col("rn").as("rb"))
-    a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+      .withColumn("cells", cellList)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nv").as("na"), col("cells").as("ca"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nv").as("nb"), col("cells").as("cb"))
+    val idxSeq = sequence(lit(1), lit(maxProbe))
+    val fp = array_min(flatten(transform(idxSeq, i =>
+      transform(idxSeq, j =>
+        when(element_at(col("ca"), i) === element_at(col("cb"), j),
+          greatest(i, j).cast("long"))))))
+    a.join(b, col("a_id") < col("b_id"))
       .filter(round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
         .cast("long") >= thrE6)
-      .groupBy("a_id", "b_id")
-      .agg(min(greatest(col("ra"), col("rb"))).as("first_probe"))
+      .select(col("a_id"), col("b_id"), fp.as("first_probe"))
   }
 
   // ------------------------------------------- duplicate-cluster resolution

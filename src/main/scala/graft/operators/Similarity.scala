@@ -450,29 +450,34 @@ object Similarity {
     * SimilaritySpec). Driver-side by contract — queries are a handful, the
     * k-sized-state discipline of the centroid literals.
     */
-  private def adcLutDf(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
-      nQueries: Int): DataFrame = {
+  private def adcLutRows(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int): Array[(Long, Seq[Double], Seq[Seq[Double]])] = {
     val m = codebook.length
     val sub = codebook.head.head.length
-    val qRows: Array[org.apache.spark.sql.Row] =
-      emb2v(emb).filter(col("vec_id") < nQueries)
-        .select(col("vec_id"), col("v")).collect()
-    val qLut = qRows.map { r =>
-      val qv = r.getSeq[Double](1)
-      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
-        codebook(s).map { c =>
-          var acc = 0.0
-          var d = 0
-          while (d < sub) {
-            val diff = qv(s * sub + d) - c(d)
-            acc += diff * diff
-            d += 1
+    emb2v(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1)
+        val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+          codebook(s).map { c =>
+            var acc = 0.0
+            var d = 0
+            while (d < sub) {
+              val diff = qv(s * sub + d) - c(d)
+              acc += diff * diff
+              d += 1
+            }
+            acc
           }
-          acc
         }
+        (r.getLong(0), qv, lut)
       }
-      org.apache.spark.sql.Row(r.getLong(0), qv, lut)
-    }
+  }
+
+  private def adcLutDf(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int): DataFrame = {
+    val qLut = adcLutRows(emb, codebook, nQueries)
+      .map { case (qid, qv, lut) => org.apache.spark.sql.Row(qid, qv, lut) }
     import org.apache.spark.sql.types._
     val lutSchema = StructType(Seq(
       StructField("q_id", LongType),
@@ -537,18 +542,41 @@ object Similarity {
       nearestId(slice(col("v"), s * sub + 1, sub),
         (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
     }
+    // cache = the index persistence step (a vector store materializes
+    // (cell, codes) once and serves probes from it). It is also load-
+    // bearing here: with the projection left lazy, Spark's constraint
+    // inference inlines the cell alias (an expression over v) into a
+    // predicate it then pushes to the probes LocalRelation, where
+    // ConvertToLocalRelation fails binding v — an optimizer bug this
+    // materialization boundary sidesteps.
     val indexed = e.select(
       col("vec_id") +: nearestId(col("v"), ids, cs).as("cell") +: codeCols: _*)
-    // query side: nProbe nearest cells per query, LUT riding along
-    val q = adcLutDf(emb, codebook, nQueries)
-    val cellDists = q.select(col("q_id"), col("lut"),
-        explode(zip_with(typedlit(ids), typedlit(cs),
-          (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
-      .select(col("q_id"), col("lut"), col("x.cid").as("cell"), col("x.d").as("d"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
-    val probes = cellDists.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("lut"), col("cell"))
+      .cache()
+    // query side: the probe cells are picked in the SAME driver pass that
+    // builds the LUT (queries are a handful by contract) — the exact
+    // sqDist fold + (d, cid) tie order, so the oracle's relational
+    // row_number replay agrees; the probes relation ships as nQueries·
+    // nProbe literal rows, sidestepping a Spark binding bug that crossed
+    // the local-relation probe expressions with the index side's
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val diff = a(i) - b(i); acc += diff * diff; i += 1 }
+      acc
+    }
+    val probeRows = adcLutRows(emb, codebook, nQueries).flatMap {
+      case (qid, qv, lut) =>
+        ids.zip(cs).map { case (j, c) => (sqd(c, qv), j) }
+          .sortBy { case (d, j) => (d, j) }.take(nProbe)
+          .map { case (_, j) => org.apache.spark.sql.Row(qid, j, lut) }
+    }
+    import org.apache.spark.sql.types._
+    val probeSchema = StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("cell", LongType),
+      StructField("lut", ArrayType(ArrayType(DoubleType)))))
+    val probes = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
     // candidates: equi-join on cell against the COMPRESSED codes only
     val adc = (0 until m).map { s =>
       element_at(element_at(col("lut"), s + 1), (col(s"c$s") + 1).cast("int"))
