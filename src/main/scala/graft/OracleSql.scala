@@ -522,6 +522,21 @@ object OracleSql {
       |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[operators.Events.ohlc]]: the same positional-lexicographic
+    * struct min/max over (µs, event_id, value) picks open/close
+    * identically in both engines.
+    */
+  val eventsOhlc: String =
+    """WITH t AS (SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+      |    epoch_us(ts) AS tus, event_id, user_id, value FROM events)
+      |SELECT win_us, user_id,
+      |  CAST(round(struct_extract(min(struct_pack(k := tus, e := event_id, v := value)), 'v') * 100) AS BIGINT) AS open_cents,
+      |  CAST(round(struct_extract(max(struct_pack(k := tus, e := event_id, v := value)), 'v') * 100) AS BIGINT) AS close_cents,
+      |  CAST(round(max(value) * 100) AS BIGINT) AS high_cents,
+      |  CAST(round(min(value) * 100) AS BIGINT) AS low_cents,
+      |  count(*) AS n
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   /** Mirror of [[operators.Events.slidingWindowAgg]]: each event expands to
     * its two 30-min-aligned 1-hour windows.
     */

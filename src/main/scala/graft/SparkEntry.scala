@@ -1149,6 +1149,10 @@ object SparkEntry {
     // hopping windows: 1h width every 30m — each event in 2 buckets
     "events_sliding" -> ((s, dir) =>
       Events.slidingWindowAgg(Tables.readEvents(s, dir))),
+    // per-(user, hour) OHLC downsampling: open/close by deterministic
+    // struct min/max, exact extremes — constant state per bucket
+    "events_ohlc" -> ((s, dir) =>
+      Events.ohlc(Tables.readEvents(s, dir))),
     // the built-in session_window one-liner next to the explicit
     // lag/cumsum sessionize (boundary rule: diff >= gap splits)
     "events_session_window" -> ((s, dir) =>
@@ -2167,6 +2171,7 @@ object SparkEntry {
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
+    "events_ohlc" -> OracleSql.eventsOhlc,
     "events_anomaly" -> OracleSql.eventsAnomaly(
       lookback = 50, minHistory = 10, thrE6 = 3000000L),
     "events_active_users" ->

@@ -110,6 +110,35 @@ object Events {
       .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-(user, hour) OHLC downsampling — the time-series compaction every
+    * metrics store runs before long-range queries: first/last value in the
+    * bucket (open/close) plus the exact extremes and volume. Open and close
+    * are lexicographic min/max over `(µs, event_id, value)` structs —
+    * event_id breaks timestamp ties, so the pick is deterministic and both
+    * engines' positional struct comparison agrees. All outputs fixed-point
+    * cents / integers. One shuffle on (hour, user) with full map-side
+    * combine — the state per group is two structs and four scalars
+    * regardless of bucket size, so the shape holds at any scale.
+    */
+  def ohlc(events: DataFrame): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("k"),
+      col("event_id").as("e"), col("value").as("v"))
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(
+        min(key).getField("v").as("open"),
+        max(key).getField("v").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("user_id"),
+        round(col("open") * 100).cast("long").as("open_cents"),
+        round(col("close") * 100).cast("long").as("close_cents"),
+        round(col("high") * 100).cast("long").as("high_cents"),
+        round(col("low") * 100).cast("long").as("low_cents"),
+        col("n"))
+  }
+
   /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes —
     * each event contributes to width/slide = 2 epoch-aligned windows (the
     * smoother trend view next to [[windowAgg]]'s tumbling buckets). Spark's

@@ -89,6 +89,22 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("ohlc: deterministic open/close under timestamp ties, exact extremes") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "v", 10.0, "{}"),
+      (2L, ts(0), 7L, "v", 20.0, "{}"),  // same ts as id 1 -> id breaks tie
+      (3L, ts(10), 7L, "v", 5.0, "{}"),
+      (4L, ts(90), 7L, "v", 7.0, "{}")   // next hour bucket
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.ohlc(ev).orderBy("win_us")
+      .select("user_id", "open_cents", "close_cents", "high_cents",
+        "low_cents", "n")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 1000L, 500L, 2000L, 500L, 3L),
+      (7L, 700L, 700L, 700L, 700L, 1L)))
+  }
+
   test("windowAgg buckets into epoch-aligned hours") {
     val ev = Tables.readEvents(spark, sf("0.001"))
     val r = Events.windowAgg(ev)
