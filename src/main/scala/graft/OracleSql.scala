@@ -537,6 +537,27 @@ object OracleSql {
       |  count(*) AS n
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[operators.Events.gapFill]]: per-user generate_series hour
+    * spine, the [[eventsOhlc]] struct-max hourly close, and the same
+    * IGNORE NULLS running last_value carry-forward.
+    */
+  val eventsGapFill: String =
+    """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    struct_extract(max(struct_pack(k := epoch_us(ts), e := event_id,
+      |      v := value)), 'v') AS v_close
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+      |  FROM h GROUP BY user_id),
+      |j AS (SELECT sp.user_id, sp.hr, h.v_close
+      |  FROM sp LEFT JOIN h ON h.user_id = sp.user_id AND h.hr = sp.hr)
+      |SELECT user_id, hr,
+      |  CAST(round(last_value(v_close IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) AS BIGINT)
+      |    AS filled_cents,
+      |  CAST(CASE WHEN v_close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM j""".stripMargin
+
   /** Mirror of [[operators.Events.slidingWindowAgg]]: each event expands to
     * its two 30-min-aligned 1-hour windows.
     */

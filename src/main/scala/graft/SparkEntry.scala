@@ -1153,6 +1153,10 @@ object SparkEntry {
     // struct min/max, exact extremes — constant state per bucket
     "events_ohlc" -> ((s, dir) =>
       Events.ohlc(Tables.readEvents(s, dir))),
+    // sparse->dense hourly regularization: per-user hour spine + ignoreNulls
+    // carry-forward; gap rows flagged for downstream masking
+    "events_gap_fill" -> ((s, dir) =>
+      Events.gapFill(Tables.readEvents(s, dir))),
     // the built-in session_window one-liner next to the explicit
     // lag/cumsum sessionize (boundary rule: diff >= gap splits)
     "events_session_window" -> ((s, dir) =>
@@ -2172,6 +2176,7 @@ object SparkEntry {
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,
+    "events_gap_fill" -> OracleSql.eventsGapFill,
     "events_anomaly" -> OracleSql.eventsAnomaly(
       lookback = 50, minHistory = 10, thrE6 = 3000000L),
     "events_active_users" ->

@@ -139,6 +139,41 @@ object Events {
         col("n"))
   }
 
+  /** Sparse→dense hourly regularization with carry-forward — the gap-fill
+    * every time-series training/monitoring pipeline runs before a model
+    * sees the data: per user, the dense hour spine spans first-to-last
+    * activity (`sequence` + explode — no cross join against a global
+    * calendar), missing hours join to null, and the last observed hourly
+    * close carries forward via an `ignoreNulls` running `last` window.
+    * The hourly close is the same deterministic struct-max pick as
+    * [[ohlc]]. Gap rows are flagged so downstream can weight or mask them.
+    *
+    * Scale shape: one groupBy to the hourly grain, one per-user span
+    * aggregate, one equi-join, one ordered window per user — all
+    * partitioned on user_id; spine size is Σ user-spans, never
+    * users × global-calendar.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("k"),
+      col("event_id").as("e"), col("value").as("v"))
+    val hourly = events
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(max(key).getField("v").as("v_close"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        round(last(col("v_close"), ignoreNulls = true).over(w) * 100)
+          .cast("long").as("filled_cents"),
+        when(col("v_close").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
   /** Hopping (sliding) window aggregation: 1-hour windows every 30 minutes —
     * each event contributes to width/slide = 2 epoch-aligned windows (the
     * smoother trend view next to [[windowAgg]]'s tumbling buckets). Spark's

@@ -105,6 +105,21 @@ class TextEventsSpec extends SparkSpec {
       (7L, 700L, 700L, 700L, 700L, 1L)))
   }
 
+  test("gapFill: dense per-user spine, carry-forward closes, gaps flagged") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "v", 10.0, "{}"),
+      (2L, ts(5), 7L, "v", 12.0, "{}"),  // later in same hour -> close 12
+      (3L, ts(130), 7L, "v", 5.0, "{}"), // 2 hours later -> 1-hour gap
+      (4L, ts(0), 8L, "v", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.gapFill(ev).orderBy("user_id", "hr")
+      .select("user_id", "filled_cents", "is_gap")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 1200L, 0L), (7L, 1200L, 1L), (7L, 500L, 0L),
+      (8L, 300L, 0L)))
+  }
+
   test("windowAgg buckets into epoch-aligned hours") {
     val ev = Tables.readEvents(spark, sf("0.001"))
     val r = Events.windowAgg(ev)
