@@ -313,6 +313,38 @@ object OracleSql {
       |    ELSE 0 END AS avg_bits_e6
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Mirror of the `q_corr` census: the same pre-scaled integer columns,
+    * exact BIGINT sufficient statistics in one aggregate (cast back from
+    * DuckDB's widening), and the identical double formula per pair.
+    */
+  val qCorr: String = {
+    val cols = Seq(
+      "l_quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "l_extendedprice" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "l_discount" -> "CAST(round(l_discount * 10000) AS BIGINT)",
+      "l_tax" -> "CAST(round(l_tax * 10000) AS BIGINT)")
+    val sums = cols.map { case (nm, _) => s"CAST(sum($nm) AS BIGINT) AS s_$nm" } ++
+      cols.map { case (nm, _) => s"CAST(sum($nm*$nm) AS BIGINT) AS ss_$nm" } ++
+      (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        s"CAST(sum(${cols(i)._1}*${cols(j)._1}) AS BIGINT) AS sp_${cols(i)._1}__${cols(j)._1}")
+    val branches = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val nx = cols(i)._1
+      val ny = cols(j)._1
+      s"""SELECT '$nx' AS col_x, '$ny' AS col_y, n,
+         |  CAST(round((CAST(n AS DOUBLE) * sp_${nx}__$ny
+         |      - CAST(s_$nx AS DOUBLE) * s_$ny)
+         |    / (sqrt(CAST(n AS DOUBLE) * ss_$nx - CAST(s_$nx AS DOUBLE) * s_$nx)
+         |      * sqrt(CAST(n AS DOUBLE) * ss_$ny - CAST(s_$ny AS DOUBLE) * s_$ny))
+         |    * 1e6) AS BIGINT) AS corr_e6
+         |FROM s""".stripMargin
+    }
+    s"""WITH t AS (SELECT ${cols.map { case (nm, e) => s"$e AS $nm" }.mkString(", ")}
+       |  FROM lineitem),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(",\n  ")}
+       |  FROM t)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirror of [[operators.Profiling.expectations]] over lineitem: one
     * UNION ALL branch per rule (the oracle spells out what the Spark side
     * sums in one scan), the same three-valued CASE WHEN per predicate, and

@@ -1038,6 +1038,16 @@ object SparkEntry {
     // is deliberately tighter than the data — and this synthetic lineitem's
     // composite key is genuinely non-unique — so violation REPORTING (not
     // just the all-pass path) is exercised
+    // Pearson correlation census over lineitem's measures: exact integer
+    // sufficient statistics in one scan, fixed double formula per pair.
+    // Pre-scales: quantity units, price whole dollars (cents would push
+    // sum(p^2) past long at sf>=0.01), discount/tax basis points
+    "q_corr" -> ((s, dir) =>
+      Profiling.correlations(Tables.read(s, dir, "lineitem"), Seq(
+        "l_quantity" -> round(col("l_quantity")).cast("long"),
+        "l_extendedprice" -> round(col("l_extendedprice")).cast("long"),
+        "l_discount" -> round(col("l_discount") * 10000).cast("long"),
+        "l_tax" -> round(col("l_tax") * 10000).cast("long")))),
     "q_expectations" -> ((s, dir) =>
       Profiling.expectations(Tables.read(s, dir, "lineitem"), Seq(
         "orderkey_not_null" -> col("l_orderkey").isNull,
@@ -2165,6 +2175,7 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk FROM t)
         |SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "q_corr" -> OracleSql.qCorr,
     "q_expectations" -> OracleSql.qExpectations,
     "q_drift" -> OracleSql.qDrift,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(

@@ -125,6 +125,44 @@ object Profiling {
         col("distinct_after") - col("distinct_before"))
   }
 
+  /** Pairwise Pearson correlation census over pre-scaled INTEGER columns —
+    * the relationship map next to [[profile]]'s per-column census. All
+    * sufficient statistics (n, Σx, Σx², Σxy for every pair) ride ONE scan
+    * as exact integer sums (order-independent, so partial aggregation
+    * can't flake the hash); the correlation itself is then a fixed double
+    * formula over those scalars — identical longs in, identical IEEE ops,
+    * identical e6 fixed-point out in both engines.
+    *
+    * Callers pre-scale each column to integers sized so Σx² stays inside
+    * long (e.g. dollars not cents for big prices); a constant column makes
+    * its pairs NaN/undefined — that's the not-null/variance checks' job.
+    */
+  def correlations(df: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      (cols.map { case (nm, c) => sum(c).cast("long").as(s"s_$nm") } ++
+        cols.map { case (nm, c) => sum(c * c).cast("long").as(s"ss_$nm") } ++
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+          sum(cols(i)._2 * cols(j)._2).cast("long")
+            .as(s"sp_${cols(i)._1}__${cols(j)._1}")
+        }))
+    val s = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val nx = cols(i)._1
+      val ny = cols(j)._1
+      val n = col("n").cast("double")
+      val num = n * col(s"sp_${nx}__$ny") -
+        col(s"s_$nx").cast("double") * col(s"s_$ny")
+      val den =
+        sqrt(n * col(s"ss_$nx") - col(s"s_$nx").cast("double") * col(s"s_$nx")) *
+          sqrt(n * col(s"ss_$ny") - col(s"s_$ny").cast("double") * col(s"s_$ny"))
+      s.select(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n"),
+        round(num / den * 1e6).cast("long").as("corr_e6"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
+
   private def profileWith(df: DataFrame,
       distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {

@@ -60,6 +60,22 @@ class PropertySpec extends SparkSpec {
     assert(real("unique_l_orderkey_l_linenumber") == 0L)
   }
 
+  test("correlations: exact ±1 on linear pairs, bounded on real data") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L, 9L), (2L, 4L, 8L), (3L, 6L, 7L), (4L, 8L, 6L),
+      (5L, 10L, 5L)).toDF("x", "y", "z")
+    val got = graft.operators.Profiling.correlations(df,
+        Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got(("x", "y")) == 1000000L)  // y = 2x
+    assert(got(("x", "z")) == -1000000L) // z = 10 - x
+    assert(got(("y", "z")) == -1000000L)
+    // the real census: six pairs, every coefficient inside [-1, 1]
+    val real = SparkEntry.queries("q_corr")(spark, sf("0.001")).collect()
+    assert(real.length == 6)
+    assert(real.forall(r => math.abs(r.getLong(3)) <= 1000000L))
+  }
+
   test("drift census reports row/null/distinct deltas per column") {
     val before = Seq((1L, Some("en")), (2L, Some("en")), (3L, Some("fr")))
       .toDF("id", "lang")
