@@ -569,6 +569,23 @@ object OracleSql {
       |  count(*) AS n
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[operators.Events.lagFeatures]]: identical (ts_us,
+    * event_id) window order, integer lags/deltas/rolling sums.
+    */
+  val eventsFeatures: String =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS v_cents FROM events)
+      |SELECT user_id, event_id, ts_us, v_cents,
+      |  lag(v_cents) OVER w AS lag1_cents,
+      |  v_cents - lag(v_cents) OVER w AS delta_cents,
+      |  ts_us - lag(ts_us) OVER w AS gap_us,
+      |  CAST(sum(v_cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_cents,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_roll
+      |FROM t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
   /** Mirror of [[operators.Events.gapFill]]: per-user generate_series hour
     * spine, the [[eventsOhlc]] struct-max hourly close, and the same
     * IGNORE NULLS running last_value carry-forward.

@@ -1167,6 +1167,11 @@ object SparkEntry {
     // carry-forward; gap rows flagged for downstream masking
     "events_gap_fill" -> ((s, dir) =>
       Events.gapFill(Tables.readEvents(s, dir))),
+    // per-user sequence features (lag/delta/gap/rolling) in event-time
+    // order — the feature block sequence models train on; one shuffle
+    // feeds every window
+    "events_features" -> ((s, dir) =>
+      Events.lagFeatures(Tables.readEvents(s, dir))),
     // the built-in session_window one-liner next to the explicit
     // lag/cumsum sessionize (boundary rule: diff >= gap splits)
     "events_session_window" -> ((s, dir) =>
@@ -2188,6 +2193,7 @@ object SparkEntry {
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,
     "events_gap_fill" -> OracleSql.eventsGapFill,
+    "events_features" -> OracleSql.eventsFeatures,
     "events_anomaly" -> OracleSql.eventsAnomaly(
       lookback = 50, minHistory = 10, thrE6 = 3000000L),
     "events_active_users" ->

@@ -139,6 +139,29 @@ object Events {
         col("n"))
   }
 
+  /** Per-user sequence features — the lag/delta/rolling feature block a
+    * sequence model trains on: previous value, step delta, inter-arrival
+    * gap, and a trailing 3-event rolling sum, all per user in event-time
+    * order (event_id breaks ts ties, so every window is deterministic).
+    * Integer domain throughout (cents / µs), so the hash is stable.
+    * One shuffle on user_id feeds every window — Spark evaluates the lag
+    * and rolling frames over the same sort, no second exchange.
+    */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("v_cents"),
+        lag("v_cents", 1).over(w).as("lag1_cents"),
+        (col("v_cents") - lag("v_cents", 1).over(w)).as("delta_cents"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"),
+        sum("v_cents").over(w3).as("roll_sum_cents"),
+        count(lit(1)).over(w3).as("n_roll"))
+  }
+
   /** Sparse→dense hourly regularization with carry-forward — the gap-fill
     * every time-series training/monitoring pipeline runs before a model
     * sees the data: per user, the dense hour spine spans first-to-last

@@ -120,6 +120,29 @@ class TextEventsSpec extends SparkSpec {
       (8L, 300L, 0L)))
   }
 
+  test("lagFeatures: lag/delta/gap/rolling per user in event-time order") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "v", 10.0, "{}"),
+      (2L, ts(1), 7L, "v", 12.0, "{}"),
+      (3L, ts(2), 7L, "v", 5.0, "{}"),
+      (4L, ts(0), 8L, "v", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.lagFeatures(ev).orderBy("user_id", "ts_us")
+      .select("user_id", "lag1_cents", "delta_cents", "gap_us",
+        "roll_sum_cents", "n_roll")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (7L, -1L, -1L, -1L, 1000L, 1L),
+      (7L, 1000L, 200L, 60000000L, 2200L, 2L),
+      (7L, 1200L, -700L, 60000000L, 2700L, 3L),
+      (8L, -1L, -1L, -1L, 300L, 1L)))
+  }
+
   test("windowAgg buckets into epoch-aligned hours") {
     val ev = Tables.readEvents(spark, sf("0.001"))
     val r = Events.windowAgg(ev)
