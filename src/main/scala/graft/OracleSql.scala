@@ -657,6 +657,22 @@ object OracleSql {
        |SELECT l.event_id, l.user_id, l.us, r.us AS asof_us
        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
 
+  /** Mirror of [[Events.asofJoinTolerance]]: the [[eventsAsof]] native
+    * ASOF LEFT JOIN with the staleness CASE on top (NULL right side stays
+    * NULL through the three-valued comparison).
+    */
+  def eventsAsofTolerance(leftType: String, rightType: String,
+      tolMinutes: Int): String = {
+    val tolUs = tolMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = '$leftType'),
+       |r AS (SELECT user_id, us FROM e WHERE event_type = '$rightType')
+       |SELECT l.event_id, l.user_id, l.us,
+       |  CASE WHEN l.us - r.us <= $tolUs THEN r.us END AS asof_us,
+       |  CASE WHEN l.us - r.us <= $tolUs THEN l.us - r.us END AS age_us
+       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
+  }
+
   /** Mirror of [[Events.funnel]]: chained min-join stages, epoch-µs integer
     * timestamps so the window comparison is exact on both engines.
     */

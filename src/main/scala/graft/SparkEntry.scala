@@ -1190,6 +1190,10 @@ object SparkEntry {
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
       Events.asofJoin(Tables.readEvents(s, dir))),
+    // staleness-bounded as-of (merge_asof tolerance semantics): matches
+    // older than 60 min are nulled, fresh matches carry their age
+    "events_asof_tol" -> ((s, dir) =>
+      Events.asofJoinTolerance(Tables.readEvents(s, dir))),
     // the same as-of semantics as a NATIVE whole-operator plan: custom
     // logical node + strategy + merge-scan exec (AsofJoinExec), O(1) state
     // per co-partition instead of the union+window carry-forward
@@ -2204,6 +2208,8 @@ object SparkEntry {
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
+    "events_asof_tol" -> OracleSql.eventsAsofTolerance(leftType = "click",
+      rightType = "purchase", tolMinutes = 60),
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_bcast" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(

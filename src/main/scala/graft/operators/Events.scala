@@ -257,6 +257,23 @@ object Events {
       .select(col("oid").as("event_id"), col("user_id"), col("us"), col("asof_us"))
   }
 
+  /** [[asofJoin]] with a MAX-STALENESS tolerance (pandas `merge_asof
+    * (tolerance=...)` semantics): a match older than `tolMinutes` is
+    * treated as no match — the attribution/market-data rule that a stale
+    * quote must not be carried indefinitely. Pure projection on top of the
+    * as-of result (the fresh match's age rides along), so every physical
+    * as-of form serves it unchanged.
+    */
+  def asofJoinTolerance(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase", tolMinutes: Int = 60): DataFrame = {
+    val tolUs = tolMinutes * 60L * 1000000L
+    asofJoin(events, leftType, rightType)
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("us") - col("asof_us") <= tolUs, col("asof_us")).as("asof_us"),
+        when(col("us") - col("asof_us") <= tolUs, col("us") - col("asof_us"))
+          .as("age_us"))
+  }
+
   /** [[asofJoin]] as a NATIVE whole-operator plan: same output, but planned
     * through [[graft.plans.AsofJoinNode]] → [[graft.plans.AsofJoinExec]] — a
     * custom logical node, planner strategy, and merge-scan physical operator

@@ -28,6 +28,23 @@ class AsofJoinSpec extends SparkSpec {
   ).map { case (e, u, t, s) => (e, u, t, ts(s)) }
     .toDF("event_id", "user_id", "event_type", "ts")
 
+  test("tolerance form nulls stale matches, keeps fresh ones with their age") {
+    // tol = 10 min: click 2 (5 min after purchase 1) stays matched;
+    // click 5 (10 min after purchase 3) is exactly at the bound — kept;
+    // click 8 (15 min after purchase 7) goes stale -> null
+    val got = graft.operators.Events
+      .asofJoinTolerance(events, tolMinutes = 10)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got(2L) == (us("2024-01-01 10:00:00"), 300000000L))
+    assert(got(4L) == (us("2024-01-01 10:10:00"), 0L))
+    assert(got(5L) == (us("2024-01-01 10:10:00"), 600000000L))
+    assert(got(6L) == (-1L, -1L)) // no prior purchase at all
+    assert(got(8L) == (-1L, -1L)) // match exists but stale
+  }
+
   test("native as-of matches the hand-derivable fixture exactly (both physical forms)") {
     def us(s: String) = ts(s).getTime * 1000L
     for (b <- Seq(Some(false), Some(true))) {
