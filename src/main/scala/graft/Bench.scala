@@ -95,6 +95,30 @@ object Bench {
     waited
   }
 
+  /** Per-query floor times (sec) from `BASELINE_BENCH.json` — the committed
+    * minimum across rounds 7-9 bench maps on this hardware. The min across
+    * rounds is the contention-free estimate (same reasoning as the
+    * anomaly-rerun-min above), so `wall / floor` is a noise-robust regression
+    * ratio: > 2.0 is a real slowdown, not sandbox jitter.
+    */
+  private def loadBaseline(): Map[String, Double] = {
+    val f = Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
+      .map(new java.io.File(_)).find(_.isFile)
+    f.map { file =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
+        val b = root.get("baseline")
+        val out = scala.collection.mutable.Map.empty[String, Double]
+        val it = b.fieldNames()
+        while (it.hasNext) { val k = it.next(); out(k) = b.get(k).asDouble() }
+        out.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BASELINE_BENCH.json unreadable: ${e.getMessage}")
+        Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val quiesced = quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "150").toInt)
@@ -176,8 +200,18 @@ object Bench {
     // rc/nqueries must not mistake a red run for green (the errors array
     // alone was missed by exactly that kind of consumer in round 8).
     val nErrors = errors.distinct.size
+    // vs_baseline: wall / pinned floor per query (only for queries with a
+    // pinned floor). Queries over 2× their floor are named in "over_2x" —
+    // the enforceable perf bar the round-9 verdict asked for.
+    val baseline = loadBaseline()
+    val ratios = results.flatMap { case (name, wall, _, _) =>
+      baseline.get(name).filter(_ > 0).map(b => name -> wall / b)
+    }
+    val over2x = ratios.filter(_._2 > 2.0).sortBy(-_._2).map(_._1)
+    val vsb = jmap(ratios)
+    val over = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"quiesce_sec":${jnum(quiesced)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"vs_baseline":$vsb,"over_2x":$over,"quiesce_sec":${jnum(quiesced)}}"""
     // Full per-query record: stderr + a local file (the harness captures only
     // a bounded stdout tail; this keeps the complete map inspectable).
     System.err.println(fullLine)
@@ -192,7 +226,7 @@ object Bench {
     // fast tail is summarized so the line still accounts for every second.
     val budget = 1600
     val desc = results.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"n_errors":$nErrors,"sf":"$sfDir","queries":"""
+    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"n_errors":$nErrors,"n_over_2x":${over2x.size},"sf":"$sfDir","queries":"""
     var kept = List.empty[(String, Double)]
     var len = prefix.length + 60 // headroom for the omitted-summary suffix
     desc.foreach { r =>
