@@ -588,10 +588,14 @@ object OracleSql {
 
   /** Mirror of [[operators.Events.gapFill]]: per-user generate_series hour
     * spine, the [[eventsOhlc]] struct-max hourly close, and the same
-    * IGNORE NULLS running last_value carry-forward.
+    * IGNORE NULLS running last_value carry-forward. The hour id uses the
+    * same exact pmod FLOOR division as the Spark side (`//` alone truncates
+    * toward zero, which would shift pre-1970 hours by one).
     */
   val eventsGapFill: String =
-    """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+    """WITH h AS (SELECT user_id,
+      |    (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000)
+      |      % 3600000000)) // 3600000000 AS hr,
       |    struct_extract(max(struct_pack(k := epoch_us(ts), e := event_id,
       |      v := value)), 'v') AS v_close
       |  FROM events GROUP BY 1, 2),

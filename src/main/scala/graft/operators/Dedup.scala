@@ -691,7 +691,9 @@ object Dedup {
       col("nv").as("na"), col("cells").as("ca"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nv").as("nb"), col("cells").as("cb"))
-    val idxSeq = sequence(lit(1), lit(maxProbe))
+    // the ranked cell list is min(#centroids, maxProbe) long — probing past
+    // its end would throw ARRAY_INDEX_OUT_OF_BOUNDS under ANSI mode
+    val idxSeq = sequence(lit(1), lit(math.min(maxProbe, centroids.size)))
     val fp = array_min(flatten(transform(idxSeq, i =>
       transform(idxSeq, j =>
         when(element_at(col("ca"), i) === element_at(col("cb"), j),

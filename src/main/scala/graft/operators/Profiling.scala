@@ -62,9 +62,16 @@ object Profiling {
           (c, r.getLong(0), r.getLong(0) - r.getLong(1), r.getLong(2))
         }
       }
-      fs.map(f => scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration.Inf))
-        .toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+      // finite wait: a wedged executor pool must surface as a named error,
+      // not an eternal hang (30 min >> any sane per-column aggregate)
+      cols.zip(fs).map { case (c, f) =>
+        try scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(30, "min"))
+        catch { case e: java.util.concurrent.TimeoutException =>
+          throw new RuntimeException(
+            s"profileFast: column-profile job for `$c` timed out after 30 min", e)
+        }
+      }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
     } finally pool.shutdown()
   }
 
@@ -90,8 +97,11 @@ object Profiling {
       rules.zipWithIndex.map { case ((_, viol), i) =>
         sum(when(viol, 1L).otherwise(0L)).cast("long").as(s"_v_$i") }
     val row = df.agg(aggs.head, aggs.tail: _*)
+    // backslashes are escape characters inside the generated SQL string
+    // literal — double them so the emitted rule name round-trips verbatim
+    // (same discipline as profileWith's col_name literals)
     val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
-      s"'$name', _n_rows_all, _v_$i"
+      s"'${name.replace("\\", "\\\\")}', _n_rows_all, _v_$i"
     }.mkString(", ")
     val scanRules = row.selectExpr(
       s"stack(${rules.length}, $stackArgs) AS (rule, n_rows, n_violations)")

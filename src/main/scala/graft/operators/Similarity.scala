@@ -265,13 +265,16 @@ object Similarity {
         (native.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
       .dropDuplicates("a_id", "b_id")
     val w = Window.partitionBy("a_id").orderBy(desc("c"), col("b_id"))
-    // cache the k·n-bounded directed edge list: the mutuality self-join
-    // consumes it under two different join keys ((a,b) and its transpose),
-    // so Catalyst cannot reuse the Exchange — without the cache the whole
-    // candidate+window stage would run twice
+    // materialize the k·n-bounded directed edge list: the mutuality
+    // self-join consumes it under two different join keys ((a,b) and its
+    // transpose), so Catalyst cannot reuse the Exchange — without the
+    // boundary the whole candidate+window stage would run twice.
+    // localCheckpoint (MEMORY_AND_DISK blocks), not cache(): checkpoint
+    // blocks are freed by the ContextCleaner once this plan is dropped,
+    // where a CacheManager entry would accumulate across invocations
     val directed = cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .cache()
+      .localCheckpoint(eager = true)
     val transpose = directed.select(col("b_id").as("ta"), col("a_id").as("tb"),
       col("rnk").as("rnk_ba"))
     directed.join(transpose,

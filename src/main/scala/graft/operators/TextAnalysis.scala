@@ -509,27 +509,6 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
-  /** DSIR-style importance score for domain-targeted data selection (Xie et
-    * al. 2023, arXiv:2302.03169): every document is scored by how much more
-    * likely its tokens are under the TARGET domain's unigram LM than under
-    * the whole corpus's — the log-likelihood ratio that importance
-    * resampling then selects on. The target here is the lexicographically
-    * first `source` (data-derived and oracle-replayable, the same
-    * discipline as [[bm25]]'s top-term query; production passes any
-    * held-out in-domain sample).
-    *
-    * Integer discipline: each token occurrence contributes
-    * `bitlen(target cnt + 1) − bitlen(corpus cnt + 1)` — the [[unigramLm]]
-    * exact floor(log2)+1 arithmetic with add-one smoothing, so unseen-in-
-    * target tokens penalize instead of producing −∞. The corpus-size
-    * normalizers are per-corpus constants that shift every doc equally and
-    * drop out of the ranking, so they are omitted and the score stays an
-    * exact integer.
-    *
-    * Shape: one vocabulary groupBy computes BOTH counts (the target count
-    * as a conditional sum — no second scan), one join back on token, one
-    * per-doc aggregate. Identical scale posture to [[unigramLm]].
-    */
   /** The fitted half of [[dsirScore]]: the `(token, cnt, cnt_t)` vocabulary
     * with corpus and target-domain counts — built once offline, then joined
     * to whatever needs scoring (the batch corpus here; arriving docs in
@@ -553,6 +532,27 @@ object TextAnalysis {
     (length(conv(coalesce(col("cnt_t"), lit(0L)) + 1, 10, 2)) -
       length(conv(coalesce(col("cnt"), lit(0L)) + 1, 10, 2))).cast("long")
 
+  /** DSIR-style importance score for domain-targeted data selection (Xie et
+    * al. 2023, arXiv:2302.03169): every document is scored by how much more
+    * likely its tokens are under the TARGET domain's unigram LM than under
+    * the whole corpus's — the log-likelihood ratio that importance
+    * resampling then selects on. The target here is the lexicographically
+    * first `source` (data-derived and oracle-replayable, the same
+    * discipline as [[bm25]]'s top-term query; production passes any
+    * held-out in-domain sample).
+    *
+    * Integer discipline: each token occurrence contributes
+    * `bitlen(target cnt + 1) − bitlen(corpus cnt + 1)` — the [[unigramLm]]
+    * exact floor(log2)+1 arithmetic with add-one smoothing, so unseen-in-
+    * target tokens penalize instead of producing −∞. The corpus-size
+    * normalizers are per-corpus constants that shift every doc equally and
+    * drop out of the ranking, so they are omitted and the score stays an
+    * exact integer.
+    *
+    * Shape: one vocabulary groupBy computes BOTH counts (the target count
+    * as a conditional sum — no second scan), one join back on token, one
+    * per-doc aggregate. Identical scale posture to [[unigramLm]].
+    */
   def dsirScore(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("token"))
