@@ -266,12 +266,17 @@ object Events {
     * treated as no match — the attribution/market-data rule that a stale
     * quote must not be carried indefinitely. Pure projection on top of the
     * as-of result (the fresh match's age rides along), so every physical
-    * as-of form serves it unchanged.
+    * as-of form serves it unchanged: `native = true` plans it over the
+    * [[asofJoinNative]] merge-scan exec, default over the union + window
+    * composition (AsofJoinSpec pins the two identical).
     */
   def asofJoinTolerance(events: DataFrame, leftType: String = "click",
-      rightType: String = "purchase", tolMinutes: Int = 60): DataFrame = {
+      rightType: String = "purchase", tolMinutes: Int = 60,
+      native: Boolean = false): DataFrame = {
     val tolUs = tolMinutes * 60L * 1000000L
-    asofJoin(events, leftType, rightType)
+    val base = if (native) asofJoinNative(events, leftType, rightType)
+               else asofJoin(events, leftType, rightType)
+    base
       .select(col("event_id"), col("user_id"), col("us"),
         when(col("us") - col("asof_us") <= tolUs, col("asof_us")).as("asof_us"),
         when(col("us") - col("asof_us") <= tolUs, col("us") - col("asof_us"))

@@ -45,6 +45,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(8L) == (-1L, -1L)) // match exists but stale
   }
 
+  test("tolerance projection serves the native exec identically") {
+    val composed = Events.asofJoinTolerance(events, tolMinutes = 10)
+      .orderBy("event_id").collect().toSeq
+    val native = Events.asofJoinTolerance(events, tolMinutes = 10, native = true)
+      .orderBy("event_id").collect().toSeq
+    assert(native == composed)
+    val s = Events.asofJoinTolerance(events, tolMinutes = 10, native = true)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("AsofJoin") && !s.contains("Window"), s"plan was:\n$s")
+  }
+
   test("native as-of matches the hand-derivable fixture exactly (both physical forms)") {
     def us(s: String) = ts(s).getTime * 1000L
     for (b <- Seq(Some(false), Some(true))) {
