@@ -248,6 +248,24 @@ object SparkEntry {
     tbl
   }
 
+  /** Persisted IVF-PQ index for `sim_ivfpq_indexed`: the [[ensureIvfIndex]]
+    * build/probe split carrying the compressed codes — built once per dir,
+    * bucketed by cell.
+    */
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_ivfpq_idx_$tag"
+    bucketedCache.getOrElseUpdate("ivfpq|" + key, {
+      pruneStaleTables(s, "graft_ivfpq_idx")
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.buildIvfPqIndex(emb, Similarity.fixedCentroids(emb, 16),
+        Similarity.pqCodebook(emb), tbl, buckets = 8,
+        Some(taggedTmpPath("graft_ivfpq_idx", tag)))
+    })
+    tbl
+  }
+
   /** Spherical twin of [[embFit]] for cosine ANN: same k-means|| fit, run on
     * the L2-normalized embeddings (`Similarity.normalize`).
     */
@@ -803,6 +821,16 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfPqTopK(emb, Similarity.fixedCentroids(emb, 16),
         Similarity.pqCodebook(emb))
+    }),
+    // the IVF-PQ build/probe split: (cell, codes) persisted ONCE as a
+    // bucketed-by-cell table (ensureIvfPqIndex), probes equi-join
+    // co-located buckets with no index-side Exchange and zero query-time
+    // assignment/encoding. Same oracle as sim_ivfpq: codes are exact
+    // integers, the parquet roundtrip is lossless.
+    "sim_ivfpq_indexed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfPqTopKIndexed(emb, ensureIvfPqIndex(s, dir),
+        Similarity.fixedCentroids(emb, 16), Similarity.pqCodebook(emb))
     }),
     // semantic corpus clustering rollup (the topic-level census behind
     // cluster-aware data mixing, SemDeDup-style): assign each doc's
@@ -2081,6 +2109,8 @@ object SparkEntry {
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
     "sim_ivfpq" -> OracleSql.simIvfPq(nCells = 16, nProbe = 2, m = 8, k = 16,
       dim = 64, nQueries = 5, kNbrs = 10),
+    "sim_ivfpq_indexed" -> OracleSql.simIvfPq(nCells = 16, nProbe = 2, m = 8,
+      k = 16, dim = 64, nQueries = 5, kNbrs = 10),
     "sim_pq_rerank" -> OracleSql.simPqRerank(m = 8, k = 16, dim = 64,
       nQueries = 5, shortlist = 50, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,

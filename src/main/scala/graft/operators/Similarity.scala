@@ -430,23 +430,6 @@ object Similarity {
         (0 until m).map(s => col(s"c$s") * factors(s)).reduce(_ + _))
   }
 
-  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance from
-    * a RAW query to an ENCODED vector = Σₛ sqdist(query slice s, the coded
-    * sub-centroid) — summed left-to-right per row so the oracle replays the
-    * exact double sequence. The scan side is the codes relation (4 bytes a
-    * vector), not the raw vectors: the deliberate exhaustive-scan-over-
-    * compressed-codes design (IVF cells bolt on in front exactly as in
-    * [[ivfTopK]] when even the code scan needs pruning). The query side
-    * broadcasts ([[bruteForceTopK]]'s declared-baseline shape).
-    *
-    * Uses the textbook ADC LOOKUP TABLE: each query's m×k partial distances
-    * are computed ONCE (driver-side — queries are a handful by contract,
-    * the same k-sized-state discipline as centroid literals) with the exact
-    * left-fold order [[graft.functions.VectorOps.sqDist]] evaluates, so the
-    * per-row work drops from m·sub fused multiply-adds to m array lookups
-    * and the values are bit-identical to the inline form (pinned in
-    * SimilaritySpec).
-    */
   /** Per-query ADC lookup table as a (q_id, qv, lut) relation: lut(s)(j) =
     * sqdist(query slice s, codebook(s)(j)), accumulated in the identical
     * element order as the sqDist fold (bit-parity pinned in
@@ -490,6 +473,23 @@ object Similarity {
       java.util.Arrays.asList(qLut: _*), lutSchema)
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance from
+    * a RAW query to an ENCODED vector = Σₛ sqdist(query slice s, the coded
+    * sub-centroid) — summed left-to-right per row so the oracle replays the
+    * exact double sequence. The scan side is the codes relation (4 bytes a
+    * vector), not the raw vectors: the deliberate exhaustive-scan-over-
+    * compressed-codes design (IVF cells bolt on in front exactly as in
+    * [[ivfTopK]] when even the code scan needs pruning). The query side
+    * broadcasts ([[bruteForceTopK]]'s declared-baseline shape).
+    *
+    * Uses the textbook ADC LOOKUP TABLE: each query's m×k partial distances
+    * are computed ONCE (driver-side — queries are a handful by contract,
+    * the same k-sized-state discipline as centroid literals) with the exact
+    * left-fold order [[graft.functions.VectorOps.sqDist]] evaluates, so the
+    * per-row work drops from m·sub fused multiply-adds to m array lookups
+    * and the values are bit-identical to the inline form (pinned in
+    * SimilaritySpec).
+    */
   def pqAdcTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
       nQueries: Int = 5, kNbrs: Int = 10): DataFrame = {
     val m = codebook.length
@@ -508,16 +508,6 @@ object Similarity {
         round(col("adc") * 1e6).cast("long").as("adc_e6"))
   }
 
-  /** Two-stage PQ retrieval — the production ANN query shape: the cheap ADC
-    * scan over 4-byte codes nominates a `shortlist`-sized candidate set per
-    * query, then ONLY those candidates' raw vectors are fetched (equi-join on
-    * vec_id — at 100 TB that is shortlist·q rows of raw vectors read, not the
-    * corpus) and re-ranked by exact cosine. Recall loss is confined to the
-    * nomination stage; the reported ordering is exact over the shortlist.
-    * The ADC stage reuses [[pqAdcTopK]] verbatim (its crossJoin(broadcast)
-    * over codes is that declared baseline's shape — IVF cells bolt on in
-    * front when even the code scan needs pruning).
-    */
   /** IVF-PQ — the composition every scaladoc here promises ("IVF cells
     * bolt on in front when even the code scan needs pruning"), actually
     * composed: the index side is ONE zero-shuffle pass assigning each
@@ -534,33 +524,76 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       codebook: Seq[Seq[Seq[Double]]], nQueries: Int = 5, nProbe: Int = 2,
       kNbrs: Int = 10): DataFrame = {
+    // materialization boundary = the index persistence step (a vector store
+    // materializes (cell, codes) once and serves probes from it; the durable
+    // form is [[buildIvfPqIndex]]). It is also load-bearing here: with the
+    // projection left lazy, Spark's constraint inference inlines the cell
+    // alias (an expression over v) into a predicate it then pushes to the
+    // probes LocalRelation, where ConvertToLocalRelation fails binding v —
+    // an optimizer bug the boundary sidesteps. localCheckpoint, not
+    // cache(): its MEMORY_AND_DISK blocks are freed by the ContextCleaner
+    // once this plan is dropped, where a CacheManager entry would
+    // accumulate across invocations.
+    val indexed = ivfPqCells(emb, centroids, codebook)
+      .localCheckpoint(eager = true)
+    ivfPqSearch(indexed, emb, centroids, codebook, nQueries, nProbe, kNbrs)
+  }
+
+  /** The (cell, codes) index relation: coarse cell + m sub-codes in ONE
+    * per-row pass (no joins, no shuffle) — cell + 4 bytes a vector, what a
+    * 100 TB vector store persists.
+    */
+  private def ivfPqCells(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebook.length
     val k = codebook.head.length
     val sub = codebook.head.head.length
-    val ids = centroids.map(_.j)
-    val cs = centroids.map(_.c)
-    val e = emb2v(emb)
-    // index build: cell + codes in one per-row pass (no joins, no shuffle)
     val codeCols = (0 until m).map { s =>
       nearestId(slice(col("v"), s * sub + 1, sub),
         (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
     }
-    // cache = the index persistence step (a vector store materializes
-    // (cell, codes) once and serves probes from it). It is also load-
-    // bearing here: with the projection left lazy, Spark's constraint
-    // inference inlines the cell alias (an expression over v) into a
-    // predicate it then pushes to the probes LocalRelation, where
-    // ConvertToLocalRelation fails binding v — an optimizer bug this
-    // materialization boundary sidesteps.
-    val indexed = e.select(
-      col("vec_id") +: nearestId(col("v"), ids, cs).as("cell") +: codeCols: _*)
-      .cache()
-    // query side: the probe cells are picked in the SAME driver pass that
-    // builds the LUT (queries are a handful by contract) — the exact
-    // sqDist fold + (d, cid) tie order, so the oracle's relational
-    // row_number replay agrees; the probes relation ships as nQueries·
-    // nProbe literal rows, sidestepping a Spark binding bug that crossed
-    // the local-relation probe expressions with the index side's
+    emb2v(emb).select(col("vec_id") +:
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)).as("cell") +:
+      codeCols: _*)
+  }
+
+  /** BUILD the IVF-PQ index once: (cell, vec_id, c0..c(m-1)) persisted as a
+    * table BUCKETED BY CELL — [[buildIvfIndex]]'s build/probe split carrying
+    * the compressed codes instead of the raw vectors. The one all-rows
+    * shuffle happens at write time; probe batches then equi-join co-located
+    * cell buckets with NO index-side Exchange (asserted in SimilaritySpec)
+    * and the index re-reads across sessions without re-assigning or
+    * re-encoding a single vector.
+    */
+  def buildIvfPqIndex(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      codebook: Seq[Seq[Seq[Double]]], table: String, buckets: Int = 8,
+      path: Option[String] = None): Unit =
+    graft.sources.Sinks.writeBucketed(
+      ivfPqCells(emb, centroids, codebook), table, buckets, Seq("cell"), path)
+
+  /** Probe a persisted [[buildIvfPqIndex]] table: identical results to
+    * [[ivfPqTopK]] (codes are exact integers, so the parquet roundtrip is
+    * lossless), zero assignment/encoding work at query time.
+    */
+  def ivfPqTopKIndexed(emb: DataFrame, table: String,
+      centroids: Seq[KMeans.Centroid], codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int = 5, nProbe: Int = 2, kNbrs: Int = 10): DataFrame =
+    ivfPqSearch(emb.sparkSession.table(table), emb, centroids, codebook,
+      nQueries, nProbe, kNbrs)
+
+  /** The shared IVF-PQ probe: nProbe cells + the ADC LUT are picked in the
+    * SAME driver pass (queries are a handful by contract) — the exact
+    * sqDist fold + (d, cid) tie order, so the oracle's relational
+    * row_number replay agrees; the probes relation ships as nQueries·
+    * nProbe literal rows, sidestepping a Spark binding bug that crossed
+    * the local-relation probe expressions with the index side's.
+    */
+  private def ivfPqSearch(indexed: DataFrame, emb: DataFrame,
+      centroids: Seq[KMeans.Centroid], codebook: Seq[Seq[Seq[Double]]],
+      nQueries: Int, nProbe: Int, kNbrs: Int): DataFrame = {
+    val m = codebook.length
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
     def sqd(a: Seq[Double], b: Seq[Double]): Double = {
       var acc = 0.0
       var i = 0
@@ -595,6 +628,16 @@ object Similarity {
         round(col("adc") * 1e6).cast("long").as("adc_e6"))
   }
 
+  /** Two-stage PQ retrieval — the production ANN query shape: the cheap ADC
+    * scan over 4-byte codes nominates a `shortlist`-sized candidate set per
+    * query, then ONLY those candidates' raw vectors are fetched (equi-join on
+    * vec_id — at 100 TB that is shortlist·q rows of raw vectors read, not the
+    * corpus) and re-ranked by exact cosine. Recall loss is confined to the
+    * nomination stage; the reported ordering is exact over the shortlist.
+    * The ADC stage reuses [[pqAdcTopK]] verbatim (its crossJoin(broadcast)
+    * over codes is that declared baseline's shape — IVF cells bolt on in
+    * front when even the code scan needs pruning).
+    */
   def pqRerankTopK(emb: DataFrame, codebook: Seq[Seq[Seq[Double]]],
       nQueries: Int = 5, shortlist: Int = 50, kNbrs: Int = 10): DataFrame = {
     import graft.plans.native

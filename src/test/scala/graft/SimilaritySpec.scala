@@ -191,6 +191,27 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ivf_idx")
   }
 
+  test("persisted IVF-PQ index probes identically to on-the-fly codes, no index-side Exchange") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    val cb = Similarity.pqCodebook(emb)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    Similarity.buildIvfPqIndex(emb, cents, cb, "spec_ivfpq_idx", buckets = 4,
+      Some(s"$tmp/spec_ivfpq_idx"))
+    try {
+      val direct = Similarity.ivfPqTopK(emb, cents, cb)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val indexed = Similarity.ivfPqTopKIndexed(emb, "spec_ivfpq_idx", cents, cb)
+      assert(indexed.as[(Long, Long, Long, Long)].collect().toSet == direct)
+      // probe-time plan: the index side is scanned pre-bucketed — no
+      // Exchange may feed the candidate join from the table side
+      val plan = indexed.queryExecution.executedPlan.toString
+      val joinPart = plan.split("\n").dropWhile(!_.contains("Join")).mkString("\n")
+      assert(!joinPart.contains("Exchange hashpartitioning(cell"),
+        s"index side must not re-shuffle on cell:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ivfpq_idx")
+  }
+
   test("IVF probes restrict candidates to the nearest cells") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
