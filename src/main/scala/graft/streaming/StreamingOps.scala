@@ -339,6 +339,69 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-(user, hour) OHLC (twin of `Events.ohlc`): the identical
+    * struct-min/max + extremes aggregates under a watermark — state per open
+    * (window, user) group is two structs and four scalars regardless of
+    * bucket size, expiring with the watermark. Bars emit once closed
+    * (append mode); values pinned ≡ the batch compaction in StreamingSpec.
+    */
+  def ohlcStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val key = struct(unix_micros(col("ts")).as("k"),
+      col("event_id").as("e"), col("value").as("v"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(
+        min(key).getField("v").as("open"),
+        max(key).getField("v").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("user_id"),
+        round(col("open") * 100).cast("long").as("open_cents"),
+        round(col("close") * 100).cast("long").as("close_cents"),
+        round(col("high") * 100).cast("long").as("high_cents"),
+        round(col("low") * 100).cast("long").as("low_cents"),
+        col("n"))
+  }
+
+  final case class LagOut(user_id: Long, event_id: Long, ts_us: Long,
+      v_cents: Long, lag1_cents: Option[Long], delta_cents: Option[Long],
+      gap_us: Option[Long], roll_sum_cents: Long, n_roll: Long)
+  final case class LagState(recent: Vector[(Long, Long)])
+
+  /** Streaming twin of `Events.lagFeatures`: per-user lag/delta/gap and the
+    * trailing 3-event rolling sum, evaluated continuously. State is a
+    * BOUNDED ring of the previous TWO (ts_us, v_cents) pairs per user —
+    * exactly the frame the batch `rowsBetween(-2, 0)` window needs, so
+    * state is O(users · 2) longs, never stream history. All-integer
+    * arithmetic (cents / µs), so stream output ≡ batch output row-for-row
+    * on in-order delivery (StreamingSpec pins it across micro-batch
+    * splits); same (ts_us, event_id) tie order as the batch window sort.
+    */
+  def lagFeaturesStream(events: Dataset[EvV]): Dataset[LagOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagState, LagOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[EvV], state: GroupState[LagState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Vector.empty)
+          val out = List.newBuilder[LagOut]
+          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val lag1 = recent.lastOption
+            val roll = e.cents + recent.map(_._2).sum
+            out += LagOut(user, e.event_id, e.us, e.cents,
+              lag1.map(_._2), lag1.map(p => e.cents - p._2),
+              lag1.map(p => e.us - p._1),
+              roll, recent.size + 1L)
+            recent = (recent :+ ((e.us, e.cents))).takeRight(2)
+          }
+          state.update(LagState(recent))
+          out.result().iterator
+      }
+  }
+
   /** Streaming gap sessions via the built-in `session_window` — the
     * watermarked one-liner twin of [[sessionizeStream]]'s explicit
     * flatMapGroupsWithState form (and of the batch

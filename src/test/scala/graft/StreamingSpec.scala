@@ -305,6 +305,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars equal the batch compaction across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val batch = graft.operators.Events.ohlc(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // time-ordered rows SPLIT across two micro-batches mid-stream — open
+    // (window, user) groups must aggregate across the boundary; a far-future
+    // sentinel then advances the watermark past every real bar
+    val rows = ev.select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._3))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val q = StreamingOps.ohlcStream(
+        in.toDF().toDF("ts", "user_id", "event_id", "value"))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      in.addData(a.toSeq)
+      q.processAllAvailable()
+      in.addData(b.toSeq)
+      q.processAllAvailable()
+      val sentinel = new java.sql.Timestamp(
+        rows.map(_._1.getTime).max + 24L * 3600 * 1000)
+      in.addData((sentinel, 999999L, 999999L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ohlc_out")
+        .filter(col("user_id") =!= 999999L)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"stream (${got.size}) and batch (${batch.size}) bar sets diverge")
+    } finally q.stop()
+  }
+
+  test("streaming lag features equal the batch operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.EvV
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val batch = graft.operators.Events.lagFeatures(ev)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Long, Long)].collect().toSet
+    assert(batch.exists(_._5.isEmpty) && batch.exists(_._5.nonEmpty))
+    // same integer cents the batch windows consume, split mid-stream — the
+    // per-user 2-deep ring must carry lag/delta/gap/rolling state over the
+    // micro-batch boundary
+    val rows = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EvV].collect().sortBy(e => (e.us, e.event_id))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EvV]
+    val q = StreamingOps.lagFeaturesStream(in.toDS())
+      .writeStream.format("memory").queryName("lag_out")
+      .outputMode("append").start()
+    try {
+      in.addData(a.toSeq)
+      q.processAllAvailable()
+      in.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("lag_out")
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+          Long, Long)].collect().toSet
+      assert(got == batch,
+        s"stream (${got.size}) and batch (${batch.size}) feature sets diverge")
+    } finally q.stop()
+  }
+
   test("streaming latest-wins upsert never regresses a doc on stale re-delivery") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.Up
