@@ -651,6 +651,14 @@ object SparkEntry {
     // pair chain (singletons → self). The step between pairwise dedup output
     // and an actionable keep/drop set.
     "dedup_components" -> ((s, dir) => docComponents(s, dir)),
+    // the O(log n)-round scale path: alternating large-star/small-star
+    // contraction (Kiveris et al. 2014) over the same LSH pair edges —
+    // identical labels to the label-propagation form (same oracle), rounds
+    // bounded by log(n) instead of cluster diameter
+    "dedup_components_star" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.connectedComponentsStar(docs, Dedup.minhashLSH(docs))
+    }),
     // the keep-one corpus: one row per cluster (representative + size)
     "dedup_keep" -> ((s, dir) => Dedup.keepOne(docComponents(s, dir))),
     // leak-proof train/val/test split: every doc inherits its duplicate
@@ -2081,6 +2089,8 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_components_star" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,

@@ -225,6 +225,37 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L), s"chain did not collapse: $comp")
   }
 
+  test("star contraction: chains, isolates, and pairs collapse like label propagation") {
+    val nodes = (1L to 6L).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponentsStar(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("star contraction: a 64-node chain collapses in O(log n) rounds") {
+    val n = 64L
+    val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    // worst-case order for min-label propagation: a pure chain
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponentsStar(nodes, pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 64 && comp.values.toSet == Set(1L),
+      s"chain did not collapse within the log-round bound")
+  }
+
+  test("star contraction equals label propagation on the real LSH pairs") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val pairs = Dedup.minhashLSH(docs).cache()
+    try {
+      val star = Dedup.connectedComponentsStar(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop)
+    } finally pairs.unpersist()
+  }
+
   test("CDC chunks follow content boundaries and survive a prefix shift") {
     import org.apache.spark.sql.functions.col
     // tokenId("x") = 120, 120 % 8 == 0 -> "x" is a boundary token;
