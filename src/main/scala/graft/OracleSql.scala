@@ -313,6 +313,48 @@ object OracleSql {
       |    ELSE 0 END AS avg_bits_e6
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Mirror of [[operators.TextAnalysis.bpeTrain]] — the iterative merge
+    * loop UNROLLED into `nMerges` CTE layers (the loop is bounded by
+    * contract, so recursion isn't needed): each layer takes the argmax
+    * adjacent pair (cnt desc, left, right — the Spark tie order) over the
+    * previous segmentation state and applies the merge.
+    *
+    * The merge-apply trick: a word's segmentation is encoded as
+    * `' ' || join(syms, '  ') || ' '` (TWO spaces between symbols, one at
+    * each end) and the merge is `replace(seg, ' l  r ', ' lr ')`. Plain
+    * leftmost non-overlapping `replace` on this encoding IS the BPE apply
+    * rule: a match consumes only ONE of the two delimiter spaces on its
+    * right, so back-to-back merges (`a a a a` → `aa aa`) still match, while
+    * the overlapping middle pair of `a a a` can't double-consume the shared
+    * symbol — exactly the (out, prev) fold the Spark side runs.
+    */
+  def textBpeTrain(nMerges: Int = 5): String = {
+    val base =
+      """w0 AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |s0 AS (SELECT freq,
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg
+        |  FROM w0)""".stripMargin
+    val layers = (1 to nMerges).map { i =>
+      s"""m$i AS (SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT sy[i] AS lft, sy[i + 1] AS rgt, freq
+         |        FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+         |              FROM (SELECT freq, string_split(trim(seg), '  ') AS sy
+         |                    FROM s${i - 1})))
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |s$i AS (SELECT s.freq,
+         |    replace(s.seg, ' ' || m.lft || '  ' || m.rgt || ' ',
+         |      ' ' || m.lft || m.rgt || ' ') AS seg
+         |  FROM s${i - 1} s, m$i m)""".stripMargin
+    }
+    val out = (1 to nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_id, lft AS "left",
+         |  rgt AS "right", cnt FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base +: layers).mkString(",\n") + "\n" + out
+  }
+
   /** Mirror of the `q_corr` census: the same pre-scaled integer columns,
     * exact BIGINT sufficient statistics in one aggregate (cast back from
     * DuckDB's widening), and the identical double formula per pair.

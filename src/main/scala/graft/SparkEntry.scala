@@ -1057,9 +1057,11 @@ object SparkEntry {
         .select(col("left").as("lft"), col("right").as("rgt"), col("cnt"))
         .orderBy(desc("cnt"), asc("lft"), asc("rgt")).limit(20)),
 
-    // the full tokenizer-training loop: 5 learned merges (rows-only — the
-    // iterative argmax isn't ANSI; the merge sequence is pinned on a
-    // hand-computed corpus in TextEventsSpec)
+    // the full tokenizer-training loop: 5 learned merges, oracle-exact —
+    // the bounded merge loop unrolls into 5 CTE layers (argmax + a
+    // delimiter-encoded replace per layer, OracleSql.textBpeTrain); the
+    // merge sequence is also pinned on a hand-computed corpus in
+    // TextEventsSpec
     "text_bpe_train" -> ((s, dir) =>
       s.createDataFrame(TextAnalysis.bpeTrain(Tables.read(s, dir, "documents")))),
 
@@ -2206,6 +2208,7 @@ object SparkEntry {
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
     "doc_dsir" -> OracleSql.docDsir,
+    "text_bpe_train" -> OracleSql.textBpeTrain(nMerges = 5),
     "text_bigram_lm" -> OracleSql.textBigramLm,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS freq FROM (
