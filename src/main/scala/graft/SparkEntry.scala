@@ -1126,7 +1126,9 @@ object SparkEntry {
         .select(col("i"), col("j"))
     }),
 
-    // ---- multimodal plumbing (decode stubbed; rows-only check) ----
+    // ---- multimodal plumbing (all three kinds decode their REAL
+    // containers — WAV/BMP/AVI, values pinned in MultimodalSpec; rows-only
+    // check because binary container decode has no ANSI mirror) ----
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
       Multimodal.featureStats(Multimodal.decodeFeatures(media))
