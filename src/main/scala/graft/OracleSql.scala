@@ -1631,6 +1631,46 @@ object OracleSql {
     * per-vector top-k window, and the mutuality self-join on the transposed
     * directed edge list.
     */
+  /** Mirror of [[operators.Similarity.graphRank]]: the [[simKnnGraph]]
+    * mutual-edge CTE chain, then `iters` UNROLLED rank layers (bounded by
+    * contract, the [[textBpeTrain]] discipline) of the exact integer
+    * update `150000 + Σ (rank·85) // (100·deg)` — `//` on positive BIGINTs
+    * is the same floor Spark's `div` takes.
+    */
+  def simGraphRank(nCells: Int, nProbe: Int, k: Int, iters: Int = 5): String = {
+    val base =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+         |idx AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+         |  FROM e CROSS JOIN cent c) t WHERE rn <= $nProbe),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosine("a.v", "b.v")} AS c
+         |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |d AS (SELECT a_id, b_id, c,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rnk
+         |  FROM cand),
+         |g AS (SELECT d1.a_id AS s, d1.b_id AS t
+         |  FROM d d1 JOIN d d2 ON d2.a_id = d1.b_id AND d2.b_id = d1.a_id
+         |  WHERE d1.rnk <= $k AND d2.rnk <= $k AND d1.a_id < d1.b_id),
+         |sym AS (SELECT s, t FROM g UNION ALL SELECT t AS s, s AS t FROM g),
+         |nd AS (SELECT e.vec_id AS id, coalesce(dg.deg, 0) AS deg
+         |  FROM e LEFT JOIN (SELECT s AS id, count(*) AS deg FROM sym GROUP BY 1) dg
+         |  ON dg.id = e.vec_id),
+         |r0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS rank FROM nd)""".stripMargin
+    val layers = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.id, nd.deg,
+         |    150000 + coalesce(sum((r.rank * 85) // (100 * r.deg)), 0) AS rank
+         |  FROM nd LEFT JOIN (SELECT sym.t, r.rank, r.deg
+         |      FROM sym JOIN r${i - 1} r ON r.id = sym.s) r ON r.t = nd.id
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    "WITH " + (base +: layers).mkString(",\n") +
+      s"\nSELECT id AS vec_id, CAST(deg AS BIGINT) AS deg," +
+      s" CAST(rank AS BIGINT) AS rank_ppm FROM r$iters"
+  }
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

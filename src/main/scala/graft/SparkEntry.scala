@@ -793,6 +793,14 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.knnGraph(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // integer fixed-point PageRank over the mutual k-NN graph: 5 exact
+    // floor-arithmetic iterations (Pregel shape — one equi-join + one
+    // grouped sum per round), replayed by an unrolled-CTE oracle; the
+    // representative-document selection signal next to SemDeDup's removal
+    "sim_graph_rank" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.graphRank(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // contrastive hard-negative mining: per anchor, the top different-label
     // candidates by cosine out of the blocked cells — the training-pair
     // miner for embedding models
@@ -2110,6 +2118,7 @@ object SparkEntry {
     "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16,
       thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
+    "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

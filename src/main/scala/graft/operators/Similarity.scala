@@ -286,6 +286,54 @@ object Similarity {
         col("rnk_ba").cast("long").as("rnk_ba"))
   }
 
+  /** Integer fixed-point PageRank over the [[knnGraph]] mutual k-NN edges —
+    * the centrality signal that picks REPRESENTATIVE documents per semantic
+    * neighborhood (high rank = endorsed by many well-connected neighbors),
+    * the selection-side complement to SemDeDup's redundancy removal.
+    *
+    * Exactness discipline: ranks live in ppm units (start 1 000 000) and
+    * every iteration is pure integer floor arithmetic —
+    * `r'(v) = 150000 + Σ_{u∼v} (r(u)·85) div (100·deg(u))` — so the
+    * bounded-iteration loop replays exactly in ANSI SQL (the same
+    * unrolled-CTE discipline as the BPE oracle); no float accumulation
+    * order to pin. Isolated nodes keep the 0.15 base; the floor-division
+    * mass leak is deliberate (this is a deterministic ranking diagnostic,
+    * not a probability distribution).
+    *
+    * Scale shape: each iteration is ONE equi-join (edges ⋈ ranks on the
+    * source endpoint) + ONE grouped sum, both hash-partitioned on node id —
+    * the Pregel shape, same as label propagation; localCheckpoint keeps
+    * per-iteration plans constant-size. Edges are k·n-bounded by the k-NN
+    * construction, so an iteration is O(k·n) rows end to end.
+    */
+  def graphRank(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4, iters: Int = 5): DataFrame = {
+    val e = knnGraph(emb, centroids, nProbe, k)
+      .select(col("a_id").as("s"), col("b_id").as("t"))
+    val sym = e.unionAll(e.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(eager = true)
+    val deg = sym.groupBy("s").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("s", "id")
+    val nodes = emb.select(col("vec_id").as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(eager = true)
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.select(col("id").as("s"), col("deg"), col("rank")), "s")
+        .select(col("t").as("id"),
+          expr("rank * 85 div (100 * deg)").as("c"))
+      ranks = nodes
+        .join(contrib.groupBy("id").agg(sum("c").as("sc")), Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(150000L) + coalesce(col("sc"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("id").as("vec_id"), col("deg"),
+      col("rank").as("rank_ppm"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: for every
     * anchor vector, the `k` highest-cosine candidates with a DIFFERENT
     * ground-truth label — the "looks similar, isn't" pairs that carry the

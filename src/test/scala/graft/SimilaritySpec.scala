@@ -73,6 +73,32 @@ class SimilaritySpec extends SparkSpec {
       assert(exhaustive.get(k).forall(_._2 == adc)) }
   }
 
+  test("graphRank: regular components hold the fixed point; isolates keep the base") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    // the 8-vector fixture's mutual 2-NN graph is two triangles + one pair —
+    // every component is REGULAR (deg 2 or deg 1 throughout), and on a
+    // d-regular component the update is exactly rank-preserving:
+    // 150000 + d·(1e6·85) div (100·d) = 1e6 each iteration
+    val got = Similarity.graphRank(emb, cents, nProbe = 1, k = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.values.forall(_._2 == 1000000L), s"regular fixed point broken: $got")
+    assert(Seq(0L, 2L, 3L, 1L, 4L, 5L).forall(got(_)._1 == 2L))
+    assert(got(6L)._1 == 1L && got(7L)._1 == 1L)
+    // real fixture: one row per vector, isolates pinned at the 0.15 base,
+    // every rank at least the base
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val real = Similarity.graphRank(realEmb, Similarity.fixedCentroids(realEmb, 16))
+      .as[(Long, Long, Long)].collect()
+    assert(real.length == 500)
+    assert(real.filter(_._2 == 0L).forall(_._3 == 150000L))
+    assert(real.forall(_._3 >= 150000L))
+    // asymmetric degrees must separate ranks (the signal is non-trivial)
+    assert(real.map(_._3).distinct.length > 2)
+  }
+
   test("hardNegatives: cross-label only, ranked by cosine, bounded by k") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
