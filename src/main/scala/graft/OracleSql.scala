@@ -329,11 +329,34 @@ object OracleSql {
     * symbol — exactly the (out, prev) fold the Spark side runs.
     */
   def textBpeTrain(nMerges: Int = 5): String = {
+    val out = (1 to nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_id, lft AS "left",
+         |  rgt AS "right", cnt FROM m$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    bpeCtes(nMerges) + "\n" + out
+  }
+
+  /** Mirror of [[operators.TextAnalysis.bpeSegment]] over the
+    * [[textBpeTrain]]-learned merges: the same unrolled layers, reading the
+    * FINAL segmentation state instead of the merge sequence.
+    */
+  def textBpeApply(nMerges: Int = 5): String =
+    bpeCtes(nMerges) + s"""
+       |SELECT word, CAST(freq AS BIGINT) AS freq,
+       |  CAST(len(string_split(trim(seg), '  ')) AS BIGINT) AS n_syms,
+       |  array_to_string(string_split(trim(seg), '  '), ' ') AS seg
+       |FROM s$nMerges""".stripMargin
+
+  /** The shared BPE replay: vocabulary start state + `nMerges` unrolled
+    * (argmax m-layer, merge-applied s-layer) pairs; `word` rides through
+    * the s-layers so the apply mirror can read the final segmentation.
+    */
+  private def bpeCtes(nMerges: Int): String = {
     val base =
       """w0 AS (SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  GROUP BY word),
-        |s0 AS (SELECT freq,
+        |s0 AS (SELECT word, freq,
         |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS seg
         |  FROM w0)""".stripMargin
     val layers = (1 to nMerges).map { i =>
@@ -343,16 +366,12 @@ object OracleSql {
          |              FROM (SELECT freq, string_split(trim(seg), '  ') AS sy
          |                    FROM s${i - 1})))
          |  GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
-         |s$i AS (SELECT s.freq,
+         |s$i AS (SELECT s.word, s.freq,
          |    replace(s.seg, ' ' || m.lft || '  ' || m.rgt || ' ',
          |      ' ' || m.lft || m.rgt || ' ') AS seg
          |  FROM s${i - 1} s, m$i m)""".stripMargin
     }
-    val out = (1 to nMerges).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS merge_id, lft AS "left",
-         |  rgt AS "right", cnt FROM m$i""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    "WITH " + (base +: layers).mkString(",\n") + "\n" + out
+    "WITH " + (base +: layers).mkString(",\n")
   }
 
   /** Mirror of the `q_corr` census: the same pre-scaled integer columns,
@@ -652,6 +671,44 @@ object OracleSql {
       |    AS filled_cents,
       |  CAST(CASE WHEN v_close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM j""".stripMargin
+
+  /** Mirror of [[operators.Events.attribution]]: per-user windowed pair
+    * join, the same two purchase-partition windows, and the identical
+    * integer floor-division credit split (`//` on positive BIGINTs ==
+    * Spark `div`).
+    */
+  def eventsAttribution(clickType: String, purchaseType: String,
+      windowHours: Int): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    s"""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+       |    FROM events WHERE event_type = '$purchaseType'),
+       |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+       |    FROM events WHERE event_type = '$clickType'),
+       |j AS (SELECT p.user_id, p.purchase_id, c.click_id, c.c_us
+       |  FROM p JOIN c ON c.user_id = p.user_id
+       |    AND c.c_us <= p.p_us AND c.c_us > p.p_us - $winUs),
+       |w AS (SELECT user_id, purchase_id, click_id,
+       |    count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+       |    row_number() OVER (PARTITION BY purchase_id
+       |      ORDER BY c_us DESC, click_id DESC) AS rnk
+       |  FROM j)
+       |SELECT user_id, purchase_id, click_id,
+       |  CAST(n_touch AS BIGINT) AS n_touch, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(CASE WHEN rnk = 1
+       |    THEN 1000000 - (n_touch - 1) * (1000000 // n_touch)
+       |    ELSE 1000000 // n_touch END AS BIGINT) AS credit_ppm
+       |FROM w""".stripMargin
+  }
+
+  /** Mirror of the `q_observe` counters, replayed relationally (the Spark
+    * side computes them as CollectMetrics riding the pipeline's own pass).
+    */
+  val qObserve: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high_disc,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem""".stripMargin
 
   /** Mirror of [[operators.Events.slidingWindowAgg]]: each event expands to
     * its two 30-min-aligned 1-hour windows.

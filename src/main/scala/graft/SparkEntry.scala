@@ -1073,6 +1073,26 @@ object SparkEntry {
     "text_bpe_train" -> ((s, dir) =>
       s.createDataFrame(TextAnalysis.bpeTrain(Tables.read(s, dir, "documents")))),
 
+    // the train -> apply split of tokenizer deployment: the learned merges
+    // fold over every vocabulary word (per-row, no shuffle past the one
+    // bpeWords groupBy); oracle replays the same unrolled layers and reads
+    // the final segmentation state
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      TextAnalysis.bpeSegment(docs, TextAnalysis.bpeTrain(docs))
+    }),
+
+    // zero-extra-pass quality counters via Dataset.observe (CollectMetrics):
+    // the aggregates ride the pipeline's own materialization as accumulator
+    // partials — a second scan never happens; oracle replays them
+    // relationally
+    "q_observe" -> ((s, dir) =>
+      Profiling.observedCounters(Tables.read(s, dir, "lineitem"), Seq(
+        "n_rows" -> count(lit(1)).cast("long"),
+        "n_high_disc" -> sum(when(col("l_discount") > 0.06, 1L).otherwise(0L))
+          .cast("long"),
+        "sum_qty" -> sum(round(col("l_quantity")).cast("long")).cast("long")))),
+
     // one-scan per-column census of the widest table (schema-dynamic:
     // the operator reads the DataFrame's own schema)
     // exact census, per-column concurrent shape (no Expand) — values are
@@ -1224,6 +1244,11 @@ object SparkEntry {
     // lag/cumsum sessionize (boundary rule: diff >= gap splits)
     "events_session_window" -> ((s, dir) =>
       Events.sessionWindowAgg(Tables.readEvents(s, dir))),
+    // multi-touch attribution: each purchase splits exactly 1e6 ppm of
+    // credit over the user's in-window clicks (integer linear model, last
+    // touch absorbs the floor remainder so credit sums exactly)
+    "events_attribution" -> ((s, dir) =>
+      Events.attribution(Tables.readEvents(s, dir))),
     "events_json" -> ((s, dir) =>
       Events.jsonStats(Tables.readEvents(s, dir))),
     // telemetry QA: per-user rolling z-score outliers (fixed-point rolling
@@ -2247,6 +2272,10 @@ object SparkEntry {
       "l_linestatus", "l_shipdate")),
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
+    "events_attribution" -> OracleSql.eventsAttribution(
+      clickType = "click", purchaseType = "purchase", windowHours = 24),
+    "text_bpe_apply" -> OracleSql.textBpeApply(nMerges = 5),
+    "q_observe" -> OracleSql.qObserve,
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

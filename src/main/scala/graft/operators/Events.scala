@@ -358,6 +358,44 @@ object Events {
     }.reduce(_.unionAll(_))
   }
 
+  /** Multi-touch attribution — the credit assignment every conversion
+    * pipeline runs: each purchase distributes exactly 1 000 000 ppm of
+    * credit over the SAME user's clicks in the preceding `windowHours`.
+    * Linear model with exact integer remainder handling: every touch gets
+    * `1e6 div n`, and the LAST touch (latest click; event_id breaks ties)
+    * absorbs the floor remainder, so per-purchase credit sums to exactly
+    * 1e6 — no float drift, and last-touch/first-touch models are the
+    * rnk = 1 / rnk = n row slices of the same output.
+    *
+    * Shape: per-user equi-join of the two event-type slices (predicates
+    * pushed to the scan) with the window as a join-time filter, then two
+    * windows over the purchase partition — one shuffle on user_id, one on
+    * purchase_id. At 100 TB the pair relation is bounded by per-user
+    * activity within the window, never |clicks| × |purchases|.
+    */
+  def attribution(events: DataFrame, clickType: String = "click",
+      purchaseType: String = "purchase", windowHours: Int = 24): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val winUs = windowHours * 3600L * 1000000L
+    val p = events.filter(col("event_type") === purchaseType)
+      .select(col("user_id"), col("event_id").as("purchase_id"), us.as("p_us"))
+    val c = events.filter(col("event_type") === clickType)
+      .select(col("user_id"), col("event_id").as("click_id"), us.as("c_us"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") && col("c_us") > col("p_us") - winUs)
+    val wAll = Window.partitionBy("purchase_id")
+    val wOrd = Window.partitionBy("purchase_id")
+      .orderBy(desc("c_us"), desc("click_id"))
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wAll))
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("n_touch"), col("rnk"),
+        when(col("rnk") === 1,
+          lit(1000000L) - (col("n_touch") - 1) * expr("1000000 div n_touch"))
+          .otherwise(expr("1000000 div n_touch")).as("credit_ppm"))
+  }
+
   /** Top event-type PATHS: the most common length-`n` event sequences within
     * a session across all sessions (the classic "what do users actually do"
     * path analysis). Each session's events are ordered by (us, event_id) —

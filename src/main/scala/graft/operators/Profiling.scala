@@ -75,6 +75,44 @@ object Profiling {
     } finally pool.shutdown()
   }
 
+  /** Zero-extra-pass data-quality counters via `Dataset.observe` (Spark's
+    * CollectMetrics operator): the named aggregates ride the SAME job as
+    * the pipeline's own action as accumulator-style partial aggregates, so
+    * at 100 TB the counters are FREE — where [[profile]]/[[expectations]]
+    * cost a dedicated scan, this is how a production pipeline watches row
+    * counts and violation tallies on every write it was already doing.
+    *
+    * This helper attaches the metrics, drives one full materialization
+    * through the noop sink (standing in for the pipeline's real write),
+    * and returns the observed values as a one-row DataFrame. Metrics must
+    * be non-distinct aggregates (the CollectMetrics contract) and, by this
+    * repo's exactness discipline, integer-valued — enforced here so the
+    * result hashes identically to a relational replay.
+    */
+  def observedCounters(df: DataFrame,
+      metrics: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(metrics.nonEmpty, "need at least one observed metric")
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, metrics.head._2.as(metrics.head._1),
+        metrics.tail.map { case (n, c) => c.as(n) }: _*)
+      .write.format("noop").mode("overwrite").save()
+    val got = obs.get
+    val vals = metrics.map { case (n, _) =>
+      got(n) match {
+        case l: java.lang.Long    => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case other => sys.error(
+          s"observed metric `$n` must be integer-valued, got $other")
+      }
+    }
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(metrics.map { case (n, _) =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType)
+    })
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(vals: _*)), schema)
+  }
+
   /** Data-expectation checks — the contract-validation gate (the
     * dbt-test / Great Expectations shape) a pipeline runs on every new
     * drop before it reaches training: each named rule counts the rows

@@ -458,6 +458,26 @@ class PropertySpec extends SparkSpec {
     assert(fast == exact, "profileFast must be value-identical to profile")
   }
 
+  test("observedCounters: CollectMetrics values ≡ the relational aggregates") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    val df = Tables.read(spark, sf("0.001"), "lineitem")
+    val metrics = Seq(
+      "n_rows" -> count(lit(1)).cast("long"),
+      "n_high_disc" -> sum(when(col("l_discount") > 0.06, 1L).otherwise(0L)).cast("long"),
+      "sum_qty" -> sum(round(col("l_quantity")).cast("long")).cast("long"))
+    val got = Profiling.observedCounters(df, metrics)
+      .as[(Long, Long, Long)].head()
+    val want = df.agg(metrics.head._2.as("a"),
+        metrics(1)._2.as("b"), metrics(2)._2.as("c"))
+      .as[(Long, Long, Long)].head()
+    assert(got == want, s"observed $got vs relational $want")
+    // a float-valued metric is rejected, not silently hashed
+    intercept[RuntimeException] {
+      Profiling.observedCounters(df, Seq("bad" -> avg(col("l_quantity"))))
+    }
+  }
+
   test("boilerplate removal: broadcast-hot-set twin is value-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis

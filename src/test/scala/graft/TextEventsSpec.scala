@@ -525,6 +525,53 @@ class TextEventsSpec extends SparkSpec {
       == Seq(TextAnalysis.BpeMerge(1, "a", "b", 2)))  // freq-weighted: ab ×2
   }
 
+  test("bpeSegment applies the learned merges to the whole vocabulary") {
+    val docs = Seq((1L, "aa ab aa aaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 3)
+    val got = TextAnalysis.bpeSegment(docs, merges)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // merges: (a,a) -> (a,b) -> (aa,a); final segmentations follow the
+    // leftmost non-overlapping apply at every step
+    assert(got == Map(
+      "aa" -> (2L, 1L, "aa"),
+      "ab" -> (1L, 1L, "ab"),
+      "aaa" -> (1L, 1L, "aaa")))
+    // fewer merges leave partial segmentations (and n_syms counts them)
+    val one = TextAnalysis.bpeSegment(docs, merges.take(1))
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(one("aaa") == (2L, "aa a") && one("ab") == (2L, "a b"))
+  }
+
+  test("attribution: exact ppm split, remainder to the last touch, window bounds") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: three in-window clicks -> 333334/333333/333333
+      (1L, 1L, "click", "2024-01-01 08:00:00"),
+      (2L, 1L, "click", "2024-01-01 09:00:00"),
+      (3L, 1L, "click", "2024-01-01 10:00:00"),
+      (4L, 1L, "purchase", "2024-01-01 10:00:00"), // same instant counts
+      // user 2: one click in window, one outside (25h earlier)
+      (5L, 2L, "click", "2024-01-01 09:00:00"),
+      (6L, 2L, "click", "2024-01-02 08:00:00"),
+      (7L, 2L, "purchase", "2024-01-02 10:00:00"),
+      // user 3: purchase with no clicks -> absent from output
+      (8L, 3L, "purchase", "2024-01-01 10:00:00")
+    ).map { case (e, u, t, s) => (e, u, t, ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Events.attribution(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byPurchase = got.groupBy(_._2)
+    assert(byPurchase.keySet == Set(4L, 7L))
+    // per-purchase credit sums to exactly 1e6
+    assert(byPurchase.values.forall(_.map(_._6).sum == 1000000L))
+    val p4 = byPurchase(4L).map(r => r._3 -> (r._5, r._6)).toMap
+    assert(p4 == Map(3L -> (1L, 333334L), 2L -> (2L, 333333L),
+      1L -> (3L, 333333L)))
+    assert(byPurchase(7L).map(_._3).toSeq == Seq(6L)) // the 25h click is out
+  }
+
   test("shardBalanced: round-robin LPT keeps shard token mass within one max doc") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val n = 8
