@@ -696,6 +696,24 @@ object TextAnalysis {
     } finally words.unpersist()
   }
 
+  /** Apply a learned merge sequence to the corpus vocabulary — the
+    * train → apply split of tokenizer deployment: [[bpeTrain]]'s merges
+    * fold over each word's symbol sequence in rank order (each application
+    * is the [[bpeApplyMerge]] leftmost non-overlapping fold), yielding the
+    * final segmentation per distinct word. Entirely per-row over the
+    * vocabulary-sized relation — after the one [[bpeWords]] groupBy there
+    * is no further shuffle, so applying a full merge table at 100 TB costs
+    * one pass over |vocab|, not |corpus|.
+    */
+  def bpeSegment(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val words = merges.foldLeft(bpeWords(docs)) { (w, m) =>
+      w.withColumn("syms", bpeApplyMerge(col("syms"), m.left, m.right))
+    }
+    words.select(col("word"), col("freq").cast("long").as("freq"),
+      size(col("syms")).cast("long").as("n_syms"),
+      concat_ws(" ", col("syms")).as("seg"))
+  }
+
   /** PII patterns shared by the redactor and its tests. Deliberately
     * alternation-free and backtracking-trivial so Java regex (Spark) and RE2
     * (DuckDB oracle) agree on every match; each is the standard corpus-scrub
