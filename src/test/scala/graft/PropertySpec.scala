@@ -458,6 +458,60 @@ class PropertySpec extends SparkSpec {
     assert(fast == exact, "profileFast must be value-identical to profile")
   }
 
+  test("attribution: generated events conserve credit and respect the window") {
+    import org.apache.spark.sql.functions.col
+    val evGen: Gen[Seq[(Long, Long, String, Long)]] = for {
+      n <- Gen.choose(20, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        t <- Gen.oneOf("click", "purchase", "view")
+        us <- Gen.choose(0L, 2L * 24 * 3600 * 1000000L)
+      } yield (u, t, us))
+    } yield rows.zipWithIndex.map { case ((u, t, us), i) => (i.toLong + 1, u, t, us) }
+    val winUs = 24L * 3600 * 1000000L
+    samples(evGen, 5).foreach { rows =>
+      val df = rows.map { case (e, u, t, us) =>
+        (e, u, t, new java.sql.Timestamp(us / 1000)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.Events.attribution(df)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      // reference model, computed independently in scala
+      val clicks = rows.filter(_._3 == "click")
+      val want = rows.filter(_._3 == "purchase").flatMap { case (pid, u, _, pus) =>
+        val touch = clicks.filter(c => c._2 == u && c._4 <= pus && c._4 > pus - winUs)
+        if (touch.isEmpty) Nil else List(pid -> touch.map(_._1).toSet)
+      }.toMap
+      val byP = got.groupBy(_._2)
+      assert(byP.keySet == want.keySet)
+      byP.foreach { case (pid, ts) =>
+        assert(ts.map(_._3).toSet == want(pid), s"touch set for purchase $pid")
+        assert(ts.map(_._6).sum == 1000000L, s"credit sum for purchase $pid")
+        assert(ts.map(_._5).sorted.toSeq == (1L to ts.length).toSeq)
+      }
+    }
+  }
+
+  test("star contraction ≡ label propagation on generated graphs") {
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 30L)
+        b <- Gen.choose(1L, 30L)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    val nodes = (1L to 30L).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    samples(graphGen, 4).foreach { edges =>
+      val pairs = (edges :+ ((1L, 1L))).toDF("a_id", "b_id")
+        .filter(org.apache.spark.sql.functions.col("a_id") =!=
+          org.apache.spark.sql.functions.col("b_id"))
+      val star = Dedup.connectedComponentsStar(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"divergence on ${edges.size} edges")
+    }
+  }
+
   test("observedCounters: CollectMetrics values ≡ the relational aggregates") {
     import org.apache.spark.sql.functions._
     import graft.operators.Profiling
