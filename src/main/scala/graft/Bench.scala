@@ -227,7 +227,7 @@ object Bench {
     val recordFile = if (args.isEmpty) "bench_full.json" else "bench_partial.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(recordFile),
       (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    catch { case e: Throwable => System.err.println(s"[bench] $recordFile write failed: ${e.getMessage}") }
     // The stdout contract line must stay COMPACT: the harness json-parses it
     // from a ~2000-char output tail that also holds the sbt epilogue, and a
     // full 100+-entry queries map overflows that window (round 6 lost its

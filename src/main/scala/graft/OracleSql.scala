@@ -350,6 +350,10 @@ object OracleSql {
   /** The shared BPE replay: vocabulary start state + `nMerges` unrolled
     * (argmax m-layer, merge-applied s-layer) pairs; `word` rides through
     * the s-layers so the apply mirror can read the final segmentation.
+    * The s-layer LEFT JOINs its (0-or-1-row) m-layer so a corpus whose
+    * pairs exhaust before `nMerges` carries the final state through the
+    * remaining layers unchanged — matching Spark's early-stopped loop —
+    * instead of a cross join with an empty argmax zeroing everything.
     */
   private def bpeCtes(nMerges: Int): String = {
     val base =
@@ -367,9 +371,10 @@ object OracleSql {
          |                    FROM s${i - 1})))
          |  GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
          |s$i AS (SELECT s.word, s.freq,
-         |    replace(s.seg, ' ' || m.lft || '  ' || m.rgt || ' ',
-         |      ' ' || m.lft || m.rgt || ' ') AS seg
-         |  FROM s${i - 1} s, m$i m)""".stripMargin
+         |    CASE WHEN m.lft IS NULL THEN s.seg
+         |         ELSE replace(s.seg, ' ' || m.lft || '  ' || m.rgt || ' ',
+         |           ' ' || m.lft || m.rgt || ' ') END AS seg
+         |  FROM s${i - 1} s LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     "WITH " + (base +: layers).mkString(",\n")
   }

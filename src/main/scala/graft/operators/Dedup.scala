@@ -825,9 +825,17 @@ object Dedup {
       sig = nsig
       iter += 1
     }
+    // at the fixed point the edge relation is functional (one star edge per
+    // non-root node); if maxIter cut the loop early a node can still hold
+    // edges from several star centers — collapse to the min label so the
+    // one-row-per-doc output contract survives under-convergence exactly
+    // like label propagation's
+    val starEdges = edges.select(col("u").as("doc_id"), col("v").as("rep_id"))
+    val resolved =
+      if (converged) starEdges
+      else starEdges.groupBy("doc_id").agg(min("rep_id").as("rep_id"))
     nodes.select(col("doc_id"))
-      .join(edges.select(col("u").as("doc_id"), col("v").as("rep_id")),
-        Seq("doc_id"), "left")
+      .join(resolved, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
   }

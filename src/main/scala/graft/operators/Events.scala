@@ -181,11 +181,13 @@ object Events {
       col("event_id").as("e"), col("value").as("v"))
     val hourly = events
       .groupBy(col("user_id"),
-        // exact integer FLOOR division, not `div` (truncation toward zero):
-        // pre-1970 timestamps must land on the same hour grid as ohlc's
-        // window()/date_trunc floor semantics; pmod keeps it all-long
-        ((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(3600000000L)))
-          / 3600000000L).cast("long").as("hr"))
+        // exact integer FLOOR division, not bare `div` (truncation toward
+        // zero): pre-1970 timestamps must land on the same hour grid as
+        // ohlc's window()/date_trunc floor semantics. pmod makes the
+        // numerator an exact multiple, then `div` keeps the whole
+        // computation in longs (Column./ would round-trip through double)
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+          .as("hr"))
       .agg(max(key).getField("v").as("v_close"))
     val spine = hourly.groupBy("user_id")
       .agg(min("hr").as("h0"), max("hr").as("h1"))

@@ -244,6 +244,18 @@ class DedupSpec extends SparkSpec {
       s"chain did not collapse within the log-round bound")
   }
 
+  test("star contraction under-converged by maxIter still yields one row per doc") {
+    val n = 64L
+    val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponentsStar(nodes, pairs, maxIter = 1)
+      .as[(Long, Long)].collect()
+    assert(comp.length == 64 && comp.map(_._1).distinct.length == 64,
+      "output contract must hold even when the loop is cut early")
+    // labels may be under-converged but never exceed the node's own id
+    assert(comp.forall { case (d, r) => r <= d })
+  }
+
   test("star contraction equals label propagation on the real LSH pairs") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val pairs = Dedup.minhashLSH(docs).cache()

@@ -465,8 +465,10 @@ class PropertySpec extends SparkSpec {
       rows <- Gen.listOfN(n, for {
         u <- Gen.choose(1L, 4L)
         t <- Gen.oneOf("click", "purchase", "view")
-        us <- Gen.choose(0L, 2L * 24 * 3600 * 1000000L)
-      } yield (u, t, us))
+        // millisecond granularity: java.sql.Timestamp carries ms, so the
+        // reference model must see exactly what unix_micros will see
+        ms <- Gen.choose(0L, 2L * 24 * 3600 * 1000L)
+      } yield (u, t, ms * 1000L))
     } yield rows.zipWithIndex.map { case ((u, t, us), i) => (i.toLong + 1, u, t, us) }
     val winUs = 24L * 3600 * 1000000L
     samples(evGen, 5).foreach { rows =>
