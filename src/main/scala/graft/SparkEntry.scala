@@ -1129,6 +1129,11 @@ object SparkEntry {
     // pinned in TextEventsSpec)
     "doc_shard" -> ((s, dir) =>
       TextAnalysis.shardBalanced(Tables.read(s, dir, "documents"))),
+    // length-bucketed batching: power-of-two length buckets, batchSize-doc
+    // fills in (n_tok, doc_id) order, exact per-batch padding-waste ppm —
+    // the dynamic-batching census that prices pad overhead before training
+    "doc_batch" -> ((s, dir) =>
+      TextAnalysis.lengthBucketBatches(Tables.read(s, dir, "documents"))),
 
     // ---- Davies-Bouldin + Calinski-Harabasz validity indices: the two
     // standard choose-K metrics next to the reference's elbow/silhouette ----
@@ -2255,6 +2260,25 @@ object SparkEntry {
         |p AS (SELECT sy[i] AS lft, sy[i+1] AS rgt, freq FROM ix)
         |SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 20""".stripMargin,
+    "doc_batch" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |    CAST(length(printf('%b', n_tok)) AS BIGINT) AS bucket FROM t),
+        |r AS (SELECT bucket, n_tok,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id)
+        |      AS rnk FROM b),
+        |g AS (SELECT bucket, (rnk - 1) // 8 AS batch_ix, count(*) AS n_docs,
+        |    max(n_tok) AS max_tok, sum(n_tok) AS sum_tok
+        |  FROM r GROUP BY 1, 2)
+        |SELECT bucket, CAST(batch_ix AS BIGINT) AS batch_ix,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(max_tok AS BIGINT) AS max_tok,
+        |  CAST(sum_tok AS BIGINT) AS sum_tok,
+        |  CAST(CASE WHEN max_tok = 0 THEN 0
+        |    ELSE (n_docs * max_tok - sum_tok) * 1000000 // (n_docs * max_tok)
+        |    END AS BIGINT) AS pad_ppm
+        |FROM g""".stripMargin,
     "doc_shard" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

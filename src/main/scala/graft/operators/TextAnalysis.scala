@@ -345,6 +345,37 @@ object TextAnalysis {
         ((col("rnk") - 1) % nShards).cast("long").as("shard"))
   }
 
+  /** Length-bucketed batching with a padding-waste census — the dynamic
+    * batching step fine-tuning/serving pipelines run so a batch pads every
+    * sequence only to its own bucket's max, not the global one: docs land
+    * in power-of-two length buckets (bitlen of n_tok — the [[unigramLm]]
+    * exact integer log2), fill `batchSize`-doc batches in deterministic
+    * (n_tok, doc_id) order within their bucket, and every batch reports
+    * its exact padding overhead `pad_ppm = (batch·max − Σtok)·1e6 div
+    * (batch·max)`. Sorting within the bucket makes neighbors similar in
+    * length, which is what drives waste toward zero.
+    *
+    * Shape: one shuffle (the per-bucket window), then a (bucket, batch)
+    * groupBy with map-side combine; at larger scale the window key extends
+    * to (bucket, shard) exactly like [[packBatches]]'s and the plan holds.
+    */
+  def lengthBucketBatches(docs: DataFrame, batchSize: Int = 8): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("n_tok", "doc_id")
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", length(conv(col("n_tok"), 10, 2)).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("batch_ix", expr(s"(rnk - 1) div $batchSize"))
+      .groupBy("bucket", "batch_ix")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+        sum("n_tok").as("sum_tok"))
+      .withColumn("pad_ppm",
+        when(col("max_tok") === 0, 0L).otherwise(
+          expr("(n_docs * max_tok - sum_tok) * 1000000 div (n_docs * max_tok)")))
+  }
+
   /** Corpus mixing — the pretraining-mix step that weights data sources:
     * each source contributes docs in deterministic `doc_id` order until its
     * token budget fills. `budgets` is a (source, budget) relation — tiny by

@@ -572,6 +572,26 @@ class TextEventsSpec extends SparkSpec {
     assert(byPurchase(7L).map(_._3).toSeq == Seq(6L)) // the 25h click is out
   }
 
+  test("lengthBucketBatches: bitlen buckets, deterministic fill, exact pad ppm") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"),                 // 1 token  -> bucket 1
+      (3L, "a b"), (4L, "a b c"),           // 2, 3     -> bucket 2
+      (5L, "a b c d e f g")                 // 7        -> bucket 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBucketBatches(docs, batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got == Map(
+      (1L, 0L) -> (2L, 1L, 2L, 0L),              // two 1-token docs, no pad
+      (2L, 0L) -> (2L, 3L, 5L, 166666L),         // (6-5)*1e6 div 6
+      (3L, 0L) -> (1L, 7L, 7L, 0L)))
+    // census covers every doc exactly once
+    val real = TextAnalysis.lengthBucketBatches(
+      Tables.read(spark, sf("0.001"), "documents"))
+    assert(real.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 500L)
+  }
+
   test("shardBalanced: round-robin LPT keeps shard token mass within one max doc") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val n = 8
