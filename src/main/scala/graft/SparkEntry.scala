@@ -780,6 +780,12 @@ object SparkEntry {
       val idx = ensureIvfIndex(s, dir)
       Similarity.ivfTopKIndexed(emb, idx, cents)
     }),
+    // the same brute-force ranking planned through the NATIVE two-phase
+    // top-k-per-group operator (plans/TopKPerGroupPlan.scala): candidates
+    // pruned to k per (query, partition) BELOW the shuffle — same oracle
+    // as sim_topk, TopKSpec pins the pruned exchange volume
+    "sim_topk_native" -> ((s, dir) =>
+      Similarity.bruteForceTopKNative(Tables.read(s, dir, "embeddings"))),
     // LSH ANN (sign random projections): the second classic ANN blocking
     // scheme next to IVF — candidates from an equi-join on (table, bucket),
     // exact cosine re-rank
@@ -2151,6 +2157,7 @@ object SparkEntry {
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
+    "sim_topk_native" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),

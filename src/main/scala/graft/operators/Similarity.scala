@@ -51,19 +51,37 @@ object Similarity {
     * reported fixed-point (`cos_e6`).
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    bruteForceScored(emb, nQueries)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** [[bruteForceTopK]] with the rank cut planned through the NATIVE
+    * two-phase top-k operator ([[graft.plans.TopKPerGroupNode]]) instead of
+    * the row_number window: identical values (same total order, same
+    * 1-based rank), but the per-query candidate set is pruned to k rows
+    * per input partition BEFORE the shuffle — the plan that survives a
+    * billion-candidate ranking stage. Same oracle as the window form.
+    */
+  def bruteForceTopKNative(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    TopK.perGroup(bruteForceScored(emb, nQueries), Seq("q_id"),
+        Seq("c" -> true, "n_id" -> false), k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+
+  /** The shared candidate-scoring stage of the brute-force rankings. */
+  private def bruteForceScored(emb: DataFrame, nQueries: Int): DataFrame = {
     import graft.plans.native
     val e = emb2v(emb).withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qn"))
-    val scored = e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (native.dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("c"))
-    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
 
   /** Measured recall@k of an approximate top-k against the exact one — the

@@ -202,9 +202,11 @@ class PlansSpec extends SparkSpec {
     // dedup_semantic_recall embeds dedup_embcos's all-pairs baseline as its
     // exact side BY PURPOSE (the recall curve measures the blocking against
     // it) — the sim_recall precedent; its blocked side is the cell equi-join.
-    val allowed = Set("dedup_embcos", "sim_topk", "sim_pq_adc",
-      "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms", "text_bm25",
-      "dedup_semantic_recall")
+    // sim_topk_native shares sim_topk's declared-baseline scoring stage —
+    // only the rank cut differs (the native two-phase top-k).
+    val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
+      "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
+      "text_bm25", "dedup_semantic_recall")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
@@ -213,7 +215,7 @@ class PlansSpec extends SparkSpec {
       "km_silhouette", "km_silhouette_rousseeuw", "km_delta", "km_validity",
       // construction runs training/fit loops: BPE merge training, the full
       // un-memoized pipeline (LSH + label propagation), per-subspace PQ fits
-      "text_bpe_train", "pipeline_full", "emb_pq_fitted")
+      "text_bpe_train", "text_bpe_apply", "pipeline_full", "emb_pq_fitted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).filterNot(allowed)
       .filter { name =>
