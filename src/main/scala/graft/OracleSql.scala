@@ -1733,6 +1733,56 @@ object OracleSql {
       s" CAST(rank AS BIGINT) AS rank_ppm FROM r$iters"
   }
 
+  /** HyperLogLog register replay: the oracle re-derives the SAME m=2^p
+    * registers as graft's HllSketch aggregate with plain integer SQL —
+    * the transparent 32-bit avalanche hash unrolled as CTE layers (128-bit
+    * intermediates via HUGEINT so `(h·K) mod 2^32` never overflows), rho
+    * from the binary-string length, registers as grouped max, and the raw
+    * estimate as the SAME single IEEE division Spark performs (the alpha
+    * constant's product with m²·2^33 only shifts exponents, and the
+    * denominator is an exact ≤2^41 integer, so floor(C/denom + 0.5) is
+    * bit-identical across engines).
+    */
+  def qHll(p: Int): String = {
+    val m = 1 << p
+    val w1 = 32 - p + 1 // rho for a zero remainder
+    val c = s"0.7213/(1.0 + 1.079/$m.0) * $m * $m * 8589934592"
+    s"""WITH b AS (SELECT l_returnflag AS scope, l_orderkey AS x FROM lineitem),
+       |h0 AS (SELECT scope, xor(x, x >> 32) % 4294967296 AS h FROM b),
+       |h1 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h FROM h0),
+       |h2 AS (SELECT scope, xor(h, h >> 16) AS h FROM h1),
+       |h3 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS h FROM h2),
+       |h4 AS (SELECT scope, xor(h, h >> 13) AS h FROM h3),
+       |h5 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS h FROM h4),
+       |h6 AS (SELECT scope, xor(h, h >> 16) AS h FROM h5),
+       |rr AS (SELECT scope, h & ${m - 1} AS bucket,
+       |    $w1 - (CASE WHEN (h >> $p) = 0 THEN 0
+       |               ELSE length(printf('%b', h >> $p)) END) AS rho
+       |  FROM h6),
+       |reg AS (SELECT scope, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+       |sk AS (SELECT scope,
+       |    CAST(sum(1::BIGINT << (33 - r)) + ($m - count(*)) * 8589934592 AS BIGINT) AS denom_x2p33,
+       |    $m - count(*) AS v_zero
+       |  FROM reg GROUP BY 1),
+       |ex AS (SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS n_exact
+       |  FROM lineitem GROUP BY 1),
+       |flag AS (SELECT sk.scope, ex.n_exact,
+       |    CAST(floor($c / denom_x2p33 + 0.5) AS BIGINT) AS hll_est,
+       |    CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33
+       |  FROM sk JOIN ex ON sk.scope = ex.scope),
+       |rega AS (SELECT bucket, max(rho) AS r FROM rr GROUP BY 1),
+       |ska AS (SELECT
+       |    CAST(sum(1::BIGINT << (33 - r)) + ($m - count(*)) * 8589934592 AS BIGINT) AS denom_x2p33,
+       |    $m - count(*) AS v_zero
+       |  FROM rega),
+       |exa AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem),
+       |allr AS (SELECT 'ALL' AS scope, exa.n_exact,
+       |    CAST(floor($c / denom_x2p33 + 0.5) AS BIGINT) AS hll_est,
+       |    CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33
+       |  FROM ska, exa)
+       |SELECT * FROM flag UNION ALL SELECT * FROM allr""".stripMargin
+  }
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1852,6 +1852,39 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
+    }),
+
+    // ---- HyperLogLog distinct census (native.hll_sketch — a custom
+    // TypedImperativeAggregate with a TRANSPARENT hash, so the DuckDB
+    // oracle re-derives the registers hash-exactly): per-returnflag
+    // distinct-orderkey sketches, PLUS an 'ALL' row whose registers are the
+    // elementwise MAX of the per-flag arrays — the sketches merge into the
+    // union sketch without rescanning, which is the whole 100 TB point
+    // (m=256 bytes per slice; rollups over billions of rows combine
+    // sketches, not rows). n_exact rides alongside so the row itself shows
+    // the sketch error; denominators stay exact integers (see HllSketch) ----
+    "q_hll" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val perFlag = li.groupBy(col("l_returnflag").as("scope"))
+        .agg(plans.native.hll_sketch(col("l_orderkey"), p = 8).as("regs"),
+          countDistinct(col("l_orderkey")).as("n_exact"))
+      val flagRows = perFlag.select(col("scope"), col("n_exact"),
+        plans.native.hll_estimate(col("regs"), p = 8).as("hll_est"),
+        plans.native.hll_zeros(col("regs")).as("v_zero"),
+        plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
+      // union-of-slices: merge the per-flag registers relationally
+      val merged = perFlag
+        .select(posexplode(col("regs")).as(Seq("i", "r")))
+        .groupBy("i").agg(max(col("r")).as("r"))
+        .agg(array_sort(collect_list(struct(col("i"), col("r")))).as("pairs"))
+        .select(transform(col("pairs"), x => x.getField("r")).as("regs"))
+      val allRow = merged
+        .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
+        .select(lit("ALL").as("scope"), col("n_exact"),
+          plans.native.hll_estimate(col("regs"), p = 8).as("hll_est"),
+          plans.native.hll_zeros(col("regs")).as("v_zero"),
+          plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
+      flagRows.unionByName(allRow)
     })
   )
 
@@ -2307,6 +2340,7 @@ object SparkEntry {
       clickType = "click", purchaseType = "purchase", windowHours = 24),
     "text_bpe_apply" -> OracleSql.textBpeApply(nMerges = 5),
     "q_observe" -> OracleSql.qObserve,
+    "q_hll" -> OracleSql.qHll(p = 8),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

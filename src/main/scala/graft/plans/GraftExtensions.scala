@@ -58,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinhashSigs.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSigs(exprs(0), GraftExtensions.intArg(exprs(1), "minhash_sigs"))))
+    e.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HllSketch].getName, "hll_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketch(exprs(0), GraftExtensions.intArg(exprs(1), "hll_sketch"))
+          .toAggregateExpression()))
   }
 }
 
@@ -97,6 +104,10 @@ object GraftExtensions {
       "char_trigrams", exprs => CharTrigrams(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinhashSigs(exprs(0), intArg(exprs(1), "minhash_sigs")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hll_sketch",
+      exprs => HllSketch(exprs(0), intArg(exprs(1), "hll_sketch")).toAggregateExpression(),
+      "built-in")
   }
 }
 
@@ -183,6 +194,57 @@ object native {
         (((id * CmsSketch.A(i) + CmsSketch.B(i)) % CmsSketch.P) % w +
           i * w + 1).cast("int"))
     }.reduce(least(_, _))
+
+  /** HyperLogLog register-array aggregate (see [[HllSketch]]): m = 2^p
+    * one-byte registers summarize the distinct count of any number of
+    * nonnegative bigint ids; arrays for different slices union by
+    * elementwise max (relationally: posexplode + groupBy(pos).max — see
+    * q_hll's merged ALL row).
+    */
+  def hll_sketch(id: Column, p: Int = 8): Column =
+    GraftColumnShim.column(
+      HllSketch(GraftColumnShim.expression(id), p).toAggregateExpression())
+
+  /** `1 << n` with a COLUMN shift (the functions-API `shiftleft` only
+    * takes a literal shift) — exact powers of two as longs.
+    */
+  private def shl1(n: Column): Column =
+    GraftColumnShim.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      GraftColumnShim.expression(lit(1L)), GraftColumnShim.expression(n)))
+
+  /** EXACT integer HLL denominator `Σ_j 2^(33 − M_j)` over a register
+    * array — the 2^33-scaled `Σ 2^-M_j` harmonic sum (every term an exact
+    * long since M_j ≤ 33−p+... ≤ 29 for p ≥ 4; empty registers contribute
+    * 2^33). Hash-exact across engines, so it can ride in oracle-checked
+    * output while the floating estimate derives from it in one division.
+    */
+  def hll_denom_x2p33(regs: Column): Column =
+    aggregate(regs, lit(0L), (acc, r) => acc + shl1(lit(33) - r))
+
+  /** Count of zero registers — the linear-counting input, exported so
+    * small-n callers can apply the correction downstream.
+    */
+  def hll_zeros(regs: Column): Column =
+    size(filter(regs, r => r === 0)).cast("long")
+
+  /** RAW HLL estimate `floor(alpha_m · m² / Σ 2^-M_j + 0.5)` as a BIGINT.
+    * alpha·m²·2^33 folds to one double constant whose only rounding is
+    * alpha's own (m and 2^33 are exact powers of two), and the denominator
+    * is the exact integer [[hll_denom_x2p33]] — so the estimate is a single
+    * correctly-rounded IEEE division, bit-identical in any engine
+    * evaluating the same formula (the DuckDB oracle does, literally).
+    * Valid for n ≳ 2.5·m; size p accordingly.
+    */
+  def hll_estimate(regs: Column, p: Int = 8): Column = {
+    val m = 1 << p
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val c = alpha * m * m * 8589934592.0 // · 2^33, exact exponent shifts
+    floor(lit(c) / hll_denom_x2p33(regs).cast("double") + lit(0.5)).cast("long")
+  }
 
   /** The silhouette pair stage as one codegen'd pass (see [[PairDistStats]]);
     * the sample rides in the plan, value-identical to the O(n²) pair join.

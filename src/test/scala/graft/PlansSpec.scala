@@ -204,9 +204,11 @@ class PlansSpec extends SparkSpec {
     // it) — the sim_recall precedent; its blocked side is the cell equi-join.
     // sim_topk_native shares sim_topk's declared-baseline scoring stage —
     // only the rank cut differs (the native two-phase top-k).
+    // q_hll crossJoins the same ONE-row scalar aggregate shape as text_tfidf
+    // (the exact ALL-scope distinct count riding next to the merged sketch).
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
-      "text_bm25", "dedup_semantic_recall")
+      "text_bm25", "dedup_semantic_recall", "q_hll")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
@@ -313,6 +315,53 @@ class PlansSpec extends SparkSpec {
       "CMS may only over-estimate")
     assert(est.filter(col("est") > col("count")).count() > 0,
       "w=32 against 500 ids must actually collide, or the test is vacuous")
+  }
+
+  test("hll_sketch: partitioning-invariant registers; slice merge == global; " +
+      "raw estimate lands within the published error band") {
+    import spark.implicits._
+    val n = 20000
+    val ids = (1 to n).map(i => (i.toLong, i % 5)).toDF("id", "g")
+    val direct = ids.repartition(7).agg(native.hll_sketch(col("id"), p = 8).as("regs"))
+    val direct2 = ids.repartition(2).agg(native.hll_sketch(col("id"), p = 8).as("regs"))
+    assert(direct.head().getSeq[Int](0) == direct2.head().getSeq[Int](0),
+      "register merge must be partitioning-invariant")
+    // union of slice sketches == sketch of the union (the rollup contract)
+    val merged = ids.groupBy("g").agg(native.hll_sketch(col("id"), p = 8).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("i", "r")))
+      .groupBy("i").agg(max(col("r")).as("r"))
+      .agg(array_sort(collect_list(struct(col("i"), col("r")))).as("pairs"))
+      .select(transform(col("pairs"), x => x.getField("r")).as("regs"))
+    assert(merged.head().getSeq[Int](0) == direct.head().getSeq[Int](0),
+      "elementwise-max of per-slice registers must equal the global sketch")
+    // duplicate-insensitivity: tripling the rows changes nothing
+    val dup = ids.union(ids).union(ids)
+      .agg(native.hll_sketch(col("id"), p = 8).as("regs"))
+    assert(dup.head().getSeq[Int](0) == direct.head().getSeq[Int](0))
+    // raw-estimator accuracy: 1.04/sqrt(256) = 6.5% standard error; 4 sigma
+    val est = direct.select(native.hll_estimate(col("regs"), p = 8)).head().getLong(0)
+    assert(math.abs(est - n.toDouble) / n < 0.26, s"estimate $est vs exact $n")
+  }
+
+  test("hll hash32/rho: golden values pin the cross-engine hash contract") {
+    import graft.plans.HllSketch.{hash32, rho}
+    // frozen outputs of the documented multiply-xorshift rounds — any change
+    // here silently breaks every persisted sketch and the DuckDB oracle
+    assert(hash32(0L) == 0L)
+    val golden = Seq(1L, 2L, 12345L, (1L << 32) + 7L, Long.MaxValue)
+    val expect = Seq(544027445L, 1168933561L, 1197308007L, 2284034602L,
+      1961653632L) // independently computed (python), frozen literals
+    assert(golden.map(hash32) == expect)
+    assert(rho(0L, 24) == 25 && rho(1L, 24) == 24 && rho(1L << 23, 24) == 1)
+    // SQL-surface registration: the same aggregate by name
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    (1L to 100L).toDF("id").createOrReplaceTempView("hll_ids")
+    val viaSql = spark.sql("SELECT hll_sketch(id, 6) AS regs FROM hll_ids")
+      .head().getSeq[Int](0)
+    val viaCol = (1L to 100L).toDF("id")
+      .agg(native.hll_sketch(col("id"), p = 6)).head().getSeq[Int](0)
+    assert(viaSql == viaCol)
   }
 
   test("native poly_hash equals the HOF tokenId fold on real document tokens") {
