@@ -1783,6 +1783,33 @@ object OracleSql {
        |SELECT * FROM flag UNION ALL SELECT * FROM allr""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Sketches.kmvSourceOverlap]]: bottom-k
+    * distinct token hashes per source, pairwise bottom-L-of-union overlap
+    * estimates — all integer arithmetic, hash-exact.
+    */
+  def qKmvOverlap(k: Int, n: Int = 3): String =
+    s"""WITH tk AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+       |tok AS (SELECT DISTINCT source, ${tokenId("g")} AS id FROM
+       |    (SELECT source, unnest(${shingles("toks", n)}) AS g FROM tk)),
+       |sk AS (SELECT source, id FROM (
+       |    SELECT source, id, row_number() OVER (PARTITION BY source ORDER BY id) AS rn
+       |    FROM tok) WHERE rn <= $k),
+       |arr AS (SELECT source, list_sort(list(id)) AS ids FROM sk GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b, a.ids AS ia, b.ids AS ib
+       |  FROM arr a JOIN arr b ON a.source < b.source),
+       |m AS (SELECT src_a, src_b, ia, ib,
+       |    list_sort(list_distinct(list_concat(ia, ib))) AS uu FROM p),
+       |n AS (SELECT src_a, src_b, ia, ib, uu, least($k, len(uu)) AS l FROM m),
+       |s AS (SELECT src_a, src_b, l, len(uu) AS ulen,
+       |    len(list_filter(list_slice(uu, 1, l),
+       |      x -> list_contains(ia, x) AND list_contains(ib, x))) AS inter,
+       |    uu[l] AS vl FROM n)
+       |SELECT src_a, src_b, CAST(l AS BIGINT) AS l, CAST(inter AS BIGINT) AS inter,
+       |  CAST((inter * 1000000) // l AS BIGINT) AS jaccard_ppm,
+       |  CAST(CASE WHEN ulen < $k OR vl <= 0 THEN ulen
+       |       ELSE ((l - 1) * 1000003) // vl END AS BIGINT) AS union_est
+       |FROM s""".stripMargin
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1885,7 +1885,16 @@ object SparkEntry {
           plans.native.hll_zeros(col("regs")).as("v_zero"),
           plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
       flagRows.unionByName(allRow)
-    })
+    }),
+
+    // ---- KMV source-overlap census (Sketches.kmvSourceOverlap): pairwise
+    // Jaccard/union estimates for every source pair from bottom-k distinct
+    // token-hash sketches — one distinct shuffle + a sketch-sized pair
+    // join, instead of S² corpus-scale set intersections. The per-source
+    // bottom-k cuts below the shuffle via the native two-phase top-k plan ----
+    "q_kmv_overlap" -> ((s, dir) =>
+      operators.Sketches.kmvSourceOverlap(
+        Tables.read(s, dir, "documents"), k = 128))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2341,6 +2350,7 @@ object SparkEntry {
     "text_bpe_apply" -> OracleSql.textBpeApply(nMerges = 5),
     "q_observe" -> OracleSql.qObserve,
     "q_hll" -> OracleSql.qHll(p = 8),
+    "q_kmv_overlap" -> OracleSql.qKmvOverlap(k = 128),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

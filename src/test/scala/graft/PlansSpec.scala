@@ -206,9 +206,12 @@ class PlansSpec extends SparkSpec {
     // only the rank cut differs (the native two-phase top-k).
     // q_hll crossJoins the same ONE-row scalar aggregate shape as text_tfidf
     // (the exact ALL-scope distinct count riding next to the merged sketch).
+    // q_kmv_overlap's pair join is an inequality join over SKETCH-sized
+    // sides (S sources × ≤k longs each) — tiny by contract, km_validity's
+    // precedent; the corpus-scale stage before it is a plain distinct.
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
-      "text_bm25", "dedup_semantic_recall", "q_hll")
+      "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
