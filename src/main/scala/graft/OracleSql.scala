@@ -1810,6 +1810,17 @@ object OracleSql {
        |       ELSE ((l - 1) * 1000003) // vl END AS BIGINT) AS union_est
        |FROM s""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.ppsSample]]: sequential
+    * cumulative sum + interval-contains-a-multiple-of-step selection.
+    */
+  def docSamplePps(nTarget: Int): String =
+    s"""WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+       |t AS (SELECT greatest(1, CAST(sum(w) AS BIGINT) // $nTarget) AS step FROM w),
+       |c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w)
+       |SELECT doc_id, CAST(w AS BIGINT) AS w, cum,
+       |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_hits
+       |FROM c, t WHERE cum // step - (cum - w) // step > 0""".stripMargin
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1894,7 +1894,15 @@ object SparkEntry {
     // bottom-k cuts below the shuffle via the native two-phase top-k plan ----
     "q_kmv_overlap" -> ((s, dir) =>
       operators.Sketches.kmvSourceOverlap(
-        Tables.read(s, dir, "documents"), k = 128))
+        Tables.read(s, dir, "documents"), k = 128)),
+
+    // ---- systematic PPS sampling (TextAnalysis.ppsSample): every doc whose
+    // cumulative-weight interval contains a multiple of total/n — integer-
+    // exact, Σ n_hits = total div step by construction, and the running sum
+    // is the parallel two-level prefix, never a single-partition window ----
+    "doc_sample_pps" -> ((s, dir) =>
+      operators.TextAnalysis.ppsSample(
+        Tables.read(s, dir, "documents"), nTarget = 50))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2351,6 +2359,7 @@ object SparkEntry {
     "q_observe" -> OracleSql.qObserve,
     "q_hll" -> OracleSql.qHll(p = 8),
     "q_kmv_overlap" -> OracleSql.qKmvOverlap(k = 128),
+    "doc_sample_pps" -> OracleSql.docSamplePps(nTarget = 50),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

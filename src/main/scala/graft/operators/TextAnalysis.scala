@@ -246,6 +246,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: walk the
+    * doc_id-ordered cumulative weight line (weight = n_chars) and select
+    * every document whose weight interval contains a multiple of
+    * `step = total div nTarget` — the textbook systematic PPS design, with
+    * deterministic offset 0 so the draw is reproducible and oracle-exact.
+    * `n_hits` counts the multiples inside the interval (a document heavier
+    * than step is drawn multiple times — its Horvitz-Thompson weight), and
+    * Σ n_hits = total div step EXACTLY (pinned in spec): the sample size
+    * never drifts with data layout.
+    *
+    * Scale: the running sum is the SAME two-level prefix as the k-means++
+    * draw (KMeans.seedNextInverseCdf) — per-bucket local windows in
+    * parallel plus ≤P driver-collected bucket offsets — never a
+    * single-partition global window; integer weights make
+    * `offset(bucket) + local_prefix` bit-identical to the sequential sum.
+    */
+  def ppsSample(docs: DataFrame, nTarget: Int): DataFrame = {
+    require(nTarget > 0, s"need nTarget > 0, got $nTarget")
+    val spark = docs.sparkSession
+    val wdf = docs.select(col("doc_id"), col("n_chars").as("w"))
+    val head = wdf.agg(sum("w"), min("doc_id"), max("doc_id")).head()
+    if (head.isNullAt(0))
+      return wdf.select(col("doc_id"), col("w"), col("w").as("cum"),
+        col("w").as("n_hits")).limit(0)
+    val (total, minI, maxI) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val step = math.max(1L, total / nTarget)
+    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    val width = math.max(1L, (maxI - minI) / nBuckets + 1)
+    val bucketed = wdf.withColumn("b",
+      expr(s"CAST((doc_id - $minI) div $width AS INT)"))
+    val bucketSums = bucketed.groupBy("b").agg(sum("w").as("bw"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = bucketSums.map(_._1)
+      .zip(bucketSums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("cum",
+        element_at(typedlit(offsets), col("b")) + sum("w").over(localW))
+      .withColumn("n_hits", expr(s"cum div $step - (cum - w) div $step"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
+  }
+
   /** Token counts under BOTH tokenization conventions a data pipeline
     * budgets with: whitespace tokens and a BPE-ish pre-tokenization count —
     * letter runs, digit runs, and single non-alphanumeric marks (the GPT-2

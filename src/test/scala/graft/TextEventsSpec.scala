@@ -682,4 +682,28 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Map(2L -> ((2L, 20L)), 3L -> ((3L, 20L)),
       5L -> ((4L, 30L))))
   }
+
+  test("ppsSample: sum of n_hits is EXACTLY total div step, invariant to " +
+      "partitioning, and heavy docs get multi-hit weights") {
+    import spark.implicits._
+    // one giant doc among many small ones: weights 10..10, then 5000
+    val docs = ((1 to 200).map(i => (i.toLong, 10L)) :+ (201L, 5000L))
+      .toDF("doc_id", "n_chars")
+    val total = 200L * 10 + 5000
+    val nTarget = 20
+    val step = total / nTarget // 350
+    val sel = TextAnalysis.ppsSample(docs, nTarget)
+    assert(sel.agg(sum("n_hits")).head().getLong(0) == total / step,
+      "systematic PPS sample size is exact by construction")
+    val giant = sel.filter(col("doc_id") === 201L).head()
+    assert(giant.getAs[Long]("n_hits") == 5000L / step + 1 ||
+      giant.getAs[Long]("n_hits") == 5000L / step,
+      "a doc heavier than step is drawn ~w/step times")
+    val r1 = sel.orderBy("doc_id").collect().toSeq
+    val r2 = TextAnalysis.ppsSample(docs.repartition(7), nTarget)
+      .orderBy("doc_id").collect().toSeq
+    assert(r1 == r2, "two-level prefix must be bit-identical to sequential")
+    // cum of the last selected row never exceeds the corpus total
+    assert(sel.agg(max("cum")).head().getLong(0) <= total)
+  }
 }
