@@ -1821,6 +1821,22 @@ object OracleSql {
        |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_hits
        |FROM c, t WHERE cum // step - (cum - w) // step > 0""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.fuzzyNearestName]] over `part`:
+    * first-token block, length band, full levenshtein + threshold filter
+    * (value-identical to Spark's early-exit thresholded form on kept rows).
+    */
+  def dedupFuzzy(maxDist: Int, lenBand: Int): String =
+    s"""WITH d AS (SELECT p_partkey AS k, p_name AS nm,
+       |    string_split(p_name,' ')[1] AS w1, length(p_name) AS ln FROM part),
+       |c AS (SELECT a.k AS a, b.k AS b, levenshtein(a.nm, b.nm) AS lv
+       |  FROM d a JOIN d b ON a.w1 = b.w1 AND a.k <> b.k
+       |    AND abs(a.ln - b.ln) <= $lenBand),
+       |f AS (SELECT a, b, lv,
+       |    row_number() OVER (PARTITION BY a ORDER BY lv, b) AS rn
+       |  FROM c WHERE lv <= $maxDist)
+       |SELECT a AS p_partkey, b AS match_key, CAST(lv AS BIGINT) AS dist
+       |FROM f WHERE rn = 1""".stripMargin
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

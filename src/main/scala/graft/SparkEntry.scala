@@ -1902,7 +1902,15 @@ object SparkEntry {
     // is the parallel two-level prefix, never a single-partition window ----
     "doc_sample_pps" -> ((s, dir) =>
       operators.TextAnalysis.ppsSample(
-        Tables.read(s, dir, "documents"), nTarget = 50))
+        Tables.read(s, dir, "documents"), nTarget = 50)),
+
+    // ---- blocked edit-distance record linkage (Dedup.fuzzyNearestName):
+    // each part's nearest other part name by levenshtein, candidates from a
+    // first-token equi-join block + length band — the Fellegi-Sunter
+    // blocking design; never all-pairs, threshold-early-exit refine ----
+    "dedup_fuzzy" -> ((s, dir) =>
+      operators.Dedup.fuzzyNearestName(
+        Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2360,6 +2368,7 @@ object SparkEntry {
     "q_hll" -> OracleSql.qHll(p = 8),
     "q_kmv_overlap" -> OracleSql.qKmvOverlap(k = 128),
     "doc_sample_pps" -> OracleSql.docSamplePps(nTarget = 50),
+    "dedup_fuzzy" -> OracleSql.dedupFuzzy(maxDist = 5, lenBand = 4),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

@@ -114,6 +114,41 @@ object Dedup {
     * identical to the naive all-pairs form.) At 100 TB add a stop-shingle
     * df cap only if skew demands it — it changes semantics.
     */
+  /** Blocked EDIT-DISTANCE record linkage: for every record, its nearest
+    * other record by levenshtein over the name, within a candidate block.
+    * Candidates come from an EQUI-join on the blocking key (first token) —
+    * never an all-pairs comparison — refined by a cheap length band before
+    * the O(len²) distance runs, and Spark's thresholded
+    * `levenshtein(l, r, max)` early-exits rows that can't qualify. Per-left
+    * winner = `row_number` over (distance, key) — deterministic.
+    *
+    * 100 TB notes: the block key bounds the quadratic strictly to within-
+    * block pairs (add a length bucket to the JOIN key — not just the
+    * filter — if a single first-token block skews hot); the thresholded
+    * levenshtein makes the refine linear-ish per pair in practice. This is
+    * the classic dedupe/record-linkage blocking design (Fellegi-Sunter
+    * pipelines), the string-space sibling of the minhash band join.
+    */
+  def fuzzyNearestName(recs: DataFrame, key: String, name: String,
+      maxDist: Int = 5, lenBand: Int = 4): DataFrame = {
+    val d = recs.select(col(key).as("k"), col(name).as("nm"),
+      split(col(name), " ").getItem(0).as("w1"),
+      length(col(name)).as("ln"))
+    val a = d.select(col("k").as("a"), col("nm").as("na"), col("w1"),
+      col("ln").as("la"))
+    val b = d.select(col("k").as("b"), col("nm").as("nb"), col("w1"),
+      col("ln").as("lb"))
+    val cand = a.join(b, Seq("w1"))
+      .filter(col("a") =!= col("b") && abs(col("la") - col("lb")) <= lenBand)
+      .withColumn("lv", levenshtein(col("na"), col("nb"), maxDist))
+      .filter(col("lv").between(0, maxDist))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("lv"), col("b"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a").as(key), col("b").as("match_key"),
+        col("lv").cast("long").as("dist"))
+  }
+
   def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int,
       dfCap: Int = 0): DataFrame = {
     require(thrNum >= 1, "inverted-index form requires a positive threshold")

@@ -393,4 +393,33 @@ class DedupSpec extends SparkSpec {
     assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
+
+  test("fuzzyNearestName: picks the edit-distance argmin within the block, " +
+      "blocks bound the comparison space, equi-join plan") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha betb gamma"),   // lv 1 from #1
+      (3L, "alpha delta gamma"),  // lv 3 from #1 (bet->del)
+      (4L, "omega solo"),         // own block, no partner -> dropped
+      (5L, "zeta one"),
+      (6L, "zeta twelve letters")) // same block as 5 but length band cuts it
+      .toDF("k", "nm")
+    val got = Dedup.fuzzyNearestName(recs, "k", "nm", maxDist = 5, lenBand = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, m, d) => k -> ((m, d)) }.toMap
+    // #1's nearest is #2 at lv 1 (not #3 at lv 2); #3's is #1 (beta->delta
+    // is 2 edits; betb->delta is 3)
+    assert(got(1L) == ((2L, 1L)), s"got $got")
+    assert(got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((1L, 2L)))
+    assert(!got.contains(4L), "singleton blocks emit nothing")
+    assert(!got.contains(5L) && !got.contains(6L),
+      "length band must cut the 8-char-apart pair")
+    // plan: candidates come from an equi-join on the block key, not a
+    // nested loop
+    val plan = Dedup.fuzzyNearestName(recs, "k", "nm")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
