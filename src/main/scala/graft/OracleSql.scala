@@ -1837,6 +1837,23 @@ object OracleSql {
        |SELECT a AS p_partkey, b AS match_key, CAST(lv AS BIGINT) AS dist
        |FROM f WHERE rn = 1""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.paretoFrontier]]: per-level
+    * min cost + running min over strictly higher quality levels.
+    */
+  def docPareto: String = {
+    val allStops = operators.TextAnalysis.Stopwords.map(s => stopHits(s._1)).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks,
+       |    list_distinct(string_split(text,' ')) AS dt FROM documents),
+       |b AS (SELECT doc_id, n_chars, (($allStops) * 1000) // len(toks) AS score FROM t),
+       |l AS (SELECT score, min(n_chars) AS lvl_min FROM b GROUP BY 1),
+       |l2 AS (SELECT score, lvl_min, min(lvl_min) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_higher FROM l)
+       |SELECT b.doc_id, CAST(b.score AS BIGINT) AS score, b.n_chars
+       |FROM b JOIN l2 ON b.score = l2.score
+       |WHERE b.n_chars = l2.lvl_min
+       |  AND (l2.min_higher IS NULL OR b.n_chars < l2.min_higher)""".stripMargin
+  }
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1910,7 +1910,13 @@ object SparkEntry {
     // blocking design; never all-pairs, threshold-early-exit refine ----
     "dedup_fuzzy" -> ((s, dir) =>
       operators.Dedup.fuzzyNearestName(
-        Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name"))
+        Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name")),
+
+    // ---- Pareto frontier over (quality up, cost down) — the non-dominated
+    // document set for multi-objective selection; the only ordered pass
+    // runs over ≤1001 distinct per-mille quality levels, never over docs ----
+    "doc_pareto" -> ((s, dir) =>
+      operators.TextAnalysis.paretoFrontier(Tables.read(s, dir, "documents")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2369,6 +2375,7 @@ object SparkEntry {
     "q_kmv_overlap" -> OracleSql.qKmvOverlap(k = 128),
     "doc_sample_pps" -> OracleSql.docSamplePps(nTarget = 50),
     "dedup_fuzzy" -> OracleSql.dedupFuzzy(maxDist = 5, lenBand = 4),
+    "doc_pareto" -> OracleSql.docPareto,
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

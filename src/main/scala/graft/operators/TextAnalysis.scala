@@ -292,6 +292,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"), col("cum"), col("n_hits"))
   }
 
+  /** Pareto frontier (skyline) over two data-selection objectives:
+    * QUALITY up (integer stopword density per mille — the cheap natural-
+    * language signal) and COST down (n_chars). A document survives iff no
+    * other document is at least as good on both axes and strictly better
+    * on one — the non-dominated set a multi-objective selection policy
+    * actually chooses from, instead of a single hand-tuned weighting.
+    *
+    * 2-D skylines don't need a pairwise dominance join: group to one row
+    * per quality level (min cost), take the running min of cost over
+    * strictly higher levels, and a doc is on the frontier iff it matches
+    * its level minimum and beats every higher level's. The only ordered
+    * pass runs over DISTINCT SCORE LEVELS (≤ 1001 values by construction
+    * — per-mille), not over documents, so the window is bounded metadata
+    * scale and the doc-side work is one groupBy + a broadcast join back.
+    */
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val stops = Stopwords.map(s => stopHits(s._1)).reduce(_ + _)
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      floor((stops * 1000) / nTok).cast("long").as("score"))
+    val lvl = base.groupBy("score").agg(min("n_chars").as("lvl_min"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lvl2 = lvl.withColumn("min_higher", min("lvl_min").over(w))
+    base.join(broadcast(lvl2), Seq("score"))
+      .filter(col("n_chars") === col("lvl_min") &&
+        (col("min_higher").isNull || col("n_chars") < col("min_higher")))
+      .select(col("doc_id"), col("score"), col("n_chars"))
+  }
+
   /** Token counts under BOTH tokenization conventions a data pipeline
     * budgets with: whitespace tokens and a BPE-ish pre-tokenization count —
     * letter runs, digit runs, and single non-alphanumeric marks (the GPT-2

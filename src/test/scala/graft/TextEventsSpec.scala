@@ -683,6 +683,36 @@ class TextEventsSpec extends SparkSpec {
       5L -> ((4L, 30L))))
   }
 
+  test("paretoFrontier keeps exactly the non-dominated (quality, cost) set, " +
+      "including ties, and drops equal-quality-higher-cost docs") {
+    import spark.implicits._
+    val sA = "the a of and to" // 5/5 distinct en stopwords -> score 1000
+    val sB = "the a of and w1" // 4/5 -> 800
+    val sC = "the a w1 w2 w3" // 2/5 -> 400
+    val docs = Seq(
+      (1L, sA, 100L), // dominated by 2 (same quality, more chars)
+      (2L, sA, 90L), // frontier
+      (3L, sB, 50L), // frontier (cheaper than every higher level)
+      (4L, sB, 95L), // dominated by 2 (better quality, fewer chars)
+      (5L, sC, 50L), // dominated by 3 (better quality, equal chars)
+      (6L, sC, 40L), // frontier
+      (7L, sA, 90L)) // exact tie with 2 -> both stay (no strict dominance)
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.paretoFrontier(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 6L, 7L), s"got $got")
+    // cross-check against the O(n^2) dominance definition
+    val pts = Map(1L -> (1000L, 100L), 2L -> (1000L, 90L), 3L -> (800L, 50L),
+      4L -> (800L, 95L), 5L -> (400L, 50L), 6L -> (400L, 40L), 7L -> (1000L, 90L))
+    val brute = pts.keySet.filter { i =>
+      !pts.exists { case (j, (qj, cj)) =>
+        j != i && qj >= pts(i)._1 && cj <= pts(i)._2 &&
+          (qj > pts(i)._1 || cj < pts(i)._2)
+      }
+    }
+    assert(got == brute)
+  }
+
   test("ppsSample: sum of n_hits is EXACTLY total div step, invariant to " +
       "partitioning, and heavy docs get multi-hit weights") {
     import spark.implicits._
