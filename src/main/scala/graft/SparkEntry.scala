@@ -446,6 +446,19 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
     }),
+    // ARBITRARY grouping sets (the general form rollup/cube specialize):
+    // both single-column marginals WITHOUT the pair level — inexpressible
+    // as rollup or cube — plus the grand total; grouping_id disambiguates
+    // a real NULL group value from an aggregated-out column. One Expand +
+    // one shuffle, exactly like rollup — the planner shape is identical ----
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.read(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+    }),
     // full outer join with genuine left-only / both / right-only cases
     // (asymmetric filters force all three); one shuffle on the key — full
     // outer can't broadcast, and this IS the plan shape at any scale
@@ -1974,6 +1987,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q_outer_join" ->
       """WITH c AS (SELECT c_nationkey AS nk, count(DISTINCT c_custkey) AS n_customers
         |  FROM customer WHERE c_nationkey % 3 != 0 GROUP BY 1),
