@@ -475,4 +475,54 @@ object StreamingOps {
           } else Iterator.empty
       }
   }
+
+  final case class HllIn(scope: String, id: Long)
+  final case class HllState(regs: Array[Byte], seen: Long)
+  final case class HllOut(scope: String, n_seen: Long, hll_est: Long,
+      v_zero: Long, denom_x2p33: Long)
+
+  /** Streaming HyperLogLog census (twin of q_hll's batch sketch): per-scope
+    * register state updated in place each micro-batch, emitting the current
+    * estimate. THE streaming-sketch property: state is m = 2^p BYTES per
+    * scope — constant, watermark-free, never grows with the stream — and
+    * because registers are an order- and duplicate-insensitive max, the
+    * final state is bit-identical to the batch [[graft.plans.HllSketch]]
+    * aggregate over the same rows regardless of micro-batch splits
+    * (pinned in StreamingSpec). Estimate arithmetic mirrors
+    * `native.hll_estimate` exactly (same constants, same one-division
+    * form).
+    */
+  def hllStream(rows: Dataset[HllIn], p: Int = 8): Dataset[HllOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    rows.groupByKey(_.scope)
+      .mapGroupsWithState[HllState, HllOut](GroupStateTimeout.NoTimeout) {
+        (scope: String, it: Iterator[HllIn], state: GroupState[HllState]) =>
+          val prev = state.getOption
+          val regs = prev.map(_.regs.clone()).getOrElse(new Array[Byte](m))
+          var seen = prev.map(_.seen).getOrElse(0L)
+          it.foreach { r =>
+            val h = graft.plans.HllSketch.hash32(r.id)
+            val b = (h & (m - 1)).toInt
+            val rho = graft.plans.HllSketch.rho(h >>> p, 32 - p)
+            if (rho > regs(b)) regs(b) = rho.toByte
+            seen += 1
+          }
+          state.update(HllState(regs, seen))
+          var denom = 0L; var zeros = 0L
+          var i = 0
+          while (i < m) {
+            denom += 1L << (33 - regs(i)); if (regs(i) == 0) zeros += 1
+            i += 1
+          }
+          val alpha =
+            if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+            else if (m == 64) 0.709
+            else if (m == 32) 0.697
+            else 0.673
+          val est = math.floor(alpha * m * m * 8589934592.0 / denom + 0.5).toLong
+          HllOut(scope, seen, est, zeros, denom)
+      }
+  }
 }

@@ -524,4 +524,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("streaming HLL registers converge to the batch sketch across " +
+      "micro-batch splits (constant per-scope state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.HllIn
+    val li = Tables.read(spark, sf("0.001"), "lineitem")
+    // batch truth: the native aggregate + relational estimate per flag
+    val batch = li.groupBy(col("l_returnflag").as("scope"))
+      .agg(graft.plans.native.hll_sketch(col("l_orderkey"), p = 8).as("regs"))
+      .select(col("scope"),
+        graft.plans.native.hll_estimate(col("regs"), p = 8).as("est"),
+        graft.plans.native.hll_zeros(col("regs")).as("zeros"),
+        graft.plans.native.hll_denom_x2p33(col("regs")).as("denom"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the same rows in three adversarial micro-batches (reversed order —
+    // register max is order-insensitive, so the final state must not care)
+    val rows = li.select(col("l_returnflag"), col("l_orderkey"))
+      .as[(String, Long)].collect().map(r => HllIn(r._1, r._2)).reverse
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val in = MemoryStream[HllIn]
+    val q = StreamingOps.hllStream(in.toDS()).writeStream.format("memory")
+      .queryName("hll_out").outputMode("update").start()
+    try {
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      // the LAST update per scope (max n_seen) is the converged sketch
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("scope").orderBy(col("n_seen").desc)
+      val got = spark.table("hll_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("scope", "hll_est", "v_zero", "denom_x2p33")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == batch,
+        s"streaming registers diverged from the batch sketch: $got vs $batch")
+    } finally q.stop()
+  }
 }
