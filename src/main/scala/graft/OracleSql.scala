@@ -1854,6 +1854,26 @@ object OracleSql {
        |  AND (l2.min_higher IS NULL OR b.n_chars < l2.min_higher)""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.triangleCensus]]: the
+    * [[simKnnGraph]] edge list as a subquery, triangles enumerated once as
+    * a < b < c, per-node counts + exact ppm clustering coefficients.
+    */
+  def simTriangles(nCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH g AS (SELECT a_id, b_id FROM (${simKnnGraph(nCells, nProbe, k)})),
+       |p AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+       |  FROM g e1 JOIN g e2 ON e2.a_id = e1.b_id),
+       |t AS (SELECT a, b, c FROM p JOIN g e3 ON e3.a_id = p.a AND e3.b_id = p.c),
+       |pn AS (SELECT vec_id, count(*) AS tri FROM (
+       |    SELECT unnest([a, b, c]) AS vec_id FROM t) GROUP BY 1),
+       |dg AS (SELECT vec_id, count(*) AS deg FROM (
+       |    SELECT unnest([a_id, b_id]) AS vec_id FROM g) GROUP BY 1)
+       |SELECT dg.vec_id, CAST(deg AS BIGINT) AS deg,
+       |  CAST(coalesce(tri, 0) AS BIGINT) AS tri,
+       |  CAST(CASE WHEN deg >= 2
+       |       THEN (coalesce(tri, 0) * 2000000) // (deg * (deg - 1))
+       |       ELSE 0 END AS BIGINT) AS clustering_ppm
+       |FROM dg LEFT JOIN pn ON pn.vec_id = dg.vec_id""".stripMargin
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1925,6 +1925,15 @@ object SparkEntry {
       operators.Dedup.fuzzyNearestName(
         Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name")),
 
+    // ---- triangle census over the mutual k-NN graph: per-node triangle
+    // counts + local clustering coefficients (tight-cluster vs hub signal);
+    // degree-bounded by k, so the path join is linear in n ----
+    "sim_triangles" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      operators.Similarity.triangleCensus(emb,
+        operators.Similarity.fixedCentroids(emb, 16))
+    }),
+
     // ---- Pareto frontier over (quality up, cost down) — the non-dominated
     // document set for multi-objective selection; the only ordered pass
     // runs over ≤1001 distinct per-mille quality levels, never over docs ----
@@ -2236,6 +2245,7 @@ object SparkEntry {
     "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16,
       thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
+    "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),

@@ -304,6 +304,52 @@ object Similarity {
         col("rnk_ba").cast("long").as("rnk_ba"))
   }
 
+  /** Triangle census over a canonical (a < b) undirected edge list: every
+    * triangle enumerated exactly once as a < b < c via two equi-joins
+    * (path a→b→c, then the closing a→c edge), per-node triangle counts and
+    * the local clustering coefficient in exact ppm integers. Factored out
+    * of [[triangleCensus]] so the core is unit-testable on a hand-built
+    * graph.
+    */
+  def trianglesFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a_id"), col("b_id"))
+    val p = e.as("e1").join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
+        col("e2.b_id").as("c"))
+    val tri = p.join(e.as("e3"),
+        col("a") === col("e3.a_id") && col("c") === col("e3.b_id"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("tri"))
+    val deg = e.select(explode(array(col("a_id"), col("b_id"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr("(coalesce(tri, CAST(0 AS BIGINT)) * 2000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
+  /** Triangle counting + local clustering coefficients over the mutual
+    * k-NN graph — the cohesion signal that separates tight semantic
+    * clusters (high coefficient: neighbors also know each other — dup-like
+    * regions SemDeDup should collapse) from hub-like diversity. Scale: the
+    * mutual k-NN graph is DEGREE-BOUNDED by k, so the path join emits at
+    * most n·k² rows and the whole census is linear in n — the reason
+    * triangle counting on k-NN graphs scales where general-graph triangle
+    * counting needs degree-ordering tricks. The edge list is checkpointed
+    * once (consumed by three joins under different keys).
+    */
+  def triangleCensus(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4): DataFrame = {
+    val edges = knnGraph(emb, centroids, nProbe, k)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = true)
+    trianglesFromEdges(edges)
+  }
+
   /** Integer fixed-point PageRank over the [[knnGraph]] mutual k-NN edges —
     * the centrality signal that picks REPRESENTATIVE documents per semantic
     * neighborhood (high rank = endorsed by many well-connected neighbors),

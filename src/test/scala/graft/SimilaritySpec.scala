@@ -410,4 +410,24 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.filter((0 until 8).map(s => col(s"c$s") < 0 || col(s"c$s") >= 16)
       .reduce(_ || _)).count() == 0)
   }
+
+  test("trianglesFromEdges: K4 + pendant — exact counts, coefficients, " +
+      "and each triangle counted once") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (a<b canonical) plus pendant edge 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Similarity.trianglesFromEdges(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // K4: 4 triangles total, each node in 3 of them; nodes 1-3 have deg 3
+    // (coeff 3/(3·2/2) = 1.0), node 4 deg 4 (coeff 3/6 = 0.5), node 5 deg 1
+    assert(got(1L) == ((3L, 3L, 1000000L)), s"got $got")
+    assert(got(2L) == ((3L, 3L, 1000000L)))
+    assert(got(3L) == ((3L, 3L, 1000000L)))
+    assert(got(4L) == ((4L, 3L, 500000L)))
+    assert(got(5L) == ((1L, 0L, 0L)))
+    // total triangle count: sum(tri) = 3 · #triangles
+    assert(got.values.map(_._2).sum == 3 * 4)
+  }
 }
