@@ -1854,6 +1854,46 @@ object OracleSql {
        |  AND (l2.min_higher IS NULL OR b.n_chars < l2.min_higher)""".stripMargin
   }
 
+  /** Mirror of graft's transparent Bloom filter (`plans.BloomSketch`) over
+    * per-source distinct shingle ids: the dual avalanche chains (h1 from
+    * id, h2 from id + 2^32/phi) unrolled as CTE layers, Kirsch-
+    * Mitzenmacher bit positions, 32-bit words rebuilt with `bit_or`, and a
+    * source × word spine so empty words emit as zero exactly like Spark's
+    * posexplode of the full array.
+    */
+  def qBloomSketch(mBits: Int, k: Int, n: Int = 3): String = {
+    val kOff = graft.plans.BloomSketch.H2Offset
+    def mulLayer(c: String) =
+      s"CAST((CAST(a AS HUGEINT) * $c) % 4294967296 AS BIGINT) AS a, " +
+        s"CAST((CAST(b AS HUGEINT) * $c) % 4294967296 AS BIGINT) AS b"
+    def xorLayer(sh: Int) =
+      s"xor(a, a >> $sh) AS a, xor(b, b >> $sh) AS b"
+    s"""WITH tk AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+       |tok AS (SELECT DISTINCT source, ${tokenId("g")} AS id FROM
+       |    (SELECT source, unnest(${shingles("toks", n)}) AS g FROM tk)),
+       |j0 AS (SELECT source, xor(id, id >> 32) % 4294967296 AS a,
+       |    xor(id + $kOff, (id + $kOff) >> 32) % 4294967296 AS b FROM tok),
+       |j1 AS (SELECT source, ${mulLayer("2654435761")} FROM j0),
+       |j2 AS (SELECT source, ${xorLayer(16)} FROM j1),
+       |j3 AS (SELECT source, ${mulLayer("2246822519")} FROM j2),
+       |j4 AS (SELECT source, ${xorLayer(13)} FROM j3),
+       |j5 AS (SELECT source, ${mulLayer("3266489917")} FROM j4),
+       |j6 AS (SELECT source, ${xorLayer(16)} FROM j5),
+       |hx AS (SELECT source, a AS h1, b | 1 AS h2 FROM j6),
+       |bits AS (SELECT DISTINCT source,
+       |    ((h1 + i * h2) % 4294967296) % $mBits AS bit
+       |  FROM hx, range($k) r(i)),
+       |words AS (SELECT source, bit // 32 AS w,
+       |    bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS word
+       |  FROM bits GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT source FROM tok),
+       |allw AS (SELECT s.source, r.i AS w FROM spine s, range(${mBits / 32}) r(i))
+       |SELECT a.source, CAST(a.w AS BIGINT) AS w,
+       |  CAST(coalesce(words.word, 0) AS BIGINT) AS word,
+       |  CAST(bit_count(coalesce(words.word, 0)) AS BIGINT) AS n_bits
+       |FROM allw a LEFT JOIN words ON words.source = a.source AND words.w = a.w""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Similarity.triangleCensus]]: the
     * [[simKnnGraph]] edge list as a subquery, triangles enumerated once as
     * a < b < c, per-node counts + exact ppm clustering coefficients.

@@ -1934,6 +1934,24 @@ object SparkEntry {
         operators.Similarity.fixedCentroids(emb, 16))
     }),
 
+    // ---- transparent Bloom filter state (plans.BloomSketch — the
+    // membership sketch next to CMS/HLL/KMV): per-source filters over
+    // distinct shingle ids, emitted as 32-bit words so the DuckDB oracle
+    // rebuilds the EXACT bit state with integer SQL; the codegen'd
+    // BloomMightContain probe is pinned in SketchesSpec (no false
+    // negatives, measured FP rate, interpreted ≡ codegen) ----
+    "q_bloom_sketch" -> ((s, dir) => {
+      val tok = Tables.read(s, dir, "documents")
+        .select(col("source"),
+          explode(plans.native.shingle_ids(col("text"), 3)).as("id"))
+        .distinct()
+      tok.groupBy("source")
+        .agg(plans.native.bloom_sketch(col("id"), mBits = 1024, k = 3).as("bf"))
+        .select(col("source"), posexplode(col("bf")).as(Seq("w", "word")))
+        .select(col("source"), col("w").cast("long").as("w"), col("word"),
+          bit_count(col("word")).cast("long").as("n_bits"))
+    }),
+
     // ---- Pareto frontier over (quality up, cost down) — the non-dominated
     // document set for multi-objective selection; the only ordered pass
     // runs over ≤1001 distinct per-mille quality levels, never over docs ----
@@ -2404,6 +2422,7 @@ object SparkEntry {
     "doc_sample_pps" -> OracleSql.docSamplePps(nTarget = 50),
     "dedup_fuzzy" -> OracleSql.dedupFuzzy(maxDist = 5, lenBand = 4),
     "doc_pareto" -> OracleSql.docPareto,
+    "q_bloom_sketch" -> OracleSql.qBloomSketch(mBits = 1024, k = 3),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

@@ -246,6 +246,21 @@ object native {
     floor(lit(c) / hll_denom_x2p33(regs).cast("double") + lit(0.5)).cast("long")
   }
 
+  /** Bloom filter aggregate over nonnegative bigint ids (see
+    * [[BloomSketch]]): mBits/32 longs of 32-bit words, merged by OR.
+    */
+  def bloom_sketch(id: Column, mBits: Int = 1024, k: Int = 3): Column =
+    GraftColumnShim.column(
+      BloomSketch(GraftColumnShim.expression(id), mBits, k).toAggregateExpression())
+
+  /** Codegen'd membership probe against a [[BloomSketch]] word array —
+    * true iff all k bits are set; geometry must match the sketch's.
+    */
+  def bloom_might_contain(words: Column, id: Column,
+      mBits: Int = 1024, k: Int = 3): Column =
+    GraftColumnShim.column(BloomMightContain(
+      GraftColumnShim.expression(words), GraftColumnShim.expression(id), mBits, k))
+
   /** The silhouette pair stage as one codegen'd pass (see [[PairDistStats]]);
     * the sample rides in the plan, value-identical to the O(n²) pair join.
     */

@@ -53,6 +53,48 @@ class SketchesSpec extends SparkSpec {
       s"expected the native two-phase top-k in:\n$plan")
   }
 
+  test("bloom_sketch: no false negatives, measured FP near the design rate, " +
+      "partitioning-invariant OR-merge, probe inlines in codegen") {
+    import spark.implicits._
+    import graft.plans.native
+    val members = (1L to 600L).toDF("id")
+    val bf = members.repartition(7)
+      .agg(native.bloom_sketch(col("id"), mBits = 8192, k = 3).as("bf"))
+    val bf2 = members.repartition(2)
+      .agg(native.bloom_sketch(col("id"), mBits = 8192, k = 3).as("bf"))
+    assert(bf.head().getSeq[Long](0) == bf2.head().getSeq[Long](0),
+      "OR-merge must be partitioning-invariant")
+    // every word is a 32-bit value (the portable-layout contract)
+    assert(bf.head().getSeq[Long](0).forall(w => w >= 0 && w < (1L << 32)))
+    // no false negatives: every member must probe true
+    val probed = members.crossJoin(broadcast(bf))
+      .select(native.bloom_might_contain(col("bf"), col("id"),
+        mBits = 8192, k = 3).as("hit"))
+    assert(probed.filter(!col("hit")).count() == 0, "bloom lost a member")
+    // measured FP on 10k non-members vs design rate (1-e^{-kn/m})^k ≈ 0.85%
+    val non = (100001L to 110000L).toDF("id")
+    val fp = non.crossJoin(broadcast(bf))
+      .select(native.bloom_might_contain(col("bf"), col("id"),
+        mBits = 8192, k = 3).as("hit"))
+      .filter(col("hit")).count()
+    assert(fp < 10000 * 0.03, s"FP rate ${fp / 10000.0} way above design 0.0085")
+    // interpreted eval == codegen'd eval on the same rows
+    val words = bf.head().getSeq[Long](0).toArray
+    val expected = (99990L to 100010L).map { x =>
+      val probe = graft.plans.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          words, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)),
+        org.apache.spark.sql.catalyst.expressions.Literal(x), 8192, 3)
+      probe.eval(null).asInstanceOf[Boolean]
+    }
+    val viaPlan = (99990L to 100010L).toDF("id").crossJoin(broadcast(bf))
+      .select(col("id"), native.bloom_might_contain(col("bf"), col("id"),
+        mBits = 8192, k = 3).as("hit"))
+      .orderBy("id").as[(Long, Boolean)].collect().map(_._2).toSeq
+    assert(viaPlan == expected)
+  }
+
   test("sketch pair stats are deterministic across partitionings") {
     val docs = Seq(
       ("A", tokenText(1, 800)), ("B", tokenText(400, 1200)),
