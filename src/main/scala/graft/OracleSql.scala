@@ -1745,26 +1745,9 @@ object OracleSql {
     */
   def qHll(p: Int): String = {
     val m = 1 << p
-    val w1 = 32 - p + 1 // rho for a zero remainder
-    val c = s"0.7213/(1.0 + 1.079/$m.0) * $m * $m * 8589934592"
-    s"""WITH b AS (SELECT l_returnflag AS scope, l_orderkey AS x FROM lineitem),
-       |h0 AS (SELECT scope, xor(x, x >> 32) % 4294967296 AS h FROM b),
-       |h1 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h FROM h0),
-       |h2 AS (SELECT scope, xor(h, h >> 16) AS h FROM h1),
-       |h3 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS h FROM h2),
-       |h4 AS (SELECT scope, xor(h, h >> 13) AS h FROM h3),
-       |h5 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS h FROM h4),
-       |h6 AS (SELECT scope, xor(h, h >> 16) AS h FROM h5),
-       |rr AS (SELECT scope, h & ${m - 1} AS bucket,
-       |    $w1 - (CASE WHEN (h >> $p) = 0 THEN 0
-       |               ELSE length(printf('%b', h >> $p)) END) AS rho
-       |  FROM h6),
-       |reg AS (SELECT scope, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
-       |sk AS (SELECT scope,
-       |    CAST(sum(1::BIGINT << (33 - r)) + ($m - count(*)) * 8589934592 AS BIGINT) AS denom_x2p33,
-       |    $m - count(*) AS v_zero
-       |  FROM reg GROUP BY 1),
-       |ex AS (SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS n_exact
+    val c = hllEstConst(p)
+    s"WITH ${hllRegisterCtes(p)},\n" +
+      s"""ex AS (SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS n_exact
        |  FROM lineitem GROUP BY 1),
        |flag AS (SELECT sk.scope, ex.n_exact,
        |    CAST(floor($c / denom_x2p33 + 0.5) AS BIGINT) AS hll_est,
@@ -1781,6 +1764,51 @@ object OracleSql {
        |    CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33
        |  FROM ska, exa)
        |SELECT * FROM flag UNION ALL SELECT * FROM allr""".stripMargin
+  }
+
+  /** The sketch-lake twin: the SAME per-scope registers/estimates as
+    * [[qHll]]'s flag rows, derived only from register state (no exact
+    * column) — what a rollup over persisted sketches must reproduce.
+    */
+  def qHllLake(p: Int): String = {
+    val c = hllEstConst(p)
+    s"WITH ${hllRegisterCtes(p)}\n" +
+      s"""SELECT scope, CAST(floor($c / denom_x2p33 + 0.5) AS BIGINT) AS hll_est,
+       |  CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33 FROM sk""".stripMargin
+  }
+
+  /** alpha_m · m² · 2^33 as the literal expression both engines evaluate
+    * identically (only alpha's own rounding; m and 2^33 shift exponents).
+    */
+  private def hllEstConst(p: Int): String = {
+    val m = 1 << p
+    s"0.7213/(1.0 + 1.079/$m.0) * $m * $m * 8589934592"
+  }
+
+  /** The shared register-replay CTE chain ending in
+    * `sk(scope, denom_x2p33, v_zero)` (with `rr` exposed for merged-ALL
+    * consumers) — see [[qHll]]'s scaladoc for the arithmetic contract.
+    */
+  private def hllRegisterCtes(p: Int): String = {
+    val m = 1 << p
+    val w1 = 32 - p + 1 // rho for a zero remainder
+    s"""b AS (SELECT l_returnflag AS scope, l_orderkey AS x FROM lineitem),
+       |h0 AS (SELECT scope, xor(x, x >> 32) % 4294967296 AS h FROM b),
+       |h1 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h FROM h0),
+       |h2 AS (SELECT scope, xor(h, h >> 16) AS h FROM h1),
+       |h3 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS h FROM h2),
+       |h4 AS (SELECT scope, xor(h, h >> 13) AS h FROM h3),
+       |h5 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS h FROM h4),
+       |h6 AS (SELECT scope, xor(h, h >> 16) AS h FROM h5),
+       |rr AS (SELECT scope, h & ${m - 1} AS bucket,
+       |    $w1 - (CASE WHEN (h >> $p) = 0 THEN 0
+       |               ELSE length(printf('%b', h >> $p)) END) AS rho
+       |  FROM h6),
+       |reg AS (SELECT scope, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+       |sk AS (SELECT scope,
+       |    CAST(sum(1::BIGINT << (33 - r)) + ($m - count(*)) * 8589934592 AS BIGINT) AS denom_x2p33,
+       |    $m - count(*) AS v_zero
+       |  FROM reg GROUP BY 1)""".stripMargin
   }
 
   /** Mirror of [[graft.operators.Sketches.kmvSourceOverlap]]: bottom-k

@@ -446,6 +446,15 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
     }),
+    // long→wide pivot with PINNED output columns (the RelationalGroupedDataset
+    // .pivot API — the dynamic-column sibling of km_pivot_viz's manual
+    // when/otherwise pivot); explicit value list keeps the schema static,
+    // which is what a 100 TB plan needs (no value-discovery pre-scan) ----
+    "q_pivot" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))),
     // ARBITRARY grouping sets (the general form rollup/cube specialize):
     // both single-column marginals WITHOUT the pair level — inexpressible
     // as rollup or cube — plus the grand total; grouping_id disambiguates
@@ -1934,6 +1943,31 @@ object SparkEntry {
         operators.Similarity.fixedCentroids(emb, 16))
     }),
 
+    // ---- the sketch LAKE: per-(scope, ingest-slice) HLL registers
+    // materialized to parquet, then the scope rollup computed from the
+    // PERSISTED sketches alone — registers survive serialization and merge
+    // by max across slices, so incremental ingest writes tiny sketch rows
+    // and rollups never rescan the fact table. Oracle = the same per-scope
+    // estimates derived from raw rows (merge exactness is the contract) ----
+    "q_hll_persisted" -> ((s, dir) => {
+      val out = taggedTmpPath("graft_hll_lake", dirTag(dir))
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("scope"), (col("l_orderkey") % 8).as("slice"))
+        .agg(plans.native.hll_sketch(col("l_orderkey"), p = 8).as("regs"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("scope"), posexplode(col("regs")).as(Seq("i", "r")))
+        .groupBy("scope", "i").agg(max(col("r")).as("r"))
+        .groupBy("scope")
+        .agg(array_sort(collect_list(struct(col("i"), col("r")))).as("pairs"))
+        .select(col("scope"),
+          transform(col("pairs"), x => x.getField("r")).as("regs"))
+        .select(col("scope"),
+          plans.native.hll_estimate(col("regs"), p = 8).as("hll_est"),
+          plans.native.hll_zeros(col("regs")).as("v_zero"),
+          plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
+    }),
+
     // ---- transparent Bloom filter state (plans.BloomSketch — the
     // membership sketch next to CMS/HLL/KMV): per-source filters over
     // distinct shingle ids, emitted as 32-bit words so the DuckDB oracle
@@ -2014,6 +2048,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
@@ -2423,6 +2463,7 @@ object SparkEntry {
     "dedup_fuzzy" -> OracleSql.dedupFuzzy(maxDist = 5, lenBand = 4),
     "doc_pareto" -> OracleSql.docPareto,
     "q_bloom_sketch" -> OracleSql.qBloomSketch(mBits = 1024, k = 3),
+    "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,
