@@ -646,4 +646,57 @@ class PropertySpec extends SparkSpec {
       "keys tombstoned at or before the compaction point must leave the base")
     assert(compacted.count() < log.count())
   }
+
+  test("ppsSample: sum(n_hits) == total div step on random weight profiles") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val weightGen: Gen[Seq[Long]] = for {
+      n <- Gen.choose(5, 60)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 3000L))
+    } yield ws
+    samples(weightGen, 12).zipWithIndex.foreach { case (ws, ix) =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong + 1, w) }
+        .toDF("doc_id", "n_chars")
+      val total = ws.sum
+      val nTarget = 7
+      val step = math.max(1L, total / nTarget)
+      val sel = graft.operators.TextAnalysis.ppsSample(docs, nTarget)
+      val hits = sel.agg(fsum("n_hits")).head().getLong(0)
+      assert(hits == total / step,
+        s"[sample $ix] sum(n_hits)=$hits != ${total / step} (total=$total)")
+      // every selected doc's interval really contains a multiple of step
+      val bad = sel.filter(
+        !(col("cum").divide(step).cast("long") >
+          (col("cum") - col("n_chars")).divide(step).cast("long"))).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("bloom sketch on random id sets: members always probe true; " +
+      "union-of-slices == sketch-of-union") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.native
+    val setGen: Gen[Seq[Long]] = for {
+      n <- Gen.choose(10, 200)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+    } yield ids
+    samples(setGen, 8).foreach { ids =>
+      val df = ids.zipWithIndex.map { case (x, i) => (x, i % 3) }.toDF("id", "g")
+      val whole = df.agg(native.bloom_sketch(col("id"), 512, 3)).head().getSeq[Long](0)
+      // OR of per-slice filters == the whole-set filter
+      val sliced = df.groupBy("g").agg(native.bloom_sketch(col("id"), 512, 3).as("bf"))
+        .collect().map(_.getSeq[Long](1))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
+      assert(sliced == whole, "per-slice OR must equal the union sketch")
+      // no false negatives, via the interpreted expression directly
+      val arr = whole.toArray
+      ids.foreach { x =>
+        val probe = graft.plans.BloomMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            arr, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false)),
+          org.apache.spark.sql.catalyst.expressions.Literal(x), 512, 3)
+        assert(probe.eval(null) == true, s"member $x probed false")
+      }
+    }
+  }
 }
