@@ -39,7 +39,12 @@ object Sketches {
       .select(col("source"), explode(native.shingle_ids(col("text"), n)).as("id"))
       .distinct()
     val sk = TopK.perGroup(tok, Seq("source"), Seq(("id", false)), k, rankName = "rn")
+    // materialize the S-row sketch relation ONCE: both sides of the pair
+    // join consume it, and without the boundary each side would re-run the
+    // corpus-scale distinct + top-k stage (visible as two full subtrees in
+    // the physical plan)
     val arr = sk.groupBy("source").agg(array_sort(collect_list(col("id"))).as("ids"))
+      .localCheckpoint(eager = true)
     val a = arr.select(col("source").as("src_a"), col("ids").as("ia"))
     val b = arr.select(col("source").as("src_b"), col("ids").as("ib"))
     // sketch-sized sides by contract (S sources × ≤k longs): the inequality

