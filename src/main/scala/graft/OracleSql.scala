@@ -1853,11 +1853,12 @@ object OracleSql {
     * first-token block, length band, full levenshtein + threshold filter
     * (value-identical to Spark's early-exit thresholded form on kept rows).
     */
-  def dedupFuzzy(maxDist: Int, lenBand: Int): String =
+  def dedupFuzzy(maxDist: Int, lenBand: Int, blockTokens: Int = 2): String =
     s"""WITH d AS (SELECT p_partkey AS k, p_name AS nm,
-       |    string_split(p_name,' ')[1] AS w1, length(p_name) AS ln FROM part),
+       |    array_to_string(list_slice(string_split(p_name,' '), 1, $blockTokens), ' ') AS blk,
+       |    length(p_name) AS ln FROM part),
        |c AS (SELECT a.k AS a, b.k AS b, levenshtein(a.nm, b.nm) AS lv
-       |  FROM d a JOIN d b ON a.w1 = b.w1 AND a.k <> b.k
+       |  FROM d a JOIN d b ON a.blk = b.blk AND a.k <> b.k
        |    AND abs(a.ln - b.ln) <= $lenBand),
        |f AS (SELECT a, b, lv,
        |    row_number() OVER (PARTITION BY a ORDER BY lv, b) AS rn

@@ -1928,11 +1928,12 @@ object SparkEntry {
 
     // ---- blocked edit-distance record linkage (Dedup.fuzzyNearestName):
     // each part's nearest other part name by levenshtein, candidates from a
-    // first-token equi-join block + length band — the Fellegi-Sunter
-    // blocking design; never all-pairs, threshold-early-exit refine ----
+    // first-TWO-words equi-join block + length band — the Fellegi-Sunter
+    // blocking design; never all-pairs, tail-only threshold refine ----
     "dedup_fuzzy" -> ((s, dir) =>
       operators.Dedup.fuzzyNearestName(
-        Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name")),
+        Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name",
+        blockTokens = 2)),
 
     // ---- triangle census over the mutual k-NN graph: per-node triangle
     // counts + local clustering coefficients (tight-cluster vs hub signal);

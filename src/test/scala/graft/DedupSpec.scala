@@ -421,5 +421,21 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.fuzzyNearestName(recs, "k", "nm")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // blockTokens=2: partners must share the first TWO words verbatim, and
+    // the tail-only distance equals the full-name distance (identical-
+    // prefix invariance lev(P·x, P·y) = lev(x, y))
+    val recs2 = Seq(
+      (1L, "alpha beta gamma one"),
+      (2L, "alpha beta gamma twe"), // full-name lv 2 from #1 (o->t, n->w)
+      (3L, "alpha beta delta one"), // full-name lv 4 from #1
+      (4L, "alpha zeta gamma one")) // different 2nd word -> own block
+      .toDF("k", "nm")
+    val got2 = Dedup.fuzzyNearestName(recs2, "k", "nm",
+        maxDist = 5, lenBand = 4, blockTokens = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, m, d) => k -> ((m, d)) }.toMap
+    assert(got2(1L) == ((2L, 2L)), s"got $got2")
+    assert(got2(3L) == ((1L, 4L)))
+    assert(!got2.contains(4L), "a different second word must block apart")
   }
 }
