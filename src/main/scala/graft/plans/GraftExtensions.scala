@@ -65,6 +65,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketch(exprs(0), GraftExtensions.intArg(exprs(1), "hll_sketch"))
           .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomSketch].getName, "bloom_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomSketch(exprs(0), GraftExtensions.intArg(exprs(1), "bloom_sketch"),
+          GraftExtensions.intArg(exprs(2), "bloom_sketch"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(exprs(0), exprs(1),
+          GraftExtensions.intArg(exprs(2), "bloom_might_contain"),
+          GraftExtensions.intArg(exprs(3), "bloom_might_contain"))))
   }
 }
 
@@ -107,6 +123,17 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction(
       "hll_sketch",
       exprs => HllSketch(exprs(0), intArg(exprs(1), "hll_sketch")).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_sketch",
+      exprs => BloomSketch(exprs(0), intArg(exprs(1), "bloom_sketch"),
+        intArg(exprs(2), "bloom_sketch")).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1),
+        intArg(exprs(2), "bloom_might_contain"),
+        intArg(exprs(3), "bloom_might_contain")),
       "built-in")
   }
 }

@@ -647,6 +647,39 @@ class PropertySpec extends SparkSpec {
     assert(compacted.count() < log.count())
   }
 
+  test("trianglesFromEdges equals the O(n^3) brute force on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val graphGen: Gen[Set[(Long, Long)]] = for {
+      n <- Gen.choose(4, 12)
+      density <- Gen.choose(1, 3)
+      edges <- Gen.listOfN(n * density,
+        Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+    } yield edges.collect {
+      case (a, b) if a < b => (a, b)
+      case (a, b) if b < a => (b, a)
+    }.toSet
+    samples(graphGen, 10).filter(_.nonEmpty).foreach { es =>
+      val got = graft.operators.Similarity
+        .trianglesFromEdges(es.toSeq.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2))
+      val deg = nodes.map(v => v -> es.count(e => e._1 == v || e._2 == v)).toMap
+      val tris = for {
+        a <- nodes; b <- nodes; c <- nodes
+        if a < b && b < c && es((a, b)) && es((b, c)) && es((a, c))
+      } yield (a, b, c)
+      val triPer = nodes.map(v =>
+        v -> tris.count(t => t._1 == v || t._2 == v || t._3 == v).toLong).toMap
+      nodes.foreach { v =>
+        val (d, t, coeff) = got(v)
+        assert(d == deg(v) && t == triPer(v), s"node $v: got $d/$t want ${deg(v)}/${triPer(v)}")
+        val want = if (deg(v) >= 2) t * 2000000L / (d * (d - 1)) else 0L
+        assert(coeff == want)
+      }
+    }
+  }
+
   test("ppsSample: sum(n_hits) == total div step on random weight profiles") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val weightGen: Gen[Seq[Long]] = for {

@@ -101,6 +101,26 @@ class SketchesSpec extends SparkSpec {
     assert(viaPlan == expected)
   }
 
+  test("bloom SQL surface: bloom_sketch / bloom_might_contain by name " +
+      "match the Column API") {
+    import spark.implicits._
+    import graft.plans.native
+    graft.plans.GraftExtensions.register(spark)
+    (1L to 50L).toDF("id").createOrReplaceTempView("bloom_ids")
+    val viaSql = spark.sql(
+      "SELECT bloom_sketch(id, 256, 3) AS bf FROM bloom_ids")
+      .head().getSeq[Long](0)
+    val viaCol = (1L to 50L).toDF("id")
+      .agg(native.bloom_sketch(col("id"), 256, 3)).head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+    val hits = spark.sql(
+      """SELECT count(*) FROM bloom_ids b,
+        |  (SELECT bloom_sketch(id, 256, 3) AS bf FROM bloom_ids) s
+        |WHERE bloom_might_contain(s.bf, b.id, 256, 3)""".stripMargin)
+      .head().getLong(0)
+    assert(hits == 50L, "every member must probe true through the SQL name")
+  }
+
   test("sketch pair stats are deterministic across partitionings") {
     val docs = Seq(
       ("A", tokenText(1, 800)), ("B", tokenText(400, 1200)),
