@@ -476,6 +476,27 @@ object StreamingOps {
       }
   }
 
+  /** Streaming Bloom ingest gate: probe each arriving document's shingle
+    * ids against a STATIC filter (built offline from a blocklist /
+    * benchmark corpus — `native.bloom_sketch` collected to k words) and
+    * count hits. Stateless per-row projection — the codegen'd
+    * [[graft.plans.BloomMightContain]] rides inside a `filter` HOF over
+    * the shingles, so the gate costs no state, no watermark, and no join:
+    * the O(1)-memory decontamination-at-ingest shape (flags are a
+    * SUPERSET of true overlaps — no false negatives, FPs at the filter's
+    * design rate; route flagged docs to the exact n-gram check,
+    * `dedup_decontaminate`, downstream).
+    */
+  def bloomGateStream(docs: DataFrame, bloom: Seq[Long],
+      mBits: Int = 1024, k: Int = 3, n: Int = 3, minHits: Int = 1): DataFrame = {
+    import graft.plans.native
+    val ids = native.shingle_ids(col("text"), n)
+    val hits = size(filter(ids,
+      id => native.bloom_might_contain(typedlit(bloom), id, mBits, k)))
+    docs.select(col("doc_id"), hits.cast("long").as("n_hits"))
+      .withColumn("flagged", col("n_hits") >= minHits)
+  }
+
   final case class HllIn(scope: String, id: Long)
   final case class HllState(regs: Array[Byte], seen: Long)
   final case class HllOut(scope: String, n_seen: Long, hll_est: Long,

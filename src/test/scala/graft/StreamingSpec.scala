@@ -525,6 +525,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom ingest gate: flags every true overlap (no false " +
+      "negatives), equals the batch projection, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.native
+    // offline: a bloom over the benchmark corpus's shingles
+    val bench = Seq((100L, "the quick brown fox ran")).toDF("doc_id", "text")
+    val bloom = bench
+      .select(explode(native.shingle_ids(col("text"), 3)).as("id"))
+      .agg(native.bloom_sketch(col("id"), 1024, 3)).head().getSeq[Long](0)
+    val rows = Seq(
+      (1L, "a the quick brown fox ran away"), // shares shingles -> flagged
+      (2L, "totally different words entirely here"), // clean
+      (3L, "the quick brown dog ran")) // shares "the quick brown"
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.bloomGateStream(
+      in.toDF().toDF("doc_id", "text"), bloom)
+    val q = out.writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_gate")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // stream == batch (same stateless projection)
+      val batch = StreamingOps.bloomGateStream(rows.toDF("doc_id", "text"), bloom)
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+      // no false negatives: docs 1 and 3 truly share benchmark shingles
+      assert(got(1L)._2 && got(3L)._2, s"got $got")
+      // FPs are possible but doc 2 shares nothing and a 1024-bit filter
+      // holding 3 shingles makes a 3-gram FP astronomically unlikely
+      assert(!got(2L)._2)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch across " +
       "micro-batch splits (constant per-scope state)") {
     implicit val sqlCtx = spark.sqlContext
