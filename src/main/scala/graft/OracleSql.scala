@@ -1159,6 +1159,33 @@ object OracleSql {
        |  $joins""".stripMargin
   }
 
+  /** Mirror of `text_heavy_hitters`: the [[textCms]] bucket replay, a
+    * sketch-derived threshold N/64 + 1, estimate-gated candidates, exact
+    * verification — identical to Spark's two-scan shape.
+    */
+  def textHeavyHitters(w: Int, d: Int, den: Int): String = {
+    import graft.plans.CmsSketch.{A, B, P}
+    val bks = (0 until d).map { i =>
+      s"b$i AS (SELECT ((id*CAST(${A(i)} AS BIGINT)+${B(i)}) % $P) % $w AS bk, count(*) AS c FROM ids GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until d).map { i =>
+      s"JOIN b$i ON b$i.bk = ((t.id*CAST(${A(i)} AS BIGINT)+${B(i)}) % $P) % $w"
+    }.mkString("\n  ")
+    val leasts = (0 until d).map(i => s"b$i.c").mkString("least(", ", ", ")")
+    s"""WITH ids AS (SELECT unnest(list_transform(string_split(text, ' '), s -> ${tokenId("s")})) AS id
+       |  FROM documents),
+       |$bks,
+       |thr AS (SELECT count(*) // $den + 1 AS thr FROM ids),
+       |tt AS (SELECT token, ${tokenId("token")} AS id, count(*) AS cnt FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |e AS (SELECT t.token, t.id, t.cnt, $leasts AS est
+       |  FROM tt t
+       |  $joins)
+       |SELECT token, CAST(id AS BIGINT) AS id, cnt, est, CAST(thr AS BIGINT) AS thr
+       |FROM e, thr WHERE est >= thr AND cnt >= thr""".stripMargin
+  }
+
   /** Mirror of the `pipeline_corpus` composition: [[pipelineClean]]'s kept
     * representatives, then the `doc_pack` per-lang prefix-sum packing over
     * exactly those docs.

@@ -1987,6 +1987,30 @@ object SparkEntry {
           bit_count(col("word")).cast("long").as("n_bits"))
     }),
 
+    // ---- epsilon-heavy-hitters by CMS gate + exact verify: scan 1 builds
+    // the count-min matrix (whose row sums carry N for free, so the
+    // threshold N/64 is sketch-derived); scan 2 gates every token on its
+    // CMS estimate BEFORE the shuffle — only heavy candidates (plus the
+    // sketch's one-sided false positives) ever shuffle — and the exact
+    // group count kills the FPs. No false negatives: est >= true count
+    // always, so every true heavy hitter survives the gate ----
+    "text_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val ids = docs.select(plans.native.token_ids(col("text")).as("ids"))
+      val sk = ids.agg(plans.native.cms_sketch(col("ids"), 1024, 4).as("cms"))
+        .withColumn("thr",
+          expr("aggregate(slice(cms, 1, 1024), CAST(0 AS BIGINT), (a, x) -> a + x) div 64 + 1"))
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .crossJoin(broadcast(sk))
+        .withColumn("id", plans.native.poly_hash(col("token")))
+        .withColumn("est", plans.native.cms_estimate(col("cms"), col("id")))
+        .filter(col("est") >= col("thr"))
+        .groupBy("token", "id", "est", "thr")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("token"), col("id"), col("cnt"), col("est"), col("thr"))
+    }),
+
     // ---- Pareto frontier over (quality up, cost down) — the non-dominated
     // document set for multi-objective selection; the only ordered pass
     // runs over ≤1001 distinct per-mille quality levels, never over docs ----
@@ -2328,6 +2352,7 @@ object SparkEntry {
     "text_langid" -> OracleSql.textLangId,
     "text_langid_ngram" -> OracleSql.textLangIdNgram,
     "text_cms" -> OracleSql.textCms(w = 1024, d = 4),
+    "text_heavy_hitters" -> OracleSql.textHeavyHitters(w = 1024, d = 4, den = 64),
     "text_quality" -> OracleSql.textQuality(minTokens = 5, maxTokens = 5000),
     "text_fingerprint" -> OracleSql.textFingerprint,
     "text_chunk" -> OracleSql.textChunk(chunkSize = 32, stride = 24),

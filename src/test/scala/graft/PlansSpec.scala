@@ -211,7 +211,8 @@ class PlansSpec extends SparkSpec {
     // precedent; the corpus-scale stage before it is a plain distinct.
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
-      "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap")
+      "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
+      "text_heavy_hitters") // same one-row CMS-matrix crossJoin as text_cms
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
