@@ -1804,22 +1804,43 @@ object OracleSql {
        |  CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33 FROM sk""".stripMargin
   }
 
+  /** [[qHll]] over the events table: per-day distinct users. */
+  def eventsHllUsers(p: Int): String = {
+    val c = hllEstConst(p)
+    val src = "SELECT epoch_us(date_trunc('day', ts)) AS scope, user_id AS x FROM events"
+    s"WITH ${hllRegisterCtes(p, src)},\n" +
+      s"""ex AS (SELECT epoch_us(date_trunc('day', ts)) AS scope,
+       |    count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+       |SELECT sk.scope AS day_us, ex.n_exact,
+       |  CAST(floor($c / denom_x2p33 + 0.5) AS BIGINT) AS hll_est,
+       |  CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33
+       |FROM sk JOIN ex ON sk.scope = ex.scope""".stripMargin
+  }
+
   /** alpha_m · m² · 2^33 as the literal expression both engines evaluate
     * identically (only alpha's own rounding; m and 2^33 shift exponents).
     */
   private def hllEstConst(p: Int): String = {
     val m = 1 << p
-    s"0.7213/(1.0 + 1.079/$m.0) * $m * $m * 8589934592"
+    // the same alpha rules as native.hll_estimate: small-m literals from
+    // the HLL paper, the asymptotic formula from m = 128 up
+    val alpha =
+      if (m >= 128) s"0.7213/(1.0 + 1.079/$m.0)"
+      else if (m == 64) "0.709"
+      else if (m == 32) "0.697"
+      else "0.673"
+    s"$alpha * $m * $m * 8589934592"
   }
 
   /** The shared register-replay CTE chain ending in
     * `sk(scope, denom_x2p33, v_zero)` (with `rr` exposed for merged-ALL
     * consumers) — see [[qHll]]'s scaladoc for the arithmetic contract.
     */
-  private def hllRegisterCtes(p: Int): String = {
+  private def hllRegisterCtes(p: Int,
+      src: String = "SELECT l_returnflag AS scope, l_orderkey AS x FROM lineitem"): String = {
     val m = 1 << p
     val w1 = 32 - p + 1 // rho for a zero remainder
-    s"""b AS (SELECT l_returnflag AS scope, l_orderkey AS x FROM lineitem),
+    s"""b AS ($src),
        |h0 AS (SELECT scope, xor(x, x >> 32) % 4294967296 AS h FROM b),
        |h1 AS (SELECT scope, CAST((CAST(h AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h FROM h0),
        |h2 AS (SELECT scope, xor(h, h >> 16) AS h FROM h1),

@@ -1987,6 +1987,21 @@ object SparkEntry {
           bit_count(col("word")).cast("long").as("n_bits"))
     }),
 
+    // ---- daily distinct-user census via HLL registers (the time-series
+    // form of q_hll, exercising the aggregate on the events table): one
+    // m=16-byte register array per day — the state a year-long dashboard
+    // keeps per slice — with the exact count riding alongside; raw
+    // estimator valid (n ≥ 2.5m per day at every SF the driver runs) ----
+    "events_hll_users" -> ((s, dir) =>
+      Tables.read(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(plans.native.hll_sketch(col("user_id"), p = 4).as("regs"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("day_us"), col("n_exact"),
+          plans.native.hll_estimate(col("regs"), p = 4).as("hll_est"),
+          plans.native.hll_zeros(col("regs")).as("v_zero"),
+          plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))),
+
     // ---- epsilon-heavy-hitters by CMS gate + exact verify: scan 1 builds
     // the count-min matrix (whose row sums carry N for free, so the
     // threshold N/64 is sketch-derived); scan 2 gates every token on its
@@ -2490,6 +2505,7 @@ object SparkEntry {
     "doc_pareto" -> OracleSql.docPareto,
     "q_bloom_sketch" -> OracleSql.qBloomSketch(mBits = 1024, k = 3),
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
+    "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,
