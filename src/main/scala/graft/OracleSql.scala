@@ -1804,6 +1804,37 @@ object OracleSql {
        |  CAST(v_zero AS BIGINT) AS v_zero, denom_x2p33 FROM sk""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Events.abTest]]: identical sufficient
+    * stats and the SAME double expression tree for z² (every op
+    * correctly-rounded IEEE, so the rounded e6 value is bit-equal).
+    */
+  def eventsAbTest(goal: String, baseline: String): String =
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+       |    CASE WHEN sum(CASE WHEN event_type = '$goal' THEN 1 ELSE 0 END) >
+       |              sum(CASE WHEN event_type = '$baseline' THEN 1 ELSE 0 END)
+       |         THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+       |  FROM u),
+       |d AS (SELECT n_a, c_a, n_b, c_b,
+       |    CAST(n_a AS DOUBLE) AS na, CAST(c_a AS DOUBLE) AS ca,
+       |    CAST(n_b AS DOUBLE) AS nb, CAST(c_b AS DOUBLE) AS cb FROM s),
+       |z AS (SELECT n_a, c_a, n_b, c_b, na, ca, nb, cb,
+       |    (ca + cb) / (na + nb) AS p FROM d)
+       |SELECT n_a, c_a, n_b, c_b,
+       |  (c_a * 1000000) // n_a AS rate_a_ppm,
+       |  (c_b * 1000000) // n_b AS rate_b_ppm,
+       |  CAST(CASE WHEN n_a > 0 AND n_b > 0 AND c_a + c_b > 0
+       |            AND c_a + c_b < n_a + n_b
+       |       THEN round((ca/na - cb/nb) * (ca/na - cb/nb) /
+       |         (p * (1.0 - p) * (1.0/na + 1.0/nb)) * 1000000.0)
+       |       END AS BIGINT) AS z2_e6
+       |FROM z""".stripMargin
+
   /** [[qHll]] over the events table: per-day distinct users. */
   def eventsHllUsers(p: Int): String = {
     val c = hllEstConst(p)

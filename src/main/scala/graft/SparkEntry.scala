@@ -1987,6 +1987,13 @@ object SparkEntry {
           bit_count(col("word")).cast("long").as("n_bits"))
     }),
 
+    // ---- two-proportion A/B conversion analysis: deterministic arm
+    // assignment, exact integer sufficient stats in one distinct pass, and
+    // the pooled z² as a fixed double formula over them (the q_corr
+    // determinism recipe — only correctly-rounded IEEE ops) ----
+    "events_ab_test" -> ((s, dir) =>
+      operators.Events.abTest(Tables.read(s, dir, "events"))),
+
     // ---- daily distinct-user census via HLL registers (the time-series
     // form of q_hll, exercising the aggregate on the events table): one
     // m=16-byte register array per day — the state a year-long dashboard
@@ -2506,6 +2513,7 @@ object SparkEntry {
     "q_bloom_sketch" -> OracleSql.qBloomSketch(mBits = 1024, k = 3),
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
+    "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

@@ -462,4 +462,46 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         (sum("k") / count(lit(1))).as("avg_k"))
   }
+
+  /** Two-proportion A/B conversion analysis: users split by a
+    * deterministic assignment hash (`user_id % 2` — the stand-in for a
+    * salted experiment hash), conversion = reached the goal event at least
+    * once, and the pooled two-proportion z² statistic next to the per-arm
+    * rates. Sufficient statistics (per-arm user and converter counts) are
+    * EXACT integers from one distinct-shuffle pass; the z² is then a fixed
+    * double formula over them — the q_corr determinism recipe (+,-,×,÷ and
+    * sqrt are correctly-rounded IEEE, so both engines agree bit-for-bit;
+    * no transcendentals). One output row; z2_e6 ≥ ~3.84e6 rejects at 95%.
+    */
+  def abTest(events: DataFrame,
+      goal: String = "purchase", baseline: String = "view"): DataFrame = {
+    // conversion = goal events outnumber baseline events for the user — a
+    // scale-free behavioral split (a fixed "did X at least once" saturates
+    // to 100% on dense activity streams and degenerates the pooled
+    // variance)
+    val perUser = events
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg((sum(when(col("event_type") === goal, 1L).otherwise(0L)) >
+        sum(when(col("event_type") === baseline, 1L).otherwise(0L)))
+        .cast("long").as("conv"))
+    val s = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"), col("c_a").cast("double"),
+      col("n_b").cast("double"), col("c_b").cast("double"))
+    val p = (ca + cb) / (na + nb)
+    val z2 = (ca / na - cb / nb) * (ca / na - cb / nb) /
+      (p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    // degenerate designs (an empty arm, 0% or 100% pooled rate) have no
+    // defined z²: emit null rather than tripping ANSI divide-by-zero —
+    // when/otherwise evaluates branches lazily, so the division never runs
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      col("c_a") + col("c_b") > 0 && col("c_a") + col("c_b") < col("n_a") + col("n_b")
+    s.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      expr("(c_a * 1000000) div n_a").as("rate_a_ppm"),
+      expr("(c_b * 1000000) div n_b").as("rate_b_ppm"),
+      when(ok, round(z2 * 1e6).cast("long")).otherwise(lit(null)).as("z2_e6"))
+  }
 }
