@@ -1835,6 +1835,45 @@ object OracleSql {
        |       END AS BIGINT) AS z2_e6
        |FROM z""".stripMargin
 
+  /** Mirror of [[graft.operators.Events.cuped]]: identical sufficient
+    * statistics and the SAME double expression trees (left-assoc order
+    * preserved verbatim), so every e6 value is bit-equal.
+    */
+  val eventsCuped: String =
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+       |    CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |    CAST(sum(y*y) AS BIGINT) AS syy,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+       |  FROM u),
+       |d AS (SELECT *, CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+       |    CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+       |    CAST(sxy AS DOUBLE) AS dsxy, CAST(syy AS DOUBLE) AS dsyy,
+       |    CAST(na AS DOUBLE) AS dna, CAST(sxa AS DOUBLE) AS dsxa,
+       |    CAST(sya AS DOUBLE) AS dsya, CAST(nb AS DOUBLE) AS dnb,
+       |    CAST(sxb AS DOUBLE) AS dsxb, CAST(syb AS DOUBLE) AS dsyb FROM g),
+       |e AS (SELECT *, dn*dsxy - dsx*dsy AS num, dn*dsxx - dsx*dsx AS denx,
+       |    dn*dsyy - dsy*dsy AS deny,
+       |    (na > 0 AND nb > 0 AND dn*dsxx - dsx*dsx > 0
+       |     AND dn*dsyy - dsy*dsy > 0) AS ok FROM d)
+       |SELECT n, na, nb,
+       |  CAST(CASE WHEN ok THEN round(num/denx * 1000000.0) END AS BIGINT) AS theta_e6,
+       |  CAST(CASE WHEN ok THEN round(num*num / (denx*deny) * 1000000.0) END AS BIGINT) AS rho2_ppm,
+       |  CAST(CASE WHEN ok THEN round(dsya/dna * 1000000.0) END AS BIGINT) AS raw_a_e6,
+       |  CAST(CASE WHEN ok THEN round((dsya/dna - num/denx * (dsxa/dna - dsx/dn)) * 1000000.0) END AS BIGINT) AS adj_a_e6,
+       |  CAST(CASE WHEN ok THEN round(dsyb/dnb * 1000000.0) END AS BIGINT) AS raw_b_e6,
+       |  CAST(CASE WHEN ok THEN round((dsyb/dnb - num/denx * (dsxb/dnb - dsx/dn)) * 1000000.0) END AS BIGINT) AS adj_b_e6
+       |FROM e""".stripMargin
+
   /** [[qHll]] over the events table: per-day distinct users. */
   def eventsHllUsers(p: Int): String = {
     val c = hllEstConst(p)

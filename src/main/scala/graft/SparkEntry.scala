@@ -1994,6 +1994,13 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       operators.Events.abTest(Tables.read(s, dir, "events"))),
 
+    // ---- CUPED variance reduction: pre-period covariate adjustment with
+    // pooled theta and the rho-squared guaranteed variance cut — exact
+    // integer sufficient stats in one pass, fixed double formulas over
+    // them (the q_corr recipe) ----
+    "events_cuped" -> ((s, dir) =>
+      operators.Events.cuped(Tables.read(s, dir, "events"))),
+
     // ---- daily distinct-user census via HLL registers (the time-series
     // form of q_hll, exercising the aggregate on the events table): one
     // m=16-byte register array per day — the state a year-long dashboard
@@ -2514,6 +2521,7 @@ object SparkEntry {
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
+    "events_cuped" -> OracleSql.eventsCuped,
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

@@ -504,4 +504,56 @@ object Events {
       expr("(c_b * 1000000) div n_b").as("rate_b_ppm"),
       when(ok, round(z2 * 1e6).cast("long")).otherwise(lit(null)).as("z2_e6"))
   }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust each arm's
+    * experiment-period metric with the pre-period covariate,
+    * `adj = mean(y) − θ·(mean(x) − mean_all(x))` with the pooled
+    * `θ = cov(x,y)/var(x)`, and report the guaranteed variance cut
+    * `ρ²(x,y)` (CUPED removes exactly the covariate-explained share).
+    * Here x/y = the user's first-half / second-half event counts and the
+    * arm is the deterministic assignment hash. ONE aggregate pass
+    * produces every sufficient statistic as an exact integer (counts,
+    * Σx, Σy, Σx², Σxy, Σy², per-arm sums via conditional sums); the
+    * estimates are then fixed double formulas over them — the q_corr
+    * determinism recipe, so the oracle is hash-exact.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("y"))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = num / denx
+    val meanX = d("sx") / d("n")
+    def adj(sy: String, sx: String, nn: String) =
+      d(sy) / d(nn) - theta * (d(sx) / d(nn) - meanX)
+    val ok = col("na") > 0 && col("nb") > 0 && denx > 0 && deny > 0
+    g.select(col("n"), col("na"), col("nb"),
+      when(ok, round(theta * 1e6).cast("long")).otherwise(lit(null)).as("theta_e6"),
+      when(ok, round(num * num / (denx * deny) * lit(1e6)).cast("long"))
+        .otherwise(lit(null)).as("rho2_ppm"),
+      when(ok, round(d("sya") / d("na") * 1e6).cast("long")).otherwise(lit(null))
+        .as("raw_a_e6"),
+      when(ok, round(adj("sya", "sxa", "na") * 1e6).cast("long")).otherwise(lit(null))
+        .as("adj_a_e6"),
+      when(ok, round(d("syb") / d("nb") * 1e6).cast("long")).otherwise(lit(null))
+        .as("raw_b_e6"),
+      when(ok, round(adj("syb", "sxb", "nb") * 1e6).cast("long")).otherwise(lit(null))
+        .as("adj_b_e6"))
+  }
 }

@@ -683,6 +683,51 @@ class TextEventsSpec extends SparkSpec {
       5L -> ((4L, 30L))))
   }
 
+  test("abTest: hand-computed z² on a tiny design; degenerate designs " +
+      "emit null instead of tripping ANSI") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, t: String, n: Int) =
+      (1 to n).map(i => (u * 100 + i, new Timestamp(1700000000000L + i), u, t, 1.0, "{}"))
+    // arm 0 = even users, arm 1 = odd; conv = purchases > views
+    val rows = (ev(2L, "purchase", 3) ++ ev(2L, "view", 1) ++ // conv
+      ev(4L, "purchase", 1) ++ ev(4L, "view", 2) ++ // not
+      ev(1L, "purchase", 2) ++ ev(1L, "view", 1) ++ // conv
+      ev(3L, "purchase", 2)) // conv (0 views)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Events.abTest(rows).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 2L, 2L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 1000000L)
+    // p = 3/4; z² = (1/2 - 1)² / (3/4 · 1/4 · (1/2 + 1/2)) = 4/3
+    assert(r.getLong(6) == 1333333L, s"z2_e6 = ${r.getLong(6)}")
+    // degenerate: every user converts -> pooled variance 0 -> null z²
+    val allConv = (ev(1L, "purchase", 2) ++ ev(2L, "purchase", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.operators.Events.abTest(allConv).head().isNullAt(6))
+  }
+
+  test("cuped: a perfectly-explained metric (y = 2x) gives rho² = 1, " +
+      "theta = 2, and both arms' adjusted means collapse to the global mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, day: Int, n: Int) = (1 to n).map(i =>
+      (u * 1000 + day * 100 + i,
+        Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), u, "view", 1.0, "{}"))
+    // x_u = u pre-period events, y_u = 2u experiment-period events
+    val rows = (1L to 4L).flatMap(u =>
+      ev(u, 3, u.toInt) ++ ev(u, 20, 2 * u.toInt))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Events.cuped(rows).head()
+    assert(r.getAs[Long]("theta_e6") == 2000000L)
+    assert(r.getAs[Long]("rho2_ppm") == 1000000L)
+    // global mean y = 2·(1+2+3+4)/4 = 5 -> both adjusted means = 5.0
+    assert(r.getAs[Long]("adj_a_e6") == 5000000L)
+    assert(r.getAs[Long]("adj_b_e6") == 5000000L)
+    // raw means differ (arm 0 = users 2,4 -> 6; arm 1 = users 1,3 -> 4)
+    assert(r.getAs[Long]("raw_a_e6") == 6000000L)
+    assert(r.getAs[Long]("raw_b_e6") == 4000000L)
+  }
+
   test("paretoFrontier keeps exactly the non-dominated (quality, cost) set, " +
       "including ties, and drops equal-quality-higher-cost docs") {
     import spark.implicits._
