@@ -1832,7 +1832,11 @@ object OracleSql {
        |            AND c_a + c_b < n_a + n_b
        |       THEN round((ca/na - cb/nb) * (ca/na - cb/nb) /
        |         (p * (1.0 - p) * (1.0/na + 1.0/nb)) * 1000000.0)
-       |       END AS BIGINT) AS z2_e6
+       |       END AS BIGINT) AS z2_e6,
+       |  CAST(CASE WHEN n_a + n_b > 0
+       |       THEN round((((na - (na + nb) / 2) * (na - (na + nb) / 2) / ((na + nb) / 2)) +
+       |         ((nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2))) * 1000000.0)
+       |       END AS BIGINT) AS srm_chi2_e6
        |FROM z""".stripMargin
 
   /** Mirror of [[graft.operators.Events.cuped]]: identical sufficient

@@ -499,10 +499,17 @@ object Events {
     // when/otherwise evaluates branches lazily, so the division never runs
     val ok = col("n_a") > 0 && col("n_b") > 0 &&
       col("c_a") + col("c_b") > 0 && col("c_a") + col("c_b") < col("n_a") + col("n_b")
+    // SRM guardrail: χ² against the designed 50/50 split — a broken
+    // assignment pipeline invalidates the test before any metric is read.
+    // (na−E)²/E + (nb−E)²/E with E = (na+nb)/2; exact integer numerators
+    val srm = ((na - (na + nb) / 2) * (na - (na + nb) / 2) / ((na + nb) / 2)) +
+      ((nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2))
     s.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
       expr("(c_a * 1000000) div n_a").as("rate_a_ppm"),
       expr("(c_b * 1000000) div n_b").as("rate_b_ppm"),
-      when(ok, round(z2 * 1e6).cast("long")).otherwise(lit(null)).as("z2_e6"))
+      when(ok, round(z2 * 1e6).cast("long")).otherwise(lit(null)).as("z2_e6"),
+      when(col("n_a") + col("n_b") > 0, round(srm * 1e6).cast("long"))
+        .otherwise(lit(null)).as("srm_chi2_e6"))
   }
 
   /** CUPED variance reduction (Deng et al. 2013): adjust each arm's
