@@ -2065,6 +2065,36 @@ object OracleSql {
        |       ELSE 0 END AS BIGINT) AS clustering_ppm
        |FROM dg LEFT JOIN pn ON pn.vec_id = dg.vec_id""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.mmrSelect]]: the greedy MMR
+    * rounds unrolled as CTE layers — layer r cross-joins the r−1 one-row
+    * winners, scores `rel − λ·greatest(cos)` with the same expression
+    * tree, and takes the (score DESC, vec_id) argmax.
+    */
+  def simMmr(queryId: Long, poolSize: Int, k: Int, lambda: Double = 0.5): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ctes += s"q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId)"
+    ctes += s"scored AS (SELECT e.vec_id, e.v, ${cosine("e.v", "q.qv")} AS rel" +
+      s" FROM e, q WHERE e.vec_id <> $queryId)"
+    ctes += s"pool AS (SELECT vec_id, v, rel FROM scored ORDER BY rel DESC, vec_id LIMIT $poolSize)"
+    ctes += "s1 AS (SELECT vec_id, v, rel, rel AS score FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"s$i")
+      val cond = prev.map(p => s"p.vec_id <> $p.vec_id").mkString(" AND ")
+      val sims = prev.map(p => cosine("p.v", s"$p.v")).mkString(", ")
+      val g = if (prev.size == 1) sims else s"greatest($sims)"
+      ctes += s"""s$r AS (SELECT p.vec_id, p.v, p.rel, p.rel - $lambda * $g AS score
+         |  FROM pool p, ${prev.mkString(", ")} WHERE $cond
+         |  ORDER BY score DESC, p.vec_id LIMIT 1)""".stripMargin
+    }
+    "WITH " + ctes.result().mkString(",\n") + "\n" +
+      (1 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rnk, vec_id," +
+          s" CAST(round(rel * 1000000.0) AS BIGINT) AS rel_e6," +
+          s" CAST(round(score * 1000000.0) AS BIGINT) AS score_e6 FROM s$r")
+        .mkString("\nUNION ALL\n")
+  }
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -1935,6 +1935,13 @@ object SparkEntry {
         Tables.read(s, dir, "part"), key = "p_partkey", name = "p_name",
         blockTokens = 2)),
 
+    // ---- MMR diversity selection: greedy relevance-vs-diversity picks,
+    // one TakeOrdered pool pass + k one-scan rounds with selected vectors
+    // as literals (the k-means++ discipline); unrolled-CTE oracle ----
+    "sim_mmr" -> ((s, dir) =>
+      operators.Similarity.mmrSelect(Tables.read(s, dir, "embeddings"),
+        queryId = 0L, poolSize = 20, k = 5)),
+
     // ---- triangle census over the mutual k-NN graph: per-node triangle
     // counts + local clustering coefficients (tight-cluster vs hub signal);
     // degree-bounded by k, so the path join is linear in n ----
@@ -2358,6 +2365,7 @@ object SparkEntry {
       thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
+    "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),

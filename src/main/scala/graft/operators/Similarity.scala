@@ -350,6 +350,61 @@ object Similarity {
     trianglesFromEdges(edges)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k results balancing RELEVANCE to the query against
+    * DIVERSITY from what's already picked —
+    * `argmax_c rel(c) − λ·max_{s∈S} cos(c, s)` — the de-duplicating
+    * retrieval step and the diversity-aware data-selection policy (pick
+    * spread-out exemplars, not k copies of the best neighborhood).
+    *
+    * Shape: one TakeOrdered pass prunes the corpus to a `poolSize`
+    * candidate pool; the greedy loop is then k driver rounds, each ONE
+    * scan of the pool with the selected vectors riding as literals — the
+    * k-means++-seeding discipline (k·dim driver state, constant plans).
+    * Scores are plain IEEE ops over the shared cosine form, so the
+    * unrolled-CTE oracle replays every round's argmax hash-exactly
+    * (ties broken by vec_id).
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, poolSize: Int = 20,
+      k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    import graft.plans.native
+    val spark = emb.sparkSession
+    val e = emb2v(emb)
+    val qv = e.filter(col("vec_id") === queryId).head().getSeq[Double](1)
+    def cosTo(lit: Seq[Double]) =
+      native.dot(col("v"), typedlit(lit)) /
+        (sqrt(native.dot(col("v"), col("v"))) *
+          sqrt(native.dot(typedlit(lit), typedlit(lit))))
+    val pool = e.filter(col("vec_id") =!= queryId)
+      .withColumn("rel", cosTo(qv))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(poolSize)
+      .cache()
+    try {
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      // DuckDB round() is half-away-from-zero, like Spark's HALF_UP on abs
+      def e6(x: Double): Long =
+        (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)).toLong
+      (1 to k).foreach { r =>
+        val base = pool.filter(!col("vec_id").isin(selected.map(_._1).toSeq: _*))
+        val scored =
+          if (selected.isEmpty) base.withColumn("score", col("rel"))
+          else {
+            val sims = selected.map(s => cosTo(s._2)).toSeq
+            val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+            base.withColumn("score", col("rel") - lit(lambda) * maxSim)
+          }
+        val top = scored.orderBy(desc("score"), col("vec_id")).limit(1).head()
+        selected += ((top.getAs[Long]("vec_id"), top.getSeq[Double](1)))
+        out += ((r.toLong, top.getAs[Long]("vec_id"),
+          e6(top.getAs[Double]("rel")), e6(top.getAs[Double]("score"))))
+      }
+      import spark.implicits._
+      out.toSeq.toDF("rnk", "vec_id", "rel_e6", "score_e6")
+    } finally pool.unpersist()
+  }
+
   /** Integer fixed-point PageRank over the [[knnGraph]] mutual k-NN edges —
     * the centrality signal that picks REPRESENTATIVE documents per semantic
     * neighborhood (high rank = endorsed by many well-connected neighbors),

@@ -218,6 +218,7 @@ class PlansSpec extends SparkSpec {
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
     // nested loop over driver-known-tiny sides, like the silhouettes'.
     val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",
+      "sim_mmr", // greedy MMR rounds collect the k winners during construction
       "km_silhouette", "km_silhouette_rousseeuw", "km_delta", "km_validity",
       // construction runs training/fit loops: BPE merge training, the full
       // un-memoized pipeline (LSH + label propagation), per-subspace PQ fits

@@ -411,6 +411,33 @@ class SimilaritySpec extends SparkSpec {
       .reduce(_ || _)).count() == 0)
   }
 
+  test("mmrSelect: the second pick prefers an equally-relevant diverse " +
+      "vector over a near-duplicate of the first") {
+    import spark.implicits._
+    // 3-D: A and B are near-duplicates (same off-query direction); C is
+    // EQUALLY relevant but diverse (orthogonal off-query direction). Pure
+    // top-2 by relevance = {A, B}; MMR's second pick must be C, because
+    // cos(A,B) ~ 1 while cos(A,C) ~ 0.81 at the same relevance.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.0f, 0.436f), 0), // A: rel .9
+      (2L, Seq(0.9f, 0.01f, 0.435f), 0), // B: near-dup of A, rel ~ .9
+      (3L, Seq(0.9f, 0.436f, 0.0f), 0), // C: rel .9, diverse
+      (4L, Seq(-1.0f, 0.0f, 0.0f), 0)) // anti-correlated noise
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrSelect(emb, queryId = 0L, poolSize = 4, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect()
+    // rank 1 = whichever near-dup edges ahead on relevance; rank 2 must be
+    // the diverse C, NOT the other near-dup (which pure relevance picks);
+    // the deferred near-dup lands third
+    assert(got(1)._2 == 3L,
+      s"rank 2 must prefer the diverse C over the near-dup: ${got.toSeq}")
+    assert(Set(got(0)._2, got(2)._2) == Set(1L, 2L), s"${got.toSeq}")
+    // scores are non-increasing only for the relevance-only first pick;
+    // every later score carries the diversity penalty: score <= rel
+    got.drop(1).foreach(r => assert(r._4 <= r._3))
+  }
+
   test("trianglesFromEdges: K4 + pendant — exact counts, coefficients, " +
       "and each triangle counted once") {
     import spark.implicits._
