@@ -1186,6 +1186,33 @@ object OracleSql {
        |FROM e, thr WHERE est >= thr AND cnt >= thr""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.TextAnalysis.oovCensus]]. */
+  def textOov(vocabSize: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+       |vocab AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+       |  ORDER BY cnt DESC, token LIMIT $vocabSize),
+       |oov AS (SELECT doc_id, count(*) AS n_oov FROM toks
+       |  WHERE token NOT IN (SELECT token FROM vocab) GROUP BY 1),
+       |base AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST((coalesce(o.n_oov, 0) * 1000000) // b.n_tokens AS BIGINT) AS oov_ppm
+       |FROM base b LEFT JOIN oov o ON o.doc_id = b.doc_id""".stripMargin
+
+  /** Mirror of [[graft.operators.TextAnalysis.lengthDecileProfile]]. */
+  def docLenDeciles: String = {
+    val allStops = operators.TextAnalysis.Stopwords.map(s => stopHits(s._1)).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks,
+       |    list_distinct(string_split(text,' ')) AS dt FROM documents),
+       |b AS (SELECT doc_id, n_chars, (($allStops) * 1000) // len(toks) AS score FROM t),
+       |d AS (SELECT *, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM b)
+       |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |  CAST(CAST(sum(score) AS BIGINT) // count(*) AS BIGINT) AS mean_score_pm
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
   /** Mirror of the `pipeline_corpus` composition: [[pipelineClean]]'s kept
     * representatives, then the `doc_pack` per-lang prefix-sum packing over
     * exactly those docs.

@@ -2001,6 +2001,16 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       operators.Events.abTest(Tables.read(s, dir, "events"))),
 
+    // ---- out-of-vocabulary census: per-doc share of tokens outside the
+    // corpus' top-N vocabulary (broadcast anti-join; integer ppm) ----
+    "text_oov" -> ((s, dir) =>
+      operators.TextAnalysis.oovCensus(Tables.read(s, dir, "documents"))),
+
+    // ---- length-decile quality calibration: ten equal-count buckets by
+    // (n_chars, doc_id), exact integer quality profile per decile ----
+    "doc_len_deciles" -> ((s, dir) =>
+      operators.TextAnalysis.lengthDecileProfile(Tables.read(s, dir, "documents"))),
+
     // ---- CUPED variance reduction: pre-period covariate adjustment with
     // pooled theta and the rho-squared guaranteed variance cut — exact
     // integer sufficient stats in one pass, fixed double formulas over
@@ -2530,6 +2540,8 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_cuped" -> OracleSql.eventsCuped,
+    "text_oov" -> OracleSql.textOov(vocabSize = 200),
+    "doc_len_deciles" -> OracleSql.docLenDeciles,
     "events_window" -> OracleSql.eventsWindow,
     "events_sliding" -> OracleSql.eventsSliding,
     "events_ohlc" -> OracleSql.eventsOhlc,

@@ -323,6 +323,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"), col("n_chars"))
   }
 
+  /** Out-of-vocabulary census: share of each document's tokens outside
+    * the corpus' own top-`vocabSize` vocabulary — the coverage/fertility
+    * signal that drives tokenizer and vocab-size choices. Fully
+    * relational: the vocabulary is a TakeOrdered head (count DESC, token),
+    * OOV tokens are a broadcast LEFT ANTI join against it (no driver-side
+    * token set), and the rate is integer ppm. At 100 TB the vocab is the
+    * only small side and it broadcasts; the token explode is the same
+    * postings shape every text operator here shuffles.
+    */
+  def oovCensus(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(vocabSize)
+      .select("token")
+    val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        expr("(coalesce(n_oov, CAST(0 AS BIGINT)) * 1000000) div n_tokens")
+          .as("oov_ppm"))
+  }
+
+  /** Length-decile quality calibration: documents cut into ten
+    * equal-count buckets by (n_chars, doc_id) — `ntile` over a total
+    * order, deterministic — with each decile's exact integer quality
+    * profile (stopword-density per-mille, the [[paretoFrontier]] metric).
+    * The table answers "does quality drift with length?" before any
+    * length-based gate is tuned. The global ntile is a single ordered
+    * pass over (n_chars, doc_id) pairs — at 100 TB swap in the
+    * range-partitioned global rank (`Ranking.globalRank`, same total
+    * order) and bucket by `rank·10/n`; semantics identical.
+    */
+  def lengthDecileProfile(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val stops = Stopwords.map(s => stopHits(s._1)).reduce(_ + _)
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      floor((stops * 1000) / nTok).cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    base.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("score").as("sum_score"))
+      .select(col("decile"), col("n"), col("min_chars"), col("max_chars"),
+        expr("sum_score div n").as("mean_score_pm"))
+  }
+
   /** Token counts under BOTH tokenization conventions a data pipeline
     * budgets with: whitespace tokens and a BPE-ish pre-tokenization count —
     * letter runs, digit runs, and single non-alphanumeric marks (the GPT-2
