@@ -1976,6 +1976,31 @@ object SparkEntry {
           plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
     }),
 
+    // ---- sketch-powered FILE SKIPPING: a per-file Bloom index over the
+    // key column (one bloom_sketch row per parquet file), point lookups
+    // probe the index with the codegen'd BloomMightContain and read ONLY
+    // candidate files — min/max stats can't skip on a hash-distributed
+    // key, a Bloom per file can (no false negatives, so the pruned read
+    // is exact; FPs only cost an extra file). The index is the skip
+    // structure a 100 TB table keeps per file next to footer stats ----
+    "q_bloom_index" -> ((s, dir) => {
+      val out = taggedTmpPath("graft_bloom_files", dirTag(dir))
+      Tables.read(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      val keys = Seq(7L, 11L, 23L)
+      val idx = s.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(plans.native.bloom_sketch(col("doc_id"), 1024, 3).as("bf"))
+      val cand = idx.filter(keys
+          .map(k => plans.native.bloom_might_contain(col("bf"), lit(k), 1024, 3))
+          .reduce(_ || _))
+        .select("f").collect().map(_.getString(0))
+      s.read.parquet(cand.toIndexedSeq: _*)
+        .filter(col("doc_id").isin(keys: _*))
+    }),
+
     // ---- transparent Bloom filter state (plans.BloomSketch — the
     // membership sketch next to CMS/HLL/KMV): per-source filters over
     // distinct shingle ids, emitted as 32-bit words so the DuckDB oracle
@@ -2536,6 +2561,9 @@ object SparkEntry {
     "dedup_fuzzy" -> OracleSql.dedupFuzzy(maxDist = 5, lenBand = 4),
     "doc_pareto" -> OracleSql.docPareto,
     "q_bloom_sketch" -> OracleSql.qBloomSketch(mBits = 1024, k = 3),
+    "q_bloom_index" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 11, 23)""".stripMargin,
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),

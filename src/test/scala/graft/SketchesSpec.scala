@@ -101,6 +101,36 @@ class SketchesSpec extends SparkSpec {
     assert(viaPlan == expected)
   }
 
+  test("per-file bloom index: point lookups read a strict subset of files, " +
+      "results equal the unpruned scan") {
+    import spark.implicits._
+    import graft.plans.native
+    val out = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    (1L to 4000L).map(i => (i, i % 7)).toDF("doc_id", "tag")
+      .repartition(16, col("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    val keys = Seq(42L, 777L, 3999L)
+    val idx = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(native.bloom_sketch(col("doc_id"), 1024, 3).as("bf"))
+    val cand = idx.filter(keys
+        .map(k => native.bloom_might_contain(col("bf"), lit(k), 1024, 3))
+        .reduce(_ || _))
+      .select("f").as[String].collect()
+    val total = idx.count()
+    assert(total == 16L, s"expected 16 files, got $total")
+    // a 1024-bit filter holding ~250 keys has high fill (~52%), so a few
+    // FP files are expected — but nothing close to all of them
+    assert(cand.length < 16, s"bloom index pruned nothing: ${cand.length}")
+    val pruned = spark.read.parquet(cand.toIndexedSeq: _*)
+      .filter(col("doc_id").isin(keys: _*))
+      .as[(Long, Long)].collect().toSet
+    val full = spark.read.parquet(out)
+      .filter(col("doc_id").isin(keys: _*))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == full && full.size == 3, "pruned lookup must be exact")
+  }
+
   test("bloom SQL surface: bloom_sketch / bloom_might_contain by name " +
       "match the Column API") {
     import spark.implicits._
