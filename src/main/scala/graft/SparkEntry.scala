@@ -1976,6 +1976,29 @@ object SparkEntry {
           plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
     }),
 
+    // ---- corrupt-ingest quarantine census: a JSONL batch with every 7th
+    // line deterministically truncated mid-object reads back PERMISSIVE —
+    // good rows parse, corrupt rows quarantine into the _bad column
+    // instead of failing the job (the ingest-hygiene contract for feeds
+    // you don't control). The oracle derives the expected census from the
+    // corruption RULE, so the parser's good/bad split is value-checked ----
+    "q_badrecords" -> ((s, dir) => {
+      val out = taggedTmpPath("graft_badjsonl", dirTag(dir))
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .selectExpr("to_json(struct(doc_id, lang, n_chars)) AS line", "doc_id")
+        .selectExpr("CASE WHEN doc_id % 7 = 0 " +
+          "THEN left(line, CAST(length(line) div 2 AS INT)) ELSE line END AS value")
+        .write.mode("overwrite").text(out)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+        .select(when(col("_bad").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- sketch-powered FILE SKIPPING: a per-file Bloom index over the
     // key column (one bloom_sketch row per parquet file), point lookups
     // probe the index with the codegen'd BloomMightContain and read ONLY
@@ -2564,6 +2587,10 @@ object SparkEntry {
     "q_bloom_index" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (7, 11, 23)""".stripMargin,
+    "q_badrecords" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS lang,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
