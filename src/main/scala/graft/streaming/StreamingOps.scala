@@ -497,6 +497,40 @@ object StreamingOps {
       .withColumn("flagged", col("n_hits") >= minHits)
   }
 
+  final case class KmvIn(source: String, id: Long)
+  final case class KmvState(ids: Vector[Long])
+  final case class KmvOut(source: String, n_sketch: Long, kth_min: Long,
+      distinct_est: Long)
+
+  /** Streaming KMV (bottom-k) distinct sketch per source — the third
+    * streaming sketch next to [[hllStream]] and [[bloomGateStream]]: state
+    * is the k smallest distinct ids seen so far (≤ k longs per source,
+    * bounded forever), merged per micro-batch by sorted-distinct-take-k —
+    * order- and duplicate-insensitive, so the converged state is exactly
+    * the batch bottom-k over the same rows regardless of delivery order
+    * (pinned in StreamingSpec). Emits the running distinct estimate
+    * `(k−1)·P / v_k` (exact below saturation), and the sketch itself stays
+    * overlap-composable with every batch KMV
+    * ([[graft.operators.Sketches.kmvSourceOverlap]]).
+    */
+  def kmvStream(rows: Dataset[KmvIn], k: Int = 128): Dataset[KmvOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.source)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[KmvIn], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.ids).getOrElse(Vector.empty)
+          val merged = (prev ++ it.map(_.id)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.size.toLong
+          val vk = if (merged.nonEmpty) merged.last else 0L
+          val est =
+            if (n < k || vk <= 0) n // unsaturated sketch saw everything
+            else (k - 1).toLong * 1000003L / vk
+          KmvOut(source, n, vk, est)
+      }
+  }
+
   final case class HllIn(scope: String, id: Long)
   final case class HllState(regs: Array[Byte], seen: Long)
   final case class HllOut(scope: String, n_seen: Long, hll_est: Long,

@@ -560,6 +560,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV bottom-k converges to the batch sketch under " +
+      "reversed, split, duplicate-heavy delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.KmvIn
+    val k = 16
+    // duplicate-heavy synthetic ids over two sources, delivered REVERSED
+    // and split across three micro-batches
+    val raw = (1 to 400).flatMap { i =>
+      val src = if (i % 2 == 0) "A" else "B"
+      Seq(KmvIn(src, (i * 7919L) % 100003L), KmvIn(src, (i * 7919L) % 100003L))
+    }
+    val batchTruth = raw.groupBy(_.source).map { case (s, rs) =>
+      val ids = rs.map(_.id).distinct.sorted.take(k).toVector
+      s -> ((ids.size.toLong, ids.last,
+        if (ids.size < k) ids.size.toLong else (k - 1).toLong * 1000003L / ids.last))
+    }
+    val rows = raw.reverse
+    val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+    val in = MemoryStream[KmvIn]
+    val q = StreamingOps.kmvStream(in.toDS(), k).writeStream.format("memory")
+      .queryName("kmv_out").outputMode("update").start()
+    try {
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      val got = spark.table("kmv_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("n_sketch").desc, col("kth_min"))))
+        .filter(col("rn") === 1)
+        .select("source", "n_sketch", "kth_min", "distinct_est")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == batchTruth, s"got $got want $batchTruth")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch across " +
       "micro-batch splits (constant per-scope state)") {
     implicit val sqlCtx = spark.sqlContext
