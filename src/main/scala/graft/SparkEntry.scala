@@ -1976,6 +1976,17 @@ object SparkEntry {
           plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
     }),
 
+    // ---- per-source duplication health: exact dup share per source —
+    // the triage table that decides WHERE dedup budget goes (a source at
+    // 40% dup_ppm is a crawler bug, not a dedup-pipeline problem) ----
+    "doc_dup_by_source" -> ((s, dir) =>
+      Tables.read(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_ppm"))),
+
     // ---- corrupt-ingest quarantine census: a JSONL batch with every 7th
     // line deterministically truncated mid-object reads back PERMISSIVE —
     // good rows parse, corrupt rows quarantine into the _bad column
@@ -2590,6 +2601,10 @@ object SparkEntry {
     "q_badrecords" ->
       """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE lang END AS lang,
         |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "doc_dup_by_source" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+        |  ((count(*) - count(DISTINCT text)) * 1000000) // count(*) AS dup_ppm
         |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
