@@ -1976,6 +1976,13 @@ object SparkEntry {
           plans.native.hll_denom_x2p33(col("regs")).as("denom_x2p33"))
     }),
 
+    // ---- trainable quality filter (QualityModel.trainScore): weak labels
+    // from the heuristic gate, MLlib logistic regression generalizes them
+    // over the OTHER quality signals — rows-only (LBFGS float reductions
+    // are not oracle-reproducible; the spec pins separable-data accuracy) ----
+    "doc_quality_lr" -> ((s, dir) =>
+      operators.QualityModel.trainScore(Tables.read(s, dir, "documents"))),
+
     // ---- per-source duplication health: exact dup share per source —
     // the triage table that decides WHERE dedup budget goes (a source at
     // 40% dup_ppm is a crawler bug, not a dedup-pipeline problem) ----

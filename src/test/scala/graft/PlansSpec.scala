@@ -222,7 +222,8 @@ class PlansSpec extends SparkSpec {
       "km_silhouette", "km_silhouette_rousseeuw", "km_delta", "km_validity",
       // construction runs training/fit loops: BPE merge training, the full
       // un-memoized pipeline (LSH + label propagation), per-subspace PQ fits
-      "text_bpe_train", "text_bpe_apply", "pipeline_full", "emb_pq_fitted")
+      "text_bpe_train", "text_bpe_apply", "pipeline_full", "emb_pq_fitted",
+      "doc_quality_lr") // LBFGS fit runs during construction
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).filterNot(allowed)
       .filter { name =>

@@ -706,6 +706,26 @@ class TextEventsSpec extends SparkSpec {
     assert(graft.operators.Events.abTest(allConv).head().isNullAt(6))
   }
 
+  test("doc_quality_lr: the trained filter recovers a separable weak-label " +
+      "rule near-perfectly and emits calibrated probabilities") {
+    import spark.implicits._
+    // separable: "good" docs are short with stopwords; "spam" docs are
+    // huge digit-heavy walls (fail the keep rule via token count)
+    val good = (1 to 40).map(i =>
+      (i.toLong, "the a of and to " + (1 to 10).map(j => s"w$j").mkString(" "), 100L))
+    val spam = (41 to 80).map(i =>
+      (i.toLong, (1 to 6000).map(_ => "9").mkString(" "), 12000L))
+    val docs = (good ++ spam).toDF("doc_id", "text", "n_chars")
+    val scored = graft.operators.QualityModel.trainScore(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    val acc = scored.count(r => r._2 == r._3).toDouble / scored.length
+    assert(acc >= 0.95, s"separable data must train near-perfectly, acc=$acc")
+    // probabilities are calibrated to the side of the decision they made
+    scored.foreach { r =>
+      if (r._3 == 1L) assert(r._4 > 500000L) else assert(r._4 < 500000L)
+    }
+  }
+
   test("cuped: a perfectly-explained metric (y = 2x) gives rho² = 1, " +
       "theta = 2, and both arms' adjusted means collapse to the global mean") {
     import spark.implicits._
