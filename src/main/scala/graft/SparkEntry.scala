@@ -2077,6 +2077,25 @@ object SparkEntry {
     "doc_len_deciles" -> ((s, dir) =>
       operators.TextAnalysis.lengthDecileProfile(Tables.read(s, dir, "documents"))),
 
+    // ---- seasonal-naive forecast backtest: forecast(day) = actual(day-7)
+    // over the daily revenue series, with per-day absolute error and APE —
+    // the baseline every forecasting model must beat, and the shape of a
+    // backtest harness (the ordered pass runs over calendar DAYS, bounded
+    // metadata scale, after one day-level aggregation of the fact table) ----
+    "events_forecast_naive" -> ((s, dir) => {
+      val daily = Tables.read(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day_us")
+      daily.withColumn("forecast", lag("cents", 7).over(w))
+        .filter(col("forecast").isNotNull)
+        .select(col("day_us"), col("cents"), col("forecast"),
+          abs(col("cents") - col("forecast")).as("abs_err"),
+          when(col("cents") =!= 0,
+            expr("(abs(cents - forecast) * 1000000) div cents"))
+            .otherwise(lit(null)).as("ape_ppm"))
+    }),
+
     // ---- CUPED variance reduction: pre-period covariate adjustment with
     // pooled theta and the rho-squared guaranteed variance cut — exact
     // integer sufficient stats in one pass, fixed double formulas over
@@ -2617,6 +2636,16 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_cuped" -> OracleSql.eventsCuped,
+    "events_forecast_naive" ->
+      """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT day_us, cents,
+        |    lag(cents, 7) OVER (ORDER BY day_us) AS forecast FROM d)
+        |SELECT day_us, cents, forecast, abs(cents - forecast) AS abs_err,
+        |  CAST(CASE WHEN cents <> 0
+        |       THEN (abs(cents - forecast) * 1000000) // cents END AS BIGINT) AS ape_ppm
+        |FROM f WHERE forecast IS NOT NULL""".stripMargin,
     "text_oov" -> OracleSql.textOov(vocabSize = 200),
     "doc_len_deciles" -> OracleSql.docLenDeciles,
     "events_window" -> OracleSql.eventsWindow,
