@@ -1031,6 +1031,25 @@ object OracleSql {
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id)""".stripMargin
   }
 
+  /** Mirror of [[Dedup.lshTuning]]: one subquery per banding over the same
+    * signature/band CTEs, summary rows unioned.
+    */
+  def dedupLshTuning(n: Int, numHashes: Int, bandsList: Seq[Int],
+      thrNum: Int, thrDen: Int): String =
+    bandsList.map { bands =>
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST(${numHashes / bands} AS BIGINT) AS rows_per_band,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_verified AS BIGINT) AS n_verified,
+         |  CAST(CASE WHEN n_candidates > 0
+         |       THEN (n_verified * 1000000) // n_candidates ELSE 0 END AS BIGINT)
+         |    AS precision_ppm
+         |FROM (WITH ${minhashCtes(n, numHashes, bands)}
+         |  SELECT count(*) AS n_candidates,
+         |    coalesce(sum(CASE WHEN matches*$thrDen >= $numHashes*$thrNum
+         |      THEN 1 ELSE 0 END), 0) AS n_verified FROM m) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH ${minhashCtes(n, numHashes, bands)}
        |SELECT a_id, b_id, matches/$numHashes AS est_jac FROM m

@@ -668,6 +668,11 @@ object SparkEntry {
       Dedup.removeSpans(Tables.read(s, dir, "documents"), n = 5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
+    // LSH parameter sweep: candidate volume / verified count / precision per
+    // banding of the same 16-hash budget — the table that picks (bands, rows)
+    // for a corpus BEFORE committing to an index build
+    "dedup_lsh_tuning" -> ((s, dir) =>
+      Dedup.lshTuning(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
     // pair edges — every doc mapped to the min doc_id reachable through any
     // pair chain (singletons → self). The step between pairwise dedup output
@@ -2440,6 +2445,8 @@ object SparkEntry {
     "dedup_span_stats" -> OracleSql.dedupSpanStats(n = 5, minDocs = 2),
     "dedup_span_removal" -> OracleSql.dedupSpanRemoval(n = 5, minDocs = 2),
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_lsh_tuning" -> OracleSql.dedupLshTuning(
+      n = 3, numHashes = 16, bandsList = Seq(2, 4, 8), thrNum = 1, thrDen = 2),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

@@ -429,6 +429,45 @@ object Dedup {
         col("sig"))
   }
 
+  /** LSH tuning sweep: for each banding of the SAME `numHashes` MinHash
+    * budget, the candidate-pair count, the verified count, and the
+    * resulting precision — the table that picks (bands, rows) for a
+    * corpus before committing to an index build. More bands → shorter
+    * band keys → higher recall AND more false candidates; this measures
+    * the actual tradeoff on the data instead of trusting the
+    * `1-(1-s^r)^b` curve's assumptions. Each config is one banded
+    * self-join + one verify pass over its candidates (the minhashLSH
+    * shapes), emitting a single summary row.
+    */
+  def lshTuning(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bandsList: Seq[Int] = Seq(2, 4, 8),
+      thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    bandsList.map { bands =>
+      val bs = bandedSignatures(docs, n, numHashes, bands)
+      val x = bs.select(col("band"), col("key"),
+        col("doc_id").as("a_id"), col("sig").as("siga"))
+      val y = bs.select(col("band"), col("key"),
+        col("doc_id").as("b_id"), col("sig").as("sigb"))
+      val cand = x.join(y, Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "siga", "sigb")
+        .dropDuplicates("a_id", "b_id")
+      cand
+        .withColumn("matches",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("matches") * thrDen >= numHashes * thrNum, 1L)
+            .otherwise(0L)).as("n_verified"))
+        .select(lit(bands.toLong).as("bands"),
+          lit((numHashes / bands).toLong).as("rows_per_band"),
+          col("n_candidates"), coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          expr("CASE WHEN n_candidates > 0 " +
+            "THEN (coalesce(n_verified, CAST(0 AS BIGINT)) * 1000000) div n_candidates " +
+            "ELSE CAST(0 AS BIGINT) END").as("precision_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental (delta-vs-corpus) near-dup detection — the daily-crawl
     * pattern: the corpus's banded signatures are PERSISTED once (bucketed on
     * the band key), and each new batch computes signatures only for its own

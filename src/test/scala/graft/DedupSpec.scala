@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("lshTuning: one row per banding; candidates grow with bands; verified bounded") {
+    val got = Dedup.lshTuning(docs, bandsList = Seq(2, 4, 8)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(2L, 4L, 8L))
+    assert(got(2L)._1 == 8L && got(4L)._1 == 4L && got(8L)._1 == 2L) // rows_per_band
+    // shorter band keys can only ADD candidate pairs (a full-16-hash match
+    // collides at every banding; any b-band collision is also a 2b-band one
+    // is NOT true in general, but monotonicity of candidate volume is: a
+    // pair colliding on some r-row band also collides on one of its halves)
+    assert(got(2L)._2 <= got(4L)._2 && got(4L)._2 <= got(8L)._2)
+    // the exact dup (1,2) verifies at every banding
+    assert(got.values.forall { case (_, cand, ver, _) => ver >= 1L && ver <= cand })
+    // precision_ppm consistency: ver*1e6 div cand
+    got.values.foreach { case (_, cand, ver, ppm) =>
+      assert(ppm == (if (cand > 0) ver * 1000000L / cand else 0L))
+    }
+  }
+
   test("incrementalDedup: delta matches corpus and earlier delta; new docs get null") {
     // corpus keeps ids 1,3,4; delta = 10,12,20 (10 dups corpus-1, 12 dups
     // delta-10 AND corpus-1, 20 is genuinely new)
