@@ -1505,6 +1505,31 @@ object OracleSql {
        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
        |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[operators.Similarity.sq8TopK]]: per-dimension min/max
+    * bounds, the identical `round((x−mn)·255/(mx−mn))` encode (same IEEE
+    * operation order), then exact-integer symmetric code distances. The
+    * final CAST pins `sum(BIGINT)`'s HUGEINT widening back to int64.
+    */
+  def simSq8(dim: Int, nQueries: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS d),
+       |mm AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e CROSS JOIN dims GROUP BY d),
+       |c AS (SELECT e.vec_id, mm.d,
+       |    CASE WHEN mm.mx > mm.mn
+       |      THEN CAST(round((e.v[mm.d] - mm.mn) * 255 / (mm.mx - mm.mn)) AS BIGINT)
+       |      ELSE 0 END AS code
+       |  FROM e CROSS JOIN mm),
+       |q AS (SELECT vec_id AS q_id, d, code FROM c WHERE vec_id < $nQueries),
+       |pd AS (SELECT q.q_id, c.vec_id AS n_id,
+       |    sum((q.code - c.code) * (q.code - c.code)) AS d2
+       |  FROM c JOIN q ON q.d = c.d WHERE c.vec_id <> q.q_id
+       |  GROUP BY q.q_id, c.vec_id),
+       |r AS (SELECT q_id, n_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM pd)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, CAST(d2 AS BIGINT) AS sq_dist
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Mirror of [[Similarity.lshTopK]]: identical ±1 sign vectors (same LCG
     * family), identical sequential dot fold, so every projection lands on
     * the same side of `> 0` in both engines.

@@ -775,6 +775,11 @@ object SparkEntry {
     // ---- similarity search (beyond-reference) ----
     "sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.read(s, dir, "embeddings"))),
+    // SQ8 compressed search: one byte per dimension against per-dim corpus
+    // bounds, exact-integer symmetric code distances — the other standard
+    // vector-store compression next to PQ (4× scan-bandwidth cut)
+    "sim_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.read(s, dir, "embeddings"))),
     "sim_ivf" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
@@ -2471,6 +2476,7 @@ object SparkEntry {
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
+    "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
     "sim_topk_native" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

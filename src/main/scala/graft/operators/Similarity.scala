@@ -523,6 +523,64 @@ object Similarity {
     }.toSeq
   }
 
+  // --------------------------------------------- scalar quantization (SQ8)
+
+  /** Per-dimension `[min, max]` quantizer bounds for [[sq8TopK]]: one
+    * posexplode scan + a `dim`-key groupBy, collected as the fixed
+    * quantizer — `dim`-sized driver state by contract, the
+    * [[fixedCentroids]] discipline.
+    */
+  def sq8Bounds(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = emb2v(emb)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** SQ8 encode: per dimension, `round((x − mn_d)·255 / (mx_d − mn_d))`
+    * (0 for a constant dimension) — one byte per dimension, a 4× memory /
+    * scan-bandwidth cut vs float32. Per-row, zero shuffle.
+    */
+  def sq8Codes(emb: DataFrame, mn: Seq[Double], mx: Seq[Double]): DataFrame = {
+    val mnA = array(mn.map(lit): _*)
+    val mxA = array(mx.map(lit): _*)
+    emb2v(emb).select(col("vec_id"),
+      transform(col("v"), (x, i) => {
+        val lo = element_at(mnA, i + 1)
+        val hi = element_at(mxA, i + 1)
+        when(hi > lo, round((x - lo) * 255 / (hi - lo)).cast("long"))
+          .otherwise(0L)
+      }).as("codes"))
+  }
+
+  /** Scalar-quantized (SQ8) top-k search — the OTHER standard compressed
+    * vector-store format next to PQ: every dimension quantized to one byte
+    * against per-dimension corpus bounds, distances computed SYMMETRICALLY
+    * in code space as exact integer `Σ(Δcode)²` (SIMD/codegen-friendly; no
+    * float in the hot loop, so the DuckDB oracle hash-matches with zero
+    * tolerance). The scan here is the brute measurement baseline over the
+    * compressed codes — the broadcast-cross-join-the-tiny-query-side shape
+    * of [[bruteForceTopK]] but over 64 B/vector instead of 512 B; the cell
+    * path composes exactly like PQ's (store `(cell, codes)`, probe via the
+    * [[ivfTopK]] equi-join).
+    */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val (mn, mx) = sq8Bounds(emb)
+    val c = sq8Codes(emb, mn, mx)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("codes").as("qc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("sq_dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("sq_dist"), col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("sq_dist"))
+  }
+
   // --------------------------------------------------- product quantization
 
   /** Product-quantization codebook: `m` subspaces × `k` sub-centroids, where

@@ -209,10 +209,14 @@ class PlansSpec extends SparkSpec {
     // q_kmv_overlap's pair join is an inequality join over SKETCH-sized
     // sides (S sources × ≤k longs each) — tiny by contract, km_validity's
     // precedent; the corpus-scale stage before it is a plain distinct.
+    // sim_sq8 broadcast-cross-joins the same tiny query side as sim_topk —
+    // over 64 B/vector SQ8 codes instead of raw floats (the compressed scan
+    // is the point; the cell path composes via the ivf equi-join).
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
       "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
-      "text_heavy_hitters") // same one-row CMS-matrix crossJoin as text_cms
+      "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
+      "sim_sq8")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0 && real.count() == 500)
   }
 
+  test("sq8: codes span [0,255] hitting both ends; top-1 respects clusters; " +
+    "constant dims encode 0") {
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    assert(mn.size == 3 && mx.size == 3)
+    val codes = Similarity.sq8Codes(emb, mn, mx).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // the per-dim min encodes 0 and the per-dim max encodes 255
+    (0 until 3).foreach { d =>
+      val column = codes.values.map(_(d))
+      assert(column.min == 0L && column.max == 255L)
+    }
+    // queries 0 (x-axis) and 1 (y-axis) find their own cluster first
+    val top1 = Similarity.sq8TopK(emb, nQueries = 2, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(2L, 3L).contains(top1(0L)) && Set(4L, 5L).contains(top1(1L)))
+    // a constant dimension quantizes to 0 instead of dividing by zero
+    val flat = Seq((0L, Array(1.0f, 7.0f)), (1L, Array(2.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val (fm, fx) = Similarity.sq8Bounds(flat)
+    val fc = Similarity.sq8Codes(flat, fm, fx).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fc(0L)(1) == 0L && fc(1L)(1) == 0L)
+    assert(fc(0L)(0) == 0L && fc(1L)(0) == 255L)
+  }
+
   test("knnGraph: within-cluster mutual edges, canonical ids, rank bounds") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
