@@ -830,6 +830,34 @@ object OracleSql {
        |ORDER BY cnt DESC, path LIMIT $k""".stripMargin
   }
 
+  /** Mirror of [[Events.transitions]]: same session CTEs as
+    * [[eventsPaths]], then a lead window per (user, session) and the
+    * row-normalized matrix in integer ppm.
+    */
+  def eventsTransitions(gapMinutes: Int): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+       |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $gapUs THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM e),
+       |g AS (SELECT user_id, event_type, us, event_id,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM f),
+       |p AS (SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY us, event_id) AS to_type
+       |  FROM g),
+       |m AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+       |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+       |    AS p_ppm
+       |FROM m""".stripMargin
+  }
+
   /** Mirror of [[Events.retention]]: integer epoch-week cohorts (`//` =
     * Spark's `div`, both pure integer division on BIGINT microseconds).
     */

@@ -1332,6 +1332,10 @@ object SparkEntry {
     // total-ordered sequence, counted corpus-wide)
     "events_paths" -> ((s, dir) =>
       Events.topPaths(Tables.readEvents(s, dir))),
+    // first-order Markov matrix: full next-step distribution (count + ppm
+    // probability) over within-session consecutive event pairs
+    "events_transitions" -> ((s, dir) =>
+      Events.transitions(Tables.readEvents(s, dir))),
 
     // ---- the composed training-data job (quality gate → near-dup
     // clustering over survivors → keep one per cluster): every stage is an
@@ -2684,6 +2688,7 @@ object SparkEntry {
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
+    "events_transitions" -> OracleSql.eventsTransitions(gapMinutes = 30),
     "pipeline_select" -> OracleSql.pipelineSelect(minTokens = 25, maxTokens = 5000),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

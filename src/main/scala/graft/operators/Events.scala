@@ -436,6 +436,33 @@ object Events {
     * count — the (user, week) distinct is the only wide state and it's
     * bounded by users × observed weeks.
     */
+  /** First-order Markov transition matrix over within-session event
+    * sequences: for every ordered `(from_type, to_type)` pair of CONSECUTIVE
+    * events (same user, same session — the [[sessionized]] gap rule, so
+    * overnight returns don't fabricate transitions), the count and the
+    * row-normalized probability in exact ppm. The companion to [[topPaths]]:
+    * paths surface the frequent whole journeys, this gives the full
+    * next-step distribution that journey simulation / next-event prediction
+    * conditions on.
+    *
+    * Shape: ONE shuffle on user_id (the shared events-family partitioning)
+    * for the lead window; the matrix itself is |types|² rows, so the
+    * normalizing window is over a trivially small relation.
+    */
+  def transitions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    val matrix = sessionized(events, gapMinutes)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    matrix
+      .withColumn("row_total", sum("cnt").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+  }
+
   def retention(events: DataFrame, cohortType: String = "signup",
       maxOffset: Int = 3): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L

@@ -89,6 +89,32 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("transitions: session-bounded consecutive pairs, ppm rows sum sanely") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(1), 7L, "click", 1.0, "{}"),
+      (3L, ts(2), 7L, "view", 1.0, "{}"),
+      (4L, ts(90), 7L, "buy", 1.0, "{}"),   // >30min gap: view->buy NOT counted
+      (5L, ts(0), 8L, "view", 1.0, "{}"),
+      (6L, ts(1), 8L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // view->click twice (both users), click->view once; no view->buy bridge
+    assert(got(("view", "click")) == (2L, 1000000L))
+    assert(got(("click", "view")) == (1L, 1000000L))
+    assert(!got.contains(("view", "buy")))
+    assert(got.size == 2)
+    // ppm normalization: each from-row's probabilities sum to <= 1e6 with
+    // integer-floor slack below the number of to-cells
+    got.groupBy(_._1._1).foreach { case (_, cells) =>
+      val tot = cells.values.map(_._2).sum
+      assert(tot <= 1000000L && tot > 1000000L - cells.size)
+    }
+  }
+
   test("ohlc: deterministic open/close under timestamp ties, exact extremes") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
