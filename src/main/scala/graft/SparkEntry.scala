@@ -1509,6 +1509,33 @@ object SparkEntry {
     // ---- fixed-bin histogram census (the value-distribution profile a
     // pipeline draws before choosing partition bounds): bin = integer
     // division of exact cents — one map-side-combinable groupBy ----
+    // ---- RFM segmentation (recency / frequency / monetary quintiles per
+    // customer — the classic activation/churn cut): one groupBy(custkey)
+    // shuffle builds the summary; the three ntile(5) windows run over the
+    // CUSTOMER summary (orders-many → customers-few), each on a total
+    // (metric, custkey) order so scores are deterministic. 5 = best. At
+    // 100 TB swap the global ntiles for the range-partitioned global rank
+    // (Ranking.globalRank) bucketed by rank·5/n — the lengthDecileProfile
+    // note, identical semantics ----
+    "q_rfm" -> ((s, dir) => {
+      // o_orderdate arrives TIMESTAMP_NTZ (see Tables.readEvents note);
+      // the session TZ is pinned UTC so the cast is instant-preserving
+      val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val cust = Tables.read(s, dir, "orders")
+        .select(col("o_custkey"), day.as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
+          sum("cents").as("spend_cents"))
+      def score(c: String) =
+        ntile(5).over(Window.orderBy(col(c), col("o_custkey"))).cast("long")
+      cust
+        .withColumn("r", score("last_day"))
+        .withColumn("f", score("n_orders"))
+        .withColumn("m", score("spend_cents"))
+        .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+    }),
+
     "q_histogram" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       Tables.read(s, dir, "lineitem")
@@ -2511,6 +2538,19 @@ object SparkEntry {
     "text_sentences" -> OracleSql.textSentences,
     "doc_balance" -> OracleSql.docBalance,
     "doc_quality_gate" -> OracleSql.docQualityGate,
+    "q_rfm" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (SELECT o_custkey, last_day, n_orders, spend_cents,
+        |    CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT) AS m
+        |  FROM cust)
+        |SELECT o_custkey, last_day, n_orders, spend_cents, r, f, m,
+        |  r*100 + f*10 + m AS rfm FROM s""".stripMargin,
     "q_histogram" ->
       """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)
         |SELECT cents // 500000 AS bin, CAST(count(*) AS BIGINT) AS cnt,

@@ -141,6 +141,23 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq(17.5, 25.0, 32.5)) // (n-1)*p = 0.75, 1.5, 2.25
   }
 
+  test("q_rfm: quintiles balanced within 1, scores in [1,5], rfm digits agree") {
+    val rows = SparkEntry.queries("q_rfm")(spark, sf("0.001")).collect()
+    assert(rows.nonEmpty)
+    def fld(name: String) = rows.head.schema.fieldIndex(name)
+    val (ri, fi, mi, rfmi) = (fld("r"), fld("f"), fld("m"), fld("rfm"))
+    rows.foreach { row =>
+      Seq(ri, fi, mi).foreach(i => assert(row.getLong(i) >= 1 && row.getLong(i) <= 5))
+      assert(row.getLong(rfmi) ==
+        row.getLong(ri) * 100 + row.getLong(fi) * 10 + row.getLong(mi))
+    }
+    // ntile balance: bucket sizes differ by at most 1 per dimension
+    Seq(ri, fi, mi).foreach { i =>
+      val sizes = rows.groupBy(_.getLong(i)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
   test("funnel stage counts are monotone non-increasing on real events") {
     val got = graft.operators.Events.funnel(Tables.readEvents(spark, sf("0.01")))
       .orderBy("stage").select("users").as[Long].collect().toSeq
