@@ -1245,6 +1245,14 @@ object SparkEntry {
         .groupBy("a_vid", "b_vid").agg(count(lit(1)).as("n_frames"))
     }),
 
+    // energy-based audio activity segmentation (rows-only: WAV decode isn't
+    // SQL-expressible): real RIFF/PCM parse, exact-integer window energies,
+    // active-window census + longest speech run per clip relative to the
+    // clip's own loudest window
+    "mm_audio_seg" -> ((s, dir) =>
+      Multimodal.audioActivity(
+        Multimodal.mediaTable(Tables.read(s, dir, "documents"))).toDF()),
+
     "mm_phash" -> ((s, dir) => {
       val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
         .filter(col("kind") === "image")

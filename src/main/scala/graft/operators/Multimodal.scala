@@ -289,6 +289,93 @@ object Multimodal {
     info
   }
 
+  /** REAL WAV decode returning the raw 16-bit PCM frames: the same RIFF
+    * chunk walk as [[decodeWav]] (magic checks, size-skips, fmt-before-data
+    * enforced) but materializing samples for window-level processing
+    * ([[audioActivity]]). Payloads are per-row bounded (one clip), so the
+    * array is a per-row working set, not driver state.
+    */
+  def wavSamples(payload: Array[Byte]): (Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourCC() == "WAVE", "not a WAVE file")
+    var sampleRate = 0
+    var samples: Array[Short] = null
+    while (samples == null && bb.remaining() >= 8) {
+      val id = fourCC()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          require(bb.getShort == 1, "not PCM")
+          bb.getShort // channels
+          sampleRate = bb.getInt
+          bb.position(fmtEnd)
+        case "data" =>
+          require(sampleRate > 0, "data chunk before fmt chunk")
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          samples = out
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(samples != null, "no data chunk found")
+    (sampleRate, samples)
+  }
+
+  /** Per-clip energy segmentation facts from [[audioActivity]]. */
+  final case class AudioSeg(
+      media_id: Long, sample_rate: Long, n_windows: Long, n_active: Long,
+      max_run: Long, peak_win_e: Long)
+
+  /** Energy-based activity segmentation — the VAD-shaped pass a speech
+    * pipeline runs before transcription to skip silence: each clip's PCM
+    * frames are cut into fixed `win`-sample windows, each window's energy
+    * is the EXACT integer sum of squared samples, and a window is active
+    * when `energy · 1e6 ≥ thrPpm · peak-window-energy` (relative to the
+    * clip's own loudest window, so quiet recordings don't go all-silent).
+    * Output per clip: window count, active count, the LONGEST active run
+    * (the largest speech segment, in windows), and the peak window energy.
+    *
+    * Same partition-batched decode shape as [[aHashes]]; all outputs are
+    * exact integers. Rows-only like the rest of the mm family (binary
+    * container decode has no ANSI mirror); the decode loop and the run
+    * logic are pinned on synthesized clips in MultimodalSpec.
+    */
+  def audioActivity(media: DataFrame, win: Int = 64,
+      thrPpm: Long = 250000L): Dataset[AudioSeg] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(32).flatMap(_.map { r =>
+          val (sr, s) = wavSamples(r.payload)
+          val energies = s.grouped(win).map { w =>
+            var e = 0L; var i = 0
+            while (i < w.length) { e += w(i).toLong * w(i); i += 1 }
+            e
+          }.toArray
+          val peak = if (energies.isEmpty) 0L else energies.max
+          var active = 0L; var run = 0L; var maxRun = 0L
+          energies.foreach { e =>
+            if (e * 1000000L >= thrPpm * peak && peak > 0) {
+              active += 1; run += 1; if (run > maxRun) maxRun = run
+            } else run = 0
+          }
+          AudioSeg(r.media_id, sr.toLong, energies.length.toLong, active,
+            maxRun, peak)
+        })
+      }
+  }
+
   /** Audio features from the REAL decode: [sample_rate, n_samples,
     * peak/32767, rms/32767, zero-crossing rate, duration_sec], zero-padded
     * to `dim`.

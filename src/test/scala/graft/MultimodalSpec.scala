@@ -90,6 +90,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioActivity: silence-burst-silence yields one run; exact window energies") {
+    import spark.implicits._
+    // 4-sample windows: [silence][burst][burst][silence][tail-burst]
+    val s = Array[Short](
+      0, 0, 0, 0,                 // w0: e=0           inactive
+      1000, 1000, 1000, 1000,     // w1: e=4e6         active
+      2000, 2000, 2000, 2000,     // w2: e=16e6 (peak) active
+      0, 0, 1, 0,                 // w3: e=1           inactive (1e6 < thr*16e6)
+      1000, 1000)                 // w4 (short): e=2e6 active at thr=0.1
+    val rows = Seq(Multimodal.MediaRow(7L, "audio",
+      Multimodal.wavBytes(8000, s), 0, 0, 8000)).toDF()
+    val got = Multimodal.audioActivity(rows, win = 4, thrPpm = 100000L)
+      .collect().head
+    assert(got == Multimodal.AudioSeg(7L, 8000L, 5L, 3L, 2L, 16000000L))
+    // samples round-trip exactly through the dedicated parser
+    val (sr, back) = Multimodal.wavSamples(Multimodal.wavBytes(8000, s))
+    assert(sr == 8000 && back.toSeq == s.toSeq)
+    // all-silence clip: peak 0 -> zero active windows, zero runs
+    val quiet = Seq(Multimodal.MediaRow(8L, "audio",
+      Multimodal.wavBytes(8000, Array[Short](0, 0, 0, 0, 0)), 0, 0, 8000)).toDF()
+    val q = Multimodal.audioActivity(quiet, win = 4).collect().head
+    assert(q.n_active == 0L && q.max_run == 0L && q.peak_win_e == 0L)
+  }
+
   test("audio rows decode for real: features come from the container, not metadata") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val media = Multimodal.mediaTable(docs)
