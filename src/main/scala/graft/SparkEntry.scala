@@ -618,6 +618,18 @@ object SparkEntry {
         .select(col("j"), col("n"))
     }),
 
+    // ---- mini-batch fit (Sculley 2010) — the web-scale variant: each
+    // iteration scans only an LCG-drawn batch and nudges centroids with
+    // per-centroid 1/n learning rates; ~2 full passes buy 20 iterations.
+    // Rows-only (the learning-rate recursion is a per-step driver fold);
+    // cost-vs-full-Lloyd is pinned in KMeansSpec ----
+    "km_fit_minibatch" -> ((s, dir) => {
+      val fit = KMeans.fitMiniBatch(Tables.yhEmbeddings(s, dir), k = 8, dim = 64)
+      KMeans.assign(Tables.yhEmbeddings(s, dir), fit.centroids)
+        .groupBy("j").agg(count(lit(1)).as("n"))
+        .select(col("j"), col("n"))
+    }),
+
     // ---- the WCR centroid log (S2: append-only iteration history) ----
     "km_wcr_log" -> ((s, dir) => {
       import s.implicits._

@@ -340,6 +340,25 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("fitMiniBatch: cost within 15% of full Lloyd at a fraction of the scans") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val full = KMeans.fit(data, k = 8, dim = 64, seed = 42)
+    val mb = KMeans.fitMiniBatch(data, k = 8, dim = 64,
+      batchFrac = 0.2, maxIter = 20, seed = 42)
+    assert(mb.centroids.size == 8)
+    def cost(cs: Seq[KMeans.Centroid]): Double =
+      operators.Quality.elbow(data, cs).select("elbow_d2").as[Double].head()
+    val (cFull, cMb) = (cost(full.centroids), cost(mb.centroids))
+    assert(cMb <= cFull * 1.15,
+      s"mini-batch WCSS $cMb vs full $cFull — more than 15% worse")
+    // deterministic: same seed, same result
+    val again = KMeans.fitMiniBatch(data, k = 8, dim = 64,
+      batchFrac = 0.2, maxIter = 20, seed = 42)
+    assert(again.centroids == mb.centroids && again.steps == mb.steps)
+    // the log carries every step (seeds at 0 plus k rows per step)
+    assert(mb.log.size == ((mb.steps + 1) * 8).toInt)
+  }
+
   test("fit quality matches MLlib KMeans (WCSS cross-check)") {
     // NOTE: the embeddings' `label` column is NOT L2-recoverable (nearest-
     // true-label-centroid accuracy is only ~37% on this synthetic data), so
