@@ -402,6 +402,45 @@ object StreamingOps {
       }
   }
 
+  final case class TransIn(user_id: Long, event_id: Long, us: Long,
+    event_type: String)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String,
+    us: Long)
+  final case class TransState(lastUs: Long, lastType: String)
+
+  /** Streaming twin of `Events.transitions`' pair stage: emits every
+    * within-session consecutive `(from_type, to_type)` pair as it happens.
+    * State is ONE (ts, type) tuple per user — the only thing the next
+    * transition needs — with the same >gap session split as the batch
+    * sessionizer, so pairs never bridge sessions. The normalized matrix is
+    * a downstream rollup of this pair stream (complete-mode agg or the
+    * batch query over the sink); StreamingSpec pins pair counts ≡ the
+    * batch matrix across micro-batch splits.
+    */
+  def transitionsStream(events: Dataset[TransIn],
+      gapMinutes: Int = 30): Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TransIn], state: GroupState[TransState]) =>
+          var last = state.getOption
+          val out = List.newBuilder[TransOut]
+          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            last match {
+              case Some(s) if e.us - s.lastUs <= gapUs =>
+                out += TransOut(user, s.lastType, e.event_type, e.us)
+              case _ => () // session break (or first event): no pair
+            }
+            last = Some(TransState(e.us, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming gap sessions via the built-in `session_window` — the
     * watermarked one-liner twin of [[sessionizeStream]]'s explicit
     * flatMapGroupsWithState form (and of the batch

@@ -373,6 +373,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs roll up to the batch Markov matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.TransIn
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val batchCnt = graft.operators.Events.transitions(ev)
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(batchCnt.nonEmpty)
+    // split mid-stream: the one-(ts,type)-per-user state must carry the
+    // pending transition across the micro-batch boundary
+    val rows = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[TransIn].collect().sortBy(e => (e.us, e.event_id))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[TransIn]
+    val q = StreamingOps.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      in.addData(a.toSeq)
+      q.processAllAvailable()
+      in.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == batchCnt,
+        s"stream (${got.size}) and batch (${batchCnt.size}) matrices diverge")
+    } finally q.stop()
+  }
+
   test("streaming latest-wins upsert never regresses a doc on stale re-delivery") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.Up
