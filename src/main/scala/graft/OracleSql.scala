@@ -1558,6 +1558,43 @@ object OracleSql {
        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, CAST(d2 AS BIGINT) AS sq_dist
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[operators.Similarity.ivfSq8TopK]]: [[simIvf]]'s cell/probe
+    * CTEs composed with [[simSq8]]'s per-dimension codes; pair distances
+    * re-aggregate from the long code rows inside the probed cells only.
+    */
+  def simIvfSq8(nCells: Int, dim: Int, nQueries: Int, nProbe: Int,
+      k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS d),
+       |mm AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       |  FROM e CROSS JOIN dims GROUP BY d),
+       |code AS (SELECT e.vec_id, mm.d,
+       |    CASE WHEN mm.mx > mm.mn
+       |      THEN CAST(round((e.v[mm.d] - mm.mn) * 255 / (mm.mx - mm.mn)) AS BIGINT)
+       |      ELSE 0 END AS code
+       |  FROM e CROSS JOIN mm),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |pd AS (SELECT p.q_id, cl.vec_id AS n_id,
+       |    sum((cq.code - cn.code) * (cq.code - cn.code)) AS d2
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  JOIN code cn ON cn.vec_id = cl.vec_id
+       |  JOIN code cq ON cq.vec_id = p.q_id AND cq.d = cn.d
+       |  WHERE cl.vec_id <> p.q_id
+       |  GROUP BY p.q_id, cl.vec_id),
+       |r AS (SELECT q_id, n_id, d2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rnk FROM pd)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, CAST(d2 AS BIGINT) AS sq_dist
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Mirror of [[Similarity.lshTopK]]: identical ±1 sign vectors (same LCG
     * family), identical sequential dot fold, so every projection lands on
     * the same side of `> 0` in both engines.

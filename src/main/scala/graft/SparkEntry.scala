@@ -888,6 +888,13 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, Similarity.fixedCentroids(emb, 16),
         Similarity.pqCodebook(emb))
     }),
+    // IVF + SQ8 composed (the FAISS IVF-SQ shape): one per-row pass stores
+    // (cell, byte-codes); probes ADC-rank only the probed cells' codes by
+    // exact-integer symmetric SQ8 distance
+    "sim_ivfsq8" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfSq8TopK(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // the IVF-PQ build/probe split: (cell, codes) persisted ONCE as a
     // bucketed-by-cell table (ensureIvfPqIndex), probes equi-join
     // co-located buckets with no index-side Exchange and zero query-time
@@ -2528,6 +2535,8 @@ object SparkEntry {
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
+    "sim_ivfsq8" -> OracleSql.simIvfSq8(nCells = 16, dim = 64, nQueries = 5,
+      nProbe = 2, k = 10),
     "sim_topk_native" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

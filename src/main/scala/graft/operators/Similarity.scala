@@ -542,16 +542,71 @@ object Similarity {
     * (0 for a constant dimension) — one byte per dimension, a 4× memory /
     * scan-bandwidth cut vs float32. Per-row, zero shuffle.
     */
-  def sq8Codes(emb: DataFrame, mn: Seq[Double], mx: Seq[Double]): DataFrame = {
+  def sq8Codes(emb: DataFrame, mn: Seq[Double], mx: Seq[Double]): DataFrame =
+    emb2v(emb).select(col("vec_id"), sq8CodeCol(mn, mx).as("codes"))
+
+  /** The SQ8 encode expression over the bound `v` column (shared by
+    * [[sq8Codes]] and [[ivfSq8TopK]]'s one-pass cell+code index build). */
+  private def sq8CodeCol(mn: Seq[Double], mx: Seq[Double]): Column = {
     val mnA = array(mn.map(lit): _*)
     val mxA = array(mx.map(lit): _*)
-    emb2v(emb).select(col("vec_id"),
-      transform(col("v"), (x, i) => {
-        val lo = element_at(mnA, i + 1)
-        val hi = element_at(mxA, i + 1)
-        when(hi > lo, round((x - lo) * 255 / (hi - lo)).cast("long"))
-          .otherwise(0L)
-      }).as("codes"))
+    transform(col("v"), (x, i) => {
+      val lo = element_at(mnA, i + 1)
+      val hi = element_at(mxA, i + 1)
+      when(hi > lo, round((x - lo) * 255 / (hi - lo)).cast("long"))
+        .otherwise(0L)
+    })
+  }
+
+  /** IVF + SQ8 composed — FAISS's IVF-SQ index shape, completing the
+    * compressed-index matrix next to [[ivfPqTopK]]: ONE per-row pass stores
+    * `(cell, 64 byte-codes)` per vector; probes rank only the `nProbe`
+    * nearest cells' codes by the exact-integer symmetric SQ8 distance.
+    * Cell ranking happens in the same driver pass that collects the
+    * contract-tiny query set (the [[ivfPqTopK]] discipline — identical
+    * sqDist fold + (d, cid) tie order, so the oracle's relational
+    * row_number replay agrees), and the candidate stage is the cell
+    * equi-join that scales.
+    */
+  def ivfSq8TopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mn, mx) = sq8Bounds(emb)
+    val e = emb2v(emb)
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    // the (cell, codes) index: one per-row pass, no shuffle — what persists
+    // at 100 TB (the buildIvfIndex bucketed-table split applies unchanged).
+    // localCheckpoint = the same materialization boundary ivfPqTopK needs
+    // (probe LocalRelation expressions must not cross into the index side).
+    val indexed = e.select(col("vec_id"),
+        nearestId(col("v"), ids, cs).as("cell"),
+        sq8CodeCol(mn, mx).as("codes"))
+      .localCheckpoint(eager = true)
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val probeRows = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"), sq8CodeCol(mn, mx).as("qc"))
+      .collect().flatMap { r =>
+        val (qid, qv, qc) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2))
+        ids.zip(cs).map { case (j, c) => (sqd(c, qv), j) }
+          .sorted.take(nProbe)
+          .map { case (_, cell) => (qid, cell, qc) }
+      }
+    val probes = probeRows.toSeq.toDF("q_id", "cell", "qc")
+    val cand = probes.join(indexed, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("sq_dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("sq_dist"), col("n_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("sq_dist"))
   }
 
   /** Scalar-quantized (SQ8) top-k search — the OTHER standard compressed

@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     assert(fc(0L)(0) == 0L && fc(1L)(0) == 255L)
   }
 
+  test("ivfSq8TopK: full-probe equals the brute SQ8 ranking; low-probe is a subset") {
+    val cents = Seq(KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)), KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    val brute = Similarity.sq8TopK(emb, nQueries = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Similarity.ivfSq8TopK(emb, cents, nQueries = 2, nProbe = 3, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == brute, "probing every cell must reproduce the brute ranking")
+    // 1-probe results are a subset of the brute candidate space with the
+    // same distances (ranks can only tighten)
+    val one = Similarity.ivfSq8TopK(emb, cents, nQueries = 2, nProbe = 1, k = 5)
+      .collect()
+    val bruteDist = brute.map(t => (t._1, t._2) -> t._4).toMap
+    one.foreach { r =>
+      bruteDist.get((r.getLong(0), r.getLong(1))).foreach(d =>
+        assert(d == r.getLong(3), "distances must not depend on probe count"))
+    }
+  }
+
   test("knnGraph: within-cluster mutual edges, canonical ids, rank bounds") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
