@@ -803,6 +803,39 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Mirror of [[Events.funnelLatency]]: [[eventsFunnel]]'s chained stage
+    * CTEs, then one join + scalar aggregate per consecutive pair. DuckDB
+    * `median(BIGINT)` interpolates even counts exactly like Spark's
+    * `percentile(_, 0.5)` (x.0/x.5, exact in a double — the
+    * docQualityGate discipline); empty pairs keep NULL min/max and a
+    * coalesced 0 sum like Spark's empty-aggregate row.
+    */
+  def eventsFunnelLatency(stages: Seq[String], windowHours: Int): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = '$st' GROUP BY 1)"
+      else
+        s"""s${i + 1} AS (SELECT ev.user_id, min(us) AS t FROM ev
+           |  JOIN s$i ON ev.user_id = s$i.user_id
+           |  WHERE event_type = '$st' AND us > s$i.t AND us <= s$i.t + $winUs
+           |  GROUP BY ev.user_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 until stages.size).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS step,
+         |  '${stages(i - 1)}' AS from_type, '${stages(i)}' AS to_type,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(min(b.t - a.t) AS BIGINT) AS min_us,
+         |  CAST(max(b.t - a.t) AS BIGINT) AS max_us,
+         |  CAST(coalesce(sum(b.t - a.t), 0) AS BIGINT) AS sum_us,
+         |  CAST(round(median(b.t - a.t) * 10) AS BIGINT) AS med_us_d10
+         |FROM s$i a JOIN s${i + 1} b ON a.user_id = b.user_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |$ctes
+       |$rows""".stripMargin
+  }
+
   /** Mirror of [[Events.topPaths]]: same session tagging as
     * [[eventsSessionize]], per-session type sequences ordered by
     * (us, event_id) — a total order, so `list(... ORDER BY ...)` and

@@ -1352,6 +1352,10 @@ object SparkEntry {
     // within 24h per stage, chained min-joins — no windows, no per-user sort
     "events_funnel" -> ((s, dir) =>
       Events.funnel(Tables.readEvents(s, dir))),
+    // stage-to-stage conversion latency: exact-integer µs summaries + the
+    // fixed-point median per consecutive funnel pair
+    "events_funnel_latency" -> ((s, dir) =>
+      Events.funnelLatency(Tables.readEvents(s, dir))),
     // cohort retention: epoch-week signup cohorts × activity-week offsets
     "events_retention" -> ((s, dir) =>
       Events.retention(Tables.readEvents(s, dir))),
@@ -2754,6 +2758,8 @@ object SparkEntry {
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_bcast" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
+      stages = Seq("view", "click", "purchase"), windowHours = 24),
+    "events_funnel_latency" -> OracleSql.eventsFunnelLatency(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),

@@ -342,10 +342,24 @@ object Events {
   def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase"),
       windowHours: Int = 24): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    val reached = stageTimes(events, stages, windowHours)
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("stage"), lit(stages(i)).as("event_type"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The funnel's per-stage first-completion times: stage i's relation is
+    * (user_id, t) where t = the user's FIRST stage-i event falling inside
+    * `windowHours` of their stage-(i−1) completion (chained, min-qualifying
+    * — the [[funnel]] semantics, shared verbatim).
+    */
+  private def stageTimes(events: DataFrame, stages: Seq[String],
+      windowHours: Int): Vector[DataFrame] = {
     val winUs = windowHours * 3600L * 1000000L
     val typed = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
-    val reached = stages.tail.foldLeft(Vector(
+    stages.tail.foldLeft(Vector(
       typed.filter(col("event_type") === stages.head)
         .groupBy("user_id").agg(min("us").as("t")))) { (acc, st) =>
       val prev = acc.last.select(col("user_id"), col("t").as("tp"))
@@ -354,9 +368,35 @@ object Events {
         .filter(col("us") > col("tp") && col("us") <= col("tp") + winUs)
         .groupBy("user_id").agg(min("us").as("t"))
     }
-    reached.zipWithIndex.map { case (df, i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1L).as("stage"), lit(stages(i)).as("event_type"), col("users"))
+  }
+
+  /** Stage-to-stage conversion LATENCY — the "how long does the funnel
+    * take" companion to [[funnel]]'s "how many make it": for each
+    * consecutive stage pair, the converting users' time deltas summarized
+    * as exact integers (count, min, max, sum in µs) plus the median at
+    * one-decimal fixed point (`percentile(_, 0.5)` over integer µs
+    * interpolates x.0/x.5 — exact in a double, the qualityQuantileGate
+    * parity discipline). Per pair: one equi-join of two user-keyed stage
+    * relations + one scalar aggregate.
+    */
+  def funnelLatency(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowHours: Int = 24): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    val reached = stageTimes(events, stages, windowHours)
+    (1 until reached.size).map { i =>
+      val a = reached(i - 1).select(col("user_id"), col("t").as("ta"))
+      val b = reached(i).select(col("user_id"), col("t").as("tb"))
+      a.join(b, "user_id")
+        .select((col("tb") - col("ta")).as("lat"))
+        .agg(count(lit(1)).as("n_users"),
+          min("lat").as("min_us"), max("lat").as("max_us"),
+          sum("lat").as("sum_us"),
+          expr("percentile(lat, 0.5)").as("med"))
+        .select(lit(i.toLong).as("step"),
+          lit(stages(i - 1)).as("from_type"), lit(stages(i)).as("to_type"),
+          col("n_users"), col("min_us"), col("max_us"), col("sum_us"),
+          round(col("med") * 10).cast("long").as("med_us_d10"))
     }.reduce(_.unionAll(_))
   }
 

@@ -89,6 +89,30 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("funnelLatency: chained first-qualifying deltas, exact median at .5 grain") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      // user 7: view@0 -> click@10 (lat 10min) -> purchase@30 (lat 20min)
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),
+      (3L, ts(30), 7L, "purchase", 1.0, "{}"),
+      // user 8: view@0 -> click@5 (lat 5min); no purchase
+      (4L, ts(0), 8L, "view", 1.0, "{}"),
+      (5L, ts(5), 8L, "click", 1.0, "{}"),
+      // user 9: click only — never enters the funnel
+      (6L, ts(0), 9L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnelLatency(ev).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val mUs = 60000000L
+    // median of {5min, 10min} = 7.5min = 450e6 µs -> d10 = 4.5e9
+    assert(got(0) == ((1L, "view", "click", 2L, 5 * mUs, 10 * mUs, 15 * mUs,
+      4500000000L)))
+    assert(got(1) == ((2L, "click", "purchase", 1L, 20 * mUs, 20 * mUs,
+      20 * mUs, 20 * mUs * 10)))
+  }
+
   test("transitions: session-bounded consecutive pairs, ppm rows sum sanely") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
