@@ -891,6 +891,25 @@ object OracleSql {
        |FROM m""".stripMargin
   }
 
+  /** Mirror of [[Events.stickiness]]: the same (user, day) reduction,
+    * generate_series fan-out for the trailing windows, and integer-ppm
+    * ratios.
+    */
+  val eventsStickiness: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+      |  SELECT DISTINCT user_id, unnest(generate_series(day, day + 6)) AS day
+      |  FROM ud) t GROUP BY day),
+      |mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau FROM (
+      |  SELECT DISTINCT user_id, unnest(generate_series(day, day + 29)) AS day
+      |  FROM ud) t GROUP BY day)
+      |SELECT dau.day, dau.dau, wau.wau, mau.mau,
+      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS dw_ppm,
+      |  CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS dm_ppm
+      |FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day""".stripMargin
+
   /** Mirror of [[Events.retention]]: integer epoch-week cohorts (`//` =
     * Spark's `div`, both pure integer division on BIGINT microseconds).
     */

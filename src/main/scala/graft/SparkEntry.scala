@@ -1329,6 +1329,10 @@ object SparkEntry {
     // countDistinct -> two-level aggregate, no Expand)
     "events_active_users" -> ((s, dir) =>
       Events.activeUsers(Tables.readEvents(s, dir))),
+    // DAU/WAU/MAU + stickiness ppm: one (user, day) reduction, bounded
+    // explode fan-out for the trailing windows — never a range join
+    "events_stickiness" -> ((s, dir) =>
+      Events.stickiness(Tables.readEvents(s, dir))),
     // as-of join (click → latest prior purchase per user) via the union +
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
@@ -2750,6 +2754,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "events_stickiness" -> OracleSql.eventsStickiness,
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),

@@ -466,6 +466,35 @@ object Events {
       .limit(k)
   }
 
+  /** DAU/WAU/MAU stickiness census — the engagement table every product
+    * dashboard leads with: per observed day, the exact distinct users
+    * active that day (DAU), within the trailing 7 days (WAU), within the
+    * trailing 30 days (MAU), and the DAU/WAU + DAU/MAU stickiness ratios
+    * in exact ppm.
+    *
+    * Shape: events reduce ONCE to the distinct (user, day) relation — the
+    * only corpus-scale shuffle, and far smaller than the event stream.
+    * Trailing windows then come from an explode of each (user, day) onto
+    * the ≤7/≤30 future days it covers (a bounded fan-out of the REDUCED
+    * relation — never a range join, never a per-day rescan), distinct, and
+    * a grouped count. The inner join back to DAU restricts output to days
+    * that actually occur.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val ud = events.select(col("user_id"), day.as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    def trailing(n: Int, name: String) = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (n - 1))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(name))
+    dau.join(trailing(7, "wau"), "day").join(trailing(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div wau").as("dw_ppm"),
+        expr("dau * 1000000 div mau").as("dm_ppm"))
+  }
+
   /** Cohort retention: users are grouped into epoch-week cohorts by their
     * FIRST `cohortType` event; a cohort member counts as retained at offset
     * k when they have ANY event in cohort_week + k. Weeks are integer

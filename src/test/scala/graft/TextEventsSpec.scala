@@ -89,6 +89,26 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("stickiness: trailing windows count exact distinct users; ratios bounded") {
+    def ts(d: Long) = new Timestamp(1700000000000L + d * 86400000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),   // day D
+      (2L, ts(0), 8L, "view", 1.0, "{}"),
+      (3L, ts(3), 7L, "view", 1.0, "{}"),   // day D+3: user 7 again
+      (4L, ts(3), 9L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d0 = 1700000000000L / 86400000L
+    val got = Events.stickiness(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // day D: dau {7,8}=2; trailing wau/mau = same 2 (nothing earlier)
+    assert(got(d0) == ((2L, 2L, 2L, 1000000L, 1000000L)))
+    // day D+3: dau {7,9}=2; wau = {7,8,9}=3 (day-D activity still inside
+    // the 7-day window); mau = 3
+    assert(got(d0 + 3) == ((2L, 3L, 3L, 666666L, 666666L)))
+    assert(got.size == 2) // only observed days appear
+  }
+
   test("funnelLatency: chained first-qualifying deltas, exact median at .5 grain") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     val ev = Seq(
