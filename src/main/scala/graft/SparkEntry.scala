@@ -1470,6 +1470,20 @@ object SparkEntry {
     // never the single-partition window a bare row_number() OVER (ORDER BY)
     // would plan. The (price, orderkey, linenumber) order is total, so the
     // ranks are invariant to input partitioning and parallelism ----
+    // ---- deterministic training-order interleave: every epoch-order
+    // decision a trainer replays must be a pure function of the data, so
+    // the "shuffle" is an LCG key over doc_id ranked by the terasort-shaped
+    // range-partitioned global rank (no single-partition window). Source
+    // runs break up because the key is uniform across sources ----
+    "doc_interleave" -> ((s, dir) => {
+      val shuf = (col("doc_id") * 1103515245L + 12345L) % 2147483647L
+      operators.Ranking.globalRank(
+          Tables.read(s, dir, "documents")
+            .select(col("doc_id"), col("source"), shuf.as("shuf")),
+          Seq(col("shuf"), col("doc_id")), rankCol = "pos")
+        .select(col("doc_id"), col("source"), col("shuf"), col("pos"))
+    }),
+
     "q_global_sort" -> ((s, dir) =>
       operators.Ranking.globalRank(
           Tables.read(s, dir, "lineitem")
@@ -2779,6 +2793,13 @@ object SparkEntry {
     "pipeline_full" -> OracleSql.pipelineFull(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       dN = 3, dThrNum = 1, dThrDen = 10, packBudget = 256),
+    "doc_interleave" ->
+      """SELECT doc_id, source,
+        |  (doc_id*1103515245 + 12345) % 2147483647 AS shuf,
+        |  CAST(row_number() OVER (
+        |    ORDER BY (doc_id*1103515245 + 12345) % 2147483647, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM documents""".stripMargin,
     "q_global_sort" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  CAST(round(l_extendedprice*100.0) AS BIGINT) AS price_cents,

@@ -141,6 +141,24 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq(17.5, 25.0, 32.5)) // (n-1)*p = 0.75, 1.5, 2.25
   }
 
+  test("doc_interleave: a permutation that breaks up source runs") {
+    val rows = SparkEntry.queries("doc_interleave")(spark, sf("0.001"))
+      .orderBy("pos").collect()
+    // positions are exactly 1..n (a permutation)
+    assert(rows.map(_.getLong(rows.head.schema.fieldIndex("pos"))).toSeq ==
+      (1L to rows.length.toLong))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // no long same-source run survives the interleave (sources are ~5-way
+    // mixed; a run of 8 would have probability < 1e-4 under a uniform key)
+    val srcIx = rows.head.schema.fieldIndex("source")
+    val maxRun = rows.map(_.getString(srcIx))
+      .foldLeft((0, "", 0)) { case ((best, prev, cur), s) =>
+        val c = if (s == prev) cur + 1 else 1
+        (math.max(best, c), s, c)
+      }._1
+    assert(maxRun < 8, s"source run of $maxRun survived the interleave")
+  }
+
   test("q_rfm: quintiles balanced within 1, scores in [1,5], rfm digits agree") {
     val rows = SparkEntry.queries("q_rfm")(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)
