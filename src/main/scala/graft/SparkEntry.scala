@@ -196,6 +196,25 @@ object SparkEntry {
     (oTbl, lTbl)
   }
 
+  /** Persisted BASE aggregate for `q_ivm` (base = l_orderkey % 10 != 0):
+    * the materialized view a 100 TB pipeline maintains incrementally —
+    * written once; each arriving delta batch folds in as a k-row
+    * partial-aggregate merge with zero base re-scan.
+    */
+  private def ensureIvmBase(s: SparkSession, dir: String): String = {
+    val key = dirKey(dir)
+    val out = taggedTmpPath("graft_ivm_base", tagOf(key))
+    bucketedCache.getOrElseUpdate("ivm|" + key, {
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 =!= 0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        .write.mode("overwrite").parquet(out)
+    })
+    out
+  }
+
   /** Date-partitioned events for `q_partition_prune`: one write pays the
     * layout cost, then every date-ranged read scans ONLY the matching
     * `d=YYYY-MM-DD/` directories — partition pruning is THE first-order
@@ -1585,6 +1604,23 @@ object SparkEntry {
         .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
     }),
 
+    // ---- incremental view maintenance: the persisted BASE aggregate
+    // (ensureIvmBase) + the arriving delta's partial aggregate fold
+    // together as a k-row merge — sum of counts, sum of sums — with ZERO
+    // base re-scan. The oracle is the FULL recompute over all of lineitem,
+    // so the query passing IS the IVM invariant (incremental ≡ full) ----
+    "q_ivm" -> ((s, dir) => {
+      val base = s.read.parquet(ensureIvmBase(s, dir))
+      val delta = Tables.read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(sum("cnt").as("cnt"), sum("sum_cents").as("sum_cents"))
+    }),
+
     "q_histogram" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       Tables.read(s, dir, "lineitem")
@@ -2602,6 +2638,11 @@ object SparkEntry {
         |  FROM cust)
         |SELECT o_custkey, last_day, n_orders, spend_cents, r, f, m,
         |  r*100 + f*10 + m AS rfm FROM s""".stripMargin,
+    "q_ivm" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem)
         |SELECT cents // 500000 AS bin, CAST(count(*) AS BIGINT) AS cnt,
