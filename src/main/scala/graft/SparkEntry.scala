@@ -2208,6 +2208,21 @@ object SparkEntry {
     // the baseline every forecasting model must beat, and the shape of a
     // backtest harness (the ordered pass runs over calendar DAYS, bounded
     // metadata scale, after one day-level aggregation of the fact table) ----
+    // ---- day-of-week seasonal decomposition: the daily series split into
+    // a dow profile (integer floor mean per weekday slot) + exact residuals
+    // — the calibration table behind the seasonal-naive forecast ----
+    "events_seasonality" -> ((s, dir) => {
+      val daily = Tables.read(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("dow", expr("(day_us div 86400000000) % 7"))
+      val prof = daily.groupBy("dow")
+        .agg(expr("sum(cents) div count(*)").as("dow_mean_cents"))
+      daily.join(prof, "dow")
+        .select(col("day_us"), col("dow"), col("cents"), col("dow_mean_cents"),
+          (col("cents") - col("dow_mean_cents")).as("resid_cents"))
+    }),
+
     "events_forecast_naive" -> ((s, dir) => {
       val daily = Tables.read(s, dir, "events")
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
@@ -2785,6 +2800,16 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_cuped" -> OracleSql.eventsCuped,
+    "events_seasonality" ->
+      """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT (day_us // 86400000000) % 7 AS dow,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS dow_mean_cents
+        |  FROM d GROUP BY 1)
+        |SELECT d.day_us, CAST(p.dow AS BIGINT) AS dow, d.cents, p.dow_mean_cents,
+        |  CAST(d.cents - p.dow_mean_cents AS BIGINT) AS resid_cents
+        |FROM d JOIN p ON (d.day_us // 86400000000) % 7 = p.dow""".stripMargin,
     "events_forecast_naive" ->
       """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
