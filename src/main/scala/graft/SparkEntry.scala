@@ -1344,6 +1344,10 @@ object SparkEntry {
     // sums over an explicit ROWS frame; e6-integer threshold — hash-exact)
     "events_anomaly" -> ((s, dir) =>
       Events.anomalies(Tables.readEvents(s, dir))),
+    // robust twin: deviation from the MEDIAN in MAD units, all-integer
+    // fixed-point compare (med2 half-cents, mad4 quarter-cents)
+    "events_anomaly_mad" -> ((s, dir) =>
+      Events.anomaliesMad(Tables.readEvents(s, dir))),
     // the DAU/WAU census: exact distinct users per hour bucket (single
     // countDistinct -> two-level aggregate, no Expand)
     "events_active_users" -> ((s, dir) =>
@@ -2829,6 +2833,19 @@ object SparkEntry {
     "events_features" -> OracleSql.eventsFeatures,
     "events_anomaly" -> OracleSql.eventsAnomaly(
       lookback = 50, minHistory = 10, thrE6 = 3000000L),
+    "events_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(median(cents)*2) AS BIGINT) AS med2 FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.user_id, e.cents, m.n, m.med2,
+        |    abs(e.cents*2 - m.med2) AS dev2 FROM e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, CAST(round(median(dev2)*2) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.user_id, d.cents, d.med2, md.mad4,
+        |  CAST(d.dev2 AS BIGINT) AS dev2
+        |FROM d JOIN md USING (user_id)
+        |WHERE d.n >= 10 AND md.mad4 > 0 AND d.dev2*2 >= 3*md.mad4""".stripMargin,
     "events_active_users" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -83,6 +83,39 @@ object Events {
       .select(col("event_id"), col("user_id"), col("us"), col("n"), col("z_e6"))
   }
 
+  /** Robust (median/MAD) anomaly flags — the outlier-resistant twin of
+    * [[anomalies]]: a z-score baseline is itself dragged by the outliers
+    * it hunts, so fraud/telemetry pipelines prefer deviation from the
+    * MEDIAN in units of the Median Absolute Deviation. An event is flagged
+    * when `|cents − med| ≥ thr · mad` over the user's full history (users
+    * with < `minHistory` events or zero MAD are skipped).
+    *
+    * Exactness: medians over integer cents interpolate at x.0/x.5 — held
+    * as `med2` = median·2, an EXACT integer. Deviations `dev2 = |2·cents −
+    * med2|` are then integers in half-cents, their median interpolates at
+    * quarter-cent grain — held as `mad4` = that median·2, integer in
+    * quarter-cents — so the flag compare `dev2·2 ≥ thr·mad4` is pure
+    * int64 arithmetic with no float tolerance anywhere. Shape: two
+    * user-keyed aggregates + two co-partitioned joins, all on one
+    * user_id shuffle key.
+    */
+  def anomaliesMad(events: DataFrame, thr: Int = 3,
+      minHistory: Int = 10): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = e.groupBy("user_id").agg(count(lit(1)).as("n"),
+      round(expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+    val dev = e.join(med, "user_id")
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy("user_id")
+      .agg(round(expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(mad, "user_id")
+      .filter(col("n") >= minHistory && col("mad4") > 0 &&
+        col("dev2") * 2 >= col("mad4") * thr)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("med2"), col("mad4"), col("dev2"))
+  }
+
   /** Windowed distinct-user census — the DAU/WAU-shaped count every event
     * pipeline reports: per epoch-aligned 1-hour bucket, the exact distinct
     * user count plus event volume. A single countDistinct per group plans

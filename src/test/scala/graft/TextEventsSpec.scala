@@ -89,6 +89,21 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("anomaliesMad: integer med/MAD grains, only the planted outlier flagged") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // 10 steady values 10.00..10.09 + one 50.00 spike (11 events >= minHistory)
+    val rows = (0 until 10).map(i =>
+      (i.toLong, ts(i), 7L, "v", 10.0 + i * 0.01, "{}")) :+
+      (99L, ts(99), 7L, "v", 50.0, "{}")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.anomaliesMad(ev).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 99L)
+    // cents 1000..1009,5000 -> median 1005 -> med2 2010; devs (half-cents)
+    // |2c-2010|: 10,8,6,4,2,0,2,4,6,8,7990 -> sorted median 6 -> mad4 12
+    assert(got.head.getLong(3) == 2010L && got.head.getLong(4) == 12L)
+    assert(got.head.getLong(5) == 7990L) // the spike's half-cent deviation
+  }
+
   test("stickiness: trailing windows count exact distinct users; ratios bounded") {
     def ts(d: Long) = new Timestamp(1700000000000L + d * 86400000L)
     val ev = Seq(
