@@ -891,6 +891,36 @@ object OracleSql {
        |FROM m""".stripMargin
   }
 
+  /** Mirror of [[operators.TextAnalysis.sourceChi2]]: identical per-term
+    * integer floor division and closed-form private-token totals, so the
+    * chi-square numerators are engine-exact.
+    */
+  val textSourceChi2: String =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |ct AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1),
+      |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(sum(((a.c*tb.n - b.c*ta.n)*(a.c*tb.n - b.c*ta.n)) // (a.c + b.c))
+      |      AS BIGINT) AS chi2_shared,
+      |    CAST(sum(a.c) AS BIGINT) AS sa, CAST(sum(b.c) AS BIGINT) AS sb,
+      |    CAST(count(*) AS BIGINT) AS n_shared_tokens
+      |  FROM ct a JOIN ct b ON a.token = b.token AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT ta.source AS src_a, tb.source AS src_b,
+      |    ta.n AS n_a, tb.n AS n_b
+      |  FROM tot ta JOIN tot tb ON ta.source < tb.source)
+      |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+      |  CAST(coalesce(sh.n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens,
+      |  CAST(coalesce(sh.chi2_shared, 0)
+      |    + p.n_b*p.n_b*(p.n_a - coalesce(sh.sa, 0))
+      |    + p.n_a*p.n_a*(p.n_b - coalesce(sh.sb, 0)) AS BIGINT) AS chi2_num
+      |FROM pairs p LEFT JOIN sh
+      |  ON sh.src_a = p.src_a AND sh.src_b = p.src_b""".stripMargin
+
   /** Mirror of [[Events.stickiness]]: the same (user, day) reduction,
     * generate_series fan-out for the trailing windows, and integer-ppm
     * ratios.

@@ -1064,6 +1064,12 @@ object SparkEntry {
     // per-domain rollup for domain-level filtering: the fixture has no
     // URLs, so each doc gets a deterministic synthetic one (subdomain from
     // doc_id, domain from source, tld alternating) — 40 domains roll up
+    // pairwise source-distribution divergence: chi-square-shaped distance
+    // over token counts, exact int64 end to end (per-term floor division +
+    // closed-form private-token totals) — the mixture diagnostic that says
+    // which sources add genuinely different text
+    "text_source_chi2" -> ((s, dir) =>
+      TextAnalysis.sourceChi2(Tables.read(s, dir, "documents"))),
     "text_domains" -> ((s, dir) =>
       TextAnalysis.domainStats(
         Tables.read(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -2698,6 +2704,7 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "text_source_chi2" -> OracleSql.textSourceChi2,
     "text_domains" ->
       """WITH aug AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -667,6 +667,59 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** Pairwise source-distribution divergence — the data-mixture diagnostic
+    * that tells a corpus builder which sources are interchangeable and
+    * which add genuinely different text: for every source pair, a
+    * chi-square-shaped distance over their token count distributions,
+    * EXACT in int64. Per shared token the contribution is
+    * `(cₐ·N_b − c_b·Nₐ)² div (cₐ + c_b)` (integer floor per term — a
+    * deterministic sum, no float accumulation order anywhere); tokens
+    * private to one side close in closed form, since
+    * `(cₐ·N_b)² div cₐ = cₐ·N_b²` exactly, so their total is
+    * `N_b²·(Nₐ − Σ_shared cₐ)` (and symmetrically). Raw chi² =
+    * `chi2_num / (Nₐ·N_b)` — left as exact numerator + the two totals so
+    * the caller (and the oracle) stay integer-only.
+    *
+    * Shape: one (source, token) count groupBy — map-side combined — then a
+    * token equi-join of that reduced relation against itself (source_a <
+    * source_b), one aggregate per pair. The join is on the VOCABULARY
+    * relation, not the corpus: |sources|·|vocab| at worst.
+    */
+  def sourceChi2(docs: DataFrame): DataFrame = {
+    val ct = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("source").agg(sum("c").as("n"))
+    val a = ct.join(tot, "source")
+      .select(col("source").as("src_a"), col("token"),
+        col("c").as("ca"), col("n").as("na"))
+    val b = ct.join(tot, "source")
+      .select(col("source").as("src_b"), col("token"),
+        col("c").as("cb"), col("n").as("nb"))
+    val shared = a.join(b, Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        sum(expr("((ca * nb - cb * na) * (ca * nb - cb * na)) div (ca + cb)"))
+          .as("chi2_shared"),
+        sum("ca").as("sa"), sum("cb").as("sb"),
+        count(lit(1)).as("n_shared_tokens"))
+    // every pair appears even with zero shared vocabulary (the maximally-
+    // divergent case must not vanish from the report): the |S|² pair frame
+    // is an inequality join over the |S|-row totals — driver-tiny by
+    // contract, the km_validity precedent — left-joined to the shared sums
+    val pairs = tot.select(col("source").as("src_a"), col("n").as("na"))
+      .join(tot.select(col("source").as("src_b"), col("n").as("nb")),
+        col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        coalesce(col("n_shared_tokens"), lit(0L)).as("n_shared_tokens"),
+        (coalesce(col("chi2_shared"), lit(0L)) +
+          col("nb") * col("nb") * (col("na") - coalesce(col("sa"), lit(0L))) +
+          col("na") * col("na") * (col("nb") - coalesce(col("sb"), lit(0L))))
+          .as("chi2_num"))
+  }
+
   /** The fitted half of [[dsirScore]]: the `(token, cnt, cnt_t)` vocabulary
     * with corpus and target-domain counts — built once offline, then joined
     * to whatever needs scoring (the batch corpus here; arriving docs in

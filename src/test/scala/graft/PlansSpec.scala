@@ -216,7 +216,11 @@ class PlansSpec extends SparkSpec {
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
       "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
       "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
-      "sim_sq8")
+      "sim_sq8",
+      // text_source_chi2's pair frame is an inequality join over the
+      // |sources|-row totals — driver-tiny by contract (km_validity's
+      // precedent); the corpus-scale stage is the vocab equi-join.
+      "text_source_chi2")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

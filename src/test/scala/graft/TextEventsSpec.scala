@@ -89,6 +89,22 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("sourceChi2: identical sources score 0; disjoint pairs use the closed form") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s2", 5L),  // s1 ≡ s2
+      (3L, "x y z", "en", "s3", 5L)   // disjoint from both
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.sourceChi2(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == 3) // all pairs present, including the disjoint ones
+    assert(got(("s1", "s2")) == ((3L, 3L, 3L, 0L)))
+    // disjoint, Na = Nb = 3: chi2_num = 9·3 + 9·3 = 54; zero shared tokens
+    assert(got(("s1", "s3")) == ((3L, 3L, 0L, 54L)))
+    assert(got(("s2", "s3")) == ((3L, 3L, 0L, 54L)))
+  }
+
   test("anomaliesMad: integer med/MAD grains, only the planted outlier flagged") {
     def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
     // 10 steady values 10.00..10.09 + one 50.00 spike (11 events >= minHistory)
