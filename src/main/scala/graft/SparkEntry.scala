@@ -1854,6 +1854,24 @@ object SparkEntry {
     // write an all-integer relation through Sinks.writeTsv (TSVWithNames
     // shape: tab sep, header, nulls as ' '), read it back, and hash-match
     // the original oracle — integers survive the text roundtrip exactly ----
+    // ---- quoted-CSV ingest fidelity: rows carry embedded commas AND
+    // double-quotes (injected prefix) through a quoteAll/""-escaped CSV
+    // write + schema'd read; the oracle reads the ORIGINAL parquet, so the
+    // hash match proves the quoting round-trips every row byte-exactly ----
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = taggedTmpPath("graft_csv_roundtrip", dirTag(dir))
+      Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("a,\"b\" "), col("text")).as("tricky"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").option("escape", "\"").csv(out)
+      s.read.option("header", "true").option("escape", "\"")
+        .schema("doc_id BIGINT, lang STRING, tricky STRING")
+        .csv(out)
+        .select(col("doc_id"), col("lang"),
+          length(col("tricky")).cast("long").as("len"))
+    }),
+
     "q_tsv_roundtrip" -> ((s, dir) => {
       val out = taggedTmpPath("graft_tsv_roundtrip", dirTag(dir))
       sources.Sinks.writeTsv(queries("q_distinct")(s, dir), out)
@@ -2961,6 +2979,10 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
 
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, lang,
+        |  CAST(length('a,"b" ' || text) AS BIGINT) AS len
+        |FROM documents""".stripMargin,
     "q_tsv_roundtrip" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  count(DISTINCT o_custkey) AS n_buyers, count(*) AS n_orders
