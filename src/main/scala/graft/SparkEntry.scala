@@ -2251,6 +2251,12 @@ object SparkEntry {
           (col("cents") - col("dow_mean_cents")).as("resid_cents"))
     }),
 
+    // ---- CUSUM control chart: level-shift detection over the
+    // deseasonalized daily series; the sequential recursion evaluated in
+    // closed form (prefix sum − running min), all integer cents ----
+    "events_cusum" -> ((s, dir) =>
+      Events.cusum(Tables.read(s, dir, "events"))),
+
     "events_forecast_naive" -> ((s, dir) => {
       val daily = Tables.read(s, dir, "events")
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
@@ -2829,6 +2835,30 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_cuped" -> OracleSql.eventsCuped,
+    "events_cusum" ->
+      """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT (day_us // 86400000000) % 7 AS dow,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS dow_mean_cents
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT d.day_us, CAST(d.cents - p.dow_mean_cents AS BIGINT) AS resid
+        |  FROM d JOIN p ON (d.day_us // 86400000000) % 7 = p.dow),
+        |c1 AS (SELECT day_us, resid,
+        |    sum(resid) OVER (ORDER BY day_us) AS pp,
+        |    sum(-resid) OVER (ORDER BY day_us) AS qq,
+        |    (sum(abs(resid)) OVER () * 4) // count(*) OVER () AS h
+        |  FROM r),
+        |c AS (SELECT day_us, resid, pp, qq, h,
+        |    min(pp) OVER (ORDER BY day_us) AS mp,
+        |    min(qq) OVER (ORDER BY day_us) AS mq
+        |  FROM c1)
+        |SELECT day_us, resid,
+        |  CAST(pp - least(mp, 0) AS BIGINT) AS cusum_pos,
+        |  CAST(qq - least(mq, 0) AS BIGINT) AS cusum_neg,
+        |  CAST(h AS BIGINT) AS h_cents,
+        |  (pp - least(mp, 0) > h OR qq - least(mq, 0) > h) AS alarm
+        |FROM c""".stripMargin,
     "events_seasonality" ->
       """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -528,6 +528,47 @@ object Events {
         expr("dau * 1000000 div mau").as("dm_ppm"))
   }
 
+  /** CUSUM control chart over the deseasonalized daily series — the
+    * level-SHIFT detector that complements per-event outlier flags: a
+    * sustained small drift accumulates where a z-score never fires. The
+    * textbook recursion `s_i = max(0, s_{i−1} + dev_i)` is evaluated in
+    * CLOSED FORM as `s_i = p_i − min(0, min_{j≤i} p_j)` (p = running sum
+    * of deviations) — a prefix sum plus a running min, so the whole chart
+    * is two ordered windows instead of a sequential loop, and the DuckDB
+    * oracle replays it relationally. Both directions are charted (the
+    * downward side runs the identity on −dev); the alarm threshold is
+    * 4 × the mean absolute deviation, all integer cents.
+    *
+    * The ordered windows run over the DAILY relation — day-count-bounded
+    * by contract (the km_seed_next single-partition-window discipline), a
+    * few thousand rows for a decade of data.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("dow", expr("(day_us div 86400000000) % 7"))
+    val prof = daily.groupBy("dow")
+      .agg(expr("sum(cents) div count(*)").as("dow_mean_cents"))
+    val resid = daily.join(prof, "dow")
+      .select(col("day_us"), (col("cents") - col("dow_mean_cents")).as("resid"))
+    val w = Window.orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    resid
+      .withColumn("p", sum("resid").over(w))
+      .withColumn("cusum_pos", col("p") - least(min("p").over(w), lit(0L)))
+      .withColumn("q", sum(-col("resid")).over(w))
+      .withColumn("cusum_neg", col("q") - least(min("q").over(w), lit(0L)))
+      .withColumn("sab", sum(abs(col("resid"))).over(all))
+      .withColumn("nd", count(lit(1)).over(all))
+      .withColumn("h", expr("(sab * 4) div nd"))
+      .select(col("day_us"), col("resid"),
+        col("cusum_pos"), col("cusum_neg"), col("h").as("h_cents"),
+        (col("cusum_pos") > col("h") || col("cusum_neg") > col("h"))
+          .as("alarm"))
+  }
+
   /** Cohort retention: users are grouped into epoch-week cohorts by their
     * FIRST `cohortType` event; a cohort member counts as retained at offset
     * k when they have ANY event in cohort_week + k. Weeks are integer

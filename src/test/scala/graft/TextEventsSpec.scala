@@ -89,6 +89,28 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
 
+  test("cusum: closed form equals the textbook recursion; planted shift alarms") {
+    def ts(d: Long) = new Timestamp(1700000000000L + d * 86400000L)
+    // 14 flat days then a sustained +10.00 level shift
+    val rows = (0 until 21).map(d =>
+      (d.toLong, ts(d), 7L, "v", if (d < 14) 10.0 else 20.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.cusum(ev).orderBy("day_us").collect()
+    assert(got.length == 21)
+    // the window closed form must equal s_i = max(0, s_{i-1} + dev) exactly
+    var sPos = 0L; var sNeg = 0L
+    got.foreach { r =>
+      val dev = r.getLong(1)
+      sPos = math.max(0L, sPos + dev)
+      sNeg = math.max(0L, sNeg - dev)
+      assert(r.getLong(2) == sPos && r.getLong(3) == sNeg,
+        s"closed form diverged at day_us ${r.getLong(0)}")
+    }
+    // the sustained shift drives the positive chart over threshold by the end
+    assert(got.last.getBoolean(5) && got.last.getLong(2) > got.last.getLong(4))
+    assert(!got.head.getBoolean(5)) // day one can't alarm
+  }
+
   test("sourceChi2: identical sources score 0; disjoint pairs use the closed form") {
     val docs = Seq(
       (1L, "a b c", "en", "s1", 5L),
