@@ -1127,6 +1127,10 @@ object SparkEntry {
     // the KenLM-perplexity role in exact arithmetic
     "text_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLm(Tables.read(s, dir, "documents"))),
+    // CCNet head/middle/tail: familiarity terciles over the unigram score —
+    // the tri-level web-corpus quality split (head = most LM-familiar)
+    "doc_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(Tables.read(s, dir, "documents"))),
     // DSIR importance score: bitlen log-likelihood ratio of the target
     // domain's unigram LM vs the corpus LM, add-one smoothed — the
     // importance-resampling data-selection signal
@@ -2762,6 +2766,22 @@ object SparkEntry {
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "doc_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |lm AS (SELECT doc_id,
+        |    CAST(round(1e6 * sum(length(printf('%b', cnt))) / count(*)) AS BIGINT)
+        |      AS avg_bits_e6
+        |  FROM tok JOIN v USING (token) GROUP BY doc_id),
+        |b AS (SELECT doc_id, avg_bits_e6,
+        |    CAST(ntile(3) OVER (ORDER BY avg_bits_e6 DESC, doc_id) AS BIGINT)
+        |      AS bucket
+        |  FROM lm)
+        |SELECT doc_id, avg_bits_e6, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       ELSE 'tail' END AS tier
+        |FROM b""".stripMargin,
     "doc_dsir" -> OracleSql.docDsir,
     "text_bpe_train" -> OracleSql.textBpeTrain(nMerges = 5),
     "text_bigram_lm" -> OracleSql.textBigramLm,

@@ -667,6 +667,26 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** CCNet-style familiarity buckets (Wenzek et al. 2020): documents cut
+    * into head / middle / tail terciles of the [[unigramLm]] familiarity
+    * score — the tri-level quality split web-corpus pipelines feed to
+    * training-mix decisions (head = most LM-familiar; CCNet keeps head +
+    * middle and drops or down-weights tail). The cut is a global ntile(3)
+    * over the total (avg_bits_e6, doc_id) order — deterministic; at 100 TB
+    * swap in `Ranking.globalRank` bucketed by rank·3/n, the
+    * lengthDecileProfile note.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_bits_e6").desc, col("doc_id"))
+    unigramLm(docs)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("avg_bits_e6"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Pairwise source-distribution divergence — the data-mixture diagnostic
     * that tells a corpus builder which sources are interchangeable and
     * which add genuinely different text: for every source pair, a
