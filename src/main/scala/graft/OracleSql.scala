@@ -807,8 +807,9 @@ object OracleSql {
     * CTEs, then one join + scalar aggregate per consecutive pair. DuckDB
     * `median(BIGINT)` interpolates even counts exactly like Spark's
     * `percentile(_, 0.5)` (x.0/x.5, exact in a double — the
-    * docQualityGate discipline); empty pairs keep NULL min/max and a
-    * coalesced 0 sum like Spark's empty-aggregate row.
+    * docQualityGate discipline); empty pairs keep NULL min/max/median
+    * while BOTH sides pin the empty-input SUM (NULL in SQL) to 0 with an
+    * explicit coalesce.
     */
   def eventsFunnelLatency(stages: Seq[String], windowHours: Int): String = {
     val winUs = windowHours * 3600L * 1000000L
@@ -902,8 +903,9 @@ object OracleSql {
       |  FROM tk GROUP BY 1, 2),
       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1),
       |sh AS (SELECT a.source AS src_a, b.source AS src_b,
-      |    CAST(sum(((a.c*tb.n - b.c*ta.n)*(a.c*tb.n - b.c*ta.n)) // (a.c + b.c))
-      |      AS BIGINT) AS chi2_shared,
+      |    sum(((CAST(a.c AS HUGEINT)*tb.n - CAST(b.c AS HUGEINT)*ta.n)
+      |         * (CAST(a.c AS HUGEINT)*tb.n - CAST(b.c AS HUGEINT)*ta.n))
+      |      // (a.c + b.c)) AS chi2_shared,
       |    CAST(sum(a.c) AS BIGINT) AS sa, CAST(sum(b.c) AS BIGINT) AS sb,
       |    CAST(count(*) AS BIGINT) AS n_shared_tokens
       |  FROM ct a JOIN ct b ON a.token = b.token AND a.source < b.source
@@ -915,9 +917,10 @@ object OracleSql {
       |  FROM tot ta JOIN tot tb ON ta.source < tb.source)
       |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
       |  CAST(coalesce(sh.n_shared_tokens, 0) AS BIGINT) AS n_shared_tokens,
-      |  CAST(coalesce(sh.chi2_shared, 0)
-      |    + p.n_b*p.n_b*(p.n_a - coalesce(sh.sa, 0))
-      |    + p.n_a*p.n_a*(p.n_b - coalesce(sh.sb, 0)) AS BIGINT) AS chi2_num
+      |  CAST(coalesce(sh.chi2_shared, CAST(0 AS HUGEINT))
+      |    + CAST(p.n_b AS HUGEINT)*p.n_b*(p.n_a - coalesce(sh.sa, 0))
+      |    + CAST(p.n_a AS HUGEINT)*p.n_a*(p.n_b - coalesce(sh.sb, 0))
+      |    AS BIGINT) AS chi2_num
       |FROM pairs p LEFT JOIN sh
       |  ON sh.src_a = p.src_a AND sh.src_b = p.src_b""".stripMargin
 

@@ -1061,15 +1061,15 @@ object SparkEntry {
             lit(" host 10."), (col("doc_id") % 256).cast("string"),
             lit(".0.1 end")).as("text")))),
 
+    // pairwise source-distribution divergence: chi-square-shaped distance
+    // over token counts, exact end to end (128-bit intermediates, per-term
+    // floor division + closed-form private-token totals) — the mixture
+    // diagnostic that says which sources add genuinely different text
+    "text_source_chi2" -> ((s, dir) =>
+      TextAnalysis.sourceChi2(Tables.read(s, dir, "documents"))),
     // per-domain rollup for domain-level filtering: the fixture has no
     // URLs, so each doc gets a deterministic synthetic one (subdomain from
     // doc_id, domain from source, tld alternating) — 40 domains roll up
-    // pairwise source-distribution divergence: chi-square-shaped distance
-    // over token counts, exact int64 end to end (per-term floor division +
-    // closed-form private-token totals) — the mixture diagnostic that says
-    // which sources add genuinely different text
-    "text_source_chi2" -> ((s, dir) =>
-      TextAnalysis.sourceChi2(Tables.read(s, dir, "documents"))),
     "text_domains" -> ((s, dir) =>
       TextAnalysis.domainStats(
         Tables.read(s, dir, "documents").select(col("doc_id"), col("text"),
@@ -1498,11 +1498,6 @@ object SparkEntry {
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
-    // ---- GLOBAL total-order rank, terasort-shaped: range-partition on the
-    // order columns + local sort + zipWithIndex offsets over ONE shuffle —
-    // never the single-partition window a bare row_number() OVER (ORDER BY)
-    // would plan. The (price, orderkey, linenumber) order is total, so the
-    // ranks are invariant to input partitioning and parallelism ----
     // ---- deterministic training-order interleave: every epoch-order
     // decision a trainer replays must be a pure function of the data, so
     // the "shuffle" is an LCG key over doc_id ranked by the terasort-shaped
@@ -1517,6 +1512,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("shuf"), col("pos"))
     }),
 
+    // ---- GLOBAL total-order rank, terasort-shaped: range-partition on the
+    // order columns + local sort + zipWithIndex offsets over ONE shuffle —
+    // never the single-partition window a bare row_number() OVER (ORDER BY)
+    // would plan. The (price, orderkey, linenumber) order is total, so the
+    // ranks are invariant to input partitioning and parallelism ----
     "q_global_sort" -> ((s, dir) =>
       operators.Ranking.globalRank(
           Tables.read(s, dir, "lineitem")
@@ -1588,9 +1588,6 @@ object SparkEntry {
           (col("p75") / 100.0).as("p75"))
     }),
 
-    // ---- fixed-bin histogram census (the value-distribution profile a
-    // pipeline draws before choosing partition bounds): bin = integer
-    // division of exact cents — one map-side-combinable groupBy ----
     // ---- RFM segmentation (recency / frequency / monetary quintiles per
     // customer — the classic activation/churn cut): one groupBy(custkey)
     // shuffle builds the summary; the three ntile(5) windows run over the
@@ -1635,6 +1632,9 @@ object SparkEntry {
         .agg(sum("cnt").as("cnt"), sum("sum_cents").as("sum_cents"))
     }),
 
+    // ---- fixed-bin histogram census (the value-distribution profile a
+    // pipeline draws before choosing partition bounds): bin = integer
+    // division of exact cents — one map-side-combinable groupBy ----
     "q_histogram" -> ((s, dir) => {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       Tables.read(s, dir, "lineitem")
@@ -1854,10 +1854,6 @@ object SparkEntry {
         .unionAll(a.except(b).select(lit("except").as("op"), col("o_custkey")))
     }),
 
-    // ---- the reference's TSV export contract (S7), exercised end-to-end:
-    // write an all-integer relation through Sinks.writeTsv (TSVWithNames
-    // shape: tab sep, header, nulls as ' '), read it back, and hash-match
-    // the original oracle — integers survive the text roundtrip exactly ----
     // ---- quoted-CSV ingest fidelity: rows carry embedded commas AND
     // double-quotes (injected prefix) through a quoteAll/""-escaped CSV
     // write + schema'd read; the oracle reads the ORIGINAL parquet, so the
@@ -1869,13 +1865,21 @@ object SparkEntry {
           concat(lit("a,\"b\" "), col("text")).as("tricky"))
         .write.mode("overwrite").option("header", "true")
         .option("quoteAll", "true").option("escape", "\"").csv(out)
+      // multiLine: quoted embedded newlines must not split rows (documents
+      // text is newline-bearing by schema). It makes files non-splittable —
+      // acceptable for an ingest-fidelity check; bulk reads stay on parquet
       s.read.option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
         .schema("doc_id BIGINT, lang STRING, tricky STRING")
         .csv(out)
         .select(col("doc_id"), col("lang"),
           length(col("tricky")).cast("long").as("len"))
     }),
 
+    // ---- the reference's TSV export contract (S7), exercised end-to-end:
+    // write an all-integer relation through Sinks.writeTsv (TSVWithNames
+    // shape: tab sep, header, nulls as ' '), read it back, and hash-match
+    // the original oracle — integers survive the text roundtrip exactly ----
     "q_tsv_roundtrip" -> ((s, dir) => {
       val out = taggedTmpPath("graft_tsv_roundtrip", dirTag(dir))
       sources.Sinks.writeTsv(queries("q_distinct")(s, dir), out)
@@ -2223,7 +2227,7 @@ object SparkEntry {
     // the pooled z² as a fixed double formula over them (the q_corr
     // determinism recipe — only correctly-rounded IEEE ops) ----
     "events_ab_test" -> ((s, dir) =>
-      operators.Events.abTest(Tables.read(s, dir, "events"))),
+      operators.Events.abTest(Tables.readEvents(s, dir))),
 
     // ---- out-of-vocabulary census: per-doc share of tokens outside the
     // corpus' top-N vocabulary (broadcast anti-join; integer ppm) ----
@@ -2235,16 +2239,11 @@ object SparkEntry {
     "doc_len_deciles" -> ((s, dir) =>
       operators.TextAnalysis.lengthDecileProfile(Tables.read(s, dir, "documents"))),
 
-    // ---- seasonal-naive forecast backtest: forecast(day) = actual(day-7)
-    // over the daily revenue series, with per-day absolute error and APE —
-    // the baseline every forecasting model must beat, and the shape of a
-    // backtest harness (the ordered pass runs over calendar DAYS, bounded
-    // metadata scale, after one day-level aggregation of the fact table) ----
     // ---- day-of-week seasonal decomposition: the daily series split into
     // a dow profile (integer floor mean per weekday slot) + exact residuals
     // — the calibration table behind the seasonal-naive forecast ----
     "events_seasonality" -> ((s, dir) => {
-      val daily = Tables.read(s, dir, "events")
+      val daily = Tables.readEvents(s, dir)
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
         .withColumn("dow", expr("(day_us div 86400000000) % 7"))
@@ -2259,10 +2258,15 @@ object SparkEntry {
     // deseasonalized daily series; the sequential recursion evaluated in
     // closed form (prefix sum − running min), all integer cents ----
     "events_cusum" -> ((s, dir) =>
-      Events.cusum(Tables.read(s, dir, "events"))),
+      Events.cusum(Tables.readEvents(s, dir))),
 
+    // ---- seasonal-naive forecast backtest: forecast(day) = actual(day-7)
+    // over the daily revenue series, with per-day absolute error and APE —
+    // the baseline every forecasting model must beat, and the shape of a
+    // backtest harness (the ordered pass runs over calendar DAYS, bounded
+    // metadata scale, after one day-level aggregation of the fact table) ----
     "events_forecast_naive" -> ((s, dir) => {
-      val daily = Tables.read(s, dir, "events")
+      val daily = Tables.readEvents(s, dir)
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("day_us")
@@ -2280,7 +2284,7 @@ object SparkEntry {
     // integer sufficient stats in one pass, fixed double formulas over
     // them (the q_corr recipe) ----
     "events_cuped" -> ((s, dir) =>
-      operators.Events.cuped(Tables.read(s, dir, "events"))),
+      operators.Events.cuped(Tables.readEvents(s, dir))),
 
     // ---- daily distinct-user census via HLL registers (the time-series
     // form of q_hll, exercising the aggregate on the events table): one
@@ -2288,7 +2292,7 @@ object SparkEntry {
     // keeps per slice — with the exact count riding alongside; raw
     // estimator valid (n ≥ 2.5m per day at every SF the driver runs) ----
     "events_hll_users" -> ((s, dir) =>
-      Tables.read(s, dir, "events")
+      Tables.readEvents(s, dir)
         .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .agg(plans.native.hll_sketch(col("user_id"), p = 4).as("regs"),
           countDistinct(col("user_id")).as("n_exact"))

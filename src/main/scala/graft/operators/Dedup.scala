@@ -413,12 +413,20 @@ object Dedup {
     */
   def bandedSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    bandSigs(minhashSignatures(docs, n, numHashes)
+      .select(col("doc_id"), sigArr.as("sig")), numHashes, bands)
+  }
+
+  /** The banding step of [[bandedSignatures]] over an ALREADY-computed
+    * `(doc_id, sig)` relation — so a parameter sweep ([[lshTuning]]) pays
+    * the signature scan once and re-bands it per configuration.
+    */
+  private def bandSigs(withArr: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
-    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-    val withArr = minhashSignatures(docs, n, numHashes)
-      .select(col("doc_id"), sigArr.as("sig"))
     val bandEntries = array((0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i =>
@@ -442,8 +450,16 @@ object Dedup {
   def lshTuning(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bandsList: Seq[Int] = Seq(2, 4, 8),
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    // ONE signature scan serves every banding (signatures are
+    // banding-independent); localCheckpoint so the |bandsList|·2 downstream
+    // consumers re-read materialized blocks instead of re-shingling the
+    // corpus (freed by the ContextCleaner when the plan drops)
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val sigs = minhashSignatures(docs, n, numHashes)
+      .select(col("doc_id"), sigArr.as("sig"))
+      .localCheckpoint(eager = true)
     bandsList.map { bands =>
-      val bs = bandedSignatures(docs, n, numHashes, bands)
+      val bs = bandSigs(sigs, numHashes, bands)
       val x = bs.select(col("band"), col("key"),
         col("doc_id").as("a_id"), col("sig").as("siga"))
       val y = bs.select(col("band"), col("key"),

@@ -424,7 +424,10 @@ object Events {
         .select((col("tb") - col("ta")).as("lat"))
         .agg(count(lit(1)).as("n_users"),
           min("lat").as("min_us"), max("lat").as("max_us"),
-          sum("lat").as("sum_us"),
+          // empty pair: SQL SUM over no rows is NULL — pin it to 0 so the
+          // row stays integer-comparable (min/max/med stay NULL both here
+          // and in the oracle)
+          coalesce(sum("lat"), lit(0L)).as("sum_us"),
           expr("percentile(lat, 0.5)").as("med"))
         .select(lit(i.toLong).as("step"),
           lit(stages(i - 1)).as("from_type"), lit(stages(i)).as("to_type"),
@@ -569,16 +572,6 @@ object Events {
           .as("alarm"))
   }
 
-  /** Cohort retention: users are grouped into epoch-week cohorts by their
-    * FIRST `cohortType` event; a cohort member counts as retained at offset
-    * k when they have ANY event in cohort_week + k. Weeks are integer
-    * epoch-microsecond division (`div`) — exact and engine-independent.
-    *
-    * Shape: one grouped min for the cohort relation, one distinct over
-    * (user, week) for activity, then an equi-join on user_id + a grouped
-    * count — the (user, week) distinct is the only wide state and it's
-    * bounded by users × observed weeks.
-    */
   /** First-order Markov transition matrix over within-session event
     * sequences: for every ordered `(from_type, to_type)` pair of CONSECUTIVE
     * events (same user, same session — the [[sessionized]] gap rule, so
@@ -606,6 +599,16 @@ object Events {
         expr("cnt * 1000000 div row_total").as("p_ppm"))
   }
 
+  /** Cohort retention: users are grouped into epoch-week cohorts by their
+    * FIRST `cohortType` event; a cohort member counts as retained at offset
+    * k when they have ANY event in cohort_week + k. Weeks are integer
+    * epoch-microsecond division (`div`) — exact and engine-independent.
+    *
+    * Shape: one grouped min for the cohort relation, one distinct over
+    * (user, week) for activity, then an equi-join on user_id + a grouped
+    * count — the (user, week) distinct is the only wide state and it's
+    * bounded by users × observed weeks.
+    */
   def retention(events: DataFrame, cohortType: String = "signup",
       maxOffset: Int = 3): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L

@@ -314,6 +314,10 @@ object Multimodal {
           require(bb.getShort == 1, "not PCM")
           bb.getShort // channels
           sampleRate = bb.getInt
+          bb.getInt   // byte rate
+          bb.getShort // block align
+          val bits = bb.getShort
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
           bb.position(fmtEnd)
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt chunk")

@@ -691,7 +691,11 @@ object TextAnalysis {
     * that tells a corpus builder which sources are interchangeable and
     * which add genuinely different text: for every source pair, a
     * chi-square-shaped distance over their token count distributions,
-    * EXACT in int64. Per shared token the contribution is
+    * EXACT end to end: intermediates run 128-bit (DECIMAL(38,0) here,
+    * HUGEINT in the oracle) so the squared cross terms never overflow,
+    * and only the final `chi2_num` narrows to int64 (nulling, not
+    * wrapping, if a pair's total ever exceeds it). Per shared token the
+    * contribution is
     * `(cₐ·N_b − c_b·Nₐ)² div (cₐ + c_b)` (integer floor per term — a
     * deterministic sum, no float accumulation order anywhere); tokens
     * private to one side close in closed form, since
@@ -715,11 +719,16 @@ object TextAnalysis {
     val b = ct.join(tot, "source")
       .select(col("source").as("src_b"), col("token"),
         col("c").as("cb"), col("n").as("nb"))
+    // the squared cross term overflows int64 once ca·nb reaches ~3e9 (a hot
+    // token against a ~1e6-token source), so every intermediate runs in
+    // DECIMAL(38,0) — 128-bit, exact, matching the oracle's HUGEINT — and
+    // only the final chi2_num narrows back to int64
+    val d = "(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"
     val shared = a.join(b, Seq("token"))
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(
-        sum(expr("((ca * nb - cb * na) * (ca * nb - cb * na)) div (ca + cb)"))
+        sum(expr(s"CAST(($d * $d) div (ca + cb) AS DECIMAL(38,0))"))
           .as("chi2_shared"),
         sum("ca").as("sa"), sum("cb").as("sb"),
         count(lit(1)).as("n_shared_tokens"))
@@ -734,10 +743,10 @@ object TextAnalysis {
       .select(col("src_a"), col("src_b"),
         col("na").as("n_a"), col("nb").as("n_b"),
         coalesce(col("n_shared_tokens"), lit(0L)).as("n_shared_tokens"),
-        (coalesce(col("chi2_shared"), lit(0L)) +
-          col("nb") * col("nb") * (col("na") - coalesce(col("sa"), lit(0L))) +
-          col("na") * col("na") * (col("nb") - coalesce(col("sb"), lit(0L))))
-          .as("chi2_num"))
+        expr("CAST(coalesce(chi2_shared, CAST(0 AS DECIMAL(38,0)))" +
+          " + CAST(nb AS DECIMAL(38,0)) * nb * (na - coalesce(sa, CAST(0 AS BIGINT)))" +
+          " + CAST(na AS DECIMAL(38,0)) * na * (nb - coalesce(sb, CAST(0 AS BIGINT)))" +
+          " AS BIGINT)").as("chi2_num"))
   }
 
   /** The fitted half of [[dsirScore]]: the `(token, cnt, cnt_t)` vocabulary
