@@ -451,13 +451,15 @@ object Dedup {
       bandsList: Seq[Int] = Seq(2, 4, 8),
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
     // ONE signature scan serves every banding (signatures are
-    // banding-independent); localCheckpoint so the |bandsList|·2 downstream
-    // consumers re-read materialized blocks instead of re-shingling the
-    // corpus (freed by the ContextCleaner when the plan drops)
+    // banding-independent): cache() so the |bandsList|·2 downstream
+    // consumers read the materialized rows instead of re-shingling the
+    // corpus per configuration (measured equal at bench scale within the
+    // sandbox noise band; at corpus scale the saved scans dominate).
+    // Lifecycle is caller-owned, the connectedComponents convention.
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     val sigs = minhashSignatures(docs, n, numHashes)
       .select(col("doc_id"), sigArr.as("sig"))
-      .localCheckpoint(eager = true)
+      .cache()
     bandsList.map { bands =>
       val bs = bandSigs(sigs, numHashes, bands)
       val x = bs.select(col("band"), col("key"),
