@@ -285,6 +285,23 @@ object SparkEntry {
     tbl
   }
 
+  /** Persisted IVF-SQ8 index for `sim_ivfsq8_indexed`: the
+    * [[ensureIvfPqIndex]] build/probe split over the byte codes.
+    */
+  private def ensureIvfSq8Index(s: SparkSession, dir: String): String = {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_ivfsq8_idx_$tag"
+    bucketedCache.getOrElseUpdate("ivfsq8|" + key, {
+      pruneStaleTables(s, "graft_ivfsq8_idx")
+      val emb = Tables.read(s, dir, "embeddings")
+      val (mn, mx) = Similarity.sq8Bounds(emb)
+      Similarity.buildIvfSq8Index(emb, Similarity.fixedCentroids(emb, 16),
+        mn, mx, tbl, buckets = 8, Some(taggedTmpPath("graft_ivfsq8_idx", tag)))
+    })
+    tbl
+  }
+
   /** Spherical twin of [[embFit]] for cosine ANN: same k-means|| fit, run on
     * the L2-normalized embeddings (`Similarity.normalize`).
     */
@@ -913,6 +930,16 @@ object SparkEntry {
     "sim_ivfsq8" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfSq8TopK(emb, Similarity.fixedCentroids(emb, 16))
+    }),
+    // the IVF-SQ8 build/probe split: byte codes persisted ONCE bucketed by
+    // cell; probes equi-join co-located buckets with no index-side Exchange
+    // and zero query-time encoding. Same oracle as sim_ivfsq8 (codes are
+    // exact integers — the parquet roundtrip is lossless)
+    "sim_ivfsq8_indexed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val (mn, mx) = Similarity.sq8Bounds(emb)
+      Similarity.ivfSq8TopKIndexed(emb, ensureIvfSq8Index(s, dir),
+        Similarity.fixedCentroids(emb, 16), mn, mx)
     }),
     // the IVF-PQ build/probe split: (cell, codes) persisted ONCE as a
     // bucketed-by-cell table (ensureIvfPqIndex), probes equi-join
@@ -2652,6 +2679,8 @@ object SparkEntry {
     "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
     "sim_ivfsq8" -> OracleSql.simIvfSq8(nCells = 16, dim = 64, nQueries = 5,
       nProbe = 2, k = 10),
+    "sim_ivfsq8_indexed" -> OracleSql.simIvfSq8(nCells = 16, dim = 64,
+      nQueries = 5, nProbe = 2, k = 10),
     "sim_topk_native" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

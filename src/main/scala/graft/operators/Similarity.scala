@@ -570,26 +570,59 @@ object Similarity {
     */
   def ivfSq8TopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val (mn, mx) = sq8Bounds(emb)
-    val e = emb2v(emb)
-    val ids = centroids.map(_.j)
-    val cs = centroids.map(_.c)
     // the (cell, codes) index: one per-row pass, no shuffle — what persists
-    // at 100 TB (the buildIvfIndex bucketed-table split applies unchanged).
+    // at 100 TB (the durable form is [[buildIvfSq8Index]]).
     // localCheckpoint = the same materialization boundary ivfPqTopK needs
     // (probe LocalRelation expressions must not cross into the index side).
-    val indexed = e.select(col("vec_id"),
-        nearestId(col("v"), ids, cs).as("cell"),
-        sq8CodeCol(mn, mx).as("codes"))
+    val indexed = ivfSq8Cells(emb, centroids, mn, mx)
       .localCheckpoint(eager = true)
+    ivfSq8Search(indexed, emb, centroids, mn, mx, nQueries, nProbe, k)
+  }
+
+  /** The SQ8 index relation: coarse cell + byte codes in one per-row pass. */
+  private def ivfSq8Cells(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      mn: Seq[Double], mx: Seq[Double]): DataFrame =
+    emb2v(emb).select(col("vec_id"),
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)).as("cell"),
+      sq8CodeCol(mn, mx).as("codes"))
+
+  /** BUILD the IVF-SQ8 index once: (cell, vec_id, codes) persisted as a
+    * table BUCKETED BY CELL — [[buildIvfIndex]]'s build/probe split over
+    * the byte codes. Probe batches then equi-join co-located cell buckets
+    * with no index-side Exchange and zero query-time assignment/encoding.
+    */
+  def buildIvfSq8Index(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      mn: Seq[Double], mx: Seq[Double], table: String, buckets: Int = 8,
+      path: Option[String] = None): Unit =
+    graft.sources.Sinks.writeBucketed(
+      ivfSq8Cells(emb, centroids, mn, mx), table, buckets, Seq("cell"), path)
+
+  /** Probe a persisted [[buildIvfSq8Index]] table: identical results to
+    * [[ivfSq8TopK]] (codes are exact integers — the parquet roundtrip is
+    * lossless). */
+  def ivfSq8TopKIndexed(emb: DataFrame, table: String,
+      centroids: Seq[KMeans.Centroid], mn: Seq[Double], mx: Seq[Double],
+      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame =
+    ivfSq8Search(emb.sparkSession.table(table), emb, centroids, mn, mx,
+      nQueries, nProbe, k)
+
+  /** The shared IVF-SQ8 probe: cells ranked in the same driver pass that
+    * collects the contract-tiny query codes (identical sqDist fold +
+    * (d, cid) tie order as [[ivfPqTopK]]). */
+  private def ivfSq8Search(indexed: DataFrame, emb: DataFrame,
+      centroids: Seq[KMeans.Centroid], mn: Seq[Double], mx: Seq[Double],
+      nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
     def sqd(a: Seq[Double], b: Seq[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
-    val probeRows = e.filter(col("vec_id") < nQueries)
+    val probeRows = emb2v(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v"), sq8CodeCol(mn, mx).as("qc"))
       .collect().flatMap { r =>
         val (qid, qv, qc) = (r.getLong(0), r.getSeq[Double](1), r.getSeq[Long](2))

@@ -284,6 +284,26 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ivfpq_idx")
   }
 
+  test("persisted IVF-SQ8 index probes identically to on-the-fly codes, no index-side Exchange") {
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    val (mn, mx) = Similarity.sq8Bounds(emb)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    Similarity.buildIvfSq8Index(emb, cents, mn, mx, "spec_ivfsq8_idx",
+      buckets = 4, Some(s"$tmp/spec_ivfsq8_idx"))
+    try {
+      val direct = Similarity.ivfSq8TopK(emb, cents)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val indexed = Similarity.ivfSq8TopKIndexed(emb, "spec_ivfsq8_idx",
+        cents, mn, mx)
+      assert(indexed.as[(Long, Long, Long, Long)].collect().toSet == direct)
+      val plan = indexed.queryExecution.executedPlan.toString
+      val joinPart = plan.split("\n").dropWhile(!_.contains("Join")).mkString("\n")
+      assert(!joinPart.contains("Exchange hashpartitioning(cell"),
+        s"index side must not re-shuffle on cell:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS spec_ivfsq8_idx")
+  }
+
   test("IVF probes restrict candidates to the nearest cells") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
