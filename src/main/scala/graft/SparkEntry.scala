@@ -1158,6 +1158,10 @@ object SparkEntry {
     // the tri-level web-corpus quality split (head = most LM-familiar)
     "doc_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.pplBuckets(Tables.read(s, dir, "documents"))),
+    // Zipf coverage deciles: cumulative corpus mass per vocabulary-rank
+    // decile — the table a vocab-size decision reads
+    "text_vocab_curve" -> ((s, dir) =>
+      TextAnalysis.vocabCurve(Tables.read(s, dir, "documents"))),
     // DSIR importance score: bitlen log-likelihood ratio of the target
     // domain's unigram LM vs the corpus LM, add-one smoothed — the
     // importance-resampling data-selection signal
@@ -2799,6 +2803,20 @@ object SparkEntry {
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "text_vocab_curve" ->
+      """WITH counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY token),
+        |dec AS (SELECT CAST(ntile(10) OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |    AS decile, cnt FROM counts),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(cnt) AS BIGINT) AS mass FROM dec GROUP BY decile),
+        |c AS (SELECT decile, n_types, mass,
+        |    CAST(sum(mass) OVER (ORDER BY decile) AS BIGINT) AS cum_mass,
+        |    CAST(sum(mass) OVER () AS BIGINT) AS total FROM g)
+        |SELECT decile, n_types, mass, cum_mass,
+        |  CAST(cum_mass * 1000000 // total AS BIGINT) AS cum_ppm
+        |FROM c""".stripMargin,
     "doc_ppl_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents),

@@ -667,6 +667,35 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** Vocabulary coverage (Zipf) curve — the tokenizer-sizing table: the
+    * corpus vocabulary cut into ten equal-count deciles by frequency rank
+    * (total (cnt desc, token) order — deterministic), each reporting its
+    * token-type count, its occurrence mass, and the CUMULATIVE mass in
+    * exact ppm. Answers "how much of the corpus does a vocab of the top
+    * 10/20/…% cover" before committing to a vocab size. The ntile runs
+    * over the VOCABULARY relation (types, not occurrences — orders of
+    * magnitude smaller than the corpus); the decile rollup and its
+    * cumulative window are 10 rows.
+    */
+  def vocabCurve(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val dec = counts.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_types"), sum("cnt").as("mass"))
+    val wd = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    dec
+      .withColumn("cum_mass", sum("mass").over(wd))
+      .withColumn("total", sum("mass").over(all))
+      .select(col("decile"), col("n_types"), col("mass"), col("cum_mass"),
+        expr("cum_mass * 1000000 div total").as("cum_ppm"))
+  }
+
   /** CCNet-style familiarity buckets (Wenzek et al. 2020): documents cut
     * into head / middle / tail terciles of the [[unigramLm]] familiarity
     * score — the tri-level quality split web-corpus pipelines feed to
