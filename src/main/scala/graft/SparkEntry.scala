@@ -1231,6 +1231,12 @@ object SparkEntry {
         "l_extendedprice" -> round(col("l_extendedprice")).cast("long"),
         "l_discount" -> round(col("l_discount") * 10000).cast("long"),
         "l_tax" -> round(col("l_tax") * 10000).cast("long")))),
+    // per-column entropy census: exact bitlen surprise totals — the
+    // key-vs-enum-vs-noise signal next to the count/null/distinct profile
+    "q_entropy" -> ((s, dir) =>
+      operators.Profiling.entropyCensus(Tables.read(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))),
+
     "q_expectations" -> ((s, dir) =>
       Profiling.expectations(Tables.read(s, dir, "lineitem"), Seq(
         "orderkey_not_null" -> col("l_orderkey").isNull,
@@ -2873,6 +2879,14 @@ object SparkEntry {
         |SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
         |FROM r""".stripMargin,
     "q_corr" -> OracleSql.qCorr,
+    "q_entropy" -> Seq("o_orderstatus", "o_orderpriority", "o_custkey").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(cnt * (length(printf('%b', (SELECT count(*) FROM orders)))
+         |       - length(printf('%b', cnt)))) AS BIGINT) AS surprise_bits
+         |FROM (SELECT CAST($c AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1) t""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q_expectations" -> OracleSql.qExpectations,
     "q_drift" -> OracleSql.qDrift,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(

@@ -160,6 +160,33 @@ object Profiling {
     * one tiny join on column name — at 100 TB the joined relation is
     * #columns rows, so drift costs exactly two profile scans.
     */
+  /** Per-column value-distribution ENTROPY census — the "is this column a
+    * key, an enum, or noise" signal next to the count/null/distinct
+    * profile: for each named column, the exact-integer surprise total
+    * `Σ_v cnt_v · (bitlen(N) − bitlen(cnt_v))` (the unigramLm bitlen
+    * discipline — a floor-log₂ entropy in bit·row units, zero for a
+    * constant column, ≈ N·log₂(distinct) for a uniform one). Exact int64,
+    * so the DuckDB oracle hash-matches.
+    *
+    * Shape: one value-keyed groupBy per column (map-side combined; the
+    * distinct-value relation is census-small for categorical columns), a
+    * scalar total via one window over that tiny relation, one aggregate.
+    */
+  def entropyCensus(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      val counts = df.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("n", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .agg(max("n").as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("cnt * (length(conv(n, 10, 2)) - length(conv(cnt, 10, 2)))"))
+            .cast("long").as("surprise_bits"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("surprise_bits"))
+    }.reduce(_ unionByName _)
+
   def drift(before: DataFrame, after: DataFrame): DataFrame = {
     val b = profile(before).select(col("col_name"),
       col("n_rows").as("rows_before"), col("n_nulls").as("nulls_before"),
