@@ -1163,6 +1163,29 @@ object OracleSql {
          |      THEN 1 ELSE 0 END), 0) AS n_verified FROM m) t""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Mirror of [[Dedup.lshRecall]]: the [[minhashCtes]] candidate relation
+    * left-joined from the exact n-gram-Jaccard truth pairs ([[dedupNgram]]
+    * body as a CTE), one integer-ppm summary row.
+    */
+  def dedupLshRecall(n: Int, thrNum: Int, thrDen: Int, numHashes: Int,
+      bands: Int): String =
+    s"""WITH ${minhashCtes(n, numHashes, bands)},
+       |tt AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
+       |truth AS (SELECT a_id, b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |      len(list_intersect(a.sh, b.sh)) AS inter,
+       |      len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       |    FROM tt a JOIN tt b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+       |  WHERE inter*$thrDen >= uni*$thrNum)
+       |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(coalesce(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(CASE WHEN count(*) > 0
+       |    THEN coalesce(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 END), 0)
+       |      * 1000000 // count(*)
+       |    ELSE 0 END AS BIGINT) AS recall_ppm
+       |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id""".stripMargin
+
   def dedupMinhash(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH ${minhashCtes(n, numHashes, bands)}
        |SELECT a_id, b_id, matches/$numHashes AS est_jac FROM m

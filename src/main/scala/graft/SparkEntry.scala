@@ -721,6 +721,10 @@ object SparkEntry {
     // for a corpus BEFORE committing to an index build
     "dedup_lsh_tuning" -> ((s, dir) =>
       Dedup.lshTuning(Tables.read(s, dir, "documents"))),
+    // the other half of the tuning table: measured recall of the banded
+    // candidate stage vs the exact Jaccard ground truth, exact ppm
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
     // pair edges — every doc mapped to the min doc_id reachable through any
     // pair chain (singletons → self). The step between pairwise dedup output
@@ -2662,6 +2666,8 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_lsh_tuning" -> OracleSql.dedupLshTuning(
       n = 3, numHashes = 16, bandsList = Seq(2, 4, 8), thrNum = 1, thrDen = 2),
+    "dedup_lsh_recall" -> OracleSql.dedupLshRecall(
+      n = 3, thrNum = 1, thrDen = 5, numHashes = 16, bands = 4),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

@@ -486,6 +486,33 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Measured RECALL of the MinHash LSH blocking against the exact n-gram
+    * Jaccard ground truth — the other half of [[lshTuning]]'s
+    * precision/volume sweep, and the number that actually licenses
+    * replacing the exact O(pairs) pass with the banded index: of the pairs
+    * the exact threshold accepts, how many does the LSH candidate stage
+    * even SURFACE (missed candidates are unrecoverable — verification
+    * can't resurrect them). One summary row in exact ppm; the exact side
+    * is the measurement baseline (the sim_recall discipline), the
+    * candidate side is the production equi-join.
+    */
+  def lshRecall(docs: DataFrame, n: Int = 3, thrNum: Int = 1, thrDen: Int = 5,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val truth = ngramJaccard(docs, n, thrNum, thrDen).select("a_id", "b_id")
+    val bs = bandedSignatures(docs, n, numHashes, bands)
+    val x = bs.select(col("band"), col("key"), col("doc_id").as("a_id"))
+    val y = bs.select(col("band"), col("key"), col("doc_id").as("b_id"))
+    val cand = x.join(y, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates()
+    truth.join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth > 0 THEN n_hit * 1000000 div n_truth " +
+          "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"))
+  }
+
   /** Incremental (delta-vs-corpus) near-dup detection — the daily-crawl
     * pattern: the corpus's banded signatures are PERSISTED once (bucketed on
     * the band key), and each new batch computes signatures only for its own
