@@ -2280,6 +2280,17 @@ object SparkEntry {
     "doc_len_deciles" -> ((s, dir) =>
       operators.TextAnalysis.lengthDecileProfile(Tables.read(s, dir, "documents"))),
 
+    // ---- (dow, hour) activity heatmap: the when-do-users-show-up matrix
+    // behind load shaping and send-time decisions — one map-side-combined
+    // groupBy on two derived integer keys, 168 output rows max ----
+    "events_heatmap" -> ((s, dir) =>
+      Tables.readEvents(s, dir)
+        .select(expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))),
+
     // ---- day-of-week seasonal decomposition: the daily series split into
     // a dow profile (integer floor mean per weekday slot) + exact residuals
     // — the calibration table behind the seasonal-naive forecast ----
@@ -2926,6 +2937,12 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_cuped" -> OracleSql.eventsCuped,
+    "events_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_cusum" ->
       """WITH d AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
