@@ -679,6 +679,15 @@ object SparkEntry {
       operators.KMeansML.transform(fit, pts)
         .groupBy("j").agg(count(lit(1)).as("n")).select(col("j"), col("n"))
     }),
+    // bisecting (divisive hierarchical) k-means: top-down splits to k
+    // leaves — MLlib's stable-under-bad-seeding variant; rows-only like
+    // the other fits, cost comparability pinned in KMeansSpec
+    "km_fit_bisecting" -> ((s, dir) => {
+      val pts = Tables.yhEmbeddings(s, dir).cache()
+      val fit = operators.KMeansML.fitBisecting(pts, k = 10)
+      operators.KMeansML.transformBisecting(fit, pts)
+        .groupBy("j").agg(count(lit(1)).as("n")).select(col("j"), col("n"))
+    }),
 
     // ---- dedup family (beyond-reference: training-data pipeline ops) ----
     "dedup_exact" -> ((s, dir) =>

@@ -38,4 +38,29 @@ object KMeansML {
     fit.model.clusterCenters.zipWithIndex.map { case (v, ix) =>
       KMeans.Centroid(ix + 1L, v.toArray.toSeq)
     }.toSeq
+
+  /** Bisecting (divisive hierarchical) k-means — MLlib's top-down variant:
+    * start from one cluster, repeatedly split the largest until k leaves.
+    * More stable than Lloyd under bad seeding and gives a cluster TREE;
+    * the flat leaves serve the same assignment contract. Rows-only like
+    * [[fit]] (same non-bit-reproducible float path); cost comparability vs
+    * the flat fits is pinned in KMeansSpec.
+    */
+  final case class BisectingFit(
+      model: org.apache.spark.ml.clustering.BisectingKMeansModel, cost: Double)
+
+  def fitBisecting(points: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 20): BisectingFit = {
+    val feats = points.select(col("i"), array_to_vector(col("Y")).as("features"))
+    val model = new org.apache.spark.ml.clustering.BisectingKMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    BisectingFit(model, model.summary.trainingCost)
+  }
+
+  def transformBisecting(fit: BisectingFit, points: DataFrame): DataFrame = {
+    val feats = points.select(col("i"), array_to_vector(col("Y")).as("features"))
+    fit.model.transform(feats)
+      .select(col("i"), (col("prediction") + 1).cast("long").as("j"))
+  }
 }

@@ -374,6 +374,20 @@ class KMeansSpec extends SparkSpec {
       s"our WCSS $ourCost vs MLlib ${ml.cost} — more than 5% worse")
   }
 
+  test("bisecting fit: k leaves, full coverage, cost within 2x of flat MLlib") {
+    val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    val bi = operators.KMeansML.fitBisecting(data, k = 10, seed = 42)
+    val assigned = operators.KMeansML.transformBisecting(bi, data)
+    val sizes = assigned.groupBy("j").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (1L to 10L).toSet)
+    assert(sizes.values.sum == 500L)
+    // divisive splits trade some WCSS for stability — bound the gap
+    val flat = operators.KMeansML.fit(data, k = 10, seed = 42)
+    assert(bi.cost <= flat.cost * 2.0,
+      s"bisecting cost ${bi.cost} vs flat ${flat.cost} — more than 2x worse")
+  }
+
   test("assignment is idempotent at the fixpoint") {
     val data = Tables.yhEmbeddings(spark, sf("0.001")).cache()
     val fit = KMeans.fit(data, k = 5, dim = 64, tol = 1e-9, maxIter = 100)
