@@ -1175,6 +1175,10 @@ object SparkEntry {
     // decile — the table a vocab-size decision reads
     "text_vocab_curve" -> ((s, dir) =>
       TextAnalysis.vocabCurve(Tables.read(s, dir, "documents"))),
+    // code-vs-prose routing: per-mille densities of code-indicative chars
+    // (translate-based exact counts, regex-free), integer-threshold flag
+    "text_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables.read(s, dir, "documents"))),
     // DSIR importance score: bitlen log-likelihood ratio of the target
     // domain's unigram LM vs the corpus LM, add-one smoothed — the
     // importance-resampling data-selection signal
@@ -2835,6 +2839,22 @@ object SparkEntry {
     "dedup_paragraph" -> OracleSql.dedupParagraph,
     "dedup_cdc" -> OracleSql.dedupCdc(mod = 8),
     "text_unigram_lm" -> OracleSql.textUnigramLm,
+    "text_code_detect" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, '{', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '}', '')) AS BIGINT) AS braces,
+        |    CAST(length(text) - length(replace(text, ';', '')) AS BIGINT) AS semis,
+        |    CAST(length(text) - length(replace(text, '=', '')) AS BIGINT) AS eqs,
+        |    CAST(length(text) - length(replace(text, '(', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, ')', '')) AS BIGINT) AS parens,
+        |    CAST(length(text) - length(replace(text, '_', '')) AS BIGINT) AS unders
+        |  FROM documents)
+        |SELECT doc_id, n_chars, braces, semis,
+        |  CAST(((braces*3 + semis*2 + eqs + parens + unders) * 1000)
+        |    // greatest(n_chars, 1) AS BIGINT) AS code_pm,
+        |  ((braces*3 + semis*2 + eqs + parens + unders) * 1000)
+        |    // greatest(n_chars, 1) >= 15 AS is_code
+        |FROM d""".stripMargin,
     "text_vocab_curve" ->
       """WITH counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

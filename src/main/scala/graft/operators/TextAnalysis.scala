@@ -667,6 +667,36 @@ object TextAnalysis {
         round(lit(1e6) * col("lm_bits") / col("n_tokens")).cast("long"))
   }
 
+  /** Code-vs-prose detection — the filter that routes documents to the
+    * right training mix (code into the code corpus, prose into the text
+    * one, mixed flagged for review): per-mille densities of the
+    * code-indicative characters `{ } ; = ( )` plus the underscore-word
+    * signal, with an integer-threshold flag. Character counts come from
+    * `length(x) − length(replace(x, c, ''))` — exact, regex-free, and
+    * engine-identical, so the oracle hash-matches. Per-row, zero shuffle.
+    */
+  def codeDetect(docs: DataFrame, thrPm: Int = 15): DataFrame = {
+    // literal single-char removal via translate (no regex semantics)
+    def cntCh(c: String) =
+      length(col("text")) - length(translate(col("text"), c, ""))
+    val braces = cntCh("{") + cntCh("}")
+    val semis = cntCh(";")
+    val eqs = cntCh("=")
+    val parens = cntCh("(") + cntCh(")")
+    val unders = cntCh("_")
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        braces.as("braces"), semis.as("semis"), eqs.as("eqs"),
+        parens.as("parens"), unders.as("unders"))
+      .withColumn("code_pm",
+        expr("((braces * 3 + semis * 2 + eqs + parens + unders) * 1000)" +
+          " div greatest(n_chars, 1)"))
+      .withColumn("is_code", col("code_pm") >= thrPm)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("braces").cast("long").as("braces"),
+        col("semis").cast("long").as("semis"),
+        col("code_pm"), col("is_code"))
+  }
+
   /** Vocabulary coverage (Zipf) curve — the tokenizer-sizing table: the
     * corpus vocabulary cut into ten equal-count deciles by frequency rank
     * (total (cnt desc, token) order — deterministic), each reporting its
