@@ -1642,6 +1642,29 @@ object SparkEntry {
           (col("p75") / 100.0).as("p75"))
     }),
 
+    // ---- Lorenz / revenue-concentration deciles (the "top 20% of
+    // customers drive X% of revenue" table, the Gini input): customers cut
+    // into ten equal-count spend deciles (total (spend, custkey) order),
+    // cumulative share in exact ppm. The ntile runs over the CUSTOMER
+    // summary; the rollup and its cumulative window are 10 rows ----
+    "q_lorenz" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      val dec = cust.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("spend").as("spend_cents"))
+      val wd = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_cents", sum("spend_cents").over(wd))
+        .withColumn("total", sum("spend_cents").over(Window.partitionBy(lit(1))))
+        .select(col("decile"), col("n_cust"), col("spend_cents"),
+          col("cum_cents"), expr("cum_cents * 1000000 div total").as("cum_ppm"))
+    }),
+
     // ---- RFM segmentation (recency / frequency / monetary quintiles per
     // customer — the classic activation/churn cut): one groupBy(custkey)
     // shuffle builds the summary; the three ntile(5) windows run over the
@@ -2751,6 +2774,20 @@ object SparkEntry {
     "text_sentences" -> OracleSql.textSentences,
     "doc_balance" -> OracleSql.docBalance,
     "doc_quality_gate" -> OracleSql.docQualityGate,
+    "q_lorenz" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |dec AS (SELECT CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+        |    AS BIGINT) AS decile, spend FROM cust),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(spend) AS BIGINT) AS spend_cents FROM dec GROUP BY decile),
+        |c AS (SELECT decile, n_cust, spend_cents,
+        |    CAST(sum(spend_cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+        |    CAST(sum(spend_cents) OVER () AS BIGINT) AS total FROM g)
+        |SELECT decile, n_cust, spend_cents, cum_cents,
+        |  CAST(cum_cents * 1000000 // total AS BIGINT) AS cum_ppm
+        |FROM c""".stripMargin,
     "q_rfm" ->
       """WITH cust AS (SELECT o_custkey,
         |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
