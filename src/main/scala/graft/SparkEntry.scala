@@ -841,6 +841,10 @@ object SparkEntry {
     // vector-store compression next to PQ (4× scan-bandwidth cut)
     "sim_sq8" -> ((s, dir) =>
       Similarity.sq8TopK(Tables.read(s, dir, "embeddings"))),
+    // the same ranking through the NATIVE codegen'd code_sq_dist kernel —
+    // one fused loop in whole-stage codegen, bit-identical, same oracle
+    "sim_sq8_native" -> ((s, dir) =>
+      Similarity.sq8TopKNative(Tables.read(s, dir, "embeddings"))),
     "sim_ivf" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
@@ -2740,6 +2744,7 @@ object SparkEntry {
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
+    "sim_sq8_native" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
     "sim_ivfsq8" -> OracleSql.simIvfSq8(nCells = 16, dim = 64, nQueries = 5,
       nProbe = 2, k = 10),
     "sim_ivfsq8_indexed" -> OracleSql.simIvfSq8(nCells = 16, dim = 64,

@@ -653,7 +653,22 @@ object Similarity {
     * path composes exactly like PQ's (store `(cell, codes)`, probe via the
     * [[ivfTopK]] equi-join).
     */
-  def sq8TopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  def sq8TopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    sq8TopKWith(emb, nQueries, k, (qc, nc) =>
+      aggregate(zip_with(qc, nc, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+
+  /** [[sq8TopK]] with the distance evaluated by the NATIVE codegen'd
+    * `code_sq_dist` kernel instead of the interpreted HOF chain — one
+    * fused allocation-free loop inside whole-stage codegen, bit-identical
+    * values (exact int64 either way; parity pinned in PlansSpec), same
+    * oracle.
+    */
+  def sq8TopKNative(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    sq8TopKWith(emb, nQueries, k, graft.plans.native.code_sq_dist)
+
+  private def sq8TopKWith(emb: DataFrame, nQueries: Int, k: Int,
+      dist: (Column, Column) => Column): DataFrame = {
     val (mn, mx) = sq8Bounds(emb)
     val c = sq8Codes(emb, mn, mx)
     val q = c.filter(col("vec_id") < nQueries)
@@ -661,8 +676,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("sq_dist"))
+        dist(col("qc"), col("codes")).as("sq_dist"))
     val w = Window.partitionBy("q_id").orderBy(col("sq_dist"), col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

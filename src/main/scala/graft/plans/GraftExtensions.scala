@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Dot(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("code_sq_dist"),
+      CodeSqDist.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CodeSqDist(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("poly_hash"),
       PolyHash.info,
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -107,6 +112,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => Dot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "code_sq_dist", exprs => CodeSqDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles")), "built-in")
@@ -153,6 +160,13 @@ object native {
   /** Codegen'd dot product — bit-identical to `VectorOps.dot`. */
   def dot(a: Column, b: Column): Column =
     GraftColumnShim.column(Dot(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Codegen'd integer code distance — the SQ8 hot loop, bit-identical to
+    * the `aggregate(zip_with(...))` HOF form (see [[CodeSqDist]]).
+    */
+  def code_sq_dist(a: Column, b: Column): Column =
+    GraftColumnShim.column(CodeSqDist(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   /** Codegen'd polynomial codepoint hash — identical to `Dedup.tokenId`. */

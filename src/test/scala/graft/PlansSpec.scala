@@ -23,6 +23,24 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("native code_sq_dist equals the HOF fold and registers in SQL") {
+    val codes = Seq(
+      (1L, Seq(0L, 255L, 17L), Seq(255L, 0L, 17L)),
+      (2L, Seq(100L, 100L, 100L), Seq(100L, 100L, 100L)),
+      (3L, Seq(0L, 0L, 0L), Seq(255L, 255L, 255L))
+    ).toDF("id", "a", "b")
+    val both = codes.select(
+      native.code_sq_dist(col("a"), col("b")).as("nat"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+    both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    GraftExtensions.register(spark)
+    codes.createOrReplaceTempView("codes_t")
+    val r = spark.sql("SELECT code_sq_dist(a, b) AS d FROM codes_t WHERE id = 1")
+      .as[Long].head()
+    assert(r == 2L * 255 * 255)
+  }
+
   test("sq_dist registers as a SQL function via GraftExtensions") {
     GraftExtensions.register(spark)
     vecs.createOrReplaceTempView("vecs")
@@ -216,7 +234,7 @@ class PlansSpec extends SparkSpec {
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
       "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
       "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
-      "sim_sq8",
+      "sim_sq8", "sim_sq8_native", // native twin shares the same scan shape
       // text_source_chi2's pair frame is an inequality join over the
       // |sources|-row totals — driver-tiny by contract (km_validity's
       // precedent); the corpus-scale stage is the vocab equi-join.
