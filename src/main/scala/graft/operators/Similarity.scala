@@ -634,8 +634,8 @@ object Similarity {
     val cand = probes.join(indexed, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("sq_dist"))
+        // the codegen'd kernel — bit-identical to the HOF fold (PlansSpec)
+        graft.plans.native.code_sq_dist(col("qc"), col("codes")).as("sq_dist"))
     val w = Window.partitionBy("q_id").orderBy(col("sq_dist"), col("n_id"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
