@@ -705,6 +705,36 @@ object OracleSql {
        |FROM w""".stripMargin
   }
 
+  /** Mirror of [[Events.attributionPosition]]: same pair CTEs as
+    * [[eventsAttribution]], the U-shaped CASE with identical integer floor
+    * division and last-touch remainder absorption.
+    */
+  def eventsAttributionPosition(clickType: String, purchaseType: String,
+      windowHours: Int): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    s"""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+       |    FROM events WHERE event_type = '$purchaseType'),
+       |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+       |    FROM events WHERE event_type = '$clickType'),
+       |j AS (SELECT p.user_id, p.purchase_id, c.click_id, c.c_us
+       |  FROM p JOIN c ON c.user_id = p.user_id
+       |    AND c.c_us <= p.p_us AND c.c_us > p.p_us - $winUs),
+       |w AS (SELECT user_id, purchase_id, click_id,
+       |    count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+       |    row_number() OVER (PARTITION BY purchase_id
+       |      ORDER BY c_us DESC, click_id DESC) AS rnk
+       |  FROM j)
+       |SELECT user_id, purchase_id, click_id,
+       |  CAST(n_touch AS BIGINT) AS n_touch, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(CASE WHEN n_touch = 1 THEN 1000000
+       |       WHEN n_touch = 2 THEN 500000
+       |       WHEN rnk = n_touch THEN 400000
+       |       WHEN rnk = 1
+       |         THEN 600000 - (n_touch - 2) * (200000 // (n_touch - 2))
+       |       ELSE 200000 // (n_touch - 2) END AS BIGINT) AS credit_ppm
+       |FROM w""".stripMargin
+  }
+
   /** Mirror of the `q_observe` counters, replayed relationally (the Spark
     * side computes them as CollectMetrics riding the pipeline's own pass).
     */

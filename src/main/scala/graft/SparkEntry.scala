@@ -1406,6 +1406,10 @@ object SparkEntry {
     // touch absorbs the floor remainder so credit sums exactly)
     "events_attribution" -> ((s, dir) =>
       Events.attribution(Tables.readEvents(s, dir))),
+    // U-shaped 40/20/40 position model: first/last anchored, middle split,
+    // exact remainder discipline (credit sums to exactly 1e6 per purchase)
+    "events_attribution_position" -> ((s, dir) =>
+      Events.attributionPosition(Tables.readEvents(s, dir))),
     "events_json" -> ((s, dir) =>
       Events.jsonStats(Tables.readEvents(s, dir))),
     // telemetry QA: per-user rolling z-score outliers (fixed-point rolling
@@ -2984,6 +2988,8 @@ object SparkEntry {
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
     "events_attribution" -> OracleSql.eventsAttribution(
+      clickType = "click", purchaseType = "purchase", windowHours = 24),
+    "events_attribution_position" -> OracleSql.eventsAttributionPosition(
       clickType = "click", purchaseType = "purchase", windowHours = 24),
     "text_bpe_apply" -> OracleSql.textBpeApply(nMerges = 5),
     "q_observe" -> OracleSql.qObserve,

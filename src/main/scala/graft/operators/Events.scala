@@ -474,6 +474,43 @@ object Events {
           .otherwise(expr("1000000 div n_touch")).as("credit_ppm"))
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * industry-standard alternative to [[attribution]]'s linear split: the
+    * FIRST and LAST touch each take 400 000 ppm, the middle touches split
+    * the remaining 200 000 evenly. Same exact-integer remainder discipline
+    * (the last touch absorbs the middle's floor remainder, so per-purchase
+    * credit sums to exactly 1e6); degenerate journeys close exactly too
+    * (1 touch → 1e6, 2 touches → 500 000 each). Ranks share [[attribution]]'s
+    * convention: rnk 1 = latest click, rnk = n_touch = first. Same
+    * per-user equi-join + purchase-window shape.
+    */
+  def attributionPosition(events: DataFrame, clickType: String = "click",
+      purchaseType: String = "purchase", windowHours: Int = 24): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val winUs = windowHours * 3600L * 1000000L
+    val p = events.filter(col("event_type") === purchaseType)
+      .select(col("user_id"), col("event_id").as("purchase_id"), us.as("p_us"))
+    val c = events.filter(col("event_type") === clickType)
+      .select(col("user_id"), col("event_id").as("click_id"), us.as("c_us"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_us") <= col("p_us") && col("c_us") > col("p_us") - winUs)
+    val wAll = Window.partitionBy("purchase_id")
+    val wOrd = Window.partitionBy("purchase_id")
+      .orderBy(desc("c_us"), desc("click_id"))
+    val mid = expr("200000 div (n_touch - 2)")
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wAll))
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("n_touch"), col("rnk"),
+        when(col("n_touch") === 1, lit(1000000L))
+          .when(col("n_touch") === 2, lit(500000L))
+          .when(col("rnk") === col("n_touch"), lit(400000L)) // first touch
+          .when(col("rnk") === 1,                            // last absorbs
+            lit(600000L) - (col("n_touch") - 2) * mid)
+          .otherwise(mid).as("credit_ppm"))
+  }
+
   /** Top event-type PATHS: the most common length-`n` event sequences within
     * a session across all sessions (the classic "what do users actually do"
     * path analysis). Each session's events are ordered by (us, event_id) —

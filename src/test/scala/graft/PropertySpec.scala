@@ -176,6 +176,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("position attribution: per-purchase credit sums to exactly 1e6; U-shape holds") {
+    val rows = SparkEntry.queries("events_attribution_position")(spark, sf("0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    def f(name: String) = rows.head.schema.fieldIndex(name)
+    val (pi, ni, ri, ci) =
+      (f("purchase_id"), f("n_touch"), f("rnk"), f("credit_ppm"))
+    rows.groupBy(_.getLong(pi)).values.foreach { touches =>
+      assert(touches.map(_.getLong(ci)).sum == 1000000L)
+      val n = touches.head.getLong(ni)
+      if (n >= 3) touches.foreach { t =>
+        val (rnk, credit) = (t.getLong(ri), t.getLong(ci))
+        if (rnk == n) assert(credit == 400000L)        // first touch
+        else if (rnk > 1) assert(credit == 200000L / (n - 2))
+        else assert(credit >= 400000L)                 // last + remainder
+      }
+    }
+  }
+
   test("funnel stage counts are monotone non-increasing on real events") {
     val got = graft.operators.Events.funnel(Tables.readEvents(spark, sf("0.01")))
       .orderBy("stage").select("users").as[Long].collect().toSeq
