@@ -1008,6 +1008,18 @@ object SparkEntry {
     // ---- text analysis (beyond-reference) ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.read(s, dir, "documents"))),
+    // detector agreement matrix: where the word-level and char-trigram
+    // language IDs agree/disagree, per (guess, guess) cell — the diagnostic
+    // that says when the cheap detector suffices and where to escalate
+    "text_langid_agree" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val w = TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("guess").as("guess_word"))
+      val c = TextAnalysis.langIdNgram(docs)
+        .select(col("doc_id"), col("guess").as("guess_char"))
+      w.join(c, "doc_id").groupBy("guess_word", "guess_char")
+        .agg(count(lit(1)).as("n"))
+    }),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.read(s, dir, "documents"))),
     // char-trigram twin of the word-level langId (n-gram heuristic)
@@ -2771,6 +2783,12 @@ object SparkEntry {
       nQueries = 5, shortlist = 50, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
+    "text_langid_agree" ->
+      s"""SELECT w.guess AS guess_word, c.guess AS guess_char,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM (${OracleSql.textLangId}) w
+         |JOIN (${OracleSql.textLangIdNgram}) c ON w.doc_id = c.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "text_langid_ngram" -> OracleSql.textLangIdNgram,
     "text_cms" -> OracleSql.textCms(w = 1024, d = 4),
     "text_heavy_hitters" -> OracleSql.textHeavyHitters(w = 1024, d = 4, den = 64),
