@@ -914,6 +914,12 @@ object SparkEntry {
     // product quantization: 8 sub-codes per 64-dim vector off the
     // deterministic seed codebook — the 128x vector-compression step of
     // IVF-PQ; zero-shuffle literal-codebook argmin per row
+    // first principal component (rows-only: iterative float eigen fit):
+    // one-scan exact sufficient stats + driver power iteration; MLlib PCA
+    // direction parity pinned in SimilaritySpec
+    "emb_pca" -> ((s, dir) =>
+      Similarity.pca1(Tables.read(s, dir, "embeddings"))),
+
     "emb_pq" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.pqEncode(emb, Similarity.pqCodebook(emb))

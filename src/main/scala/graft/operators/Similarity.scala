@@ -523,6 +523,77 @@ object Similarity {
     }.toSeq
   }
 
+  // ----------------------------------------------------- PCA (first component)
+
+  /** First principal component of the embedding cloud — the
+    * variance-structure diagnostic (anisotropy check, whitening input,
+    * "is there a dominant direction" signal) every embedding pipeline
+    * inspects: per dimension, the mean and the PC1 loading, plus the
+    * explained-variance ratio riding on every row.
+    *
+    * Shape: ONE scan accumulates the exact sufficient statistics (n, Σx,
+    * Σxxᵀ) via per-partition d + d² accumulators merged on the driver —
+    * the [[graft.operators.KMeans.lloydStepOnePass]] discipline, ≤ P·d²
+    * doubles collected, points never leave their partition. The 64×64
+    * covariance then power-iterates ON THE DRIVER (deterministic fixed
+    * start e₁, fixed 100 iterations — d²-sized state by contract, like
+    * centroids/codebooks). Sign convention: the largest-|loading|
+    * dimension carries a positive loading. Rows-only (the eigenvector is
+    * an iterative float fit); direction parity vs MLlib PCA is pinned in
+    * SimilaritySpec.
+    */
+  def pca1(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dim
+    val parts = emb2v(emb).select(col("v")).queryExecution.toRdd
+      .mapPartitions { it =>
+        var n = 0L
+        val s = new Array[Double](d)
+        val ss = new Array[Double](d * d)
+        while (it.hasNext) {
+          val arr = it.next().getArray(0)
+          n += 1
+          var i = 0
+          while (i < d) {
+            val xi = arr.getDouble(i)
+            s(i) += xi
+            var j = 0
+            while (j < d) { ss(i * d + j) += xi * arr.getDouble(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((n, s, ss))
+      }.collect()
+    val n = parts.map(_._1).sum.toDouble
+    val s = new Array[Double](d)
+    val ss = new Array[Double](d * d)
+    parts.foreach { case (_, ps, pss) =>
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      var k = 0
+      while (k < d * d) { ss(k) += pss(k); k += 1 }
+    }
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => ss(i * d + j) / n - mean(i) * mean(j))
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    (0 until 100).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      lambda = norm
+      v = w.map(_ / norm)
+    }
+    val flip = if (v(v.map(math.abs).zipWithIndex.maxBy(_._1)._2) < 0) -1.0 else 1.0
+    val pc = v.map(_ * flip)
+    val totVar = (0 until d).map(i => cov(i)(i)).sum
+    val evr = lambda / totVar
+    pc.zipWithIndex.map { case (l, i) =>
+      (i.toLong + 1, math.round(mean(i) * 1e6), math.round(l * 1e6),
+        math.round(evr * 1e6))
+    }.toSeq.toDF("dim", "mean_e6", "pc1_e6", "evr_e6")
+  }
+
   // --------------------------------------------- scalar quantization (SQ8)
 
   /** Per-dimension `[min, max]` quantizer bounds for [[sq8TopK]]: one

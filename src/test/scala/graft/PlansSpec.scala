@@ -251,7 +251,8 @@ class PlansSpec extends SparkSpec {
       "text_bpe_train", "text_bpe_apply", "pipeline_full", "emb_pq_fitted",
       "doc_quality_lr", // LBFGS fit runs during construction
       "km_fit_minibatch", // the mini-batch loop runs during construction
-      "km_fit_bisecting") // the MLlib bisecting fit runs during construction
+      "km_fit_bisecting", // the MLlib bisecting fit runs during construction
+      "emb_pca") // the stats collect + power iteration run during construction
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).filterNot(allowed)
       .filter { name =>

@@ -29,6 +29,27 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0 && real.count() == 500)
   }
 
+  test("pca1: unit loading vector, direction matches MLlib PCA, evr in (0,1]") {
+    import org.apache.spark.ml.feature.{PCA => MLPca}
+    import org.apache.spark.ml.functions.array_to_vector
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val got = Similarity.pca1(embr).orderBy("dim").collect()
+    assert(got.length == 64)
+    val pc = got.map(_.getLong(2).toDouble / 1e6)
+    val norm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"PC1 not unit: $norm")
+    val evr = got.head.getLong(3)
+    assert(evr > 0 && evr <= 1000000L)
+    // direction parity with MLlib's eigendecomposition (sign-insensitive)
+    val feats = embr.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val ml = new MLPca().setK(1).setInputCol("features").setOutputCol("p")
+      .fit(feats).pc.toArray // column-major, k=1 -> the first column
+    val cos = math.abs(pc.zip(ml).map { case (a, b) => a * b }.sum) /
+      (norm * math.sqrt(ml.map(x => x * x).sum))
+    assert(cos > 0.999, s"PC1 direction diverges from MLlib: |cos| = $cos")
+  }
+
   test("sq8: codes span [0,255] hitting both ends; top-1 respects clusters; " +
     "constant dims encode 0") {
     val (mn, mx) = Similarity.sq8Bounds(emb)
