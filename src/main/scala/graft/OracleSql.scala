@@ -833,6 +833,15 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Mirror of [[Events.funnelSweep]]: one [[eventsFunnel]] replay per
+    * window, stamped and unioned.
+    */
+  def eventsFunnelSweep(stages: Seq[String], windows: Seq[Int]): String =
+    windows.map { wh =>
+      s"""SELECT CAST($wh AS BIGINT) AS window_hours, stage, event_type, users
+         |FROM (${eventsFunnel(stages, wh)}) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Mirror of [[Events.funnelLatency]]: [[eventsFunnel]]'s chained stage
     * CTEs, then one join + scalar aggregate per consecutive pair. DuckDB
     * `median(BIGINT)` interpolates even counts exactly like Spark's

@@ -1473,6 +1473,10 @@ object SparkEntry {
     // fixed-point median per consecutive funnel pair
     "events_funnel_latency" -> ((s, dir) =>
       Events.funnelLatency(Tables.readEvents(s, dir))),
+    // window-sensitivity sweep: the same funnel at 1h/6h/24h attribution
+    // windows side by side (monotone by construction)
+    "events_funnel_sweep" -> ((s, dir) =>
+      Events.funnelSweep(Tables.readEvents(s, dir))),
     // cohort retention: epoch-week signup cohorts × activity-week offsets
     "events_retention" -> ((s, dir) =>
       Events.retention(Tables.readEvents(s, dir))),
@@ -3127,6 +3131,8 @@ object SparkEntry {
       stages = Seq("view", "click", "purchase"), windowHours = 24),
     "events_funnel_latency" -> OracleSql.eventsFunnelLatency(
       stages = Seq("view", "click", "purchase"), windowHours = 24),
+    "events_funnel_sweep" -> OracleSql.eventsFunnelSweep(
+      stages = Seq("view", "click", "purchase"), windows = Seq(1, 6, 24)),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
     "events_transitions" -> OracleSql.eventsTransitions(gapMinutes = 30),

@@ -403,6 +403,22 @@ object Events {
     }
   }
 
+  /** Funnel sensitivity sweep: the same staged funnel evaluated at several
+    * attribution windows side by side — the table that shows whether the
+    * conversion story depends on the (always-arguable) window choice.
+    * Monotone by construction (wider windows only add qualifying users);
+    * each window is an independent [[funnel]] pass over the same chained
+    * min-qualifying semantics.
+    */
+  def funnelSweep(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windows: Seq[Int] = Seq(1, 6, 24)): DataFrame =
+    windows.map { wh =>
+      funnel(events, stages, wh)
+        .select(lit(wh.toLong).as("window_hours"), col("stage"),
+          col("event_type"), col("users"))
+    }.reduce(_ unionByName _)
+
   /** Stage-to-stage conversion LATENCY — the "how long does the funnel
     * take" companion to [[funnel]]'s "how many make it": for each
     * consecutive stage pair, the converting users' time deltas summarized
