@@ -1397,6 +1397,18 @@ object SparkEntry {
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.readEvents(s, dir))),
+    // session-shape distribution: exact p25/p50/p90 of duration and size
+    // through the two-pass distributed-selection quantile engine — the
+    // metric column doubles as the group key, so one call prices both
+    "events_session_stats" -> ((s, dir) => {
+      val sess = Events.sessionize(Tables.readEvents(s, dir))
+      val unpivot = sess.select(lit("dur_us").as("metric"),
+          col("dur_us").as("value"))
+        .unionByName(sess.select(lit("n_events").as("metric"),
+          col("n_events").as("value")))
+      Quantiles.exactGroupedQuantiles(unpivot, "metric", "value",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+    }),
     "events_window" -> ((s, dir) =>
       Events.windowAgg(Tables.readEvents(s, dir))),
     // hopping windows: 1h width every 30m — each event in 2 buckets
@@ -3015,6 +3027,15 @@ object SparkEntry {
       "l_linestatus", "l_shipdate")),
     "dedup_decontaminate" -> OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10),
     "events_sessionize" -> OracleSql.eventsSessionize(gapMinutes = 30),
+    "events_session_stats" ->
+      s"""WITH sess AS (SELECT * FROM (${OracleSql.eventsSessionize(gapMinutes = 30)}) t),
+         |u AS (SELECT 'dur_us' AS metric, dur_us AS value FROM sess
+         |  UNION ALL SELECT 'n_events', n_events FROM sess)
+         |SELECT metric, count(*) AS cnt,
+         |  quantile_cont(value, 0.25) AS p25,
+         |  quantile_cont(value, 0.50) AS p50,
+         |  quantile_cont(value, 0.90) AS p90
+         |FROM u GROUP BY metric""".stripMargin,
     "events_attribution" -> OracleSql.eventsAttribution(
       clickType = "click", purchaseType = "purchase", windowHours = 24),
     "events_attribution_position" -> OracleSql.eventsAttributionPosition(
