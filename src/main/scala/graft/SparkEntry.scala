@@ -1684,6 +1684,30 @@ object SparkEntry {
           (col("p75") / 100.0).as("p75"))
     }),
 
+    // ---- the TPC-H Q5-shaped STAR join: revenue per (region, nation)
+    // where customer and supplier share the nation — the one query that
+    // exercises every dimension table. Fact-fact (lineitem ⋈ orders)
+    // shuffles on the shared key; every dimension side is explicitly
+    // broadcast, so the star resolves with ONE shuffle total ----
+    "q_star_join" -> ((s, dir) => {
+      val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      Tables.read(s, dir, "lineitem")
+        .join(Tables.read(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.read(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue_cents"))
+    }),
+
     // ---- Lorenz / revenue-concentration deciles (the "top 20% of
     // customers drive X% of revenue" table, the Gini input): customers cut
     // into ten equal-count spend deciles (total (spend, custkey) order),
@@ -2823,6 +2847,17 @@ object SparkEntry {
     "text_sentences" -> OracleSql.textSentences,
     "doc_balance" -> OracleSql.docBalance,
     "doc_quality_gate" -> OracleSql.docQualityGate,
+    "q_star_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
     "q_lorenz" ->
       """WITH cust AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend
