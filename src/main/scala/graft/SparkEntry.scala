@@ -1047,6 +1047,10 @@ object SparkEntry {
     "text_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScore(Tables.read(s, dir, "documents"))),
     // sentence segmentation census: terminator-run split, per-row only
+    // Flesch-style reading ease: exact word/sentence/vowel-run counts, the
+    // textbook formula at e2 fixed point — the prose-difficulty signal
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.read(s, dir, "documents"))),
     "text_sentences" -> ((s, dir) =>
       TextAnalysis.sentenceStats(Tables.read(s, dir, "documents"))),
     // language-balanced corpus: every language keeps the min per-language
@@ -2829,6 +2833,22 @@ object SparkEntry {
       nQueries = 5, shortlist = 50, kNbrs = 10),
     "text_stats" -> OracleSql.textStats,
     "text_langid" -> OracleSql.textLangId,
+    "text_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+'), s -> trim(s)),
+        |      s -> length(s) > 0)), 1) AS BIGINT) AS n_sentences,
+        |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |      - length(replace(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'),
+        |          'V', '')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(round((206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)))
+        |    * 100) AS BIGINT) AS flesch_e2
+        |FROM b""".stripMargin,
     "text_langid_agree" ->
       s"""SELECT w.guess AS guess_word, c.guess AS guess_char,
          |  CAST(count(*) AS BIGINT) AS n

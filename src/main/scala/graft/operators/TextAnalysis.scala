@@ -1079,6 +1079,36 @@ object TextAnalysis {
         .cast("long").as("max_sent_chars"))
   }
 
+  /** Flesch-style readability features — the classic prose-difficulty
+    * quality signal (an ESL-heavy or boilerplate corpus reads very
+    * differently from edited text): words, sentences (the [[sentenceStats]]
+    * split rule), and syllables approximated as maximal vowel-run groups —
+    * counted EXACTLY by collapsing each `[aeiouy]+` run to one marker char
+    * and diffing lengths, a deterministic rewrite identical in Java and
+    * RE2 regex dialects (alternation-free class, the qualityScore
+    * discipline). The reading-ease score itself is the textbook
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)` over those exact integers,
+    * reported at e2 fixed point (identical IEEE sequence both engines).
+    * Per-row, zero shuffle.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text")))
+    val sents = greatest(size(filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)), lit(1))
+    val collapsed = regexp_replace(lower(col("text")), "[aeiouy]+", "V")
+    val sylls = length(collapsed) - length(translate(collapsed, "V", ""))
+    val base = docs.select(col("doc_id"),
+      words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      sylls.cast("long").as("n_syllables"))
+    base.withColumn("flesch_e2",
+      round((lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") /
+          greatest(col("n_words"), lit(1)))) * 100).cast("long"))
+  }
+
   /** Language-balanced corpus: every language keeps the SAME number of docs
     * — the minimum per-language count — in deterministic doc_id order. The
     * cap is a window min over the per-language COUNTS relation (|langs|
