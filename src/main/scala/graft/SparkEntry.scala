@@ -1462,6 +1462,22 @@ object SparkEntry {
     // explode fan-out for the trailing windows — never a range join
     "events_stickiness" -> ((s, dir) =>
       Events.stickiness(Tables.readEvents(s, dir))),
+    // new-vs-returning daily census: each user's first-ever day from one
+    // grouped min, joined back onto the distinct (user, day) relation
+    "events_new_users" -> ((s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      val ud = Tables.readEvents(s, dir)
+        .select(col("user_id"), day.as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"))
+        .withColumn("new_ppm",
+          expr("n_new * 1000000 div (n_new + n_returning)"))
+    }),
     // as-of join (click → latest prior purchase per user) via the union +
     // carry-forward window — oracled against DuckDB's native ASOF JOIN
     "events_asof" -> ((s, dir) =>
@@ -3196,6 +3212,19 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "events_stickiness" -> OracleSql.eventsStickiness,
+    "events_new_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+        |SELECT ud.day,
+        |  CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN ud.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS new_ppm
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY ud.day""".stripMargin,
     "events_session_window" -> OracleSql.eventsSessionWindow(gapMinutes = 30),
     "events_json" -> OracleSql.eventsJson,
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
