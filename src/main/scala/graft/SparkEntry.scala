@@ -755,6 +755,22 @@ object SparkEntry {
     // silently measuring memorization
     "doc_split_leakproof" -> ((s, dir) =>
       Dedup.leakproofSplit(docComponents(s, dir))),
+    // the release audit: contamination rate PER SPLIT — the leak-proof
+    // split joined with the benchmark-overlap flags, so a contaminated
+    // test slice is caught before anything ships
+    "pipeline_split_contamination" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val split = Dedup.leakproofSplit(docComponents(s, dir))
+        .select("doc_id", "split")
+      val cont = Dedup.decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("contaminated"))
+      split.join(cont, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("contaminated").as("n_contaminated"))
+        .withColumn("cont_ppm", expr("n_contaminated * 1000000 div n_docs"))
+    }),
     // production keep-rule: per duplicate cluster, keep the HIGHEST-QUALITY
     // doc (most tokens; ties -> lowest id) instead of the min-id label —
     // one max_by aggregation over components joined with per-doc stats
@@ -2809,6 +2825,15 @@ object SparkEntry {
     "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       trainPct = 80, valPct = 10),
+    "pipeline_split_contamination" ->
+      s"""SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(c.contaminated) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(c.contaminated) * 1000000 // count(*) AS BIGINT) AS cont_ppm
+         |FROM (${OracleSql.docSplitLeakproof(n = 3, numHashes = 16, bands = 4,
+              thrNum = 1, thrDen = 2, trainPct = 80, valPct = 10)}) s
+         |JOIN (${OracleSql.dedupDecontaminate(n = 3, thrNum = 1, thrDen = 10)}) c
+         |  ON s.doc_id = c.doc_id
+         |GROUP BY s.split""".stripMargin,
     "dedup_keep_best" -> OracleSql.dedupKeepBest(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_keep" -> OracleSql.dedupKeepOne(
