@@ -811,6 +811,148 @@ object OracleSql {
        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us""".stripMargin
   }
 
+  /** Mirror of [[Events.asofJoinForward]]: the forward direction written as
+    * a grouped-min over an inequality join — O(pairs) but unambiguous, the
+    * oracle-side price of not depending on DuckDB's ASOF direction rules.
+    */
+  def eventsAsofForward(leftType: String, rightType: String): String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = '$leftType'),
+       |r AS (SELECT user_id, us FROM e WHERE event_type = '$rightType')
+       |SELECT l.event_id, l.user_id, l.us, min(r.us) AS asof_us
+       |FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.us >= l.us
+       |GROUP BY l.event_id, l.user_id, l.us""".stripMargin
+
+  /** Mirror of [[Events.concurrency]]: the identical two-level sweep —
+    * per-timestamp delta rollup, intra-day prefix, day-level midnight base —
+    * over the [[eventsSessionize]] session relation as a subquery.
+    */
+  def eventsConcurrency(gapMinutes: Int): String =
+    s"""WITH sess AS (${eventsSessionize(gapMinutes)}),
+       |d AS (SELECT start_us AS us, 1 AS delta FROM sess
+       |  UNION ALL SELECT start_us + dur_us + 1 AS us, -1 AS delta FROM sess),
+       |pts AS (SELECT us, sum(delta) AS delta,
+       |    sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS plus,
+       |    sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS minus
+       |  FROM d GROUP BY us),
+       |intra AS (SELECT us, us // 86400000000 AS day, delta, plus, minus,
+       |    sum(delta) OVER (PARTITION BY us // 86400000000 ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM pts),
+       |pd AS (SELECT day, sum(delta) AS tot, max(pre) AS maxpre,
+       |    sum(plus) AS n_start, sum(minus) AS n_end
+       |  FROM intra GROUP BY day),
+       |b AS (SELECT day, maxpre, n_start, n_end,
+       |    coalesce(sum(tot) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+       |  FROM pd)
+       |SELECT day, CAST(base AS BIGINT) AS base,
+       |  CAST(base + greatest(maxpre, 0) AS BIGINT) AS peak,
+       |  CAST(n_start AS BIGINT) AS n_start, CAST(n_end AS BIGINT) AS n_end
+       |FROM b""".stripMargin
+
+  /** Mirror of [[Events.twap]]: identical lead/clamp weights in integer
+    * microseconds, identical `Σ(cents·weight) div Σweight` integer average.
+    */
+  def eventsTwap: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    epoch_us(ts) // 86400000000 AS day,
+       |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+       |x AS (SELECT user_id, day, cents, us,
+       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+       |  FROM e),
+       |y AS (SELECT user_id, day, cents,
+       |    least(coalesce(next_us, 9223372036854775807),
+       |      (day + 1) * 86400000000) - us AS weight
+       |  FROM x)
+       |SELECT user_id, day, count(*) AS n_events,
+       |  CAST(sum(weight) AS BIGINT) AS weight_us,
+       |  CAST(sum(cents * weight) // sum(weight) AS BIGINT) AS twap_cents
+       |FROM y GROUP BY user_id, day""".stripMargin
+
+  /** Mirror of [[Events.mannWhitney]]: identical doubled-rank integers over
+    * the grouped cent domain, identical fixed double z formula (operand
+    * order preserved so both engines emit bit-identical IEEE results).
+    */
+  def eventsMannWhitney(armA: String, armB: String): String =
+    s"""WITH ab AS (SELECT CASE WHEN event_type = '$armA' THEN 0 ELSE 1 END AS arm,
+       |    CAST(round(value*100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type IN ('$armA', '$armB')),
+       |bv AS (SELECT cents,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na_c,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb_c
+       |  FROM ab GROUP BY cents),
+       |r AS (SELECT cents, na_c, nb_c,
+       |    coalesce(sum(na_c + nb_c) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl,
+       |    na_c + nb_c AS ce
+       |  FROM bv),
+       |g AS (SELECT CAST(sum(na_c) AS BIGINT) AS na,
+       |    CAST(sum(nb_c) AS BIGINT) AS nb,
+       |    CAST(sum(na_c * (cl * 2 + ce + 1)) AS BIGINT) AS r2_a,
+       |    CAST(sum(ce*ce*ce - ce) AS BIGINT) AS tie3
+       |  FROM r),
+       |z AS (SELECT na, nb, r2_a, tie3, r2_a - na * (na + 1) AS u2_a,
+       |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+       |      ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(tie3 AS DOUBLE) /
+       |        (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))
+       |      AS var_u
+       |  FROM g)
+       |SELECT na, nb, u2_a, na * nb * 2 - u2_a AS u2_b, tie3,
+       |  CASE WHEN var_u > 0 THEN CAST(round((CAST(u2_a AS DOUBLE) -
+       |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2.0 * sqrt(var_u))
+       |    * 1e6) AS BIGINT) END AS z_e6
+       |FROM z""".stripMargin
+
+  /** Mirror of [[Events.survival]]: identical per-user lifetime reduction,
+    * censoring rule, and day-level running risk set.
+    */
+  def eventsSurvival(censorDays: Int): String =
+    s"""WITH u AS (SELECT user_id,
+       |    min(epoch_us(ts) // 86400000000) AS first_day,
+       |    max(epoch_us(ts) // 86400000000) AS last_day
+       |  FROM events GROUP BY user_id),
+       |m AS (SELECT max(last_day) AS max_day FROM u),
+       |uu AS (SELECT u.*, CASE WHEN last_day <= max_day - $censorDays
+       |    THEN 1 ELSE 0 END AS churned FROM u, m),
+       |d AS (SELECT first_day AS day, 1 AS enter, 0 AS churn, 0 AS cens FROM uu
+       |  UNION ALL SELECT last_day, 0, churned, 1 - churned FROM uu),
+       |pd AS (SELECT day, sum(enter) AS enters, sum(churn) AS n_churn,
+       |    sum(cens) AS n_censored
+       |  FROM d GROUP BY day),
+       |r AS (SELECT day, n_churn, n_censored,
+       |    sum(enters) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - coalesce(sum(n_churn + n_censored) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM pd)
+       |SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+       |  CAST(n_churn AS BIGINT) AS n_churn,
+       |  CAST(n_censored AS BIGINT) AS n_censored,
+       |  CAST(n_churn * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+       |FROM r""".stripMargin
+
+  /** Mirror of [[Events.trend]]: identical integer sufficient statistics,
+    * identical fixed double slope formula.
+    */
+  def eventsTrend(minDays: Int): String =
+    s"""WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+       |g AS (SELECT user_id, count(*) AS n_days, sum(day) AS sx,
+       |    sum(cents) AS sy, sum(day * cents) AS sxy, sum(day * day) AS sxx
+       |  FROM daily GROUP BY user_id)
+       |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(sy AS BIGINT) AS sum_cents,
+       |  CAST(round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT)
+       |    AS slope_e6
+       |FROM g WHERE n_days >= $minDays
+       |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin
+
   /** Mirror of [[Events.funnel]]: chained min-join stages, epoch-µs integer
     * timestamps so the window comparison is exact on both engines.
     */

@@ -789,4 +789,219 @@ object Events {
       when(ok, round(adj("syb", "sxb", "nb") * 1e6).cast("long")).otherwise(lit(null))
         .as("adj_b_e6"))
   }
+
+  /** Peak concurrent sessions per day — the capacity-planning census: how
+    * many sessions were simultaneously open at the day's busiest instant.
+    * Classic sweep line: each [[sessionize]] session contributes +1 at its
+    * start and −1 one microsecond after its end; concurrency at any point
+    * is the running sum of deltas.
+    *
+    * Scale shape: the sweep is TWO-LEVEL, never one global window. Deltas
+    * aggregate per distinct timestamp (one shuffle), the running prefix is
+    * computed WITHIN each day (partitioned window), and a day-level base —
+    * the number of sessions still open at each midnight — comes from a
+    * running sum over the per-day totals (a day-count-bounded relation, the
+    * km_seed_next single-partition-window discipline). Peak(d) =
+    * base(d) + max(0, max intra-day prefix): the max(0,·) keeps a day whose
+    * only points are session ENDS from reporting less than its midnight
+    * carry-in.
+    */
+  def concurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val dayUs = 86400000000L
+    val sess = sessionize(events, gapMinutes)
+    val deltas = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("start_us") + col("dur_us") + 1).as("us"),
+        lit(-1L).as("delta")))
+    val pts = deltas.groupBy("us")
+      .agg(sum("delta").as("delta"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("plus"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("minus"))
+      .withColumn("day", expr(s"us div $dayUs"))
+    val intra = Window.partitionBy("day").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = pts
+      .withColumn("pre", sum("delta").over(intra))
+      .groupBy("day")
+      .agg(sum("delta").as("tot"), max("pre").as("maxpre"),
+        sum("plus").as("n_start"), sum("minus").as("n_end"))
+    val days = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("base", coalesce(sum("tot").over(days), lit(0L)))
+      .select(col("day"), col("base"),
+        (col("base") + greatest(col("maxpre"), lit(0L))).as("peak"),
+        col("n_start"), col("n_end"))
+  }
+
+  /** Time-weighted average value per (user, day) — the TWAP/state-duration
+    * aggregate: each event's value holds from its timestamp until the
+    * user's next event, clamped to the day boundary, and the day's average
+    * weighs each value by how long it held. The honest summary when events
+    * arrive irregularly (a plain avg over-counts bursts); the same shape
+    * prices time-in-state for billing.
+    *
+    * Exact arithmetic end-to-end: weights are integer microseconds, values
+    * integer cents, and the average is one integer division
+    * `Σ(cents·weight) div Σweight` — hash-stable across engines. The total
+    * weight is ≥ 1 by construction (an event's own-day weight is at least
+    * 1 µs unless another event shares its exact timestamp, and the LAST
+    * event of a (user, day) always reaches the day boundary), so the
+    * division never sees zero. ONE shuffle on user_id for the lead window,
+    * then a (user, day) aggregate on the already-clustered rows.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr(s"us div $dayUs"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .withColumn("weight",
+        least(coalesce(col("next_us"), lit(Long.MaxValue)),
+          (col("day") + 1) * lit(dayUs)) - col("us"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum("weight").as("weight_us"),
+        expr("sum(cents * weight) div sum(weight)").as("twap_cents"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two event types' value
+    * distributions — the distribution-free companion to [[abTest]]'s
+    * two-proportion z: does `armA` spend stochastically dominate `armB`,
+    * without assuming normality (the honest test for heavy-tailed revenue).
+    *
+    * Exact-integer discipline: ranks are computed over the GROUPED value
+    * domain (one row per distinct cent value with per-arm counts), and all
+    * rank sums use DOUBLED ranks so midranks for ties stay integral:
+    * a value with `cl` cheaper observations and `ce` ties has
+    * 2·midrank = 2·cl + ce + 1, so r2_a = Σ na_c·(2cl+ce+1) and
+    * 2U_a = r2_a − na(na+1) are exact int64; the tie-corrected normal
+    * z-score is then one fixed double formula over those integers (the
+    * q_corr determinism recipe). Scale: the ordered prefix runs over the
+    * distinct-VALUE relation, bounded by the cent domain (≤ ~56k rows here
+    * regardless of event count), not by n.
+    */
+  def mannWhitney(events: DataFrame, armA: String = "click",
+      armB: String = "view"): DataFrame = {
+    val byVal = events.filter(col("event_type").isin(armA, armB))
+      .groupBy(round(col("value") * 100).cast("long").as("cents"))
+      .agg(sum(when(col("event_type") === armA, 1L).otherwise(0L)).as("na_c"),
+        sum(when(col("event_type") === armB, 1L).otherwise(0L)).as("nb_c"))
+    val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    val g = byVal
+      .withColumn("cl", coalesce(sum(col("na_c") + col("nb_c")).over(w), lit(0L)))
+      .withColumn("ce", col("na_c") + col("nb_c"))
+      .agg(sum("na_c").as("na"), sum("nb_c").as("nb"),
+        sum(col("na_c") * (col("cl") * 2 + col("ce") + 1)).as("r2_a"),
+        sum(col("ce") * col("ce") * col("ce") - col("ce")).as("tie3"))
+    def d(c: String) = col(c).cast("double")
+    val u2a = col("r2_a") - col("na") * (col("na") + 1)
+    val n = col("na") + col("nb")
+    val mu2 = d("na") * d("nb") // 2·E[U] = na·nb
+    val varU = d("na") * d("nb") / 12.0 *
+      ((n.cast("double") + 1.0) - d("tie3") / (n.cast("double") * (n.cast("double") - 1.0)))
+    g.select(col("na"), col("nb"), u2a.as("u2_a"),
+      (col("na") * col("nb") * 2 - u2a).as("u2_b"), col("tie3"),
+      when(varU > 0,
+        round((u2a.cast("double") - mu2) / (lit(2.0) * sqrt(varU)) * 1e6)
+          .cast("long")).as("z_e6"))
+  }
+
+  /** Kaplan–Meier survival input table over user lifetimes — the churn
+    * census: for each day, how many users were active-and-at-risk, how many
+    * churned (their LAST event, outside the right-censoring guard), how
+    * many left censored, and the discrete hazard in exact ppm. The
+    * (n_risk, n_churn) pairs are exactly the KM estimator's per-interval
+    * factors; censoring uses the standard observation-window rule — a user
+    * whose last event falls within `censorDays` of the corpus end may
+    * simply not have returned YET, so their exit counts as censored, not
+    * churned.
+    *
+    * Scale: one groupBy(user) reduces the corpus to per-user
+    * (first_day, last_day); everything after runs on the day-count-bounded
+    * relation (running sums over per-day start/end totals — no
+    * user × calendar explode, no generate_series spine).
+    */
+  def survival(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val users = events.groupBy("user_id")
+      .agg(min(day).as("first_day"), max(day).as("last_day"))
+    val maxDay = users.agg(max("last_day").as("max_day"))
+    val perDay = users.crossJoin(broadcast(maxDay))
+      .withColumn("churned",
+        (col("last_day") <= col("max_day") - censorDays).cast("long"))
+      .select(explode(array(
+        struct(col("first_day").as("day"), lit(1L).as("enter"),
+          lit(0L).as("churn"), lit(0L).as("cens")),
+        struct(col("last_day").as("day"), lit(0L).as("enter"),
+          col("churned").as("churn"), (lit(1L) - col("churned")).as("cens"))))
+        .as("x"))
+      .groupBy(col("x.day").as("day"))
+      .agg(sum("x.enter").as("enters"), sum("x.churn").as("n_churn"),
+        sum("x.cens").as("n_censored"))
+    val upTo = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("n_risk",
+        sum("enters").over(upTo) -
+          coalesce(sum(col("n_churn") + col("n_censored")).over(before), lit(0L)))
+      .select(col("day"), col("n_risk"), col("n_churn"), col("n_censored"),
+        expr("n_churn * 1000000 div n_risk").as("hazard_ppm"))
+  }
+
+  /** Per-user linear spend trend — the LTV-slope feature: ordinary least
+    * squares over the user's (day, daily cents) series, reported as
+    * cents/day in e6 fixed point. Sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx²) are exact int64 sums over integer days and cents; the slope is
+    * one fixed double formula over them (the q_corr recipe), so the oracle
+    * is hash-exact. Users need ≥ `minDays` distinct active days and a
+    * non-degenerate x spread. One shuffle to the daily grain, one more to
+    * the user grain — both standard partial-agg shapes.
+    */
+  def trend(events: DataFrame, minDays: Int = 5): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val daily = events.groupBy(col("user_id"), day.as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val g = daily.groupBy("user_id").agg(
+      count(lit(1)).as("n_days"),
+      sum("day").as("sx"), sum("cents").as("sy"),
+      sum(col("day") * col("cents")).as("sxy"),
+      sum(col("day") * col("day")).as("sxx"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n_days") * d("sxy") - d("sx") * d("sy")
+    val den = d("n_days") * d("sxx") - d("sx") * d("sx")
+    g.filter(col("n_days") >= minDays && den > 0)
+      .select(col("user_id"), col("n_days"), col("sy").as("sum_cents"),
+        round(num / den * 1e6).cast("long").as("slope_e6"))
+  }
+
+  /** FORWARD as-of join — [[asofJoin]]'s time-mirror: for every `leftType`
+    * event, the timestamp of the EARLIEST `rightType` event by the same
+    * user at or after it (click → next purchase: the conversion-delay
+    * primitive funnels build on). Same scale shape — tag, UNION, one
+    * window per user — but the carry runs BACKWARD: `first(ignoreNulls)`
+    * over the frame from the current row to the partition end. Right rows
+    * sort AFTER left rows at equal timestamps via the tag so a same-instant
+    * right event still matches (`r.ts >= l.ts` inclusive), mirroring the
+    * backward form's inclusivity.
+    */
+  def asofJoinForward(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase"): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val lRows = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), us.as("us"), col("event_id").as("oid"),
+        lit(0).as("tag"), lit(null).cast("long").as("r_us"))
+    val rRows = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), us.as("us"), col("event_id").as("oid"),
+        lit(1).as("tag"), us.as("r_us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "tag", "oid")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lRows.unionAll(rRows)
+      .withColumn("asof_us", first("r_us", ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("oid").as("event_id"), col("user_id"), col("us"),
+        col("asof_us"))
+  }
 }

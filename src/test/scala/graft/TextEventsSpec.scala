@@ -924,4 +924,108 @@ class TextEventsSpec extends SparkSpec {
     // cum of the last selected row never exceeds the corpus total
     assert(sel.agg(max("cum")).head().getLong(0) <= total)
   }
+
+  test("concurrency: sweep-line peak per day; midnight carry-in becomes the base") {
+    // base is DAY-ALIGNED (1700006400000 ms = epoch day 19676 exactly) so
+    // the cross-midnight session lands where the test says it does
+    def ts(m: Long) = new Timestamp(1700006400000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),     // u7 session [0, 10]
+      (2L, ts(10), 7L, "view", 1.0, "{}"),
+      (3L, ts(5), 8L, "view", 1.0, "{}"),     // u8 session [5, 5]
+      (4L, ts(8), 9L, "view", 1.0, "{}"),     // u9 session [8, 8]
+      (5L, ts(1430), 10L, "view", 1.0, "{}"), // u10 session [1430, 1450]
+      (6L, ts(1450), 10L, "view", 1.0, "{}"), //   ... spans midnight
+      (7L, ts(1540), 7L, "view", 1.0, "{}")   // u7 next-day session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.concurrency(ev)
+      .select("day", "base", "peak", "n_start", "n_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // day 1: conc runs 1,2,1,2,1,0,1 -> peak 2; 4 starts, 3 ends
+    // day 2: u10 still open at midnight (base 1); its end, then u7's
+    // next-day session opens AND closes (2 ends), never above 1
+    assert(got == Set((19676L, 0L, 2L, 4L, 3L), (19677L, 1L, 1L, 1L, 2L)))
+  }
+
+  test("twap: hold weights clamp at the day boundary; exact integer average") {
+    def ts(m: Long) = new Timestamp(1700006400000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 1.00, "{}"),    // holds 10 min at 100c
+      (2L, ts(10), 7L, "view", 3.00, "{}"),   // holds to day end at 300c
+      (3L, ts(1435), 8L, "view", 2.00, "{}"), // 23:55 -> clamped to 5 min
+      (4L, ts(1500), 8L, "view", 4.00, "{}")  // next day 01:00 -> 23h hold
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.twap(ev)
+      .select("user_id", "day", "n_events", "weight_us", "twap_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // u7: (100*600e6 + 300*85800e6) div 86400e6 = 25800000 div 86400 = 298
+    assert(got == Set(
+      (7L, 19676L, 2L, 86400000000L, 298L),
+      (8L, 19676L, 1L, 300000000L, 200L),
+      (8L, 19677L, 1L, 82800000000L, 400L)))
+  }
+
+  test("mannWhitney: doubled midranks on a tied design match the textbook U") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    // A = {1.00, 2.00}, B = {2.00, 3.00}: ranks 1, 2.5 | 2.5, 4
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.00, "{}"),
+      (2L, ts(1), 2L, "click", 2.00, "{}"),
+      (3L, ts(2), 3L, "view", 2.00, "{}"),
+      (4L, ts(3), 4L, "view", 3.00, "{}"),
+      (5L, ts(4), 5L, "error", 9.99, "{}")   // other types excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.mannWhitney(ev).as[(Long, Long, Long, Long, Long, Long)].head()
+    // R_A = 1 + 2.5 -> r2_a = 7; 2U_A = 7 - 2*3 = 1; 2U_B = 8 - 1 = 7
+    // varU = (4/12)*(5 - 6/12) = 1.5; z = (1-4)/(2*sqrt(1.5)) = -1.2247449
+    assert(r == ((2L, 2L, 1L, 7L, 6L, -1224745L)))
+  }
+
+  test("survival: risk set carries through the churn day; window end censors") {
+    def ts(d: Long) = new Timestamp(1700006400000L + d * 86400000L)
+    val ev = (Seq((1L, ts(0), 1L), (2L, ts(0), 2L), (3L, ts(2), 2L)) ++
+      Seq((4L, ts(0), 3L), (5L, ts(9), 3L), (6L, ts(0), 4L), (7L, ts(10), 4L)))
+      .map { case (e, t, u) => (e, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.survival(ev)
+      .select("day", "n_risk", "n_churn", "n_censored", "hazard_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (d, r, c, x, h) => (d - 19676L, r, c, x, h) }.toSet
+    // max day = 10, censor guard 7: churned iff last_day <= 3
+    // u1 churns d0 (risk 4), u2 churns d2 (risk 3), u3/u4 censored d9/d10
+    assert(got == Set((0L, 4L, 1L, 0L, 250000L), (2L, 3L, 1L, 0L, 333333L),
+      (9L, 2L, 0L, 1L, 0L), (10L, 1L, 0L, 1L, 0L)))
+  }
+
+  test("trend: an exactly linear daily series gives its slope in e6; " +
+      "short histories drop") {
+    def ts(d: Long) = new Timestamp(1700006400000L + d * 86400000L)
+    val ev = ((0 to 4).map(d => (d.toLong, ts(d), 1L, (d + 1) * 1.00)) ++
+      (0 to 3).map(d => (10L + d, ts(d), 2L, 5.00)))
+      .map { case (e, t, u, v) => (e, t, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.trend(ev)
+      .select("user_id", "n_days", "sum_cents", "slope_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // u1: cents 100..500 over 5 consecutive days -> 100 c/day; u2: 4 days only
+    assert(got == Set((1L, 5L, 1500L, 100000000L)))
+  }
+
+  test("asofJoinForward: next right at-or-after, same-instant matches, " +
+      "no-future-right stays null") {
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),     // -> purchase @10
+      (2L, ts(10), 7L, "purchase", 1.0, "{}"),
+      (3L, ts(30), 7L, "click", 1.0, "{}"),    // no later purchase -> null
+      (4L, ts(5), 8L, "click", 1.0, "{}"),     // same-instant purchase matches
+      (5L, ts(5), 8L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.asofJoinForward(ev)
+      .select("event_id", "asof_us").as[(Long, Option[Long])]
+      .collect().toMap
+    val base = 1700000000000L * 1000
+    assert(got == Map(1L -> Some(base + 10 * 60000000L), 3L -> None,
+      4L -> Some(base + 5 * 60000000L)))
+  }
 }
