@@ -1290,6 +1290,31 @@ object SparkEntry {
         "l_extendedprice" -> round(col("l_extendedprice")).cast("long"),
         "l_discount" -> round(col("l_discount") * 10000).cast("long"),
         "l_tax" -> round(col("l_tax") * 10000).cast("long")))),
+    // higher-moment census: per-type skewness and excess kurtosis from ONE
+    // scan of exact integer power sums (whole-value units keep u^4 sums in
+    // int64 headroom through ~1e8 rows); the shape gate a feature pipeline
+    // runs before trusting mean/stddev summaries. Fixed double formulas
+    // over the integer sums — the q_corr determinism recipe
+    "q_moments" -> ((s, dir) => {
+      val u = round(col("value")).cast("long")
+      val g = Tables.readEvents(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(u).as("s1"), sum(u * u).as("s2"),
+          sum(u * u * u).as("s3"), sum(u * u * u * u).as("s4"))
+      def d(c: String) = col(c).cast("double")
+      val m = d("s1") / d("n")
+      val e2 = d("s2") / d("n")
+      val e3 = d("s3") / d("n")
+      val e4 = d("s4") / d("n")
+      val v = e2 - m * m
+      val m3 = e3 - lit(3.0) * m * e2 + lit(2.0) * m * m * m
+      val m4 = e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
+        lit(3.0) * m * m * m * m
+      g.select(col("event_type"), col("n"), col("s1"), col("s2"),
+        when(v > 0, round(m3 / sqrt(v * v * v) * 1e6).cast("long"))
+          .as("skew_e6"),
+        when(v > 0, round((m4 / (v * v) - 3.0) * 1e6).cast("long"))
+          .as("kurt_e6"))
+    }),
     // per-column entropy census: exact bitlen surprise totals — the
     // key-vs-enum-vs-noise signal next to the count/null/distinct profile
     "q_entropy" -> ((s, dir) =>
@@ -1502,6 +1527,31 @@ object SparkEntry {
     // older than 60 min are nulled, fresh matches carry their age
     "events_asof_tol" -> ((s, dir) =>
       Events.asofJoinTolerance(Tables.readEvents(s, dir))),
+    // the FORWARD as-of: click -> next purchase at-or-after, the
+    // conversion-delay primitive; same union+window shape, backward carry
+    "events_asof_fwd" -> ((s, dir) =>
+      Events.asofJoinForward(Tables.readEvents(s, dir))),
+    // capacity census: peak concurrent sessions per day via the two-level
+    // sweep line (per-day prefix + day-level midnight base) — never one
+    // global window
+    "events_concurrency" -> ((s, dir) =>
+      Events.concurrency(Tables.readEvents(s, dir))),
+    // time-weighted average value per (user, day): integer-µs hold weights
+    // clamped to day boundaries, one integer division per bucket
+    "events_twap" -> ((s, dir) =>
+      Events.twap(Tables.readEvents(s, dir))),
+    // distribution-free A/B: Mann-Whitney U between click and view spend,
+    // doubled-rank integers over the grouped cent domain + fixed double z
+    "events_mwu" -> ((s, dir) =>
+      Events.mannWhitney(Tables.readEvents(s, dir))),
+    // churn census: Kaplan-Meier at-risk/churn/censored table with the
+    // observation-window censoring rule, hazard in exact ppm
+    "events_survival" -> ((s, dir) =>
+      Events.survival(Tables.readEvents(s, dir))),
+    // LTV-slope feature: per-user OLS trend of daily spend in e6 fixed
+    // point (exact integer sufficient stats, q_corr double recipe)
+    "events_trend" -> ((s, dir) =>
+      Events.trend(Tables.readEvents(s, dir))),
     // the same as-of semantics as a NATIVE whole-operator plan: custom
     // logical node + strategy + merge-scan exec (AsofJoinExec), O(1) state
     // per co-partition instead of the union+window carry-forward
@@ -1690,6 +1740,23 @@ object SparkEntry {
           first("cents").over(w).as("first_cents"),
           last("cents").over(w.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)).as("last_cents"))
+    }),
+    // RANGE-frame window: a true 7-DAY rolling spend per customer (value
+    // distance, not row count — sparse order histories weight correctly).
+    // Integer day keys + integer cents keep the frame bounds and the sums
+    // exact on both engines; one shuffle on o_custkey
+    "q_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // o_orderdate arrives TIMESTAMP_NTZ; session TZ is pinned UTC so
+          // the cast is value-preserving (see Tables.readEvents note)
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum("cents").over(w).as("cents_7d"),
+          count(lit(1)).over(w).as("n_7d"))
     }),
 
     "q_distinct" -> ((s, dir) => {
@@ -2031,6 +2098,22 @@ object SparkEntry {
       a.union(b).distinct().select(lit("union").as("op"), col("o_custkey"))
         .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("o_custkey")))
         .unionAll(a.except(b).select(lit("except").as("op"), col("o_custkey")))
+    }),
+    // BAG-semantics set ops: intersectAll/exceptAll keep multiplicities
+    // (min / multiset difference) — the duplicate-aware complement to
+    // q_setops' set semantics; both plan as aggregations, never a
+    // nested-loop membership probe
+    "q_setops_all" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      def cnt(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(tag).as("op"), col("n_rows"))
+      cnt("union_all", a.unionAll(b))
+        .unionByName(cnt("intersect_all", a.intersectAll(b)))
+        .unionByName(cnt("except_all", a.exceptAll(b)))
+        .unionByName(cnt("except_all_rev", b.exceptAll(a)))
     }),
 
     // ---- quoted-CSV ingest fidelity: rows carry embedded commas AND
@@ -3255,6 +3338,13 @@ object SparkEntry {
     "events_asof" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_tol" -> OracleSql.eventsAsofTolerance(leftType = "click",
       rightType = "purchase", tolMinutes = 60),
+    "events_asof_fwd" -> OracleSql.eventsAsofForward(leftType = "click",
+      rightType = "purchase"),
+    "events_concurrency" -> OracleSql.eventsConcurrency(gapMinutes = 30),
+    "events_twap" -> OracleSql.eventsTwap,
+    "events_mwu" -> OracleSql.eventsMannWhitney(armA = "click", armB = "view"),
+    "events_survival" -> OracleSql.eventsSurvival(censorDays = 7),
+    "events_trend" -> OracleSql.eventsTrend(minDays = 5),
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_bcast" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
@@ -3347,6 +3437,48 @@ object SparkEntry {
         |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b) t
         |UNION ALL SELECT 'except' AS op, o_custkey
         |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b) t""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'union_all' AS op, count(*) AS n_rows
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+        |UNION ALL SELECT 'intersect_all', count(*)
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t
+        |UNION ALL SELECT 'except_all', count(*)
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t
+        |UNION ALL SELECT 'except_all_rev', count(*)
+        |  FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a) t""".stripMargin,
+    "q_rolling_range" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(round(o_totalprice*100.0) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_7d
+        |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_moments" ->
+      """WITH u AS (SELECT event_type, CAST(round(value) AS BIGINT) AS u FROM events),
+        |g AS (SELECT event_type, count(*) AS n, CAST(sum(u) AS BIGINT) AS s1,
+        |    CAST(sum(u*u) AS BIGINT) AS s2, CAST(sum(u*u*u) AS BIGINT) AS s3,
+        |    CAST(sum(u*u*u*u) AS BIGINT) AS s4
+        |  FROM u GROUP BY event_type),
+        |d AS (SELECT event_type, n, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM g),
+        |c AS (SELECT event_type, n, s1, s2, e2 - m*m AS v,
+        |    e3 - 3.0*m*e2 + 2.0*m*m*m AS m3,
+        |    e4 - 4.0*m*e3 + 6.0*m*m*e2 - 3.0*m*m*m*m AS m4
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, s1, s2,
+        |  CASE WHEN v > 0
+        |    THEN CAST(round(m3 / sqrt(v*v*v) * 1e6) AS BIGINT) END AS skew_e6,
+        |  CASE WHEN v > 0
+        |    THEN CAST(round((m4 / (v*v) - 3.0) * 1e6) AS BIGINT) END AS kurt_e6
+        |FROM c""".stripMargin,
 
     "q_tsv_dsv2" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
