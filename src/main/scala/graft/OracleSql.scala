@@ -1136,6 +1136,38 @@ object OracleSql {
        |WHERE week - cohort_week BETWEEN 0 AND $maxOffset
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[graft.operators.Events.cohortLtv]]: same dense
+    * cohort × offset spine (`range(maxOffset+1)`), cents cell sums, a
+    * rows-frame cumulative window, and `//` for cents-per-user.
+    */
+  def eventsCohortLtv(cohortType: String, revenueType: String,
+      maxOffset: Int): String =
+    s"""WITH su AS (SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+       |  FROM events WHERE event_type = '$cohortType' GROUP BY user_id),
+       |sz AS (SELECT cohort_week, count(*) AS n_users FROM su GROUP BY 1),
+       |cells AS (SELECT su.cohort_week,
+       |    epoch_us(e.ts) // 604800000000 - su.cohort_week AS week_offset,
+       |    sum(CAST(round(e.value*100) AS BIGINT)) AS cents
+       |  FROM events e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = '$revenueType'
+       |    AND epoch_us(e.ts) // 604800000000 - su.cohort_week
+       |        BETWEEN 0 AND $maxOffset
+       |  GROUP BY 1, 2),
+       |spine AS (SELECT sz.cohort_week, CAST(r.i AS BIGINT) AS week_offset,
+       |    sz.n_users FROM sz, range(${maxOffset + 1}) r(i)),
+       |j AS (SELECT s.cohort_week, s.week_offset, CAST(s.n_users AS BIGINT) AS n_users,
+       |    CAST(coalesce(cells.cents, 0) AS BIGINT) AS cents
+       |  FROM spine s LEFT JOIN cells
+       |    ON cells.cohort_week = s.cohort_week
+       |   AND cells.week_offset = s.week_offset)
+       |SELECT cohort_week, week_offset, n_users, cents,
+       |  CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       |  CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    // n_users AS BIGINT) AS ltv_cents
+       |FROM j""".stripMargin
+
   def dedupNgram(n: Int, thrNum: Int, thrDen: Int): String =
     s"""WITH t AS (SELECT doc_id, lang, ${shingles("string_split(text,' ')", n)} AS sh FROM documents),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -2537,4 +2569,23 @@ object OracleSql {
        |  CAST(d1.rnk AS BIGINT) AS rnk_ab, CAST(d2.rnk AS BIGINT) AS rnk_ba
        |FROM d d1 JOIN d d2 ON d2.a_id = d1.b_id AND d2.b_id = d1.a_id
        |WHERE d1.rnk <= $k AND d2.rnk <= $k AND d1.a_id < d1.b_id""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.bfsHops]]: the [[simKnnGraph]]
+    * edge list symmetrized, then a bounded recursive CTE walks every path
+    * of length ≤ maxHops from the seed set; `min(hop)` per reached node is
+    * exactly the BFS frontier distance (path multiplicity is bounded by
+    * deg^maxHops with deg ≤ k — the mutual k-NN degree cap).
+    */
+  def simBfs(nCells: Int, nProbe: Int, k: Int, sources: Seq[Long],
+      maxHops: Int): String =
+    s"""WITH RECURSIVE g AS (SELECT a_id, b_id FROM (${simKnnGraph(nCells, nProbe, k)})),
+       |sym AS (SELECT a_id AS s, b_id AS t FROM g
+       |  UNION ALL SELECT b_id, a_id FROM g),
+       |walk(id, hop) AS (
+       |  SELECT CAST(unnest([${sources.mkString(", ")}]) AS BIGINT), 0
+       |  UNION ALL
+       |  SELECT sym.t, w.hop + 1 FROM walk w JOIN sym ON sym.s = w.id
+       |  WHERE w.hop < $maxHops)
+       |SELECT id AS vec_id, CAST(min(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY 1""".stripMargin
 }

@@ -920,6 +920,13 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.graphRank(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // multi-source BFS over the mutual k-NN graph: frontier joins + settled
+    // anti-join, per-round work O(|frontier|·k) — hop-from-seed distances
+    // for diversity-aware selection; recursive-CTE oracle
+    "sim_bfs" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.bfsHops(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // contrastive hard-negative mining: per anchor, the top different-label
     // candidates by cosine out of the blocked cells — the training-pair
     // miner for embedding models
@@ -1578,6 +1585,11 @@ object SparkEntry {
     // cohort retention: epoch-week signup cohorts × activity-week offsets
     "events_retention" -> ((s, dir) =>
       Events.retention(Tables.readEvents(s, dir))),
+    // cohort LTV curve: cumulative purchase cents per cohort user by week
+    // offset over a dense cohort × offset spine — retention's revenue
+    // companion, exact integers end to end
+    "events_cohort_ltv" -> ((s, dir) =>
+      Events.cohortLtv(Tables.readEvents(s, dir))),
     // top within-session event-type paths (3-grams over the session's
     // total-ordered sequence, counted corpus-wide)
     "events_paths" -> ((s, dir) =>
@@ -2059,6 +2071,27 @@ object SparkEntry {
     // Thresholds are scoped to a child session so the split fires at test
     // SF exactly as the defaults would at 100 TB; PlansSpec executes the
     // query and asserts skew=true in the final adaptive plan ----
+    // join-key skew census: the diagnostic you run BEFORE choosing between
+    // q_salted_join / q_skew_join strategies — per-key fan-out folded to a
+    // count-of-counts histogram (one scan + one shuffle on the key; the
+    // global-window skew ratio runs over the ~40-row histogram, never the
+    // keys), skew_x1000 = rows_per_key / mean-rows-per-key in exact ints
+    "q_key_skew" -> ((s, dir) => {
+      val per = Tables.read(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("rows_per_key"))
+      per.groupBy("rows_per_key").agg(count(lit(1)).as("n_keys"))
+        .select(col("rows_per_key"), col("n_keys"),
+          (col("rows_per_key") * col("n_keys")).as("n_rows"))
+        .withColumn("total_keys",
+          sum("n_keys").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("total_rows",
+          sum("n_rows").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("rows_per_key"), col("n_keys"), col("n_rows"),
+          expr("rows_per_key * total_keys * 1000 div total_rows")
+            .as("skew_x1000"))
+    }),
     "q_skew_join" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -2931,6 +2964,8 @@ object SparkEntry {
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
     "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
+    "sim_bfs" -> OracleSql.simBfs(nCells = 16, nProbe = 2, k = 4,
+      sources = Seq(0L, 1L, 2L, 3L), maxHops = 4),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
@@ -3354,6 +3389,8 @@ object SparkEntry {
     "events_funnel_sweep" -> OracleSql.eventsFunnelSweep(
       stages = Seq("view", "click", "purchase"), windows = Seq(1, 6, 24)),
     "events_retention" -> OracleSql.eventsRetention(cohortType = "signup", maxOffset = 3),
+    "events_cohort_ltv" -> OracleSql.eventsCohortLtv(cohortType = "signup",
+      revenueType = "purchase", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
     "events_transitions" -> OracleSql.eventsTransitions(gapMinutes = 30),
     "pipeline_select" -> OracleSql.pipelineSelect(minTokens = 25, maxTokens = 5000),
@@ -3637,6 +3674,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, gen, op FROM lg WHERE gen > 2""".stripMargin,
 
+    "q_key_skew" ->
+      """WITH per AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |h AS (SELECT c AS rows_per_key, count(*) AS n_keys FROM per GROUP BY 1)
+        |SELECT rows_per_key, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(rows_per_key * n_keys AS BIGINT) AS n_rows,
+        |  CAST(rows_per_key * (SELECT sum(n_keys) FROM h) * 1000
+        |    // (SELECT sum(rows_per_key * n_keys) FROM h) AS BIGINT) AS skew_x1000
+        |FROM h""".stripMargin,
     "q_skew_join" ->
       """WITH big AS (SELECT
         |    CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END AS k,

@@ -677,6 +677,44 @@ object Events {
       .agg(count(lit(1)).as("users")) // (user, week) distinct ⇒ rows unique
   }
 
+  /** Cohort LTV curve — the revenue companion to [[retention]]: per signup
+    * cohort, cumulative revenue per cohort user by week offset. A DENSE
+    * spine (cohort × offsets 0..maxOffset via `sequence`/`explode`) makes
+    * the cumulative window well-defined even for zero-revenue cells — the
+    * [[gapFill]] discipline. Exact integers end to end: cents sums, a
+    * rows-frame cumulative over the spine, and `div` for cents-per-user.
+    *
+    * Scale shape: one shuffle on user_id for the cohort join, one on
+    * (cohort_week, offset) for the cell sums; the spine is |cohorts| ×
+    * (maxOffset+1) rows — weeks, not users — so the cumulative window's
+    * partitions are trivially small. Never a users × calendar blow-up.
+    */
+  def cohortLtv(events: DataFrame, cohortType: String = "signup",
+      revenueType: String = "purchase", maxOffset: Int = 3): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val cohorts = events.filter(col("event_type") === cohortType)
+      .groupBy("user_id")
+      .agg(expr(s"min(unix_micros(ts)) div $weekUs").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val cells = events.filter(col("event_type") === revenueType)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") >= 0 && col("week_offset") <= maxOffset)
+      .groupBy("cohort_week", "week_offset").agg(sum("cents").as("cents"))
+    val spine = sizes.select(col("cohort_week"), col("n_users"),
+      explode(sequence(lit(0L), lit(maxOffset.toLong))).as("week_offset"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(cells, Seq("cohort_week", "week_offset"), "left")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("cum_cents", sum("cents").over(w))
+      .withColumn("ltv_cents", expr("cum_cents div n_users"))
+  }
+
   /** JSON property extraction + rollup: pull `props.k` (the only key in the
     * synthetic data) and aggregate per event type. At scale this is a single
     * narrow scan — extraction is a per-row codegen'd path expression.

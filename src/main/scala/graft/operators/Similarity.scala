@@ -453,6 +453,55 @@ object Similarity {
       col("rank").as("rank_ppm"))
   }
 
+  /** Multi-source BFS hop distances over the [[knnGraph]] mutual k-NN
+    * edges — the reachability probe over the semantic-neighborhood graph:
+    * "how many hops from the seed exemplars does each vector sit?" feeds
+    * diversity-aware selection (near-seed = redundant with what's already
+    * picked, far/unreached = novel) and diffusion-style label spreading.
+    *
+    * FRONTIER BFS, not min-hop relaxation: round h joins only the hop-h−1
+    * frontier against the edge list and anti-joins the settled set, so
+    * per-round work is O(|frontier|·k), not O(n·k) — the property that
+    * matters when the graph is 100 TB-scale and the seed neighborhood is
+    * tiny. Each round is one equi-join + one anti-join, both
+    * hash-partitioned on node id (Pregel shape, like [[graphRank]]);
+    * localCheckpoint keeps per-round plans constant-size. Unreached
+    * vectors are absent from the output by design (their hop is +∞, not a
+    * row) — the consumer left-joins and treats null as "novel".
+    */
+  def bfsHops(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4, sources: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+      maxHops: Int = 4): DataFrame =
+    bfsFromEdges(knnGraph(emb, centroids, nProbe, k), sources, maxHops)
+
+  /** The BFS core of [[bfsHops]] over a canonical `a_id < b_id` undirected
+    * edge list — factored out so the frontier/settled mechanics are
+    * unit-testable on a hand-built graph.
+    */
+  def bfsFromEdges(edges: DataFrame, sources: Seq[Long],
+      maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("a_id").as("s"), col("b_id").as("t"))
+    val sym = e.unionAll(e.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(eager = true)
+    // the seed set is driver-held by contract (a handful of exemplar ids —
+    // the same k-sized-state discipline as centroids/codebooks)
+    var dist = sources.toDF("id").withColumn("hop", lit(0L))
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("id").as("s")).join(sym, "s")
+        .select(col("t").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(eager = true)
+      dist = dist.unionAll(next).localCheckpoint(eager = true)
+      frontier = next
+    }
+    dist.select(col("id").as("vec_id"), col("hop"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: for every
     * anchor vector, the `k` highest-cosine candidates with a DIFFERENT
     * ground-truth label — the "looks similar, isn't" pairs that carry the

@@ -544,4 +544,22 @@ class SimilaritySpec extends SparkSpec {
     // total triangle count: sum(tri) = 3 · #triangles
     assert(got.values.map(_._2).sum == 3 * 4)
   }
+
+  test("bfsFromEdges: path graph hops, maxHops cutoff, isolated source, " +
+      "multi-source min") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus disconnected edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a_id", "b_id")
+    val single = Similarity.bfsFromEdges(edges, Seq(1L), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // hops count along the path; 5,6 beyond maxHops=3 and 10,11 unreachable
+    assert(single == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source: node 4 is 3 hops from 1 but 1 hop from 5 — min wins;
+    // source 99 is absent from the graph yet still reports hop 0
+    val multi = Similarity.bfsFromEdges(edges, Seq(1L, 5L, 99L), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 0L, 5L -> 0L, 99L -> 0L,
+      2L -> 1L, 4L -> 1L, 6L -> 1L, 3L -> 2L))
+  }
 }

@@ -1028,4 +1028,39 @@ class TextEventsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(base + 10 * 60000000L), 3L -> None,
       4L -> Some(base + 5 * 60000000L)))
   }
+
+  test("cohortLtv: dense spine, cumulative cents, floor per-user division, " +
+      "pre-signup revenue excluded") {
+    // base = epoch day 19677 = 2811·7, an epoch-WEEK start, so fixture days
+    // 0..6 share a cohort week and 7..13 the next
+    def ts(d: Long) = new Timestamp(1700092800000L + d * 86400000L)
+    val ev = Seq(
+      // cohort week W: users 1, 2 sign up day 0/1
+      (1L, ts(0), 1L, "signup", 0.0),
+      (2L, ts(1), 2L, "signup", 0.0),
+      (3L, ts(2), 1L, "purchase", 10.00),   // offset 0: 1000 c
+      (4L, ts(8), 1L, "purchase", 5.00),    // offset 1: 500 c
+      (5L, ts(9), 2L, "purchase", 2.01),    // offset 1: 201 c
+      // user 3 signs up a week later; its earlier purchase must NOT count
+      (6L, ts(7), 3L, "signup", 0.0),
+      (7L, ts(0), 3L, "purchase", 99.99)    // offset -1 -> dropped
+    ).map { case (e, t, u, y, v) => (e, t, u, y, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.cohortLtv(ev, maxOffset = 2)
+      .select("cohort_week", "week_offset", "n_users", "cents",
+        "cum_cents", "ltv_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val w0 = got.map(_._1).min
+    val byKey = got.map(r => (r._1 - w0, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // dense spine: 2 cohorts x offsets 0..2
+    assert(got.length == 6)
+    // cohort W: offset 0 = 1000 c / 2 users = 500; offset 1 adds 701;
+    // offset 2 has no cells yet the row exists with a carried cumulative
+    assert(byKey((0L, 0L)) == ((2L, 1000L, 1000L, 500L)))
+    assert(byKey((0L, 1L)) == ((2L, 701L, 1701L, 850L))) // floor(1701/2)
+    assert(byKey((0L, 2L)) == ((2L, 0L, 1701L, 850L)))
+    // cohort W+1 (user 3): pre-signup purchase excluded everywhere
+    assert(byKey((1L, 0L)) == ((1L, 0L, 0L, 0L)))
+    assert(byKey((1L, 2L)) == ((1L, 0L, 0L, 0L)))
+  }
 }
