@@ -953,6 +953,67 @@ object OracleSql {
        |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin
 
+  /** Mirror of [[Events.autocorr]]: same daily-cents reduction, per-lag
+    * shifted self-join, and the [[eventsTrend]] fixed-double Pearson
+    * formula over exact integer sufficient statistics.
+    */
+  def eventsAutocorr(revenueType: String, maxLag: Int): String =
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+       |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+       |  FROM events WHERE event_type = '$revenueType'
+       |  GROUP BY 1),
+       |x AS (SELECT l.i AS lag, a.day + l.i AS day2, a.cents AS x
+       |  FROM daily a, range(1, ${maxLag + 1}) l(i)),
+       |p AS (SELECT x.lag, x.x, b.cents AS y
+       |  FROM x JOIN daily b ON b.day = x.day2),
+       |g AS (SELECT lag, count(*) AS n_pairs,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+       |    sum(y*y) AS syy, sum(x*y) AS sxy
+       |  FROM p GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CASE WHEN sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+       |    THEN CAST(round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6) AS BIGINT)
+       |    END AS r_e6
+       |FROM g""".stripMargin
+
+  /** Mirror of [[Events.botDetect]]: lag-window gaps ordered by
+    * (ts, event_id), the same integer rate/share fixed-point divisions,
+    * and the same flag policy.
+    */
+  def eventsBotDetect(minEvents: Int, fastGapUs: Long,
+      maxPerHourX100: Long): String =
+    s"""WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+       |  FROM events),
+       |a AS (SELECT user_id, count(*) AS n_events,
+       |    max(us) - min(us) AS span_us,
+       |    sum(CASE WHEN gap_us < $fastGapUs THEN 1 ELSE 0 END) AS n_fast,
+       |    coalesce(min(gap_us), -1) AS min_gap_us
+       |  FROM g GROUP BY 1),
+       |b AS (SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       |    CAST(span_us AS BIGINT) AS span_us, CAST(n_fast AS BIGINT) AS n_fast,
+       |    CAST(min_gap_us AS BIGINT) AS min_gap_us,
+       |    CAST(CASE WHEN span_us > 0
+       |      THEN n_events * 360000000000 // span_us ELSE 0 END AS BIGINT)
+       |      AS per_hour_x100,
+       |    CAST(CASE WHEN n_events > 1
+       |      THEN n_fast * 1000000 // (n_events - 1) ELSE 0 END AS BIGINT)
+       |      AS fast_share_ppm
+       |  FROM a)
+       |SELECT *, CAST(CASE WHEN n_events >= $minEvents
+       |    AND (per_hour_x100 > $maxPerHourX100 OR fast_share_ppm > 500000)
+       |  THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+       |FROM b""".stripMargin
+
   /** Mirror of [[Events.funnel]]: chained min-join stages, epoch-µs integer
     * timestamps so the window comparison is exact on both engines.
     */

@@ -1559,6 +1559,16 @@ object SparkEntry {
     // point (exact integer sufficient stats, q_corr double recipe)
     "events_trend" -> ((s, dir) =>
       Events.trend(Tables.readEvents(s, dir))),
+    // lag-1..7 autocorrelation of the daily revenue series: one scan to
+    // days, shifted self-joins over the tiny series, exact integer
+    // sufficient stats + the fixed-double Pearson formula
+    "events_autocorr" -> ((s, dir) =>
+      Events.autocorr(Tables.readEvents(s, dir))),
+    // bot/abuse census: per-user event rate + sub-second gap share from
+    // one lag window — the machine-traffic filter before behavioral
+    // features are trusted
+    "events_bot_detect" -> ((s, dir) =>
+      Events.botDetect(Tables.readEvents(s, dir))),
     // the same as-of semantics as a NATIVE whole-operator plan: custom
     // logical node + strategy + merge-scan exec (AsofJoinExec), O(1) state
     // per co-partition instead of the union+window carry-forward
@@ -1951,6 +1961,33 @@ object SparkEntry {
     // gen 2 = lang restatement for doc_id%10, gen 3 = deletes for doc_id%7;
     // the as-of-3 state drops deleted keys and keeps the latest row per
     // survivor (as-of monotonicity pinned in PropertySpec)
+    // bucketed table fingerprint / diff: an order-independent per-bucket
+    // content hash (commutative SUM of a per-row polynomial hash) that
+    // localizes WHICH key ranges of two 100 TB snapshots differ without
+    // ever joining them row-by-row — each side is one scan + one tiny
+    // shuffle, and only differing buckets need a row-level drill-down
+    "q_fingerprint" -> ((s, dir) => {
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def fp(df: DataFrame, n: String, f: String) = {
+        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("cents"))
+        df.select((col("o_orderkey") % 32).as("bucket"),
+            aggregate(transform(split(canon, ""), c => ascii(c)), lit(0L),
+              (h, c) => (h * 131 + c) % 1000000007L).as("h"))
+          .groupBy("bucket").agg(count(lit(1)).as(n), sum("h").as(f))
+      }
+      // snapshot B = A with a synthetic sparse delta (status flip on
+      // ~0.1% of keys) — the "did replication drift?" comparison
+      val b = o.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 997 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      fp(o, "n_a", "fp_a").join(fp(b, "n_b", "fp_b"), "bucket")
+        .withColumn("differs",
+          (col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+            .cast("long"))
+    }),
     "q_snapshot" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -3380,6 +3417,10 @@ object SparkEntry {
     "events_mwu" -> OracleSql.eventsMannWhitney(armA = "click", armB = "view"),
     "events_survival" -> OracleSql.eventsSurvival(censorDays = 7),
     "events_trend" -> OracleSql.eventsTrend(minDays = 5),
+    "events_autocorr" -> OracleSql.eventsAutocorr(revenueType = "purchase",
+      maxLag = 7),
+    "events_bot_detect" -> OracleSql.eventsBotDetect(minEvents = 20,
+      fastGapUs = 1000000L, maxPerHourX100 = 120000L),
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_asof_bcast" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
     "events_funnel" -> OracleSql.eventsFunnel(
@@ -3608,6 +3649,27 @@ object SparkEntry {
          |FROM lineitem""".stripMargin
     },
 
+    "q_fingerprint" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |b0 AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus, cents FROM o),
+        |fa AS (SELECT o_orderkey % 32 AS bucket, count(*) AS n_a,
+        |    sum(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
+        |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || cents,
+        |      ''), c -> ascii(c))), (h,c) -> (h*131+c) % 1000000007)) AS fp_a
+        |  FROM o GROUP BY 1),
+        |fb AS (SELECT o_orderkey % 32 AS bucket, count(*) AS n_b,
+        |    sum(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
+        |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || cents,
+        |      ''), c -> ascii(c))), (h,c) -> (h*131+c) % 1000000007)) AS fp_b
+        |  FROM b0 GROUP BY 1)
+        |SELECT fa.bucket, CAST(n_a AS BIGINT) AS n_a, CAST(fp_a AS BIGINT) AS fp_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(fp_b AS BIGINT) AS fp_b,
+        |  CAST(CASE WHEN n_a <> n_b OR fp_a <> fp_b THEN 1 ELSE 0 END AS BIGINT)
+        |    AS differs
+        |FROM fa JOIN fb ON fa.bucket = fb.bucket""".stripMargin,
     "q_snapshot" ->
       """WITH lg AS (
         |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op

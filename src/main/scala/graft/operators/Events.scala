@@ -1015,6 +1015,75 @@ object Events {
         round(num / den * 1e6).cast("long").as("slope_e6"))
   }
 
+  /** Lag-k autocorrelation of the daily revenue series, k = 1..maxLag —
+    * the seasonality-strength diagnostic next to [[seasonality]] (is there
+    * a weekly echo? does yesterday predict today?) that decides whether a
+    * forecast needs seasonal terms. One scan reduces events to the daily
+    * cents series (|days| rows — WEEKS, not events); each lag is then an
+    * equi-join of that tiny series against itself shifted by k, and the
+    * Pearson r per lag follows the [[trend]] exactness recipe: integer
+    * sufficient statistics, one fixed double formula. Pairs exist only
+    * where both days have revenue (both engines drop the same holes).
+    */
+  def autocorr(events: DataFrame, revenueType: String = "purchase",
+      maxLag: Int = 7): DataFrame = {
+    val daily = events.filter(col("event_type") === revenueType)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val pairs = daily
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(daily.select(col("day").as("day2"), col("cents").as("cents2")),
+        "day2")
+    val g = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("cents").as("sx"), sum("cents2").as("sy"),
+      sum(col("cents") * col("cents")).as("sxx"),
+      sum(col("cents2") * col("cents2")).as("syy"),
+      sum(col("cents") * col("cents2")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n_pairs") * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((d("n_pairs") * d("sxx") - d("sx") * d("sx")) *
+      (d("n_pairs") * d("syy") - d("sy") * d("sy")))
+    g.select(col("lag"), col("n_pairs"),
+      when(den > 0, round(num / den * 1e6).cast("long")).as("r_e6"))
+  }
+
+  /** Bot/abuse census — the machine-traffic filter a training-data
+    * pipeline runs before user-behavior features are trusted: per user,
+    * event count, active span, events-per-active-hour rate, and the
+    * sub-second inter-event gap share (human actions don't arrive 10/s for
+    * hours). All exact integers: gaps from one lag window over the
+    * single-shuffle-per-user ordering every events op shares, rate and
+    * share in fixed-point via `div`. The flag is a policy row — consumers
+    * read the stats, the threshold is just a sensible default.
+    */
+  def botDetect(events: DataFrame, minEvents: Int = 20,
+      fastGapUs: Long = 1000000L, maxPerHourX100: Long = 120000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+    val g = gaps.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      (max("us") - min("us")).as("span_us"),
+      sum(when(col("gap_us") < fastGapUs, 1L).otherwise(0L)).as("n_fast"),
+      min("gap_us").as("min_gap_us"))
+    g.select(col("user_id"), col("n_events"), col("span_us"),
+        col("n_fast"), coalesce(col("min_gap_us"), lit(-1L)).as("min_gap_us"),
+        when(col("span_us") > 0,
+          expr("n_events * 360000000000 div span_us"))
+          .otherwise(lit(0L)).as("per_hour_x100"),
+        when(col("n_events") > 1,
+          expr("n_fast * 1000000 div (n_events - 1)"))
+          .otherwise(lit(0L)).as("fast_share_ppm"))
+      .withColumn("is_bot",
+        (col("n_events") >= minEvents &&
+          (col("per_hour_x100") > maxPerHourX100 ||
+            col("fast_share_ppm") > 500000L)).cast("long"))
+  }
+
   /** FORWARD as-of join — [[asofJoin]]'s time-mirror: for every `leftType`
     * event, the timestamp of the EARLIEST `rightType` event by the same
     * user at or after it (click → next purchase: the conversion-delay

@@ -1063,4 +1063,48 @@ class TextEventsSpec extends SparkSpec {
     assert(byKey((1L, 0L)) == ((1L, 0L, 0L, 0L)))
     assert(byKey((1L, 2L)) == ((1L, 0L, 0L, 0L)))
   }
+
+  test("autocorr: alternating daily series gives r = -1 at odd lags, +1 at " +
+      "even; degenerate lags go null") {
+    def ts(d: Long) = new Timestamp(1700092800000L + d * 86400000L + 3600000L)
+    // daily cents alternate 200, 100 over days 0..5
+    val ev = (0 to 5).map(d =>
+      (d.toLong, ts(d), 1L, "purchase", if (d % 2 == 0) 2.00 else 1.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.autocorr(ev)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((5L, Some(-1000000L))))
+    assert(got(2L) == ((4L, Some(1000000L))))
+    assert(got(3L) == ((3L, Some(-1000000L))))
+    assert(got(4L) == ((2L, Some(1000000L))))
+    // lag 5: a single pair has zero variance -> null r
+    assert(got(5L) == ((1L, None)))
+    // lags 6, 7 have no pairs at all -> no rows
+    assert(!got.contains(6L) && !got.contains(7L))
+  }
+
+  test("botDetect: burst user flagged, slow user and singleton not") {
+    def t(ms: Long) = new Timestamp(1700092800000L + ms)
+    val burst = (0 until 25).map(i =>
+      (100L + i, t(i * 500L), 1L))            // 25 events, 0.5 s apart
+    val slow = (0 until 3).map(i =>
+      (200L + i, t(i * 3600000L), 2L))        // 3 events, 1 h apart
+    val single = Seq((300L, t(0L), 3L))
+    val ev = (burst ++ slow ++ single)
+      .map { case (e, ts, u) => (e, ts, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.botDetect(ev)
+      .select("user_id", "n_events", "span_us", "n_fast", "min_gap_us",
+        "per_hour_x100", "fast_share_ppm", "is_bot")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // bot: 25 events over 12 s -> 7500/h (x100 = 750000), all gaps fast
+    assert(got(1L) == ((1L, 25L, 12000000L, 24L, 500000L, 750000L,
+      1000000L, 1L)))
+    // human: under minEvents and slow anyway
+    assert(got(2L) == ((2L, 3L, 7200000000L, 0L, 3600000000L, 150L, 0L, 0L)))
+    // singleton: zero span guards, sentinel min gap
+    assert(got(3L) == ((3L, 1L, 0L, 0L, -1L, 0L, 0L, 0L)))
+  }
 }
