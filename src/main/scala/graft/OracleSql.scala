@@ -2613,6 +2613,33 @@ object OracleSql {
         .mkString("\nUNION ALL\n")
   }
 
+  /** Mirror of [[graft.operators.Similarity.oodScore]]: argmin cell via the
+    * (distance, cid) row_number, e6 fixed-point distances, exact integer
+    * per-cell moments, and the identical fixed-double z expression tree.
+    */
+  def simOod(nCells: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |a AS (SELECT vec_id, cell, CAST(round(d2*1e6) AS BIGINT) AS d2_e6 FROM (
+       |  SELECT e.vec_id, c.cid AS cell, ${sqdist("e.v", "c.cv")} AS d2,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |st AS (SELECT cell, count(*) AS cell_n, sum(d2_e6) AS s1,
+       |    sum(d2_e6*d2_e6) AS s2 FROM a GROUP BY 1)
+       |SELECT a.vec_id, a.cell, a.d2_e6, CAST(st.cell_n AS BIGINT) AS cell_n,
+       |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(st.cell_n AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(st.cell_n AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(st.cell_n AS DOUBLE)) > 0
+       |    THEN CAST(round((CAST(a.d2_e6 AS DOUBLE)
+       |        - CAST(s1 AS DOUBLE) / CAST(st.cell_n AS DOUBLE))
+       |      / sqrt(CAST(s2 AS DOUBLE) / CAST(st.cell_n AS DOUBLE)
+       |        - (CAST(s1 AS DOUBLE) / CAST(st.cell_n AS DOUBLE))
+       |          * (CAST(s1 AS DOUBLE) / CAST(st.cell_n AS DOUBLE))) * 1e6)
+       |      AS BIGINT)
+       |    END AS z_e6
+       |FROM a JOIN st USING (cell)""".stripMargin
+
   def simKnnGraph(nCells: Int, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),

@@ -267,6 +267,29 @@ object SparkEntry {
     tbl
   }
 
+  /** Canonical orders projection for the fingerprint queries. */
+  private def fpOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  /** (bucket, h): per-row polynomial content hash over the canonical
+    * `key|key|status|cents` string (base 131 mod 1e9+7 — int64-safe fold),
+    * bucketed by key range. Commutative-sum-able, hence order-independent
+    * AND delta-updatable (`q_fingerprint_ivm`).
+    */
+  private def fpRowHash(df: DataFrame): DataFrame = {
+    val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("cents"))
+    df.select((col("o_orderkey") % 32).as("bucket"),
+      aggregate(transform(split(canon, ""), c => ascii(c)), lit(0L),
+        (h, c) => (h * 131 + c) % 1000000007L).as("h"))
+  }
+
+  private def fpAgg(df: DataFrame, n: String, f: String): DataFrame =
+    fpRowHash(df).groupBy("bucket")
+      .agg(count(lit(1)).as(n), sum("h").as(f))
+
   /** Persisted IVF-PQ index for `sim_ivfpq_indexed`: the [[ensureIvfIndex]]
     * build/probe split carrying the compressed codes — built once per dir,
     * bucketed by cell.
@@ -926,6 +949,14 @@ object SparkEntry {
     "sim_bfs" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.bfsHops(emb, Similarity.fixedCentroids(emb, 16))
+    }),
+    // embedding OOD / novelty score: per-vector nearest-cell distance
+    // z-scored against that cell's own distance distribution — the
+    // distribution-shift gate on incoming data; zero-shuffle assignment +
+    // one k-row census broadcast back
+    "sim_ood" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.oodScore(emb, Similarity.fixedCentroids(emb, 16))
     }),
     // contrastive hard-negative mining: per anchor, the top different-label
     // candidates by cosine out of the blocked cells — the training-pair
@@ -1967,25 +1998,41 @@ object SparkEntry {
     // ever joining them row-by-row — each side is one scan + one tiny
     // shuffle, and only differing buckets need a row-level drill-down
     "q_fingerprint" -> ((s, dir) => {
-      val o = Tables.read(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      def fp(df: DataFrame, n: String, f: String) = {
-        val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("cents"))
-        df.select((col("o_orderkey") % 32).as("bucket"),
-            aggregate(transform(split(canon, ""), c => ascii(c)), lit(0L),
-              (h, c) => (h * 131 + c) % 1000000007L).as("h"))
-          .groupBy("bucket").agg(count(lit(1)).as(n), sum("h").as(f))
-      }
+      val o = fpOrders(s, dir)
       // snapshot B = A with a synthetic sparse delta (status flip on
       // ~0.1% of keys) — the "did replication drift?" comparison
       val b = o.withColumn("o_orderstatus",
         when(col("o_orderkey") % 997 === 0, lit("X"))
           .otherwise(col("o_orderstatus")))
-      fp(o, "n_a", "fp_a").join(fp(b, "n_b", "fp_b"), "bucket")
+      fpAgg(o, "n_a", "fp_a").join(fpAgg(b, "n_b", "fp_b"), "bucket")
         .withColumn("differs",
           (col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+            .cast("long"))
+    }),
+    // incremental fingerprint maintenance: the commutative row-hash SUM is
+    // delta-updatable — fp(B) = fp(A) + Σh(inserted) − Σh(deleted) — so a
+    // 100 TB snapshot's fingerprint refreshes from the CHANGE SET alone
+    // (the q_ivm algebra applied to integrity checking). The query applies
+    // the delta both ways and pins incremental ≡ full recompute per bucket
+    "q_fingerprint_ivm" -> ((s, dir) => {
+      val o = fpOrders(s, dir)
+      val changed = o.filter(col("o_orderkey") % 997 === 0)
+      val newRows = changed.withColumn("o_orderstatus", lit("X"))
+      val base = fpAgg(o, "n", "fp")
+      val delta = fpRowHash(newRows).withColumn("sgn", lit(1L))
+        .unionAll(fpRowHash(changed).withColumn("sgn", lit(-1L)))
+        .groupBy("bucket").agg(sum("sgn").as("dn"),
+          sum(col("h") * col("sgn")).as("dfp"))
+      val inc = base.join(delta, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("n") + coalesce(col("dn"), lit(0L))).as("n_inc"),
+          (col("fp") + coalesce(col("dfp"), lit(0L))).as("fp_inc"))
+      val full = fpAgg(o.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 997 === 0, lit("X"))
+          .otherwise(col("o_orderstatus"))), "n_full", "fp_full")
+      inc.join(full, "bucket")
+        .withColumn("consistent",
+          (col("n_inc") === col("n_full") && col("fp_inc") === col("fp_full"))
             .cast("long"))
     }),
     "q_snapshot" -> ((s, dir) => {
@@ -3003,6 +3050,7 @@ object SparkEntry {
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_bfs" -> OracleSql.simBfs(nCells = 16, nProbe = 2, k = 4,
       sources = Seq(0L, 1L, 2L, 3L), maxHops = 4),
+    "sim_ood" -> OracleSql.simOod(nCells = 16),
     "sim_hard_negatives" -> OracleSql.simHardNegatives(nCells = 16, nProbe = 2, k = 3),
     "sim_topk" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_sq8" -> OracleSql.simSq8(dim = 64, nQueries = 5, k = 10),
@@ -3670,6 +3718,38 @@ object SparkEntry {
         |  CAST(CASE WHEN n_a <> n_b OR fp_a <> fp_b THEN 1 ELSE 0 END AS BIGINT)
         |    AS differs
         |FROM fa JOIN fb ON fa.bucket = fb.bucket""".stripMargin,
+    "q_fingerprint_ivm" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |hv AS (SELECT o_orderkey % 32 AS bucket, o_orderkey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
+        |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || cents,
+        |      ''), c -> ascii(c))), (h,c) -> (h*131+c) % 1000000007) AS h
+        |  FROM o),
+        |hn AS (SELECT o_orderkey % 32 AS bucket, o_orderkey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
+        |      o_orderkey || '|' || o_custkey || '|' || 'X' || '|' || cents,
+        |      ''), c -> ascii(c))), (h,c) -> (h*131+c) % 1000000007) AS h
+        |  FROM o WHERE o_orderkey % 997 = 0),
+        |base AS (SELECT bucket, count(*) AS n, sum(h) AS fp FROM hv GROUP BY 1),
+        |delta AS (SELECT bucket, sum(sgn) AS dn, sum(h*sgn) AS dfp FROM (
+        |    SELECT bucket, h, 1 AS sgn FROM hn
+        |    UNION ALL
+        |    SELECT bucket, h, -1 FROM hv WHERE o_orderkey % 997 = 0)
+        |  GROUP BY 1),
+        |inc AS (SELECT base.bucket,
+        |    CAST(base.n + coalesce(delta.dn, 0) AS BIGINT) AS n_inc,
+        |    CAST(base.fp + coalesce(delta.dfp, 0) AS BIGINT) AS fp_inc
+        |  FROM base LEFT JOIN delta ON base.bucket = delta.bucket),
+        |fullv AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_full,
+        |    CAST(sum(h) AS BIGINT) AS fp_full FROM (
+        |    SELECT bucket, h FROM hv WHERE o_orderkey % 997 <> 0
+        |    UNION ALL SELECT bucket, h FROM hn)
+        |  GROUP BY 1)
+        |SELECT inc.bucket, n_inc, fp_inc, n_full, fp_full,
+        |  CAST(CASE WHEN n_inc = n_full AND fp_inc = fp_full
+        |    THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM inc JOIN fullv ON inc.bucket = fullv.bucket""".stripMargin,
     "q_snapshot" ->
       """WITH lg AS (
         |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS gen, 'U' AS op

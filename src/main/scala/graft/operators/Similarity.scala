@@ -502,6 +502,39 @@ object Similarity {
     dist.select(col("id").as("vec_id"), col("hop"))
   }
 
+  /** Embedding OOD / novelty score — the distribution-shift filter a
+    * training pipeline runs on incoming data: each vector's squared
+    * distance to its nearest coarse cell, z-scored against THAT CELL's
+    * distance distribution (a global threshold would flag whole sparse
+    * cells; per-cell normalization flags what's unusual *for its
+    * neighborhood*). High z = far from everything the corpus already
+    * covers → novel or junk, route to review/curation.
+    *
+    * Exactness: distances land in e6 fixed point (d2 ≤ ~4 for unit-norm
+    * embeddings, so d2_e6 ≤ 4e6 and the squared sums hold int64 headroom
+    * through ~5e5 rows per cell — repartition the census per cell beyond
+    * that); per-cell moments are exact integer sums off ONE pass over the
+    * assignment; z is one fixed double formula on top ([[Events.trend]]
+    * recipe). Scale: assignment is the zero-shuffle literal-centroid fold,
+    * the census is one k-row aggregate, and the join back broadcasts it.
+    */
+  def oodScore(emb: DataFrame, centroids: Seq[KMeans.Centroid]): DataFrame = {
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val a = emb2v(emb).select(col("vec_id"),
+      nearestId(col("v"), ids, cs).as("cell"),
+      round(nearestSqDist(col("v"), cs) * 1e6).cast("long").as("d2_e6"))
+    val st = a.groupBy("cell").agg(count(lit(1)).as("cell_n"),
+      sum("d2_e6").as("s1"), sum(col("d2_e6") * col("d2_e6")).as("s2"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s1") / d("cell_n")
+    val varc = d("s2") / d("cell_n") - mean * mean
+    a.join(broadcast(st), "cell")
+      .select(col("vec_id"), col("cell"), col("d2_e6"), col("cell_n"),
+        when(varc > 0, round((d("d2_e6") - mean) / sqrt(varc) * 1e6)
+          .cast("long")).as("z_e6"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: for every
     * anchor vector, the `k` highest-cosine candidates with a DIFFERENT
     * ground-truth label — the "looks similar, isn't" pairs that carry the

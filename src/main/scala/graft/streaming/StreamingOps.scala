@@ -365,6 +365,57 @@ object StreamingOps {
         col("n"))
   }
 
+  final case class BotState(n: Long, firstUs: Long, lastUs: Long,
+      nFast: Long, minGap: Long)
+  final case class BotOut(user_id: Long, n_events: Long, span_us: Long,
+      n_fast: Long, min_gap_us: Long, per_hour_x100: Long,
+      fast_share_ppm: Long, is_bot: Long)
+
+  /** Streaming twin of `Events.botDetect`: the per-user machine-traffic
+    * census maintained continuously. State is FIVE longs per user
+    * (count, first/last timestamp, fast-gap count, min gap) — O(1)
+    * regardless of stream length; the batch boundary is seamless because
+    * the carried `lastUs` chains the inter-event gap exactly like the
+    * batch lag window. Each micro-batch re-emits the updated census for
+    * the users it touched (latest row per user = current verdict); all
+    * divisions are the batch operator's integer fixed-point rules, so the
+    * final emission ≡ the batch row (StreamingSpec pins it across splits).
+    */
+  def botDetectStream(events: Dataset[Ev], minEvents: Int = 20,
+      fastGapUs: Long = 1000000L,
+      maxPerHourX100: Long = 120000L): Dataset[BotOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BotState, BotOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[BotState]) =>
+          var st = state.getOption
+            .getOrElse(BotState(0L, 0L, 0L, 0L, Long.MaxValue))
+          evs.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (st.n > 0) {
+              val gap = e.us - st.lastUs
+              st = st.copy(
+                nFast = st.nFast + (if (gap < fastGapUs) 1L else 0L),
+                minGap = math.min(st.minGap, gap))
+            }
+            st = st.copy(n = st.n + 1,
+              firstUs = if (st.n == 0) e.us else st.firstUs,
+              lastUs = e.us)
+          }
+          state.update(st)
+          val span = st.lastUs - st.firstUs
+          val perHr = if (span > 0) st.n * 360000000000L / span else 0L
+          val fastShare =
+            if (st.n > 1) st.nFast * 1000000L / (st.n - 1) else 0L
+          val isBot = if (st.n >= minEvents &&
+            (perHr > maxPerHourX100 || fastShare > 500000L)) 1L else 0L
+          Iterator.single(BotOut(user, st.n, span, st.nFast,
+            if (st.minGap == Long.MaxValue) -1L else st.minGap,
+            perHr, fastShare, isBot))
+      }
+  }
+
   final case class LagOut(user_id: Long, event_id: Long, ts_us: Long,
       v_cents: Long, lag1_cents: Option[Long], delta_cents: Option[Long],
       gap_us: Option[Long], roll_sum_cents: Long, n_roll: Long)

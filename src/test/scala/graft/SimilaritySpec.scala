@@ -545,6 +545,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3 * 4)
   }
 
+  test("oodScore: per-cell z in e6, ties to the cell's own distribution, " +
+      "degenerate cell goes null") {
+    import spark.implicits._
+    val cents = Seq(KMeans.Centroid(1L, Seq(0.0, 0.0)),
+      KMeans.Centroid(2L, Seq(10.0, 0.0)))
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 1, d2 = 1
+      (2L, Seq(2.0f, 0.0f)),   // cell 1, d2 = 4
+      (3L, Seq(0.0f, 1.0f)),   // cell 1, d2 = 1
+      (4L, Seq(10.0f, 3.0f)))  // cell 2 alone -> zero variance -> null z
+      .toDF("vec_id", "embedding")
+    val got = Similarity.oodScore(e, cents)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // cell 1: d2_e6 = (1e6, 4e6, 1e6), mean 2e6, sd = sqrt(2)e6
+    // z(4e6) = 2/sqrt(2) = +1414214 e6; z(1e6) = -707107 e6
+    assert(got(1L) == ((1L, 1000000L, 3L, Some(-707107L))))
+    assert(got(2L) == ((1L, 4000000L, 3L, Some(1414214L))))
+    assert(got(3L) == ((1L, 1000000L, 3L, Some(-707107L))))
+    // singleton cell: zero variance -> null z
+    assert(got(4L) == ((2L, 9000000L, 1L, None)))
+  }
+
   test("bfsFromEdges: path graph hops, maxHops cutoff, isolated source, " +
       "multi-source min") {
     import spark.implicits._

@@ -275,6 +275,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bot census: latest emission per user equals the batch " +
+      "operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Ev
+    val ev = Tables.readEvents(spark, sf("0.001"))
+    val batch = graft.operators.Events.botDetect(ev)
+      .select("user_id", "n_events", "span_us", "n_fast", "min_gap_us",
+        "per_hour_x100", "fast_share_ppm", "is_bot")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // time-ordered rows split mid-stream: the carried lastUs must chain
+    // the boundary-straddling gap exactly like the batch lag window
+    val rows = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[Ev].collect().sortBy(e => (e.us, e.event_id))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.botDetectStream(in.toDS()).writeStream
+      .format("memory").queryName("bot_out").outputMode("append").start()
+    try {
+      in.addData(a.toSeq)
+      q.processAllAvailable()
+      in.addData(b.toSeq)
+      q.processAllAvailable()
+      // each micro-batch re-emits touched users; the LAST row per user is
+      // the current census
+      val got = spark.table("bot_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(desc("n_events"))))
+        .filter(col("rn") === 1).drop("rn")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"stream (${got.size}) and batch (${batch.size}) censuses diverge")
+    } finally q.stop()
+  }
+
   test("streaming anomaly flags equal the batch operator across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.EvV
