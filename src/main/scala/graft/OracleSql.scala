@@ -953,6 +953,22 @@ object OracleSql {
        |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin
 
+  /** Mirror of [[Events.rollingActiveUsers]]: the same (user, day)
+    * reduction, ×windowDays explode, observed-day semi-filter, and
+    * integer stickiness division.
+    */
+  def eventsRollingWau(windowDays: Int): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events),
+       |c AS (SELECT ud.user_id, ud.day + r.i AS target_day
+       |  FROM ud, range($windowDays) r(i)),
+       |wau AS (SELECT target_day, count(DISTINCT user_id) AS wau FROM c
+       |  WHERE target_day IN (SELECT day FROM ud) GROUP BY 1),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+       |SELECT dau.day, CAST(wau AS BIGINT) AS wau, CAST(dau AS BIGINT) AS dau,
+       |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+       |FROM wau JOIN dau ON wau.target_day = dau.day""".stripMargin
+
   /** Mirror of [[Events.autocorr]]: same daily-cents reduction, per-lag
     * shifted self-join, and the [[eventsTrend]] fixed-double Pearson
     * formula over exact integer sufficient statistics.

@@ -514,6 +514,22 @@ object SparkEntry {
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(col("l_quantity")))),
+    // pivot's inverse: wide measures melted to (measure, value) long form
+    // via Dataset.unpivot (Expand under the hood — ONE scan emits all four
+    // rows per input, no union of re-scans), then a per-measure census in
+    // the shared fixed-point units
+    "q_unpivot" -> ((s, dir) =>
+      Tables.read(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 10000).cast("long").as("disc_e4"),
+          round(col("l_tax") * 10000).cast("long").as("tax_e4"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price_c"), col("disc_e4"), col("tax_e4")),
+          "measure", "v")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))),
     // ARBITRARY grouping sets (the general form rollup/cube specialize):
     // both single-column marginals WITHOUT the pair level — inexpressible
     // as rollup or cube — plus the grand total; grouping_id disambiguates
@@ -1535,6 +1551,11 @@ object SparkEntry {
       Events.anomaliesMad(Tables.readEvents(s, dir))),
     // the DAU/WAU census: exact distinct users per hour bucket (single
     // countDistinct -> two-level aggregate, no Expand)
+    // rolling 7-day distinct users per day (WAU) + DAU/WAU stickiness:
+    // the rolling-DISTINCT linearization — explode the reduced (user, day)
+    // relation into its 7 window ends, never users × calendar
+    "events_rolling_wau" -> ((s, dir) =>
+      Events.rollingActiveUsers(Tables.readEvents(s, dir))),
     "events_active_users" -> ((s, dir) =>
       Events.activeUsers(Tables.readEvents(s, dir))),
     // DAU/WAU/MAU + stickiness ppm: one (user, day) reduction, bounded
@@ -2175,6 +2196,22 @@ object SparkEntry {
         .select(col("rows_per_key"), col("n_keys"), col("n_rows"),
           expr("rows_per_key * total_keys * 1000 div total_rows")
             .as("skew_x1000"))
+    }),
+    // gap/island census over the order-key sequence, bucketed so every
+    // window is bucket-local (hash-partitioned; no global sort) — the
+    // completeness check for ingested id ranges: missing-key counts and
+    // contiguous-run counts per 4k-key bucket via the key − row_number
+    // grouping trick
+    "q_sequence_gaps" -> ((s, dir) => {
+      val k = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey").as("key"))
+        .withColumn("bucket", expr("key div 4096"))
+      val w = Window.partitionBy("bucket").orderBy("key")
+      val islands = k.withColumn("grp", col("key") - row_number().over(w))
+        .groupBy("bucket").agg(countDistinct("grp").as("n_islands"))
+      val stats = k.groupBy("bucket").agg(count(lit(1)).as("n_keys"),
+        (max("key") - min("key") + 1 - count(lit(1))).as("n_missing"))
+      stats.join(islands, "bucket")
     }),
     "q_skew_join" -> ((s, dir) => {
       val s2 = s.newSession()
@@ -3467,6 +3504,7 @@ object SparkEntry {
     "events_trend" -> OracleSql.eventsTrend(minDays = 5),
     "events_autocorr" -> OracleSql.eventsAutocorr(revenueType = "purchase",
       maxLag = 7),
+    "events_rolling_wau" -> OracleSql.eventsRollingWau(windowDays = 7),
     "events_bot_detect" -> OracleSql.eventsBotDetect(minEvents = 20,
       fastGapUs = 1000000L, maxPerHourX100 = 120000L),
     "events_asof_native" -> OracleSql.eventsAsof(leftType = "click", rightType = "purchase"),
@@ -3816,6 +3854,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, gen, op FROM lg WHERE gen > 2""".stripMargin,
 
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'qty' AS measure,
+        |    CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'price_c',
+        |    CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'disc_e4',
+        |    CAST(round(l_discount*10000) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax_e4',
+        |    CAST(round(l_tax*10000) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM m GROUP BY 1, 2""".stripMargin,
+    "q_sequence_gaps" ->
+      """WITH k AS (SELECT o_orderkey AS key, o_orderkey // 4096 AS bucket
+        |  FROM orders),
+        |g AS (SELECT bucket,
+        |    key - row_number() OVER (PARTITION BY bucket ORDER BY key) AS grp
+        |  FROM k),
+        |i AS (SELECT bucket, count(DISTINCT grp) AS n_islands FROM g GROUP BY 1),
+        |st AS (SELECT bucket, count(*) AS n_keys,
+        |    max(key) - min(key) + 1 - count(*) AS n_missing FROM k GROUP BY 1)
+        |SELECT st.bucket, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  CAST(n_islands AS BIGINT) AS n_islands
+        |FROM st JOIN i ON st.bucket = i.bucket""".stripMargin,
     "q_key_skew" ->
       """WITH per AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
         |h AS (SELECT c AS rows_per_key, count(*) AS n_keys FROM per GROUP BY 1)

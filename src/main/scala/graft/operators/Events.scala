@@ -131,6 +131,33 @@ object Events {
       .select(unix_micros(col("w.start")).as("win_us"),
         col("n_users"), col("n_events"))
 
+  /** Rolling 7-day distinct active users per day (WAU) next to the same
+    * day's DAU, plus the DAU/WAU stickiness ratio — the rolling-DISTINCT
+    * problem a plain window frame cannot express (distinct doesn't
+    * decompose over frames). The scalable linearization: reduce to the
+    * distinct (user, day) relation ONCE, explode each row into the
+    * `windowDays` window-end days it contributes to (a bounded ×7 fan-out
+    * of the reduced relation — never users × calendar), and count
+    * distinct per target day. Days outside the observed set are dropped
+    * by a semi-join so partial leading windows don't fabricate trailing
+    * ghost days. One shuffle on (user, day), one on target_day.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val days = ud.select("day").distinct()
+    val contrib = ud.withColumn("target_day",
+        explode(sequence(col("day"), col("day") + (windowDays - 1))))
+      .join(days.withColumnRenamed("day", "target_day"),
+        Seq("target_day"), "left_semi")
+    val wau = contrib.groupBy("target_day")
+      .agg(countDistinct("user_id").as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, wau("target_day") === dau("day"))
+      .select(col("day"), col("wau"), col("dau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
   /** Tumbling-window aggregation (batch form of the streaming windowed agg):
     * epoch-aligned 1-hour buckets per event type.
     */

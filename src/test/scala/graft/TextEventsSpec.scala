@@ -1084,6 +1084,25 @@ class TextEventsSpec extends SparkSpec {
     assert(!got.contains(6L) && !got.contains(7L))
   }
 
+  test("rollingActiveUsers: a day counts every user active in the trailing " +
+      "7 days; unobserved days emit no row") {
+    def ts(d: Long) = new Timestamp(1700092800000L + d * 86400000L + 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1L), (2L, ts(3), 2L),  // u1 day 0, u2 day 3
+      (3L, ts(9), 2L))                   // u2 again day 9: u1 aged out
+      .map { case (e, t, u) => (e, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.rollingActiveUsers(ev)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 - 19677L -> ((r._2, r._3, r._4))).toMap
+    // day 0: only u1; day 3: u1 still in window + u2 active -> WAU 2, DAU 1
+    // day 9: u1's window (days 0..6) ended, u2's day-3 window (3..9) covers
+    assert(got == Map(
+      0L -> ((1L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 500000L)),
+      9L -> ((1L, 1L, 1000000L))))
+  }
+
   test("botDetect: burst user flagged, slow user and singleton not") {
     def t(ms: Long) = new Timestamp(1700092800000L + ms)
     val burst = (0 until 25).map(i =>
