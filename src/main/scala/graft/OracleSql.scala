@@ -953,6 +953,33 @@ object OracleSql {
        |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.spanCorruption]]: the same
+    * (doc_id, position) LCG seeds, the same closed-form masked/span-start
+    * predicates as list_transform lambdas, integer sums.
+    */
+  def textSpanCorruption(ratePct: Int, spanLen: Int): String = {
+    def seed(q: String) =
+      s"($q >= 1 AND ((doc_id*1000003 + $q) % 2147483647 * 1103515245" +
+        s" + 12345) % 2147483647 % 100 < $ratePct)"
+    def masked(p: String) =
+      (0 until spanLen).map(d => seed(s"($p - $d)"))
+        .mkString("(", " OR ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_transform(range(1, greatest(len(toks), 1) + 1), p ->
+       |      CASE WHEN ${masked("p")} THEN 1 ELSE 0 END) AS mk,
+       |    list_transform(range(1, greatest(len(toks), 1) + 1), p ->
+       |      CASE WHEN ${masked("p")} AND NOT ${masked("(p-1)")}
+       |        THEN 1 ELSE 0 END) AS st
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(list_aggregate(mk, 'sum') AS BIGINT) AS n_masked,
+       |  CAST(list_aggregate(st, 'sum') AS BIGINT) AS n_spans,
+       |  CAST(list_aggregate(mk, 'sum') * 1000000 // greatest(n_tokens, 1)
+       |    AS BIGINT) AS mask_ppm
+       |FROM m""".stripMargin
+  }
+
   /** Mirror of [[Events.rollingActiveUsers]]: the same (user, day)
     * reduction, ×windowDays explode, observed-day semi-filter, and
     * integer stickiness division.

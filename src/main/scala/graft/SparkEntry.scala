@@ -1149,6 +1149,28 @@ object SparkEntry {
     // token budgeting under both conventions: whitespace + BPE-ish regex
     "text_tokens_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.read(s, dir, "documents"))),
+    // tokenizer fertility census per (lang, source): BPE-ish tokens per
+    // whitespace word and chars per token in fixed point — the tokenizer-
+    // efficiency numbers that size a training run's real token budget
+    "text_fertility" -> ((s, dir) => {
+      val d = Tables.read(s, dir, "documents")
+      TextAnalysis.tokenCounts(d)
+        .join(d.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")), "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          sum("n_ws_tokens").as("ws_toks"),
+          sum("n_bpe_tokens").as("bpe_toks"))
+        .withColumn("fertility_ppm",
+          expr("bpe_toks * 1000000 div greatest(ws_toks, 1)"))
+        .withColumn("chars_per_tok_x100",
+          expr("chars * 100 div greatest(bpe_toks, 1)"))
+    }),
+    // T5 span-corruption planning census: LCG seed positions at 15%,
+    // 3-token spans, overlaps merged — closed-form per position, zero
+    // shuffle, the masked-share bookkeeping behind denoising pretraining
+    "doc_span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(Tables.read(s, dir, "documents"))),
     // sequence packing: fixed token-budget batch assignment by per-lang
     // prefix sum — the concat-and-chunk fill step before pretraining
     "doc_pack" -> ((s, dir) =>
@@ -2176,6 +2198,23 @@ object SparkEntry {
     // Thresholds are scoped to a child session so the split fires at test
     // SF exactly as the defaults would at 100 TB; PlansSpec executes the
     // query and asserts skew=true in the final adaptive plan ----
+    // column masking + k-anonymity audit: LCG pseudonym for the key,
+    // prefix-mask for the name, account balance coarsened to $100
+    // buckets, and each row's k = cohort size under the quasi-identifier
+    // pair (segment, balance bucket) — the governance gate before data
+    // leaves the boundary; one scan + one modest-cardinality window
+    "q_mask" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment", "bal_bucket")
+      Tables.read(s, dir, "customer")
+        .select(
+          ((col("c_custkey") * 1103515245L + 12345L) % 2147483647L)
+            .as("pseudonym"),
+          concat(substring(col("c_name"), 1, 9), lit("***")).as("name_masked"),
+          col("c_mktsegment"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 10000")
+            .as("bal_bucket"))
+        .withColumn("k_anon", count(lit(1)).over(w))
+    }),
     // join-key skew census: the diagnostic you run BEFORE choosing between
     // q_salted_join / q_skew_join strategies — per-key fan-out folded to a
     // count-of-counts histogram (one scan + one shuffle on the key; the
@@ -3227,6 +3266,23 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "text_fertility" ->
+      """WITH c AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(ws) AS BIGINT) AS ws_toks,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_toks,
+        |  CAST(sum(bpe) * 1000000 // greatest(sum(ws), 1) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST(sum(n_chars) * 100 // greatest(sum(bpe), 1) AS BIGINT)
+        |    AS chars_per_tok_x100
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "doc_span_corruption" -> OracleSql.textSpanCorruption(ratePct = 15,
+      spanLen = 3),
     "text_source_chi2" -> OracleSql.textSourceChi2,
     "text_domains" ->
       """WITH aug AS (SELECT doc_id,
@@ -3854,6 +3910,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, gen, op FROM lg WHERE gen > 2""".stripMargin,
 
+    "q_mask" ->
+      """WITH b AS (SELECT
+        |    (c_custkey * 1103515245 + 12345) % 2147483647 AS pseudonym,
+        |    substr(c_name, 1, 9) || '***' AS name_masked,
+        |    c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_bucket
+        |  FROM customer)
+        |SELECT pseudonym, name_masked, c_mktsegment,
+        |  CAST(bal_bucket AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) OVER (PARTITION BY c_mktsegment, bal_bucket)
+        |    AS BIGINT) AS k_anon
+        |FROM b""".stripMargin,
     "q_unpivot" ->
       """WITH m AS (
         |  SELECT l_returnflag, 'qty' AS measure,

@@ -386,6 +386,41 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
         .as("n_bpe_tokens"))
 
+  /** T5-style span-corruption planning census — the denoising-pretrain
+    * target generator's bookkeeping: deterministic seed positions from a
+    * transparent LCG over (doc_id, position) at `ratePct`%, each seed
+    * opening a `spanLen`-token mask, overlapping spans merging. Per doc:
+    * token count, masked-token count, merged-span count, masked share in
+    * ppm. A position is masked iff a seed fired in `[p−spanLen+1, p]` —
+    * a CLOSED FORM per position (no sequential scan state), so the whole
+    * plan is per-row array HOFs: zero shuffle, linear in tokens, and the
+    * LCG replays exactly in ANSI SQL (the [[stratifiedSample]] oracle
+    * discipline). Hash stays in int64: the (doc, pos) mix is reduced mod
+    * 2^31−1 BEFORE the LCG multiply.
+    */
+  def spanCorruption(docs: DataFrame, ratePct: Int = 15,
+      spanLen: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    def seed(p: Column): Column =
+      (p >= 1) &&
+        ((col("doc_id") * 1000003L + p) % 2147483647L * 1103515245L +
+          12345L) % 2147483647L % 100L < ratePct
+    def maskedAt(p: Column): Column =
+      (0 until spanLen).map(d => seed(p - d)).reduce(_ || _)
+    val m = transform(sequence(lit(1), greatest(size(toks), lit(1))),
+      p => struct(maskedAt(p).as("m"),
+        (maskedAt(p) && !maskedAt(p - 1)).as("s")))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        m.as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(col("m"), lit(0L),
+          (acc, x) => acc + x.getField("m").cast("long")).as("n_masked"),
+        aggregate(col("m"), lit(0L),
+          (acc, x) => acc + x.getField("s").cast("long")).as("n_spans"))
+      .withColumn("mask_ppm",
+        expr("n_masked * 1000000 div greatest(n_tokens, 1)"))
+  }
+
   /** Gopher-style repetition quality signals, per doc — the filters that
     * catch boilerplate/degenerate generations in a training corpus:
     * token count, distinct-token count, the most-frequent token's count,

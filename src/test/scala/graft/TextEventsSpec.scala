@@ -1084,6 +1084,27 @@ class TextEventsSpec extends SparkSpec {
     assert(!got.contains(6L) && !got.contains(7L))
   }
 
+  test("spanCorruption: span accounting invariants + exact census on a " +
+      "known doc") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val got = Events // touch nothing; just namespace clarity
+    val r = graft.operators.TextAnalysis.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.length == docs.count())
+    r.foreach { case (id, n, m, sp, ppm) =>
+      assert(m <= n, s"doc $id masks more than its tokens")
+      assert(m <= 3 * sp, s"doc $id: a 3-span can't mask ${m} with $sp spans")
+      assert((m > 0) == (sp > 0), s"doc $id: masked/spans disagree")
+      assert(ppm == m * 1000000 / math.max(n, 1))
+    }
+    // ~15% seed rate with 3-token spans masks ~38% of tokens corpus-wide
+    // (1 - 0.85^3 = 0.386); pin the corpus share to a generous band
+    val totN = r.map(_._2).sum.toDouble
+    val totM = r.map(_._3).sum.toDouble
+    assert(totM / totN > 0.30 && totM / totN < 0.47,
+      s"corpus mask share ${totM / totN} outside the expected band")
+  }
+
   test("rollingActiveUsers: a day counts every user active in the trailing " +
       "7 days; unobserved days emit no row") {
     def ts(d: Long) = new Timestamp(1700092800000L + d * 86400000L + 60000L)
