@@ -201,19 +201,21 @@ object Bench {
     // alone was missed by exactly that kind of consumer in round 8).
     val nErrors = errors.distinct.size
     // vs_baseline: wall / pinned floor per query (only for queries with a
-    // pinned floor). "over_2x" names queries BOTH over 2× their floor AND
-    // more than 2 s absolute over it — the enforceable perf bar: the ratio
-    // alone red-flags sub-second queries whose floor was measured with a
-    // hot page cache (observed: a 0.5 s parquet-bound scan drifts to 1.3 s
-    // cold with zero code change), while a real regression on a query that
-    // matters clears both bars.
+    // pinned floor). "over_2x" names queries over 2× their floor AND over an
+    // absolute-excess bar — the enforceable perf bar. The excess bar is
+    // floor-scaled: floors ≥ 0.5 s flag at >1 s excess (a 0.6 s query running
+    // 2.5 s is a real 4× slip, not jitter — the round-10 events_sessionize
+    // lesson), while sub-0.5 s floors keep the looser 2 s bar because they
+    // were measured with a hot page cache and drift cold with zero code
+    // change (observed: 0.5 s parquet-bound scan → 1.3 s).
     val baseline = loadBaseline()
     val ratios = results.flatMap { case (name, wall, _, _) =>
       baseline.get(name).filter(_ > 0).map(b => name -> wall / b)
     }
     val over2x = results
       .flatMap { case (name, wall, _, _) => baseline.get(name).filter(_ > 0)
-        .filter(b => wall / b > 2.0 && wall - b > 2.0).map(b => name -> wall / b) }
+        .filter(b => wall / b > 2.0 && wall - b > (if (b >= 0.5) 1.0 else 2.0))
+        .map(b => name -> wall / b) }
       .sortBy(-_._2).map(_._1)
     val vsb = jmap(ratios)
     val over = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")

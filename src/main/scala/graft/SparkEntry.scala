@@ -1367,15 +1367,21 @@ object SparkEntry {
         "l_discount" -> round(col("l_discount") * 10000).cast("long"),
         "l_tax" -> round(col("l_tax") * 10000).cast("long")))),
     // higher-moment census: per-type skewness and excess kurtosis from ONE
-    // scan of exact integer power sums (whole-value units keep u^4 sums in
-    // int64 headroom through ~1e8 rows); the shape gate a feature pipeline
-    // runs before trusting mean/stddev summaries. Fixed double formulas
-    // over the integer sums — the q_corr determinism recipe
+    // scan of exact integer power sums. The u²..u⁴ sums accumulate in
+    // DECIMAL(38,0) (DuckDB's HUGEINT twin) so NO row count overflows them —
+    // int64 sums would wrap silently at scale while DuckDB promotes, and
+    // the engines would diverge. The only remaining bound is per-row:
+    // |round(value)| < 55,108 keeps a single u⁴ term inside int64 (events
+    // values are dollar-scale, orders of magnitude under that). s1 stays
+    // int64 in the output (|u|·1e12 rows ≈ 5e16, safe); the raw s2 is NOT
+    // emitted — it is the first sum to outgrow BIGINT. Fixed double
+    // formulas over the exact sums — the q_corr determinism recipe
     "q_moments" -> ((s, dir) => {
       val u = round(col("value")).cast("long")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val g = Tables.readEvents(s, dir).groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(u).as("s1"), sum(u * u).as("s2"),
-          sum(u * u * u).as("s3"), sum(u * u * u * u).as("s4"))
+        .agg(count(lit(1)).as("n"), sum(u).as("s1"), sum(dec(u * u)).as("s2"),
+          sum(dec(u * u * u)).as("s3"), sum(dec(u * u * u * u)).as("s4"))
       def d(c: String) = col(c).cast("double")
       val m = d("s1") / d("n")
       val e2 = d("s2") / d("n")
@@ -1385,7 +1391,7 @@ object SparkEntry {
       val m3 = e3 - lit(3.0) * m * e2 + lit(2.0) * m * m * m
       val m4 = e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
         lit(3.0) * m * m * m * m
-      g.select(col("event_type"), col("n"), col("s1"), col("s2"),
+      g.select(col("event_type"), col("n"), col("s1"),
         when(v > 0, round(m3 / sqrt(v * v * v) * 1e6).cast("long"))
           .as("skew_e6"),
         when(v > 0, round((m4 / (v * v) - 3.0) * 1e6).cast("long"))
@@ -1782,7 +1788,10 @@ object SparkEntry {
     // range-partitioned global rank (no single-partition window). Source
     // runs break up because the key is uniform across sources ----
     "doc_interleave" -> ((s, dir) => {
-      val shuf = (col("doc_id") * 1103515245L + 12345L) % 2147483647L
+      // key reduced mod 2^31-1 before the multiply — q_mask discipline,
+      // keeps the LCG in int64 at any doc_id scale
+      val shuf =
+        ((col("doc_id") % 2147483647L) * 1103515245L + 12345L) % 2147483647L
       operators.Ranking.globalRank(
           Tables.read(s, dir, "documents")
             .select(col("doc_id"), col("source"), shuf.as("shuf")),
@@ -2207,8 +2216,11 @@ object SparkEntry {
       val w = Window.partitionBy("c_mktsegment", "bal_bucket")
       Tables.read(s, dir, "customer")
         .select(
-          ((col("c_custkey") * 1103515245L + 12345L) % 2147483647L)
-            .as("pseudonym"),
+          // reduce the key mod 2^31-1 BEFORE the LCG multiply (the
+          // spanCorruption discipline): bare key*1103515245 wraps int64
+          // once custkey exceeds ~8.4e9 — plausible at 100 TB
+          (((col("c_custkey") % 2147483647L) * 1103515245L + 12345L)
+            % 2147483647L).as("pseudonym"),
           concat(substring(col("c_name"), 1, 9), lit("***")).as("name_masked"),
           col("c_mktsegment"),
           expr("cast(round(c_acctbal * 100) as bigint) div 10000")
@@ -3588,9 +3600,10 @@ object SparkEntry {
       dN = 3, dThrNum = 1, dThrDen = 10, packBudget = 256),
     "doc_interleave" ->
       """SELECT doc_id, source,
-        |  (doc_id*1103515245 + 12345) % 2147483647 AS shuf,
+        |  ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647 AS shuf,
         |  CAST(row_number() OVER (
-        |    ORDER BY (doc_id*1103515245 + 12345) % 2147483647, doc_id) AS BIGINT)
+        |    ORDER BY ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647,
+        |      doc_id) AS BIGINT)
         |    AS pos
         |FROM documents""".stripMargin,
     "q_global_sort" ->
@@ -3680,20 +3693,19 @@ object SparkEntry {
     "q_moments" ->
       """WITH u AS (SELECT event_type, CAST(round(value) AS BIGINT) AS u FROM events),
         |g AS (SELECT event_type, count(*) AS n, CAST(sum(u) AS BIGINT) AS s1,
-        |    CAST(sum(u*u) AS BIGINT) AS s2, CAST(sum(u*u*u) AS BIGINT) AS s3,
-        |    CAST(sum(u*u*u*u) AS BIGINT) AS s4
+        |    sum(u*u) AS s2, sum(u*u*u) AS s3, sum(u*u*u*u) AS s4
         |  FROM u GROUP BY event_type),
-        |d AS (SELECT event_type, n, s1, s2,
+        |d AS (SELECT event_type, n, s1,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
         |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
         |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
         |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
         |  FROM g),
-        |c AS (SELECT event_type, n, s1, s2, e2 - m*m AS v,
+        |c AS (SELECT event_type, n, s1, e2 - m*m AS v,
         |    e3 - 3.0*m*e2 + 2.0*m*m*m AS m3,
         |    e4 - 4.0*m*e3 + 6.0*m*m*e2 - 3.0*m*m*m*m AS m4
         |  FROM d)
-        |SELECT event_type, CAST(n AS BIGINT) AS n, s1, s2,
+        |SELECT event_type, CAST(n AS BIGINT) AS n, s1,
         |  CASE WHEN v > 0
         |    THEN CAST(round(m3 / sqrt(v*v*v) * 1e6) AS BIGINT) END AS skew_e6,
         |  CASE WHEN v > 0
@@ -3912,7 +3924,8 @@ object SparkEntry {
 
     "q_mask" ->
       """WITH b AS (SELECT
-        |    (c_custkey * 1103515245 + 12345) % 2147483647 AS pseudonym,
+        |    ((c_custkey % 2147483647) * 1103515245 + 12345) % 2147483647
+        |      AS pseudonym,
         |    substr(c_name, 1, 9) || '***' AS name_masked,
         |    c_mktsegment,
         |    CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_bucket

@@ -992,10 +992,18 @@ object Events {
     val day = expr("unix_micros(ts) div 86400000000")
     val users = events.groupBy("user_id")
       .agg(min(day).as("first_day"), max(day).as("last_day"))
-    val maxDay = users.agg(max("last_day").as("max_day"))
-    val perDay = users.crossJoin(broadcast(maxDay))
+    // the censoring cutoff is ONE scalar — collect it (a plain scan + max,
+    // no shuffle) and inline as a literal rather than carrying it through a
+    // 1-row broadcast join; keeps the no-nested-loop plan gate strict
+    val maxDayRow = events.agg(max(day)).head()
+    if (maxDayRow.isNullAt(0))
+      return users.limit(0).select(lit(0L).as("day"), lit(0L).as("n_risk"),
+        lit(0L).as("n_churn"), lit(0L).as("n_censored"),
+        lit(0L).as("hazard_ppm"))
+    val maxDay = maxDayRow.getLong(0)
+    val perDay = users
       .withColumn("churned",
-        (col("last_day") <= col("max_day") - censorDays).cast("long"))
+        (col("last_day") <= lit(maxDay) - censorDays).cast("long"))
       .select(explode(array(
         struct(col("first_day").as("day"), lit(1L).as("enter"),
           lit(0L).as("churn"), lit(0L).as("cens")),

@@ -486,11 +486,15 @@ object Similarity {
     val sym = e.unionAll(e.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint(eager = true)
     // the seed set is driver-held by contract (a handful of exemplar ids —
-    // the same k-sized-state discipline as centroids/codebooks)
-    var dist = sources.toDF("id").withColumn("hop", lit(0L))
+    // the same k-sized-state discipline as centroids/codebooks); distinct
+    // so duplicate exemplar ids can't emit duplicate hop-0 rows
+    var dist = sources.distinct.toDF("id").withColumn("hop", lit(0L))
       .localCheckpoint(eager = true)
     var frontier = dist
-    for (h <- 1 to maxHops) {
+    var h = 1
+    // stop as soon as the frontier empties — the settled set can only be
+    // re-derived after that, so later rounds would be pure no-op joins
+    while (h <= maxHops && !frontier.isEmpty) {
       val next = frontier.select(col("id").as("s")).join(sym, "s")
         .select(col("t").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
@@ -498,6 +502,7 @@ object Similarity {
         .localCheckpoint(eager = true)
       dist = dist.unionAll(next).localCheckpoint(eager = true)
       frontier = next
+      h += 1
     }
     dist.select(col("id").as("vec_id"), col("hop"))
   }

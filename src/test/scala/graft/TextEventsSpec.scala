@@ -1087,13 +1087,31 @@ class TextEventsSpec extends SparkSpec {
   test("spanCorruption: span accounting invariants + exact census on a " +
       "known doc") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
-    val got = Events // touch nothing; just namespace clarity
     val r = graft.operators.TextAnalysis.spanCorruption(docs)
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(r.length == docs.count())
+    // independent reference: replay the LCG seed plan per doc in plain
+    // Scala and recompute the merged-span census exactly. (NB the bound
+    // n_masked <= spanLen * n_spans does NOT hold — two overlapping seeds
+    // merge into ONE span masking up to 2*spanLen tokens; the true bound
+    // is spanLen * n_seeds, which the exact replay subsumes.)
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    def seed(id: Long, p: Long, n: Long): Boolean =
+      p >= 1 && p <= n &&
+        (((id * 1000003L + p) % 2147483647L * 1103515245L + 12345L)
+          % 2147483647L % 100L) < 15
     r.foreach { case (id, n, m, sp, ppm) =>
+      val nTok = texts(id).split(" ", -1).length.toLong
+      assert(n == nTok, s"doc $id token count $n != replayed $nTok")
+      def maskedAt(p: Long): Boolean =
+        (0 until 3).exists(d => seed(id, p - d, n))
+      val ps = 1L to math.max(n, 1L)
+      val expM = ps.count(maskedAt).toLong
+      val expSp = ps.count(p => maskedAt(p) && !maskedAt(p - 1)).toLong
+      assert(m == expM, s"doc $id masked $m != replayed $expM")
+      assert(sp == expSp, s"doc $id spans $sp != replayed $expSp")
       assert(m <= n, s"doc $id masks more than its tokens")
-      assert(m <= 3 * sp, s"doc $id: a 3-span can't mask ${m} with $sp spans")
       assert((m > 0) == (sp > 0), s"doc $id: masked/spans disagree")
       assert(ppm == m * 1000000 / math.max(n, 1))
     }
