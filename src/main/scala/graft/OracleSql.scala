@@ -2719,4 +2719,113 @@ object OracleSql {
        |  WHERE w.hop < $maxHops)
        |SELECT id AS vec_id, CAST(min(hop) AS BIGINT) AS hop
        |FROM walk GROUP BY 1""".stripMargin
+
+  /** Mirror of the `km_wcr_log` bounded fit (KMeans.fit, seedFirstK seeds,
+    * fxScale 1e4, tol 0.01, `steps` Lloyd iterations max): the append-only
+    * WCR log as an UNROLLED CTE — step 0 = the deterministic first-k seeds,
+    * step t = the lloyd re-average of step t−1's assignment (the
+    * km_fit2_exact fragment chained), logged only while every PRIOR step's
+    * total centroid movement stayed ≥ tol (the loop's stop rule: the step
+    * that first drops below tol is still logged, the next one is not).
+    * Centroid values replay Spark's `sumFx/scale/n` double arithmetic
+    * exactly; the movement gate compares doubles far from the 0.01
+    * threshold, so aggregate-order ulps cannot flip it.
+    */
+  def kmWcrLog(k: Int = 4, steps: Int = 3, tol: Double = 0.01): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${Tables.yhOrdersSql},\n"
+    sb ++= s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, x, y
+              |  FROM (SELECT i, x, y FROM yh ORDER BY i LIMIT $k) t)""".stripMargin
+    for (t <- 1 to steps) {
+      val p = t - 1
+      sb ++= s""",
+                |a$t AS (SELECT i, x, y, j FROM (
+                |  SELECT s.i, s.x, s.y, c.j,
+                |    row_number() OVER (PARTITION BY s.i
+                |      ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y), c.j) AS rn
+                |  FROM yh s CROSS JOIN c$p c) t WHERE rn = 1),
+                |c$t AS (SELECT j,
+                |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS x,
+                |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS y
+                |  FROM a$t GROUP BY j),
+                |m$t AS (SELECT sum(sqrt((n.x-p.x)*(n.x-p.x)+(n.y-p.y)*(n.y-p.y))) AS mv
+                |  FROM c$t n JOIN c$p p ON n.j = p.j)""".stripMargin
+    }
+    val parts = (0 to steps).map { t =>
+      val gates = (1 until t).map(u => s"(SELECT mv FROM m$u) >= $tol")
+      val where = if (gates.isEmpty) "" else s" WHERE ${gates.mkString(" AND ")}"
+      s"SELECT CAST($t AS BIGINT) AS step, j, x AS cx, y AS cy FROM c$t$where"
+    }
+    sb ++= "\n" + parts.mkString("\nUNION ALL ")
+    sb.toString
+  }
+
+  /** Mirror of [[graft.operators.Similarity.pca1]]: exact sufficient stats
+    * (mean vector + covariance from one pass of raw double sums), then the
+    * SAME 100-round power iteration UNROLLED as `iters` chained CTEs —
+    * w_t = cov·v_{t−1}, v_t = w_t/‖w_t‖ — with the identical dominant-sign
+    * flip and λ/totVar variance ratio. Double aggregation order differs
+    * between engines (Spark per-partition, DuckDB hash-agg), but the
+    * iteration is contractive and every output is rounded to e6 on values
+    * O(1), so sub-1e-12 ulp drift cannot move a rounded cell.
+    */
+  def embPca(dim: Int = 64, iters: Int = 100): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+              |dims AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS BIGINT) AS d),
+              |mean AS MATERIALIZED (SELECT d.d, sum(e.v[d.d]) / (SELECT n FROM nn) AS m
+              |  FROM e, dims d GROUP BY d.d),
+              |s2 AS MATERIALIZED (SELECT i.d AS di, j.d AS dj, sum(e.v[i.d]*e.v[j.d]) AS ss
+              |  FROM e, dims i, dims j GROUP BY i.d, j.d),
+              |cov AS MATERIALIZED (SELECT s2.di, s2.dj,
+              |    s2.ss / (SELECT n FROM nn) - mi.m * mj.m AS c
+              |  FROM s2 JOIN mean mi ON mi.d = s2.di JOIN mean mj ON mj.d = s2.dj),
+              |v0 AS MATERIALIZED (SELECT d, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |w$t AS MATERIALIZED (SELECT c.di AS d, sum(c.c * v.v) AS w FROM cov c
+                |  JOIN v${t - 1} v ON v.d = c.dj GROUP BY c.di),
+                |v$t AS MATERIALIZED (SELECT d, w / (SELECT sqrt(sum(w*w)) FROM w$t) AS v FROM w$t)""".stripMargin
+    }
+    sb ++= s""",
+              |lam AS MATERIALIZED (SELECT sqrt(sum(w*w)) AS l FROM w$iters),
+              |flip AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM v$iters
+              |    ORDER BY abs(v) DESC, d LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS f),
+              |tv AS MATERIALIZED (SELECT sum(c) AS tot FROM cov WHERE di = dj)
+              |SELECT v.d AS dim,
+              |  CAST(round(m.m * 1e6) AS BIGINT) AS mean_e6,
+              |  CAST(round(v.v * (SELECT f FROM flip) * 1e6) AS BIGINT) AS pc1_e6,
+              |  CAST(round((SELECT l FROM lam) / (SELECT tot FROM tv) * 1e6) AS BIGINT)
+              |    AS evr_e6
+              |FROM v$iters v JOIN mean m ON m.d = v.d""".stripMargin
+    sb.toString
+  }
+
+  /** Mirror of `mm_features`: the per-kind payload byte accounting, derived
+    * in CLOSED FORM from the media generator's arithmetic
+    * (Multimodal.mediaTable / bmpBytes / wavBytes / aviBytes) — BMP is
+    * 54-byte header + 4-byte-padded BGR rows, WAV is the 44-byte canonical
+    * RIFF/fmt/data header + 2 bytes per 16-bit sample, AVI is the fixed
+    * 224-byte container framing + (8-byte chunk header + padded DIB frame)
+    * per frame. The Spark side must generate the container, DECODE it back
+    * (real RIFF/BMP parsers), and aggregate — so a hash match pins the
+    * whole encode→decode loop against this arithmetic.
+    */
+  val mmFeatures: String =
+    """WITH m AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS nc,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+      |  FROM documents),
+      |b AS (SELECT kind, CASE
+      |    WHEN kind = 'image' THEN
+      |      54 + ((id % 24 + 8) * 3 + 3) // 4 * 4 * (id % 16 + 8)
+      |    WHEN kind = 'audio' THEN 44 + 2 * (nc % 480 + 48)
+      |    ELSE 224 + (id % 5 + 2) *
+      |      (8 + ((id % 16 + 8) * 3 + 3) // 4 * 4 * (id % 12 + 6))
+      |    END AS nb
+      |  FROM m)
+      |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
+      |FROM b GROUP BY kind""".stripMargin
 }

@@ -705,10 +705,24 @@ object SparkEntry {
         .select(col("j"), col("n"))
     }),
 
-    // ---- the WCR centroid log (S2: append-only iteration history) ----
+    // ---- the WCR centroid log (S2: append-only iteration history).
+    // Runs the REAL fit loop (same iterate()/LogEntry machinery the
+    // flagship embeddings fit uses) on the 2-D orders binding with the
+    // deterministic first-k seeds and a bounded step budget, so the whole
+    // log — seeds at step 0, every Lloyd step's centroids, the movement
+    // stop — replays as an unrolled ANSI CTE and hash-matches (the
+    // km_fit2_exact discipline extended to the log). The 64-dim k-means‖
+    // flagship fit's log stays exercised via km_fit + KMeansSpec; it is
+    // NOT mirrorable (its driver-side weighted refine draws from a PRNG
+    // no ANSI engine replays). ----
     "km_wcr_log" -> ((s, dir) => {
       import s.implicits._
-      embFit(s, dir).log.map(e => (e.step, e.j, e.c.head)).toDF("step", "j", "c0")
+      val yh = Tables.yhOrders(s, dir).cache()
+      val fit = KMeans.fit(yh, k = 4, dim = 2, tol = 0.01, maxIter = 3,
+        fxScale = 1e4)
+      yh.unpersist()
+      fit.log.map(e => (e.step, e.j, e.c(0), e.c(1)))
+        .toDF("step", "j", "cx", "cy")
     }),
 
     // ---- MLlib-native alternate fit path (no SQL oracle) ----
@@ -2956,6 +2970,9 @@ object SparkEntry {
          |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cx,
          |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS cy
          |FROM a2 GROUP BY j""".stripMargin,
+    "km_wcr_log" -> OracleSql.kmWcrLog(k = 4, steps = 3, tol = 0.01),
+    "mm_features" -> OracleSql.mmFeatures,
+    "emb_pca" -> OracleSql.embPca(dim = 64, iters = 100),
     "km_elbow" ->
       s"""WITH $YH, $C4,
          |m AS (SELECT y.i, min((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS msq

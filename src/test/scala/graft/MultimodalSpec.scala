@@ -364,4 +364,42 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
+
+  test("mm_audio_seg: golden-value pin on the sf0.001 fixture") {
+    // direct by-name pin of the no_oracle driver query: exact row census +
+    // exact per-clip rows (the WAV decode + window energies are pure
+    // functions of the deterministic generator, so these values are stable)
+    val got = SparkEntry.queries("mm_audio_seg")(spark, sf("0.001"))
+    val agg = got.agg(count(lit(1)), sum("n_windows"), sum("n_active"),
+      sum("max_run"), sum("peak_win_e")).head()
+    assert(agg.getLong(0) == 167L)
+    assert(agg.getLong(1) == 798L)
+    assert(agg.getLong(2) == 755L)
+    assert(agg.getLong(3) == 755L)
+    assert(agg.getLong(4) == 1734754276492L)
+    val byId = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(byId(1L) == ((16000L, 8L, 8L, 8L, 3865408741L)))
+    assert(byId(16L) == ((16000L, 1L, 1L, 1L, 5287449987L)))
+    assert(byId(28L) == ((16000L, 9L, 8L, 8L, 2060175866L)))
+  }
+
+  test("mm_frame_dedup: golden-value pin on the sf0.001 fixture") {
+    // by-name pin: exact pair census, and EVERY planted re-encode (the
+    // +1000000 id-shifted byte-identical copy of each id%5==1 video) must
+    // match its source on ALL nf = id%5+2 = 3 frames — 33 such videos at
+    // sf0.001 (doc ids ≡ 11 mod 15 below 500)
+    val got = SparkEntry.queries("mm_frame_dedup")(spark, sf("0.001"))
+    val agg = got.agg(count(lit(1)), sum("n_frames")).head()
+    assert(agg.getLong(0) == 210L)
+    assert(agg.getLong(1) == 409L)
+    val planted = got.filter(col("b_vid") >= 1000000L &&
+      col("b_vid") - 1000000L === col("a_vid"))
+    val pagg = planted.agg(count(lit(1)), sum("n_frames"),
+      min("n_frames"), max("n_frames")).head()
+    assert(pagg.getLong(0) == 33L)
+    assert(pagg.getLong(1) == 99L)
+    assert(pagg.getLong(2) == 3L && pagg.getLong(3) == 3L)
+  }
 }

@@ -150,4 +150,19 @@ class QualitySpec extends SparkSpec {
     }
     assert(wcss(0) > wcss(1) && wcss(1) > wcss(2), s"wcss=$wcss")
   }
+
+  test("km_gap_fitted: golden-value pin on the sf0.001 fixture") {
+    // direct by-name pin of the no_oracle driver query: the fit-per-k gap
+    // statistic is a pure function of the data (hash-uniform reference
+    // draws, k-means|| deterministic coins, fixed-point WCSS), so the
+    // whole table is stable to the exact integer
+    val got = SparkEntry.queries("km_gap_fitted")(spark, sf("0.001"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, -2452L, 105286L, 0L),
+      (3L, 7795L, 9134L, 0L),
+      (4L, 45423L, 34254L, 0L),
+      (5L, 141509L, 41802L, 1L),
+      (6L, 78716L, 27421L, 0L)), s"got $got")
+  }
 }
