@@ -560,6 +560,11 @@ object Dedup {
     * everything after still matches its twin byte-for-byte (where fixed
     * windows would misalign every chunk). ONE per-row fold builds the chunk
     * array (zero shuffle); expected chunk length = `mod` tokens.
+    *
+    * This HOF fold is the EXECUTABLE SPEC: higher-order `aggregate` is
+    * CodegenFallback in Spark, so the hot path ([[cdcStats]]) runs the
+    * value-identical native [[graft.plans.ShingleOps.cdcChunks]] kernel
+    * instead (parity pinned in DedupSpec).
     */
   def cdcChunkArray(text: Column, mod: Int = 8): Column = {
     val pairs = zip_with(tokens(text), graft.plans.native.token_ids(text),
@@ -586,7 +591,8 @@ object Dedup {
     */
   def cdcStats(docs: DataFrame, mod: Int = 8): DataFrame = {
     val ch = docs
-      .select(col("doc_id"), posexplode(cdcChunkArray(col("text"), mod)))
+      .select(col("doc_id"),
+        posexplode(graft.plans.native.cdc_chunks(col("text"), mod)))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
     val cnt = ch.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -198,6 +198,12 @@ object native {
   def token_ids(text: Column): Column =
     GraftColumnShim.column(TokenIds(GraftColumnShim.expression(text)))
 
+  /** Content-defined chunk partition — the fused, codegen'd twin of
+    * `Dedup.cdcChunkArray` (see [[CdcChunks]]; parity pinned in DedupSpec).
+    */
+  def cdc_chunks(text: Column, mod: Int): Column =
+    GraftColumnShim.column(CdcChunks(GraftColumnShim.expression(text), mod))
+
   /** Distinct lowercase char trigrams — the fused
     * `array_distinct(transform(sequence(...), i -> substring(lower(t), i, 3)))`
     * (see [[CharTrigrams]]).

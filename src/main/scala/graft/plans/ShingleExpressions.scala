@@ -111,6 +111,34 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunk partition — the fused twin of
+    * `Dedup.cdcChunkArray`'s `aggregate(zip_with(tokens, token_ids, ...))`
+    * fold (a boundary falls AFTER every token whose [[PolyHash.hash]] ≡ 0
+    * mod `mod`; chunks are the space-joined runs between boundaries, with a
+    * trailing partial chunk kept). The HOF fold is CodegenFallback and was
+    * the dedup_cdc hot spot (2.4× its floor in round 11); this is one
+    * straight-line pass per row. Value parity is exact, including the
+    * `cur = ""` sentinel semantics of the original fold (an empty token
+    * always hashes to 0, so it always closes a chunk — the only state in
+    * which the sentinel could be ambiguous never survives a step).
+    */
+  def cdcChunks(s: UTF8String, mod: Int): ArrayData = {
+    val toks = tokens(s)
+    val chunks = new java.util.ArrayList[Any]
+    var cur = ""
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val ncur = if (cur.isEmpty) t else cur + " " + t
+      if (PolyHash.hash(t) % mod == 0) {
+        chunks.add(UTF8String.fromString(ncur)); cur = ""
+      } else cur = ncur
+      i += 1
+    }
+    if (cur.nonEmpty) chunks.add(UTF8String.fromString(cur))
+    new GenericArrayData(chunks.toArray)
+  }
+
   /** Distinct lowercase character trigrams, first-occurrence order — the
     * fused `array_distinct(transform(sequence(1, length(lower(t)) - 2),
     * i -> substring(lower(t), i, 3)))` incl. its len<3 → empty guard.
@@ -221,6 +249,28 @@ case class TokenIds(child: Expression) extends ShingleExpressionBase {
 
 object TokenIds {
   val info: ExpressionInfo = new ExpressionInfo(classOf[TokenIds].getName, "token_ids")
+}
+
+/** `cdc_chunks(text, mod)` → `array<string>` content-defined chunks
+  * (boundary after every token with poly_hash ≡ 0 mod `mod`).
+  */
+case class CdcChunks(child: Expression, mod: Int) extends ShingleExpressionBase {
+  require(mod >= 1, s"cdc mod must be >= 1, got $mod")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.cdcChunks(v.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.cdcChunks($c, $mod)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks")
 }
 
 /** `char_trigrams(text)` → `array<string>` distinct lowercase char trigrams. */

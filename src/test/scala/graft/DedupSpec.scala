@@ -309,6 +309,27 @@ class DedupSpec extends SparkSpec {
     assert(exact == Seq("a x"))
   }
 
+  test("native cdc_chunks matches the HOF cdcChunkArray spec exactly") {
+    import org.apache.spark.sql.functions.col
+    // edge soup: empty text, single token, boundary-final, empty tokens
+    // (hash("") = 0 — always a boundary), long runs with no boundary
+    val docs = Seq(
+      (1L, "a b x c d x e"), (2L, "zzz a b x c d x e"), (3L, "a x"),
+      (4L, ""), (5L, "x"), (6L, "a"), (7L, "a  b"), (8L, " x "),
+      (9L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+      (10L, "x x x"), (11L, "a b c d e f g h i j k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    for (mod <- Seq(1, 3, 8)) {
+      val spec = docs.select(col("doc_id"),
+          Dedup.cdcChunkArray(col("text"), mod).as("ch"))
+        .as[(Long, Seq[String])].collect().toMap
+      val native = docs.select(col("doc_id"),
+          graft.plans.native.cdc_chunks(col("text"), mod).as("ch"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == spec, s"mod=$mod")
+    }
+  }
+
   test("duplicatedSpans merges overlapping grams into exact maximal ranges") {
     val docs = Seq(
       // docs 1 and 2 share the 6-token run "one two three four five six" —
