@@ -2225,6 +2225,69 @@ object OracleSql {
        |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk,
        |  doc_id, dl, n_hit, score_e6 FROM g""".stripMargin
 
+  /** Mirror of [[graft.operators.Retrieval.hybridRrf]]: the [[textBm25]]
+    * Okapi term shape scored per pseudo-query (each query doc's top-nTerms
+    * TFIDF terms, [[graft.operators.TextAnalysis.tfidf]]'s rounded score
+    * and tie order), the [[simIvf]] dense chain, and the RRF fusion as an
+    * integer `1e6 // (rrfK + rank)` sum over a (q_id, doc) full outer join.
+    */
+  def retrievalHybrid(nQueries: Int, nTerms: Int, kList: Int, kOut: Int,
+      rrfK: Int, nCells: Int, nProbe: Int, k1: Double, b: Double): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tok),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS token FROM d) t
+       |  GROUP BY doc_id, dl, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_len FROM d),
+       |qt AS (SELECT q_id, token, df FROM (
+       |    SELECT tf.doc_id AS q_id, tf.token, df.df,
+       |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |        CAST(round(tf.tf * n_docs * 1000000.0 / df.df) AS BIGINT) DESC,
+       |        tf.token) AS trnk
+       |    FROM tf JOIN df ON tf.token = df.token CROSS JOIN scal
+       |    WHERE tf.doc_id < $nQueries) x WHERE trnk <= $nTerms),
+       |sp AS (SELECT qt.q_id, tf.doc_id,
+       |    CAST(sum(CAST(round(((n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
+       |      (tf.tf * ${k1 + 1.0}) /
+       |      (tf.tf + $k1 * (1.0 - $b + $b * tf.dl * n_docs / total_len)) * 1e6)
+       |      AS BIGINT)) AS BIGINT) AS score_e6
+       |  FROM tf JOIN qt ON tf.token = qt.token CROSS JOIN scal
+       |  WHERE tf.doc_id <> qt.q_id GROUP BY qt.q_id, tf.doc_id),
+       |sr AS (SELECT q_id, doc_id, CAST(rnk_sparse AS BIGINT) AS rnk_sparse FROM (
+       |    SELECT q_id, doc_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id)
+       |        AS rnk_sparse FROM sp) x WHERE rnk_sparse <= $kList),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id),
+       |dr AS (SELECT q_id, n_id AS doc_id, CAST(rnk_dense AS BIGINT) AS rnk_dense FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk_dense
+       |    FROM cand) x WHERE rnk_dense <= $kList),
+       |fuse AS (SELECT coalesce(sr.q_id, dr.q_id) AS q_id,
+       |    coalesce(sr.doc_id, dr.doc_id) AS doc_id, sr.rnk_sparse, dr.rnk_dense,
+       |    CAST(coalesce(1000000 // ($rrfK + sr.rnk_sparse), 0) +
+       |      coalesce(1000000 // ($rrfK + dr.rnk_dense), 0) AS BIGINT) AS rrf_e6
+       |  FROM sr FULL OUTER JOIN dr
+       |    ON sr.q_id = dr.q_id AND sr.doc_id = dr.doc_id)
+       |SELECT q_id, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf_e6,
+       |  rnk_sparse, rnk_dense FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, doc_id)
+       |    AS rnk FROM fuse) x WHERE rnk <= $kOut""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.hardNegatives]]: nProbe-cell
     * indexing with the label carried, different-label candidates from the
     * cell equi-join, per-anchor top-k by cosine.
@@ -2767,7 +2830,10 @@ object OracleSql {
     * flip and λ/totVar variance ratio. Double aggregation order differs
     * between engines (Spark per-partition, DuckDB hash-agg), but the
     * iteration is contractive and every output is rounded to e6 on values
-    * O(1), so sub-1e-12 ulp drift cannot move a rounded cell.
+    * O(1), so sub-1e-12 ulp drift cannot move a rounded cell. Rounding
+    * convention is ALIGNED: pca1 rounds half-away-from-zero (its local
+    * `rnd`), exactly DuckDB `round()` — not Scala `math.round`'s half-up,
+    * which would flip a negative loading landing on an exact .5e-6.
     */
   def embPca(dim: Int = 64, iters: Int = 100): String = {
     val sb = new StringBuilder

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, Events, KMeans, Multimodal, Profiling, Quality, Quantiles, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, KMeans, Multimodal, Profiling, Quality, Quantiles, Retrieval, Similarity, TextAnalysis}
 import graft.operators.KMeans.Centroid
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -882,6 +882,16 @@ object SparkEntry {
       // direct block join: this synthetic vocab clusters fingerprints so
       // heavily that pigeonhole chunks aren't selective (see simhashPairs)
       Dedup.simhashPairs(Tables.read(s, dir, "documents"), chunkBlocked = false)),
+    // THE scale path for simhash: pigeonhole chunk blocking — candidates
+    // from an equi-join on (lang, chunk idx, chunk value), lossless for
+    // Hamming <= maxHamming by pigeonhole, so the oracle is the naive
+    // pair form and must hash-match EXACTLY. Published at 48 bits /
+    // Hamming <= 3 (4 chunks x 12 bits): wide chunks stay selective even
+    // on this clustered synthetic vocab, which is precisely the
+    // bits-per-chunk sizing call a production corpus needs
+    "dedup_simhash_blocked" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.read(s, dir, "documents"), bits = 48,
+        maxHamming = 3, chunkBlocked = true)),
     "dedup_embcos" -> ((s, dir) =>
       Dedup.embeddingCosine(Tables.read(s, dir, "embeddings"), thrE6 = 350000L)),
     // THE scale path for embedding near-dup: IVF cell blocking — candidates
@@ -939,6 +949,15 @@ object SparkEntry {
     "sim_ivf" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
+    }),
+    // hybrid retrieval fusion — the composition a RAG data pipeline ships:
+    // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
+    // IVF ANN over the query vector (dense), fused per query with
+    // reciprocal-rank fusion in exact integer fixed point
+    "retrieval_hybrid" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Retrieval.hybridRrf(Tables.read(s, dir, "documents"), emb,
+        Similarity.fixedCentroids(emb, 16))
     }),
     // measured recall@k of the IVF search vs brute force, per query, in
     // exact ppm — the gauge that justifies (or vetoes) a probe-count trade
@@ -1403,21 +1422,20 @@ object SparkEntry {
         "l_discount" -> round(col("l_discount") * 10000).cast("long"),
         "l_tax" -> round(col("l_tax") * 10000).cast("long")))),
     // higher-moment census: per-type skewness and excess kurtosis from ONE
-    // scan of exact integer power sums. The u²..u⁴ sums accumulate in
-    // DECIMAL(38,0) (DuckDB's HUGEINT twin) so NO row count overflows them —
-    // int64 sums would wrap silently at scale while DuckDB promotes, and
-    // the engines would diverge. The only remaining bound is per-row:
-    // |round(value)| < 55,108 keeps a single u⁴ term inside int64 (events
-    // values are dollar-scale, orders of magnitude under that). s1 stays
-    // int64 in the output (|u|·1e12 rows ≈ 5e16, safe); the raw s2 is NOT
-    // emitted — it is the first sum to outgrow BIGINT. Fixed double
-    // formulas over the exact sums — the q_corr determinism recipe
+    // scan of exact integer power sums. Each power is computed AND summed
+    // in DECIMAL(38,0) (DuckDB's HUGEINT twin) — the per-row products are
+    // decimal from the first multiply, so neither a single u⁴ term nor any
+    // row count can wrap int64 (a long-domain u*u*u*u would silently wrap
+    // past |u| ≈ 55,108 on Spark while DuckDB raises — divergent failure
+    // modes). s1 stays int64 in the output (|u|·1e12 rows ≈ 5e16, safe);
+    // the raw power sums are NOT emitted. Fixed double formulas over the
+    // exact sums — the q_corr determinism recipe
     "q_moments" -> ((s, dir) => {
       val u = round(col("value")).cast("long")
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val du = u.cast("decimal(38,0)")
       val g = Tables.readEvents(s, dir).groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(u).as("s1"), sum(dec(u * u)).as("s2"),
-          sum(dec(u * u * u)).as("s3"), sum(dec(u * u * u * u)).as("s4"))
+        .agg(count(lit(1)).as("n"), sum(u).as("s1"), sum(du * du).as("s2"),
+          sum(du * du * du).as("s3"), sum(du * du * du * du).as("s4"))
       def d(c: String) = col(c).cast("double")
       val m = d("s1") / d("n")
       val e2 = d("s2") / d("n")
@@ -3166,6 +3184,9 @@ object SparkEntry {
     "dedup_keep" -> OracleSql.dedupKeepOne(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
+    // the naive pair form IS the blocked query's oracle: pigeonhole chunk
+    // blocking is lossless, so the outputs must be identical
+    "dedup_simhash_blocked" -> OracleSql.dedupSimhash(bits = 48, maxHamming = 3),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
@@ -3188,6 +3209,9 @@ object SparkEntry {
       nQueries = 5, nProbe = 2, k = 10),
     "sim_topk_native" -> OracleSql.simTopK(nQueries = 5, k = 10),
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "retrieval_hybrid" -> OracleSql.retrievalHybrid(nQueries = 5, nTerms = 3,
+      kList = 10, kOut = 10, rrfK = 60, nCells = 16, nProbe = 2,
+      k1 = 1.2, b = 0.75),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
@@ -3730,9 +3754,10 @@ object SparkEntry {
         |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY day
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_moments" ->
-      """WITH u AS (SELECT event_type, CAST(round(value) AS BIGINT) AS u FROM events),
+      """WITH u AS (SELECT event_type, CAST(round(value) AS BIGINT) AS u,
+        |    CAST(round(value) AS HUGEINT) AS hu FROM events),
         |g AS (SELECT event_type, count(*) AS n, CAST(sum(u) AS BIGINT) AS s1,
-        |    sum(u*u) AS s2, sum(u*u*u) AS s3, sum(u*u*u*u) AS s4
+        |    sum(hu*hu) AS s2, sum(hu*hu*hu) AS s3, sum(hu*hu*hu*hu) AS s4
         |  FROM u GROUP BY event_type),
         |d AS (SELECT event_type, n, s1,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,

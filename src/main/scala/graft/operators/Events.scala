@@ -994,7 +994,11 @@ object Events {
       .agg(min(day).as("first_day"), max(day).as("last_day"))
     // the censoring cutoff is ONE scalar — collect it (a plain scan + max,
     // no shuffle) and inline as a literal rather than carrying it through a
-    // 1-row broadcast join; keeps the no-nested-loop plan gate strict
+    // 1-row broadcast join; keeps the no-nested-loop plan gate strict.
+    // CONSTRUCTION-EAGER by consequence: building the survival plan runs
+    // this one scan job even if the result is never materialized (recorded
+    // next to PlansSpec's eager notes; callers timing plan construction
+    // should know the horizon scan bills here)
     val maxDayRow = events.agg(max(day)).head()
     if (maxDayRow.isNullAt(0))
       return users.limit(0).select(lit(0L).as("day"), lit(0L).as("n_risk"),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the composition a real RAG data pipeline runs:
+  * sparse lexical ranking (the [[TextAnalysis.bm25]] Okapi scorer) and
+  * dense vector ranking (the [[Similarity.ivfTopK]] ANN search) fused per
+  * query with reciprocal-rank fusion (RRF, Cormack et al. 2009:
+  * `score = Σ_lists 1/(rrfK + rank)`), in exact integer fixed point
+  * (`1e6 div (rrfK + rank)`) so the fused ranking hash-matches an ANSI
+  * oracle.
+  *
+  * Query identity bridges the two modalities through the fixture's
+  * row alignment: query q is BOTH document `doc_id = q` (whose top-TFIDF
+  * terms form the lexical query, the standard pseudo-query construction)
+  * and embedding `vec_id = q` (the dense query vector).
+  *
+  * Scale shape: one corpus (doc, token) tf groupBy + one vocabulary df
+  * groupBy (both map-side combined); the per-query term lists are
+  * nQueries×nTerms rows and BROADCAST, so sparse scoring is a broadcast
+  * equi-join on token — candidates are only docs containing a query term.
+  * The dense side is the IVF cell equi-join. The fusion itself is a
+  * (q_id, doc) full outer join between two k-row-per-query lists —
+  * kList·nQueries rows a side, trivially partitioned by q_id. Per-query
+  * rank windows sort candidate lists bounded by the posting lists of 3
+  * terms (sparse) / k (dense), never the corpus.
+  */
+object Retrieval {
+
+  /** RRF fusion of BM25-over-query-doc-terms and IVF top-k. One row per
+    * (query, fused-top-`kOut` doc): fused `rrf_e6`, final `rnk`, and the
+    * per-list ranks (`rnk_sparse` / `rnk_dense`, null when the doc appears
+    * in only one list). The query doc itself is excluded from both lists
+    * (the dense side already excludes `vec_id = q_id`).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      centroids: Seq[KMeans.Centroid], nQueries: Int = 5, nTerms: Int = 3,
+      kList: Int = 10, kOut: Int = 10, rrfK: Int = 60,
+      nProbe: Int = 2, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    // pseudo-queries: each query doc's top-nTerms TFIDF terms (the
+    // TextAnalysis.tfidf score and tie order exactly), with df carried
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .join(df, "token").crossJoin(broadcast(scal))
+      .withColumn("score_e6",
+        round(col("tf") * col("n_docs") * 1000000.0 / col("df")).cast("long"))
+      .withColumn("trnk", row_number().over(wq))
+      .filter(col("trnk") <= nTerms)
+      .select(col("doc_id").as("q_id"), col("token"), col("df"))
+    // Okapi BM25 of every corpus doc against each query's term set — the
+    // TextAnalysis.bm25 term shape verbatim, per q_id
+    val termE6 = round(
+      ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total_len"))) *
+        1e6).cast("long")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("score_e6"), asc("doc_id"))
+    val sparse = tf.join(broadcast(qterms), "token").crossJoin(broadcast(scal))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"), termE6.as("term_e6"))
+      .groupBy("q_id", "doc_id").agg(sum("term_e6").as("score_e6"))
+      .withColumn("rnk_sparse", row_number().over(ws).cast("long"))
+      .filter(col("rnk_sparse") <= kList)
+      .select(col("q_id"), col("doc_id"), col("rnk_sparse"))
+    val dense = Similarity.ivfTopK(emb, centroids, nQueries, nProbe, kList)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("rnk_dense"))
+    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 div ($rrfK + rnk_sparse)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + rnk_dense)"), lit(0L)))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("rrf_e6"), asc("doc_id"))
+    fused.withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= kOut)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("rrf_e6"),
+        col("rnk_sparse"), col("rnk_dense"))
+  }
+}

@@ -675,9 +675,12 @@ object Similarity {
     val pc = v.map(_ * flip)
     val totVar = (0 until d).map(i => cov(i)(i)).sum
     val evr = lambda / totVar
+    // half-AWAY-FROM-ZERO, matching Spark SQL round() and DuckDB round()
+    // (Scala math.round is half-up toward +inf: -2.5 -> -2, which would
+    // diverge from the oracle on a negative loading landing on .5e-6)
+    def rnd(x: Double): Long = if (x >= 0) math.round(x) else -math.round(-x)
     pc.zipWithIndex.map { case (l, i) =>
-      (i.toLong + 1, math.round(mean(i) * 1e6), math.round(l * 1e6),
-        math.round(evr * 1e6))
+      (i.toLong + 1, rnd(mean(i) * 1e6), rnd(l * 1e6), rnd(evr * 1e6))
     }.toSeq.toDF("dim", "mean_e6", "pc1_e6", "evr_e6")
   }
 

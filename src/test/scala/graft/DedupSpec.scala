@@ -121,6 +121,14 @@ class DedupSpec extends SparkSpec {
     val chunked = Dedup.simhashPairs(real, chunkBlocked = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(chunked == direct)
+    // the published dedup_simhash_blocked parameterization (48 bits /
+    // Hamming <= 3 — 4 chunks x 12 bits) too: losslessness is per-params
+    val d48 = Dedup.simhashPairs(real, bits = 48, maxHamming = 3, chunkBlocked = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c48 = Dedup.simhashPairs(real, bits = 48, maxHamming = 3, chunkBlocked = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c48 == d48)
+    assert(d48.nonEmpty) // the params must actually surface pairs on real data
   }
 
   test("ngram df cap drops hot-shingle postings and bounds the candidate blowup") {

@@ -233,6 +233,10 @@ class PlansSpec extends SparkSpec {
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
       "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
+      // retrieval_hybrid crossJoins the SAME one-row scalar aggregate as
+      // text_bm25 (corpus N + total length); its corpus-scale joins are
+      // broadcast equi-joins on token and the IVF cell equi-join
+      "retrieval_hybrid",
       "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
       "sim_sq8", "sim_sq8_native", // native twin shares the same scan shape
       // text_source_chi2's pair frame is an inequality join over the
@@ -253,6 +257,10 @@ class PlansSpec extends SparkSpec {
       "km_fit_minibatch", // the mini-batch loop runs during construction
       "km_fit_bisecting", // the MLlib bisecting fit runs during construction
       "emb_pca") // the stats collect + power iteration run during construction
+    // NOTE (recorded semantics, still gated): events_survival runs ONE eager
+    // scan during construction (the max(day) horizon scalar) — the accepted
+    // trade that killed its BroadcastNestedLoopJoin, so it stays IN this
+    // sweep; building its plan executes that one job.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(eager).filterNot(allowed)
       .filter { name =>
@@ -260,6 +268,19 @@ class PlansSpec extends SparkSpec {
           .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"nested-loop joins in: $offenders")
+  }
+
+  test("dedup_simhash_blocked plans the pigeonhole chunk EQUI-join") {
+    val plan = SparkEntry.queries("dedup_simhash_blocked")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked simhash must never nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
+    // candidates come from the chunk attributes, not a fingerprint cross
+    assert(plan.contains("cidx") && plan.contains("cval"),
+      s"chunk keys missing from the plan:\n$plan")
   }
 
   test("roundHalfUp fast path equals the BigDecimal HALF_UP definition") {
