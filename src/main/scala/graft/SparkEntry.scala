@@ -1980,8 +1980,11 @@ object SparkEntry {
         .select(col("o_custkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .groupBy("o_custkey").agg(sum("cents").as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      val dec = cust.withColumn("decile", ntile(10).over(w).cast("long"))
+      // decile cut via the range-partitioned globalNtile (customers are
+      // unbounded at scale); only the 10-row decile rollup's cumulative
+      // window is single-partition — k-sized by construction
+      val dec = operators.Ranking.globalNtile(cust,
+          Seq(col("spend").desc, col("o_custkey")), 10, "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_cust"), sum("spend").as("spend_cents"))
       val wd = Window.orderBy("decile")
@@ -1995,12 +1998,13 @@ object SparkEntry {
 
     // ---- RFM segmentation (recency / frequency / monetary quintiles per
     // customer — the classic activation/churn cut): one groupBy(custkey)
-    // shuffle builds the summary; the three ntile(5) windows run over the
-    // CUSTOMER summary (orders-many → customers-few), each on a total
-    // (metric, custkey) order so scores are deterministic. 5 = best. At
-    // 100 TB swap the global ntiles for the range-partitioned global rank
-    // (Ranking.globalRank) bucketed by rank·5/n — the lengthDecileProfile
-    // note, identical semantics ----
+    // shuffle builds the summary; the three quintile cuts are
+    // range-partitioned globalNtile(5) passes over the CUSTOMER summary
+    // (orders-many → customers-few, but customers are still unbounded at
+    // 100 TB — never a single-partition window), each on a total
+    // (metric, custkey) order so scores are deterministic. 5 = best. The
+    // summary is localCheckpoint'd so the three rank passes and the count
+    // share ONE materialization of the aggregate ----
     "q_rfm" -> ((s, dir) => {
       // o_orderdate arrives TIMESTAMP_NTZ (see Tables.readEvents note);
       // the session TZ is pinned UTC so the cast is instant-preserving
@@ -2011,13 +2015,12 @@ object SparkEntry {
         .groupBy("o_custkey")
         .agg(max("day").as("last_day"), count(lit(1)).as("n_orders"),
           sum("cents").as("spend_cents"))
-      def score(c: String) =
-        ntile(5).over(Window.orderBy(col(c), col("o_custkey"))).cast("long")
-      cust
-        .withColumn("r", score("last_day"))
-        .withColumn("f", score("n_orders"))
-        .withColumn("m", score("spend_cents"))
-        .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+        .localCheckpoint()
+      def score(df: DataFrame, c: String, as: String) =
+        operators.Ranking.globalNtile(df, Seq(col(c), col("o_custkey")), 5, as)
+      val scored = score(score(score(cust,
+        "last_day", "r"), "n_orders", "f"), "spend_cents", "m")
+      scored.withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
     }),
 
     // ---- incremental view maintenance: the persisted BASE aggregate

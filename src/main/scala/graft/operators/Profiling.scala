@@ -168,23 +168,26 @@ object Profiling {
     * constant column, ≈ N·log₂(distinct) for a uniform one). Exact int64,
     * so the DuckDB oracle hash-matches.
     *
-    * Shape: one value-keyed groupBy per column (map-side combined; the
-    * distinct-value relation is census-small for categorical columns), a
-    * scalar total via one window over that tiny relation, one aggregate.
+    * Shape: one value-keyed groupBy per column (map-side combined), one
+    * aggregate — NO window anywhere: since Σ_v cnt_v = N, the surprise
+    * total closes as `N·bitlen(N) − Σ_v cnt_v·bitlen(cnt_v)`, so the
+    * scalar N never has to ride alongside the per-value rows (the previous
+    * form carried it via a single-partition window over the distinct-value
+    * relation — census-small for enums but UNBOUNDED for the key-like
+    * columns this census exists to detect).
     */
   def entropyCensus(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       val counts = df.groupBy(col(c).cast("string").as("v"))
         .agg(count(lit(1)).as("cnt"))
       counts
-        .withColumn("n", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-        .agg(max("n").as("n_rows"),
+        .agg(sum("cnt").as("n_rows"),
           count(lit(1)).as("n_distinct"),
-          sum(expr("cnt * (length(conv(n, 10, 2)) - length(conv(cnt, 10, 2)))"))
+          sum(expr("cnt * length(conv(cnt, 10, 2))")).as("sb"))
+        .select(lit(c).as("col_name"),
+          col("n_rows").cast("long").as("n_rows"), col("n_distinct"),
+          (col("n_rows") * expr("length(conv(n_rows, 10, 2))") - col("sb"))
             .cast("long").as("surprise_bits"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
-          col("surprise_bits"))
     }.reduce(_ unionByName _)
 
   def drift(before: DataFrame, after: DataFrame): DataFrame = {

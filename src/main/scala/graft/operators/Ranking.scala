@@ -38,4 +38,32 @@ object Ranking {
     }
     spark.createDataFrame(withRank, schema)
   }
+
+  /** Exact `ntile(k)` over a TOTAL order, terasort-shaped: [[globalRank]]
+    * plus the closed-form ntile bucket arithmetic — with n rows the first
+    * `n mod k` buckets hold `n div k + 1` rows, the rest `n div k`, rows
+    * assigned in rank order — which is EXACTLY the SQL window `ntile(k)`
+    * (both engines), so swapping this in for the single-partition
+    * `ntile(k) OVER (ORDER BY …)` changes the plan, never a value.
+    *
+    * Construction-eager like [[globalRank]] itself (its zipWithIndex runs
+    * a per-partition-count job); the row count `n` adds one count job over
+    * the (already shuffled) input.
+    */
+  def globalNtile(df: DataFrame, order: Seq[Column], k: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1, got $k")
+    val ranked = globalRank(df, order, "__gn_rnk")
+    val n = df.count()
+    val q = n / k
+    val r = n % k
+    val cut = r * (q + 1) // ranks 1..cut land in the q+1-sized buckets
+    val qSafe = math.max(q, 1L) // q = 0 ⟹ rank > cut unreachable
+    import org.apache.spark.sql.functions.{col, expr}
+    ranked
+      .withColumn(bucketCol, expr(
+        s"CAST(CASE WHEN __gn_rnk <= $cut THEN (__gn_rnk - 1) div ${q + 1}" +
+          s" ELSE $r + (__gn_rnk - 1 - $cut) div $qSafe END + 1 AS BIGINT)"))
+      .drop(col("__gn_rnk"))
+  }
 }

@@ -352,19 +352,18 @@ object TextAnalysis {
     * order, deterministic — with each decile's exact integer quality
     * profile (stopword-density per-mille, the [[paretoFrontier]] metric).
     * The table answers "does quality drift with length?" before any
-    * length-based gate is tuned. The global ntile is a single ordered
-    * pass over (n_chars, doc_id) pairs — at 100 TB swap in the
-    * range-partitioned global rank (`Ranking.globalRank`, same total
-    * order) and bucket by `rank·10/n`; semantics identical.
+    * length-based gate is tuned. The decile cut is the range-partitioned
+    * [[Ranking.globalNtile]] over the (n_chars, doc_id) total order —
+    * value-identical to the window `ntile(10)` (which the oracle still
+    * runs) but never a single-partition window: rows move through ONE
+    * range shuffle and every task sees only its own slice.
     */
   def lengthDecileProfile(docs: DataFrame): DataFrame = {
     val nTok = size(tokens(col("text")))
     val stops = Stopwords.map(s => stopHits(s._1)).reduce(_ + _)
     val base = docs.select(col("doc_id"), col("n_chars"),
       floor((stops * 1000) / nTok).cast("long").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars"), col("doc_id"))
-    base.withColumn("decile", ntile(10).over(w).cast("long"))
+    Ranking.globalNtile(base, Seq(col("n_chars"), col("doc_id")), 10, "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
@@ -492,17 +491,17 @@ object TextAnalysis {
     * into `nShards` files of near-equal token mass (so no trainer reads a
     * straggler shard): docs rank by (tokens desc, doc_id) and take
     * `rank % nShards` — the round-robin LPT approximation, whose imbalance
-    * is bounded by one max-size doc (pinned in TextEventsSpec). One global
-    * rank window at this size; at scale the same rule runs per (lang,
-    * partition) with per-partition shard offsets and stays one shuffle.
+    * is bounded by one max-size doc (pinned in TextEventsSpec). The rank
+    * is the range-partitioned [[Ranking.globalRank]] (same total order as
+    * the window `row_number` the oracle runs — identical values, one range
+    * shuffle, no single-partition window).
     */
   def shardBalanced(docs: DataFrame, nShards: Int = 8): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("n_tok"), col("doc_id"))
-    docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("rnk", row_number().over(w))
+    Ranking.globalRank(
+        docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+        Seq(desc("n_tok"), col("doc_id")), "rnk")
       .select(col("doc_id"), col("n_tok"),
         ((col("rnk") - 1) % nShards).cast("long").as("shard"))
   }
@@ -737,17 +736,18 @@ object TextAnalysis {
     * (total (cnt desc, token) order — deterministic), each reporting its
     * token-type count, its occurrence mass, and the CUMULATIVE mass in
     * exact ppm. Answers "how much of the corpus does a vocab of the top
-    * 10/20/…% cover" before committing to a vocab size. The ntile runs
-    * over the VOCABULARY relation (types, not occurrences — orders of
-    * magnitude smaller than the corpus); the decile rollup and its
+    * 10/20/…% cover" before committing to a vocab size. The decile cut is
+    * [[Ranking.globalNtile]] over the VOCABULARY relation (types, not
+    * occurrences — already orders of magnitude smaller than the corpus,
+    * and range-partitioned rather than a single-partition window since a
+    * web-scale vocabulary is itself unbounded); the decile rollup and its
     * cumulative window are 10 rows.
     */
   def vocabCurve(docs: DataFrame): DataFrame = {
     val counts = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token"))
-    val dec = counts.withColumn("decile", ntile(10).over(w).cast("long"))
+    val dec = Ranking.globalNtile(counts,
+        Seq(col("cnt").desc, col("token")), 10, "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_types"), sum("cnt").as("mass"))
     val wd = org.apache.spark.sql.expressions.Window.orderBy("decile")
@@ -765,16 +765,14 @@ object TextAnalysis {
     * into head / middle / tail terciles of the [[unigramLm]] familiarity
     * score — the tri-level quality split web-corpus pipelines feed to
     * training-mix decisions (head = most LM-familiar; CCNet keeps head +
-    * middle and drops or down-weights tail). The cut is a global ntile(3)
-    * over the total (avg_bits_e6, doc_id) order — deterministic; at 100 TB
-    * swap in `Ranking.globalRank` bucketed by rank·3/n, the
-    * lengthDecileProfile note.
+    * middle and drops or down-weights tail). The cut is
+    * [[Ranking.globalNtile]](3) over the total (avg_bits_e6 desc, doc_id)
+    * order — value-identical to the window ntile the oracle runs, but
+    * range-partitioned instead of a single-partition window.
     */
   def pplBuckets(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_bits_e6").desc, col("doc_id"))
-    unigramLm(docs)
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    Ranking.globalNtile(unigramLm(docs),
+        Seq(col("avg_bits_e6").desc, col("doc_id")), 3, "bucket")
       .select(col("doc_id"), col("avg_bits_e6"), col("bucket"),
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle")

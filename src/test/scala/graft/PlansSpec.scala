@@ -270,6 +270,64 @@ class PlansSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested-loop joins in: $offenders")
   }
 
+  test("plan hygiene: NO query plans a WINDOW over an Exchange SinglePartition, except the declared k-sized/scalar cases") {
+    // The one scale-killer class the nested-loop gate doesn't police: an
+    // un-partitioned window (or its Sort) fed by Exchange SinglePartition
+    // funnels the whole input through ONE task. Legitimate only when the
+    // exchanged relation is k-sized/scalar BY CONTRACT (a top-k survivor
+    // set, a per-group census, a handful of steps) — those are allow-listed
+    // with the contract named. Detection: a Window/Sort node whose input
+    // exchange is SinglePartition in the executed-plan tree text.
+    // The corpus-sized offenders this gate originally caught were FIXED:
+    // doc_len_deciles / doc_ppl_buckets / text_vocab_curve / q_lorenz /
+    // q_rfm now cut buckets via Ranking.globalNtile (range-partitioned,
+    // value-identical to the window ntile their oracles still run),
+    // doc_shard ranks via Ranking.globalRank, and q_entropy's scalar-N
+    // window closed into the aggregate itself.
+    def offendingWindow(plan: String): Boolean = {
+      val lines = plan.split("\n")
+      lines.indices.exists { i =>
+        lines(i).contains("Exchange SinglePartition") &&
+          (math.max(0, i - 3) until i).exists(j =>
+            lines(j).contains("Window") || lines(j).contains(" Sort "))
+      }
+    }
+    val allowed = Set(
+      // doc_balance: window min over the per-LANGUAGE counts relation
+      // (|langs| rows at any corpus size)
+      "doc_balance",
+      // doc_pareto: running min over the per-SCORE-LEVEL relation — the
+      // score is an integer per-mille, so the relation is <= 1001 rows
+      "doc_pareto",
+      // events_concurrency / events_cusum / events_forecast_naive /
+      // events_survival: running sums over per-DAY rollups — calendar-
+      // bounded relations (the two-level sweep's day-level base)
+      "events_concurrency", "events_cusum", "events_forecast_naive",
+      "events_survival",
+      // events_mwu: ordered prefix over the distinct-CENT-VALUE relation,
+      // bounded by the value domain (~56k rows) regardless of event count
+      "events_mwu",
+      // q_key_skew: scalar totals over the multiplicity HISTOGRAM
+      // (distinct rows-per-key values — log-scale-bounded)
+      "q_key_skew",
+      // q_lorenz / text_vocab_curve: only the cumulative window over the
+      // 10-row decile ROLLUP is single-partition (the corpus/vocab-sized
+      // cut itself runs through Ranking.globalNtile)
+      "q_lorenz", "text_vocab_curve")
+    val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",
+      "sim_mmr", "km_silhouette", "km_silhouette_rousseeuw", "km_delta",
+      "km_validity", "text_bpe_train", "text_bpe_apply", "pipeline_full",
+      "emb_pq_fitted", "doc_quality_lr", "km_fit_minibatch",
+      "km_fit_bisecting", "emb_pca")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(eager).filterNot(allowed)
+      .filter { name =>
+        offendingWindow(SparkEntry.queries(name)(spark, sf("0.001"))
+          .queryExecution.executedPlan.toString)
+      }
+    assert(offenders.isEmpty, s"single-partition windows in: $offenders")
+  }
+
   test("dedup_simhash_blocked plans the pigeonhole chunk EQUI-join") {
     val plan = SparkEntry.queries("dedup_simhash_blocked")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
