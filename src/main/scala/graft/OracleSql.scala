@@ -121,6 +121,62 @@ object OracleSql {
        |FROM t""".stripMargin
   }
 
+  /** Mirror of [[operators.QualityModel.trainScore]]: the SAME integer
+    * feature census, then the ENTIRE fixed-point GD training run unrolled
+    * as `iters` chained (p, gradient, weight-update) CTEs in HUGEINT —
+    * truncating `//` matches Scala BigInt `/` and Spark `div` exactly, so
+    * the final weights (and therefore every score) are bit-identical.
+    */
+  def docQualityLr(iters: Int, lrNum: Long, lrDen: Long,
+      minTokens: Int, maxTokens: Int): String = {
+    val allStops = operators.TextAnalysis.Stopwords.map(s => stopHits(s._1)).mkString(" + ")
+    def pOf(w: String) =
+      s"""greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+         |      500000 + ($w.a * 1000 + $w.b * f.f1 + $w.c * f.f2 + $w.d * f.f3) // 4000000))""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH t AS MATERIALIZED (SELECT doc_id, text, string_split(text,' ') AS toks,
+              |    list_distinct(string_split(text,' ')) AS dt FROM documents),
+              |raw AS MATERIALIZED (SELECT doc_id,
+              |    CAST(len(toks) AS BIGINT) AS nt,
+              |    CAST(length(text) AS BIGINT) AS nc,
+              |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+              |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dg,
+              |    CAST($allStops AS BIGINT) AS st
+              |  FROM t),
+              |f AS MATERIALIZED (SELECT doc_id,
+              |    CAST(nt >= $minTokens AND nt <= $maxTokens AND punct * 5 < nc AS BIGINT) AS y,
+              |    (st * 1000) // nt AS f1,
+              |    (dg * 1000) // greatest(nc, 1) AS f2,
+              |    (least(nt, $maxTokens) * 1000) // $maxTokens AS f3
+              |  FROM raw),
+              |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM f),
+              |w0 AS MATERIALIZED (SELECT CAST(0 AS HUGEINT) AS a, CAST(0 AS HUGEINT) AS b,
+              |  CAST(0 AS HUGEINT) AS c, CAST(0 AS HUGEINT) AS d)""".stripMargin
+    for (i <- 1 to iters) {
+      val p = pOf("w")
+      sb ++= s""",
+                |g$i AS MATERIALIZED (SELECT
+                |    CAST(sum(($p - f.y * 1000000) * 1000) AS HUGEINT) AS g0,
+                |    CAST(sum(($p - f.y * 1000000) * f.f1) AS HUGEINT) AS g1,
+                |    CAST(sum(($p - f.y * 1000000) * f.f2) AS HUGEINT) AS g2,
+                |    CAST(sum(($p - f.y * 1000000) * f.f3) AS HUGEINT) AS g3
+                |  FROM f CROSS JOIN w${i - 1} w),
+                |w$i AS MATERIALIZED (SELECT
+                |    w.a - (g.g0 * 1000000 * $lrNum) // ((SELECT n FROM nn) * $lrDen) AS a,
+                |    w.b - (g.g1 * 1000000 * $lrNum) // ((SELECT n FROM nn) * $lrDen) AS b,
+                |    w.c - (g.g2 * 1000000 * $lrNum) // ((SELECT n FROM nn) * $lrDen) AS c,
+                |    w.d - (g.g3 * 1000000 * $lrNum) // ((SELECT n FROM nn) * $lrDen) AS d
+                |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }
+    val pFinal = pOf("w")
+    sb ++= s"""
+              |SELECT f.doc_id, f.y AS label,
+              |  CAST(CASE WHEN $pFinal > 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+              |  CAST($pFinal AS BIGINT) AS p1_e6
+              |FROM f CROSS JOIN w$iters w""".stripMargin
+    sb.toString
+  }
+
   val textFingerprint: String =
     s"""SELECT doc_id,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1818,6 +1874,53 @@ object OracleSql {
        |best AS (SELECT vec_id, s, t FROM (SELECT vec_id, s, t,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, t) AS rn
        |  FROM pairs) x WHERE rn = 1)""".stripMargin
+
+  /** Mirror of `emb_pq_fitted` ([[operators.Similarity.pqCodebookFitted2]] +
+    * [[operators.Similarity.pqEncode]]): per subspace, the first-k seed
+    * sub-codebook refined by `iters` unrolled Lloyd CTEs — assignment via
+    * the [[sqdist]] left fold with (d, t) tie order, re-average via the
+    * LLOYD fixed-point convention per dimension (`sum(round(x·1e4))::DOUBLE
+    * /1e4/count`) rebuilt as a list so the next fold walks elements in the
+    * identical order — then the code argmin against the final sub-codebooks
+    * and the packed radix-k word, exactly [[embPq]]'s projection.
+    */
+  def embPqFitted(m: Int, k: Int, dim: Int, iters: Int): String = {
+    val sub = dim / m
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    for (s <- 0 until m) {
+      sb ++= s""",
+                |es$s AS MATERIALIZED (SELECT vec_id, ${sliceExpr("v", s.toString, sub)} AS sv FROM e),
+                |cb${s}_0 AS MATERIALIZED (SELECT vec_id + 1 AS t, sv AS cv FROM es$s WHERE vec_id < $k)""".stripMargin
+      for (i <- 1 to iters) {
+        // per-dim fixed-point means rebuilt as a list in element order
+        val means = (1 to sub).map(d =>
+          s"CAST(sum(CAST(round(sv[$d]*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*)")
+          .mkString("[", ", ", "]")
+        sb ++= s""",
+                  |a${s}_$i AS MATERIALIZED (SELECT vec_id, sv, t FROM (
+                  |  SELECT x.vec_id, x.sv, c.t,
+                  |    row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sqdist("x.sv", "c.cv")}, c.t) AS rn
+                  |  FROM es$s x CROSS JOIN cb${s}_${i - 1} c) q WHERE rn = 1),
+                  |cb${s}_$i AS MATERIALIZED (SELECT t, $means AS cv
+                  |  FROM a${s}_$i GROUP BY t)""".stripMargin
+      }
+      sb ++= s""",
+                |code$s AS MATERIALIZED (SELECT vec_id, t - 1 AS c FROM (
+                |  SELECT x.vec_id, c.t,
+                |    row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sqdist("x.sv", "c.cv")}, c.t) AS rn
+                |  FROM es$s x CROSS JOIN cb${s}_$iters c) q WHERE rn = 1)""".stripMargin
+    }
+    val factors = Seq.iterate(1L, m)(_ * k)
+    val joins = (0 until m).map(s => s"JOIN code$s ON code$s.vec_id = e.vec_id").mkString(" ")
+    val packed = (0 until m).map(s => s"code$s.c*${factors(s)}").mkString(" + ")
+    sb ++= s"""
+              |SELECT e.vec_id,
+              |  ${(0 until m).map(s => s"CAST(code$s.c AS BIGINT) AS c$s").mkString(", ")},
+              |  CAST($packed AS BIGINT) AS packed
+              |FROM e $joins""".stripMargin
+    sb.toString
+  }
 
   /** Mirror of [[operators.Similarity.pqEncode]]: codes pivoted wide plus
     * the packed radix-k word.

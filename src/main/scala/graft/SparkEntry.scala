@@ -148,13 +148,15 @@ object SparkEntry {
 
   /** Trained-PQ codebook, memoized per dir like the fits: 8 subspace fits
     * per (JVM, dir) — Verify and the bench's re-run protocol hit it several
-    * times.
+    * times. The ORACLE-REPLAYABLE fixed-iteration form (first-k seeds + 2
+    * fixed-point Lloyd steps per subspace — pqCodebookFitted2), so
+    * emb_pq_fitted hash-matches its unrolled-CTE oracle.
     */
   private val pqCbCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
   private def pqFittedCb(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     pqCbCache.getOrElseUpdate(dirKey(dir),
-      Similarity.pqCodebookFitted(Tables.read(s, dir, "embeddings")))
+      Similarity.pqCodebookFitted2(Tables.read(s, dir, "embeddings")))
   private def embFit(s: SparkSession, dir: String): KMeans.FitResult =
     fitCache.getOrElseUpdate(dirKey(dir), {
       // NOTE: the parquet lands as ONE input split at these sfs, so the fit
@@ -1126,9 +1128,10 @@ object SparkEntry {
     }),
 
     // the production-claimed PQ composition, actually composed: per-subspace
-    // TRAINED codebooks (one k-means fit per subspace — rows-only at the
-    // gate, fits aren't ANSI-expressible; fitted-beats-seed quantization
-    // error is pinned in SimilaritySpec)
+    // TRAINED codebooks — first-k seeds + 2 fixed-point Lloyd steps per
+    // subspace (the km_fit2_exact discipline ×8), so the ENTIRE training
+    // replays as unrolled CTEs and the codes hash-match a DuckDB oracle;
+    // fitted-beats-seed quantization error is pinned in SimilaritySpec
     "emb_pq_fitted" -> ((s, dir) =>
       Similarity.pqEncode(Tables.read(s, dir, "embeddings"),
         pqFittedCb(s, dir))),
@@ -2663,9 +2666,12 @@ object SparkEntry {
     }),
 
     // ---- trainable quality filter (QualityModel.trainScore): weak labels
-    // from the heuristic gate, MLlib logistic regression generalizes them
-    // over the OTHER quality signals — rows-only (LBFGS float reductions
-    // are not oracle-reproducible; the spec pins separable-data accuracy) ----
+    // from the heuristic gate, a fixed-point hard-sigmoid gradient descent
+    // generalizes them over the OTHER quality signals. The training run is
+    // integer-exact (BigInt driver updates, truncating division), so the
+    // ENTIRE fit unrolls into a HUGEINT CTE oracle and the scores
+    // hash-match — the km_fit2_exact discipline applied to model training
+    // (the spec additionally pins separable-data accuracy) ----
     "doc_quality_lr" -> ((s, dir) =>
       operators.QualityModel.trainScore(Tables.read(s, dir, "documents"))),
 
@@ -3215,6 +3221,9 @@ object SparkEntry {
     "retrieval_hybrid" -> OracleSql.retrievalHybrid(nQueries = 5, nTerms = 3,
       kList = 10, kOut = 10, rrfK = 60, nCells = 16, nProbe = 2,
       k1 = 1.2, b = 0.75),
+    "doc_quality_lr" -> OracleSql.docQualityLr(iters = 30, lrNum = 3L,
+      lrDen = 10000000L, minTokens = 5, maxTokens = 5000),
+    "emb_pq_fitted" -> OracleSql.embPqFitted(m = 8, k = 16, dim = 64, iters = 2),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

@@ -1,44 +1,101 @@
 package graft.operators
 
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** TRAINABLE quality filter — the fasttext-style classifier step of a
   * training-data pipeline (heuristic gates bootstrap weak labels, a model
-  * generalizes them), on MLlib logistic regression.
+  * generalizes them) — as a FIXED-ITERATION, FIXED-POINT gradient descent
+  * whose entire training run replays in ANSI SQL, so the trained scores
+  * hash-match a DuckDB oracle (the km_fit2_exact discipline applied to
+  * model training; the previous MLlib-LBFGS form was rows-only because
+  * float tree-reductions aren't bit-reproducible).
   *
-  * Weak labels come from the cheap rule ([[TextAnalysis.qualityScore]]'s
-  * keep flag: token range + punctuation cap); features are the OTHER
-  * quality signals (stopword density, digit density, scaled length), so
-  * the model has to learn correlated structure rather than copy the rule.
+  * Model: linear scorer over integer per-mille features with the HARD
+  * sigmoid `σ̂(z) = clamp(½ + z/4, 0, 1)` — every operation is integer or
+  * exact-rational, so Spark, the driver's BigInt updates, and the oracle's
+  * HUGEINT CTE chain produce bit-identical weights:
+  *  - features (per-mille, exactly mirrorable): stopword density, digit
+  *    density, capped length share; bias rides as a constant 1000;
+  *  - weak label: the [[TextAnalysis.qualityScore]] keep rule in pure
+  *    integer form (`punct·5 < n_chars` instead of the double ratio, so
+  *    the boundary can never flip on a rounding);
+  *  - per-row margin `z_num = Σ Wᵢ·fᵢ` with weights Wᵢ in 1e-12 units;
+  *    `p_e6 = clamp(500000 + z_num div 4·10⁶, 0, 10⁶)` — truncating
+  *    division agrees across Scala BigInt `/`, Spark `div`, DuckDB `//`;
+  *  - gradient `gᵢ = Σ (p_e6 − y·10⁶)·fᵢ` accumulated in DECIMAL(38,0)
+  *    (HUGEINT in the oracle) — an INTEGER sum, immune to float order;
+  *  - update `Wᵢ ← Wᵢ − (gᵢ·10⁶·lrNum) / (n·lrDen)`, truncating.
+  *
   * Distributed shape: feature extraction is the per-row zero-shuffle
-  * census, LBFGS aggregates gradients tree-wise — the classic
-  * embarrassingly-parallel fit. Like `km_fit_mllib`, the query is
-  * rows-only for the driver gate: LBFGS float reductions are not
-  * bit-reproducible against a SQL oracle; the SPEC pins behavior instead
-  * (near-perfect accuracy on separable synthetic data).
+  * census; each iteration is ONE map-side-combined aggregate collecting 4
+  * integers to the driver (the centroid-literal discipline — model state
+  * is 4 longs, never data). Construction-eager like the k-means fits: the
+  * `iters` training aggregates run when the query is built.
   */
 object QualityModel {
 
-  def trainScore(docs: DataFrame, maxIter: Int = 25, reg: Double = 0.01)
+  /** (doc_id, y, f1, f2, f3) integer feature relation — every expression
+    * has an exact DuckDB mirror (see OracleSql.docQualityLr).
+    */
+  private[graft] def features(docs: DataFrame, minTokens: Int,
+      maxTokens: Int): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val punct =
+      (nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val digits =
+      (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val dt = array_distinct(split(col("text"), " "))
+    val stops = TextAnalysis.Stopwords.map { case (_, ws) =>
+      size(array_intersect(dt, typedlit(ws))).cast("long")
+    }.reduce(_ + _)
+    docs.select(col("doc_id"),
+        (nTok >= minTokens && nTok <= maxTokens && punct * 5 < nChars)
+          .cast("long").as("y"),
+        stops.as("st"), digits.as("dg"), nChars.as("nc"), nTok.as("nt"))
+      .select(col("doc_id"), col("y"),
+        expr("(st * 1000) div nt").as("f1"),
+        expr("(dg * 1000) div greatest(nc, 1)").as("f2"),
+        expr(s"(least(nt, $maxTokens) * 1000) div $maxTokens").as("f3"))
+  }
+
+  /** `p_e6` SQL over (f1, f2, f3) for weight literals `w` — shared by the
+    * per-iteration gradient pass and the final scoring projection.
+    */
+  private def pSql(w: Seq[BigInt]): String = {
+    // L suffix: a bare literal parses as INT32 and ANSI mode overflows the
+    // products; the lr bound keeps every weight far inside int64
+    val z = s"(${w(0)}L * 1000 + ${w(1)}L * f1 + ${w(2)}L * f2 + ${w(3)}L * f3)"
+    s"greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT), 500000 + $z div 4000000))"
+  }
+
+  /** Train `iters` fixed-point GD steps and score every doc with the final
+    * weights: (doc_id, label, pred, p1_e6). `pred = p1_e6 > 500000` — the
+    * strict compare is deliberate: truncation parks small |z| exactly AT
+    * 500000, and both engines make the identical call there.
+    */
+  def trainScore(docs: DataFrame, iters: Int = 30, lrNum: Long = 3L,
+      lrDen: Long = 10000000L, minTokens: Int = 5, maxTokens: Int = 5000)
       : DataFrame = {
-    val feats = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("keep").cast("double").as("label"),
-        array(col("stop_ratio"), col("digit_ratio"),
-          (col("n_tokens") / 1000.0)).as("farr"))
-      .withColumn("features", array_to_vector(col("farr")))
-      .cache()
+    val feats = features(docs, minTokens, maxTokens).cache()
     try {
-      val model = new LogisticRegression()
-        .setMaxIter(maxIter).setRegParam(reg)
-        .fit(feats)
-      model.transform(feats)
-        .select(col("doc_id"), col("label").cast("long").as("label"),
-          col("prediction").cast("long").as("pred"),
-          round(element_at(vector_to_array(col("probability")), 2) * 1e6)
-            .cast("long").as("p1_e6"))
+      val n = BigInt(feats.count())
+      require(n > 0, "quality-filter training needs at least one document")
+      var w = Seq.fill(4)(BigInt(0))
+      for (_ <- 0 until iters) {
+        def g(f: String) =
+          sum(expr(s"(${pSql(w)} - y * 1000000) * $f").cast("decimal(38,0)"))
+        val row = feats.agg(g("1000"), g("f1"), g("f2"), g("f3")).head()
+        val gs = (0 until 4).map(i => BigInt(row.getDecimal(i).toBigInteger))
+        w = w.zip(gs).map { case (wi, gi) =>
+          wi - (gi * 1000000 * lrNum) / (n * lrDen)
+        }
+      }
+      feats.select(col("doc_id"), col("y").as("label"),
+        expr(s"CAST(CASE WHEN ${pSql(w)} > 500000 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("pred"),
+        expr(pSql(w)).as("p1_e6"))
     } finally feats.unpersist()
   }
 }

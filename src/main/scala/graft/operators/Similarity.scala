@@ -883,6 +883,35 @@ object Similarity {
     }
   }
 
+  /** ORACLE-REPLAYABLE trained PQ codebook: per subspace, deterministic
+    * first-k seeds ([[graft.operators.KMeans.seedFirstK]] — j = vec_id+1)
+    * refined by `iters` fixed-point Lloyd steps — the km_fit2_exact
+    * discipline per subspace, so the whole training unrolls into chained
+    * assign/re-average CTEs and `emb_pq_fitted` hash-matches a DuckDB
+    * oracle (the [[pqCodebookFitted]] k-means‖ form stays as the
+    * deeper-convergence alternative, spec-pinned). Lloyd monotonically
+    * cuts quantization error, so fitted-beats-seed still holds (pinned in
+    * SimilaritySpec for both forms).
+    */
+  def pqCodebookFitted2(emb: DataFrame, m: Int = 8, k: Int = 16,
+      dim: Int = 64, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    val e = emb2v(emb)
+    (0 until m).map { s =>
+      val yh = e.select(col("vec_id").as("i"),
+        slice(col("v"), s * sub + 1, sub).as("Y"))
+      var cs = KMeans.seedFirstK(yh, k)
+      for (_ <- 0 until iters)
+        cs = KMeans.lloydStep(KMeans.assign(yh, cs), dim = sub, fxScale = 1e4)
+      // pqEncode's code = seq position and the oracle's code = seed id − 1
+      // only agree while no cluster ever empties — loud, not silently wrong
+      require(cs.length == k,
+        s"subspace $s: Lloyd emptied a cluster (${cs.length}/$k survive)")
+      cs.sortBy(_.j).map(_.c.toSeq).toSeq
+    }
+  }
+
   /** Total PQ quantization error (e6 fixed point): Σ over vectors of
     * Σₛ min-distance to subspace s's codebook — the training objective, used
     * to pin that the fitted codebook beats the seed codebook.

@@ -496,6 +496,14 @@ class SimilaritySpec extends SparkSpec {
     val codes = Similarity.pqEncode(emb, fitted)
     assert(codes.filter((0 until 8).map(s => col(s"c$s") < 0 || col(s"c$s") >= 16)
       .reduce(_ || _)).count() == 0)
+    // the oracle-replayable fixed-iteration form (the published
+    // emb_pq_fitted path) beats the seed codebook too — Lloyd steps cut
+    // quantization error monotonically
+    val fitted2 = Similarity.pqCodebookFitted2(emb)
+    assert(fitted2.length == 8 && fitted2.forall(_.length == 16))
+    val fit2Err = Similarity.pqError(emb, fitted2)
+    assert(fit2Err < seedErr,
+      s"2-step codebook should cut error: fitted2=$fit2Err seed=$seedErr")
   }
 
   test("mmrSelect: the second pick prefers an equally-relevant diverse " +
