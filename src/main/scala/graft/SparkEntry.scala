@@ -3221,7 +3221,7 @@ object SparkEntry {
     "retrieval_hybrid" -> OracleSql.retrievalHybrid(nQueries = 5, nTerms = 3,
       kList = 10, kOut = 10, rrfK = 60, nCells = 16, nProbe = 2,
       k1 = 1.2, b = 0.75),
-    "doc_quality_lr" -> OracleSql.docQualityLr(iters = 30, lrNum = 3L,
+    "doc_quality_lr" -> OracleSql.docQualityLr(iters = 20, lrNum = 3L,
       lrDen = 10000000L, minTokens = 5, maxTokens = 5000),
     "emb_pq_fitted" -> OracleSql.embPqFitted(m = 8, k = 16, dim = 64, iters = 2),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

@@ -75,7 +75,7 @@ object QualityModel {
     * strict compare is deliberate: truncation parks small |z| exactly AT
     * 500000, and both engines make the identical call there.
     */
-  def trainScore(docs: DataFrame, iters: Int = 30, lrNum: Long = 3L,
+  def trainScore(docs: DataFrame, iters: Int = 20, lrNum: Long = 3L,
       lrDen: Long = 10000000L, minTokens: Int = 5, maxTokens: Int = 5000)
       : DataFrame = {
     val feats = features(docs, minTokens, maxTokens).cache()

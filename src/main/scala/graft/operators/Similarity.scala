@@ -898,18 +898,40 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
     val e = emb2v(emb)
-    (0 until m).map { s =>
-      val yh = e.select(col("vec_id").as("i"),
-        slice(col("v"), s * sub + 1, sub).as("Y"))
-      var cs = KMeans.seedFirstK(yh, k)
-      for (_ <- 0 until iters)
-        cs = KMeans.lloydStep(KMeans.assign(yh, cs), dim = sub, fxScale = 1e4)
+    // ALL m subspaces train in the SAME pass: per iteration, one explode
+    // over the m (subspace, code, slice) structs + one (s, code)-keyed
+    // grouped aggregate of per-dim fixed-point sums — 1 job per iteration
+    // instead of m·(assign + re-average) jobs, identical values (long sums
+    // merge in any order; the mean is the same sum/1e4/n double chain and
+    // the code argmin the same sqDist fold the per-subspace form runs)
+    var cb: Seq[Seq[Seq[Double]]] = pqCodebook(emb, m, k)
+    for (_ <- 0 until iters) {
+      val subStructs = (0 until m).map { s =>
+        val sv = slice(col("v"), s * sub + 1, sub)
+        struct(lit(s).as("s"),
+          graft.plans.native.nearestIdNative(sv, (0L until k.toLong).toSeq,
+            cb(s)).as("code"),
+          sv.as("sv"))
+      }
+      val sums = (1 to sub).map(d =>
+        sum(round(element_at(col("sv"), d) * 1e4).cast("long")).as(s"s$d"))
+      val rows = e.select(explode(array(subStructs: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.code").as("code"), col("x.sv").as("sv"))
+        .groupBy("s", "code")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
       // pqEncode's code = seq position and the oracle's code = seed id − 1
       // only agree while no cluster ever empties — loud, not silently wrong
-      require(cs.length == k,
-        s"subspace $s: Lloyd emptied a cluster (${cs.length}/$k survive)")
-      cs.sortBy(_.j).map(_.c.toSeq).toSeq
+      require(rows.length == m * k,
+        s"Lloyd emptied a cluster (${rows.length}/${m * k} survive)")
+      val byKey = rows.map(r => ((r.getInt(0), r.getLong(1)), r)).toMap
+      cb = (0 until m).map(s => (0 until k).map { c =>
+        val r = byKey((s, c.toLong))
+        val n = r.getLong(2)
+        (0 until sub).map(d => r.getLong(3 + d).toDouble / 1e4 / n).toSeq
+      }.toSeq)
     }
+    cb
   }
 
   /** Total PQ quantization error (e6 fixed point): Σ over vectors of
@@ -937,8 +959,10 @@ object Similarity {
     val m = codebook.length
     val k = codebook.head.length
     val sub = codebook.head.head.length
+    // codegen'd argmin kernel — bit-identical to the VectorOps.nearestId
+    // HOF fold (the km_assign_native parity), one fused loop per subspace
     val codes = (0 until m).map { s =>
-      nearestId(slice(col("v"), s * sub + 1, sub),
+      graft.plans.native.nearestIdNative(slice(col("v"), s * sub + 1, sub),
         (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
     }
     val factors = Seq.iterate(1L, m)(_ * k)
