@@ -278,14 +278,17 @@ object SparkEntry {
   /** (bucket, h): per-row polynomial content hash over the canonical
     * `key|key|status|cents` string (base 131 mod 1e9+7 — int64-safe fold),
     * bucketed by key range. Commutative-sum-able, hence order-independent
-    * AND delta-updatable (`q_fingerprint_ivm`).
+    * AND delta-updatable (`q_fingerprint_ivm`). The per-char fold runs the
+    * codegen'd poly_hash_base kernel (the HOF
+    * `aggregate(transform(split(canon,''), ascii), ...)` is interpreted
+    * per character and was q_fingerprint's hot spot; value parity pinned
+    * in PlansSpec).
     */
   private def fpRowHash(df: DataFrame): DataFrame = {
     val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("cents"))
     df.select((col("o_orderkey") % 32).as("bucket"),
-      aggregate(transform(split(canon, ""), c => ascii(c)), lit(0L),
-        (h, c) => (h * 131 + c) % 1000000007L).as("h"))
+      plans.native.poly_hash_base(canon, 131L, 1000000007L).as("h"))
   }
 
   private def fpAgg(df: DataFrame, n: String, f: String): DataFrame =

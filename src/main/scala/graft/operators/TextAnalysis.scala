@@ -465,8 +465,8 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      aggregate(graft.plans.native.token_ids(col("text")),
-        lit(0L), (h, x) => (h * 131 + x) % 1000000007L).as("fp"))
+      graft.plans.native.poly_fold(graft.plans.native.token_ids(col("text")),
+        131L, 1000000007L).as("fp"))
 
   /** Sequence packing — assign docs to fixed token-budget training batches
     * (the concat-and-chunk fill every pretraining pipeline runs so examples

@@ -173,6 +173,18 @@ object native {
   def poly_hash(s: Column): Column =
     GraftColumnShim.column(PolyHash(GraftColumnShim.expression(s)))
 
+  /** Parameterized codegen'd codepoint hash `(h·base + cp) mod m` — the
+    * content-fingerprint per-char fold (see [[PolyHashBase]]).
+    */
+  def poly_hash_base(s: Column, base: Long, mod: Long): Column =
+    GraftColumnShim.column(PolyHashBase(GraftColumnShim.expression(s), base, mod))
+
+  /** Codegen'd rolling fold `(h·base + x) mod m` over `array<long>` — the
+    * token-id sequence fingerprint (see [[PolyFold]]).
+    */
+  def poly_fold(ids: Column, base: Long, mod: Long): Column =
+    GraftColumnShim.column(PolyFold(GraftColumnShim.expression(ids), base, mod))
+
   /** Distinct word n-gram shingles — identical to `Dedup.shingles` over
     * `split(text, " ")` (see [[WordShingles]]).
     */

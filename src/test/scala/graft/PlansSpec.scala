@@ -341,6 +341,32 @@ class PlansSpec extends SparkSpec {
       s"chunk keys missing from the plan:\n$plan")
   }
 
+  test("native poly_hash_base / poly_fold match their interpreted HOF folds") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val strBad = docs.select(
+        native.poly_hash_base(col("text"), 131L, 1000000007L).as("a"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c)), lit(0L),
+          (h, c) => (h * 131 + c) % 1000000007L).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(strBad == 0)
+    val foldBad = docs.select(
+        native.poly_fold(native.token_ids(col("text")), 131L, 1000000007L).as("a"),
+        aggregate(native.token_ids(col("text")), lit(0L),
+          (h, x) => (h * 131 + x) % 1000000007L).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(foldBad == 0)
+    // edge strings incl. empty, multi-byte codepoints, surrogate pairs
+    import spark.implicits._
+    val edge = Seq("", "a", "κόσμε", "𝄞 clef", "a|b|c|1234").toDF("s")
+    val edgeBad = edge.select(
+        native.poly_hash_base(col("s"), 131L, 1000000007L).as("a"),
+        aggregate(transform(split(col("s"), ""), c => ascii(c)), lit(0L),
+          (h, c) => (h * 131 + c) % 1000000007L).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(edgeBad == 0)
+  }
+
   test("roundHalfUp fast path equals the BigDecimal HALF_UP definition") {
     import graft.plans.PairDistStats.{roundHalfUp, roundHalfUpBigDecimal}
     val boundaries = (0 to 60).map(k => k + 0.5)
