@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Similarity}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hybridRrf: both-list docs outrank single-list docs; ranks and " +
+      "RRF arithmetic are exact; the query doc is excluded") {
+    // 10 docs. Query q = 0. Doc 0's distinctive terms are "zebra yak xray"
+    // (rare -> top TFIDF). Docs 1-3 contain those terms (sparse hits);
+    // docs 4-6 are filler prose; every doc also gets unique padding so
+    // lengths differ.
+    val docs = (0 to 9).map { i =>
+      val text = i match {
+        case 0 => "zebra yak xray zebra yak xray common words here"
+        case 1 => "zebra yak xray plus other one filler pad1"
+        case 2 => "zebra yak words plus other two filler pad2"
+        case 3 => "zebra words words plus other three filler pad3"
+        case _ => s"common words only number $i filler pad$i extra"
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    // embeddings: 4-dim. vec 0 = query. vecs 2, 5, 7 close to the query
+    // direction (dense hits, 5 and 7 NOT sparse hits); others orthogonal.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0)),
+      (5L, Seq(0.8, 0.0, 0.2, 0.0)),
+      (6L, Seq(0.0, 0.7, 0.7, 0.0)),
+      (7L, Seq(0.95, 0.05, 0.0, 0.0)),
+      (8L, Seq(0.0, 0.5, 0.0, 0.5)),
+      (9L, Seq(0.1, 0.0, 0.0, 0.9))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.fixedCentroids(emb, 2)
+    val out = Retrieval.hybridRrf(docs, emb, cents, nQueries = 1, nTerms = 3,
+        kList = 5, kOut = 10, rrfK = 60, nProbe = 2)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // the query doc never retrieves itself
+    assert(!out.contains(0L))
+    // doc 2 is in BOTH lists (sparse: has zebra+yak; dense: cos 0.99) —
+    // its fused score must beat every single-list doc, making it rank 1
+    val (rnk2, rrf2, s2, d2) = out(2L)
+    assert(s2.nonEmpty && d2.nonEmpty, s"doc 2 must appear in both lists: $out")
+    assert(rnk2 == 1L, s"both-list doc 2 must lead: $out")
+    // RRF arithmetic is the exact integer formula over the member ranks
+    out.values.foreach { case (_, rrf, s, d) =>
+      val expected = s.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        d.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == expected, s"rrf mismatch: $out")
+    }
+    // a dense-only doc (7: cos 0.998, no query terms) and a sparse-only
+    // doc (1: all three terms, orthogonal embedding) both surface
+    assert(out.contains(7L) && out(7L)._4.nonEmpty && out(7L)._3.isEmpty)
+    assert(out.contains(1L) && out(1L)._3.nonEmpty)
+    // final ranking is (rrf desc, doc_id) dense-ranked 1..n with no gaps
+    val ranks = out.values.map(_._1).toSeq.sorted
+    assert(ranks == (1L to ranks.size))
+  }
+
+  test("hybridRrf: results are invariant to input partitioning") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    def run(dp: Int, ep: Int) =
+      Retrieval.hybridRrf(docs.repartition(dp), emb.repartition(ep), cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(run(2, 3) == run(7, 1))
+  }
+}
