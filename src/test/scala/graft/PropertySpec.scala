@@ -786,4 +786,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: cdc chunks joined by ' ' reconstruct the token stream exactly") {
+    import org.apache.spark.sql.functions.col
+    // random texts over a vocab mixing boundary tokens ("x" hashes ≡ 0 mod 8)
+    // and non-boundary tokens; includes empty docs
+    val textGen = Gen.listOf(Gen.oneOf("x", "alpha", "beta", "gamma", "d9",
+      "zz", "q")).map(_.mkString(" "))
+    val texts = samples(textGen, 60)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val chunks = Seq((i.toLong, t)).toDF("doc_id", "text")
+        .select(graft.plans.native.cdc_chunks(col("text"), 8))
+        .as[Seq[String]].head()
+      // losslessness: the chunk partition covers the token stream in order
+      assert(chunks.mkString(" ") == t, s"text '$t' chunks $chunks")
+      // boundary law: every chunk except possibly the last ends on a
+      // boundary token, and no boundary token sits mid-chunk
+      chunks.dropRight(1).foreach { c =>
+        val toks = c.split(" ", -1)
+        assert(graft.plans.PolyHash.hash(toks.last) % 8 == 0,
+          s"chunk '$c' does not end on a boundary")
+        assert(toks.dropRight(1).forall(tk => graft.plans.PolyHash.hash(tk) % 8 != 0),
+          s"boundary token mid-chunk in '$c'")
+      }
+    }
+  }
+
+  test("property: poly_fold over a concatenation continues from the prefix hash") {
+    // h(a ++ b) == fold(b) seeded with h(a) — the incremental-update law a
+    // rolling content fingerprint relies on (q_fingerprint_ivm's delta form)
+    val gen = Gen.listOf(Gen.choose(0L, 1000002L))
+    val lists = samples(gen, 40)
+    def fold(xs: Seq[Long], h0: Long): Long =
+      xs.foldLeft(h0)((h, x) => (h * 131 + x) % 1000000007L)
+    lists.sliding(2).foreach {
+      case Seq(a, b) =>
+        val whole = fold(a ++ b, 0L)
+        val resumed = fold(b, fold(a, 0L))
+        assert(whole == resumed)
+        // and the native kernel agrees with the Scala fold
+        val df = Seq(Tuple1(a ++ b)).toDF("ids")
+        val native = df.select(
+          graft.plans.native.poly_fold(
+            org.apache.spark.sql.functions.col("ids"), 131L, 1000000007L))
+          .as[Long].head()
+        assert(native == whole)
+      case _ =>
+    }
+  }
+
+  test("property: globalNtile buckets are contiguous in rank and sized within 1") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.choose(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000L, 1000L)))
+    samples(gen, 10).zipWithIndex.foreach { case (vals, i) =>
+      val df = vals.zipWithIndex.map { case (v, ix) => (ix.toLong, v) }
+        .toDF("id", "v")
+      for (k <- Seq(3, 7)) {
+        val rows = operators.Ranking.globalNtile(df,
+            Seq(col("v"), col("id")), k)
+          .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+        val byBucket = rows.groupBy(_._3).view.mapValues(_.length).toMap
+        val sizes = byBucket.values.toSeq
+        assert(sizes.max - sizes.min <= 1, s"case $i k=$k sizes $byBucket")
+        // buckets follow the (v, id) order contiguously
+        val sorted = rows.sortBy(r => (r._1, r._2)).map(_._3)
+        assert(sorted.sameElements(sorted.sorted), s"case $i k=$k not contiguous")
+        assert(byBucket.keySet == (1L to math.min(k, vals.size)).toSet)
+      }
+    }
+  }
 }
