@@ -670,4 +670,36 @@ object StreamingOps {
           HllOut(scope, seen, est, zeros, denom)
       }
   }
+
+  final case class FpIn(bucket: Long, canon: String)
+  final case class FpState(n: Long, sumH: Long)
+  final case class FpOut(bucket: Long, n_rows: Long, sum_h: Long)
+
+  /** Streaming rolling table fingerprint — the streaming twin of
+    * `q_fingerprint_ivm`'s delta maintenance: per bucket, state is TWO
+    * longs (row count + sum of per-row content hashes `poly_hash_base(
+    * canon, 131, 1e9+7)` — the same [[graft.plans.PolyHash.hashBase]]
+    * kernel the batch query runs), updated in place each micro-batch.
+    * Because the per-bucket hash is a commutative SUM of per-row hashes,
+    * the converged state is exactly the batch (cnt, sum_h) aggregate over
+    * the same rows regardless of arrival order or micro-batch splits
+    * (pinned in StreamingSpec) — the ingest-side table-diff monitor: two
+    * replicas match iff every bucket's (n_rows, sum_h) matches.
+    */
+  def fingerprintStream(rows: Dataset[FpIn]): Dataset[FpOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.bucket)
+      .mapGroupsWithState[FpState, FpOut](GroupStateTimeout.NoTimeout) {
+        (bucket: Long, it: Iterator[FpIn], state: GroupState[FpState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var sumH = state.getOption.map(_.sumH).getOrElse(0L)
+          it.foreach { r =>
+            n += 1
+            sumH += graft.plans.PolyHash.hashBase(r.canon, 131L, 1000000007L)
+          }
+          state.update(FpState(n, sumH))
+          FpOut(bucket, n, sumH)
+      }
+  }
 }

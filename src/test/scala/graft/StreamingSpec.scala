@@ -702,4 +702,40 @@ class StreamingSpec extends SparkSpec {
         s"streaming registers diverged from the batch sketch: $got vs $batch")
     } finally q.stop()
   }
+
+  test("streaming table fingerprint converges to the batch (cnt, sum_h) " +
+      "census under reversed micro-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.FpIn
+    val orders = Tables.read(spark, sf("0.001"), "orders")
+    val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"))
+    val rowsDf = orders.select((col("o_orderkey") % 32).as("bucket"),
+      canon.as("canon"))
+    // batch truth via the SAME native per-row hash the stream folds
+    val batch = rowsDf
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.plans.native.poly_hash_base(col("canon"), 131L,
+          1000000007L)).as("s"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val rows = rowsDf.as[(Long, String)].collect()
+      .map(r => FpIn(r._1, r._2)).reverse
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val in = MemoryStream[FpIn]
+    val q = StreamingOps.fingerprintStream(in.toDS()).writeStream
+      .format("memory").queryName("fp_out").outputMode("update").start()
+    try {
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy(col("n_rows").desc)
+      val got = spark.table("fp_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("bucket", "n_rows", "sum_h")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch,
+        s"streaming fingerprint diverged from the batch census")
+    } finally q.stop()
+  }
 }
