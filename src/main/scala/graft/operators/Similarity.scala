@@ -426,9 +426,16 @@ object Similarity {
     * construction, so an iteration is O(k·n) rows end to end.
     */
   def graphRank(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      nProbe: Int = 2, k: Int = 4, iters: Int = 5): DataFrame = {
-    val e = knnGraph(emb, centroids, nProbe, k)
-      .select(col("a_id").as("s"), col("b_id").as("t"))
+      nProbe: Int = 2, k: Int = 4, iters: Int = 5): DataFrame =
+    graphRankFromEdges(emb, knnGraph(emb, centroids, nProbe, k), iters)
+
+  /** The PageRank core of [[graphRank]] over a canonical `a_id < b_id`
+    * undirected edge list — factored out (the [[bfsFromEdges]] split) so a
+    * shared/memoized edge list can feed it directly.
+    */
+  def graphRankFromEdges(emb: DataFrame, edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val e = edges.select(col("a_id").as("s"), col("b_id").as("t"))
     val sym = e.unionAll(e.select(col("t").as("s"), col("s").as("t")))
       .localCheckpoint(eager = true)
     val deg = sym.groupBy("s").agg(count(lit(1)).as("deg"))
