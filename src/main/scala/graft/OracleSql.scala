@@ -2179,6 +2179,30 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of [[operators.Similarity.ivfRange]]: [[simIvf]]'s cell/probe
+    * CTEs verbatim, but the final cut is the e6 fixed-point threshold
+    * (`round(c·1e6) ≥ minCosE6`) instead of a rank window — membership is
+    * decided on exactly the integer both engines report, so the same ulp
+    * argument that keeps the top-k oracles hash-exact covers the boundary.
+    */
+  def simRange(nCells: Int, nQueries: Int, nProbe: Int, minCosE6: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id)
+       |SELECT q_id, n_id, CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM cand
+       |WHERE CAST(round(c*1e6) AS BIGINT) >= $minCosE6""".stripMargin
+
   /** Mirror of [[graft.operators.TextAnalysis.epochAllocation]]: the same
     * greedy waterfill walked as a recursive CTE over the sources ranked
     * ascending by (tokens, source) — identical integer floor-division and

@@ -801,6 +801,24 @@ object SparkEntry {
     // before the same groupBy — the cheap pass between exact and MinHash
     "dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables.read(s, dir, "documents"))),
+    // URL-level dedup — the first (cheapest) pass of a web-crawl pipeline:
+    // canonicalize away scheme/www./case/tracking-params/trailing-slash
+    // crawl variants, keep one doc per canonical page. The fixture derives
+    // each doc's URL deterministically from (doc_id, source) with every
+    // variant axis exercised; ~150 canonical pages absorb the 500 docs
+    "dedup_url" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val urls = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        lit("W"), (col("doc_id") % 3).cast("string"), lit(".Example.com/p/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source="), col("source"))).otherwise(lit("")))
+        .as("url"))
+      Dedup.urlDedup(urls)
+    }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5)),
     // skew-guarded form: stop-shingles (df > cap within the lang block) are
@@ -1028,6 +1046,14 @@ object SparkEntry {
     // exact cosine re-rank
     "sim_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.read(s, dir, "embeddings"))),
+    // RANGE (radius) search — the other fundamental vector-store query next
+    // to top-k: every neighbor with cos >= 0.25, through the same IVF probe
+    // plan (equi-join on the nProbe nearest cells), threshold cut instead
+    // of rank cut so output size follows true neighborhood density
+    "sim_range" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfRange(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // mutual k-NN graph over ALL vectors (not a query handful): cell-blocked
     // candidates, per-vector top-k window, mutuality via a self-join on the
     // transposed directed edge list — the input structure of graph-based
@@ -1388,6 +1414,11 @@ object SparkEntry {
     // fluent tokens keep unigram score, lose bigram score)
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.read(s, dir, "documents"))),
+    // interpolated Kneser-Ney bigram probabilities (discount 3/4) for the
+    // top-50 bigrams, in exact integer quarters/ppm — the standard n-gram
+    // LM smoothing, replayed floor-division-for-floor-division by DuckDB
+    "text_kn_lm" -> ((s, dir) =>
+      TextAnalysis.knBigramTop(Tables.read(s, dir, "documents"))),
 
     // BPE training's merge statistic: frequency-weighted adjacent-symbol
     // pair counts over the char start state, top-20 deterministic cut
@@ -1492,6 +1523,26 @@ object SparkEntry {
         "returnflag_in_set" -> !col("l_returnflag").isin("A", "N", "R"),
         "discount_le_5pct" -> (col("l_discount") > 0.05)),
         uniqueKey = Seq("l_orderkey", "l_linenumber"))),
+
+    // referential-integrity census across the whole star — the dbt
+    // `relationships` test as counts, one left-anti-shaped pass per edge:
+    // child rows, null FKs, orphan rows, distinct orphan keys per
+    // child(fk) -> parent(pk) relationship
+    "q_fk_integrity" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      val o = Tables.read(s, dir, "orders")
+      val c = Tables.read(s, dir, "customer")
+      val n = Tables.read(s, dir, "nation")
+      val p = Tables.read(s, dir, "part")
+      val su = Tables.read(s, dir, "supplier")
+      Profiling.fkIntegrity(Seq(
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey")))
+    }),
 
     // balanced output sharding: round-robin over token-desc rank — shard
     // token masses stay within one max-doc of each other (balance bound
@@ -2218,6 +2269,29 @@ object SparkEntry {
       val g3 = docs.filter(col("doc_id") % 7 === 0)
         .withColumn("gen", lit(3L)).withColumn("op", lit("D"))
       operators.Joins.scd2(g1.unionByName(g2).unionByName(g3), Seq("doc_id"))
+    }),
+
+    // CHANGEFEED derivation — the inverse of q_merge: diff the pre- and
+    // post-merge snapshots back into the minimal CDC row set (I/U/D with
+    // old/new values). The fixture applies q_merge's exact change set, so
+    // the feed must recover it: updates for %10 non-%7 keys, deletes for
+    // %7 keys, inserts at doc_id+1000000 for %25 keys; unchanged keys are
+    // absent by construction
+    "q_changefeed" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val upd = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 1L)
+        .withColumn("op", lit("U"))
+      val del = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val ins = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("new").as("lang"),
+          col("source"), col("n_chars"), lit("U").as("op"))
+      val after = operators.Joins.mergeInto(docs,
+        upd.unionByName(del).unionByName(ins), Seq("doc_id"))
+      operators.Joins.changefeed(docs, after, Seq("doc_id"))
     }),
 
     // MERGE INTO: one change set (updates for %10 non-%7 keys, deletes for
@@ -3181,6 +3255,27 @@ object SparkEntry {
         |      '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS k
         |  FROM documents)
         |GROUP BY k""".stripMargin,
+    // URL synthesis replayed from (doc_id, source), then the identical four
+    // anchored canonicalization regexes in the same order (each matches at
+    // most once, so replace-first == Spark's replace-all)
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'W' || CAST(doc_id % 3 AS VARCHAR) || '.Example.com/p/' ||
+        |  CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=' || source ELSE '' END)
+        |    AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+        |    '/$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM c GROUP BY canon_url""".stripMargin,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
     "dedup_containment" -> OracleSql.dedupContainment(n = 3, thrNum = 3, thrDen = 10),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
@@ -3250,6 +3345,8 @@ object SparkEntry {
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
+    "sim_range" -> OracleSql.simRange(nCells = 16, nQueries = 5, nProbe = 2,
+      minCosE6 = 250000L),
     "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
     "pipeline_cluster_stats" -> OracleSql.pipelineClusterStats(nCells = 16),
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
@@ -3474,6 +3571,27 @@ object SparkEntry {
     "doc_dsir" -> OracleSql.docDsir,
     "text_bpe_train" -> OracleSql.textBpeTrain(nMerges = 5),
     "text_bigram_lm" -> OracleSql.textBigramLm,
+    // Kneser-Ney in integer quarters/ppm: both floor divisions (`//`)
+    // mirror Spark's `div` term for term, applied in the same order
+    "text_kn_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |ex AS (SELECT tk,
+        |    unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS pos
+        |  FROM t),
+        |bg AS (SELECT tk[pos] AS w1, tk[pos + 1] AS w2 FROM ex),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+        |  FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS cw,
+        |    CAST(count(*) AS BIGINT) AS n1c FROM bgc GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+        |  FROM bgc GROUP BY w2),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bgc)
+        |SELECT w1, w2, nb,
+        |  CAST(((4*nb - 3) * 1000000) // (4*cw)
+        |    + (3 * n1c * ncont * 1000000) // (4 * cw * t_types) AS BIGINT)
+        |    AS pkn_ppm
+        |FROM bgc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+        |ORDER BY nb DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_bpe_pairs" ->
       """WITH w AS (SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3520,6 +3638,25 @@ object SparkEntry {
          |  FROM orders GROUP BY 1) t""".stripMargin
     }.mkString("\nUNION ALL\n"),
     "q_expectations" -> OracleSql.qExpectations,
+    "q_fk_integrity" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (rel, child, fk, parent, pk) =>
+        s"""SELECT '$rel' AS rel,
+           |  CAST(count(*) AS BIGINT) AS child_rows,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS null_fk,
+           |  CAST(sum(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+           |  CAST(count(DISTINCT CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |    THEN c.$fk END) AS BIGINT) AS orphan_keys
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_drift" -> OracleSql.qDrift,
     "q_profile" -> OracleSql.qProfile("lineitem", Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -4001,6 +4138,36 @@ object SparkEntry {
         |  CASE WHEN ch.op = 'U' THEN ch.n_chars ELSE t.n_chars END AS n_chars
         |FROM t FULL OUTER JOIN ch ON t.doc_id = ch.doc_id
         |WHERE coalesce(ch.op, '') <> 'D'""".stripMargin,
+
+    // q_merge's CTEs verbatim to rebuild the post-merge snapshot, then the
+    // before/after FULL OUTER diff with IS DISTINCT FROM per data column —
+    // the minimal CDC set that turns `t` into `a`
+    "q_changefeed" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 'xx' AS lang, source, n_chars + 1 AS n_chars, 'U' AS op
+        |  FROM t WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars, 'D' FROM t WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', source, n_chars, 'U'
+        |  FROM t WHERE doc_id % 25 = 0),
+        |a AS (SELECT coalesce(t.doc_id, ch.doc_id) AS doc_id,
+        |  CASE WHEN ch.op = 'U' THEN ch.lang ELSE t.lang END AS lang,
+        |  CASE WHEN ch.op = 'U' THEN ch.source ELSE t.source END AS source,
+        |  CASE WHEN ch.op = 'U' THEN ch.n_chars ELSE t.n_chars END AS n_chars
+        |FROM t FULL OUTER JOIN ch ON t.doc_id = ch.doc_id
+        |WHERE coalesce(ch.op, '') <> 'D'),
+        |f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'I'
+        |       WHEN a.doc_id IS NULL THEN 'D'
+        |       WHEN (b.lang IS DISTINCT FROM a.lang)
+        |         OR (b.source IS DISTINCT FROM a.source)
+        |         OR (b.n_chars IS DISTINCT FROM a.n_chars) THEN 'U' END AS op,
+        |  b.lang AS old_lang, b.source AS old_source, b.n_chars AS old_n_chars,
+        |  a.lang AS new_lang, a.source AS new_source, a.n_chars AS new_n_chars
+        |FROM t b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT * FROM f WHERE op IS NOT NULL""".stripMargin,
 
     "q_log_compact" ->
       """WITH lg AS (

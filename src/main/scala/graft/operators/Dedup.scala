@@ -99,6 +99,29 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
       .select("doc_id", "n")
 
+  /** Canonical URL form for [[urlDedup]] — the CCNet/RefinedWeb first-stage
+    * key: lowercase, strip scheme, strip a leading `www.`, strip query
+    * string and fragment, strip one trailing slash. Applied in exactly this
+    * order (query before trailing slash, so `/p/1/?x=y` → `/p/1`); the
+    * DuckDB oracle applies the identical four anchored regexes.
+    */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url), "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
+
+  /** URL-level dedup — the cheapest and first dedup pass of a web-crawl
+    * pipeline (before any content hashing): group by [[canonicalUrl]], keep
+    * the smallest doc_id per canonical page, count the crawl variants
+    * (scheme, `www.`, case, tracking params, trailing slash) that collapsed
+    * onto it. One hash-shuffle on the canonical string; at 100 TB shuffle
+    * `xxhash64(canon)` instead, as [[exactByHash]] does for content.
+    */
+  def urlDedup(urls: DataFrame): DataFrame =
+    urls.select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).cast("long").as("n_dups"),
+        min("doc_id").cast("long").as("keep_id"))
+
   // --------------------------------------------------- n-gram Jaccard dedup
 
   /** Near-dup pairs by exact n-gram Jaccard within a blocking key (lang):

@@ -161,4 +161,35 @@ object Joins {
       .select(keys.map(col) ++ dataCols.map(n =>
         when(col("_op") === "U", col(s"_c_$n")).otherwise(col(n)).as(n)): _*)
   }
+
+  /** CHANGEFEED derivation — the inverse of [[mergeInto]]: given two
+    * snapshots of the same keyed relation, emit the CDC row set (`I`/`U`/`D`
+    * plus old/new values) that turns `before` into `after`. One full-outer
+    * equi-join on the key, null-safe value compare (`<=>`) per data column;
+    * unchanged keys produce no row, so the feed is minimal. This is how a
+    * lake table publishes a change stream to downstream consumers when the
+    * writer didn't record one — at 100 TB both sides shuffle once on the
+    * key (or not at all if both snapshots are bucketed by it).
+    */
+  def changefeed(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(
+      keys.map(col) ++ dataCols.map(n => col(n).as(s"_b_$n"))
+        :+ lit(1).as("_in_b"): _*)
+    val a = after.select(
+      keys.map(col) ++ dataCols.map(n => col(n).as(s"_a_$n"))
+        :+ lit(1).as("_in_a"): _*)
+    val j = b.join(a, keys, "full_outer")
+    val changed = dataCols.map(n => !(col(s"_b_$n") <=> col(s"_a_$n")))
+      .reduce(_ || _)
+    j.withColumn("op",
+        when(col("_in_b").isNull, "I")
+          .when(col("_in_a").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        dataCols.map(n => col(s"_b_$n").as(s"old_$n")) ++
+        dataCols.map(n => col(s"_a_$n").as(s"new_$n")): _*)
+  }
 }

@@ -264,4 +264,38 @@ object Profiling {
     row.selectExpr(
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct)")
   }
+
+  /** One referential-integrity row for a child(fk) → parent(pk)
+    * relationship: child rows, null FKs, orphan rows (FK present, no
+    * parent), and distinct orphan keys — the dbt `relationships` test as a
+    * census instead of a boolean. One left join against the DISTINCT parent
+    * key set: small parents (dimension tables) broadcast for free; a huge
+    * parent shuffles both sides once on the key — never more than one pass
+    * over the child.
+    */
+  def fkCheck(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+      rel: String): DataFrame = {
+    val p = parent.select(col(pk).as("_pk")).distinct()
+    val orphan = col("_fk").isNotNull && col("_pk").isNull
+    child.select(col(fk).as("_fk"))
+      .join(p, col("_fk") === col("_pk"), "left")
+      .agg(
+        count(lit(1)).cast("long").as("child_rows"),
+        sum(when(col("_fk").isNull, 1L).otherwise(0L)).cast("long").as("null_fk"),
+        sum(when(orphan, 1L).otherwise(0L)).cast("long").as("orphan_rows"),
+        countDistinct(when(orphan, col("_fk"))).cast("long").as("orphan_keys"))
+      .select(lit(rel).as("rel"), col("child_rows"), col("null_fk"),
+        col("orphan_rows"), col("orphan_keys"))
+  }
+
+  /** The whole star's FK census in one relation: one [[fkCheck]] row per
+    * declared relationship, unioned. Each check is an independent scan —
+    * at scale they run as separate parallel jobs over different tables, so
+    * there is nothing to fuse across them.
+    */
+  def fkIntegrity(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (rel, child, fk, parent, pk) =>
+      fkCheck(child, fk, parent, pk, rel)
+    }.reduce(_.unionByName(_))
 }

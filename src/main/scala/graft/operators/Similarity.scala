@@ -110,6 +110,20 @@ object Similarity {
     */
   private def ivfSearch(cells: DataFrame, q: DataFrame,
       ids: Seq[Long], cs: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    val cand = ivfCandidates(cells, q, ids, cs, nProbe)
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** Probed-cell candidate generation shared by [[ivfSearch]] (top-k cut)
+    * and [[ivfRange]] (threshold cut): per-query nProbe nearest cells, then
+    * candidates via the EQUI-join on cell id with exact cosine attached.
+    */
+  private def ivfCandidates(cells: DataFrame, q: DataFrame,
+      ids: Seq[Long], cs: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     // per-query cell ranking: explode the literal centroid set against the
     // (tiny) query side, rank by distance
     val cellDists = q.select(col("q_id"), col("qv"),
@@ -121,17 +135,34 @@ object Similarity {
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qv"), col("cell"))
     // THE scale join: candidates via equi-join on cell id
-    val cand = probes.join(cells, "cell")
+    probes.join(cells, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (graft.plans.native.dot(col("qv"), col("v")) /
           (sqrt(graft.plans.native.dot(col("qv"), col("qv"))) *
             sqrt(graft.plans.native.dot(col("v"), col("v"))))).as("c"))
-    val w = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** RANGE (radius) search — the other fundamental vector-store query next
+    * to top-k: ALL neighbors with cosine ≥ threshold, not a fixed count.
+    * Same IVF probe plan as [[ivfTopK]] (candidates from an equi-join on
+    * the nProbe nearest cells — never a cross join), but the cut is a
+    * per-candidate threshold filter instead of a rank window, so the output
+    * size follows the data's true neighborhood density. The threshold
+    * compares in the reported e6 fixed point (`round(c·1e6) ≥ minCosE6`) so
+    * membership is decided on exactly the value both engines report.
+    */
+  def ivfRange(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, nProbe: Int = 2, minCosE6: Long = 250000L): DataFrame = {
+    val e = emb2v(emb)
+    val cells = e.withColumn("cell",
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfCandidates(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe)
+      .withColumn("cos_e6", round(col("c") * 1e6).cast("long"))
+      .filter(col("cos_e6") >= minCosE6)
+      .select(col("q_id"), col("n_id"), col("cos_e6"))
   }
 
   /** IVF ANN: assign every vector to its nearest coarse cell (argmin over the

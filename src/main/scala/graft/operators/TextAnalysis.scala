@@ -925,6 +925,43 @@ object TextAnalysis {
           .otherwise(0L))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (the standard n-gram LM
+    * smoothing — Kneser & Ney 1995) for the `topN` most frequent bigrams,
+    * in EXACT integer fixed point so the DuckDB oracle replays it
+    * bit-for-bit. With discount D = 3/4 written as integer quarters:
+    *
+    *   P_KN(w2|w1)·1e6 = (4·c(w1,w2) − 3)·1e6 ÷ (4·c(w1·))
+    *                   + 3·N1+(w1·)·N1+(·w2)·1e6 ÷ (4·c(w1·)·T)
+    *
+    * where c(w1·) is the context count, N1+(w1·) the distinct continuations
+    * of w1 (the discount mass donors), N1+(·w2) the distinct contexts
+    * preceding w2 (the continuation probability — KN's insight: "Francisco"
+    * is frequent but follows only "San"), and T the total distinct bigram
+    * types. Both ÷ are floor divisions applied in this order on both
+    * engines. Plan shape: one corpus pass to bigram counts, then all
+    * statistics derive from the |types|-sized count relation — the same
+    * |vocab| ≪ |corpus| property that makes [[bpeTrain]] cheap; the type-
+    * count scalar broadcasts.
+    */
+  def knBigramTop(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val bg = docs
+      .select(explode(graft.plans.native.word_grams(col("text"), 2)).as("bigram"))
+      .select(split(col("bigram"), " ").as("a"))
+      .select(element_at(col("a"), 1).as("w1"), element_at(col("a"), 2).as("w2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("nb"))
+    val ctx = bgc.groupBy("w1").agg(sum("nb").cast("long").as("cw"),
+      count(lit(1)).cast("long").as("n1c"))
+    val cont = bgc.groupBy("w2").agg(count(lit(1)).cast("long").as("ncont"))
+    val types = bgc.agg(count(lit(1)).cast("long").as("t_types"))
+    bgc.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(types))
+      .withColumn("pkn_ppm",
+        expr("((4*nb - 3) * 1000000) div (4*cw)" +
+          " + (3 * n1c * ncont * 1000000) div (4 * cw * t_types)"))
+      .orderBy(desc("nb"), asc("w1"), asc("w2")).limit(topN)
+      .select(col("w1"), col("w2"), col("nb"), col("pkn_ppm"))
+  }
+
   /** URL blocklist filtering — the first gate of a web-crawl pipeline:
     * drop docs whose registered domain is on the blocklist. The blocklist
     * is tiny by nature (domains, not URLs) → broadcast anti-join; the

@@ -442,6 +442,21 @@ class DedupSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("urlDedup: every canonicalization axis collapses; distinct pages survive") {
+    val urls = Seq(
+      (1L, "https://WWW.Example.com/p/1/?utm_source=x"), // all five variants at once
+      (2L, "http://example.com/p/1"),                    // same canonical page
+      (3L, "https://example.com/p/2"),
+      (4L, "http://www.Example.com/p/2#frag"),           // fragment + www + case
+      (5L, "https://sub.example.com/p/1")                // different host: distinct
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(urls).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("example.com/p/1", 2L, 1L),
+      ("example.com/p/2", 2L, 3L),
+      ("sub.example.com/p/1", 1L, 5L)), s"got $got")
+  }
+
   test("fuzzyNearestName: picks the edit-distance argmin within the block, " +
       "blocks bound the comparison space, equi-join plan") {
     import spark.implicits._

@@ -646,6 +646,45 @@ class PropertySpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")), s"got $got")
   }
 
+  test("changefeed: minimal I/U/D set; applying it via mergeInto reproduces after") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions._
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "n")
+    val after = Seq((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L), (9L, "i", 90L))
+      .toDF("id", "v", "n")
+    val feed = Joins.changefeed(before, after, Seq("id")).cache()
+    val rows = feed.as[(Long, String, String, java.lang.Long, String, java.lang.Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // unchanged key 1 and 4 absent; 2 is U with old+new; 3 is D; 9 is I
+    assert(rows.keySet == Set(2L, 3L, 9L), s"got ${rows.keySet}")
+    assert(rows(2L)._2 == "U" && rows(2L)._3 == "b" && rows(2L)._5 == "B")
+    assert(rows(3L)._2 == "D" && rows(3L)._3 == "c" && rows(3L)._5 == null)
+    assert(rows(9L)._2 == "I" && rows(9L)._3 == null && rows(9L)._5 == "i")
+    // round-trip law: mergeInto(before, feed-as-changes) == after
+    val changes = feed.select(col("id"), coalesce(col("new_v"), col("old_v")).as("v"),
+      coalesce(col("new_n"), col("old_n")).as("n"),
+      when(col("op") === "D", "D").otherwise("U").as("op"))
+    val merged = Joins.mergeInto(before, changes, Seq("id"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(merged == after.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("fkCheck counts child rows, null FKs, orphan rows, and distinct orphan keys") {
+    import graft.operators.Profiling
+    val child = Seq(
+      (1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(10L)),
+      (3L, java.lang.Long.valueOf(20L)), (4L, null.asInstanceOf[java.lang.Long]),
+      (5L, java.lang.Long.valueOf(99L)), (6L, java.lang.Long.valueOf(99L)),
+      (7L, java.lang.Long.valueOf(77L))
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val got = Profiling.fkCheck(child, "fk", parent, "pk", "child.fk->parent")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // 7 child rows, 1 null fk, 3 orphan rows (99,99,77), 2 distinct orphan keys
+    assert(got == Seq(("child.fk->parent", 7L, 1L, 3L, 2L)), s"got $got")
+  }
+
   test("scd2 timelines reproduce every generation's snapshot when sliced") {
     import org.apache.spark.sql.functions._
     import graft.operators.Joins

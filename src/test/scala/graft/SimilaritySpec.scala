@@ -325,6 +325,22 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_ivfsq8_idx")
   }
 
+  test("ivfRange: threshold membership equals top-k candidates above the cut") {
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(embr, 16)
+    val thr = 250000L
+    val range = Similarity.ivfRange(embr, cents, minCosE6 = thr).collect()
+    assert(range.nonEmpty)
+    assert(range.forall(_.getLong(2) >= thr), "a row below the threshold leaked")
+    // an unbounded top-k over the same probed cells, cut at the same
+    // threshold, must contain exactly the same (q, n) pairs
+    val topk = Similarity.ivfTopK(embr, cents, k = Int.MaxValue)
+      .filter(col("cos_e6") >= thr)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rset = range.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rset == topk, s"range=${rset.size} topk=${topk.size}")
+  }
+
   test("IVF probes restrict candidates to the nearest cells") {
     val cents = Seq(
       KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),

@@ -7,6 +7,27 @@ import java.sql.Timestamp
 class TextEventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("knBigramTop: hand-computed Kneser-Ney quarters/ppm on a tiny corpus") {
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> T=3 types
+    // ctx a: cw=3, n1c=1; ctx b: cw=2, n1c=2
+    // cont b: 1 ({a}); cont a: 1 ({b}); cont c: 1 ({b})
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramTop(docs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // (a,b): (4*3-3)*1e6 // 12 = 750000; + 3*1*1*1e6 // (4*3*3) = 83333
+    // (b,a)/(b,c): (4-3)*1e6 // 8 = 125000; + 3*2*1*1e6 // (4*2*3) = 250000
+    assert(got == Seq(
+      ("a", "b", 3L, 833333L),
+      ("b", "a", 1L, 375000L),
+      ("b", "c", 1L, 375000L)), s"got $got")
+    // discounted mass bookkeeping for context b: the two observed
+    // continuations carry 0.25 direct + 0.75·(2/3) continuation = 0.75;
+    // the remaining 0.25 is the backoff mass KN reserves for the unseen
+    // continuation (w2 = c with Pcont 1/3)
+    val pb = got.filter(_._1 == "b").map(_._4).sum
+    assert(pb == 750000L, s"got $pb")
+  }
+
   test("tokenStats counts tokens/chars and exact mean token length") {
     val docs = Seq((1L, "ab cde f", "en")).toDF("doc_id", "text", "lang")
     val r = TextAnalysis.tokenStats(docs).as[(Long, Long, Long, Double)].head()
