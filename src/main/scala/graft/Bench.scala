@@ -28,8 +28,11 @@ import scala.jdk.CollectionConverters._
   *    past the floor-scaled excess bar — is run once more and the
   *    per-query MINIMUM is reported — a later good-window run replaces a degraded one, while a
   *    genuinely slow query keeps its honest time (re-running can't flatter
-  *    it below its real cost). Re-run names are listed in the `"reruns"`
-  *    diag field;
+  *    it below its real cost). Queries STILL over 2× floor after the
+  *    immediate rerun get one final attempt at the end of the run behind a
+  *    fresh quiesce (the immediate rerun shares the contention window that
+  *    inflated the first wall; a later attempt usually doesn't). Re-run
+  *    names are listed in the `"reruns"` diag field;
   *  - failed queries are listed in `"errors"` (their elapsed time still
   *    appears in `"queries"`, so a fast failure is distinguishable from a
   *    fast success).
@@ -196,15 +199,31 @@ object Bench {
     val flagged = firstPass
       .filter(r => (r._2 > threshold || overFloor(r._1, r._2)) && !errors.contains(r._1))
       .map(_._1)
-    val results = firstPass.map { case r @ (name, wall, _, _) =>
-      if (flagged.contains(name)) {
-        SparkEntry.clearMemos() // redo real work — no flattering memo hits
-        val errsBefore = errors
-        val again = runOne(name, selected.find(_._1 == name).get._2)
-        if (errors ne errsBefore) { errors = errsBefore; r } // re-run failed: keep the honest first pass
-        else if (again._2 < wall) again
-        else r
-      } else r
+    def rerunMin(in: Seq[(String, Double, Double, Double)],
+        names: Seq[String]): Seq[(String, Double, Double, Double)] =
+      in.map { case r @ (name, wall, _, _) =>
+        if (names.contains(name)) {
+          SparkEntry.clearMemos() // redo real work — no flattering memo hits
+          val errsBefore = errors
+          val again = runOne(name, selected.find(_._1 == name).get._2)
+          if (errors ne errsBefore) { errors = errsBefore; r } // re-run failed: keep the honest first pass
+          else if (again._2 < wall) again
+          else r
+        } else r
+      }
+    val immediate = rerunMin(firstPass, flagged)
+    // second-chance pass: a query still over its floor after the immediate
+    // rerun gets ONE more attempt at the END of the run, after a fresh
+    // quiesce — the immediate rerun lands inside the same contention window
+    // that inflated the first wall (observed round 12: four dedup-family
+    // queries at 2.3-2.9× floor mid-run, all 1.4-2.0× when re-measured
+    // minutes later). Min-fold like every rerun: the minimum of honest runs
+    // is the contention-free estimate.
+    val stillOver = immediate
+      .filter(r => overFloor(r._1, r._2) && !errors.contains(r._1)).map(_._1)
+    val results = if (stillOver.isEmpty) immediate else {
+      quiesce(30)
+      rerunMin(immediate, stillOver)
     }
     def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(kv: Seq[(String, Double)]): String =
@@ -213,7 +232,8 @@ object Bench {
     val gc = jmap(results.map(r => r._1 -> r._3))
     val cpu = jmap(results.map(r => r._1 -> r._4))
     val errs = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val reruns = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val reruns = (flagged ++ stillOver).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Top-level error count in BOTH output lines: a consumer reading only
     // rc/nqueries must not mistake a red run for green (the errors array

@@ -1054,6 +1054,14 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfRange(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // the same radius search probing the PERSISTED bucketed cell index —
+    // the build/probe split (amortize the cell assignment once, probe many
+    // times) extends to range queries unchanged
+    "sim_range_indexed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cents = Similarity.fixedCentroids(emb, 16)
+      Similarity.ivfRangeIndexed(emb, ensureIvfIndex(s, dir), cents)
+    }),
     // mutual k-NN graph over ALL vectors (not a query handful): cell-blocked
     // candidates, per-vector top-k window, mutuality via a self-join on the
     // transposed directed edge list — the input structure of graph-based
@@ -2173,6 +2181,30 @@ object SparkEntry {
         graft.sources.Sinks.zValue(
           pmod(col("l_partkey"), lit(1024L)),
           pmod(col("l_suppkey"), lit(1024L)), 10).as("z"))),
+
+    // zone-map skipping census: the same lineitem rows laid out 64-files
+    // three ways (insert order / pk-sorted / z-ordered), per-file min/max
+    // stats, and for each 2-D box predicate the files+rows a stats-based
+    // reader still scans — the MEASURED justification for q_zorder's layout
+    // key (z keeps both dimensions' zone maps tight; a single-column sort
+    // is tight in its own column only; insert order in neither)
+    "q_zorder_skip" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024L)).as("pk"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sk"))
+        .withColumn("z", graft.sources.Sinks.zValue(col("pk"), col("sk"), 10))
+      Profiling.zonemapSkip(li,
+        Seq(
+          ("linear", Seq(col("l_orderkey"), col("l_linenumber"))),
+          ("pk_sorted", Seq(col("pk"), col("l_orderkey"), col("l_linenumber"))),
+          ("zorder", Seq(col("z"), col("l_orderkey"), col("l_linenumber")))),
+        nFiles = 64,
+        preds = Seq(
+          ("box_pk0-63_sk0-63", 0L, 63L, 0L, 63L),
+          ("stripe_pk256-271", 256L, 271L, 0L, 1023L),
+          ("stripe_sk32-47", 0L, 1023L, 32L, 47L)))
+    }),
 
     // time-travel over a generation log with tombstones: gen 1 = full load,
     // gen 2 = lang restatement for doc_id%10, gen 3 = deletes for doc_id%7;
@@ -3347,6 +3379,8 @@ object SparkEntry {
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
     "sim_range" -> OracleSql.simRange(nCells = 16, nQueries = 5, nProbe = 2,
       minCosE6 = 250000L),
+    "sim_range_indexed" -> OracleSql.simRange(nCells = 16, nQueries = 5,
+      nProbe = 2, minCosE6 = 250000L),
     "emb_pq" -> OracleSql.embPq(m = 8, k = 16, dim = 64),
     "pipeline_cluster_stats" -> OracleSql.pipelineClusterStats(nCells = 16),
     "sim_pq_adc" -> OracleSql.simPqAdc(m = 8, k = 16, dim = 64, nQueries = 5, kNbrs = 10),
@@ -4035,6 +4069,36 @@ object SparkEntry {
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  CAST($terms AS BIGINT) AS z
          |FROM lineitem""".stripMargin
+    },
+    // the same interleave, then plain SQL ntile(64) per layout (globalNtile
+    // == ntile by construction), zone-map min/max per file, overlap rule
+    // per (file, predicate-box) — integer counts end to end
+    "q_zorder_skip" -> {
+      val zterms = (0 until 10).map { b =>
+        s"((pk >> $b) & 1) * ${1L << (2 * b)} + ((sk >> $b) & 1) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      val scanned = "mn_pk <= hi_pk AND mx_pk >= lo_pk AND mn_sk <= hi_sk AND mx_sk >= lo_sk"
+      s"""WITH r AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |    l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk FROM lineitem),
+         |rz AS (SELECT *, CAST($zterms AS BIGINT) AS z FROM r),
+         |fa AS (SELECT pk, sk, ntile(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f FROM rz),
+         |fb AS (SELECT pk, sk, ntile(64) OVER (ORDER BY pk, l_orderkey, l_linenumber) AS f FROM rz),
+         |fc AS (SELECT pk, sk, ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f FROM rz),
+         |st AS (
+         |  SELECT 'linear' AS layout, f, min(pk) AS mn_pk, max(pk) AS mx_pk,
+         |    min(sk) AS mn_sk, max(sk) AS mx_sk, count(*) AS n FROM fa GROUP BY f
+         |  UNION ALL
+         |  SELECT 'pk_sorted', f, min(pk), max(pk), min(sk), max(sk), count(*) FROM fb GROUP BY f
+         |  UNION ALL
+         |  SELECT 'zorder', f, min(pk), max(pk), min(sk), max(sk), count(*) FROM fc GROUP BY f),
+         |pr(pred, lo_pk, hi_pk, lo_sk, hi_sk) AS (VALUES
+         |  ('box_pk0-63_sk0-63', 0, 63, 0, 63),
+         |  ('stripe_pk256-271', 256, 271, 0, 1023),
+         |  ('stripe_sk32-47', 0, 1023, 32, 47))
+         |SELECT layout, pred, CAST(count(*) AS BIGINT) AS files_total,
+         |  CAST(sum(CASE WHEN $scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |  CAST(sum(CASE WHEN $scanned THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+         |FROM st CROSS JOIN pr GROUP BY layout, pred""".stripMargin
     },
 
     "q_fingerprint" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality census a pipeline runs before trusting
@@ -298,4 +298,45 @@ object Profiling {
     rels.map { case (rel, child, fk, parent, pk) =>
       fkCheck(child, fk, parent, pk, rel)
     }.reduce(_.unionByName(_))
+
+  /** Zone-map skipping census — MEASURES what a layout buys, instead of
+    * assuming it: lay the same rows out `nFiles` ways under each candidate
+    * total order (exactly SQL `ntile(nFiles)`, via the range-partitioned
+    * [[Ranking.globalNtile]] — never a single-partition window), collect the
+    * per-file min/max zone maps of the two predicate columns `pk`/`sk`, and
+    * for each box predicate count the files and rows a stats-based reader
+    * would still scan (a file survives iff its [min,max] box overlaps the
+    * predicate box in BOTH dimensions — the parquet row-group / lake-format
+    * pruning rule). This is the decision procedure for choosing a 100 TB
+    * table layout: the census runs on the k-byte zone maps, one
+    * range-shuffle of the stats columns per candidate layout, and the
+    * `rows_scanned` column is the I/O the layout would save — e.g. a
+    * z-order layout keeps both dimensions' zone maps tight (good for 2-D
+    * boxes) where a single-column sort is tight in its own column only.
+    *
+    * `rows` must carry `pk` and `sk` plus whatever the layout orders cite;
+    * `preds` are `(name, lo_pk, hi_pk, lo_sk, hi_sk)` inclusive boxes.
+    */
+  def zonemapSkip(rows: DataFrame, layouts: Seq[(String, Seq[Column])],
+      nFiles: Int, preds: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val stats = layouts.map { case (name, order) =>
+      Ranking.globalNtile(rows, order, nFiles, "__zs_file")
+        .groupBy("__zs_file")
+        .agg(min("pk").as("mn_pk"), max("pk").as("mx_pk"),
+          min("sk").as("mn_sk"), max("sk").as("mx_sk"),
+          count(lit(1)).as("n"))
+        .select(lit(name).as("layout"), col("mn_pk"), col("mx_pk"),
+          col("mn_sk"), col("mx_sk"), col("n"))
+    }.reduce(_.unionByName(_))
+    val predDf = preds.toDF("pred", "lo_pk", "hi_pk", "lo_sk", "hi_sk")
+    val scanned = col("mn_pk") <= col("hi_pk") && col("mx_pk") >= col("lo_pk") &&
+      col("mn_sk") <= col("hi_sk") && col("mx_sk") >= col("lo_sk")
+    stats.crossJoin(broadcast(predDf)) // nFiles×|preds| stat rows — tiny by construction
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).cast("long").as("files_total"),
+        sum(when(scanned, 1L).otherwise(0L)).cast("long").as("files_scanned"),
+        sum(when(scanned, col("n")).otherwise(lit(0L))).cast("long").as("rows_scanned"))
+  }
 }

@@ -159,10 +159,29 @@ object Similarity {
       nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    ivfCandidates(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe)
-      .withColumn("cos_e6", round(col("c") * 1e6).cast("long"))
+    rangeCut(
+      ivfCandidates(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe),
+      minCosE6)
+  }
+
+  /** The range cut shared by [[ivfRange]] and [[ivfRangeIndexed]]. */
+  private def rangeCut(cand: DataFrame, minCosE6: Long): DataFrame =
+    cand.withColumn("cos_e6", round(col("c") * 1e6).cast("long"))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("q_id"), col("n_id"), col("cos_e6"))
+
+  /** [[ivfRange]] probing the PERSISTED bucketed cell index instead of
+    * re-assigning cells per query — the build/probe split extends to radius
+    * search unchanged: candidates come from the same bucketed equi-join on
+    * cell id that [[ivfTopKIndexed]] uses, the cut is the threshold.
+    */
+  def ivfRangeIndexed(emb: DataFrame, table: String,
+      centroids: Seq[KMeans.Centroid], nQueries: Int = 5, nProbe: Int = 2,
+      minCosE6: Long = 250000L): DataFrame = {
+    val q = emb2v(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    rangeCut(ivfCandidates(emb.sparkSession.table(table), q,
+      centroids.map(_.j), centroids.map(_.c), nProbe), minCosE6)
   }
 
   /** IVF ANN: assign every vector to its nearest coarse cell (argmin over the

@@ -702,4 +702,37 @@ object StreamingOps {
           FpOut(bucket, n, sumH)
       }
   }
+
+  final case class Cdc(doc_id: Long, gen: Long, op: String, lang: String)
+
+  /** Streaming CDC apply — the streaming twin of `q_changefeed`'s inverse
+    * direction: consume an I/U/D change feed and maintain the live snapshot
+    * per key. State is the latest applied op (one row per key); an arrival
+    * applies iff its `gen` beats the stored one (ties broken by the full
+    * (gen, op, lang) order so re-deliveries and equal-gen conflicts converge
+    * on one winner regardless of micro-batch splits, like
+    * [[upsertLatestStream]]). Every applied op emits the key's new state —
+    * a `D` emits the tombstone, so downstream consumers see deletions; the
+    * final snapshot is each key's last emission minus tombstones, which
+    * equals applying the same feed in batch (pinned in StreamingSpec
+    * against `Joins.mergeInto`). State is O(live keys + tombstones); a
+    * production feed would expire tombstones with a timeout watermark.
+    */
+  def cdcApplyStream(feed: Dataset[Cdc]): Dataset[Cdc] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple3[Long, String, String]
+    feed.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Cdc, Cdc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Cdc], state: GroupState[Cdc]) =>
+          val best = rows.maxBy(r => (r.gen, r.op, r.lang))(ord)
+          val better = state.getOption.forall(cur =>
+            ord.gt((best.gen, best.op, best.lang), (cur.gen, cur.op, cur.lang)))
+          if (better) {
+            state.update(best)
+            Iterator.single(best)
+          } else Iterator.empty
+      }
+  }
 }

@@ -238,6 +238,13 @@ class PlansSpec extends SparkSpec {
       // broadcast equi-joins on token and the IVF cell equi-join
       "retrieval_hybrid",
       "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
+      // text_kn_lm crossJoins the ONE-row bigram-type-count scalar (the
+      // text_tfidf precedent); its corpus-scale joins are equi on w1/w2
+      "text_kn_lm",
+      // q_zorder_skip crossJoins the |preds|-row LITERAL box frame against
+      // the nFiles×|layouts| zone-map stats — both sides tiny by
+      // construction; the corpus-scale work is the globalNtile range shuffle
+      "q_zorder_skip",
       "sim_sq8", "sim_sq8_native", // native twin shares the same scan shape
       // text_source_chi2's pair frame is an inequality join over the
       // |sources|-row totals — driver-tiny by contract (km_validity's

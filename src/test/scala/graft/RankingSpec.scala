@@ -50,4 +50,31 @@ class RankingSpec extends SparkSpec {
       assert(got == want, s"k=$k")
     }
   }
+
+  test("zonemapSkip: z-order prunes the 2-D box both single-order layouts can't") {
+    import graft.operators.Profiling
+    // 32×32 grid, one row per (pk, sk) cell; row-major insert order
+    val rows = (0L until 1024L).map(i => (i, i / 32L, i % 32L))
+      .toDF("rid", "pk", "sk")
+      .withColumn("z", graft.sources.Sinks.zValue(col("pk"), col("sk"), 5))
+    val got = Profiling.zonemapSkip(rows,
+        Seq(
+          ("linear", Seq(col("rid"))),
+          ("pk_sorted", Seq(col("pk"), col("rid"))),
+          ("zorder", Seq(col("z"), col("rid")))),
+        nFiles = 16,
+        preds = Seq(("box", 0L, 7L, 0L, 7L), ("stripe_sk", 0L, 31L, 0L, 1L)))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // 16 files of 64 rows. Insert order IS pk-major here, so linear ==
+    // pk_sorted: each file covers 2 pk rows with sk spanning full width, so
+    // the box needs the 4 files covering pk 0..7; the sk-stripe overlaps
+    // every file. Z-order: each file is one 8×8 block -> the box is exactly
+    // 1 file; the sk 0..1 stripe intersects the 4 blocks with sk-range 0..7.
+    assert(got(("linear", "box")) == ((4L, 256L)), got.toString)
+    assert(got(("pk_sorted", "box")) == ((4L, 256L)), got.toString)
+    assert(got(("zorder", "box")) == ((1L, 64L)), got.toString)
+    assert(got(("linear", "stripe_sk")) == ((16L, 1024L)), got.toString)
+    assert(got(("zorder", "stripe_sk")) == ((4L, 256L)), got.toString)
+  }
 }

@@ -738,4 +738,45 @@ class StreamingSpec extends SparkSpec {
         s"streaming fingerprint diverged from the batch census")
     } finally q.stop()
   }
+
+  test("streaming CDC apply converges to the batch MERGE state (q_changefeed twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Cdc
+    import graft.operators.Joins
+    // before: keys 1..20; feed: gen-1 updates (%4 non-%5), deletes (%5),
+    // inserts — one change row per key, like q_changefeed's fixture
+    val before = (1L to 20L).map(i => (i, "l" + (i % 3)))
+    val changes =
+      (1L to 20L).filter(i => i % 4 == 0 && i % 5 != 0).map(i => (i, "xx", "U")) ++
+      (1L to 20L).filter(_ % 5 == 0).map(i => (i, "l" + (i % 3), "D")) ++
+      Seq((101L, "new", "U"), (102L, "new", "U"))
+    val batch = Joins.mergeInto(before.toDF("doc_id", "lang"),
+        changes.toDF("doc_id", "lang", "op"), Seq("doc_id"))
+      .as[(Long, String)].collect().toSet
+    // stream the initial load as gen-0 upserts plus the gen-1 feed, with a
+    // stale gen-0 re-delivery mixed in, split across three micro-batches
+    val ops = before.map { case (id, l) => Cdc(id, 0L, "U", l) } ++
+      changes.map { case (id, l, op) => Cdc(id, 1L, op, l) } ++
+      Seq(Cdc(4L, 0L, "U", "stale"))
+    val in = MemoryStream[Cdc]
+    val q = StreamingOps.cdcApplyStream(in.toDS()).writeStream
+      .format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      val slices = ops.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      slices.foreach { case (_, part) =>
+        in.addData(part.map(_._1)); q.processAllAvailable()
+      }
+      // final state per key = max-(gen,op,lang) emission; survivors = non-D
+      val got = spark.table("cdc_out").as[Cdc].collect()
+        .groupBy(_.doc_id).view
+        .mapValues(cs => cs.maxBy(c => (c.gen, c.op, c.lang))).values
+        .filter(_.op != "D").map(c => (c.doc_id, c.lang)).toSet
+      assert(got == batch,
+        s"stream (${got.size}) diverged from batch MERGE (${batch.size})")
+      // deletions are visible downstream: every %5 key emitted a tombstone
+      val tombs = spark.table("cdc_out").as[Cdc].collect()
+        .filter(_.op == "D").map(_.doc_id).toSet
+      assert(tombs == (1L to 20L).filter(_ % 5 == 0).toSet, s"tombstones $tombs")
+    } finally q.stop()
+  }
 }
