@@ -321,8 +321,12 @@ object Profiling {
       nFiles: Int, preds: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    // persisted: each layout's globalNtile makes two passes (count +
+    // zipWithIndex rank) — without the cache that is 2×|layouts| scans of
+    // the input; with it, one scan feeds all of them
+    val cached = rows.persist()
     val stats = layouts.map { case (name, order) =>
-      Ranking.globalNtile(rows, order, nFiles, "__zs_file")
+      Ranking.globalNtile(cached, order, nFiles, "__zs_file")
         .groupBy("__zs_file")
         .agg(min("pk").as("mn_pk"), max("pk").as("mx_pk"),
           min("sk").as("mn_sk"), max("sk").as("mx_sk"),

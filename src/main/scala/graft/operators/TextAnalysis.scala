@@ -948,7 +948,11 @@ object TextAnalysis {
       .select(explode(graft.plans.native.word_grams(col("text"), 2)).as("bigram"))
       .select(split(col("bigram"), " ").as("a"))
       .select(element_at(col("a"), 1).as("w1"), element_at(col("a"), 2).as("w2"))
+    // persisted: ctx/cont/types ALL derive from this |bigram types|-sized
+    // relation — without the cache each consumer re-runs the corpus
+    // explode+shuffle (4 scans of the 100 TB side for one query)
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("nb"))
+      .persist()
     val ctx = bgc.groupBy("w1").agg(sum("nb").cast("long").as("cw"),
       count(lit(1)).cast("long").as("n1c"))
     val cont = bgc.groupBy("w2").agg(count(lit(1)).cast("long").as("ncont"))
