@@ -4,6 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan inspector: `tools/run.sh graft.Explain <query> [sfDir] [--run]`
   * prints the formatted physical plan (and optionally executes with timing).
+  *
+  * `graft.Explain --scan-audit [sfDir]` instead sweeps EVERY query plan and
+  * reports the ones that scan the same parquet table ≥ 3 times with no
+  * ReusedExchange/InMemoryRelation — the multi-consumer re-scan pathology
+  * (one logical relation feeding k aggregates re-runs the whole upstream k
+  * times unless persisted or exchange-reused; at 100 TB that's k corpus
+  * scans for one query).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -20,6 +27,26 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "--scan-audit") {
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val scans = "file:[^,\\] ]*/(\\w+)\\.parquet".r
+            .findAllMatchIn(plan).map(_.group(1)).toSeq
+          val byTable = scans.groupBy(identity).view.mapValues(_.size)
+          val reused = "ReusedExchange".r.findAllIn(plan).length +
+            "InMemoryTableScan".r.findAllIn(plan).length
+          val worst = byTable.toSeq.sortBy(-_._2).headOption
+          worst.filter(_._2 >= 3).filter(_ => reused == 0).foreach { case (t, n) =>
+            println(s"[scan-audit] $qn: $n scans of $t (no reuse)")
+          }
+        } catch { case e: Throwable =>
+          println(s"[scan-audit] $qn: SKIP (${e.getClass.getSimpleName})")
+        }
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (run) {

@@ -188,7 +188,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int, thrNum: Int, thrDen: Int,
       dfCap: Int = 0): DataFrame = {
     require(thrNum >= 1, "inverted-index form requires a positive threshold")
-    val ex = ngramPostings(docs, n, dfCap)
+    // persisted: both self-join sides (and the df-cap's hot-set pass) read
+    // the postings — materialize the shingle explode once instead of
+    // re-running the kernel per consumer
+    val ex = ngramPostings(docs, n, dfCap).persist()
     val a = ex.select(col("doc_id").as("a_id"), col("sz").as("sza"),
       col("lang"), col("s"))
     val b = ex.select(col("doc_id").as("b_id"), col("sz").as("szb"),
@@ -552,7 +555,10 @@ object Dedup {
   def incrementalDedup(delta: DataFrame, index: DataFrame, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
-    val db = bandedSignatures(delta, n, numHashes, bands)
+    // persisted: delta-sized by contract, consumed three times (probe vs
+    // index + both sides of the intra-delta self-join) — without the cache
+    // the shingle+MinHash signature fold runs three times over the delta
+    val db = bandedSignatures(delta, n, numHashes, bands).persist()
     def partners(p: DataFrame, extra: Column) =
       db.alias("d").join(p.alias("p"),
           col("d.band") === col("p.band") && col("d.key") === col("p.key") &&
@@ -613,10 +619,13 @@ object Dedup {
     * production itself never shuffles.
     */
   def cdcStats(docs: DataFrame, mod: Int = 8): DataFrame = {
+    // persisted: the chunk relation feeds BOTH the per-chunk sharing count
+    // and the join back — without the cache the (expensive) chunker fold
+    // and the corpus scan run twice
     val ch = docs
       .select(col("doc_id"),
-        posexplode(graft.plans.native.cdc_chunks(col("text"), mod)))
-      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+        explode(graft.plans.native.cdc_chunks(col("text"), mod)).as("chunk"))
+      .persist()
     val cnt = ch.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("nd"))
     ch.join(cnt, "chunk")
