@@ -1626,9 +1626,12 @@ object SparkEntry {
         .filter(col("kind") === "video")
       val copies = vids.filter(col("media_id") % 5 === 1)
         .withColumn("media_id", col("media_id") + 1000000L)
+      // persisted: both self-join sides of the pair stage read the frame
+      // hashes — without the cache the AVI frame decode runs per consumer
       val fh = Multimodal.frameAHashes(vids.unionByName(copies)).toDF()
         .select((col("media_id") * 100L + col("frame_ix")).as("media_id"),
           col("ahash"))
+        .persist()
       val pairs = Multimodal.aHashPairs(fh, maxHamming = 0)
       pairs.select(expr("a_id div 100").as("a_vid"),
           expr("b_id div 100").as("b_vid"))
@@ -1648,7 +1651,10 @@ object SparkEntry {
         .filter(col("kind") === "image")
       val copies = imgs.filter(col("media_id") % 5 === 0)
         .withColumn("media_id", col("media_id") + 1000000L)
-      val hashes = Multimodal.aHashes(imgs.unionByName(copies)).toDF()
+      // persisted: the hash relation (one small row per image) feeds both
+      // self-join sides and the join back — without the cache the BINARY
+      // DECODE mapPartitions runs three times over every payload
+      val hashes = Multimodal.aHashes(imgs.unionByName(copies)).toDF().persist()
       // pairs arrive once as (a_id < b_id); count BOTH endpoints so the
       // larger-id twin of a duplicate pair reports its partner too
       val pairs = Multimodal.aHashPairs(hashes)

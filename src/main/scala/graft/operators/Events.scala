@@ -417,6 +417,12 @@ object Events {
   private def stageTimes(events: DataFrame, stages: Seq[String],
       windowHours: Int): Vector[DataFrame] = {
     val winUs = windowHours * 3600L * 1000000L
+    // deliberately NOT persisted: each stage re-reads a 3-column,
+    // type-filtered parquet scan (pushdown visible in the plan) — measured
+    // at sf0.1, caching this corpus-scale projection costs MORE than the
+    // pruned re-scans (0.74 s → 1.24 s), and at 100 TB a cached full-corpus
+    // projection spills where distributed pruned scans don't. The CACHED
+    // relations in this codebase are the aggregated, sub-corpus ones.
     val typed = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
     stages.tail.foldLeft(Vector(

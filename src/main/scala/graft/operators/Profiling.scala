@@ -226,6 +226,9 @@ object Profiling {
             .as(s"sp_${cols(i)._1}__${cols(j)._1}")
         }))
     val s = df.agg(aggs.head, aggs.tail: _*)
+    // every pair's correlation derives from the ONE aggregate row — emit
+    // them as an exploded struct array so the scan really does run once (a
+    // per-pair select + union would recompute the full aggregate per pair)
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield {
       val nx = cols(i)._1
       val ny = cols(j)._1
@@ -235,10 +238,10 @@ object Profiling {
       val den =
         sqrt(n * col(s"ss_$nx") - col(s"s_$nx").cast("double") * col(s"s_$nx")) *
           sqrt(n * col(s"ss_$ny") - col(s"s_$ny").cast("double") * col(s"s_$ny"))
-      s.select(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n"),
+      struct(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n").as("n"),
         round(num / den * 1e6).cast("long").as("corr_e6"))
     }
-    pairs.reduce(_ unionByName _)
+    s.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
   }
 
   private def profileWith(df: DataFrame,

@@ -802,8 +802,12 @@ object TextAnalysis {
     * relation, not the corpus: |sources|·|vocab| at worst.
     */
   def sourceChi2(docs: DataFrame): DataFrame = {
+    // persisted: the (source, token) count relation is |S|×|vocab|-sized
+    // and feeds the totals plus both pair sides — without the cache the
+    // corpus explode+shuffle re-runs for every consumer
     val ct = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .persist()
     val tot = ct.groupBy("source").agg(sum("c").as("n"))
     val a = ct.join(tot, "source")
       .select(col("source").as("src_a"), col("token"),
