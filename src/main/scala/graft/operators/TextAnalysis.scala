@@ -153,8 +153,11 @@ object TextAnalysis {
     * the vocabulary join is a plain hash join keyed on token.
     */
   def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    // persisted: the aggregated (doc, token) counts feed both the df rollup
+    // and the score join — one corpus explode instead of two
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // scalar N rides in as a 1-row broadcast: Catalyst plans a
     // BroadcastNestedLoopJoin, which against a single-row build side IS the
@@ -197,8 +200,11 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
+    // persisted: the aggregated per-doc term counts feed the query-term
+    // selection AND the scoring join — one corpus explode instead of two
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .persist()
     val q = tf.groupBy("token")
       .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
       .orderBy(desc("cnt"), asc("token")).limit(nTerms)
