@@ -895,4 +895,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("canonicalUrl is idempotent and order-insensitive to variant axes") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      scheme <- Gen.oneOf("http://", "https://", "")
+      www <- Gen.oneOf("www.", "WWW.", "")
+      host <- Gen.oneOf("a.example.com", "Example.org", "x.y.z.io")
+      path <- Gen.oneOf("", "/p/1", "/p/1/", "/A/B")
+      tail <- Gen.oneOf("", "?utm=1", "#frag", "?a=b#c")
+    } yield scheme + www + host + path + tail
+    val urls = Gen.listOfN(200, gen).apply(Gen.Parameters.default, Seed(7L)).get
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val once = df.select(col("doc_id"), Dedup.canonicalUrl(col("url")).as("c1"))
+    val twice = once.select(col("doc_id"),
+      col("c1"), Dedup.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(1)} -> ${r.getString(2)}")
+      val c = r.getString(1)
+      assert(!c.contains("?") && !c.contains("#") && !c.endsWith("/") &&
+        c == c.toLowerCase && !c.startsWith("http"), s"residual variant: $c")
+    }
+  }
+
+  test("ivfRange: raising the threshold selects a subset; full domain matches candidates") {
+    import graft.operators.Similarity
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    def pairs(tau: Long) = Similarity.ivfRange(emb, cents, minCosE6 = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lo = pairs(100000L)
+    val hi = pairs(400000L)
+    assert(hi.subsetOf(lo), s"tau-monotonicity broken: ${(hi -- lo).take(3)}")
+    assert(hi.size < lo.size, "higher threshold should prune something here")
+    // tau = -1e6 admits every probed candidate (cosine >= -1 always)
+    val all = pairs(-1000000L)
+    assert(lo.subsetOf(all))
+  }
+
+  test("zonemapSkip laws: bounds hold and the full-domain box scans everything") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 300L).map(i => (i, (i * 7) % 64, (i * 13) % 64))
+      .toDF("rid", "pk", "sk")
+    val got = Profiling.zonemapSkip(rows,
+        Seq(("linear", Seq(col("rid"))), ("pk_sorted", Seq(col("pk"), col("rid")))),
+        nFiles = 8,
+        preds = Seq(("all", 0L, 63L, 0L, 63L), ("box", 0L, 15L, 0L, 15L)))
+      .as[(String, String, Long, Long, Long)].collect()
+    got.foreach { case (layout, pred, ft, fs, rs) =>
+      assert(ft == 8L && fs <= ft && rs <= 300L, s"$layout/$pred: $ft $fs $rs")
+      if (pred == "all")
+        assert(fs == 8L && rs == 300L, s"full-domain box must scan all: $layout")
+    }
+  }
+
+  test("changefeed of identical snapshots is empty; feed is minimal by key") {
+    import graft.operators.Joins
+    val snap = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "n")
+    assert(Joins.changefeed(snap, snap, Seq("id")).count() == 0L)
+    // feed never emits two rows for one key
+    val after = Seq((1L, "a2", 1L), (3L, "c", 3L)).toDF("id", "v", "n")
+    val feed = Joins.changefeed(snap, after, Seq("id")).collect()
+    val keys = feed.map(_.getLong(0))
+    assert(keys.length == keys.distinct.length, s"duplicate keys: ${keys.toSeq}")
+  }
 }
