@@ -269,6 +269,12 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // deliberately NOT persisted although both the rollup and the hit join
+    // read it: the positional postings are CORPUS-scale (one row per token
+    // position), and caching that measured neutral-to-worse at sf0.1 —
+    // the codegen'd word_grams re-explode is cheaper than materializing
+    // the postings (same call as the funnel family; contrast ngramJaccard,
+    // whose persisted relation is the df-capped DISTINCT-shingle postings)
     val g = gramPostings(docs, n)
     val dup = g.groupBy("gram")
       .agg(countDistinct("doc_id").as("ndocs"))
