@@ -952,6 +952,14 @@ object TextAnalysis {
     * statistics derive from the |types|-sized count relation — the same
     * |vocab| ≪ |corpus| property that makes [[bpeTrain]] cheap; the type-
     * count scalar broadcasts.
+    *
+    * Int64 bounds (all terms exact below them, engines agree exactly):
+    * the numerators need `4·nb·1e6` and `3·n1c·ncont·1e6` inside int64 —
+    * safe while nb < 2.3e12 and n1c·ncont < 3e12; the denominator needs
+    * `4·cw·T` < 9.2e18. A planetary-scale corpus (context counts ~1e12 ×
+    * billions of bigram types) crosses the denominator bound first — there,
+    * compute the two fractions in DECIMAL(38,0)/HUGEINT like [[sourceChi2]]
+    * does; the fixture scales sit orders of magnitude inside the bounds.
     */
   def knBigramTop(docs: DataFrame, topN: Int = 50): DataFrame = {
     val bg = docs
