@@ -103,8 +103,12 @@ object Events {
       minHistory: Int = 10): DataFrame = {
     val e = events.select(col("event_id"), col("user_id"),
       round(col("value") * 100).cast("long").as("cents"))
+    // persisted: per-user and aggregated — `dev` is evaluated by both the
+    // MAD rollup and the final filter, so without the cache the median
+    // percentile aggregate over the corpus runs twice
     val med = e.groupBy("user_id").agg(count(lit(1)).as("n"),
       round(expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      .persist()
     val dev = e.join(med, "user_id")
       .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
     val mad = dev.groupBy("user_id")
