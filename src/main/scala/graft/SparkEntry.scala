@@ -1923,19 +1923,24 @@ object SparkEntry {
       val all = Tables.read(s, dir, "documents")
       val docs = all.filter(col("doc_id") % 97 =!= 0)
       val bench = all.filter(col("doc_id") % 97 === 0)
+      // stage-boundary persists: each stage's OUTPUT is a doc_id list
+      // (sub-corpus by construction) consumed by several downstream stages
+      // — without them, every consumer re-runs the whole upstream chain
+      // (quality scoring, LSH, decontamination) while the corpus itself
+      // correctly stays as pruned parquet re-scans
       val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
-        .filter(col("keep") === 1).select("doc_id")
+        .filter(col("keep") === 1).select("doc_id").persist()
       val clean = docs.join(kept, "doc_id")
       val comps = Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
       val reps = clean.join(
         comps.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
       val ok = Dedup.decontaminate(reps, bench)
-        .filter(col("contaminated") === 0).select("doc_id")
+        .filter(col("contaminated") === 0).select("doc_id").persist()
       val surv = reps.join(ok, "doc_id")
       val budgets = surv.select(col("source")).distinct()
         .withColumn("budget",
           sourceBudget)
-      val mixed = TextAnalysis.mixCorpus(surv, budgets).select("doc_id")
+      val mixed = TextAnalysis.mixCorpus(surv, budgets).select("doc_id").persist()
       TextAnalysis.packBatches(surv.join(mixed, "doc_id"))
     }),
 
