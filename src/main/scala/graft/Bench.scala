@@ -200,11 +200,13 @@ object Bench {
     val flagged = firstPass
       .filter(r => (r._2 > threshold || overFloor(r._1, r._2)) && !errors.contains(r._1))
       .map(_._1)
-    // queries reading the warm-up-built component memo (SparkEntry
-    // docComponents/cleanComponents callers)
+    // queries reading the warm-up-built shared memos (SparkEntry
+    // docComponents/cleanComponents/knnEdges/silPairStats callers)
     val componentConsumers = Set("dedup_components", "dedup_keep",
       "dedup_keep_best", "doc_split_leakproof", "pipeline_split_contamination",
-      "pipeline_clean", "pipeline_select", "pipeline_corpus", "pipeline_pretrain")
+      "pipeline_clean", "pipeline_select", "pipeline_corpus", "pipeline_pretrain",
+      "sim_knn_graph", "sim_graph_rank", "sim_bfs", "sim_triangles",
+      "km_silhouette", "km_silhouette_rousseeuw")
     def rerunMin(in: Seq[(String, Double, Double, Double)],
         names: Seq[String]): Seq[(String, Double, Double, Double)] =
       in.map { case r @ (name, wall, _, _) =>

@@ -25,6 +25,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
+      // isolate like Bench does: operators persist shared sub-relations,
+      // and without the per-query clearCache those InMemoryRelations would
+      // accumulate across the ~250-query dump for the whole session
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -181,8 +181,9 @@ object Joins {
       keys.map(col) ++ dataCols.map(n => col(n).as(s"_a_$n"))
         :+ lit(1).as("_in_a"): _*)
     val j = b.join(a, keys, "full_outer")
+    // a key-only relation still diffs (I/D rows); U is impossible then
     val changed = dataCols.map(n => !(col(s"_b_$n") <=> col(s"_a_$n")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     j.withColumn("op",
         when(col("_in_b").isNull, "I")
           .when(col("_in_a").isNull, "D")

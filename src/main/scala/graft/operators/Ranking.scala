@@ -26,17 +26,38 @@ object Ranking {
     * rank ever shows up hot in a profile.)
     */
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rnk",
-      parts: Int = 0): DataFrame = {
+      parts: Int = 0): DataFrame =
+    globalRankAndCount(df, order, rankCol, parts)._1
+
+  /** [[globalRank]] plus the TOTAL row count, recovered from the same
+    * per-partition size pass `zipWithIndex` runs internally (made explicit
+    * here) — so a caller needing n (ntile's bucket arithmetic) gets it for
+    * free instead of launching `df.count()`, which builds a fresh physical
+    * plan sharing no shuffle with the ranked one and therefore re-evaluates
+    * the ENTIRE upstream (for an aggregate-derived input like the
+    * LM-score deciles, a third corpus-scale pass). Both jobs here run over
+    * the one RDD instance, so the range shuffle is written once and the
+    * second pass resumes from its files.
+    */
+  def globalRankAndCount(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rnk", parts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
     val schema = df.schema.add(rankCol, LongType, nullable = false)
-    val withRank = ranged.rdd.zipWithIndex.map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+    val rdd = ranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withRank = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
     }
-    spark.createDataFrame(withRank, schema)
+    (spark.createDataFrame(withRank, schema), offsets.last)
   }
 
   /** Exact `ntile(k)` over a TOTAL order, terasort-shaped: [[globalRank]]
@@ -46,15 +67,15 @@ object Ranking {
     * (both engines), so swapping this in for the single-partition
     * `ntile(k) OVER (ORDER BY …)` changes the plan, never a value.
     *
-    * Construction-eager like [[globalRank]] itself (its zipWithIndex runs
-    * a per-partition-count job); the row count `n` adds one count job over
-    * the (already shuffled) input.
+    * Construction-eager like [[globalRank]] itself; the row count comes
+    * from [[globalRankAndCount]]'s own partition-size pass, so there is no
+    * extra job and never a re-evaluation of the (possibly aggregate-
+    * derived) input.
     */
   def globalNtile(df: DataFrame, order: Seq[Column], k: Int,
       bucketCol: String = "bucket"): DataFrame = {
     require(k >= 1, s"ntile k must be >= 1, got $k")
-    val ranked = globalRank(df, order, "__gn_rnk")
-    val n = df.count()
+    val (ranked, n) = globalRankAndCount(df, order, "__gn_rnk")
     val q = n / k
     val r = n % k
     val cut = r * (q + 1) // ranks 1..cut land in the q+1-sized buckets
