@@ -962,5 +962,11 @@ class PropertySpec extends SparkSpec {
     val feed = Joins.changefeed(snap, after, Seq("id")).collect()
     val keys = feed.map(_.getLong(0))
     assert(keys.length == keys.distinct.length, s"duplicate keys: ${keys.toSeq}")
+    // key-only relations (no data columns) still diff: presence I/D only
+    val b = Seq(1L, 2L).toDF("id")
+    val a = Seq(2L, 3L).toDF("id")
+    val ops = Joins.changefeed(b, a, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops == Set((1L, "D"), (3L, "I")), s"got $ops")
   }
 }
