@@ -204,7 +204,7 @@ object Bench {
     // docComponents/cleanComponents/knnEdges/silPairStats callers)
     val componentConsumers = Set("dedup_components", "dedup_keep",
       "dedup_keep_best", "doc_split_leakproof", "pipeline_split_contamination",
-      "pipeline_clean", "pipeline_select", "pipeline_corpus", "pipeline_pretrain",
+      "pipeline_clean", "pipeline_corpus", "pipeline_pretrain",
       "sim_knn_graph", "sim_graph_rank", "sim_bfs", "sim_triangles",
       "km_silhouette", "km_silhouette_rousseeuw")
     def rerunMin(in: Seq[(String, Double, Double, Double)],

@@ -5,12 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Plan inspector: `tools/run.sh graft.Explain <query> [sfDir] [--run]`
   * prints the formatted physical plan (and optionally executes with timing).
   *
-  * `graft.Explain --scan-audit [sfDir]` instead sweeps EVERY query plan and
-  * reports the ones that scan the same parquet table ≥ 3 times with no
-  * ReusedExchange/InMemoryRelation — the multi-consumer re-scan pathology
-  * (one logical relation feeding k aggregates re-runs the whole upstream k
-  * times unless persisted or exchange-reused; at 100 TB that's k corpus
-  * scans for one query).
+  * `graft.Explain --scan-audit [sfDir]` instead sweeps EVERY query plan
+  * (cache cleared per query) and reports each table scanned ≥ 3 times —
+  * the multi-consumer re-scan pathology (one logical relation feeding k
+  * aggregates re-runs the whole upstream k times unless persisted or
+  * exchange-reused; at 100 TB that's k corpus scans for one query). Plan
+  * reuse-node counts ride along as context, never as an exemption. Hits
+  * are leads, not verdicts: pruned/filtered re-scans of a raw table are
+  * often the RIGHT plan (see the funnel/spans decision comments).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -30,16 +32,21 @@ object Explain {
     if (name == "--scan-audit") {
       val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (qn, fn) =>
+        // isolate: an earlier query's persist() would otherwise inject
+        // InMemoryTableScans into later plans and mask their re-scans
+        spark.catalog.clearCache()
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString
           val scans = "file:[^,\\] ]*/(\\w+)\\.parquet".r
             .findAllMatchIn(plan).map(_.group(1)).toSeq
           val byTable = scans.groupBy(identity).view.mapValues(_.size)
+          // reuse is reported for context, never used to suppress: a
+          // ReusedExchange on one subtree says nothing about a different
+          // table being re-scanned 4x elsewhere in the same plan
           val reused = "ReusedExchange".r.findAllIn(plan).length +
             "InMemoryTableScan".r.findAllIn(plan).length
-          val worst = byTable.toSeq.sortBy(-_._2).headOption
-          worst.filter(_._2 >= 3).filter(_ => reused == 0).foreach { case (t, n) =>
-            println(s"[scan-audit] $qn: $n scans of $t (no reuse)")
+          byTable.toSeq.filter(_._2 >= 3).sortBy(-_._2).foreach { case (t, n) =>
+            println(s"[scan-audit] $qn: $n scans of $t (reuse nodes: $reused)")
           }
         } catch { case e: Throwable =>
           println(s"[scan-audit] $qn: SKIP (${e.getClass.getSimpleName})")

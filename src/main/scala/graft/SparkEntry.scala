@@ -356,7 +356,10 @@ object SparkEntry {
       memoMaxRows: Long = 1000000L): DataFrame = {
     val docs = Tables.read(s, dir, "documents")
     def live = Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
-    if (docs.count() > memoMaxRows) return live
+    // memo first — once populated, consumers must not pay even the count
+    // guard job (the knnEdges rule)
+    if (!componentsCache.contains(dirKey(dir)) && docs.count() > memoMaxRows)
+      return live
     val rows = componentsCache.getOrElseUpdate(dirKey(dir), live.collect())
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -378,7 +381,9 @@ object SparkEntry {
       val clean = docs.join(kept, "doc_id")
       Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
     }
-    if (docs.count() > memoMaxRows) return live
+    // memo first — see docComponents
+    if (!componentsCache.contains("clean|" + dirKey(dir)) &&
+        docs.count() > memoMaxRows) return live
     val rows = componentsCache.getOrElseUpdate("clean|" + dirKey(dir), live.collect())
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),

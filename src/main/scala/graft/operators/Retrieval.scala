@@ -41,8 +41,12 @@ object Retrieval {
     val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
+    // persisted: the aggregated per-doc term counts feed THREE consumers
+    // (df rollup, pseudo-query term selection, sparse scoring join) — the
+    // same rule as text_tfidf/text_bm25: one corpus explode, not three
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     // pseudo-queries: each query doc's top-nTerms TFIDF terms (the

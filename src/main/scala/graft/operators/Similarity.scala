@@ -362,7 +362,11 @@ object Similarity {
     * graph.
     */
   def trianglesFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a_id"), col("b_id"))
+    // checkpointed: e feeds FOUR joins (e1/e2/e3 + deg) — with a memoized
+    // literal edge list this is free; in the >memoMaxRows live fallback it
+    // stops the whole knnGraph build re-executing per consumer (the
+    // invariant triangleCensus documented before the shared-edge refactor)
+    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
     val p = e.as("e1").join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
       .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
         col("e2.b_id").as("c"))
