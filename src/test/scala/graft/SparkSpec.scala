@@ -1,12 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM-wide session). */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(s: String): String = s"/root/testdata/sf$s"
+
+  // operators persist shared sub-relations; without per-test isolation the
+  // one JVM-wide session accumulates every InMemoryRelation across the
+  // whole suite run (Bench/Verify/Explain each clear per query already)
+  override protected def afterEach(): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    super.afterEach()
+  }
 }
 
 object SparkSpec {
