@@ -36,17 +36,24 @@ object Explain {
         // InMemoryTableScans into later plans and mask their re-scans
         spark.catalog.clearCache()
         try {
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
-          val scans = "file:[^,\\] ]*/(\\w+)\\.parquet".r
-            .findAllMatchIn(plan).map(_.group(1)).toSeq
+          // count actual scan NODES in the pre-AQE physical tree — plan
+          // TEXT over-reports for persisted queries because every
+          // InMemoryRelation description embeds its child scan's string
+          val plan = fn(spark, dir).queryExecution.sparkPlan
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.rootPaths.headOption
+                .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          }
           val byTable = scans.groupBy(identity).view.mapValues(_.size)
-          // reuse is reported for context, never used to suppress: a
-          // ReusedExchange on one subtree says nothing about a different
+          // cache hits reported for context, never used to suppress: a
+          // cached subtree on one branch says nothing about a different
           // table being re-scanned 4x elsewhere in the same plan
-          val reused = "ReusedExchange".r.findAllIn(plan).length +
-            "InMemoryTableScan".r.findAllIn(plan).length
+          val cached = plan.collect {
+            case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+          }.size
           byTable.toSeq.filter(_._2 >= 3).sortBy(-_._2).foreach { case (t, n) =>
-            println(s"[scan-audit] $qn: $n scans of $t (reuse nodes: $reused)")
+            println(s"[scan-audit] $qn: $n scans of $t (cached subtrees: $cached)")
           }
         } catch { case e: Throwable =>
           println(s"[scan-audit] $qn: SKIP (${e.getClass.getSimpleName})")

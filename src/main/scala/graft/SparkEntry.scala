@@ -1884,8 +1884,10 @@ object SparkEntry {
     // within source) ----
     "pipeline_select" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
+      // persisted ID list: clean's two consumers (DSIR scoring + the final
+      // select) each re-scan docs but must not re-run the quality gate
       val kept = TextAnalysis.qualityScore(docs, minTokens = 25)
-        .filter(col("keep") === 1).select("doc_id")
+        .filter(col("keep") === 1).select("doc_id").persist()
       val clean = docs.join(kept, "doc_id")
       val scored = TextAnalysis.dsirScore(clean)
       val w = Window.partitionBy("source")

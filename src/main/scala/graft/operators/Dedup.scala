@@ -415,7 +415,10 @@ object Dedup {
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, n, numHashes)
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-    val withArr = sig.select(col("doc_id"), sigArr.as("sig"))
+    // persisted: one small row per doc, consumed by the band explode AND
+    // both verify join-backs — without the cache the corpus-wide shingle +
+    // MinHash signature kernel runs three times
+    val withArr = sig.select(col("doc_id"), sigArr.as("sig")).persist()
     val bandEntries = array((0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i =>
