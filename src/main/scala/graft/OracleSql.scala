@@ -3021,4 +3021,122 @@ object OracleSql {
       |  FROM m)
       |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY kind""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.gopherGate]]: the same six per-doc
+    * rule flags (integer cross-multiplied, never a division), prefix
+    * conjunctions in one aggregate, unpivoted to the six funnel rows.
+    */
+  def textGopherGate(minTokens: Int, maxTokens: Int, minMeanLen: Int,
+      maxMeanLen: Int, minStops: Int, minDistinctPpm: Long,
+      maxTopPpm: Long, maxRep2Ppm: Long): String = {
+    val names = Seq("word_count", "mean_word_length", "required_stopwords",
+      "distinct_ratio", "top_token_share", "repeated_2grams")
+    val rows = names.zipWithIndex.map { case (nm, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rule_id, '$nm' AS rule, " +
+        s"CAST(p$i AS BIGINT) AS n_in, CAST(p$i - p${i + 1} AS BIGINT) AS n_drop, " +
+        s"CAST(p${i + 1} AS BIGINT) AS n_out FROM f"
+    }
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+       |    list_sum(list_transform(toks, x -> len(x))) AS sum_chars,
+       |    len(list_filter(toks, x -> x IN ('the', 'a'))) AS stops,
+       |    len(list_distinct(toks)) AS nd,
+       |    (SELECT max(cnt) FROM (SELECT count(*) AS cnt
+       |       FROM unnest(toks) AS u(tok) GROUP BY tok)) AS top,
+       |    greatest(len(toks) - 1, 1) AS slots,
+       |    greatest(len(toks) - 1, 1) - len(${shingles("toks", 2)}) AS rep2
+       |  FROM tk),
+       |g AS (SELECT
+       |    (n >= $minTokens AND n <= $maxTokens) AS g1,
+       |    (sum_chars >= n * $minMeanLen AND sum_chars <= n * $maxMeanLen) AS g2,
+       |    (stops >= $minStops) AS g3,
+       |    (nd * 1000000 >= n * $minDistinctPpm) AS g4,
+       |    (top * 1000000 <= n * $maxTopPpm) AS g5,
+       |    (rep2 * 1000000 <= slots * $maxRep2Ppm) AS g6
+       |  FROM sig),
+       |f AS (SELECT count(*) AS p0,
+       |    sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS p1,
+       |    sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS p2,
+       |    sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS p3,
+       |    sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS p4,
+       |    sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) AS p5,
+       |    sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 AND g6 THEN 1 ELSE 0 END) AS p6
+       |  FROM g)
+       |${rows.mkString("\n|UNION ALL\n|")}""".stripMargin
+  }
+
+  /** Mirror of [[operators.TextAnalysis.temperatureMix]]: the same
+    * corrected isqrt, integer floor shares, largest-remainder top-up.
+    */
+  def docMixTemperature(budget: Long): String =
+    s"""WITH ps AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source),
+       |s0 AS (SELECT source, n_tok,
+       |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s FROM ps),
+       |w AS (SELECT source, n_tok,
+       |    CASE WHEN s*s > n_tok THEN s - 1
+       |         WHEN (s+1)*(s+1) <= n_tok THEN s + 1 ELSE s END AS w_sqrt
+       |  FROM s0),
+       |t AS (SELECT source, n_tok, w_sqrt,
+       |    sum(w_sqrt) OVER () AS w_total,
+       |    ($budget * w_sqrt) % sum(w_sqrt) OVER () AS rem,
+       |    $budget * w_sqrt // sum(w_sqrt) OVER () AS base
+       |  FROM w),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+       |    $budget - sum(base) OVER () AS short FROM t)
+       |SELECT source, n_tok, w_sqrt,
+       |  CAST(w_sqrt * 1000000 // w_total AS BIGINT) AS share_ppm,
+       |  CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r""".stripMargin
+
+  /** Mirror of [[operators.TextAnalysis.curriculum]]: tf/df mean-document-
+    * frequency difficulty, the easy→hard total order, and the equal-token
+    * phase cut — as one windowed prefix sum (value-identical to the repo's
+    * two-level bucket form).
+    */
+  def docCurriculum(phases: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+       |    1000000 * sum(tf.tf * dfr.df) // sum(tf.tf) AS mean_df_e6
+       |  FROM tf JOIN dfr USING (token) GROUP BY doc_id),
+       |r AS (SELECT doc_id, CAST(mean_df_e6 AS BIGINT) AS mean_df_e6, n_tok,
+       |    CAST(row_number() OVER (ORDER BY mean_df_e6 DESC, doc_id) AS BIGINT) AS rnk,
+       |    sum(n_tok) OVER (ORDER BY mean_df_e6 DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(n_tok) OVER () AS total
+       |  FROM sc)
+       |SELECT doc_id, mean_df_e6, n_tok, rnk,
+       |  CAST((cum - n_tok) * $phases // total AS BIGINT) AS phase
+       |FROM r""".stripMargin
+
+  /** Mirror of [[operators.Similarity.kcenter]]: the farthest-point
+    * traversal replayed as UNROLLED CTEs — round i picks the (d2 DESC, id)
+    * head of the round-(i−1) min-distance relation, then folds
+    * `least(d2, sqdist(v, pick.v))`. Same left-fold squared distance, same
+    * double compares, same tie order — every pick is bit-identical.
+    */
+  def simKcenter(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS (SELECT vec_id, d2, v FROM d${i - 1}
+         |  ORDER BY d2 DESC, vec_id LIMIT 1),
+         |d$i AS (SELECT d.vec_id, d.v,
+         |    least(d.d2, ${sqdist("d.v", "p.v")}) AS d2
+         |  FROM d${i - 1} d, p$i p WHERE d.vec_id <> p.vec_id)""".stripMargin
+    }
+    val picks = (2 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, " +
+        s"CAST(round(d2 * 1e6) AS BIGINT) AS cover_d2_e6 FROM p$i")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS (SELECT v FROM e WHERE vec_id = 0),
+       |d1 AS (SELECT e.vec_id, e.v, ${sqdist("e.v", "c.v")} AS d2
+       |  FROM e, c1 c WHERE e.vec_id <> 0),
+       |${rounds.mkString(",\n|")}
+       |SELECT CAST(1 AS BIGINT) AS rnk, CAST(0 AS BIGINT) AS vec_id,
+       |  CAST(0 AS BIGINT) AS cover_d2_e6
+       |${picks.map(p => "UNION ALL\n|" + p).mkString("\n|")}""".stripMargin
+  }
 }

@@ -1025,6 +1025,10 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16))
     }),
+    // k-center coreset selection: farthest-point traversal (Gonzalez),
+    // k diversity-maximizing exemplars + the covering radius as each joins
+    "sim_kcenter" -> ((s, dir) =>
+      Similarity.kcenter(Tables.read(s, dir, "embeddings"))),
     // hybrid retrieval fusion — the composition a RAG data pipeline ships:
     // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
     // IVF ANN over the query vector (dense), fused per query with
@@ -1333,6 +1337,19 @@ object SparkEntry {
     "doc_epochs" -> ((s, dir) =>
       TextAnalysis.epochAllocation(Tables.read(s, dir, "documents"),
         budget = 15000L, maxEpochs = 4)),
+    // the Gopher quality gate as an attrition funnel: six rules in fixed
+    // order, one row per rule with entered/dropped/survived counts — the
+    // per-rule accounting a corpus build publishes
+    "text_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherGate(Tables.read(s, dir, "documents"))),
+    // temperature-scaled source mixing (T = 2): isqrt weights, a fixed
+    // token budget split by largest-remainder rounding so Σ alloc == budget
+    "doc_mix_temperature" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(Tables.read(s, dir, "documents"))),
+    // curriculum bucketing: mean-document-frequency difficulty, easy→hard
+    // total order, four equal-token phases via a two-level prefix sum
+    "doc_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculum(Tables.read(s, dir, "documents"))),
     // count-min sketch (custom TypedImperativeAggregate, transparent hash
     // family): fixed d×w state summarizes corpus token frequencies; top-20
     // exact counts ride alongside their sketch estimates (est >= exact by
@@ -3414,6 +3431,12 @@ object SparkEntry {
     "emb_pq_fitted" -> OracleSql.embPqFitted(m = 8, k = 16, dim = 64, iters = 2),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
+    "text_gopher_gate" -> OracleSql.textGopherGate(minTokens = 20,
+      maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
+      minDistinctPpm = 300000L, maxTopPpm = 200000L, maxRep2Ppm = 100000L),
+    "doc_mix_temperature" -> OracleSql.docMixTemperature(budget = 100000L),
+    "doc_curriculum" -> OracleSql.docCurriculum(phases = 4),
+    "sim_kcenter" -> OracleSql.simKcenter(k = 6),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),

@@ -1261,4 +1261,55 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("c") * 1e6).cast("long").as("cos_e6"))
   }
+
+  /** k-center coreset selection by farthest-point traversal (Gonzalez 1985
+    * — the greedy 2-approximation): seed at `vec_id` 0, then `k−1` rounds
+    * of "add the point farthest from the chosen set" (squared L2, ties by
+    * lowest id). The diversity-first data-SELECTION rule next to MMR's
+    * redundancy penalty — the k picks maximize coverage, and each pick's
+    * distance-at-selection (`cover_d2_e6`) is the corpus' covering radius
+    * as the coreset grows (the gauge a "how many exemplars do I need"
+    * decision reads).
+    *
+    * Scale shape: the min-distance column updates INCREMENTALLY — each
+    * round is one scan computing `least(d2_so_far, sq_dist(v, new_center))`
+    * plus a TakeOrdered(1) argmax (no global sort), exactly the k-means++
+    * scalable-seeding pattern. Driver state is the k chosen vectors
+    * (k-sized by contract). The working relation persists per round and
+    * the previous round unpersists, so round r never re-runs rounds 1..r−1.
+    * Every selection is deterministic (double compares, id tie-break), so
+    * the DuckDB oracle replays the whole traversal as unrolled CTEs.
+    */
+  def kcenter(emb: DataFrame, k: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.plans.native
+    val spark = emb.sparkSession
+    val e = emb2v(emb)
+    val seed = e.filter(col("vec_id") === 0L).select("v")
+      .head().getSeq[Double](0)
+    val picks = scala.collection.mutable.ArrayBuffer((1L, 0L, 0.0))
+    var cur = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("v"),
+        native.sq_dist(col("v"), typedlit(seed)).as("d2"))
+      .persist()
+    for (_ <- 2 to k) {
+      val top = cur.orderBy(desc("d2"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("d2"), col("v")).head()
+      val (vid, d2) = (top.getLong(0), top.getDouble(1))
+      picks += ((picks.size + 1L, vid, d2))
+      val cv = top.getSeq[Double](2)
+      val next = cur.filter(col("vec_id") =!= vid)
+        .select(col("vec_id"), col("v"),
+          least(col("d2"), native.sq_dist(col("v"), typedlit(cv))).as("d2"))
+        .persist()
+      next.count() // materialize before dropping the parent
+      cur.unpersist()
+      cur = next
+    }
+    cur.unpersist()
+    import spark.implicits._
+    picks.toSeq.toDF("rnk", "vec_id", "d2")
+      .select(col("rnk"), col("vec_id"),
+        round(col("d2") * 1e6).cast("long").as("cover_d2_e6"))
+  }
 }

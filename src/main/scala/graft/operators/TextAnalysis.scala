@@ -440,16 +440,7 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     // longest run over sorted tokens == the most frequent token's count
-    val topRun = aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    val topRun = topTokenRun(toks)
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
@@ -1237,5 +1228,183 @@ object TextAnalysis {
       .filter(col("n_tokens") >= col("med"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         round(col("med") * 10).cast("long").as("med_d10"))
+  }
+
+  /** The most-frequent-token count, as the longest run in the doc's SORTED
+    * token array — one per-row fold, zero shuffle (shared by
+    * [[repetitionStats]] and [[gopherGate]]).
+    */
+  private[operators] def topTokenRun(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style quality gate as an ATTRITION FUNNEL (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the artifact a corpus build actually
+    * publishes: the rules applied in a fixed order, and for each rule how
+    * many docs entered, dropped, and survived. Six rules over the Gopher
+    * families (thresholds scaled to this corpus' length regime, noted
+    * per rule):
+    *
+    *  1. word count within `[minTokens, maxTokens]` (Gopher: [50, 100k])
+    *  2. mean word length within `[3, 10]` chars (Gopher verbatim)
+    *  3. at least `minStops` occurrence hits on a tiny required-stopword
+    *     list (Gopher: ≥2 of {the, be, to, of, and, that, have, with};
+    *     here {the, a} — the fixture vocabulary's function words)
+    *  4. distinct/total token ratio ≥ `minDistinctPpm` (the type-token
+    *     floor behind Gopher's duplicate-line family)
+    *  5. most-frequent-token share ≤ `maxTopPpm` (Gopher: top 2-gram
+    *     fraction; unigram form here)
+    *  6. repeated-2-gram instances / 2-gram slots ≤ `maxRep2Ppm`
+    *
+    * Every signal is a per-row fold over the token array (zero shuffle —
+    * the gate pipelines with the scan at any corpus size) and every
+    * comparison is integer cross-multiplication (no division), so the
+    * oracle hash-matches exactly. The funnel itself is ONE aggregate of
+    * prefix-conjunction counts unpivoted to six rows — no per-rule pass.
+    */
+  def gopherGate(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 1000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minStops: Int = 2,
+      minDistinctPpm: Long = 300000L,
+      maxTopPpm: Long = 200000L,
+      maxRep2Ppm: Long = 100000L): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val sumChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stops = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val top = topTokenRun(toks)
+    val slots = greatest(n - 1L, lit(1L))
+    val rep2 = slots -
+      size(graft.plans.native.word_shingles(col("text"), 2)).cast("long")
+    val g1 = n >= minTokens && n <= maxTokens
+    val g2 = sumChars >= n * minMeanLen && sumChars <= n * maxMeanLen
+    val g3 = stops >= minStops
+    val g4 = nd * 1000000L >= n * minDistinctPpm
+    val g5 = top * 1000000L <= n * maxTopPpm
+    val g6 = rep2 * 1000000L <= slots * maxRep2Ppm
+    // prefix conjunctions: pᵢ = |docs passing rules 1..i| — one aggregate
+    val prefixes = Seq(g1, g2, g3, g4, g5, g6)
+      .scanLeft(lit(true))(_ && _).tail
+      .zipWithIndex.map { case (c, i) =>
+        sum(c.cast("long")).as(s"p${i + 1}")
+      }
+    val names = Seq("word_count", "mean_word_length", "required_stopwords",
+      "distinct_ratio", "top_token_share", "repeated_2grams")
+    val stages = names.zipWithIndex.map { case (nm, i) =>
+      s"${i + 1}L, '$nm', p$i, p${i + 1}"
+    }
+    docs.agg(count(lit(1)).as("p0"), prefixes: _*)
+      .select(expr(
+        s"stack(${names.size}, ${stages.mkString(", ")}) " +
+          "AS (rule_id, rule, n_in, n_out)"))
+      .select(col("rule_id"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_drop"), col("n_out"))
+  }
+
+  /** Temperature-scaled source mixing (the multilingual/multi-domain
+    * sampling rule of Lample & Conneau 2019 §3.1, T = 2): source weights
+    * ∝ n_s^(1/T) = isqrt(n_s), a fixed token `budget` allocated across
+    * sources by the weights under LARGEST-REMAINDER rounding (Hamilton
+    * apportionment: floor shares, then +1 to the `budget − Σ floor` largest
+    * remainders, ties by source) — so Σ alloc == budget exactly.
+    *
+    * Everything is integer-exact: the isqrt is `floor(sqrt(double))` with a
+    * ±1 correction step (double sqrt of an int64 is within 1 of truth, the
+    * correction lands the true floor in both engines), shares are integer
+    * `div`/`%`. Scale shape: ONE map-side-combined groupBy(source); the
+    * remainder ranking windows over the |sources|-row aggregate — k-sized
+    * by nature (a corpus has dozens of sources), the same bounded-input
+    * contract as [[epochAllocation]].
+    */
+  def temperatureMix(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val perSource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tok"))
+    val s0 = floor(sqrt(col("n_tok").cast("double"))).cast("long")
+    val isqrt = when(s0 * s0 > col("n_tok"), s0 - 1L)
+      .when((s0 + 1L) * (s0 + 1L) <= col("n_tok"), s0 + 1L)
+      .otherwise(s0)
+    val weighted = perSource.withColumn("w_sqrt", isqrt)
+    val tot = weighted.agg(sum("w_sqrt").as("w_total"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // |sources| rows — bounded single partition
+    val wRem = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(desc("rem"), asc("source"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget * w_sqrt div w_total"))
+      .withColumn("rem", expr(s"($budget * w_sqrt) % w_total"))
+      .withColumn("rnk", row_number().over(wRem))
+      .withColumn("short", lit(budget) - sum("base").over(all))
+      .select(col("source"), col("n_tok"), col("w_sqrt"),
+        expr("w_sqrt * 1000000 div w_total").as("share_ppm"),
+        (col("base") + when(col("rnk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** Curriculum bucketing — order docs easy→hard and cut the corpus into
+    * `phases` equal-TOKEN training phases (curriculum learning, Bengio et
+    * al. 2009, as data pipelines run it: a difficulty score, a total order,
+    * contiguous token-budget phases). Difficulty here is the mean corpus
+    * DOCUMENT FREQUENCY over the doc's token occurrences (common words →
+    * easy), in exact ppm: `mean_df_e6 = 1e6·Σ_occ df(tok) div n_tok`.
+    * int64 bound: the scaled numerator stays exact while 1e6·n_tok·max_df
+    * < 2⁶³ (e.g. 10k-token docs against corpora under ~9×10⁸ docs); past
+    * that, widen the Σ to DECIMAL(38,0) the way q_moments does.
+    *
+    * Scale shape: the classic two-shuffle tf/df pair (map-side combined;
+    * the (doc,token) counts persist once and feed both the df rollup and
+    * the score join — the one-explode rule), then [[Ranking.globalRank]]'s
+    * range-partitioned total order, and the phase cut via a TWO-LEVEL
+    * prefix sum over rank-range buckets (collected bucket sums are
+    * `nBuckets` rows; the per-bucket window is partition-local) — no
+    * single-partition window anywhere. `phase = (cum_prev · phases) div
+    * total_tokens`: a doc straddling a boundary lands in the earlier phase,
+    * like [[packBatches]]' contiguous fill.
+    */
+  def curriculum(docs: DataFrame, phases: Int = 4,
+      nBuckets: Int = 32): DataFrame = {
+    require(phases >= 1 && nBuckets >= 1,
+      s"bad phases=$phases nBuckets=$nBuckets")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfr, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"), sum(col("tf") * col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("1000000 * sum_df div n_tok").as("mean_df_e6"))
+    val (ranked, nRows) = Ranking.globalRankAndCount(scored,
+      Seq(desc("mean_df_e6"), col("doc_id")), "rnk")
+    val width = math.max(1L, nRows / nBuckets + 1)
+    // persisted: the doc-level ranked relation feeds both the bucket-sum
+    // collect and the final projection (aggregated, never corpus text)
+    val bucketed = ranked
+      .withColumn("b", ((col("rnk") - 1L) / width).cast("int")).persist()
+    val sums = bucketed.groupBy("b").agg(sum("n_tok").as("bs"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = math.max(1L, sums.map(_._2).sum)
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("rnk")
+      .rowsBetween(Long.MinValue, 0)
+    bucketed
+      .withColumn("cum",
+        element_at(typedlit(offsets), col("b")) + sum("n_tok").over(localW))
+      .select(col("doc_id"), col("mean_df_e6"), col("n_tok"), col("rnk"),
+        expr(s"(cum - n_tok) * $phases div $total").as("phase"))
   }
 }

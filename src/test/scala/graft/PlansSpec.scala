@@ -249,7 +249,11 @@ class PlansSpec extends SparkSpec {
       // text_source_chi2's pair frame is an inequality join over the
       // |sources|-row totals — driver-tiny by contract (km_validity's
       // precedent); the corpus-scale stage is the vocab equi-join.
-      "text_source_chi2")
+      "text_source_chi2",
+      // doc_mix_temperature crossJoins the ONE-row Σ-weight scalar against
+      // the |sources|-row aggregate (text_tfidf's scalar-subquery shape);
+      // the corpus-scale stage is the map-side-combined groupBy(source)
+      "doc_mix_temperature")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional
@@ -320,7 +324,11 @@ class PlansSpec extends SparkSpec {
       // q_lorenz / text_vocab_curve: only the cumulative window over the
       // 10-row decile ROLLUP is single-partition (the corpus/vocab-sized
       // cut itself runs through Ranking.globalNtile)
-      "q_lorenz", "text_vocab_curve")
+      "q_lorenz", "text_vocab_curve",
+      // doc_mix_temperature: remainder rank + Σ-base windows over the
+      // per-SOURCE aggregate (|sources| rows at any corpus size —
+      // doc_balance's contract)
+      "doc_mix_temperature")
     val eager = Set("km_fit", "km_fit_mllib", "km_wcr_log", "km_optimal_k",
       "sim_mmr", "km_silhouette", "km_silhouette_rousseeuw", "km_delta",
       "km_validity", "text_bpe_train", "text_bpe_apply", "pipeline_full",

@@ -609,4 +609,40 @@ class SimilaritySpec extends SparkSpec {
     assert(multi == Map(1L -> 0L, 5L -> 0L, 99L -> 0L,
       2L -> 1L, 4L -> 1L, 6L -> 1L, 3L -> 2L))
   }
+
+  test("kcenter: hand-traced farthest-point picks, ties to the lowest id") {
+    // 1-D points 0, 10, 4, 6 seeded at id 0: pick 10 (d2 100), then ids
+    // 2 and 3 tie at d2 16 -> lowest id 2, then 3 at d2 (6-4)^2 = 4
+    val e = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)), (2L, Array(4.0f)),
+      (3L, Array(6.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kcenter(e, k = 4)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 100000000L),
+      (3L, 2L, 16000000L), (4L, 3L, 4000000L)), s"got $got")
+  }
+
+  test("kcenter: covering radius is non-increasing and picks are distinct") {
+    val got = Similarity.kcenter(
+      Tables.read(spark, sf("0.001"), "embeddings"), k = 6)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).distinct.size == 6)
+    got.drop(1).sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"radius grew: $a -> $b") }
+    // greedy invariant: pick r's distance is the TRUE max-min over the
+    // remaining points (re-verified against a brute-force recompute)
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val picks = got.map(_._2)
+    for (r <- 1 until picks.size) {
+      val chosen = picks.take(r).map(emb)
+      val best = emb.filterNot(kv => picks.take(r).contains(kv._1))
+        .map { case (id, v) => (chosen.map(c => d2(v, c)).min, id) }
+        .maxBy { case (d, id) => (d, -id.toDouble) }
+      assert(best._2 == picks(r), s"round $r picked ${picks(r)}, true ${best._2}")
+    }
+  }
 }

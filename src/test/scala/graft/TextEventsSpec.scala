@@ -1186,4 +1186,84 @@ class TextEventsSpec extends SparkSpec {
     // singleton: zero span guards, sentinel min gap
     assert(got(3L) == ((3L, 1L, 0L, 0L, -1L, 0L, 0L, 0L)))
   }
+
+  test("gopherGate: each rule drops its designed offender, funnel chains") {
+    val docs = Seq(
+      (1L, "the cat sat on mat"),          // passes everything
+      (2L, "a b"),                          // g1: under min word count
+      (3L, "x y z w q the the the"),        // passes everything
+      (4L, "p p p p"),                      // g3: no required stopword
+      (5L, "the m the m the m the m"),      // g4: distinct 2/8 < 0.5
+      (6L, "the x q q q"),                  // g5: top share 3/5 > 0.5
+      (7L, "the a x y x y x y")             // g6: rep-2gram 3/7 > 0.3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(docs, minTokens = 3, maxTokens = 10,
+      minMeanLen = 1, maxMeanLen = 10, minStops = 1,
+      minDistinctPpm = 500000L, maxTopPpm = 500000L, maxRep2Ppm = 300000L)
+      .orderBy("rule_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "word_count", 7L, 1L, 6L),
+      (2L, "mean_word_length", 6L, 0L, 6L),
+      (3L, "required_stopwords", 6L, 1L, 5L),
+      (4L, "distinct_ratio", 5L, 1L, 4L),
+      (5L, "top_token_share", 4L, 1L, 3L),
+      (6L, "repeated_2grams", 3L, 1L, 2L)), s"got $got")
+    // the funnel chains: every rule's n_in is the previous rule's n_out
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._5 == b._3) }
+  }
+
+  test("temperatureMix: exact isqrt weights, largest-remainder sums to budget") {
+    // token masses 9 / 16 / 2 -> isqrt weights 3 / 4 / 1, W = 8; budget 10:
+    // floor shares 3/5/1 (remainders 6/0/2), one leftover goes to srcA
+    val docs = Seq(
+      (1L, Seq.fill(9)("t").mkString(" "), "srcA"),
+      (2L, Seq.fill(16)("t").mkString(" "), "srcB"),
+      (3L, "t t", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.temperatureMix(docs, budget = 10L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 9L, 3L, 375000L, 4L),
+      ("srcB", 16L, 4L, 500000L, 5L),
+      ("srcC", 2L, 1L, 125000L, 1L)), s"got $got")
+    assert(got.map(_._5).sum == 10L) // Hamilton: allocations exhaust budget
+    // fixture allocations also sum to budget exactly, and the corrected
+    // isqrt is the true floor at every per-source mass
+    val full = TextAnalysis.temperatureMix(
+      Tables.read(spark, sf("0.001"), "documents"), budget = 100000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(full.map(_._5).sum == 100000L)
+    full.foreach { case (_, n, w, _, _) =>
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) != $w") }
+  }
+
+  test("curriculum: mean-df difficulty order, equal-token phases, bucket invariance") {
+    // df: x in docs {0,1} -> 2; y -> 1; z -> 1
+    // mean_df_e6: d0 = (2+2)e6/2 = 2e6, d1 = 3e6/2 = 1.5e6, d2 = 3e6/3 = 1e6
+    // order d0,d1,d2; total 7 tokens, 2 phases: cut at cum_prev*2 div 7
+    val docs = Seq((0L, "x x"), (1L, "x y"), (2L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.curriculum(docs, phases = 2)
+      .orderBy("rnk").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2000000L, 2L, 1L, 0L),
+      (1L, 1500000L, 2L, 2L, 0L),
+      (2L, 1000000L, 3L, 3L, 1L)), s"got $got")
+    // the two-level prefix sum is bucket-count invariant (== one window)
+    val fx = Tables.read(spark, sf("0.001"), "documents")
+    val a = TextAnalysis.curriculum(fx, phases = 4, nBuckets = 1)
+      .orderBy("rnk").collect().toSeq
+    val b = TextAnalysis.curriculum(fx, phases = 4, nBuckets = 13)
+      .orderBy("rnk").collect().toSeq
+    assert(a == b)
+    // phases hold near-equal token mass: every phase within one max doc
+    val mass = a.groupBy(_.getLong(4)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val maxDoc = a.map(_.getLong(2)).max
+    val ideal = a.map(_.getLong(2)).sum / 4.0
+    mass.values.foreach(m => assert(math.abs(m - ideal) <= maxDoc,
+      s"phase mass $m vs ideal $ideal (max doc $maxDoc)"))
+  }
 }
