@@ -3022,6 +3022,22 @@ object OracleSql {
       |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY kind""".stripMargin
 
+  /** Mirror of [[operators.Dedup.duplicationHotspots]]: ALL (non-distinct)
+    * word n-grams per doc — `greatest(len−(n−1), 0)` grams, the `word_grams`
+    * kernel's no-truncated-tail count — grouped to occurrence/spread
+    * counts, `> 1` cut, (n_occ DESC, n_docs DESC, gram) total-order top-k.
+    */
+  def dedupHotspots(n: Int, k: Int): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+       |      j -> array_to_string(list_slice(toks, j, j + ${n - 1}), ' '))) AS gram
+       |  FROM tk),
+       |c AS (SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       |  FROM g GROUP BY gram HAVING count(*) > 1)
+       |SELECT gram, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM c ORDER BY n_occ DESC, n_docs DESC, gram LIMIT $k""".stripMargin
+
   /** Mirror of [[operators.TextAnalysis.gopherGate]]: the same six per-doc
     * rule flags (integer cross-multiplied, never a division), prefix
     * conjunctions in one aggregate, unpivoted to the six funnel rows.

@@ -848,6 +848,11 @@ object SparkEntry {
     }),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.read(s, dir, "documents"), n = 3, thrNum = 1, thrDen = 5)),
+    // duplicated-n-gram hotspot census (Lee et al.): top trigrams by total
+    // occurrences among those occurring twice+, with cross-doc spread —
+    // the memorization-risk table a dedup run publishes
+    "dedup_hotspots" -> ((s, dir) =>
+      Dedup.duplicationHotspots(Tables.read(s, dir, "documents"))),
     // skew-guarded form: stop-shingles (df > cap within the lang block) are
     // dropped from the postings, bounding the inverted-index join's per-key
     // fan-out to cap² — THE guard that keeps one boilerplate shingle with
@@ -3366,6 +3371,7 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM c GROUP BY canon_url""".stripMargin,
     "dedup_ngram" -> OracleSql.dedupNgram(n = 3, thrNum = 1, thrDen = 5),
+    "dedup_hotspots" -> OracleSql.dedupHotspots(n = 3, k = 20),
     "dedup_containment" -> OracleSql.dedupContainment(n = 3, thrNum = 3, thrDen = 10),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(n = 3, thrNum = 1, thrDen = 5, dfCap = 3),
     "dedup_spans" -> OracleSql.dedupSpans(n = 5, minDocs = 2),

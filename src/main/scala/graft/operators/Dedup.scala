@@ -1090,4 +1090,31 @@ object Dedup {
         (col("n_shared") * thrDen >= col("n_shingles") * thrNum)
           .cast("long").as("contaminated"))
   }
+
+  /** Duplicated-n-gram HOTSPOT census — the artifact of Lee et al. 2022
+    * (arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better", §5's most-duplicated-substring tables): the top-`k` n-grams
+    * by total occurrence count among those occurring more than once, each
+    * with its distinct-document spread — `n_docs > 1` separates cross-doc
+    * boilerplate (what dedup should remove, and what a model is most
+    * likely to memorize) from within-doc repetition (what the Gopher
+    * repetition gate already catches).
+    *
+    * Scale shape: non-distinct grams from the codegen'd
+    * [[graft.plans.ShingleExpressions]] `word_grams` kernel (pipelines with
+    * the scan), ONE map-side-combined groupBy(gram) carrying
+    * `count + count(distinct doc_id)`, then a TakeOrdered(k) — the
+    * vocabulary-sized relation never globally sorts. Counts are integers;
+    * ties break by gram text, so the cut is deterministic and the oracle
+    * hash-exact.
+    */
+  def duplicationHotspots(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.plans.native.word_grams(col("text"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_occ") > 1L)
+      .orderBy(desc("n_occ"), desc("n_docs"), asc("gram"))
+      .limit(k)
 }

@@ -1270,13 +1270,19 @@ object TextAnalysis {
     * oracle hash-matches exactly. The funnel itself is ONE aggregate of
     * prefix-conjunction counts unpivoted to six rows — no per-rule pass.
     */
-  def gopherGate(docs: DataFrame,
-      minTokens: Int = 20, maxTokens: Int = 1000,
-      minMeanLen: Int = 3, maxMeanLen: Int = 10,
-      minStops: Int = 2,
-      minDistinctPpm: Long = 300000L,
-      maxTopPpm: Long = 200000L,
-      maxRep2Ppm: Long = 100000L): DataFrame = {
+  /** The fixed rule order of [[gopherGate]] (and its streaming twin). */
+  val GopherRuleNames: Seq[String] = Seq("word_count", "mean_word_length",
+    "required_stopwords", "distinct_ratio", "top_token_share",
+    "repeated_2grams")
+
+  /** The six Gopher rule flags as PREFIX conjunctions (cᵢ ⇔ the doc passes
+    * rules 1..i) — per-row folds over the token array, zero shuffle; shared
+    * by [[gopherGate]] and the streaming twin so both aggregate the exact
+    * same booleans.
+    */
+  private[graft] def gopherPrefixes(minTokens: Int, maxTokens: Int,
+      minMeanLen: Int, maxMeanLen: Int, minStops: Int, minDistinctPpm: Long,
+      maxTopPpm: Long, maxRep2Ppm: Long): Seq[Column] = {
     val toks = tokens(col("text"))
     val n = size(toks).cast("long")
     val sumChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
@@ -1292,23 +1298,38 @@ object TextAnalysis {
     val g4 = nd * 1000000L >= n * minDistinctPpm
     val g5 = top * 1000000L <= n * maxTopPpm
     val g6 = rep2 * 1000000L <= slots * maxRep2Ppm
-    // prefix conjunctions: pᵢ = |docs passing rules 1..i| — one aggregate
-    val prefixes = Seq(g1, g2, g3, g4, g5, g6)
-      .scanLeft(lit(true))(_ && _).tail
-      .zipWithIndex.map { case (c, i) =>
-        sum(c.cast("long")).as(s"p${i + 1}")
-      }
-    val names = Seq("word_count", "mean_word_length", "required_stopwords",
-      "distinct_ratio", "top_token_share", "repeated_2grams")
-    val stages = names.zipWithIndex.map { case (nm, i) =>
+    Seq(g1, g2, g3, g4, g5, g6).scanLeft(lit(true))(_ && _).tail
+  }
+
+  /** The funnel unpivot shared by [[gopherGate]] and the streaming twin:
+    * turn an aggregated row carrying `p0..p6` into the six
+    * (rule_id, rule, n_in, n_drop, n_out) rows, keeping `carry` columns.
+    */
+  private[graft] def gopherFunnelRows(agged: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val stages = GopherRuleNames.zipWithIndex.map { case (nm, i) =>
       s"${i + 1}L, '$nm', p$i, p${i + 1}"
     }
-    docs.agg(count(lit(1)).as("p0"), prefixes: _*)
-      .select(expr(
-        s"stack(${names.size}, ${stages.mkString(", ")}) " +
-          "AS (rule_id, rule, n_in, n_out)"))
-      .select(col("rule_id"), col("rule"), col("n_in"),
-        (col("n_in") - col("n_out")).as("n_drop"), col("n_out"))
+    val unpivot = expr(
+      s"stack(${GopherRuleNames.size}, ${stages.mkString(", ")}) " +
+        "AS (rule_id, rule, n_in, n_out)")
+    agged.select(carry.map(col) :+ unpivot: _*)
+      .select(carry.map(col) ++ Seq(col("rule_id"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_drop"), col("n_out")): _*)
+  }
+
+  def gopherGate(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 1000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      minStops: Int = 2,
+      minDistinctPpm: Long = 300000L,
+      maxTopPpm: Long = 200000L,
+      maxRep2Ppm: Long = 100000L): DataFrame = {
+    // prefix conjunctions: pᵢ = |docs passing rules 1..i| — one aggregate
+    val prefixes = gopherPrefixes(minTokens, maxTokens, minMeanLen,
+      maxMeanLen, minStops, minDistinctPpm, maxTopPpm, maxRep2Ppm)
+      .zipWithIndex.map { case (c, i) => sum(c.cast("long")).as(s"p${i + 1}") }
+    gopherFunnelRows(docs.agg(count(lit(1)).as("p0"), prefixes: _*))
   }
 
   /** Temperature-scaled source mixing (the multilingual/multi-domain

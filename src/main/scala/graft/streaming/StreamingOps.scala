@@ -153,6 +153,34 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming Gopher gate (twin of `TextAnalysis.gopherGate`): arriving
+    * docs evaluate the SAME six per-row rule-prefix conjunctions
+    * (`TextAnalysis.gopherPrefixes` — shared code, not a re-derivation),
+    * one watermark-bounded windowed aggregation folds them to the prefix
+    * counts, and the same funnel unpivot emits six
+    * (rule, entered/dropped/survived) rows per closed window — the live
+    * ingest-quality dashboard next to the batch corpus census. Per-row
+    * flags are stateless; the only state is one 7-long row per open
+    * window. Pinned ≡ the batch funnel in StreamingSpec.
+    */
+  def gopherGateStream(docs: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour",
+      minTokens: Int = 20, maxTokens: Int = 1000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10, minStops: Int = 2,
+      minDistinctPpm: Long = 300000L, maxTopPpm: Long = 200000L,
+      maxRep2Ppm: Long = 100000L): DataFrame = {
+    import graft.operators.TextAnalysis
+    val prefixes = TextAnalysis.gopherPrefixes(minTokens, maxTokens,
+      minMeanLen, maxMeanLen, minStops, minDistinctPpm, maxTopPpm,
+      maxRep2Ppm)
+      .zipWithIndex.map { case (c, i) => sum(c.cast("long")).as(s"p${i + 1}") }
+    val agged = docs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("p0"), prefixes: _*)
+      .withColumn("win_us", unix_micros(col("window.start")))
+    TextAnalysis.gopherFunnelRows(agged, carry = Seq("win_us"))
+  }
+
   /** Streaming DAU/WAU census — the exact-distinct twin of
     * `Events.activeUsers`: watermark-bounded dedup on (window, user) drops
     * every repeat visit inside the hour bucket, then a windowed count is a

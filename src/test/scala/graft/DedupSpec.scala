@@ -501,4 +501,24 @@ class DedupSpec extends SparkSpec {
     assert(got2(3L) == ((1L, 4L)))
     assert(!got2.contains(4L), "a different second word must block apart")
   }
+
+  test("duplicationHotspots: occurrence counts, cross-doc spread, tie order") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2 within one doc; "b c a", "c a b" x1
+      (2L, "a b c d"),       // "a b c" again (cross-doc), "b c d" x1
+      (3L, "x y")            // shorter than n=3 -> zero grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicationHotspots(docs, n = 3, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // only "a b c" occurs more than once: 3 occurrences across 2 docs
+    assert(got == Seq(("a b c", 3L, 2L)), s"got $got")
+    // k cuts on the (n_occ desc, n_docs desc, gram) total order
+    val many = Seq((1L, "p q p q"), (2L, "p q"), (3L, "q p q p"))
+      .toDF("doc_id", "text")
+    // grams(n=2): doc1 p q, q p, p q; doc2 p q; doc3 q p, p q, q p
+    // "p q" -> 4 occ / 3 docs; "q p" -> 3 occ / 2 docs
+    val top1 = Dedup.duplicationHotspots(many, n = 2, k = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top1 == Seq(("p q", 4L, 3L)), s"got $top1")
+  }
 }

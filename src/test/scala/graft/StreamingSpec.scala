@@ -779,4 +779,43 @@ class StreamingSpec extends SparkSpec {
       assert(tombs == (1L to 20L).filter(_ % 5 == 0).toSet, s"tombstones $tombs")
     } finally q.stop()
   }
+
+  test("streaming Gopher funnel equals the batch gate across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // same designed-offender corpus as the batch spec, same thresholds
+    val fixture = Seq(
+      (1L, "the cat sat on mat"), (2L, "a b"), (3L, "x y z w q the the the"),
+      (4L, "p p p p"), (5L, "the m the m the m the m"),
+      (6L, "the x q q q"), (7L, "the a x y x y x y"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.gopherGateStream(
+      in.toDF().toDF("doc_id", "text", "ts"),
+      minTokens = 3, maxTokens = 10, minMeanLen = 1, maxMeanLen = 10,
+      minStops = 1, minDistinctPpm = 500000L, maxTopPpm = 500000L,
+      maxRep2Ppm = 300000L)
+    val q = out.writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches into the same window, then a watermark push
+      val (a, b) = fixture.splitAt(3)
+      in.addData(a.map { case (id, t) => (id, t, t0) }); q.processAllAvailable()
+      in.addData(b.map { case (id, t) => (id, t, t0) }); q.processAllAvailable()
+      in.addData((99L, "the late one",
+        java.sql.Timestamp.valueOf("2026-01-01 03:00:00")))
+      q.processAllAvailable()
+      val w0 = spark.table("gopher_out").agg(min("win_us")).head().getLong(0)
+      val got = spark.table("gopher_out")
+        .filter(col("win_us") === w0) // the fixture window (late doc opens a 2nd)
+        .select("rule_id", "rule", "n_in", "n_drop", "n_out")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.TextAnalysis.gopherGate(
+        fixture.toDF("doc_id", "text"),
+        minTokens = 3, maxTokens = 10, minMeanLen = 1, maxMeanLen = 10,
+        minStops = 1, minDistinctPpm = 500000L, maxTopPpm = 500000L,
+        maxRep2Ppm = 300000L)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream=$got\nbatch=$batch")
+    } finally q.stop()
+  }
 }
