@@ -1279,32 +1279,49 @@ object Similarity {
     * the previous round unpersists, so round r never re-runs rounds 1..r−1.
     * Every selection is deterministic (double compares, id tie-break), so
     * the DuckDB oracle replays the whole traversal as unrolled CTEs.
+    *
+    * Contract: the input must contain `vec_id` 0 (the deterministic seed —
+    * required, with a clear error otherwise). Fewer than `k` vectors
+    * truncate the traversal to the available points, matching the oracle's
+    * empty trailing CTEs row for row.
     */
   def kcenter(emb: DataFrame, k: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import graft.plans.native
     val spark = emb.sparkSession
     val e = emb2v(emb)
-    val seed = e.filter(col("vec_id") === 0L).select("v")
-      .head().getSeq[Double](0)
+    val seedRows = e.filter(col("vec_id") === 0L).select("v").limit(1).collect()
+    require(seedRows.nonEmpty,
+      "kcenter seeds at vec_id 0 by contract; the input has no such row")
+    val seed = seedRows.head.getSeq[Double](0)
     val picks = scala.collection.mutable.ArrayBuffer((1L, 0L, 0.0))
     var cur = e.filter(col("vec_id") =!= 0L)
       .select(col("vec_id"), col("v"),
         native.sq_dist(col("v"), typedlit(seed)).as("d2"))
       .persist()
-    for (_ <- 2 to k) {
-      val top = cur.orderBy(desc("d2"), col("vec_id")).limit(1)
-        .select(col("vec_id"), col("d2"), col("v")).head()
-      val (vid, d2) = (top.getLong(0), top.getDouble(1))
-      picks += ((picks.size + 1L, vid, d2))
-      val cv = top.getSeq[Double](2)
-      val next = cur.filter(col("vec_id") =!= vid)
-        .select(col("vec_id"), col("v"),
-          least(col("d2"), native.sq_dist(col("v"), typedlit(cv))).as("d2"))
-        .persist()
-      next.count() // materialize before dropping the parent
-      cur.unpersist()
-      cur = next
+    var round_ = 2
+    var exhausted = false
+    while (round_ <= k && !exhausted) {
+      val topRows = cur.orderBy(desc("d2"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("d2"), col("v")).collect()
+      if (topRows.isEmpty) {
+        // fewer than k points: stop with the picks so far — the same
+        // truncation the unrolled oracle produces from its empty CTEs
+        exhausted = true
+      } else {
+        val top = topRows.head
+        val (vid, d2) = (top.getLong(0), top.getDouble(1))
+        picks += ((picks.size + 1L, vid, d2))
+        val cv = top.getSeq[Double](2)
+        val next = cur.filter(col("vec_id") =!= vid)
+          .select(col("vec_id"), col("v"),
+            least(col("d2"), native.sq_dist(col("v"), typedlit(cv))).as("d2"))
+          .persist()
+        next.count() // materialize before dropping the parent
+        cur.unpersist()
+        cur = next
+        round_ += 1
+      }
     }
     cur.unpersist()
     import spark.implicits._

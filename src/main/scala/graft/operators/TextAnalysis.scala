@@ -1246,34 +1246,23 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
 
-  /** Gopher-style quality gate as an ATTRITION FUNNEL (Rae et al. 2021,
-    * arXiv:2112.11446 Table A1) — the artifact a corpus build actually
-    * publishes: the rules applied in a fixed order, and for each rule how
-    * many docs entered, dropped, and survived. Six rules over the Gopher
-    * families (thresholds scaled to this corpus' length regime, noted
-    * per rule):
-    *
-    *  1. word count within `[minTokens, maxTokens]` (Gopher: [50, 100k])
-    *  2. mean word length within `[3, 10]` chars (Gopher verbatim)
-    *  3. at least `minStops` occurrence hits on a tiny required-stopword
-    *     list (Gopher: ≥2 of {the, be, to, of, and, that, have, with};
-    *     here {the, a} — the fixture vocabulary's function words)
-    *  4. distinct/total token ratio ≥ `minDistinctPpm` (the type-token
-    *     floor behind Gopher's duplicate-line family)
-    *  5. most-frequent-token share ≤ `maxTopPpm` (Gopher: top 2-gram
-    *     fraction; unigram form here)
-    *  6. repeated-2-gram instances / 2-gram slots ≤ `maxRep2Ppm`
-    *
-    * Every signal is a per-row fold over the token array (zero shuffle —
-    * the gate pipelines with the scan at any corpus size) and every
-    * comparison is integer cross-multiplication (no division), so the
-    * oracle hash-matches exactly. The funnel itself is ONE aggregate of
-    * prefix-conjunction counts unpivoted to six rows — no per-rule pass.
-    */
   /** The fixed rule order of [[gopherGate]] (and its streaming twin). */
   val GopherRuleNames: Seq[String] = Seq("word_count", "mean_word_length",
     "required_stopwords", "distinct_ratio", "top_token_share",
     "repeated_2grams")
+
+  /** The shared [[gopherGate]]/`gopherGateStream` threshold defaults — ONE
+    * definition so the batch gate and its streaming twin can never drift
+    * apart on a retune (both signatures reference these).
+    */
+  object GopherDefaults {
+    val MinTokens = 20; val MaxTokens = 1000
+    val MinMeanLen = 3; val MaxMeanLen = 10
+    val MinStops = 2
+    val MinDistinctPpm = 300000L
+    val MaxTopPpm = 200000L
+    val MaxRep2Ppm = 100000L
+  }
 
   /** The six Gopher rule flags as PREFIX conjunctions (cᵢ ⇔ the doc passes
     * rules 1..i) — per-row folds over the token array, zero shuffle; shared
@@ -1318,13 +1307,39 @@ object TextAnalysis {
         (col("n_in") - col("n_out")).as("n_drop"), col("n_out")): _*)
   }
 
+  /** Gopher-style quality gate as an ATTRITION FUNNEL (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the artifact a corpus build actually
+    * publishes: the rules applied in a fixed order, and for each rule how
+    * many docs entered, dropped, and survived. Six rules over the Gopher
+    * families (thresholds scaled to this corpus' length regime, noted
+    * per rule):
+    *
+    *  1. word count within `[minTokens, maxTokens]` (Gopher: [50, 100k])
+    *  2. mean word length within `[3, 10]` chars (Gopher verbatim)
+    *  3. at least `minStops` occurrence hits on a tiny required-stopword
+    *     list (Gopher: ≥2 of {the, be, to, of, and, that, have, with};
+    *     here {the, a} — the fixture vocabulary's function words)
+    *  4. distinct/total token ratio ≥ `minDistinctPpm` (the type-token
+    *     floor behind Gopher's duplicate-line family)
+    *  5. most-frequent-token share ≤ `maxTopPpm` (Gopher: top 2-gram
+    *     fraction; unigram form here)
+    *  6. repeated-2-gram instances / 2-gram slots ≤ `maxRep2Ppm`
+    *
+    * Every signal is a per-row fold over the token array (zero shuffle —
+    * the gate pipelines with the scan at any corpus size) and every
+    * comparison is integer cross-multiplication (no division), so the
+    * oracle hash-matches exactly. The funnel itself is ONE aggregate of
+    * prefix-conjunction counts unpivoted to six rows — no per-rule pass.
+    */
   def gopherGate(docs: DataFrame,
-      minTokens: Int = 20, maxTokens: Int = 1000,
-      minMeanLen: Int = 3, maxMeanLen: Int = 10,
-      minStops: Int = 2,
-      minDistinctPpm: Long = 300000L,
-      maxTopPpm: Long = 200000L,
-      maxRep2Ppm: Long = 100000L): DataFrame = {
+      minTokens: Int = GopherDefaults.MinTokens,
+      maxTokens: Int = GopherDefaults.MaxTokens,
+      minMeanLen: Int = GopherDefaults.MinMeanLen,
+      maxMeanLen: Int = GopherDefaults.MaxMeanLen,
+      minStops: Int = GopherDefaults.MinStops,
+      minDistinctPpm: Long = GopherDefaults.MinDistinctPpm,
+      maxTopPpm: Long = GopherDefaults.MaxTopPpm,
+      maxRep2Ppm: Long = GopherDefaults.MaxRep2Ppm): DataFrame = {
     // prefix conjunctions: pᵢ = |docs passing rules 1..i| — one aggregate
     val prefixes = gopherPrefixes(minTokens, maxTokens, minMeanLen,
       maxMeanLen, minStops, minDistinctPpm, maxTopPpm, maxRep2Ppm)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.VectorOps
 import graft.operators.KMeans.Centroid
+import graft.operators.TextAnalysis
 
 /** Structured-Streaming twins of the batch operators.
   *
@@ -81,7 +82,6 @@ object StreamingOps {
     */
   def dsirStream(docs: DataFrame, vocab: DataFrame,
       watermark: String = "10 minutes", windowLen: String = "1 hour"): DataFrame = {
-    import graft.operators.TextAnalysis
     val tok = docs.withWatermark("ts", watermark)
       .select(col("ts"), col("doc_id"),
         explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
@@ -165,11 +165,14 @@ object StreamingOps {
     */
   def gopherGateStream(docs: DataFrame, watermark: String = "10 minutes",
       windowLen: String = "1 hour",
-      minTokens: Int = 20, maxTokens: Int = 1000,
-      minMeanLen: Int = 3, maxMeanLen: Int = 10, minStops: Int = 2,
-      minDistinctPpm: Long = 300000L, maxTopPpm: Long = 200000L,
-      maxRep2Ppm: Long = 100000L): DataFrame = {
-    import graft.operators.TextAnalysis
+      minTokens: Int = TextAnalysis.GopherDefaults.MinTokens,
+      maxTokens: Int = TextAnalysis.GopherDefaults.MaxTokens,
+      minMeanLen: Int = TextAnalysis.GopherDefaults.MinMeanLen,
+      maxMeanLen: Int = TextAnalysis.GopherDefaults.MaxMeanLen,
+      minStops: Int = TextAnalysis.GopherDefaults.MinStops,
+      minDistinctPpm: Long = TextAnalysis.GopherDefaults.MinDistinctPpm,
+      maxTopPpm: Long = TextAnalysis.GopherDefaults.MaxTopPpm,
+      maxRep2Ppm: Long = TextAnalysis.GopherDefaults.MaxRep2Ppm): DataFrame = {
     val prefixes = TextAnalysis.gopherPrefixes(minTokens, maxTokens,
       minMeanLen, maxMeanLen, minStops, minDistinctPpm, maxTopPpm,
       maxRep2Ppm)

@@ -969,4 +969,37 @@ class PropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(ops == Set((1L, "D"), (3L, "I")), s"got $ops")
   }
+
+  test("temperatureMix laws: isqrt exact at square boundaries, Hamilton exhausts any budget") {
+    import org.apache.spark.sql.functions.col
+    // adversarial token masses: k²−1 / k² / k²+1 straddle every floor(sqrt)
+    // rounding edge the double sqrt could miss
+    val ks = Seq(1L, 2L, 3L, 10L, 997L, 46340L, 3037000498L)
+    val masses = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      .filter(_ >= 1).distinct
+    // small-corpus end-to-end: random budgets always allocate EXACTLY the
+    // budget and weights are floor sqrts
+    val corpus = Seq(
+      (1L, "t t t t t t t t", "a"), (2L, "t t t", "b"), (3L, "t", "c"),
+      (4L, "t t t t t", "d")).toDF("doc_id", "text", "source")
+    samples(Gen.choose(0L, 1000L), 25).foreach { budget =>
+      val rows = graft.operators.TextAnalysis.temperatureMix(corpus, budget)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(rows.map(_._5).sum == budget, s"budget $budget not exhausted")
+      rows.foreach { case (_, n, w, _, alloc) =>
+        assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) != $w")
+        assert(alloc >= 0L)
+      }
+    }
+    // the isqrt correction itself, checked at the adversarial masses via
+    // the same column expression the operator uses
+    import org.apache.spark.sql.functions.{floor => ffloor, sqrt => fsqrt, when => fwhen}
+    val s0 = ffloor(fsqrt(col("n").cast("double"))).cast("long")
+    val isq = fwhen(s0 * s0 > col("n"), s0 - 1L)
+      .when((s0 + 1L) * (s0 + 1L) <= col("n"), s0 + 1L).otherwise(s0)
+    val bad = masses.toDF("n").select(col("n"), isq.as("w"))
+      .as[(Long, Long)].collect()
+      .filter { case (n, w) => !(w * w <= n && (w + 1) * (w + 1) > n) }
+    assert(bad.isEmpty, s"isqrt wrong at: ${bad.toSeq}")
+  }
 }

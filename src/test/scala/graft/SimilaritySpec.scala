@@ -622,6 +622,19 @@ class SimilaritySpec extends SparkSpec {
       (3L, 2L, 16000000L), (4L, 3L, 4000000L)), s"got $got")
   }
 
+  test("kcenter: truncates at input size; missing seed fails fast") {
+    val two = Seq((0L, Array(0.0f)), (1L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenter(two, k = 6)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 9000000L)), s"got $got")
+    val noSeed = Seq((5L, Array(1.0f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.kcenter(noSeed, k = 2)
+    }
+    assert(err.getMessage.contains("vec_id 0"))
+  }
+
   test("kcenter: covering radius is non-increasing and picks are distinct") {
     val got = Similarity.kcenter(
       Tables.read(spark, sf("0.001"), "embeddings"), k = 6)
