@@ -3022,6 +3022,34 @@ object OracleSql {
       |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY kind""".stripMargin
 
+  /** Mirror of [[operators.TextAnalysis.corpusDatasheet]]: the fused
+    * per-doc (token count, quality keep, fingerprint) projection, the >1
+    * fingerprint rollup joined back, one per-source aggregate. The keep
+    * rule is [[textQuality]]'s double compare verbatim; the fingerprint is
+    * [[textFingerprint]]'s fold verbatim.
+    */
+  def corpusDatasheet(minTokens: Int, maxTokens: Int): String =
+    s"""WITH pd AS (SELECT source, lang,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(string_split(text,' ')) >= $minTokens AND
+       |      len(string_split(text,' ')) <= $maxTokens AND
+       |      ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |        / length(text)) < 0.2 AS BIGINT) AS keep,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text,' '), t -> ${tokenId("t")})),
+       |      (h,x) -> (h*131+x) % 1000000007) AS fp
+       |  FROM documents),
+       |d AS (SELECT fp FROM pd GROUP BY fp HAVING count(*) > 1),
+       |j AS (SELECT pd.*, CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+       |  FROM pd LEFT JOIN d USING (fp))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_tok) * 100 // count(*) AS BIGINT) AS tokens_per_doc_e2,
+       |  CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS quality_keep_ppm,
+       |  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS exact_dup_ppm
+       |FROM j GROUP BY source""".stripMargin
+
   /** Mirror of [[operators.Dedup.duplicationHotspots]]: ALL (non-distinct)
     * word n-grams per doc — `greatest(len−(n−1), 0)` grams, the `word_grams`
     * kernel's no-truncated-tail count — grouped to occurrence/spread

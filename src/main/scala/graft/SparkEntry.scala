@@ -1347,6 +1347,11 @@ object SparkEntry {
     // per-rule accounting a corpus build publishes
     "text_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherGate(Tables.read(s, dir, "documents"))),
+    // corpus datasheet: the per-source release table — doc/token mass,
+    // language spread, quality pass rate, exact-duplicate rate — from ONE
+    // fused per-doc projection
+    "corpus_datasheet" -> ((s, dir) =>
+      TextAnalysis.corpusDatasheet(Tables.read(s, dir, "documents"))),
     // temperature-scaled source mixing (T = 2): isqrt weights, a fixed
     // token budget split by largest-remainder rounding so Σ alloc == budget
     "doc_mix_temperature" -> ((s, dir) =>
@@ -3441,6 +3446,8 @@ object SparkEntry {
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
       minDistinctPpm = 300000L, maxTopPpm = 200000L, maxRep2Ppm = 100000L),
     "doc_mix_temperature" -> OracleSql.docMixTemperature(budget = 100000L),
+    "corpus_datasheet" -> OracleSql.corpusDatasheet(minTokens = 5,
+      maxTokens = 5000),
     "doc_curriculum" -> OracleSql.docCurriculum(phases = 4),
     "sim_kcenter" -> OracleSql.simKcenter(k = 6),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),

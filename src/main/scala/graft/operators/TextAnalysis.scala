@@ -90,6 +90,19 @@ object TextAnalysis {
     * ratio, plus a boolean keep-flag — the standard cheap pre-filter before
     * expensive dedup/training steps.
     */
+  /** The [[qualityScore]] keep rule as a bare column — shared with
+    * [[corpusDatasheet]] so the datasheet's pass-rate column can never
+    * drift from the gate it reports on.
+    */
+  private[operators] def qualityKeep(minTokens: Int = 5,
+      maxTokens: Int = 5000): Column = {
+    val nTok = size(tokens(col("text")))
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    (nTok >= minTokens && nTok <= maxTokens && (punct / nChars) < 0.2)
+      .cast("long")
+  }
+
   def qualityScore(docs: DataFrame,
       minTokens: Int = 5, maxTokens: Int = 5000): DataFrame = {
     val nTok = size(tokens(col("text")))
@@ -103,8 +116,7 @@ object TextAnalysis {
       (punct / nChars).as("punct_ratio"),
       (digits / nChars).as("digit_ratio"),
       (stops / nTok).as("stop_ratio"),
-      (nTok >= minTokens && nTok <= maxTokens && (punct / nChars) < 0.2)
-        .cast("long").as("keep"))
+      qualityKeep(minTokens, maxTokens).as("keep"))
   }
 
   /** Fixed-size overlapping token chunks — the standard pre-tokenization
@@ -1219,6 +1231,50 @@ object TextAnalysis {
     * The median of integer counts is x.0 or x.5, exact in a double, so the
     * `>=` compare and the d10 fixed point are engine-stable.
     */
+  /** Corpus DATASHEET — the per-source summary table a dataset release
+    * ships (Gebru et al. 2021 "Datasheets for Datasets", the quantitative
+    * rows): for every source its doc and token mass, language spread, mean
+    * doc length, the [[qualityScore]] gate's pass rate (the SAME shared
+    * keep rule, so the report can't drift from the gate), and the exact-
+    * duplicate rate (docs whose order-sensitive [[fingerprint]] content
+    * hash occurs 2+ times corpus-wide — cross-source duplicates count for
+    * every source holding a copy).
+    *
+    * Scale shape: ONE corpus scan computes every per-doc signal (token
+    * count, keep flag, fingerprint) fused; the narrow per-doc relation
+    * persists for its two consumers (the duplicate-fingerprint rollup and
+    * the final per-source aggregate — the signature-relation precedent,
+    * not a corpus-text cache). The dup rollup is a map-side-combined
+    * groupBy(fp) whose >1 survivors equi-join back on fp — NOT forced
+    * broadcast: a dup-heavy corpus makes that set corpus-scale, so the
+    * plan stays a keyed join and AQE may downgrade to broadcast only when
+    * the survivors measure small. All ratios are exact integer ppm/e2.
+    */
+  def corpusDatasheet(docs: DataFrame,
+      minTokens: Int = 5, maxTokens: Int = 5000): DataFrame = {
+    val perDoc = docs.select(
+      col("source"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      qualityKeep(minTokens, maxTokens).as("keep"),
+      graft.plans.native.poly_fold(
+        graft.plans.native.token_ids(col("text")), 131L, 1000000007L)
+        .as("fp"))
+      .persist()
+    val dupFp = perDoc.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L).select(col("fp"), lit(1L).as("is_dup"))
+    perDoc.join(dupFp, Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_tok").as("n_tokens"),
+        sum("keep").as("n_keep"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        expr("n_tokens * 100 div n_docs").as("tokens_per_doc_e2"),
+        expr("n_keep * 1000000 div n_docs").as("quality_keep_ppm"),
+        expr("n_dup * 1000000 div n_docs").as("exact_dup_ppm"))
+  }
+
   def qualityQuantileGate(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))

@@ -1239,6 +1239,21 @@ class TextEventsSpec extends SparkSpec {
       assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) != $w") }
   }
 
+  test("corpusDatasheet: per-source masses, cross-source dup counting, keep rate") {
+    val docs = Seq(
+      (1L, "a b c d e", "en", "A"),  // dup of doc 2 (content-identical)
+      (2L, "a b c d e", "de", "A"),  // second language for source A
+      (3L, "x y", "en", "A"),        // under minTokens -> keep 0
+      (4L, "p q r s t", "en", "B")   // unique, keeps
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusDatasheet(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 2L, 12L, 400L, 666666L, 666666L),
+      ("B", 1L, 1L, 5L, 500L, 1000000L, 0L)), s"got $got")
+  }
+
   test("curriculum: mean-df difficulty order, equal-token phases, bucket invariance") {
     // df: x in docs {0,1} -> 2; y -> 1; z -> 1
     // mean_df_e6: d0 = (2+2)e6/2 = 2e6, d1 = 3e6/2 = 1.5e6, d2 = 3e6/3 = 1e6
