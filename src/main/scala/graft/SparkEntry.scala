@@ -1692,6 +1692,13 @@ object SparkEntry {
         .groupBy("a_vid", "b_vid").agg(count(lit(1)).as("n_frames"))
     }),
 
+    // shot-boundary keyframe census per video (rows-only: AVI decode isn't
+    // SQL-expressible): per-frame aHash deltas, frame 0 + every >= 8-bit
+    // cut keys; golden-pinned in MultimodalSpec
+    "mm_keyframes" -> ((s, dir) =>
+      Multimodal.keyframes(
+        Multimodal.mediaTable(Tables.read(s, dir, "documents")))),
+
     // energy-based audio activity segmentation (rows-only: WAV decode isn't
     // SQL-expressible): real RIFF/PCM parse, exact-integer window energies,
     // active-window census + longest speech run per clip relative to the

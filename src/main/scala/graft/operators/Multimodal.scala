@@ -940,4 +940,38 @@ object Multimodal {
         })
       }
   }
+
+  /** Shot-boundary / KEYFRAME census per video — the sampling rule video
+    * training pipelines prefer over uniform spacing when clips have cuts:
+    * frame f is a keyframe when its aHash hamming distance from frame f−1
+    * is ≥ `minHamming` (frame 0 always keys — it opens the first shot).
+    * The default threshold sits at the synthetic fixture's median
+    * inter-frame delta (its generator pans every frame, so deltas cluster
+    * ~29–40 bits; real footage clusters near 0 with spikes at cuts — tune
+    * per corpus, which is exactly what the max_cut_hamming column is for).
+    * Emits per video: frame count, keyframe count, and the strongest cut's
+    * hamming distance (0 for single-shot clips under the threshold).
+    *
+    * Scale shape: the [[frameAHashes]] partition-batched decode (one AVI
+    * walk per clip), then a lag window PARTITIONED BY media_id — frames
+    * per clip are bounded by clip length, so no partition outgrows a
+    * task regardless of corpus size — and one grouped rollup. Rows-only
+    * like the rest of the mm family (binary decode has no ANSI mirror);
+    * golden-pinned in MultimodalSpec.
+    */
+  def keyframes(media: DataFrame, minHamming: Int = 33,
+      batchSize: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_ix")
+    frameAHashes(media, batchSize).toDF()
+      .withColumn("prev", lag("ahash", 1).over(w))
+      .withColumn("dh",
+        bit_count(col("ahash").bitwiseXOR(col("prev"))).cast("long"))
+      .withColumn("is_key",
+        (col("prev").isNull || col("dh") >= minHamming).cast("long"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("is_key").as("n_keyframes"),
+        coalesce(max("dh"), lit(0L)).as("max_cut_hamming"))
+  }
 }

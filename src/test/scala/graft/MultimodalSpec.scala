@@ -402,4 +402,22 @@ class MultimodalSpec extends SparkSpec {
     assert(pagg.getLong(1) == 99L)
     assert(pagg.getLong(2) == 3L && pagg.getLong(3) == 3L)
   }
+
+  test("mm_keyframes: golden-value pin on the sf0.001 fixture") {
+    // by-name pin: every video keys at least frame 0, never more frames
+    // than it has, and the census splits (the threshold sits mid-
+    // distribution, so neither all-frames nor first-frame-only)
+    val got = SparkEntry.queries("mm_keyframes")(spark, sf("0.001"))
+    val agg = got.agg(count(lit(1)), sum("n_frames"), sum("n_keyframes"),
+      min("n_keyframes"), max("n_keyframes"), sum("max_cut_hamming")).head()
+    assert(agg.getLong(0) == 166L, s"videos ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 664L, s"frames ${agg.getLong(1)}")
+    assert(agg.getLong(2) == 317L, s"keyframes ${agg.getLong(2)}")
+    assert(agg.getLong(3) == 1L && agg.getLong(4) == 4L)
+    assert(agg.getLong(5) == 5458L, s"cut mass ${agg.getLong(5)}")
+    // structural invariants at any threshold
+    val bad = got.filter(col("n_keyframes") < 1L ||
+      col("n_keyframes") > col("n_frames")).count()
+    assert(bad == 0L)
+  }
 }
