@@ -3022,6 +3022,37 @@ object OracleSql {
       |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY kind""".stripMargin
 
+  /** Mirror of the `dedup_cluster_sizes` rollup: [[dedupComponents]]'s
+    * label propagation nested as a subquery, sizes per representative,
+    * then the (size → clusters, docs) histogram.
+    */
+  def dedupClusterSizes(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) comp
+       |  GROUP BY rep_id) sizes
+       |GROUP BY cluster_size""".stripMargin
+
+  /** Mirror of [[operators.Similarity.cellBalance]]: [[simIvf]]'s cell
+    * assignment CTEs, one occupancy rollup, the window total for the exact
+    * ppm share and load factor.
+    */
+  def simCellBalance(nCells: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM cells GROUP BY cell)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs * 1000000 // sum(n_vecs) OVER () AS BIGINT) AS share_ppm,
+       |  CAST(n_vecs * $nCells * 100 // sum(n_vecs) OVER () AS BIGINT) AS load_x100
+       |FROM occ""".stripMargin
+
   /** Mirror of [[operators.TextAnalysis.corpusDatasheet]]: the fused
     * per-doc (token count, quality keep, fingerprint) projection, the >1
     * fingerprint rollup joined back, one per-source aggregate. The keep

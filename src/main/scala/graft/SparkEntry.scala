@@ -894,6 +894,16 @@ object SparkEntry {
     // pair chain (singletons → self). The step between pairwise dedup output
     // and an actionable keep/drop set.
     "dedup_components" -> ((s, dir) => docComponents(s, dir)),
+    // duplicate-cluster SIZE histogram — the distribution dedup papers
+    // publish (how much of the corpus sits in 2-clusters vs mega-clusters):
+    // component sizes from the shared memoized map, rolled to
+    // (size, clusters, docs) rows
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      docComponents(s, dir)
+        .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))),
     // the O(log n)-round scale path: alternating large-star/small-star
     // contraction (Kiveris et al. 2014) over the same LSH pair edges —
     // identical labels to the label-propagation form (same oracle), rounds
@@ -1034,6 +1044,12 @@ object SparkEntry {
     // k diversity-maximizing exemplars + the covering radius as each joins
     "sim_kcenter" -> ((s, dir) =>
       Similarity.kcenter(Tables.read(s, dir, "embeddings"))),
+    // IVF cell occupancy census: per-cell count, share, and load factor vs
+    // the even split — the skew gauge that decides a quantizer re-fit
+    "sim_cell_balance" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.cellBalance(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // hybrid retrieval fusion — the composition a RAG data pipeline ships:
     // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
     // IVF ANN over the query vector (dense), fused per query with
@@ -3399,6 +3415,9 @@ object SparkEntry {
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_components_star" -> OracleSql.dedupComponents(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_cluster_sizes" -> OracleSql.dedupClusterSizes(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "sim_cell_balance" -> OracleSql.simCellBalance(nCells = 16),
     "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       trainPct = 80, valPct = 10),

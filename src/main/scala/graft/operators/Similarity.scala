@@ -197,6 +197,32 @@ object Similarity {
     ivfSearch(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe, k)
   }
 
+  /** IVF cell OCCUPANCY census — the skew gauge that decides whether the
+    * coarse quantizer needs a re-fit before the index ships: per cell its
+    * vector count, corpus share (exact ppm), and load factor vs the ideal
+    * even split (`load_x100 = n_vecs·nCells·100 div n_total`; 100 = ideal,
+    * 1600 = one cell holding everything). A skewed cell makes every probe
+    * that touches it scan disproportionately — the vector-store version of
+    * the q_key_skew join-fan-out census, and the number that licenses (or
+    * vetoes) `nProbe` trades measured by [[annRecall]].
+    *
+    * Scale shape: one zero-shuffle cell assignment (codegen'd nearest-id
+    * fold over literal centroids), one map-side-combined groupBy(cell) —
+    * |cells| rows — and the 1-row total crossJoined back (the scalar-
+    * subquery plan, text_tfidf's allow-listed shape).
+    */
+  def cellBalance(emb: DataFrame, centroids: Seq[KMeans.Centroid]): DataFrame = {
+    val n = centroids.size
+    val cells = emb2v(emb).withColumn("cell",
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    cells.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div n_total").as("share_ppm"),
+        expr(s"n_vecs * $n * 100 div n_total").as("load_x100"))
+  }
+
   /** BUILD the IVF index once: assign cells and persist as a table BUCKETED
     * BY CELL — the build/probe split every vector store runs. The one
     * all-rows shuffle happens here, at write time; after that each probe

@@ -502,6 +502,21 @@ class DedupSpec extends SparkSpec {
     assert(!got2.contains(4L), "a different second word must block apart")
   }
 
+  test("cluster-size histogram: masses rebuild the component map exactly") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val comp = Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
+    val hist = comp.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // every doc is in exactly one cluster: the histogram masses total the
+    // corpus, and cluster counts total the distinct representatives
+    assert(hist.map(_._3).sum == docs.count())
+    assert(hist.map(_._2).sum == comp.select("rep_id").distinct().count())
+    assert(hist.forall { case (size, nc, nd) => nd == size * nc && size >= 1 })
+  }
+
   test("duplicationHotspots: occurrence counts, cross-doc spread, tie order") {
     val docs = Seq(
       (1L, "a b c a b c"),   // "a b c" x2 within one doc; "b c a", "c a b" x1

@@ -253,7 +253,10 @@ class PlansSpec extends SparkSpec {
       // doc_mix_temperature crossJoins the ONE-row Σ-weight scalar against
       // the |sources|-row aggregate (text_tfidf's scalar-subquery shape);
       // the corpus-scale stage is the map-side-combined groupBy(source)
-      "doc_mix_temperature")
+      "doc_mix_temperature",
+      // sim_cell_balance crossJoins the ONE-row total against the
+      // |cells|-row occupancy rollup — the same scalar-subquery shape
+      "sim_cell_balance")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

@@ -622,6 +622,22 @@ class SimilaritySpec extends SparkSpec {
       (3L, 2L, 16000000L), (4L, 3L, 4000000L)), s"got $got")
   }
 
+  test("cellBalance: hand-computed occupancy, shares and load factors") {
+    val cents = Seq(
+      KMeans.Centroid(1, Seq(1.0, 0.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0, 0.0)),
+      KMeans.Centroid(3, Seq(0.0, 0.0, 1.0)))
+    // clusters of 3 / 3 / 2 over the 8 fixture vectors
+    val got = Similarity.cellBalance(emb, cents)
+      .orderBy("cell").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 375000L, 112L),
+      (2L, 3L, 375000L, 112L),
+      (3L, 2L, 250000L, 75L)), s"got $got")
+    // shares always total within one ppm-rounding unit per cell of 1e6
+    assert(math.abs(got.map(_._3).sum - 1000000L) <= got.size)
+  }
+
   test("kcenter: truncates at input size; missing seed fails fast") {
     val two = Seq((0L, Array(0.0f)), (1L, Array(3.0f)))
       .toDF("vec_id", "embedding")
