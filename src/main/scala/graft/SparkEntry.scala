@@ -253,6 +253,29 @@ object SparkEntry {
     tbl
   }
 
+  /** Persisted lexical TF inverted index for `text_tfidf_indexed` /
+    * `text_bm25_indexed`: the aggregated (doc_id, dl, token, tf) relation —
+    * the corpus tokenize + explode + groupBy paid ONCE at build time —
+    * stored BUCKETED BY TOKEN, so posting-list probes co-locate without an
+    * index-side Exchange. The lexical twin of [[ensureIvfIndex]].
+    */
+  private def ensureTfIndex(s: SparkSession, dir: String): String = {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_tf_idx_$tag"
+    bucketedCache.getOrElseUpdate("tfidx|" + key, {
+      pruneStaleTables(s, "graft_tf_idx")
+      val toks = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("token"))
+      sources.Sinks.writeBucketed(
+        toks.groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf")),
+        tbl, 8, Seq("token"), Some(taggedTmpPath("graft_tf_idx", tag)))
+    })
+    tbl
+  }
+
   /** Persisted IVF index for `sim_ivf_indexed`: built once per dir (the
     * build-time shuffle is the cost the build/probe split amortizes).
     */
@@ -450,7 +473,7 @@ object SparkEntry {
     ensureBucketed(s, dir); ensureIvmBase(s, dir)
     ensurePartitionedEvents(s, dir); ensureMinhashIndex(s, dir)
     ensureIvfIndex(s, dir); ensureIvfPqIndex(s, dir)
-    ensureIvfSq8Index(s, dir)
+    ensureIvfSq8Index(s, dir); ensureTfIndex(s, dir)
   }
 
   /** Build the shared-stage memos — the duplicate-component map (LSH edges
@@ -1309,6 +1332,13 @@ object SparkEntry {
     // TakeOrdered k-cut — the classic sparse-retrieval scorer
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(Tables.read(s, dir, "documents"))),
+    // the same rankings off the PERSISTED token-bucketed TF inverted index
+    // (build/probe split — the lexical twin of sim_ivf_indexed): no corpus
+    // tokenize/explode at query time, same oracles
+    "text_tfidf_indexed" -> ((s, dir) =>
+      TextAnalysis.tfidfFromTf(s.table(ensureTfIndex(s, dir)))),
+    "text_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25FromTf(s.table(ensureTfIndex(s, dir)))),
     // Gopher-style repetition signals: distinct/total tokens, top-token
     // count, repeated 2-gram instances — the degenerate-text filters
     "text_repetition" -> ((s, dir) =>
@@ -3602,6 +3632,9 @@ object SparkEntry {
         |FROM c WHERE cum - n_tok < budget""".stripMargin,
     "text_tfidf" -> OracleSql.textTfidf(k = 3),
     "text_bm25" -> OracleSql.textBm25(nTerms = 3, k = 10, k1 = 1.2, b = 0.75),
+    "text_tfidf_indexed" -> OracleSql.textTfidf(k = 3),
+    "text_bm25_indexed" -> OracleSql.textBm25(nTerms = 3, k = 10,
+      k1 = 1.2, b = 0.75),
     "text_repetition" -> OracleSql.textRepetition,
     "text_tokens_bpe" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,

@@ -170,12 +170,27 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .persist()
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // scalar N rides in as a 1-row broadcast: Catalyst plans a
     // BroadcastNestedLoopJoin, which against a single-row build side IS the
     // scalar-subquery plan — each stream row meets exactly one build row, no
     // duplication, no quadratic anything (declared in PlansSpec's allowlist)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tfidfScore(tf, docs.agg(count(lit(1)).as("n_docs")), k)
+  }
+
+  /** [[tfidf]] over an ALREADY-MATERIALIZED `(doc_id, …, token, tf)`
+    * relation — the probe half of the build/probe split (`ensureTfIndex`):
+    * the corpus tokenize + explode + (doc, token) groupBy happened ONCE at
+    * index-build time; a probe pays only the vocabulary df rollup and the
+    * scoring join, both over pre-aggregated index rows. N comes from the
+    * index itself (every doc owns ≥1 token row — whitespace split of even
+    * an empty text yields one token — so the distinct-doc count is exact).
+    */
+  def tfidfFromTf(tf: DataFrame, k: Int = 3): DataFrame =
+    tfidfScore(tf.select("doc_id", "token", "tf"),
+      tf.agg(countDistinct("doc_id").as("n_docs")), k)
+
+  private def tfidfScore(tf: DataFrame, n: DataFrame, k: Int): DataFrame = {
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
     tf.join(df, "token").crossJoin(broadcast(n))
@@ -217,11 +232,29 @@ object TextAnalysis {
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .persist()
+    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    bm25Score(tf, scal, nTerms, k, k1, b)
+  }
+
+  /** [[bm25]] over an ALREADY-MATERIALIZED `(doc_id, dl, token, tf)`
+    * relation — the probe half of the build/probe split (`ensureTfIndex`):
+    * no corpus tokenize/explode at query time; the (n_docs, total_len)
+    * scalars fold from the index's distinct (doc, dl) pairs (exact — every
+    * doc owns ≥1 token row).
+    */
+  def bm25FromTf(tf: DataFrame, nTerms: Int = 3, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scal = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    bm25Score(tf.select("doc_id", "dl", "token", "tf"), scal, nTerms, k, k1, b)
+  }
+
+  private def bm25Score(tf: DataFrame, scal: DataFrame, nTerms: Int, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val q = tf.groupBy("token")
       .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
       .orderBy(desc("cnt"), asc("token")).limit(nTerms)
       .select(col("token"), col("df"))
-    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     val termE6 = round(
       ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
         (col("tf") * lit(k1 + 1.0)) /

@@ -1187,6 +1187,34 @@ class TextEventsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 0L, 0L, -1L, 0L, 0L, 0L)))
   }
 
+  test("persisted TF index probes rank identically; probe plan never re-tokenizes") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val tf = docs
+      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    graft.sources.Sinks.writeBucketed(tf, "spec_tf_idx", 4, Seq("token"),
+      Some(s"$tmp/spec_tf_idx"))
+    try {
+      val idx = spark.table("spec_tf_idx")
+      val directB = TextAnalysis.bm25(docs).collect().toSeq
+      val indexedB = TextAnalysis.bm25FromTf(idx)
+      assert(indexedB.collect().toSeq == directB)
+      val directT = TextAnalysis.tfidf(docs).collect().toSet
+      val indexedT = TextAnalysis.tfidfFromTf(idx)
+      assert(indexedT.collect().toSet == directT)
+      // probe-time plans read pre-aggregated index rows: no corpus text
+      // scan, no tokenize explode anywhere
+      Seq(indexedB, indexedT).foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Generate explode"), s"re-tokenized:\n$plan")
+        assert(!plan.contains("documents.parquet"), s"re-read corpus:\n$plan")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS spec_tf_idx")
+  }
+
   test("gopherGate: each rule drops its designed offender, funnel chains") {
     val docs = Seq(
       (1L, "the cat sat on mat"),          // passes everything
