@@ -1077,6 +1077,17 @@ object SparkEntry {
     // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
     // IVF ANN over the query vector (dense), fused per query with
     // reciprocal-rank fusion in exact integer fixed point
+    // the same fusion FULLY INDEX-SERVED: sparse half off the persisted
+    // token-bucketed TF index, dense half off the persisted IVF cell
+    // index — zero corpus tokenize/assignment at query time, same oracle
+    "retrieval_hybrid_indexed" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val dense = Similarity.ivfTopKIndexed(emb, ensureIvfIndex(s, dir),
+          Similarity.fixedCentroids(emb, 16))
+        .select(col("q_id"), col("n_id").as("doc_id"),
+          col("rnk").as("rnk_dense"))
+      Retrieval.hybridRrfIndexed(s.table(ensureTfIndex(s, dir)), dense)
+    }),
     "retrieval_hybrid" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Retrieval.hybridRrf(Tables.read(s, dir, "documents"), emb,
@@ -3492,6 +3503,9 @@ object SparkEntry {
     "sim_ivf" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "retrieval_hybrid" -> OracleSql.retrievalHybrid(nQueries = 5, nTerms = 3,
       kList = 10, kOut = 10, rrfK = 60, nCells = 16, nProbe = 2,
+      k1 = 1.2, b = 0.75),
+    "retrieval_hybrid_indexed" -> OracleSql.retrievalHybrid(nQueries = 5,
+      nTerms = 3, kList = 10, kOut = 10, rrfK = 60, nCells = 16, nProbe = 2,
       k1 = 1.2, b = 0.75),
     "doc_quality_lr" -> OracleSql.docQualityLr(iters = 20, lrNum = 3L,
       lrDen = 10000000L, minTokens = 5, maxTokens = 5000),

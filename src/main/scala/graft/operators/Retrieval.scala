@@ -47,8 +47,35 @@ object Retrieval {
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
       .persist()
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val dense = Similarity.ivfTopK(emb, centroids, nQueries, nProbe, kList)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("rnk_dense"))
+    hybridRrfFromParts(tf, scal, dense, nQueries, nTerms, kList, kOut,
+      rrfK, k1, b)
+  }
+
+  /** [[hybridRrf]] over PRE-BUILT parts — the fully indexed RAG probe: the
+    * sparse half reads an already-materialized `(doc_id, dl, token, tf)`
+    * relation (the `ensureTfIndex` table — no corpus tokenize at query
+    * time) and the dense half is ANY (q_id, doc_id, rnk_dense) ranking
+    * (e.g. the persisted-IVF `ivfTopKIndexed` probe). Scalars fold from
+    * the tf relation's distinct doc rows (exact — every doc owns ≥1 token
+    * row). Same fusion, same oracle as the direct form.
+    */
+  def hybridRrfIndexed(tf: DataFrame, dense: DataFrame, nQueries: Int = 5,
+      nTerms: Int = 3, kList: Int = 10, kOut: Int = 10, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scal = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    hybridRrfFromParts(tf.select("doc_id", "dl", "token", "tf"), scal,
+      dense.select(col("q_id"), col("doc_id"), col("rnk_dense")),
+      nQueries, nTerms, kList, kOut, rrfK, k1, b)
+  }
+
+  private def hybridRrfFromParts(tf: DataFrame, scal: DataFrame,
+      dense: DataFrame, nQueries: Int, nTerms: Int, kList: Int, kOut: Int,
+      rrfK: Int, k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // pseudo-queries: each query doc's top-nTerms TFIDF terms (the
     // TextAnalysis.tfidf score and tie order exactly), with df carried
     val wq = org.apache.spark.sql.expressions.Window
@@ -77,8 +104,6 @@ object Retrieval {
       .withColumn("rnk_sparse", row_number().over(ws).cast("long"))
       .filter(col("rnk_sparse") <= kList)
       .select(col("q_id"), col("doc_id"), col("rnk_sparse"))
-    val dense = Similarity.ivfTopK(emb, centroids, nQueries, nProbe, kList)
-      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("rnk_dense"))
     val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6",
         coalesce(expr(s"1000000 div ($rrfK + rnk_sparse)"), lit(0L)) +

@@ -256,7 +256,10 @@ class PlansSpec extends SparkSpec {
       "doc_mix_temperature",
       // sim_cell_balance crossJoins the ONE-row total against the
       // |cells|-row occupancy rollup — the same scalar-subquery shape
-      "sim_cell_balance")
+      "sim_cell_balance",
+      // the indexed probe twins share their direct forms' ONE-row scalar
+      // crossJoin (corpus N / (n_docs, total_len)) — same declared shape
+      "text_tfidf_indexed", "text_bm25_indexed", "retrieval_hybrid_indexed")
     // skipped: queries whose CONSTRUCTION runs eager driver work (full fits,
     // O(n²) pair-stat collects) — their inner plans are asserted elsewhere.
     // km_validity's k×k (4×4-row) centroid-pair join is an intentional

@@ -75,4 +75,23 @@ class RetrievalSpec extends SparkSpec {
           r.getLong(3))).toSet
     assert(run(2, 3) == run(7, 1))
   }
+
+  test("hybridRrfIndexed fuses identically to the direct form") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    val direct = Retrieval.hybridRrf(docs, emb, cents)
+      .collect().map(_.toSeq).toSet
+    // tf relation shaped exactly like the ensureTfIndex table
+    val tf = docs
+      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dense = Similarity.ivfTopK(emb, cents)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("rnk_dense"))
+    val indexed = Retrieval.hybridRrfIndexed(tf, dense)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+  }
 }
