@@ -265,12 +265,8 @@ object SparkEntry {
     val tbl = s"graft_tf_idx_$tag"
     bucketedCache.getOrElseUpdate("tfidx|" + key, {
       pruneStaleTables(s, "graft_tf_idx")
-      val toks = Tables.read(s, dir, "documents")
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-          explode(col("toks")).as("token"))
       sources.Sinks.writeBucketed(
-        toks.groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf")),
+        TextAnalysis.tfRelation(Tables.read(s, dir, "documents")),
         tbl, 8, Seq("token"), Some(taggedTmpPath("graft_tf_idx", tag)))
     })
     tbl
@@ -1750,8 +1746,9 @@ object SparkEntry {
     }),
 
     // shot-boundary keyframe census per video (rows-only: AVI decode isn't
-    // SQL-expressible): per-frame aHash deltas, frame 0 + every >= 8-bit
-    // cut keys; golden-pinned in MultimodalSpec
+    // SQL-expressible): per-frame aHash deltas, frame 0 + every cut at or
+    // above the default 33-bit threshold keys; golden-pinned in
+    // MultimodalSpec
     "mm_keyframes" -> ((s, dir) =>
       Multimodal.keyframes(
         Multimodal.mediaTable(Tables.read(s, dir, "documents")))),

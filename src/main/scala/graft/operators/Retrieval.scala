@@ -59,8 +59,9 @@ object Retrieval {
     * relation (the `ensureTfIndex` table — no corpus tokenize at query
     * time) and the dense half is ANY (q_id, doc_id, rnk_dense) ranking
     * (e.g. the persisted-IVF `ivfTopKIndexed` probe). Scalars fold from
-    * the tf relation's distinct doc rows (exact — every doc owns ≥1 token
-    * row). Same fusion, same oracle as the direct form.
+    * the tf relation's distinct doc rows (exact under
+    * `TextAnalysis.tfRelation`'s non-null-text contract). Same fusion,
+    * same oracle as the direct form.
     */
   def hybridRrfIndexed(tf: DataFrame, dense: DataFrame, nQueries: Int = 5,
       nTerms: Int = 3, kList: Int = 10, kOut: Int = 10, rrfK: Int = 60,

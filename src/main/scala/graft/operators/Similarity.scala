@@ -215,9 +215,12 @@ object Similarity {
     val n = centroids.size
     val cells = emb2v(emb).withColumn("cell",
       nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
-    val tot = cells.agg(count(lit(1)).as("n_total"))
-    cells.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(broadcast(tot))
+    // ONE corpus scan: the total folds from the |cells|-row rollup itself
+    // (the oracle's sum(n_vecs) OVER ()), which persists for its two
+    // consumers — never a second pass over the vectors
+    val occ = cells.groupBy("cell").agg(count(lit(1)).as("n_vecs")).persist()
+    val tot = occ.agg(sum("n_vecs").as("n_total"))
+    occ.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),
         expr("n_vecs * 1000000 div n_total").as("share_ppm"),
         expr(s"n_vecs * $n * 100 div n_total").as("load_x100"))

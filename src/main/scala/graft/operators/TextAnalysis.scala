@@ -177,13 +177,28 @@ object TextAnalysis {
     tfidfScore(tf, docs.agg(count(lit(1)).as("n_docs")), k)
   }
 
+  /** The TF inverted-index RELATION `(doc_id, dl, token, tf)` — the ONE
+    * definition of the index layout, used by the `ensureTfIndex` builder
+    * and the probe-parity specs, so the stored shape and what the tests
+    * verify can never drift apart. Contract: `text` must be non-null (a
+    * NULL text yields no token rows, which would silently drop the doc
+    * from the index-derived N/total_len scalars — coalesce upstream if a
+    * corpus can carry NULLs; the fixture cannot).
+    */
+  def tfRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+
   /** [[tfidf]] over an ALREADY-MATERIALIZED `(doc_id, …, token, tf)`
     * relation — the probe half of the build/probe split (`ensureTfIndex`):
     * the corpus tokenize + explode + (doc, token) groupBy happened ONCE at
     * index-build time; a probe pays only the vocabulary df rollup and the
     * scoring join, both over pre-aggregated index rows. N comes from the
-    * index itself (every doc owns ≥1 token row — whitespace split of even
-    * an empty text yields one token — so the distinct-doc count is exact).
+    * index itself (every NON-NULL-text doc owns ≥1 token row — whitespace
+    * split of even an empty text yields one token — so the distinct-doc
+    * count is exact under [[tfRelation]]'s non-null contract).
     */
   def tfidfFromTf(tf: DataFrame, k: Int = 3): DataFrame =
     tfidfScore(tf.select("doc_id", "token", "tf"),
@@ -239,8 +254,9 @@ object TextAnalysis {
   /** [[bm25]] over an ALREADY-MATERIALIZED `(doc_id, dl, token, tf)`
     * relation — the probe half of the build/probe split (`ensureTfIndex`):
     * no corpus tokenize/explode at query time; the (n_docs, total_len)
-    * scalars fold from the index's distinct (doc, dl) pairs (exact — every
-    * doc owns ≥1 token row).
+    * scalars fold from the index's distinct (doc, dl) pairs (exact under
+    * [[tfRelation]]'s non-null-text contract — every doc owns ≥1 token
+    * row).
     */
   def bm25FromTf(tf: DataFrame, nTerms: Int = 3, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

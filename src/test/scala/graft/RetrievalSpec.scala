@@ -82,12 +82,9 @@ class RetrievalSpec extends SparkSpec {
     val cents = Similarity.fixedCentroids(emb, 16)
     val direct = Retrieval.hybridRrf(docs, emb, cents)
       .collect().map(_.toSeq).toSet
-    // tf relation shaped exactly like the ensureTfIndex table
-    val tf = docs
-      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    // the index layout's one source of truth — the same builder
+    // ensureTfIndex materializes
+    val tf = graft.operators.TextAnalysis.tfRelation(docs)
     val dense = Similarity.ivfTopK(emb, cents)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rnk").as("rnk_dense"))
     val indexed = Retrieval.hybridRrfIndexed(tf, dense)

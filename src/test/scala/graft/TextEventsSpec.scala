@@ -1190,13 +1190,8 @@ class TextEventsSpec extends SparkSpec {
   test("persisted TF index probes rank identically; probe plan never re-tokenizes") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val tf = docs
-      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-    graft.sources.Sinks.writeBucketed(tf, "spec_tf_idx", 4, Seq("token"),
-      Some(s"$tmp/spec_tf_idx"))
+    graft.sources.Sinks.writeBucketed(TextAnalysis.tfRelation(docs),
+      "spec_tf_idx", 4, Seq("token"), Some(s"$tmp/spec_tf_idx"))
     try {
       val idx = spark.table("spec_tf_idx")
       val directB = TextAnalysis.bm25(docs).collect().toSeq
