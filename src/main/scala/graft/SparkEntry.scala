@@ -2158,6 +2158,15 @@ object SparkEntry {
           (col("p25") / 100.0).as("p25"), (col("p50") / 100.0).as("p50"),
           (col("p75") / 100.0).as("p75"))
     }),
+    // Tukey-fence outlier census + winsorized totals per return flag: exact
+    // quartiles (two-pass distributed selection), fences and clipped sums
+    // in x8 fixed point — the robust clipping rule data prep runs
+    "q_tukey_fences" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      Quantiles.tukeyFences(Tables.read(s, dir, "lineitem")
+        .select(col("l_returnflag"), cents.as("cents")),
+        "l_returnflag", "cents")
+    }),
 
     // ---- the TPC-H Q5-shaped STAR join: revenue per (region, nation)
     // where customer and supplier share the nation — the one query that
@@ -4064,6 +4073,24 @@ object SparkEntry {
         |  quantile_cont(cents, 0.50)/100.0 AS p50,
         |  quantile_cont(cents, 0.75)/100.0 AS p75
         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "q_tukey_fences" ->
+      """WITH c AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100.0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |q AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(quantile_cont(v, 0.25)*8) AS BIGINT) AS q1_x8,
+        |    CAST(round(quantile_cont(v, 0.75)*8) AS BIGINT) AS q3_x8
+        |  FROM c GROUP BY g),
+        |f AS (SELECT g, n, q1_x8, q3_x8,
+        |    q1_x8 - (3*(q3_x8 - q1_x8)) // 2 AS lo_x8,
+        |    q3_x8 + (3*(q3_x8 - q1_x8)) // 2 AS hi_x8
+        |  FROM q)
+        |SELECT c.g AS l_returnflag, f.n, f.q1_x8, f.q3_x8, f.lo_x8, f.hi_x8,
+        |  CAST(sum(CASE WHEN v*8 < lo_x8 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN v*8 > hi_x8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(greatest(lo_x8, least(v*8, hi_x8))) AS BIGINT) AS win_sum_x8
+        |FROM c JOIN f USING (g)
+        |GROUP BY c.g, f.n, f.q1_x8, f.q3_x8, f.lo_x8, f.hi_x8""".stripMargin,
 
     "q_salted_join" ->
       """WITH c AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -110,4 +110,39 @@ object Quantiles {
     spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Tukey-fence outlier census + winsorized totals per group — the robust
+    * outlier rule data prep actually runs (clip to `[Q1 − 1.5·IQR,
+    * Q3 + 1.5·IQR]`): exact quartiles from [[exactGroupedQuantiles]]'s
+    * two-pass distributed selection, then ONE further scan counts the
+    * outliers each side and folds the winsorized (clipped) sum.
+    *
+    * Everything lands integer-exact in ×8 fixed point: quartiles of longs
+    * interpolate at quarter fractions (x.0/.25/.5/.75 — fp-exact, pinned
+    * in PropertySpec), so `8·q` is an even integer and `1.5·IQR` in x8 is
+    * `3·(q3−q1)x8 div 2` with an even dividend — no float ever reaches the
+    * output. Scale shape: the quantile passes collect only bucket counts
+    * (value-range-bounded driver state); the census is one scan joined to
+    * the |groups|-row broadcast fence relation.
+    */
+  def tukeyFences(data: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val q = exactGroupedQuantiles(data, groupCol, valueCol,
+      Seq(("q1", 0.25), ("q3", 0.75)), bucketWidth)
+    val fences = q.select(col(groupCol), col("cnt").as("n"),
+        round(col("q1") * 8).cast("long").as("q1_x8"),
+        round(col("q3") * 8).cast("long").as("q3_x8"))
+      .withColumn("iqr15_x8", expr("3 * (q3_x8 - q1_x8) div 2"))
+      .select(col(groupCol), col("n"), col("q1_x8"), col("q3_x8"),
+        (col("q1_x8") - col("iqr15_x8")).as("lo_x8"),
+        (col("q3_x8") + col("iqr15_x8")).as("hi_x8"))
+    val v8 = col(valueCol) * 8L
+    data.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol), col("n"), col("q1_x8"), col("q3_x8"),
+        col("lo_x8"), col("hi_x8"))
+      .agg(sum(when(v8 < col("lo_x8"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(v8 > col("hi_x8"), 1L).otherwise(0L)).as("n_high"),
+        sum(greatest(col("lo_x8"), least(v8, col("hi_x8"))))
+          .as("win_sum_x8"))
+  }
 }

@@ -265,6 +265,23 @@ object TextAnalysis {
     bm25Score(tf.select("doc_id", "dl", "token", "tf"), scal, nTerms, k, k1, b)
   }
 
+  /** Offline FIT of the [[bm25]] query artifacts from a TF relation — the
+    * (token, df) query terms and the (n_docs, total_len) corpus scalars —
+    * for the streaming scorer's fit/apply split (`bm25ScoreStream`). Both
+    * collects are k-sized by contract: `nTerms` rows and one scalar row.
+    */
+  def bm25Fit(tf: DataFrame,
+      nTerms: Int = 3): (Seq[(String, Long)], Long, Long) = {
+    val terms = tf.groupBy("token")
+      .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
+      .orderBy(desc("cnt"), asc("token")).limit(nTerms)
+      .select("token", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val s = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")).head()
+    (terms, s.getLong(0), s.getLong(1))
+  }
+
   private def bm25Score(tf: DataFrame, scal: DataFrame, nTerms: Int, k: Int,
       k1: Double, b: Double): DataFrame = {
     val q = tf.groupBy("token")

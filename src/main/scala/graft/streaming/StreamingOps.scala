@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.VectorOps
@@ -152,6 +152,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming BM25 ingest scorer — the fit/apply split of lexical
+    * retrieval at ingest: the query terms and corpus scalars are FITTED
+    * offline (`TextAnalysis.bm25Fit` over the persisted TF index) and every
+    * arriving doc scores PER ROW against them — tf of each query term via
+    * an array filter over the doc's own tokens, the exact Okapi term
+    * arithmetic of the batch scorer (same operation order, so scores are
+    * bit-identical for in-corpus docs — pinned in StreamingSpec). ZERO
+    * state, zero shuffle: the scorer pipelines with ingest at any rate;
+    * ranking/top-k is a downstream rollup when someone needs it.
+    */
+  def bm25ScoreStream(docs: DataFrame, terms: Seq[(String, Long)],
+      nDocs: Long, totalLen: Long, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val dl = size(toks).cast("long")
+    def tfOf(term: String): Column =
+      size(filter(toks, t => t === term)).cast("long")
+    def termE6(tf: Column, df: Long): Column = round(
+      ((lit(nDocs) - lit(df) + 0.5) / (lit(df) + 0.5)) *
+        (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * dl * lit(nDocs) / lit(totalLen))) *
+        1e6).cast("long")
+    val scores = terms.map { case (t, df) => termE6(tfOf(t), df) }
+    val hits = terms.map { case (t, _) =>
+      when(tfOf(t) > 0L, 1L).otherwise(0L) }
+    docs.select(col("doc_id"), dl.as("dl"),
+      hits.reduce(_ + _).as("n_hit"),
+      scores.reduce(_ + _).as("score_e6"))
+  }
 
   /** Streaming Gopher gate (twin of `TextAnalysis.gopherGate`): arriving
     * docs evaluate the SAME six per-row rule-prefix conjunctions

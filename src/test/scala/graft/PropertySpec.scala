@@ -970,6 +970,24 @@ class PropertySpec extends SparkSpec {
     assert(ops == Set((1L, "D"), (3L, "I")), s"got $ops")
   }
 
+  test("tukeyFences: hand-computed fences, outlier counts, winsorized sums") {
+    import org.apache.spark.sql.functions.col
+    val data = ((1L to 8L).map(v => ("A", v)) :+ ("A", 100L)) ++
+      (1L to 4L).map(v => ("B", v))
+    val got = graft.operators.Quantiles.tukeyFences(
+      data.toDF("g", "v"), "g", "v")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // A: 9 values, q1 = 3, q3 = 7 (x8: 24/56), 1.5*IQR = 48 -> fences
+    // [-24, 104]; only 100 clips (to 13): win sum = 36*8 + 104 = 392
+    // B: 4 values, q1 = 1.75, q3 = 3.25 (x8: 14/26), fences [-4, 44]:
+    // nothing clips, win sum = 10*8 = 80
+    assert(got == Seq(
+      ("A", 9L, 24L, 56L, -24L, 104L, 0L, 1L, 392L),
+      ("B", 4L, 14L, 26L, -4L, 44L, 0L, 0L, 80L)), s"got $got")
+  }
+
   test("temperatureMix laws: isqrt exact at square boundaries, Hamilton exhausts any budget") {
     import org.apache.spark.sql.functions.col
     // adversarial token masses: k²−1 / k² / k²+1 straddle every floor(sqrt)

@@ -780,6 +780,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 scorer is bit-identical to the batch ranking on in-corpus docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.read(spark, sf("0.001"), "documents")
+    val (terms, nDocs, totalLen) = graft.operators.TextAnalysis.bm25Fit(
+      graft.operators.TextAnalysis.tfRelation(corpus))
+    val batch = graft.operators.TextAnalysis.bm25(corpus)
+      .select("doc_id", "dl", "n_hit", "score_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.bm25ScoreStream(
+      in.toDF().toDF("doc_id", "text"), terms, nDocs, totalLen)
+    val q = out.writeStream.format("memory").queryName("bm25_out")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      val (a, b) = rows.splitAt(rows.size / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val got = spark.table("bm25_out")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // every batch-ranked doc's (dl, hits, score) reproduces exactly
+      batch.foreach { case row @ (id, _, _, _) =>
+        assert(got(id) == row, s"doc $id: stream=${got(id)} batch=$row") }
+      // and the stream scored the whole corpus statelessly
+      assert(got.size == rows.size)
+    } finally q.stop()
+  }
+
   test("streaming Gopher funnel equals the batch gate across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     // same designed-offender corpus as the batch spec, same thresholds
