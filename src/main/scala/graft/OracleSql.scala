@@ -3150,8 +3150,8 @@ object OracleSql {
        |s0 AS (SELECT source, n_tok,
        |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s FROM ps),
        |w AS (SELECT source, n_tok,
-       |    CASE WHEN s*s > n_tok THEN s - 1
-       |         WHEN (s+1)*(s+1) <= n_tok THEN s + 1 ELSE s END AS w_sqrt
+       |    CASE WHEN s > n_tok // s THEN s - 1
+       |         WHEN s + 1 <= n_tok // (s + 1) THEN s + 1 ELSE s END AS w_sqrt
        |  FROM s0),
        |t AS (SELECT source, n_tok, w_sqrt,
        |    sum(w_sqrt) OVER () AS w_total,

@@ -972,6 +972,9 @@ object Multimodal {
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"),
         sum("is_key").as("n_keyframes"),
-        coalesce(max("dh"), lit(0L)).as("max_cut_hamming"))
+        // strongest CUT, not strongest delta: sub-threshold deltas are not
+        // cuts, so a single-shot clip reports 0 (the documented contract)
+        coalesce(max(when(col("dh") >= minHamming, col("dh"))), lit(0L))
+          .as("max_cut_hamming"))
   }
 }

@@ -89,13 +89,9 @@ object Retrieval {
       .filter(col("trnk") <= nTerms)
       .select(col("doc_id").as("q_id"), col("token"), col("df"))
     // Okapi BM25 of every corpus doc against each query's term set — the
-    // TextAnalysis.bm25 term shape verbatim, per q_id
-    val termE6 = round(
-      ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total_len"))) *
-        1e6).cast("long")
+    // SHARED TextAnalysis.bm25TermE6 definition, per q_id
+    val termE6 = TextAnalysis.bm25TermE6(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("total_len"), k1, b)
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("score_e6"), asc("doc_id"))
     val sparse = tf.join(broadcast(qterms), "token").crossJoin(broadcast(scal))

@@ -272,28 +272,40 @@ object TextAnalysis {
     */
   def bm25Fit(tf: DataFrame,
       nTerms: Int = 3): (Seq[(String, Long)], Long, Long) = {
-    val terms = tf.groupBy("token")
-      .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
-      .orderBy(desc("cnt"), asc("token")).limit(nTerms)
-      .select("token", "df").collect()
+    val terms = bm25TopTerms(tf, nTerms).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val s = tf.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")).head()
     (terms, s.getLong(0), s.getLong(1))
   }
 
-  private def bm25Score(tf: DataFrame, scal: DataFrame, nTerms: Int, k: Int,
-      k1: Double, b: Double): DataFrame = {
-    val q = tf.groupBy("token")
+  /** The Okapi per-term score in e6 fixed point — ONE definition shared by
+    * the batch scorer and the streaming ingest scorer (every input is a
+    * Column: batch passes crossJoined scalar columns, the stream passes
+    * literals — the identical expression tree, so scores are bit-identical).
+    */
+  private[graft] def bm25TermE6(tf: Column, df: Column, dl: Column,
+      nDocs: Column, totalLen: Column, k1: Double, b: Double): Column = round(
+    ((nDocs - df + 0.5) / (df + 0.5)) *
+      (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * dl * nDocs / totalLen)) *
+      1e6).cast("long")
+
+  /** The (Σtf desc, token) top-term selection shared by the batch scorer
+    * and [[bm25Fit]] — one definition of the query's tie order.
+    */
+  private[graft] def bm25TopTerms(tf: DataFrame, nTerms: Int): DataFrame =
+    tf.groupBy("token")
       .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
       .orderBy(desc("cnt"), asc("token")).limit(nTerms)
       .select(col("token"), col("df"))
-    val termE6 = round(
-      ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n_docs") / col("total_len"))) *
-        1e6).cast("long")
+
+  private def bm25Score(tf: DataFrame, scal: DataFrame, nTerms: Int, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val q = bm25TopTerms(tf, nTerms)
+    val termE6 = bm25TermE6(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("total_len"), k1, b)
     val scored = tf.join(broadcast(q), "token").crossJoin(broadcast(scal))
       .select(col("doc_id"), col("dl"), termE6.as("term_e6"))
       .groupBy("doc_id", "dl")
@@ -1489,11 +1501,17 @@ object TextAnalysis {
     val perSource = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tok"))
-    val s0 = floor(sqrt(col("n_tok").cast("double"))).cast("long")
-    val isqrt = when(s0 * s0 > col("n_tok"), s0 - 1L)
-      .when((s0 + 1L) * (s0 + 1L) <= col("n_tok"), s0 + 1L)
-      .otherwise(s0)
-    val weighted = perSource.withColumn("w_sqrt", isqrt)
+    // correction compares via integer DIVISION (a² ≤ n ⟺ a ≤ n div a for
+    // positive a), so it never overflows int64 — exact for every mass up
+    // to Long.MaxValue, where the squared form would wrap at isqrt ≈ 3.04e9
+    // (n_tok ≥ 1 per source: every doc owns ≥ 1 token, so s0 ≥ 1)
+    val weighted = perSource
+      .withColumn("s0", floor(sqrt(col("n_tok").cast("double"))).cast("long"))
+      .withColumn("w_sqrt",
+        when(col("s0") > expr("n_tok div s0"), col("s0") - 1L)
+          .when(col("s0") + 1L <= expr("n_tok div (s0 + 1)"), col("s0") + 1L)
+          .otherwise(col("s0")))
+      .drop("s0")
     val tot = weighted.agg(sum("w_sqrt").as("w_total"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)) // |sources| rows — bounded single partition

@@ -170,18 +170,16 @@ object StreamingOps {
     val dl = size(toks).cast("long")
     def tfOf(term: String): Column =
       size(filter(toks, t => t === term)).cast("long")
-    def termE6(tf: Column, df: Long): Column = round(
-      ((lit(nDocs) - lit(df) + 0.5) / (lit(df) + 0.5)) *
-        (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * dl * lit(nDocs) / lit(totalLen))) *
-        1e6).cast("long")
-    val scores = terms.map { case (t, df) => termE6(tfOf(t), df) }
+    val scores = terms.map { case (t, df) =>
+      TextAnalysis.bm25TermE6(tfOf(t), lit(df), dl,
+        lit(nDocs), lit(totalLen), k1, b) }
     val hits = terms.map { case (t, _) =>
       when(tfOf(t) > 0L, 1L).otherwise(0L) }
+    // foldLeft, not reduce: an empty fitted term list legally yields an
+    // all-zero scorer instead of empty.reduce throwing at plan build
     docs.select(col("doc_id"), dl.as("dl"),
-      hits.reduce(_ + _).as("n_hit"),
-      scores.reduce(_ + _).as("score_e6"))
+      hits.foldLeft(lit(0L))(_ + _).as("n_hit"),
+      scores.foldLeft(lit(0L))(_ + _).as("score_e6"))
   }
 
   /** Streaming Gopher gate (twin of `TextAnalysis.gopherGate`): arriving

@@ -505,10 +505,9 @@ class DedupSpec extends SparkSpec {
   test("cluster-size histogram: masses rebuild the component map exactly") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val comp = Dedup.connectedComponents(docs, Dedup.minhashLSH(docs))
-    val hist = comp.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    // exercise the REGISTERED query (not an inline re-derivation), so a
+    // registration bug in SparkEntry fails here, not only at the oracle
+    val hist = SparkEntry.queries("dedup_cluster_sizes")(spark, sf("0.001"))
       .as[(Long, Long, Long)].collect().toSeq
     // every doc is in exactly one cluster: the histogram masses total the
     // corpus, and cluster counts total the distinct representatives

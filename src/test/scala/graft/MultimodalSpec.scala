@@ -414,10 +414,16 @@ class MultimodalSpec extends SparkSpec {
     assert(agg.getLong(1) == 664L, s"frames ${agg.getLong(1)}")
     assert(agg.getLong(2) == 317L, s"keyframes ${agg.getLong(2)}")
     assert(agg.getLong(3) == 1L && agg.getLong(4) == 4L)
-    assert(agg.getLong(5) == 5458L, s"cut mass ${agg.getLong(5)}")
-    // structural invariants at any threshold
+    assert(agg.getLong(5) == 3788L, s"cut mass ${agg.getLong(5)}")
+    // structural invariants at any threshold: every clip keys frame 0,
+    // never more keys than frames, and a clip with no cut past the
+    // threshold reports max_cut_hamming = 0 (58 such clips here)
     val bad = got.filter(col("n_keyframes") < 1L ||
       col("n_keyframes") > col("n_frames")).count()
     assert(bad == 0L)
+    assert(got.filter(col("max_cut_hamming") === 0L).count() == 58L)
+    val incoherent = got.filter(
+      (col("max_cut_hamming") === 0L) =!= (col("n_keyframes") === 1L)).count()
+    assert(incoherent == 0L, "no-cut must coincide with only frame 0 keying")
   }
 }
