@@ -970,6 +970,24 @@ class PropertySpec extends SparkSpec {
     assert(ops == Set((1L, "D"), (3L, "I")), s"got $ops")
   }
 
+  test("duplicationHotspots laws: spread bounds, cut size, partitioning invariance") {
+    samples(docGen, 6).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text", "lang")
+      val got = Dedup.duplicationHotspots(docs, n = 2, k = 5)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got.size <= 5)
+      got.foreach { case (g, occ, nd) =>
+        assert(occ >= 2, s"'$g' under the duplicated cut: $occ")
+        assert(nd >= 1 && nd <= occ, s"'$g' spread $nd out of [1, $occ]")
+        assert(nd <= rows.size.toLong)
+      }
+      // the census is a pure function of the data, not its layout
+      val re = Dedup.duplicationHotspots(docs.repartition(7), n = 2, k = 5)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(re == got)
+    }
+  }
+
   test("tukeyFences: hand-computed fences, outlier counts, winsorized sums") {
     import org.apache.spark.sql.functions.col
     val data = ((1L to 8L).map(v => ("A", v)) :+ ("A", 100L)) ++
