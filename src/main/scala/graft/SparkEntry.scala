@@ -1341,7 +1341,12 @@ object SparkEntry {
       TextAnalysis.bm25(Tables.read(s, dir, "documents"))),
     // the same rankings off the PERSISTED token-bucketed TF inverted index
     // (build/probe split — the lexical twin of sim_ivf_indexed): no corpus
-    // tokenize/explode at query time, same oracles
+    // tokenize/explode at query time, same oracles. DELIBERATELY
+    // un-persisted probe reads (scan-audit flags 3-5 index scans): each is
+    // a pruned columnar read of the pre-aggregated bucketed table — the
+    // production probe shape at any index size, where caching a
+    // corpus×token relation in memory is exactly what doesn't scale (the
+    // funnel-family rule; walls already sit below the direct forms' floors)
     "text_tfidf_indexed" -> ((s, dir) =>
       TextAnalysis.tfidfFromTf(s.table(ensureTfIndex(s, dir)))),
     "text_bm25_indexed" -> ((s, dir) =>
