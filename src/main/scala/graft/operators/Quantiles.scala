@@ -124,6 +124,15 @@ object Quantiles {
     * output. Scale shape: the quantile passes collect only bucket counts
     * (value-range-bounded driver state); the census is one scan joined to
     * the |groups|-row broadcast fence relation.
+    *
+    * Int64 bound (same discipline as `doc_curriculum`'s documented bound):
+    * `win_sum_x8` folds per-group `sum(clip(value)·8)` as a LONG sum, so it
+    * requires `rows_per_group · 8·max|value| < 2^63`; past that Spark wraps
+    * silently while an ANSI engine widens (DuckDB sum(BIGINT) → HUGEINT)
+    * and the engines diverge exactly when it matters. At the fixture's
+    * value range (≤ ~5·10^5 × 8) that allows ~2.3·10^12 rows per group;
+    * beyond it, pre-cast the clipped value to DECIMAL(38,0) before the sum
+    * the way `q_moments` does.
     */
   def tukeyFences(data: DataFrame, groupCol: String, valueCol: String,
       bucketWidth: Long = 4096L): DataFrame = {

@@ -58,8 +58,14 @@ object Retrieval {
     * sparse half reads an already-materialized `(doc_id, dl, token, tf)`
     * relation (the `ensureTfIndex` table — no corpus tokenize at query
     * time) and the dense half is ANY (q_id, doc_id, rnk_dense) ranking
-    * (e.g. the persisted-IVF `ivfTopKIndexed` probe). Scalars fold from
-    * the tf relation's distinct doc rows (exact under
+    * (e.g. the persisted-IVF `ivfTopKIndexed` probe) — CONTRACT: its q_id
+    * domain must equal the pseudo-query domain `[0, nQueries)` (the sparse
+    * half hard-codes pseudo-queries to `doc_id < nQueries`; a dense ranking
+    * built with a different query set would otherwise silently surface
+    * dense-only rows through the full_outer fusion join). Enforced in the
+    * row path with `raise_error` — no eager validation scan at plan
+    * construction, a mismatched dense half fails loudly at execution.
+    * Scalars fold from the tf relation's distinct doc rows (exact under
     * `TextAnalysis.tfRelation`'s non-null-text contract). Same fusion,
     * same oracle as the direct form.
     */
@@ -68,9 +74,15 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val scal = tf.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val denseChecked = dense.select(
+      when(col("q_id") < 0 || col("q_id") >= nQueries,
+        raise_error(concat(
+          lit(s"hybridRrfIndexed: dense q_id outside [0, $nQueries): "),
+          col("q_id").cast("string"))))
+        .otherwise(col("q_id")).as("q_id"),
+      col("doc_id"), col("rnk_dense"))
     hybridRrfFromParts(tf.select("doc_id", "dl", "token", "tf"), scal,
-      dense.select(col("q_id"), col("doc_id"), col("rnk_dense")),
-      nQueries, nTerms, kList, kOut, rrfK, k1, b)
+      denseChecked, nQueries, nTerms, kList, kOut, rrfK, k1, b)
   }
 
   private def hybridRrfFromParts(tf: DataFrame, scal: DataFrame,

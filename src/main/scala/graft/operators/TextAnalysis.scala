@@ -1481,6 +1481,27 @@ object TextAnalysis {
     gopherFunnelRows(docs.agg(count(lit(1)).as("p0"), prefixes: _*))
   }
 
+  /** Overflow-free integer square root: `outCol = floor(sqrt(nCol))` for a
+    * positive long column. `floor(sqrt(double))` is within ±1 of truth for
+    * any int64; the correction step compares via integer DIVISION (`a² ≤ n
+    * ⟺ a ≤ n div a` for positive `a`), so it never wraps int64 — exact for
+    * every mass up to Long.MaxValue, where a squared-compare form would
+    * wrap at isqrt ≈ 3.04e9. Requires `nCol ≥ 1`. Shared between
+    * [[temperatureMix]] and PropertySpec's adversarial-mass check so the
+    * test exercises THIS production expression, not a re-derivation.
+    */
+  private[graft] def withIsqrt(df: DataFrame, nCol: String,
+      outCol: String): DataFrame =
+    df.withColumn("__isqrt_s0",
+        floor(sqrt(col(nCol).cast("double"))).cast("long"))
+      .withColumn(outCol,
+        when(col("__isqrt_s0") > expr(s"$nCol div __isqrt_s0"),
+          col("__isqrt_s0") - 1L)
+          .when(col("__isqrt_s0") + 1L <= expr(s"$nCol div (__isqrt_s0 + 1)"),
+            col("__isqrt_s0") + 1L)
+          .otherwise(col("__isqrt_s0")))
+      .drop("__isqrt_s0")
+
   /** Temperature-scaled source mixing (the multilingual/multi-domain
     * sampling rule of Lample & Conneau 2019 §3.1, T = 2): source weights
     * ∝ n_s^(1/T) = isqrt(n_s), a fixed token `budget` allocated across
@@ -1501,17 +1522,7 @@ object TextAnalysis {
     val perSource = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tok"))
-    // correction compares via integer DIVISION (a² ≤ n ⟺ a ≤ n div a for
-    // positive a), so it never overflows int64 — exact for every mass up
-    // to Long.MaxValue, where the squared form would wrap at isqrt ≈ 3.04e9
-    // (n_tok ≥ 1 per source: every doc owns ≥ 1 token, so s0 ≥ 1)
-    val weighted = perSource
-      .withColumn("s0", floor(sqrt(col("n_tok").cast("double"))).cast("long"))
-      .withColumn("w_sqrt",
-        when(col("s0") > expr("n_tok div s0"), col("s0") - 1L)
-          .when(col("s0") + 1L <= expr("n_tok div (s0 + 1)"), col("s0") + 1L)
-          .otherwise(col("s0")))
-      .drop("s0")
+    val weighted = withIsqrt(perSource, "n_tok", "w_sqrt")
     val tot = weighted.agg(sum("w_sqrt").as("w_total"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)) // |sources| rows — bounded single partition

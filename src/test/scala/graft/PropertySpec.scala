@@ -1028,12 +1028,11 @@ class PropertySpec extends SparkSpec {
       }
     }
     // the isqrt correction itself, checked at the adversarial masses via
-    // the same column expression the operator uses
-    import org.apache.spark.sql.functions.{floor => ffloor, sqrt => fsqrt, when => fwhen}
-    val s0 = ffloor(fsqrt(col("n").cast("double"))).cast("long")
-    val isq = fwhen(s0 * s0 > col("n"), s0 - 1L)
-      .when((s0 + 1L) * (s0 + 1L) <= col("n"), s0 + 1L).otherwise(s0)
-    val bad = masses.toDF("n").select(col("n"), isq.as("w"))
+    // the SHARED production expression (TextAnalysis.withIsqrt — the same
+    // overflow-free division-compare form temperatureMix builds its
+    // weights with, not a re-derivation)
+    val bad = graft.operators.TextAnalysis
+      .withIsqrt(masses.toDF("n"), "n", "w")
       .as[(Long, Long)].collect()
       .filter { case (n, w) => !(w * w <= n && (w + 1) * (w + 1) > n) }
     assert(bad.isEmpty, s"isqrt wrong at: ${bad.toSeq}")

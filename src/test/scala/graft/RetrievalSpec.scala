@@ -91,4 +91,21 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(indexed == direct)
   }
+
+  test("hybridRrfIndexed: out-of-domain dense q_id fails loudly, not silently") {
+    // the sparse half hard-codes pseudo-queries to doc_id < nQueries; a
+    // dense ranking from a DIFFERENT query set must raise, not slip
+    // dense-only rows through the full_outer fusion join
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val tf = graft.operators.TextAnalysis.tfRelation(docs)
+    val badDense = Seq((7L, 3L, 1L), (8L, 4L, 2L))
+      .toDF("q_id", "doc_id", "rnk_dense") // q_id ∉ [0, 5)
+    val e = intercept[Exception] {
+      Retrieval.hybridRrfIndexed(tf, badDense, nQueries = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("dense q_id outside")),
+      s"expected the domain-contract raise, got: $e")
+  }
 }
