@@ -2950,6 +2950,200 @@ object OracleSql {
     sb.toString
   }
 
+  /** Mirror of `km_fit_minibatch` ([[graft.operators.KMeans.fitMiniBatch]],
+    * Sculley 2010) as an UNROLLED CTE chain — the km_fit2_exact / kmWcrLog
+    * discipline applied to the mini-batch loop. Every step t replays:
+    *  - the LCG batch draw `(i·A + C₀+seed+t) mod M < cut` (pure integer,
+    *    identical in both engines);
+    *  - assignment of the batch to step t−1's centroids via the [[sqdist]]
+    *    LEFT FOLD (the same element order as the Spark kernel's
+    *    accumulation) with the (d², j) tie order of the strict-`<` argmin;
+    *  - integer sufficient stats (Σ round(y·1e6) per (j, dim), batch count
+    *    per j — exact longs, grouping order moot);
+    *  - the learning-rate update `c ← c + (s/1e6 − cnt·c)/n` in DOUBLE with
+    *    the exact operand order of the Scala fold (IEEE ops are
+    *    deterministic given identical inputs, so the recursion is
+    *    bit-identical), n = cumulative absorbed count per centroid;
+    *  - the movement stop: steps run only while every PRIOR step's total
+    *    centroid movement (per-j sqrt-of-sqdist, summed in j order by an
+    *    ordered fold) stayed ≥ tol — the same gate form as [[kmWcrLog]].
+    * The final SELECT assigns ALL points to the stopped step's centroids
+    * and returns the per-cluster counts — `km_fit_minibatch`'s projection.
+    */
+  def kmFitMinibatch(k: Int = 8, dim: Int = 64, batchFrac: Double = 0.1,
+      tol: Double = 0.01, maxIter: Int = 20, seed: Long = 42L): String = {
+    val mod = 2147483647L
+    val cut = (batchFrac * mod).toLong
+    val dimP1 = dim + 1
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id AS i, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT CAST(unnest(range(1, $dimP1)) AS BIGINT) AS d),
+              |cl0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j, v AS cv
+              |  FROM (SELECT i, v FROM e ORDER BY i LIMIT $k) t),
+              |ab0 AS (SELECT j, CAST(0 AS BIGINT) AS n FROM cl0)""".stripMargin
+    for (t <- 1 to maxIter) {
+      val p = t - 1
+      sb ++= s""",
+                |a$t AS MATERIALIZED (SELECT i, v, j FROM (
+                |  SELECT e.i, e.v, c.j,
+                |    row_number() OVER (PARTITION BY e.i
+                |      ORDER BY ${sqdist("e.v", "c.cv")}, c.j) AS rn
+                |  FROM e CROSS JOIN cl$p c
+                |  WHERE (e.i * 1103515245 + ${12345L + seed + t}) % $mod < $cut) t
+                |  WHERE rn = 1),
+                |sd$t AS (SELECT a.j, d.d,
+                |    sum(CAST(round(a.v[d.d]*1e6) AS BIGINT)) AS sfx
+                |  FROM a$t a CROSS JOIN dims d GROUP BY a.j, d.d),
+                |st$t AS (SELECT j, list(sfx ORDER BY d) AS sl FROM sd$t GROUP BY j),
+                |cn$t AS (SELECT j, CAST(count(*) AS BIGINT) AS cnt FROM a$t GROUP BY j),
+                |ab$t AS MATERIALIZED (SELECT p.j, p.n + coalesce(c.cnt, 0) AS n
+                |  FROM ab$p p LEFT JOIN cn$t c ON c.j = p.j),
+                |cl$t AS MATERIALIZED (SELECT c.j,
+                |    CASE WHEN cn.j IS NULL THEN c.cv
+                |    ELSE list_transform(range(1, $dimP1), d -> c.cv[d]
+                |      + (CAST(st.sl[d] AS DOUBLE)/1e6 - CAST(cn.cnt AS DOUBLE)*c.cv[d])
+                |        / CAST(ab.n AS DOUBLE)) END AS cv
+                |  FROM cl$p c LEFT JOIN cn$t cn ON cn.j = c.j
+                |  LEFT JOIN st$t st ON st.j = c.j JOIN ab$t ab ON ab.j = c.j),
+                |mv$t AS MATERIALIZED (SELECT coalesce(list_reduce(list_prepend(0.0,
+                |    list(sqrt(${sqdist("n.cv", "p.cv")}) ORDER BY n.j)),
+                |    (x,y) -> x+y), 0.0) AS mv
+                |  FROM cl$t n JOIN cl$p p ON p.j = n.j)""".stripMargin
+    }
+    val fin = (1 to maxIter).map { t =>
+      val gates = (1 until t).map(u => s"(SELECT mv FROM mv$u) >= $tol")
+      val stop = if (t < maxIter) Seq(s"(SELECT mv FROM mv$t) < $tol") else Nil
+      val conds = gates ++ stop
+      val where = if (conds.isEmpty) "" else s" WHERE ${conds.mkString(" AND ")}"
+      s"SELECT j, cv FROM cl$t$where"
+    }.mkString("\nUNION ALL ")
+    sb ++= s""",
+              |fin AS MATERIALIZED (
+              |$fin)
+              |SELECT j, CAST(count(*) AS BIGINT) AS n FROM (
+              |  SELECT e.i, f.j,
+              |    row_number() OVER (PARTITION BY e.i
+              |      ORDER BY ${sqdist("e.v", "f.cv")}, f.j) AS rn
+              |  FROM e CROSS JOIN fin f) t
+              |WHERE rn = 1 GROUP BY j""".stripMargin
+    sb.toString
+  }
+
+  /** Mirror of `km_gap_fitted` ([[graft.operators.Quality.gapStatisticFitted]])
+    * — the FITTED gap statistic fully unrolled: per set (data + `refSets`
+    * transparent-LCG uniform references, the km_gap draw expressions),
+    * nested exact inverse-CDF k-means++ seeding (the km_seed_next oracle
+    * pattern chained: anti-join by coordinates, integer D² weights, window
+    * cumulative sum, rational-threshold pick), then per k a movement-gated
+    * ≤`steps`-iteration Lloyd chain (the kmWcrLog gate form, fixed-point
+    * 1e4 re-averages) and the 0.01-scale fixed-point dispersion census;
+    * the log/mean/sd/chosen tail is km_gap's verbatim.
+    */
+  def kmGapFitted(ks: Seq[Int] = 2 to 6, refSets: Int = 3, steps: Int = 3,
+      tol: Double = 0.01): String = {
+    require(refSets == 3, "stats tail is written for exactly 3 reference sets")
+    val kMax = ks.max
+    val us = Seq((1L, 2L), (1L, 3L), (2L, 5L), (3L, 7L), (5L, 11L),
+      (7L, 13L), (11L, 17L))
+    def uOf(r: Int) = us((r - 2) % us.size)
+    def lcgC(idx: Int): Long = 12345L + idx.toLong * 999983L
+    def lcgA(idx: Int): Long = 1103515245L + idx.toLong * 999983L
+    val sb = new StringBuilder
+    sb ++= s"WITH ${graft.Tables.yhOrdersSql},\n"
+    sb ++= s"""s AS MATERIALIZED (SELECT i, x, y FROM yh WHERE i % 7 = 0),
+              |box AS (SELECT min(x) AS lox, max(x) AS hix, min(y) AS loy, max(y) AS hiy FROM s),
+              |set0 AS MATERIALIZED (SELECT i, x, y FROM s)""".stripMargin
+    for (b <- 0 until refSets) {
+      val (cx, cy) = (lcgC(b * 2), lcgC(b * 2 + 1))
+      val (ax, ay) = (lcgA(b * 2), lcgA(b * 2 + 1))
+      sb ++= s""",
+                |set${b + 1} AS MATERIALIZED (SELECT s.i,
+                |  CAST((s.i*$ax + $cx) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x,
+                |  CAST((s.i*$ay + $cy) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y
+                |  FROM s CROSS JOIN box b)""".stripMargin
+    }
+    for (g <- 0 to refSets) {
+      sb ++= s""",
+                |c${g}_1 AS MATERIALIZED (SELECT x, y FROM set$g ORDER BY i LIMIT 1)""".stripMargin
+      for (r <- 2 to kMax) {
+        val (uN, uD) = uOf(r)
+        val chosen = (1 until r).map(q => s"SELECT x, y FROM c${g}_$q")
+          .mkString(" UNION ALL ")
+        sb ++= s""",
+                  |ch${g}_$r AS MATERIALIZED ($chosen),
+                  |w${g}_$r AS (SELECT p.i, p.x, p.y,
+                  |    CAST(round(min((p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y))) AS BIGINT) AS w
+                  |  FROM set$g p CROSS JOIN ch${g}_$r c
+                  |  WHERE NOT EXISTS (SELECT 1 FROM ch${g}_$r e WHERE e.x = p.x AND e.y = p.y)
+                  |  GROUP BY p.i, p.x, p.y),
+                  |u${g}_$r AS (SELECT i, x, y,
+                  |    sum(w) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                  |    sum(w) OVER () AS tw FROM w${g}_$r),
+                  |c${g}_$r AS MATERIALIZED (SELECT x, y FROM u${g}_$r
+                  |  WHERE cw*$uD >= tw*$uN ORDER BY cw, i LIMIT 1)""".stripMargin
+      }
+      for (k <- ks) {
+        val seed = (1 to k)
+          .map(q => s"SELECT CAST($q AS BIGINT) AS j, x, y FROM c${g}_$q")
+          .mkString(" UNION ALL ")
+        sb ++= s""",
+                  |g${g}k${k}_0 AS MATERIALIZED ($seed)""".stripMargin
+        for (t <- 1 to steps) {
+          val p = t - 1
+          sb ++= s""",
+                    |a${g}k${k}_$t AS (SELECT i, x, y, j FROM (
+                    |  SELECT p.i, p.x, p.y, c.j,
+                    |    row_number() OVER (PARTITION BY p.i
+                    |      ORDER BY (p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y), c.j) AS rn
+                    |  FROM set$g p CROSS JOIN g${g}k${k}_$p c) z WHERE rn = 1),
+                    |g${g}k${k}_$t AS MATERIALIZED (SELECT j,
+                    |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS x,
+                    |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS y
+                    |  FROM a${g}k${k}_$t GROUP BY j),
+                    |m${g}k${k}_$t AS MATERIALIZED (SELECT sum(sqrt((n.x-p.x)*(n.x-p.x)+(n.y-p.y)*(n.y-p.y))) AS mv
+                    |  FROM g${g}k${k}_$t n JOIN g${g}k${k}_$p p ON n.j = p.j)""".stripMargin
+        }
+        val fin = (1 to steps).map { t =>
+          val gates = (1 until t).map(u => s"(SELECT mv FROM m${g}k${k}_$u) >= $tol")
+          val stop =
+            if (t < steps) Seq(s"(SELECT mv FROM m${g}k${k}_$t) < $tol") else Nil
+          val conds = gates ++ stop
+          val where = if (conds.isEmpty) "" else s" WHERE ${conds.mkString(" AND ")}"
+          s"SELECT j, x, y FROM g${g}k${k}_$t$where"
+        }.mkString("\nUNION ALL ")
+        sb ++= s""",
+                  |fin${g}k$k AS MATERIALIZED (
+                  |$fin),
+                  |wc${g}k$k AS MATERIALIZED (SELECT
+                  |    CAST(sum(CAST(round(msq*0.01) AS BIGINT)) AS DOUBLE)/0.01 AS w
+                  |  FROM (SELECT min((p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y)) AS msq
+                  |    FROM set$g p CROSS JOIN fin${g}k$k c GROUP BY p.i) z)""".stripMargin
+      }
+    }
+    val lrows = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  ln((SELECT w FROM wc1k$k)) AS l0, ln((SELECT w FROM wc2k$k)) AS l1,
+         |  ln((SELECT w FROM wc3k$k)) AS l2, ln((SELECT w FROM wc0k$k)) AS ld,
+         |  (ln((SELECT w FROM wc1k$k))+ln((SELECT w FROM wc2k$k))+ln((SELECT w FROM wc3k$k)))/3.0 AS mean""".stripMargin
+    }.mkString("\nUNION ALL ")
+    sb ++= s""",
+              |l AS (
+              |$lrows),
+              |f AS (SELECT k,
+              |    CAST(round((mean - ld)*1e6) AS BIGINT) AS gap_e6,
+              |    CAST(round(sqrt(((l0-mean)*(l0-mean)+(l1-mean)*(l1-mean)+(l2-mean)*(l2-mean))/3.0)
+              |      * sqrt(1.0 + 1.0/3.0) * 1e6) AS BIGINT) AS sk_e6
+              |  FROM l),
+              |sel AS (SELECT k, gap_e6, sk_e6,
+              |    lead(gap_e6) OVER (ORDER BY k) AS ng,
+              |    lead(sk_e6) OVER (ORDER BY k) AS nsk FROM f),
+              |ch AS (SELECT coalesce(min(CASE WHEN ng IS NOT NULL AND gap_e6 >= ng - nsk
+              |    THEN k END), $kMax) AS ck FROM sel)
+              |SELECT k, gap_e6, sk_e6, CAST(CASE WHEN k = ch.ck THEN 1 ELSE 0 END AS BIGINT) AS chosen
+              |FROM sel CROSS JOIN ch""".stripMargin
+    sb.toString
+  }
+
   /** Mirror of [[graft.operators.Similarity.pca1]]: exact sufficient stats
     * (mean vector + covariance from one pass of raw double sums), then the
     * SAME 100-round power iteration UNROLLED as `iters` chained CTEs —

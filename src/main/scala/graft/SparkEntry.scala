@@ -749,13 +749,17 @@ object SparkEntry {
         seeds = KMeans.seedFirstK(yh, 6))
     }),
 
-    // the textbook fit-per-k gap statistic (Tibshirani et al. 2001) — the
-    // iterative twin of km_gap, rows-only like the other pure fits
-    // (emb_pq_fitted / sim_ivf_fitted pattern): Lloyd fits both sides, so
-    // no ANSI mirror exists; QualitySpec pins it on a planted fixture
+    // the FITTED gap statistic (Tibshirani et al. 2001), fit-per-k on both
+    // sides — HASH-ORACLE-BACKED since round 14: seeding is the exact
+    // inverse-CDF k-means++ machinery with fixed rational draws and each
+    // fit is the movement-gated bounded Lloyd loop, so the entire
+    // seed→fit→census chain unrolls as CTEs (OracleSql.kmGapFitted — the
+    // emb_pq_fitted discipline applied to the gap sweep). The textbook
+    // free-running form (k-means|| seeding, MLlib-style convergence) stays
+    // spec-pinned in QualitySpec's planted-k test of Quality.gapStatistic.
     "km_gap_fitted" -> ((s, dir) => {
       val yh = Tables.yhOrders(s, dir).filter(col("i") % 7 === 0).cache()
-      Quality.gapStatistic(yh, dim = 2, ks = 2 to 6)
+      Quality.gapStatisticFitted(yh, dim = 2, ks = 2 to 6)
     }),
 
     // ---- simplified silhouette on a deterministic sample (§2.11 op 7);
@@ -810,8 +814,10 @@ object SparkEntry {
     // ---- mini-batch fit (Sculley 2010) — the web-scale variant: each
     // iteration scans only an LCG-drawn batch and nudges centroids with
     // per-centroid 1/n learning rates; ~2 full passes buy 20 iterations.
-    // Rows-only (the learning-rate recursion is a per-step driver fold);
-    // cost-vs-full-Lloyd is pinned in KMeansSpec ----
+    // HASH-ORACLE-BACKED (OracleSql.kmFitMinibatch): the LCG batch draw,
+    // first-k seeds, integer sufficient stats, IEEE-ordered learning-rate
+    // updates and the movement stop all replay as unrolled CTEs — the
+    // km_fit2_exact discipline extended to the whole mini-batch loop ----
     "km_fit_minibatch" -> ((s, dir) => {
       val fit = KMeans.fitMiniBatch(Tables.yhEmbeddings(s, dir), k = 8, dim = 64)
       KMeans.assign(Tables.yhEmbeddings(s, dir), fit.centroids)
@@ -3293,6 +3299,10 @@ object SparkEntry {
          |SELECT l.j,
          |  CAST(round(sqrt((l.cx-c.x)*(l.cx-c.x)+(l.cy-c.y)*(l.cy-c.y))*1e6) AS BIGINT) AS move_e6
          |FROM l JOIN c ON l.j = c.j""".stripMargin,
+    "km_fit_minibatch" -> OracleSql.kmFitMinibatch(k = 8, dim = 64,
+      batchFrac = 0.1, tol = 0.01, maxIter = 20, seed = 42L),
+    "km_gap_fitted" -> OracleSql.kmGapFitted(ks = 2 to 6, refSets = 3,
+      steps = 3, tol = 0.01),
     "km_fit2_exact" ->
       s"""WITH $YH, s AS (SELECT * FROM yh), $C4, $ASSIGN, $LLOYD,
          |c2 AS (SELECT j, cx AS x, cy AS y FROM l),
@@ -3361,11 +3371,11 @@ object SparkEntry {
          |ks AS (SELECT CAST(unnest([2,3,4,5,6]) AS BIGINT) AS k),
          |r AS (SELECT s.i,
          |  CAST((s.i*1103515245 + 12345) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x0,
-         |  CAST((s.i*1103515245 + 1012328) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y0,
-         |  CAST((s.i*1103515245 + 2012311) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x1,
-         |  CAST((s.i*1103515245 + 3012294) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y1,
-         |  CAST((s.i*1103515245 + 4012277) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x2,
-         |  CAST((s.i*1103515245 + 5012260) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y2
+         |  CAST((s.i*1104515228 + 1012328) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y0,
+         |  CAST((s.i*1105515211 + 2012311) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x1,
+         |  CAST((s.i*1106515194 + 3012294) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y1,
+         |  CAST((s.i*1107515177 + 4012277) % 2147483647 AS DOUBLE)/2147483647.0*(b.hix-b.lox)+b.lox AS x2,
+         |  CAST((s.i*1108515160 + 5012260) % 2147483647 AS DOUBLE)/2147483647.0*(b.hiy-b.loy)+b.loy AS y2
          |  FROM s CROSS JOIN box b),
          |rc AS (SELECT CAST(row_number() OVER (ORDER BY i) AS BIGINT) AS j,
          |    x0, y0, x1, y1, x2, y2

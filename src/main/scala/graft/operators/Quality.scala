@@ -180,7 +180,9 @@ object Quality {
     * expressible and the DuckDB oracle hash-matches).
     *
     * Reference draws are TRANSPARENT-hash uniforms (an LCG over the row id:
-    * `((i·A + C_bd) mod M)/M` stretched to the data's bounding box), not
+    * `((i·A_bd + C_bd) mod M)/M` stretched to the data's bounding box —
+    * per-(set, dim) MULTIPLIERS, see [[gapLcgA]], so sets are not
+    * translations of each other and coordinates are not collinear), not
     * Spark's xxhash64 — the whole point is that the oracle can replay them
     * in SQL, the same discipline as [[graft.Dedup]]'s minhash constants.
     * Deterministic under any partitioning by construction.
@@ -207,7 +209,8 @@ object Quality {
       s"need ascending ks with ${ks.max} seeds")
     val spark = points.sparkSession
     import spark.implicits._
-    val (lcgA, lcgM) = (GapLcgA, GapLcgM)
+    val lcgM = GapLcgM
+    def lcgA(b: Int, d: Int): Long = gapLcgA(b, dim, d)
     def lcgC(b: Int, d: Int): Long = GapLcgC0 + (b * dim + d).toLong * GapLcgCStep
     // bounding box of the data (exact: min/max are comparisons, no rounding)
     val boxAggs = (0 until dim).flatMap { d =>
@@ -220,7 +223,7 @@ object Quality {
     // one reference coordinate vector per existing row id (same cardinality
     // as the data, zero materialization — pure column expressions over i)
     def refY(b: Int): Column = array((0 until dim).map { d =>
-      ((col("i") * lcgA + lcgC(b, d)) % lcgM).cast("double") /
+      ((col("i") * lcgA(b, d) + lcgC(b, d)) % lcgM).cast("double") /
         lcgM.toDouble * (hi(d) - lo(d)) + lo(d)
     }: _*)
     // reference-side nested seeds: the draws at the ks.max smallest ids,
@@ -229,7 +232,7 @@ object Quality {
       .collect().map(_.getLong(0)).toSeq
     def refSeeds(b: Int): Seq[Seq[Double]] = seedIds.map { i =>
       (0 until dim).map { d =>
-        ((i * lcgA + lcgC(b, d)) % lcgM).toDouble /
+        ((i * lcgA(b, d) + lcgC(b, d)) % lcgM).toDouble /
           lcgM.toDouble * (hi(d) - lo(d)) + lo(d)
       }
     }
@@ -268,6 +271,22 @@ object Quality {
   val GapLcgM = 2147483647L
   val GapLcgC0 = 12345L
   val GapLcgCStep = 999983L
+
+  /** Per-(set, dim) LCG MULTIPLIER for the gap reference draws,
+    * `A + (b·dim + d)·AStep`. A single shared multiplier with per-(b, d)
+    * additive constants makes every draw an affine translate of the same
+    * underlying sequence mod M: reference SETS become translations of each
+    * other (their fitted dispersions agree to wraparound noise, so the
+    * Tibshirani s_k collapses to ~0) and, within a set, the x and y draws
+    * differ by a constant (the "uniform box" degenerates to wrapped
+    * diagonal lines). Distinct multipliers (any nonzero value works — M is
+    * prime, so each is a bijection mod M, preserving uniformity)
+    * decorrelate both. Kept small enough that `i·A_bd` stays far below
+    * 2^63 for any realistic key space.
+    */
+  val GapLcgAStep = 999983L
+  def gapLcgA(b: Int, dim: Int, d: Int): Long =
+    GapLcgA + (b * dim + d).toLong * GapLcgAStep
 
   /** The shared O(n²) stage behind BOTH silhouette variants: for every
     * (point i1 in cluster j1, other cluster j2) the exact integer sum of
@@ -380,6 +399,109 @@ object Quality {
       .agg(condAvg(same).as("ai"), condAvg(!same).as("bi"))
       .select(col("ai"), col("bi"),
         ((col("bi") - col("ai")) / greatest(col("ai"), col("bi"))).as("si"))
+  }
+
+  /** Gap statistic with REAL per-k fits on both sides, in the
+    * ORACLE-REPLAYABLE bounded form — the km_fit2_exact / km_wcr_log
+    * discipline applied to the fitted gap (the emb_pq_fitted move: replace
+    * the non-replayable fit internals with deterministic machinery the
+    * oracle can unroll, keep the fit real):
+    *  - seeding per set is NESTED exact inverse-CDF k-means++
+    *    ([[KMeans.seedNextInverseCdf]], the reference's `centroidsInit`
+    *    machinery): first centroid = min-key point, then `ks.max − 1`
+    *    D²-weighted draws with FIXED RATIONAL u's (integer-domain threshold
+    *    compare — bit-reproducible in ANSI SQL); the k-fit starts from the
+    *    first k seeds, so seeding cost is shared across the sweep;
+    *  - each (set, k) fit is `fitFrom`'s movement-gated Lloyd loop bounded
+    *    at `lloydSteps` iterations (fixed-point 1e4 re-averages, tol-gated
+    *    stop — exactly the km_wcr_log unrolled-CTE contract);
+    *  - reference sets are the SAME transparent-LCG uniforms as
+    *    [[gapStatisticNested]] (pure functions of the row id);
+    *  - dispersions, log/mean/sd math and the e6-integer `chosen` compare
+    *    are op-for-op [[gapStatisticNested]]'s.
+    * "Fitting both sides" is what makes the criterion fire (see
+    * [[gapStatistic]]); bounding the fit at `lloydSteps` movement-gated
+    * iterations is the published cost of hash-exactness — on data where
+    * Lloyd converges within the budget the two forms coincide.
+    *
+    * Scale shape: per set, the ++ draws are the two-level-prefix-sum form
+    * (no single-partition window at scale) and each Lloyd step is the
+    * one-pass sufficient-stats scan; the `refSets + 1` set chains are
+    * independent and run concurrently (the [[gapStatistic]] pool rule).
+    */
+  def gapStatisticFitted(points: DataFrame, dim: Int, ks: Seq[Int],
+      refSets: Int = 3, scale: Double = 0.01, tol: Double = 0.01,
+      lloydSteps: Int = 3, fxScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted, "need ascending ks")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val kMax = ks.max
+    // fixed rational draws for rounds 2..kMax — small uNum/uDen keep the
+    // integer threshold compare far from the Long overflow bound
+    val us = Seq((1L, 2L), (1L, 3L), (2L, 5L), (3L, 7L), (5L, 11L),
+      (7L, 13L), (11L, 17L))
+    def uOf(r: Int): (Long, Long) = us((r - 2) % us.size)
+    val boxAggs = (0 until dim).flatMap { d =>
+      Seq(min(element_at(col("Y"), d + 1)).as(s"lo_$d"),
+        max(element_at(col("Y"), d + 1)).as(s"hi_$d"))
+    }
+    val box = points.agg(boxAggs.head, boxAggs.tail: _*).head()
+    val lo = (0 until dim).map(d => box.getDouble(2 * d))
+    val hi = (0 until dim).map(d => box.getDouble(2 * d + 1))
+    def lcgC(b: Int, d: Int): Long = GapLcgC0 + (b * dim + d).toLong * GapLcgCStep
+    def refDf(b: Int): DataFrame = points.select(col("i"),
+      array((0 until dim).map { d =>
+        ((col("i") * gapLcgA(b, dim, d) + lcgC(b, d)) % GapLcgM).cast("double") /
+          GapLcgM.toDouble * (hi(d) - lo(d)) + lo(d)
+      }: _*).as("Y"))
+    val sets: Seq[DataFrame] = points +: (0 until refSets).map(refDf)
+    // per set: nested ++ seeds, one bounded fit per k, ONE multi-agg
+    // dispersion scan over all ks
+    def wOfSet(df0: DataFrame): Seq[Double] = {
+      val df = df0.cache()
+      try {
+        var seeds = KMeans.seedFirstK(df, 1)
+        (2 to kMax).foreach { r =>
+          val (uN, uD) = uOf(r)
+          val drawn = KMeans.seedNextInverseCdf(df, seeds,
+            uNum = uN, uDen = uD).collect()
+          require(drawn.nonEmpty, s"k-means++ draw $r returned no row")
+          seeds = seeds :+ Centroid(drawn.head.getLong(0),
+            drawn.head.getSeq[Double](2))
+        }
+        val fitted = ks.map(k => KMeans.fitFrom(df, seeds.take(k), dim,
+          tol = tol, maxIter = lloydSteps, fxScale = fxScale).centroids)
+        val aggs = ks.zip(fitted).map { case (k, cs) =>
+          sumFx(graft.plans.native.nearest_sq_dist(
+            col("Y"), cs.map(_.c)), scale).as(s"w_$k")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        ks.indices.map(ix => row.getDouble(ix))
+      } finally df.unpersist()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(sets.size)
+    val ws: Seq[Seq[Double]] = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = sets.map(s => scala.concurrent.Future(wOfSet(s)))
+      fs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    // driver-side scalar math, op-for-op the oracle SQL's expressions
+    val stats = ks.zipWithIndex.map { case (k, ix) =>
+      val ls = (1 to refSets).map(b => math.log(ws(b)(ix)))
+      val mean = ls.reduce(_ + _) / refSets.toDouble
+      val gap = mean - math.log(ws(0)(ix))
+      val sd = math.sqrt(ls.map(l => (l - mean) * (l - mean)).reduce(_ + _) /
+        refSets.toDouble)
+      val sk = sd * math.sqrt(1.0 + 1.0 / refSets.toDouble)
+      (k.toLong, math.round(gap * 1e6), math.round(sk * 1e6))
+    }
+    val chosen = stats.zip(stats.drop(1)).collectFirst {
+      case ((k, g, _), (_, gN, skN)) if g >= gN - skN => k
+    }.getOrElse(kMax.toLong)
+    stats.map { case (k, g, sk) => (k, g, sk, if (k == chosen) 1L else 0L) }
+      .toDF("k", "gap_e6", "sk_e6", "chosen")
   }
 
   /** Gap statistic (Tibshirani, Walther & Hastie 2001), the textbook form:

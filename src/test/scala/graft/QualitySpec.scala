@@ -152,17 +152,31 @@ class QualitySpec extends SparkSpec {
   }
 
   test("km_gap_fitted: golden-value pin on the sf0.001 fixture") {
-    // direct by-name pin of the no_oracle driver query: the fit-per-k gap
-    // statistic is a pure function of the data (hash-uniform reference
-    // draws, k-means|| deterministic coins, fixed-point WCSS), so the
-    // whole table is stable to the exact integer
+    // direct by-name pin of the driver query (now ALSO hash-oracle-backed —
+    // round 14): the oracle-replayable fitted gap is a pure function of the
+    // data (transparent-LCG references with per-(set,dim) multipliers,
+    // rational ++ draws, movement-gated fixed-point Lloyd), so the whole
+    // table is stable to the exact integer
     val got = SparkEntry.queries("km_gap_fitted")(spark, sf("0.001"))
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      (2L, -2452L, 105286L, 0L),
-      (3L, 7795L, 9134L, 0L),
-      (4L, 45423L, 34254L, 0L),
-      (5L, 141509L, 41802L, 1L),
-      (6L, 78716L, 27421L, 0L)), s"got $got")
+      (2L, 36179L, 5959L, 1L),
+      (3L, 15651L, 29962L, 0L),
+      (4L, 181309L, 98161L, 0L),
+      (5L, 342355L, 12083L, 0L),
+      (6L, 227276L, 170690L, 0L)), s"got $got")
+  }
+
+  test("gapStatisticFitted reference sets are decorrelated (s_k does not collapse)") {
+    // the round-14 LCG fix: with a SINGLE shared multiplier the three
+    // reference sets are translations of one underlying sequence, their
+    // fitted dispersions agree to wraparound noise and s_k rounds to ~0 —
+    // vacating the Tibshirani criterion. Per-(set,dim) multipliers must
+    // keep the spread real on real data.
+    val yh = Tables.yhOrders(spark, sf("0.001")).filter(col("i") % 7 === 0).cache()
+    val got = Quality.gapStatisticFitted(yh, dim = 2, ks = 2 to 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.count(_._3 > 1000L) >= 4,
+      s"reference spread collapsed — translated (correlated) ref sets? $got")
   }
 }
