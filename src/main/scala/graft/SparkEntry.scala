@@ -488,6 +488,20 @@ object SparkEntry {
     ensureIvfSq8Index(s, dir); ensureTfIndex(s, dir)
   }
 
+  /** Build only the documents/embeddings-backed persisted indexes for
+    * `dir`, returning per-index build wall seconds — the subset
+    * [[ScaleSmoke]] needs (the full [[prewarmIndexes]] also builds
+    * orders/lineitem/events-backed tables, which the scaled doc fixture
+    * does not carry). Build cost is part of the scale story: it must grow
+    * ~linearly with the corpus like everything else.
+    */
+  def prewarmDocIndexes(s: SparkSession, dir: String): Map[String, Double] = {
+    def time(f: => Any): Double =
+      { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    Map("minhash_index" -> time(ensureMinhashIndex(s, dir)),
+      "ivf_index" -> time(ensureIvfIndex(s, dir)))
+  }
+
   /** Build the shared-stage memos — the duplicate-component map (LSH edges
     * + label propagation behind `dedup_components` and the `pipeline_*`
     * family), the mutual k-NN edge list (the four graph queries), and the

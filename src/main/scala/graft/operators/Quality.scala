@@ -428,10 +428,16 @@ object Quality {
     * (no single-partition window at scale) and each Lloyd step is the
     * one-pass sufficient-stats scan; the `refSets + 1` set chains are
     * independent and run concurrently (the [[gapStatistic]] pool rule).
+    * Below `localMaxRows` the whole chain instead runs DRIVER-LOCAL with
+    * bit-identical results (the fitAuto discipline, pinned in QualitySpec):
+    * at sample sizes the distributed form is ~130 tiny jobs of pure fixed
+    * cost, while past the threshold the distributed chain takes over
+    * unchanged.
     */
   def gapStatisticFitted(points: DataFrame, dim: Int, ks: Seq[Int],
       refSets: Int = 3, scale: Double = 0.01, tol: Double = 0.01,
-      lloydSteps: Int = 3, fxScale: Double = 1e4): DataFrame = {
+      lloydSteps: Int = 3, fxScale: Double = 1e4,
+      localMaxRows: Long = 100000L): DataFrame = {
     require(ks.nonEmpty && ks == ks.sorted, "need ascending ks")
     val spark = points.sparkSession
     import spark.implicits._
@@ -455,6 +461,92 @@ object Quality {
           GapLcgM.toDouble * (hi(d) - lo(d)) + lo(d)
       }: _*).as("Y"))
     val sets: Seq[DataFrame] = points +: (0 until refSets).map(refDf)
+
+    // ------------------------------------------------- driver-local fast path
+    // The fitAuto discipline: below `localMaxRows` the whole
+    // seed→fit→census chain runs driver-local with BIT-IDENTICAL results
+    // (pinned in QualitySpec) — the distributed form's ~130 tiny jobs are
+    // pure fixed cost at sample sizes, while at real scale the distributed
+    // chain below takes over unchanged. Every rounding uses BigDecimal
+    // HALF_UP (Spark's `round`), every float fold walks the same order.
+    def localW(): Seq[Seq[Double]] = {
+      val base = points.select(col("i"), col("Y")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      def rnd(x: Double): Long = new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      def sqd(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var d = 0
+        while (d < dim) { val t = a(d) - b(d); s += t * t; d += 1 }
+        s
+      }
+      def minSq(y: Array[Double], cs: Seq[Array[Double]]): Double =
+        cs.map(c => sqd(y, c)).min
+      def sameY(a: Array[Double], b: Array[Double]): Boolean =
+        (0 until dim).forall(d => a(d) == b(d)) // SQL value equality
+      def refCoords(b: Int): Array[(Long, Array[Double])] =
+        base.map { case (i, _) =>
+          (i, Array.tabulate(dim) { d =>
+            ((i * gapLcgA(b, dim, d) + lcgC(b, d)) % GapLcgM).toDouble /
+              GapLcgM.toDouble * (hi(d) - lo(d)) + lo(d)
+          })
+        }
+      def wOfSetLocal(pts: Array[(Long, Array[Double])]): Seq[Double] = {
+        // nested ++ seeds: min-key first, then rational inverse-CDF draws
+        var chosen = Vector(pts.head._2)
+        (2 to kMax).foreach { r =>
+          val (uN, uD) = uOf(r)
+          val surv = pts.filter { case (_, y) =>
+            !chosen.exists(c => sameY(c, y)) }
+          val ws = surv.map { case (_, y) => rnd(minSq(y, chosen)) }
+          val total = ws.sum
+          var cw = 0L; var pick = -1; var ix = 0
+          while (ix < surv.length && pick < 0) {
+            cw += ws(ix)
+            if (cw * uD >= total * uN) pick = ix
+            ix += 1
+          }
+          require(pick >= 0, s"k-means++ draw $r returned no row")
+          chosen = chosen :+ surv(pick)._2
+        }
+        // per k: movement-gated Lloyd (fixed-point re-averages), then the
+        // fixed-point dispersion census
+        ks.map { k =>
+          var cs: Seq[(Long, Array[Double])] =
+            (1 to k).map(j => (j.toLong, chosen(j - 1)))
+          var move = Double.MaxValue
+          var step = 0
+          while (move >= tol && step < lloydSteps) {
+            step += 1
+            val acc = scala.collection.mutable.LongMap
+              .empty[(Array[Long], Long)]
+            pts.foreach { case (_, y) =>
+              var bj = -1L; var bd = Double.PositiveInfinity
+              cs.foreach { case (j, c) =>
+                val d2 = sqd(y, c)
+                if (d2 < bd) { bd = d2; bj = j } // strict <: earliest j wins
+              }
+              val cur = acc.getOrElse(bj, (new Array[Long](dim), 0L))
+              var d = 0
+              while (d < dim) { cur._1(d) += rnd(y(d) * fxScale); d += 1 }
+              acc.update(bj, (cur._1, cur._2 + 1))
+            }
+            val next = acc.toSeq.sortBy(_._1).map { case (j, (sums, n)) =>
+              (j, sums.map(s => s.toDouble / fxScale / n))
+            }
+            val byJ = cs.map { case (j, c) => j -> c }.toMap
+            move = next.flatMap { case (j, c) =>
+              byJ.get(j).map(p => math.sqrt(sqd(p, c)))
+            }.sum
+            cs = next
+          }
+          val cents = cs.map(_._2)
+          pts.map { case (_, y) => rnd(minSq(y, cents) * scale) }
+            .sum.toDouble / scale
+        }
+      }
+      (base +: (0 until refSets).map(refCoords)).map(wOfSetLocal)
+    }
+
     // per set: nested ++ seeds, one bounded fit per k, ONE multi-agg
     // dispersion scan over all ks
     def wOfSet(df0: DataFrame): Seq[Double] = {
@@ -479,14 +571,18 @@ object Quality {
         ks.indices.map(ix => row.getDouble(ix))
       } finally df.unpersist()
     }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(sets.size)
-    val ws: Seq[Seq[Double]] = try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val fs = sets.map(s => scala.concurrent.Future(wOfSet(s)))
-      fs.map(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    val ws: Seq[Seq[Double]] =
+      if (points.count() <= localMaxRows) localW()
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(sets.size)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fs = sets.map(s => scala.concurrent.Future(wOfSet(s)))
+          fs.map(f => scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
     // driver-side scalar math, op-for-op the oracle SQL's expressions
     val stats = ks.zipWithIndex.map { case (k, ix) =>
       val ls = (1 to refSets).map(b => math.log(ws(b)(ix)))

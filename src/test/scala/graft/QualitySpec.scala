@@ -167,6 +167,19 @@ class QualitySpec extends SparkSpec {
       (6L, 227276L, 170690L, 0L)), s"got $got")
   }
 
+  test("gapStatisticFitted: driver-local fast path is bit-identical to the distributed chain") {
+    // the fitAuto discipline pin: localMaxRows = 0 forces every stage
+    // (++ draws, movement-gated Lloyd, dispersion census) through the
+    // distributed plan; the default runs the same arithmetic driver-local.
+    // Exact integer equality of the full output is the contract.
+    val yh = Tables.yhOrders(spark, sf("0.001")).filter(col("i") % 7 === 0).cache()
+    val local = Quality.gapStatisticFitted(yh, dim = 2, ks = 2 to 6)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val dist = Quality.gapStatisticFitted(yh, dim = 2, ks = 2 to 6,
+      localMaxRows = 0L).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(local == dist, s"local=$local dist=$dist")
+  }
+
   test("gapStatisticFitted reference sets are decorrelated (s_k does not collapse)") {
     // the round-14 LCG fix: with a SINGLE shared multiplier the three
     // reference sets are translations of one underlying sequence, their

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-up smoke's PLAN INVARIANTS, pinned at suite scale (the full
+  * 10× measurement runs via `graft.ScaleSmoke` and is recorded in
+  * SCALE.md): for every smoke workload, the physical plan Catalyst commits
+  * to must be THE SAME SHAPE on a `factor`× corpus as on the base corpus —
+  * same Exchange count, zero nested-loop joins, same single-partition
+  * exchange count. A plan that re-shapes with data volume (a broadcast
+  * that silently becomes a nested loop, an extra shuffle past a size
+  * threshold) is exactly the plan that surprises at 100 TB.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private lazy val scaledDir: String = {
+    val dir = "target/scale-spec/x3"
+    ScaleSmoke.writeScaled(spark, sf("0.001"), dir, factor = 3)
+    dir
+  }
+
+  test("writeScaled: exact factor x row counts, ids collision-free, text perturbed") {
+    val base = Tables.read(spark, sf("0.001"), "documents")
+    val scaled = Tables.read(spark, scaledDir, "documents")
+    assert(scaled.count() == 3 * base.count())
+    assert(scaled.select("doc_id").distinct().count() == scaled.count(),
+      "replica id spaces must not collide")
+    val baseEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val scaledEmb = Tables.read(spark, scaledDir, "embeddings")
+    assert(scaledEmb.count() == 3 * baseEmb.count())
+    // replica text is a stride permutation: token ORDER differs from the
+    // base counterpart (for docs long enough to permute) while the token
+    // MULTISET — the quality gate's input statistics — is unchanged
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val rep2 = scaled.filter(col("doc_id") >= 2 * stride &&
+        col("doc_id") < 3 * stride)
+      .select((col("doc_id") - 2 * stride).as("doc_id"), col("text").as("t2"))
+    val joined = base.join(rep2, "doc_id")
+      .select(col("text"), col("t2"),
+        sort_array(split(col("text"), " ")).as("ms"),
+        sort_array(split(col("t2"), " ")).as("ms2"))
+      .cache()
+    assert(joined.filter(size(split(col("text"), " ")) > 6 &&
+      col("text") === col("t2")).count() == 0, "replica 2 must permute order")
+    // multiset invariance holds for every doc long enough to skip the
+    // short-doc replica marker (< 12 tokens get two trailing markers)
+    assert(joined.filter(size(split(col("text"), " ")) >= 12 &&
+      col("ms") =!= col("ms2")).count() == 0,
+      "token multiset must be preserved (quality stats invariance)")
+    // n_chars stays consistent with the rewritten text
+    val bad = scaled.filter(length(col("text")).cast("long") =!= col("n_chars")).count()
+    assert(bad == 0L, s"$bad rows with stale n_chars")
+  }
+
+  test("replication preserves per-replica duplicate structure ~linearly") {
+    // within a replica, equal-length near-duplicates permute identically
+    // and keep their MinHash pairs. Cross-replica links exist, but they
+    // are BANDING ACCIDENTS, not constructed similarity: on this fixture's
+    // deliberately tiny vocabulary the base corpus itself has a nonzero
+    // LSH false-positive rate per doc pair, and the replication must not
+    // EXCEED that inherent rate across replicas (a marker/permutation
+    // scheme that leaked real similarity would multiply it).
+    val base = Tables.read(spark, sf("0.001"), "documents")
+    val n = base.count()
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val basePairs = operators.Dedup.minhashLSH(base).count()
+    val scaledPairs = operators.Dedup.minhashLSH(
+      Tables.read(spark, scaledDir, "documents"))
+      .select((col("a_id") / stride).cast("long").as("ra"),
+        (col("b_id") / stride).cast("long").as("rb"))
+      .cache()
+    val within = scaledPairs.filter(col("ra") === col("rb")).count()
+    val cross = scaledPairs.filter(col("ra") =!= col("rb")).count()
+    assert(within >= 2 * basePairs && within <= 4 * basePairs,
+      s"within-replica pairs should track 3x base (${3 * basePairs}): $within")
+    val baseRate = basePairs.toDouble / (n.toDouble * (n - 1) / 2)
+    val crossRate = cross.toDouble / (3.0 * n * n) // 3 replica pairs × n²
+    assert(crossRate <= baseRate * 1.5,
+      s"cross-replica link rate $crossRate exceeds the base corpus's own " +
+        s"banding-accident rate $baseRate — replication leaks similarity")
+  }
+
+  test("plan shape is invariant under corpus scale-up for every smoke workload") {
+    ScaleSmoke.workloads.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val base = ScaleSmoke.planShape(fn(spark, sf("0.001")))
+      val scaled = ScaleSmoke.planShape(fn(spark, scaledDir))
+      assert(base == scaled,
+        s"$name: plan re-shaped under scale-up — base=$base scaled=$scaled")
+      assert(scaled.nestedLoops == 0, s"$name: nested-loop join at scale")
+    }
+  }
+}
