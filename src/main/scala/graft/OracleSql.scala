@@ -1849,6 +1849,82 @@ object OracleSql {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Dedup.winnowPairs]]: positional k-gram
+    * hashes (the [[tokenId]] fold over the gram string), the winnow window
+    * minimum over the encoded `hash·2²⁴ + pos` (single integer min — exact
+    * tie order), full-width windows only, distinct fingerprints, then the
+    * inverted-index pair join with the shared-fingerprint count.
+    */
+  def dedupWinnow(k: Int, w: Int, minShared: Int): String = {
+    val enc = 1L << 24
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ex AS (SELECT doc_id, tk,
+       |    unnest(generate_series(1, greatest(len(tk) - ${k - 1}, 0))) AS pos
+       |  FROM t),
+       |g AS (SELECT doc_id, pos,
+       |    CAST(${tokenId(s"array_to_string(list_slice(tk, pos, pos + ${k - 1}), ' ')")} AS BIGINT) * $enc + pos AS e
+       |  FROM ex),
+       |wm AS (SELECT doc_id, pos,
+       |    min(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+       |    count(*) OVER (PARTITION BY doc_id) AS gcnt
+       |  FROM g),
+       |fp AS (SELECT DISTINCT doc_id, m // $enc AS fp
+       |  FROM wm WHERE pos <= greatest(gcnt - ${w - 1}, 1))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.zipfFit]]: top-`topN`
+    * rank/frequency rows, the five regression sums as ORDERED list_reduce
+    * folds (the Spark side folds driver-side in the same rank order), and
+    * the identical slope/intercept/r² expressions rounded to e6.
+    */
+  def textZipf(topN: Int): String = {
+    def fold(l: String) = s"list_reduce(list_prepend(0.0, $l), (a, b) -> a + b)"
+    s"""WITH tf AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(freq) AS BIGINT) AS total FROM tf),
+       |top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS r
+       |  FROM tf ORDER BY freq DESC, token LIMIT $topN),
+       |l AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${fold("list(ln(CAST(r AS DOUBLE)) ORDER BY r)")} AS sx,
+       |    ${fold("list(ln(CAST(freq AS DOUBLE)) ORDER BY r)")} AS sy,
+       |    ${fold("list(ln(CAST(r AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY r)")} AS sxy,
+       |    ${fold("list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r)")} AS sxx,
+       |    ${fold("list(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY r)")} AS syy
+       |  FROM top),
+       |s AS (SELECT n, sx, sy, n*sxy - sx*sy AS cov,
+       |    n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy FROM l)
+       |SELECT tot.vocab, tot.total AS total_tokens,
+       |  CAST(round(cov/vx * 1e6) AS BIGINT) AS slope_e6,
+       |  CAST(round((sy - cov/vx*sx)/n * 1e6) AS BIGINT) AS intercept_e6,
+       |  CAST(round(cov*cov/(vx*vy) * 1e6) AS BIGINT) AS r2_e6
+       |FROM s CROSS JOIN tot""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.TextAnalysis.chunkOverlap]]: the bounded
+    * chunk-index explode and inclusive list_slice — chunk i covers tokens
+    * `[i·stride + 1, i·stride + chunkToks]`, last chunk short.
+    */
+  def docChunks(chunkToks: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+       |    CASE WHEN len(tk) <= $chunkToks THEN CAST(1 AS BIGINT)
+       |         ELSE 1 + (len(tk) - $chunkToks + ${stride - 1}) // $stride
+       |    END AS nc
+       |  FROM t),
+       |e AS (SELECT doc_id, tk, n, unnest(generate_series(0, nc - 1)) AS ci FROM c)
+       |SELECT doc_id, CAST(ci + 1 AS BIGINT) AS chunk_id,
+       |  CAST(ci * $stride + 1 AS BIGINT) AS start_tok,
+       |  CAST(least($chunkToks, n - ci * $stride) AS BIGINT) AS chunk_toks,
+       |  array_to_string(list_slice(tk, ci * $stride + 1, ci * $stride + $chunkToks), ' ') AS chunk_text
+       |FROM e""".stripMargin
+
   /** Mirror of VectorOps.sqDist: left fold of squared differences. */
   def sqdist(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), " +

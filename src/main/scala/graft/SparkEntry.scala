@@ -936,6 +936,13 @@ object SparkEntry {
       Dedup.removeSpans(Tables.read(s, dir, "documents"), n = 5)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLSH(Tables.read(s, dir, "documents"))),
+    // winnowing fingerprints (MOSS, SIGMOD 2003): window-min gram hashes →
+    // shared-fingerprint candidate pairs — the plagiarism-detector form of
+    // near-dup candidate generation, catching long shared passages that
+    // whole-doc Jaccard dilutes away
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.read(s, dir, "documents"),
+        k = 4, w = 5, minShared = 2)),
     // LSH parameter sweep: candidate volume / verified count / precision per
     // banding of the same 16-hash budget — the table that picks (bands, rows)
     // for a corpus BEFORE committing to an index build
@@ -1455,6 +1462,16 @@ object SparkEntry {
     // total order, four equal-token phases via a two-level prefix sum
     "doc_curriculum" -> ((s, dir) =>
       TextAnalysis.curriculum(Tables.read(s, dir, "documents"))),
+    // overlapping context-window chunking: 64-token windows, stride 48 —
+    // the RAG / long-context pre-processing split; bounded explode, no
+    // shuffle, output linear in corpus tokens
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkOverlap(Tables.read(s, dir, "documents"),
+        chunkToks = 64, stride = 48)),
+    // Zipf rank-frequency fit over the top-100 unigrams: slope/intercept/r²
+    // in e6 fixed point — the corpus-health gauge next to text_vocab_curve
+    "text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.read(s, dir, "documents"), topN = 100)),
     // count-min sketch (custom TypedImperativeAggregate, transparent hash
     // family): fixed d×w state summarizes corpus token frequencies; top-20
     // exact counts ride alongside their sketch estimates (est >= exact by
@@ -3568,6 +3585,9 @@ object SparkEntry {
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
       minDistinctPpm = 300000L, maxTopPpm = 200000L, maxRep2Ppm = 100000L),
     "doc_mix_temperature" -> OracleSql.docMixTemperature(budget = 100000L),
+    "dedup_winnow" -> OracleSql.dedupWinnow(k = 4, w = 5, minShared = 2),
+    "doc_chunks" -> OracleSql.docChunks(chunkToks = 64, stride = 48),
+    "text_zipf" -> OracleSql.textZipf(topN = 100),
     "corpus_datasheet" -> OracleSql.corpusDatasheet(minTokens = 5,
       maxTokens = 5000),
     "doc_curriculum" -> OracleSql.docCurriculum(phases = 4),

@@ -555,6 +555,86 @@ object TextAnalysis {
       graft.plans.native.poly_fold(graft.plans.native.token_ids(col("text")),
         131L, 1000000007L).as("fp"))
 
+  /** Overlapping context-window chunking — split every document into
+    * fixed-size token windows with stride overlap (the RAG / long-context
+    * pre-processing step: `chunkToks`-token chunks, consecutive chunks
+    * sharing `chunkToks − stride` tokens so no span is ever cut without a
+    * copy that contains it whole). Chunk i covers tokens
+    * `[i·stride + 1, i·stride + chunkToks]` (1-based, last chunk may be
+    * short); a doc of ≤ `chunkToks` tokens yields exactly one chunk.
+    *
+    * Scale shape: one projection + a bounded explode (`1 +
+    * ceil((n−chunkToks)/stride)` rows per doc — output is O(total tokens /
+    * stride), linear in corpus size); no shuffle, no window — the plan is a
+    * single codegen'd map stage that partitions like the input.
+    */
+  def chunkOverlap(docs: DataFrame, chunkToks: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkToks >= 1 && stride >= 1 && stride <= chunkToks,
+      s"bad chunkToks=$chunkToks stride=$stride")
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("nc", when(col("n") <= chunkToks, 1L)
+        .otherwise(lit(1L) +
+          expr(s"(n - $chunkToks + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("n"), col("tk"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("ci"))
+      .select(col("doc_id"),
+        (col("ci") + 1L).as("chunk_id"),
+        (col("ci") * stride + 1L).as("start_tok"),
+        least(lit(chunkToks.toLong), col("n") - col("ci") * stride)
+          .as("chunk_toks"),
+        array_join(slice(col("tk"), (col("ci") * stride + 1L).cast("int"),
+          lit(chunkToks)), " ").as("chunk_text"))
+  }
+
+  /** Zipf rank-frequency fit over the corpus unigram distribution — the
+    * corpus-health gauge (natural text follows freq ∝ rank^s with
+    * s ≈ −1; template/boilerplate corpora and synthetic word salad bend
+    * the curve): least squares of `ln freq` on `ln rank` over the top
+    * `topN` tokens, with the fit quality r². One row:
+    * (vocab, total_tokens, slope_e6, intercept_e6, r2_e6).
+    *
+    * Scale shape: ONE map-side-combined groupBy(token) + a TakeOrdered
+    * top-`topN` — k-sized driver state (the gap-statistic discipline); the
+    * regression folds the k rows driver-side in rank order, op-for-op the
+    * oracle SQL's ordered list_reduce folds, and outputs are e6-rounded so
+    * sub-ulp ln() differences between engines cannot move a cell. Rounding
+    * is half-AWAY-from-zero (BigDecimal HALF_UP — DuckDB `round()`), not
+    * Scala `math.round`'s half-up: the slope is negative, exactly the case
+    * the embPca rounding-convention lesson covers.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"need topN >= 2, got $topN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val tot = tf.agg(count(lit(1)).as("vocab"), sum("freq").as("total")).head()
+    val top = tf.orderBy(desc("freq"), asc("token")).limit(topN)
+      .select("freq").collect().map(_.getLong(0))
+    val n = top.length.toDouble
+    // left folds in rank order — the oracle's list_reduce order exactly
+    val xs = top.indices.map(ix => math.log((ix + 1).toDouble))
+    val ys = top.indices.map(ix => math.log(top(ix).toDouble))
+    val sx = xs.foldLeft(0.0)(_ + _)
+    val sy = ys.foldLeft(0.0)(_ + _)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val sxx = xs.map(x => x * x).foldLeft(0.0)(_ + _)
+    val syy = ys.map(y => y * y).foldLeft(0.0)(_ + _)
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val slope = cov / vx
+    val intercept = (sy - slope * sx) / n
+    val r2 = cov * cov / (vx * vy)
+    def rndE6(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    Seq((tot.getLong(0), tot.getLong(1), rndE6(slope),
+      rndE6(intercept), rndE6(r2)))
+      .toDF("vocab", "total_tokens", "slope_e6", "intercept_e6", "r2_e6")
+  }
+
   /** Sequence packing — assign docs to fixed token-budget training batches
     * (the concat-and-chunk fill every pretraining pipeline runs so examples
     * waste no context): within each language, docs in deterministic doc_id

@@ -535,4 +535,37 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(top1 == Seq(("p q", 4L, 3L)), s"got $top1")
   }
+
+  test("winnowing: coverage guarantee, density bound, partition invariance") {
+    val (k, w) = (4, 5)
+    // the SIGMOD-2003 guarantee: any shared token run of >= w + k - 1
+    // tokens contributes at least one COMMON fingerprint. Plant a shared
+    // 8-token run inside otherwise-disjoint docs.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // w+k-1 = 8
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight nine"),
+      (2L, s"red green blue $shared yellow purple orange pink brown"),
+      (3L, "totally unrelated words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k, w).cache()
+    val byDoc = fps.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // density: every doc selects >= 1 and <= its gram count fingerprints
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().foreach { case (id, n) =>
+        val grams = math.max(n - (k - 1), 0)
+        assert(byDoc(id) >= 1 && byDoc(id) <= grams,
+          s"doc $id: ${byDoc(id)} fps vs $grams grams")
+      }
+    // coverage: docs 1 and 2 share a fingerprint VALUE; doc 3 shares none
+    val pairs = Dedup.winnowPairs(docs, k, w, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $pairs")
+    // partition invariance: the fingerprint set is a pure function of text
+    val big = Tables.read(spark, sf("0.001"), "documents")
+    val a = Dedup.winnowFingerprints(big, k, w)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.winnowFingerprints(big.repartition(7), k, w)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -273,6 +273,10 @@ class PlansSpec extends SparkSpec {
       "doc_quality_lr", // LBFGS fit runs during construction
       "km_fit_minibatch", // the mini-batch loop runs during construction
       "km_fit_bisecting", // the MLlib bisecting fit runs during construction
+      // seed→fit→census chain (local below 100k rows) runs during
+      // construction; returns a driver-local stats relation
+      "km_gap_fitted",
+      "text_zipf", // top-k collect + driver regression during construction
       "emb_pca", // the stats collect + power iteration run during construction
       // sim_kcenter: the greedy farthest-point loop runs during
       // construction and returns a driver-local picks relation — its real

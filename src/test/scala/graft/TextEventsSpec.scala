@@ -1304,4 +1304,58 @@ class TextEventsSpec extends SparkSpec {
     mass.values.foreach(m => assert(math.abs(m - ideal) <= maxDoc,
       s"phase mass $m vs ideal $ideal (max doc $maxDoc)"))
   }
+
+  test("chunkOverlap laws: slice fidelity, full coverage, stride overlap") {
+    val (c, s) = (8, 6)
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks → 3 chunks
+      (2L, "a b c"),                                   // short → 1 chunk
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")))   // exactly c → 1 chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkOverlap(docs, chunkToks = c, stride = s)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got(1L).size == 3 && got(2L).size == 1 && got(3L).size == 1)
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+    got.foreach { case (id, chunks) =>
+      chunks.foreach { case (_, ci, start, nTok, text) =>
+        // slice fidelity: chunk_text IS tokens[start, start + chunk_toks)
+        val want = toks(id).slice(start.toInt - 1, start.toInt - 1 + nTok.toInt)
+        assert(text == want.mkString(" "), s"doc $id chunk $ci")
+        assert(start == (ci - 1) * s + 1)
+      }
+      // full coverage: the last chunk reaches the doc's end
+      val last = chunks.last
+      assert(last._3 + last._4 - 1 == toks(id).length)
+      // stride overlap: consecutive full chunks share c - s tokens
+      chunks.sliding(2).foreach {
+        case Seq(x, y) => assert(y._3 - x._3 == s)
+        case _ => ()
+      }
+    }
+    // every token position is covered by >= 1 chunk
+    val covered = got(1L).flatMap(ch =>
+      ch._3 to (ch._3 + ch._4 - 1)).toSet
+    assert(covered == (1L to 20L).toSet)
+  }
+
+  test("zipfFit: recovers the exponent on a planted power law, stable under repartition") {
+    // plant freq(r) = floor(6000 / r) over 60 word types: slope ≈ −1
+    val docs = (1 to 60).flatMap { r =>
+      val n = 6000 / r
+      Seq.fill(n)(s"w$r")
+    }.grouped(500).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, topN = 60)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._1 == 60L, s"vocab ${got._1}")
+    assert(math.abs(got._3 + 1000000L) < 30000L, // slope within 3% of −1
+      s"slope_e6 ${got._3}")
+    assert(got._5 > 990000L, s"r2_e6 ${got._5}") // near-perfect fit
+    val again = TextAnalysis.zipfFit(docs.repartition(7), topN = 60)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == again)
+  }
 }
