@@ -127,6 +127,28 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Run-order CLUSTER trigger (round-13 lesson, unit-tested in
+    * BenchGateSpec): returns the names to rerun — every over-2×-floor
+    * entry (NO excess bar) that has ≥ `minCluster` over-2×-floor entries
+    * within `window` consecutive run positions of itself (inclusive). The
+    * floor-scaled excess bars exist for ISOLATED sub-0.5 s drift; a
+    * contention window hits adjacent-in-run-order queries uniformly, and
+    * round 13's six consecutive `events_a*` queries at 4-8× floor all
+    * slid under the sub-0.5 s bar with zero reruns.
+    */
+  private[graft] def clusterFlaggedNames(walls: Seq[(String, Double)],
+      baseline: Map[String, Double], errored: String => Boolean,
+      window: Int = 8, minCluster: Int = 3): Seq[String] = {
+    val overIdx = walls.zipWithIndex.collect {
+      case ((name, wall), i)
+        if baseline.get(name).exists(b => b > 0 && wall / b > 2.0) &&
+          !errored(name) => i
+    }
+    overIdx.filter(i => overIdx.count(j => math.abs(j - i) <= window - 1)
+        >= minCluster)
+      .map(walls(_)._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val quiesced = quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "150").toInt)
@@ -201,24 +223,12 @@ object Bench {
     def overFloor(name: String, wall: Double): Boolean =
       baseline.get(name).exists(b => b > 0 && wall / b > 2.0 &&
         wall - b > (if (b >= 0.5) 1.0 else 2.0))
-    // CLUSTER trigger (round-13 lesson): the floor-scaled excess bars exist
-    // for ISOLATED sub-0.5 s drift (cold page cache), but a contention
-    // window hits adjacent-in-run-order queries uniformly — round 13 had six
-    // consecutive `events_a*` queries at 4-8× floor, every one sliding under
-    // the sub-0.5 s 2 s-excess bar, so none were rerun. A run-order cluster
-    // of over-2×-floor queries IS the contention signature: if ≥3 queries
-    // within any window of 8 consecutive run positions are over 2× floor
-    // (NO excess bar), rerun every over-2×-floor query in that stretch.
-    def overFloorNoBar(name: String, wall: Double): Boolean =
-      baseline.get(name).exists(b => b > 0 && wall / b > 2.0)
-    def clusterFlagged(pass: Seq[(String, Double, Double, Double)]): Seq[String] = {
-      val overIdx = pass.zipWithIndex.collect {
-        case ((name, wall, _, _), i)
-          if overFloorNoBar(name, wall) && !errors.contains(name) => i
-      }
-      overIdx.filter(i => overIdx.count(j => math.abs(j - i) <= 7) >= 3)
-        .map(pass(_)._1)
-    }
+    // CLUSTER trigger — see [[clusterFlaggedNames]] (a run-order cluster of
+    // over-2×-floor queries IS the contention signature; rerun the stretch
+    // regardless of the excess bars that exist for isolated drift)
+    def clusterFlagged(pass: Seq[(String, Double, Double, Double)]): Seq[String] =
+      clusterFlaggedNames(pass.map(r => (r._1, r._2)), baseline,
+        errors.contains)
     val flagged = (firstPass
       .filter(r => (r._2 > threshold || overFloor(r._1, r._2)) && !errors.contains(r._1))
       .map(_._1) ++ clusterFlagged(firstPass)).distinct
