@@ -1492,15 +1492,23 @@ object OracleSql {
     * connected-components oracles.
     */
   private def minhashCtes(n: Int, numHashes: Int, bands: Int,
-      src: String = "documents"): String = {
+      src: String = "documents", maskBits: Int = 0): String = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
     val sigExprs = (0 until numHashes).map { i =>
       s"list_min(list_transform(ids, x -> (x*${Dedup.mhA(i)}+${Dedup.mhB(i)}) % ${Dedup.MinhashP}))"
     }.mkString("[", ", ", "]")
+    // maskBits in (0, 31) = b-bit minwise banding (Dedup.bbitSweep): band
+    // keys keep the top maskBits of the Fibonacci-mixed signature value
+    // (the affine family's raw low bits degenerate — see bbitSweep);
+    // verification (m) keeps full sigs
+    def keyExpr(i: Int): String =
+      if (maskBits > 0 && maskBits < 31)
+        s"(((sig[$i] * 2654435761) & 4294967295) >> ${32 - maskBits})"
+      else s"sig[$i]"
     val bandSelects = (0 until bands).map { bnd =>
-      val keys = (bnd * rows + 1 to (bnd + 1) * rows).map(i => s"sig[$i]").mkString(", ")
+      val keys = (bnd * rows + 1 to (bnd + 1) * rows).map(keyExpr).mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $keys) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""t AS (SELECT doc_id,
@@ -1531,6 +1539,26 @@ object OracleSql {
          |       THEN (n_verified * 1000000) // n_candidates ELSE 0 END AS BIGINT)
          |    AS precision_ppm
          |FROM (WITH ${minhashCtes(n, numHashes, bands)}
+         |  SELECT count(*) AS n_candidates,
+         |    coalesce(sum(CASE WHEN matches*$thrDen >= $numHashes*$thrNum
+         |      THEN 1 ELSE 0 END), 0) AS n_verified FROM m) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Mirror of [[Dedup.bbitSweep]]: one subquery per bit width over the
+    * [[minhashCtes]] chain with masked band keys (maskBits = b), verified
+    * counts always on FULL signatures, summary rows unioned — the
+    * [[dedupLshTuning]] shape swept over bit width instead of banding.
+    */
+  def dedupBbit(n: Int, numHashes: Int, bands: Int, bitsList: Seq[Int],
+      thrNum: Int, thrDen: Int): String =
+    bitsList.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS b_bits,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_verified AS BIGINT) AS n_verified,
+         |  CAST(CASE WHEN n_candidates > 0
+         |       THEN (n_verified * 1000000) // n_candidates ELSE 0 END AS BIGINT)
+         |    AS precision_ppm
+         |FROM (WITH ${minhashCtes(n, numHashes, bands, maskBits = b)}
          |  SELECT count(*) AS n_candidates,
          |    coalesce(sum(CASE WHEN matches*$thrDen >= $numHashes*$thrNum
          |      THEN 1 ELSE 0 END), 0) AS n_verified FROM m) t""".stripMargin
@@ -2341,6 +2369,69 @@ object OracleSql {
        |FROM ex LEFT JOIN iv ON iv.q_id = ex.q_id AND iv.n_id = ex.n_id
        |GROUP BY ex.q_id""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.mrr]] over [[simTopK]]-exact vs
+    * [[simIvf]]-approximate: the [[simRecall]] CTE chains with the exact
+    * side cut at rank 1 (the true nearest = the relevant doc) and the
+    * approximate side keeping its rank for the reciprocal.
+    */
+  def retrievalMrr(nCells: Int, nQueries: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |xs AS (SELECT q.q_id, e.vec_id AS n_id, ${cosine("q.qv", "e.v")} AS c
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |ex1 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM xs) t WHERE rnk = 1),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id),
+       |iv AS (SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM cand) t WHERE rnk <= $k)
+       |SELECT ex1.q_id, ex1.n_id AS relevant_id, iv.rnk AS rank_approx,
+       |  CAST(coalesce(1000000 // iv.rnk, 0) AS BIGINT) AS rr_ppm
+       |FROM ex1 LEFT JOIN iv ON iv.q_id = ex1.q_id AND iv.n_id = ex1.n_id""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.matryoshkaRecall]]: one ranked
+    * subquery per prefix width (the [[cosine]] fold over `list_slice`d
+    * vectors — the same left fold stopped at d), each left-joined against
+    * the full-width exact CTE, summary rows unioned.
+    */
+  def embMatryoshka(dims: Seq[Int], nQueries: Int, k: Int): String = {
+    val full = dims.max
+    def pcos(d: Int) =
+      cosine(s"list_slice(q.qv, 1, $d)", s"list_slice(e.v, 1, $d)")
+    val blocks = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims,
+         |  CAST(sum(CASE WHEN ex.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k_exact,
+         |  CAST((sum(CASE WHEN ex.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS recall_ppm
+         |FROM (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${pcos(d)} DESC, e.vec_id) AS rnk
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t WHERE rnk <= $k) a
+         |LEFT JOIN ex ON ex.q_id = a.q_id AND ex.n_id = a.n_id""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |ex AS (SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${pcos(full)} DESC, e.vec_id) AS rnk
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t WHERE rnk <= $k)
+       |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Mirror of [[Dedup.embeddingCosineBlocked]] with fixed coarse centroids
     * (vec_id < nCells, cell id = vec_id + 1): every vector indexed under its
     * nProbe nearest cells (ties → lowest cell id, same as the row-local
@@ -2490,6 +2581,58 @@ object OracleSql {
        |  rnk_sparse, rnk_dense FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_e6 DESC, doc_id)
        |    AS rnk FROM fuse) x WHERE rnk <= $kOut""".stripMargin
+
+  /** Mirror of [[graft.operators.Retrieval.prfBm25]]: the [[retrievalHybrid]]
+    * sparse CTEs run TWICE — initial pseudo-query scoring, top-nFb feedback
+    * docs, new-term harvest by summed tf (NOT EXISTS excludes the original
+    * terms before the rank cut), and the expanded-set rescore — with the
+    * identical Okapi double sequence and tie orders at every cut.
+    */
+  def retrievalPrf(nQueries: Int, nTerms: Int, nFb: Int, nExp: Int,
+      kOut: Int, k1: Double, b: Double): String = {
+    def okapi(dfRef: String) =
+      s"""CAST(sum(CAST(round(((n_docs - $dfRef + 0.5) / ($dfRef + 0.5)) *
+         |      (tf.tf * ${k1 + 1.0}) /
+         |      (tf.tf + $k1 * (1.0 - $b + $b * tf.dl * n_docs / total_len)) * 1e6)
+         |      AS BIGINT)) AS BIGINT)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tok),
+       |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS token FROM d) t
+       |  GROUP BY doc_id, dl, token),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_len FROM d),
+       |qt AS (SELECT q_id, token, df FROM (
+       |    SELECT tf.doc_id AS q_id, tf.token, df.df,
+       |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |        CAST(round(tf.tf * n_docs * 1000000.0 / df.df) AS BIGINT) DESC,
+       |        tf.token) AS trnk
+       |    FROM tf JOIN df ON tf.token = df.token CROSS JOIN scal
+       |    WHERE tf.doc_id < $nQueries) x WHERE trnk <= $nTerms),
+       |s1 AS (SELECT qt.q_id, tf.doc_id, ${okapi("qt.df")} AS score_e6
+       |  FROM tf JOIN qt ON tf.token = qt.token CROSS JOIN scal
+       |  WHERE tf.doc_id <> qt.q_id GROUP BY qt.q_id, tf.doc_id),
+       |fb AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS rnk
+       |  FROM s1) x WHERE rnk <= $nFb),
+       |ft AS (SELECT fb.q_id, tf.token, CAST(sum(tf.tf) AS BIGINT) AS fb_tf
+       |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id GROUP BY fb.q_id, tf.token),
+       |ex AS (SELECT q_id, token FROM (SELECT ft.q_id, ft.token,
+       |    row_number() OVER (PARTITION BY ft.q_id ORDER BY ft.fb_tf DESC, ft.token) AS ernk
+       |  FROM ft WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.q_id = ft.q_id AND qt.token = ft.token)) x
+       |  WHERE ernk <= $nExp),
+       |qx AS (SELECT q_id, token, df FROM qt
+       |  UNION ALL SELECT ex.q_id, ex.token, df.df FROM ex
+       |    JOIN df ON ex.token = df.token),
+       |s2 AS (SELECT qx.q_id, tf.doc_id, ${okapi("qx.df")} AS score_e6
+       |  FROM tf JOIN qx ON tf.token = qx.token CROSS JOIN scal
+       |  WHERE tf.doc_id <> qx.q_id GROUP BY qx.q_id, tf.doc_id)
+       |SELECT q_id, doc_id, CAST(rnk AS BIGINT) AS rnk, score_e6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id)
+       |    AS rnk FROM s2) x WHERE rnk <= $kOut""".stripMargin
+  }
 
   /** Mirror of [[graft.operators.Similarity.hardNegatives]]: nProbe-cell
     * indexing with the label carried, different-label candidates from the
@@ -2665,6 +2808,42 @@ object OracleSql {
        |         ((nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2))) * 1000000.0)
        |       END AS BIGINT) AS srm_chi2_e6
        |FROM z""".stripMargin
+
+  /** Mirror of [[graft.operators.Events.diffInDiff]]: identical sufficient
+    * statistics (per-arm user counts, Σd, Σd² over the per-user post−pre
+    * cents diff) and the SAME left-assoc double expression trees, so did_e6
+    * and t2_e6 are bit-equal.
+    */
+  val eventsDid: String =
+    s"""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+       |    CAST(sum(CASE WHEN day(ts) <= 15
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN day(ts) > 15
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT *, y - x AS d FROM u),
+       |g AS (SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS sd_c,
+       |    CAST(sum(CASE WHEN arm = 0 THEN d*d ELSE 0 END) AS BIGINT) AS sdd_c,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS sd_t,
+       |    CAST(sum(CASE WHEN arm = 1 THEN d*d ELSE 0 END) AS BIGINT) AS sdd_t
+       |  FROM p),
+       |dd AS (SELECT *, CAST(n_c AS DOUBLE) AS dnc, CAST(sd_c AS DOUBLE) AS dsdc,
+       |    CAST(sdd_c AS DOUBLE) AS dsddc, CAST(n_t AS DOUBLE) AS dnt,
+       |    CAST(sd_t AS DOUBLE) AS dsdt, CAST(sdd_t AS DOUBLE) AS dsddt FROM g),
+       |f AS (SELECT *,
+       |    dsdt / dnt / 100.0 - dsdc / dnc / 100.0 AS did,
+       |    (dsddt - dsdt * dsdt / dnt) / (dnt - 1.0) / 10000.0 / dnt +
+       |      (dsddc - dsdc * dsdc / dnc) / (dnc - 1.0) / 10000.0 / dnc AS se2
+       |  FROM dd)
+       |SELECT n_c, n_t, sd_c AS sum_d_c_cents, sd_t AS sum_d_t_cents,
+       |  CAST(CASE WHEN n_c > 0 AND n_t > 0 THEN round(did * 1e6) END AS BIGINT)
+       |    AS did_e6,
+       |  CAST(CASE WHEN n_c > 1 AND n_t > 1 AND se2 > 0.0
+       |       THEN round(did * did / se2 * 1e6) END AS BIGINT) AS t2_e6
+       |FROM f""".stripMargin
 
   /** Mirror of [[graft.operators.Events.cuped]]: identical sufficient
     * statistics and the SAME double expression trees (left-assoc order
@@ -3304,6 +3483,18 @@ object OracleSql {
        |  FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) comp
        |  GROUP BY rep_id) sizes
        |GROUP BY cluster_size""".stripMargin
+
+  /** Mirror of `dedup_soft`: the [[dedupComponents]] map joined with its
+    * per-representative cluster sizes, every doc weighted `10⁶ // size`.
+    */
+  def dedupSoft(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""SELECT comp.doc_id, comp.rep_id, sizes.cluster_size,
+       |  CAST(1000000 // sizes.cluster_size AS BIGINT) AS weight_ppm
+       |FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) comp
+       |JOIN (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) c2
+       |  GROUP BY rep_id) sizes ON comp.rep_id = sizes.rep_id""".stripMargin
 
   /** Mirror of [[operators.Similarity.cellBalance]]: [[simIvf]]'s cell
     * assignment CTEs, one occupancy rollup, the window total for the exact

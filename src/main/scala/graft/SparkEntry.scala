@@ -952,11 +952,27 @@ object SparkEntry {
     // candidate stage vs the exact Jaccard ground truth, exact ppm
     "dedup_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecall(Tables.read(s, dir, "documents"))),
+    // b-bit minwise sweep: band on only the low b bits of each MinHash
+    // value (b/32 the index bytes) and price the extra hash-collision
+    // candidates verification must reject — candidate volume / verified /
+    // precision per width, b=31 is the full-width baseline row
+    "dedup_minhash_bbit" -> ((s, dir) =>
+      Dedup.bbitSweep(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
     // pair edges — every doc mapped to the min doc_id reachable through any
     // pair chain (singletons → self). The step between pairwise dedup output
     // and an actionable keep/drop set.
     "dedup_components" -> ((s, dir) => docComponents(s, dir)),
+    // SOFT dedup: keep every doc, downweight duplicates to weight_ppm =
+    // 1e6/cluster_size — the sampling-weight alternative to hard dropping
+    // (total cluster mass stays 1 doc), off the shared component memo
+    "dedup_soft" -> ((s, dir) => {
+      val comp = docComponents(s, dir)
+      comp.join(comp.groupBy("rep_id").agg(count(lit(1)).as("cluster_size")),
+          "rep_id")
+        .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_ppm"))
+    }),
     // duplicate-cluster SIZE histogram — the distribution dedup papers
     // publish (how much of the corpus sits in 2-clusters vs mega-clusters):
     // component sizes from the shared memoized map, rolled to
@@ -1141,6 +1157,27 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb),
         Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16)))
     }),
+    // the rank-position view of the same trade: where does the TRUE nearest
+    // neighbor land in the IVF ranking — reciprocal rank per query in exact
+    // ppm (0 = missed entirely); the mean over queries is MRR@k
+    "retrieval_mrr" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.mrr(
+        Similarity.bruteForceTopK(emb),
+        Similarity.ivfTopK(emb, Similarity.fixedCentroids(emb, 16)))
+    }),
+    // matryoshka (prefix-dimension) recall curve: rank on only the first
+    // 8/16/32/64 dims and measure each truncation against the full-dim
+    // top-k — the MRL storage/recall gauge (a d-dim probe reads d/64 of
+    // the vector bytes); the d=64 row is the built-in 10⁶ sanity row
+    "emb_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.read(s, dir, "embeddings"))),
+    // pseudo-relevance-feedback expansion (Rocchio-lite): BM25 round 1 →
+    // top-3 feedback docs → top-2 new terms by summed tf → BM25 round 2
+    // with the expanded query — the classical lexical recall lever, both
+    // rounds through the shared Okapi kernel, hash-exact end to end
+    "retrieval_prf" -> ((s, dir) =>
+      Retrieval.prfBm25(Tables.read(s, dir, "documents"))),
     // the production-claimed composition, actually composed: coarse cells
     // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
     // (spherical cells — the geometrically sound blocking for cosine; see
@@ -3082,6 +3119,12 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       operators.Events.abTest(Tables.readEvents(s, dir))),
 
+    // ---- difference-in-differences: per-user post−pre spend change (exact
+    // cents), arm means + the t² statistic as fixed double formulas over
+    // one pass of integer sufficient statistics ----
+    "events_did" -> ((s, dir) =>
+      operators.Events.diffInDiff(Tables.readEvents(s, dir))),
+
     // ---- out-of-vocabulary census: per-doc share of tokens outside the
     // corpus' top-N vocabulary (broadcast anti-join; integer ppm) ----
     "text_oov" -> ((s, dir) =>
@@ -3518,6 +3561,11 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_lsh_tuning" -> OracleSql.dedupLshTuning(
       n = 3, numHashes = 16, bandsList = Seq(2, 4, 8), thrNum = 1, thrDen = 2),
+    "dedup_minhash_bbit" -> OracleSql.dedupBbit(
+      n = 3, numHashes = 16, bands = 4, bitsList = Seq(4, 8, 16, 31),
+      thrNum = 1, thrDen = 2),
+    "dedup_soft" -> OracleSql.dedupSoft(
+      n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_lsh_recall" -> OracleSql.dedupLshRecall(
       n = 3, thrNum = 1, thrDen = 5, numHashes = 16, bands = 4),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
@@ -3580,6 +3628,12 @@ object SparkEntry {
       lrDen = 10000000L, minTokens = 5, maxTokens = 5000),
     "emb_pq_fitted" -> OracleSql.embPqFitted(m = 8, k = 16, dim = 64, iters = 2),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "retrieval_mrr" -> OracleSql.retrievalMrr(nCells = 16, nQueries = 5,
+      nProbe = 2, k = 10),
+    "emb_matryoshka" -> OracleSql.embMatryoshka(dims = Seq(8, 16, 32, 64),
+      nQueries = 5, k = 10),
+    "retrieval_prf" -> OracleSql.retrievalPrf(nQueries = 5, nTerms = 3,
+      nFb = 3, nExp = 2, kOut = 10, k1 = 1.2, b = 0.75),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "text_gopher_gate" -> OracleSql.textGopherGate(minTokens = 20,
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
@@ -3954,6 +4008,7 @@ object SparkEntry {
     "q_hll_persisted" -> OracleSql.qHllLake(p = 8),
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
+    "events_did" -> OracleSql.eventsDid,
     "events_cuped" -> OracleSql.eventsCuped,
     "events_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,

@@ -590,6 +590,83 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** b-bit minwise sweep (Li & König 2010): keep only `b` bits of each
+    * MinHash value in the banding index and measure what the storage cut
+    * costs. A b-bit signature is `b/32` the bytes of the full-width one —
+    * the difference between an index that fits in memory and one that
+    * doesn't at corpus scale — at the price of extra truncation-collision
+    * candidates that verification must then reject. One summary row per
+    * `b`: candidate volume, full-signature-verified count, and precision
+    * in exact ppm (the [[lshTuning]] shape swept over bit width instead of
+    * banding; `b = 31` stores the RAW value — signatures are mod 2³¹−1 —
+    * and is the full-width baseline row). Verification always compares
+    * FULL signatures — the b-bit cut applies to the banding index only,
+    * which is exactly how a deployment stores it.
+    *
+    * The kept bits come from a 32-bit Fibonacci finalizer
+    * (`(v·2654435761 mod 2³²) >> (32−b)`), not the raw low bits: the paper
+    * keeps b bits of a WELL-MIXED hash, and this repo's affine family
+    * `(aᵢ·x + bᵢ) mod P` never wraps at the shingle-id range, so every
+    * signature value is affine in the doc's min shingle id `m` — raw low
+    * bits are then functions of `m mod 2ᵇ` and the whole b=4 key space
+    * collapses to 16 keys (measured: an n²/16-pair join at sf0.1). High
+    * bits of the mixed value keep the prefix property (fewer bits only
+    * MERGE keys), so candidate volume stays monotone in b.
+    *
+    * Scale shape: one signature scan serves every width (cached, the
+    * [[lshTuning]] lifecycle convention); each width is a band-key
+    * equi-join + one verify pass — never an all-pairs form.
+    */
+  def bbitSweep(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, bitsList: Seq[Int] = Seq(4, 8, 16, 31),
+      thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rows = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
+    val sigs = minhashSignatures(docs, n, numHashes)
+      .select(col("doc_id"), sigArr.as("sig"))
+      .cache()
+    bitsList.map { b =>
+      def kept(i: Int) = {
+        val v = element_at(col("sig"), i + 1)
+        if (b >= 31) v
+        else shiftright((v * lit(2654435761L)).bitwiseAND(lit(0xFFFFFFFFL)),
+          32 - b)
+      }
+      val bandEntries = array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(",", (bnd * rows until (bnd + 1) * rows)
+            .map(kept): _*).as("key"))
+      }: _*)
+      val bs = sigs.select(col("doc_id"), col("sig"),
+          explode(bandEntries).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.key").as("key"), col("sig"))
+      val x = bs.select(col("band"), col("key"),
+        col("doc_id").as("a_id"), col("sig").as("siga"))
+      val y = bs.select(col("band"), col("key"),
+        col("doc_id").as("b_id"), col("sig").as("sigb"))
+      val cand = x.join(y, Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "siga", "sigb")
+        .dropDuplicates("a_id", "b_id")
+      cand
+        .withColumn("matches",
+          aggregate(zip_with(col("siga"), col("sigb"),
+            (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("matches") * thrDen >= numHashes * thrNum, 1L)
+            .otherwise(0L)).as("n_verified"))
+        .select(lit(b.toLong).as("b_bits"),
+          col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          expr("CASE WHEN n_candidates > 0 " +
+            "THEN (coalesce(n_verified, CAST(0 AS BIGINT)) * 1000000) div n_candidates " +
+            "ELSE CAST(0 AS BIGINT) END").as("precision_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Measured RECALL of the MinHash LSH blocking against the exact n-gram
     * Jaccard ground truth — the other half of [[lshTuning]]'s
     * precision/volume sweep, and the number that actually licenses

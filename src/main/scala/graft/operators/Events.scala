@@ -865,6 +865,59 @@ object Events {
         .as("adj_b_e6"))
   }
 
+  /** Difference-in-differences estimator — the quasi-experimental cousin of
+    * [[abTest]]/[[cuped]]: each user's spend (exact integer cents) is split
+    * into pre (day ≤ 15) and post (day > 15) periods, the per-user change
+    * `d = post − pre` is averaged per arm (`user_id % 2` — treatment vs
+    * control), and the DiD effect is `mean(d_treat) − mean(d_ctrl)` with its
+    * t² statistic from the per-arm sample variances of `d`
+    * (`SE² = var(d_t)/n_t + var(d_c)/n_c`).
+    *
+    * Determinism recipe as [[cuped]]: ONE aggregate pass folds every
+    * sufficient statistic (per-arm user counts, Σd, Σd²) as an exact long;
+    * the estimates are fixed double formulas over them, so the DuckDB
+    * oracle is hash-exact. Int64 bound: Σd² needs
+    * `users_per_arm · (max |per-user cents diff|)² < 2^63` — at the
+    * fixture's spend range (~10^6 cents per user) that allows ~10^6 users
+    * per arm; past it, widen d·d to DECIMAL(38,0) the way q_moments does.
+    *
+    * Scale shape: one shuffle on user_id (the per-user period sums), then a
+    * scalar aggregate — the same two-stage plan at any corpus size.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val perUser = events
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(when(dayofmonth(col("ts")) <= 15, cents).otherwise(0L)).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, cents).otherwise(0L)).as("y"))
+      .withColumn("d", col("y") - col("x"))
+    val g = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("sd_c"),
+      sum(when(col("arm") === 0, col("d") * col("d")).otherwise(0L)).as("sdd_c"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("sd_t"),
+      sum(when(col("arm") === 1, col("d") * col("d")).otherwise(0L)).as("sdd_t"))
+    def dd(c: String) = col(c).cast("double")
+    // dollars; every chain left-assoc, mirrored verbatim in the oracle
+    val meanC = dd("sd_c") / dd("n_c") / lit(100.0)
+    val meanT = dd("sd_t") / dd("n_t") / lit(100.0)
+    val did = meanT - meanC
+    val varC = (dd("sdd_c") - dd("sd_c") * dd("sd_c") / dd("n_c")) /
+      (dd("n_c") - lit(1.0)) / lit(10000.0)
+    val varT = (dd("sdd_t") - dd("sd_t") * dd("sd_t") / dd("n_t")) /
+      (dd("n_t") - lit(1.0)) / lit(10000.0)
+    val se2 = varT / dd("n_t") + varC / dd("n_c")
+    val okMean = col("n_c") > 0 && col("n_t") > 0
+    val ok = col("n_c") > 1 && col("n_t") > 1 && se2 > lit(0.0)
+    g.select(col("n_c"), col("n_t"),
+      col("sd_c").as("sum_d_c_cents"), col("sd_t").as("sum_d_t_cents"),
+      when(okMean, round(did * 1e6).cast("long")).otherwise(lit(null))
+        .as("did_e6"),
+      when(ok, round(did * did / se2 * 1e6).cast("long")).otherwise(lit(null))
+        .as("t2_e6"))
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning census: how
     * many sessions were simultaneously open at the day's busiest instant.
     * Classic sweep line: each [[sessionize]] session contributes +1 at its

@@ -85,6 +85,77 @@ object Retrieval {
       denseChecked, nQueries, nTerms, kList, kOut, rrfK, k1, b)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio-lite / RM1 shape):
+    * run BM25 with each query's initial top-TFIDF pseudo-query terms, treat
+    * the top `nFb` results as relevant, harvest the top `nExp` NEW terms
+    * from those feedback docs (by summed tf, the RM1 statistic; terms
+    * already in the query are excluded), and re-run BM25 with the expanded
+    * term set — the classical recall lever of lexical retrieval, two full
+    * scoring rounds of the SAME [[TextAnalysis.bm25TermE6]] Okapi kernel.
+    *
+    * Everything is integer fixed point (per-term e6 rounding before the
+    * per-doc sum, deterministic tie orders at every rank cut), so the
+    * two-round composition stays hash-exact against the ANSI oracle.
+    *
+    * Scale shape: the corpus pays ONE tokenize + tf groupBy (persisted —
+    * five consumers: df rollup, initial terms, round-1 scoring, feedback
+    * term harvest, round-2 scoring); both scoring rounds are broadcast
+    * token equi-joins bounded by posting lists; the feedback relations are
+    * nQueries·nFb and nQueries·nExp rows — driver-free, broadcast by size.
+    */
+  def prfBm25(docs: DataFrame, nQueries: Int = 5, nTerms: Int = 3,
+      nFb: Int = 3, nExp: Int = 2, kOut: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    // persisted: the vocabulary df rollup re-aggregates the whole tf
+    // relation and feeds THREE consumers (initial terms, expansion-term df
+    // lookup, and the round-2 union's recompute of qterms)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df")).persist()
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .join(df, "token").crossJoin(broadcast(scal))
+      .withColumn("score_e6",
+        round(col("tf") * col("n_docs") * 1000000.0 / col("df")).cast("long"))
+      .withColumn("trnk", row_number().over(wq))
+      .filter(col("trnk") <= nTerms)
+      .select(col("doc_id").as("q_id"), col("token"), col("df"))
+    def score(q: DataFrame): DataFrame = {
+      val termE6 = TextAnalysis.bm25TermE6(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("total_len"), k1, b)
+      tf.join(broadcast(q), "token").crossJoin(broadcast(scal))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"), termE6.as("term_e6"))
+        .groupBy("q_id", "doc_id").agg(sum("term_e6").as("score_e6"))
+    }
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("score_e6"), asc("doc_id"))
+    val fb = score(qterms)
+      .withColumn("rnk", row_number().over(ws))
+      .filter(col("rnk") <= nFb)
+      .select("q_id", "doc_id")
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("fb_tf"), asc("token"))
+    val expTerms = tf.join(broadcast(fb), "doc_id")
+      .groupBy("q_id", "token").agg(sum("tf").as("fb_tf"))
+      .join(qterms.select("q_id", "token"), Seq("q_id", "token"), "left_anti")
+      .withColumn("ernk", row_number().over(we))
+      .filter(col("ernk") <= nExp)
+      .join(df, "token")
+      .select(col("q_id"), col("token"), col("df"))
+    score(qterms.unionByName(expTerms))
+      .withColumn("rnk", row_number().over(ws).cast("long"))
+      .filter(col("rnk") <= kOut)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score_e6"))
+  }
+
   private def hybridRrfFromParts(tf: DataFrame, scal: DataFrame,
       dense: DataFrame, nQueries: Int, nTerms: Int, kList: Int, kOut: Int,
       rrfK: Int, k1: Double, b: Double): DataFrame = {

@@ -104,6 +104,80 @@ object Similarity {
       .select(col("q_id"), col("n_hit"), col("k_exact"),
         expr("n_hit * 1000000 div k_exact").as("recall_ppm"))
 
+  /** Reciprocal-rank gauge of an approximate ranking against the exact one —
+    * [[annRecall]]'s set-overlap view answers "how much of the true top-k
+    * survives"; this answers the retrieval question "how far down does the
+    * TRUE NEAREST neighbor land". Relevant = the exact ranking's rank-1 row
+    * per query; `rr_ppm = 10⁶ div rank_approx` (0 when the approximate list
+    * misses it entirely — the MRR convention), pure integers end to end so
+    * the DuckDB oracle hash-matches. Averaging rr_ppm over queries is MRR@k.
+    *
+    * Scale shape: a |queries|-row equi-join against the approximate
+    * ranking's k·|queries| rows — negligible next to the searches.
+    */
+  def mrr(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.filter(col("rnk") === 1)
+      .select(col("q_id"), col("n_id").as("relevant_id"))
+      .join(approx.select(col("q_id"), col("n_id").as("relevant_id"),
+          col("rnk").as("rank_approx")),
+        Seq("q_id", "relevant_id"), "left")
+      .select(col("q_id"), col("relevant_id"), col("rank_approx"),
+        coalesce(expr("1000000 div rank_approx"), lit(0L)).as("rr_ppm"))
+
+  /** Matryoshka (prefix-dimension) recall curve — the MRL storage/recall
+    * gauge (Kusupati et al. 2022): rank by cosine over only the FIRST `d`
+    * dimensions for each `d` in `dims`, and measure each truncated
+    * ranking's recall against the full-dimension top-k. Prefix-truncation
+    * is the matryoshka deployment move: a `d`-dim probe reads `d/full` of
+    * the vector bytes (at scale the prefix lives as its own column/file),
+    * and this curve is the measurement that licenses the cut — the
+    * sim_recall discipline applied to dimensionality instead of probes.
+    *
+    * Exactness: each prefix cosine is the same left-fold dot/norm the full
+    * cosine runs, just stopped at `d` (`slice` + the native kernel,
+    * bit-identical to the oracle's `list_slice` fold); recall is pure
+    * integer ppm. The `d = full` row measures 10⁶ by construction — the
+    * built-in sanity row.
+    *
+    * Scale shape: ONE pair scan computes every prefix score (the per-d
+    * folds share the row), one window per (d, query) ranks, and the tiny
+    * ranked relation (k·|queries|·|dims| rows) joins itself for the hit
+    * counts — persisted because it feeds both sides.
+    */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64),
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import graft.plans.native
+    val full = dims.max
+    val e = emb2v(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val perDim = dims.map { d =>
+      val qd = slice(col("qv"), 1, d)
+      val vd = slice(col("v"), 1, d)
+      struct(lit(d.toLong).as("dims"),
+        (native.dot(qd, vd) /
+          (sqrt(native.dot(qd, qd)) * sqrt(native.dot(vd, vd)))).as("c"))
+    }
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        explode(array(perDim: _*)).as("s"))
+      .select(col("q_id"), col("n_id"), col("s.dims").as("dims"),
+        col("s.c").as("c"))
+    val w = Window.partitionBy("dims", "q_id").orderBy(desc("c"), col("n_id"))
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select("dims", "q_id", "n_id")
+      .persist()
+    val ex = ranked.filter(col("dims") === full.toLong)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    ranked.join(ex, Seq("q_id", "n_id"), "left")
+      .groupBy("dims")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("k_exact"))
+      .select(col("dims"), col("n_hit"), col("k_exact"),
+        expr("n_hit * 1000000 div k_exact").as("recall_ppm"))
+  }
+
   /** The probe + exact re-rank half of IVF search, over ANY cells relation
     * `(cell, vec_id, v)` — computed on the fly ([[ivfTopK]]) or read back
     * from a persisted index ([[ivfTopKIndexed]]).

@@ -88,6 +88,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bbitSweep: fewer bits only ADD candidates; full-width row (b=31) " +
+      "matches lshTuning's same-banding row; the exact dup verifies everywhere") {
+    val got = Dedup.bbitSweep(docs, bitsList = Seq(4, 8, 16, 31)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(4L, 8L, 16L, 31L))
+    // masking band keys to fewer bits can only merge keys — candidate
+    // volume is nonincreasing in b, and every full-width candidate survives
+    assert(got(4L)._1 >= got(8L)._1 && got(8L)._1 >= got(16L)._1 &&
+      got(16L)._1 >= got(31L)._1, s"candidate monotonicity broken: $got")
+    // verification is on FULL signatures — the verified count is the same
+    // superset relation, and the exact dup (1,2) passes at every width
+    assert(got.values.forall { case (cand, ver, _) => ver >= 1L && ver <= cand })
+    assert(got(4L)._2 >= got(31L)._2)
+    // b=31 masks nothing (signatures are mod 2³¹−1): it IS full-width LSH
+    val full = Dedup.lshTuning(docs, bandsList = Seq(4)).collect().head
+    assert(got(31L)._1 == full.getLong(2) && got(31L)._2 == full.getLong(3),
+      s"b=31 must equal the unmasked 4-band sweep: $got vs $full")
+    got.values.foreach { case (cand, ver, ppm) =>
+      assert(ppm == (if (cand > 0) ver * 1000000L / cand else 0L))
+    }
+  }
+
+  test("dedup_soft: cluster mass re-normalizes to ~one doc; singletons keep " +
+      "full weight; weights follow 10⁶ div size exactly") {
+    val soft = SparkEntry.queries("dedup_soft")(spark, sf("0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(soft.length == 500) // every doc kept — soft dedup never drops
+    soft.foreach { case (_, _, size, w) =>
+      assert(size >= 1 && w == 1000000L / size,
+        s"weight law broken: size=$size w=$w")
+    }
+    // singletons (their own rep) keep weight exactly 1e6
+    assert(soft.exists { case (d, r, s, w) => d == r && s == 1 && w == 1000000L })
+    // per-cluster total weight ≈ 1e6 (floor division loses < size ppm)
+    soft.groupBy(_._2).foreach { case (_, rows) =>
+      val tot = rows.map(_._4).sum
+      val size = rows.head._3
+      assert(tot <= 1000000L && tot > 1000000L - size,
+        s"cluster mass off: size=$size total=$tot")
+    }
+  }
+
   test("incrementalDedup: delta matches corpus and earlier delta; new docs get null") {
     // corpus keeps ids 1,3,4; delta = 10,12,20 (10 dups corpus-1, 12 dups
     // delta-10 AND corpus-1, 20 is genuinely new)

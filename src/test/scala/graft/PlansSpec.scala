@@ -237,6 +237,18 @@ class PlansSpec extends SparkSpec {
       // text_bm25 (corpus N + total length); its corpus-scale joins are
       // broadcast equi-joins on token and the IVF cell equi-join
       "retrieval_hybrid",
+      // retrieval_prf runs text_bm25's one-row scalar crossJoin twice (one
+      // per scoring round); corpus-scale joins are broadcast equi on token
+      "retrieval_prf",
+      // retrieval_mrr embeds sim_topk as the exact side BY PURPOSE (the
+      // sim_recall precedent — it measures where the true nearest lands in
+      // the IVF ranking); its own stage is a |queries|-row equi-join
+      "retrieval_mrr",
+      // emb_matryoshka IS a brute-force measurement gauge: every prefix
+      // ranking broadcast-cross-joins the tiny query side by design (the
+      // sim_topk shape); at scale the curve runs on a sample, like every
+      // declared all-pairs baseline
+      "emb_matryoshka",
       "text_heavy_hitters", // same one-row CMS-matrix crossJoin as text_cms
       // text_kn_lm crossJoins the ONE-row bigram-type-count scalar (the
       // text_tfidf precedent); its corpus-scale joins are equi on w1/w2

@@ -92,6 +92,36 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("prfBm25: expansion surfaces a doc round 1 cannot reach; the " +
+      "harvested term is the top NEW feedback term; ranks are gapless") {
+    // query doc 0's terms are {apple, banana}. Doc 3 contains ONLY cherry —
+    // invisible to round 1 — but the feedback docs (1, 2: the apple hits)
+    // carry cherry as their top non-query term, so round 2 must reach it.
+    // Doc 4 shares no terms with either query and must never surface.
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple banana cherry pad1"),
+      (2L, "apple cherry cherry pad2"),
+      (3L, "cherry cherry cherry pad3"),
+      (4L, "date egg fig pad4")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.prfBm25(docs, nQueries = 1, nTerms = 2, nFb = 2,
+        nExp = 1, kOut = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out.contains(3L), s"PRF must surface the cherry-only doc: $out")
+    assert(!out.contains(4L), s"doc 4 shares no query/feedback term: $out")
+    assert(!out.contains(0L), "the query doc never retrieves itself")
+    val ranks = out.values.toSeq.sorted
+    assert(ranks == (1L to ranks.size), s"gapless ranks expected: $out")
+  }
+
+  test("prfBm25: results are invariant to input partitioning") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    def run(p: Int) = Retrieval.prfBm25(docs.repartition(p))
+      .collect().map(_.toSeq).toSet
+    assert(run(2) == run(7))
+  }
+
   test("hybridRrfIndexed: out-of-domain dense q_id fails loudly, not silently") {
     // the sparse half hard-codes pseudo-queries to doc_id < nQueries; a
     // dense ranking from a DIFFERENT query set must raise, not slip

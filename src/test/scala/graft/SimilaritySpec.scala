@@ -232,6 +232,52 @@ class SimilaritySpec extends SparkSpec {
     assert(none.length == 2 && none.forall(r => r._2 == 0L && r._4 == 0L))
   }
 
+  test("mrr: self is 10⁶ at rank 1; a shifted relevant doc reciprocates " +
+      "its rank; a missing one scores 0 without dropping the query row") {
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 2, k = 3)
+    // identical rankings: the true nearest sits at rank 1 → rr = 1e6
+    val self = Similarity.mrr(bf, bf)
+      .as[(Long, Long, Option[Long], Long)].collect()
+    assert(self.length == 2 &&
+      self.forall(r => r._3.contains(1L) && r._4 == 1000000L))
+    // shift every rank by +1 (drop the rank-1 rows, re-label rank r as
+    // r-1... simpler: relabel rnk -> rnk + 1 keeps the relevant at rank 2)
+    val shifted = bf.withColumn("rnk", col("rnk") + 1)
+    val s = Similarity.mrr(bf, shifted)
+      .as[(Long, Long, Option[Long], Long)].collect()
+    assert(s.forall(r => r._3.contains(2L) && r._4 == 500000L))
+    // an approximate list that never contains the relevant doc → rr 0
+    val none = Similarity.mrr(bf, bf.filter(col("rnk") =!= 1))
+      .as[(Long, Long, Option[Long], Long)].collect()
+    assert(none.length == 2 && none.forall(r => r._3.isEmpty && r._4 == 0L))
+  }
+
+  test("matryoshkaRecall: the full-width row is exactly 10⁶; a prefix that " +
+      "hides the discriminating dims scores lower; all ppm within range") {
+    // dim 1 is IDENTICAL noise for everyone — a 1-dim prefix ranking is
+    // pure tie-break-by-id; dims 2-3 carry the real structure
+    val e2 = Seq(
+      (0L, Array(0.5f, 1.00f, 0.00f)), (1L, Array(0.5f, 0.00f, 1.00f)),
+      (2L, Array(0.5f, 0.99f, 0.01f)), (3L, Array(0.5f, 0.01f, 0.99f)),
+      (4L, Array(0.5f, 0.98f, 0.02f)), (5L, Array(0.5f, 0.02f, 0.98f)),
+      (6L, Array(0.5f, 0.97f, 0.03f)), (7L, Array(0.5f, 0.03f, 0.97f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(e2, dims = Seq(1, 3),
+        nQueries = 2, k = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L)._4 == 1000000L, s"full-width row must be exact: $got")
+    assert(got(1L)._4 < 1000000L,
+      s"the constant-dim prefix cannot reproduce the full ranking: $got")
+    got.values.foreach { case (_, nh, ke, ppm) =>
+      assert(nh >= 0 && nh <= ke && ppm >= 0 && ppm <= 1000000L)
+    }
+    // partitioning invariance — the persisted ranked relation feeds both
+    // join sides; neither may depend on physical layout
+    val a = Similarity.matryoshkaRecall(e2.repartition(5), dims = Seq(1, 3),
+      nQueries = 2, k = 3).collect().map(_.toSeq).toSet
+    assert(a == got.values.map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSet)
+  }
+
   test("IVF over REAL fitted centroids reaches recall >= 0.9 vs brute force") {
     // the sim_ivf_fitted composition — coarse cells from an actual
     // k-means|| + Lloyd fit — on a PLANTED clustered corpus. (The synthetic

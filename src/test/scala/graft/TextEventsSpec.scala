@@ -850,6 +850,37 @@ class TextEventsSpec extends SparkSpec {
     assert(graft.operators.Events.abTest(allConv).head().isNullAt(6))
   }
 
+  test("diffInDiff: hand-computed effect and t² on a 2×2 design; a " +
+      "single-user arm nulls t² but keeps the effect") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, day: Int, v: Double) =
+      (u * 100 + day, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        u, "purchase", v, "{}")
+    // ctrl (even users): diffs +10.00, +20.00 → mean 15; treat (odd):
+    // +30.00, +50.00 → mean 40 → DiD = 25.00
+    val rows = Seq(
+      ev(0L, 3, 10.0), ev(0L, 20, 20.0),   // d = +1000 cents
+      ev(2L, 3, 10.0), ev(2L, 20, 30.0),   // d = +2000
+      ev(1L, 3, 10.0), ev(1L, 20, 40.0),   // d = +3000
+      ev(3L, 3, 10.0), ev(3L, 20, 60.0))   // d = +5000
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Events.diffInDiff(rows).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) == ((3000L, 8000L)))
+    assert(r.getAs[Long]("did_e6") == 25000000L)
+    // var d: ctrl = ((1000²+2000²) − 3000²/2)/1/1e4 = 50 $²; treat =
+    // ((3000²+5000²) − 8000²/2)/1/1e4 = 200 $²; SE² = 200/2 + 50/2 = 125;
+    // t² = 625/125 = 5
+    assert(r.getAs[Long]("t2_e6") == 5000000L, s"t2 = ${r.getAs[Long]("t2_e6")}")
+    // one user per arm: effect defined, variance not → t² null
+    val tiny = Seq(ev(0L, 3, 10.0), ev(0L, 20, 20.0),
+        ev(1L, 3, 10.0), ev(1L, 20, 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t = graft.operators.Events.diffInDiff(tiny).head()
+    assert(t.getAs[Long]("did_e6") == 20000000L && t.isNullAt(5))
+  }
+
   test("doc_quality_lr: the trained filter recovers a separable weak-label " +
       "rule near-perfectly and emits calibrated probabilities") {
     import spark.implicits._
