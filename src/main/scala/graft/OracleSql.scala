@@ -1512,7 +1512,8 @@ object OracleSql {
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $keys) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""t AS (SELECT doc_id,
-       |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)}, s -> ${tokenId("s")})) AS ids
+       |    list_distinct(list_transform(${shingles("string_split(text,' ')", n)},
+       |      s -> CAST(${tokenId("s")} AS BIGINT))) AS ids
        |  FROM $src),
        |sig AS (SELECT doc_id, $sigExprs AS sig FROM t),
        |b AS (

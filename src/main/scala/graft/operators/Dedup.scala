@@ -451,10 +451,23 @@ object Dedup {
 
   /** Universal-ish hash family over shingle ids: h_i(x) = (a_i·x + b_i) mod P.
     * Deterministic coefficients so the DuckDB oracle can mirror them.
+    *
+    * The multipliers are ~2³⁰-scale so `a_i·x` genuinely WRAPS mod P at the
+    * shingle-id range (ids < 1000003). The original tiny family (a_i =
+    * 2i+3 ≤ 33) never reached P at that range, so every h_i was MONOTONE in
+    * x and all hashes picked the same min shingle id — signatures were
+    * affine in the doc's min id, est_jac collapsed to a 0/1 min-id-equality
+    * indicator, every LSH banding produced the IDENTICAL candidate set
+    * (measured: 3186 pairs at sf0.1 for every width), and the sign-LSH
+    * hyperplanes drawn from the family's parities were all ± one
+    * alternating vector. The same statistical-degeneracy class as the gap
+    * statistic's shared-multiplier reference draws, fixed the same way:
+    * spread the multipliers. `a_i·x + b_i < 2⁶²` keeps the long math exact
+    * in both engines (no Java wrap-around before the mod).
     */
   val MinhashP = 2147483647L
-  def mhA(i: Int): Long = 2L * i + 3
-  def mhB(i: Int): Long = 104729L * i + 12345
+  def mhA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def mhB(i: Int): Long = (1779033703L * (i + 1) + 104729L) % MinhashP
 
   /** Per-doc MinHash signature columns s0..s{numHashes-1} over distinct
     * n-gram shingle ids. All mins come from ONE pass over the id array (the

@@ -330,14 +330,20 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane sign vectors for [[lshTopK]], drawn from
-    * the same LCG family as the MinHash signatures (`Dedup.mhA/mhB`) so the
-    * DuckDB oracle regenerates them exactly.
+    * the MinHash family (`Dedup.mhA/mhB`) with a Fibonacci bit-mix on top:
+    * the sign is bit 16 of `v·2654435761` rather than the raw parity of
+    * `v = ((d+1)·a_j + b_j) mod P`, because for planes whose affine values
+    * never wrap (small `a_j (d+1)`), raw parity is constant — an all-one-
+    * sign hyperplane (observed at plane 16 of the spread family). The
+    * vectors are Scala-side constants inlined as LITERALS into both the
+    * Spark plan and the oracle SQL (OracleSql.simLsh calls this function),
+    * so both engines share them by construction.
     */
   def lshSigns(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until numPlanes).map { j =>
       (0 until dim).map { d =>
-        if ((((d + 1) * Dedup.mhA(j) + Dedup.mhB(j)) % Dedup.MinhashP) % 2 == 0) 1.0
-        else -1.0
+        val v = ((d + 1) * Dedup.mhA(j) + Dedup.mhB(j)) % Dedup.MinhashP
+        if (((v * 2654435761L) >> 16) % 2 == 0) 1.0 else -1.0
       }
     }
 

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   * array.
   *
   * Semantics (bit-identical to the HOF form it replaces, pinned in
-  * PlansSpec): `sig[h] = min over ids x of (x·(2h+3) + (104729·h+12345)) mod
-  * 2147483647`, with Java wrap-around multiply and Java signed `%` —
+  * PlansSpec): `sig[h] = min over ids x of (x·a_h + b_h) mod 2147483647`
+  * with the `Dedup.mhA`/`mhB` family (`a_h = 2654435761·(h+1) mod P`,
+  * `b_h = 1779033703·(h+1) + 104729 mod P` — ~2³⁰-scale multipliers that
+  * genuinely wrap; `a_h·x < 2⁶²` so no Java overflow), Java signed `%` —
   * exactly what Catalyst's non-ANSI `Multiply`/`Remainder` evaluate, so the
   * DuckDB oracle mirror is unchanged. An EMPTY id array yields an array of
   * `numHashes` nulls (what `array_min` over an empty array produces
@@ -46,8 +48,9 @@ case class MinhashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
     val out = new Array[Any](numHashes)
     var h = 0
     while (h < numHashes) {
-      val a = 2L * h + 3
-      val b = 104729L * h + 12345
+      // the Dedup.mhA/mhB family, inlined (parity pinned in PlansSpec)
+      val a = (2654435761L * (h + 1)) % 2147483647L
+      val b = (1779033703L * (h + 1) + 104729L) % 2147483647L
       var m = Long.MaxValue
       var i = 0
       while (i < n) {
