@@ -2403,6 +2403,59 @@ object OracleSql {
        |  CAST(coalesce(1000000 // iv.rnk, 0) AS BIGINT) AS rr_ppm
        |FROM ex1 LEFT JOIN iv ON iv.q_id = ex1.q_id AND iv.n_id = ex1.n_id""".stripMargin
 
+  /** Shared CTE chain of the 1-bit binary search
+    * ([[graft.operators.Similarity.binaryTopK]]): two 32-bit sign words per
+    * vector, xor-popcount Hamming shortlist, exact-cosine re-rank — every
+    * pack shift, tie order, and rounding mirrored.
+    */
+  private def binaryCtes(nQueries: Int, k: Int, rerankN: Int): String = {
+    def word(lo: Int): String =
+      (0 until 32).map(i =>
+        s"CASE WHEN v[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |coded AS (SELECT vec_id, v, CAST(${word(0)} AS BIGINT) AS c0,
+       |    CAST(${word(32)} AS BIGINT) AS c1 FROM e),
+       |bq AS (SELECT vec_id AS q_id, v AS qv, c0 AS qc0, c1 AS qc1
+       |  FROM coded WHERE vec_id < $nQueries),
+       |ham AS (SELECT bq.q_id, coded.vec_id AS n_id, bq.qv, coded.v,
+       |    CAST(bit_count(xor(bq.qc0, coded.c0)) +
+       |      bit_count(xor(bq.qc1, coded.c1)) AS BIGINT) AS hamming
+       |  FROM coded CROSS JOIN bq WHERE coded.vec_id <> bq.q_id),
+       |short AS (SELECT q_id, n_id, qv, v, hamming FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hr
+       |  FROM ham) t WHERE hr <= $rerankN),
+       |bin AS (SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, hamming,
+       |    CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM (
+       |  SELECT q_id, n_id, hamming, ${cosine("qv", "v")} AS c,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosine("qv", "v")} DESC, n_id) AS rnk
+       |  FROM short) x WHERE rnk <= $k)""".stripMargin
+  }
+
+  def simBinary(nQueries: Int, k: Int, rerankN: Int): String =
+    s"""WITH ${binaryCtes(nQueries, k, rerankN)}
+       |SELECT q_id, n_id, rnk, hamming, cos_e6 FROM bin""".stripMargin
+
+  /** Mirror of `sim_binary_recall`: [[simBinary]]'s chain measured against
+    * the exact cosine top-k ([[graft.operators.Similarity.annRecall]]'s
+    * rollup, the [[simRecall]] shape).
+    */
+  def simBinaryRecall(nQueries: Int, k: Int, rerankN: Int): String =
+    s"""WITH ${binaryCtes(nQueries, k, rerankN)},
+       |xs AS (SELECT bq.q_id, e.vec_id AS n_id, ${cosine("bq.qv", "e.v")} AS c
+       |  FROM e CROSS JOIN bq WHERE e.vec_id <> bq.q_id),
+       |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM xs) t WHERE rnk <= $k)
+       |SELECT ex.q_id,
+       |  CAST(sum(CASE WHEN bin.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST((sum(CASE WHEN bin.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM ex LEFT JOIN bin ON bin.q_id = ex.q_id AND bin.n_id = ex.n_id
+       |GROUP BY ex.q_id""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.matryoshkaRecall]]: one ranked
     * subquery per prefix width (the [[cosine]] fold over `list_slice`d
     * vectors — the same left fold stopped at d), each left-joined against

@@ -1178,6 +1178,23 @@ object SparkEntry {
     // rounds through the shared Okapi kernel, hash-exact end to end
     "retrieval_prf" -> ((s, dir) =>
       Retrieval.prfBm25(Tables.read(s, dir, "documents"))),
+    // the same two-round expansion FULLY off the persisted token-bucketed
+    // TF index — zero corpus tokenize at query time, same oracle
+    "retrieval_prf_indexed" -> ((s, dir) =>
+      Retrieval.prfBm25FromTf(s.table(ensureTfIndex(s, dir)))),
+    // 1-bit binary embedding search: per-dim sign bits packed into two
+    // 32-bit words (8 bytes per 64-dim vector, a 32× scan cut), Hamming
+    // shortlist via xor-popcount, exact cosine re-rank of the top 30
+    "sim_binary" -> ((s, dir) =>
+      Similarity.binaryTopK(Tables.read(s, dir, "embeddings"))),
+    // the measured price of 1 bit/dim: recall@10 of the binary ranking vs
+    // exact cosine, per query, exact ppm — the gauge before anyone ships it
+    "sim_binary_recall" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(emb),
+        Similarity.binaryTopK(emb))
+    }),
     // the production-claimed composition, actually composed: coarse cells
     // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
     // (spherical cells — the geometrically sound blocking for cosine; see
@@ -3634,6 +3651,11 @@ object SparkEntry {
       nQueries = 5, k = 10),
     "retrieval_prf" -> OracleSql.retrievalPrf(nQueries = 5, nTerms = 3,
       nFb = 3, nExp = 2, kOut = 10, k1 = 1.2, b = 0.75),
+    "retrieval_prf_indexed" -> OracleSql.retrievalPrf(nQueries = 5, nTerms = 3,
+      nFb = 3, nExp = 2, kOut = 10, k1 = 1.2, b = 0.75),
+    "sim_binary" -> OracleSql.simBinary(nQueries = 5, k = 10, rerankN = 30),
+    "sim_binary_recall" -> OracleSql.simBinaryRecall(nQueries = 5, k = 10,
+      rerankN = 30),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "text_gopher_gate" -> OracleSql.textGopherGate(minTokens = 20,
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,

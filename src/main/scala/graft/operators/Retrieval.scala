@@ -105,15 +105,24 @@ object Retrieval {
     */
   def prfBm25(docs: DataFrame, nQueries: Int = 5, nTerms: Int = 3,
       nFb: Int = 3, nExp: Int = 2, kOut: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    prfBm25FromTf(TextAnalysis.tfRelation(docs).persist(), nQueries, nTerms,
+      nFb, nExp, kOut, k1, b)
+
+  /** [[prfBm25]] over an ALREADY-MATERIALIZED `(doc_id, dl, token, tf)`
+    * relation — the probe half of the build/probe split: with the
+    * persisted token-bucketed TF index (`ensureTfIndex`), BOTH scoring
+    * rounds and the feedback-term harvest read pre-aggregated index rows
+    * and the corpus is never tokenized at query time. Scalars fold from
+    * the index's distinct doc rows (exact under
+    * [[TextAnalysis.tfRelation]]'s non-null-text contract). Same
+    * expansion, same oracle as the direct form.
+    */
+  def prfBm25FromTf(tf: DataFrame, nQueries: Int = 5, nTerms: Int = 3,
+      nFb: Int = 3, nExp: Int = 2, kOut: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("dl"))
-    val tf = toks.select(col("doc_id"), col("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-      .persist()
-    val scal = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val scal = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     // persisted: the vocabulary df rollup re-aggregates the whole tf
     // relation and feeds THREE consumers (initial terms, expansion-term df
     // lookup, and the round-2 union's recompute of qterms)

@@ -124,6 +124,55 @@ object Similarity {
       .select(col("q_id"), col("relevant_id"), col("rank_approx"),
         coalesce(expr("1000000 div rank_approx"), lit(0L)).as("rr_ppm"))
 
+  /** 1-bit binary embedding search — the extreme end of the compression
+    * ladder (SQ8 → PQ → 1 bit/dim): each vector stores only its per-dim
+    * SIGN bits, packed into two 32-bit words (8 bytes for 64 dims — a 32×
+    * scan-bandwidth cut vs float64), candidates shortlist by Hamming
+    * distance (`bit_count(xor)` — one fused codegen'd expression per word
+    * pair), and the top `rerankN` re-rank by exact cosine over fetched
+    * vectors only (the sim_pq_rerank two-stage shape). Packing uses two
+    * words, not one: bit 63 of a single long flips its sign and ANSI
+    * engines reject the `1<<63` overflow — two half-words keep every shift
+    * exact in both engines.
+    *
+    * All outputs integer/fixed-point; the oracle replays the identical
+    * pack, xor-popcount, and tie orders, so the ranking hash-matches.
+    *
+    * Scale shape: the Hamming scan reads 16 bytes/vector (codes only);
+    * queries broadcast; the rerank fetches `rerankN` full vectors per
+    * query through the shortlist join — never a full-precision corpus
+    * scan.
+    */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      rerankN: Int = 30): DataFrame = {
+    import graft.plans.native
+    val e = emb2v(emb)
+    def word(lo: Int): Column =
+      (0 until 32).map(i => when(element_at(col("v"), lo + i + 1) > 0.0,
+        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val coded = e.select(col("vec_id"), col("v"),
+      word(0).as("c0"), word(32).as("c1"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c0").as("qc0"), col("c1").as("qc1"))
+    val ham = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
+        expr("bit_count(qc0 ^ c0) + bit_count(qc1 ^ c1)")
+          .cast("long").as("hamming"))
+    val wh = Window.partitionBy("q_id").orderBy(asc("hamming"), col("n_id"))
+    val short = ham.withColumn("hr", row_number().over(wh))
+      .filter(col("hr") <= rerankN)
+    val c = native.dot(col("qv"), col("v")) /
+      (sqrt(native.dot(col("qv"), col("qv"))) * sqrt(native.dot(col("v"), col("v"))))
+    val wr = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
+    short.withColumn("c", c)
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Matryoshka (prefix-dimension) recall curve — the MRL storage/recall
     * gauge (Kusupati et al. 2022): rank by cosine over only the FIRST `d`
     * dimensions for each `d` in `dims`, and measure each truncated

@@ -240,6 +240,13 @@ class PlansSpec extends SparkSpec {
       // retrieval_prf runs text_bm25's one-row scalar crossJoin twice (one
       // per scoring round); corpus-scale joins are broadcast equi on token
       "retrieval_prf",
+      // the indexed twin shares the same two one-row scalar crossJoins
+      "retrieval_prf_indexed",
+      // sim_binary broadcast-cross-joins the tiny query side by design over
+      // 16-byte sign codes (the compressed scan IS the point — the sim_sq8
+      // precedent); sim_binary_recall embeds it plus the sim_topk exact
+      // baseline BY PURPOSE (the sim_recall precedent)
+      "sim_binary", "sim_binary_recall",
       // retrieval_mrr embeds sim_topk as the exact side BY PURPOSE (the
       // sim_recall precedent — it measures where the true nearest lands in
       // the IVF ranking); its own stage is a |queries|-row equi-join

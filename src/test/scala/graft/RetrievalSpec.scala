@@ -115,6 +115,16 @@ class RetrievalSpec extends SparkSpec {
     assert(ranks == (1L to ranks.size), s"gapless ranks expected: $out")
   }
 
+  test("prfBm25FromTf expands identically to the direct form") {
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val direct = Retrieval.prfBm25(docs).collect().map(_.toSeq).toSet
+    // the index layout's one source of truth — the same builder
+    // ensureTfIndex materializes
+    val tf = graft.operators.TextAnalysis.tfRelation(docs)
+    val indexed = Retrieval.prfBm25FromTf(tf).collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+  }
+
   test("prfBm25: results are invariant to input partitioning") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     def run(p: Int) = Retrieval.prfBm25(docs.repartition(p))

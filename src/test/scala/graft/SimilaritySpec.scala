@@ -278,6 +278,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a == got.values.map(t => Seq[Any](t._1, t._2, t._3, t._4)).toSet)
   }
 
+  test("binaryTopK: an unbounded shortlist reproduces brute force exactly; " +
+      "an exact copy sits at Hamming 0 and rank 1") {
+    // 64-dim vectors required by the two-word pack — use the real fixture
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    // rerank-everything degenerates to the exact cosine ranking: the
+    // Hamming stage only SHORTLISTS, so with rerankN >= corpus the binary
+    // codes must change nothing
+    val all = Similarity.binaryTopK(embr, nQueries = 2, k = 5, rerankN = 10000)
+      .select("q_id", "n_id", "rnk", "cos_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(embr, nQueries = 2, k = 5)
+      .select("q_id", "n_id", "rnk", "cos_e6")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(all == bf, "unbounded-shortlist binary search must equal brute force")
+    // plant an exact copy of query 0: Hamming 0, cosine 1, rank 1
+    val q0 = embr.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val planted = embr.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((99999L, q0)).toDF("vec_id", "embedding"))
+    val top = Similarity.binaryTopK(planted, nQueries = 1, k = 3, rerankN = 10)
+      .filter(col("n_id") === 99999L).head()
+    assert(top.getLong(2) == 1L && top.getLong(3) == 0L &&
+      top.getLong(4) == 1000000L,
+      s"exact copy must be (rank 1, hamming 0, cos 1): $top")
+  }
+
   test("IVF over REAL fitted centroids reaches recall >= 0.9 vs brute force") {
     // the sim_ivf_fitted composition — coarse cells from an actual
     // k-means|| + Lloyd fit — on a PLANTED clustered corpus. (The synthetic
