@@ -2486,6 +2486,51 @@ object OracleSql {
        |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfRecallCurve]]: the
+    * [[simRecall]] chains with the candidate's probe rank carried, one
+    * level cross join pricing every probe count, recall denominated on the
+    * exact top-k.
+    */
+  def simRecallCurve(nCells: Int, nQueries: Int, probeLevels: Seq[Int],
+      k: Int): String = {
+    val maxProbe = probeLevels.max
+    val lvList = probeLevels.map(p => s"CAST($p AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cell, CAST(pr AS BIGINT) AS pr FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $maxProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, p.pr, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id),
+       |lv AS (SELECT unnest($lvList) AS n_probe),
+       |apx AS (SELECT n_probe, q_id, n_id FROM (
+       |  SELECT l.n_probe, cand.q_id, cand.n_id,
+       |    row_number() OVER (PARTITION BY l.n_probe, cand.q_id
+       |      ORDER BY cand.c DESC, cand.n_id) AS rnk
+       |  FROM cand CROSS JOIN lv l WHERE cand.pr <= l.n_probe) x WHERE rnk <= $k),
+       |xs AS (SELECT q.q_id, e.vec_id AS n_id, ${cosine("q.qv", "e.v")} AS c
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+       |  FROM xs) t WHERE rnk <= $k),
+       |exl AS (SELECT l.n_probe, ex.q_id, ex.n_id FROM ex CROSS JOIN lv l)
+       |SELECT exl.n_probe,
+       |  CAST(sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST((sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*) AS BIGINT) AS recall_ppm
+       |FROM exl LEFT JOIN apx ON apx.n_probe = exl.n_probe
+       |  AND apx.q_id = exl.q_id AND apx.n_id = exl.n_id
+       |GROUP BY exl.n_probe""".stripMargin
+  }
+
   /** Mirror of [[Dedup.embeddingCosineBlocked]] with fixed coarse centroids
     * (vec_id < nCells, cell id = vec_id + 1): every vector indexed under its
     * nProbe nearest cells (ties → lowest cell id, same as the row-local
@@ -2862,6 +2907,25 @@ object OracleSql {
        |         ((nb - (na + nb) / 2) * (nb - (na + nb) / 2) / ((na + nb) / 2))) * 1000000.0)
        |       END AS BIGINT) AS srm_chi2_e6
        |FROM z""".stripMargin
+
+  /** Mirror of [[graft.operators.Events.ewma]]: the daily cents rollup,
+    * then the α=1/2 integer recursion `s = (cents + s_prev) // 2` walked as
+    * a recursive CTE over the day rank (the [[docEpochs]] shape) — pure
+    * integer arithmetic, engine-exact.
+    */
+  val eventsEwma: String =
+    s"""WITH RECURSIVE daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |rk AS (SELECT d, cents,
+       |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn FROM daily),
+       |rec(rn, ewma) AS (
+       |  SELECT rn, cents FROM rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rk.rn, (rk.cents + rec.ewma) // 2
+       |  FROM rec JOIN rk ON rk.rn = rec.rn + 1)
+       |SELECT rk.d, rk.cents, CAST(rec.ewma AS BIGINT) AS ewma_cents
+       |FROM rk JOIN rec ON rk.rn = rec.rn""".stripMargin
 
   /** Mirror of [[graft.operators.Events.diffInDiff]]: identical sufficient
     * statistics (per-arm user counts, Σd, Σd² over the per-user post−pre

@@ -1195,6 +1195,14 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb),
         Similarity.binaryTopK(emb))
     }),
+    // the IVF recall CURVE: recall@10 per probe level (1/2/4/8) priced in
+    // ONE indexing pass — each candidate carries its cell's probe rank, so
+    // every level's ranking cuts the same relation (the instrument that
+    // picks nProbe, the dedup_semantic_recall shape for top-k search)
+    "sim_recall_curve" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfRecallCurve(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // the production-claimed composition, actually composed: coarse cells
     // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
     // (spherical cells — the geometrically sound blocking for cosine; see
@@ -3142,6 +3150,11 @@ object SparkEntry {
     "events_did" -> ((s, dir) =>
       operators.Events.diffInDiff(Tables.readEvents(s, dir))),
 
+    // ---- exact EWMA of the daily revenue series: the α=1/2 integer
+    // recursion (cents + prev) div 2 folded over the day-bounded array ----
+    "events_ewma" -> ((s, dir) =>
+      operators.Events.ewma(Tables.readEvents(s, dir))),
+
     // ---- out-of-vocabulary census: per-doc share of tokens outside the
     // corpus' top-N vocabulary (broadcast anti-join; integer ppm) ----
     "text_oov" -> ((s, dir) =>
@@ -3656,6 +3669,8 @@ object SparkEntry {
     "sim_binary" -> OracleSql.simBinary(nQueries = 5, k = 10, rerankN = 30),
     "sim_binary_recall" -> OracleSql.simBinaryRecall(nQueries = 5, k = 10,
       rerankN = 30),
+    "sim_recall_curve" -> OracleSql.simRecallCurve(nCells = 16, nQueries = 5,
+      probeLevels = Seq(1, 2, 4, 8), k = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "text_gopher_gate" -> OracleSql.textGopherGate(minTokens = 20,
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
@@ -4031,6 +4046,7 @@ object SparkEntry {
     "events_hll_users" -> OracleSql.eventsHllUsers(p = 4),
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_did" -> OracleSql.eventsDid,
+    "events_ewma" -> OracleSql.eventsEwma,
     "events_cuped" -> OracleSql.eventsCuped,
     "events_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,

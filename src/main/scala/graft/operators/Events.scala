@@ -918,6 +918,34 @@ object Events {
         .as("t2_e6"))
   }
 
+  /** Exponentially-weighted moving average of the daily revenue series —
+    * the classic smoothing next to [[seasonalNaive]]'s forecast, kept
+    * EXACT: with α = 1/2 the recursion `s_d = (cents_d + s_{d−1}) div 2`
+    * (seeded at the first day) is pure integer arithmetic, so both engines
+    * agree bit-for-bit — no float decay factor ever appears. One row per
+    * observed day: the raw cents and the smoothed cents.
+    *
+    * The recursion is inherently sequential, but the series is DAY-bounded
+    * by contract (|days| rows after the daily rollup — the corpus never
+    * reaches it), so it folds as one sorted array on a single row: the
+    * km_seed_next bounded-relation discipline. The corpus-scale work is
+    * the map-side-combined daily groupBy. Cents are nonnegative by the
+    * fixture contract — integer `div` (truncate) and the oracle's `//`
+    * (floor) agree only on nonnegative operands.
+    */
+  def ewma(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    daily.agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("a"))
+      .select(explode(expr(
+        "transform(a, (x, i) -> struct(x.d AS d, x.cents AS cents, " +
+          "aggregate(slice(a, 2, i), element_at(a, 1).cents, " +
+          "(s, y) -> (y.cents + s) div 2) AS ewma_cents))")).as("r"))
+      .select(col("r.d").as("d"), col("r.cents").as("cents"),
+        col("r.ewma_cents").as("ewma_cents"))
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning census: how
     * many sessions were simultaneously open at the day's busiest instant.
     * Classic sweep line: each [[sessionize]] session contributes +1 at its

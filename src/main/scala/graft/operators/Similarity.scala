@@ -266,6 +266,64 @@ object Similarity {
             sqrt(graft.plans.native.dot(col("v"), col("v"))))).as("c"))
   }
 
+  /** IVF top-k recall CURVE — one row per probe level, priced in ONE
+    * indexing pass (the dedup_semantic_recall instrument applied to the
+    * top-k search): every candidate carries the probe rank `pr` of its
+    * cell in the query's cell ranking, so the level-p ranking is just the
+    * (cos desc, id) window over candidates with `pr ≤ p`, and the whole
+    * curve (which probe count buys which recall@k) comes from one candidate
+    * relation instead of |levels| separate searches. Recall denominates on
+    * the EXACT top-k (a low probe level can surface fewer than k
+    * candidates — the approximate side never inflates its own recall).
+    *
+    * Scale shape: candidates via the cell equi-join at the MAX probe level
+    * only; the level explode multiplies the tiny candidate relation, never
+    * the corpus; the exact side is the declared brute-force baseline (the
+    * sim_recall precedent).
+    */
+  def ivfRecallCurve(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, probeLevels: Seq[Int] = Seq(1, 2, 4, 8),
+      k: Int = 10): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val maxProbe = probeLevels.max
+    val e = emb2v(emb)
+    val cells = e.withColumn("cell", nearestId(col("v"), ids, cs))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cellDists = q.select(col("q_id"), col("qv"),
+        explode(zip_with(typedlit(ids), typedlit(cs),
+          (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
+      .select(col("q_id"), col("qv"), col("x.cid").as("cell"), col("x.d").as("d"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
+    val probes = cellDists.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= maxProbe)
+      .select(col("q_id"), col("qv"), col("cell"), col("pr"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("pr"),
+        (native.dot(col("qv"), col("v")) /
+          (sqrt(native.dot(col("qv"), col("qv"))) *
+            sqrt(native.dot(col("v"), col("v"))))).as("c"))
+    val levels = typedlit(probeLevels.map(_.toLong))
+    val wr = Window.partitionBy("n_probe", "q_id").orderBy(desc("c"), col("n_id"))
+    val approx = cand.select(col("q_id"), col("n_id"), col("c"), col("pr"),
+        explode(levels).as("n_probe"))
+      .filter(col("pr") <= col("n_probe"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("n_probe"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val ex = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"), explode(levels).as("n_probe"))
+    ex.join(approx, Seq("n_probe", "q_id", "n_id"), "left")
+      .groupBy("n_probe")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("k_exact"))
+      .select(col("n_probe"), col("n_hit"), col("k_exact"),
+        expr("n_hit * 1000000 div k_exact").as("recall_ppm"))
+  }
+
   /** RANGE (radius) search — the other fundamental vector-store query next
     * to top-k: ALL neighbors with cosine ≥ threshold, not a fixed count.
     * Same IVF probe plan as [[ivfTopK]] (candidates from an equi-join on

@@ -247,6 +247,10 @@ class PlansSpec extends SparkSpec {
       // precedent); sim_binary_recall embeds it plus the sim_topk exact
       // baseline BY PURPOSE (the sim_recall precedent)
       "sim_binary", "sim_binary_recall",
+      // sim_recall_curve embeds the sim_topk exact baseline BY PURPOSE
+      // (the sim_recall precedent); its approximate side is the cell
+      // equi-join at the max probe level
+      "sim_recall_curve",
       // retrieval_mrr embeds sim_topk as the exact side BY PURPOSE (the
       // sim_recall precedent — it measures where the true nearest lands in
       // the IVF ranking); its own stage is a |queries|-row equi-join

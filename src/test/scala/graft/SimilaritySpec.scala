@@ -304,6 +304,23 @@ class SimilaritySpec extends SparkSpec {
       s"exact copy must be (rank 1, hamming 0, cos 1): $top")
   }
 
+  test("ivfRecallCurve: recall is nondecreasing in probe count and reaches " +
+      "exactly 10⁶ when every cell is probed") {
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(embr, 16)
+    val got = Similarity.ivfRecallCurve(embr, cents, nQueries = 3,
+        probeLevels = Seq(1, 2, 4, 16), k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 16L))
+    // denominated on the exact side: k_exact is always nQueries·k
+    assert(got.forall(_._3 == 15L))
+    // more probes can only ADD candidates → recall monotone
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted,
+      s"recall must be nondecreasing: $got")
+    // probing all 16 cells IS brute force → exactly 1e6
+    assert(got.last._4 == 1000000L, s"full probe must be exact: $got")
+  }
+
   test("IVF over REAL fitted centroids reaches recall >= 0.9 vs brute force") {
     // the sim_ivf_fitted composition — coarse cells from an actual
     // k-means|| + Lloyd fit — on a PLANTED clustered corpus. (The synthetic

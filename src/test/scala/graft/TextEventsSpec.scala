@@ -881,6 +881,33 @@ class TextEventsSpec extends SparkSpec {
     assert(t.getAs[Long]("did_e6") == 20000000L && t.isNullAt(5))
   }
 
+  test("ewma: the α=1/2 integer recursion on a hand series; a single day " +
+      "smooths to itself") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(day: Int, v: Double) =
+      (day.toLong, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        1L, "view", v, "{}")
+    // daily cents 100, 50, 25 → s = 100, (50+100)/2 = 75, (25+75)/2 = 50
+    val rows = Seq(ev(1, 1.00), ev(2, 0.50), ev(3, 0.25))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Events.ewma(rows)
+      .orderBy("d").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(100L, 50L, 25L))
+    assert(got.map(_._3) == Seq(100L, 75L, 50L), s"ewma chain: $got")
+    // truncation check: (25 + 50) div 2 = 37 (floor), not 38
+    val r2 = graft.operators.Events.ewma(
+      Seq(ev(1, 0.50), ev(2, 0.25))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("d").as[(Long, Long, Long)].collect()
+    assert(r2.map(_._3).toSeq == Seq(50L, 37L))
+    // a single observed day smooths to itself (the seed)
+    val one = graft.operators.Events.ewma(
+      Seq(ev(5, 2.00)).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .as[(Long, Long, Long)].collect()
+    assert(one.length == 1 && one.head._2 == 200L && one.head._3 == 200L)
+  }
+
   test("doc_quality_lr: the trained filter recovers a separable weak-label " +
       "rule near-perfectly and emits calibrated probabilities") {
     import spark.implicits._
