@@ -1565,6 +1565,24 @@ object OracleSql {
          |      THEN 1 ELSE 0 END), 0) AS n_verified FROM m) t""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Mirror of [[Dedup.minhashCalibration]]: the [[minhashCtes]] chain's
+    * verified candidates joined back to the distinct shingle-id sets (the
+    * same `t` CTE), true Jaccard in exact ppm grouped by matching count.
+    */
+  def dedupMinhashCalibration(n: Int, numHashes: Int, bands: Int): String =
+    s"""WITH ${minhashCtes(n, numHashes, bands)},
+       |tj AS (SELECT m.matches,
+       |    len(list_intersect(ta.ids, tb.ids)) AS inter,
+       |    len(ta.ids) + len(tb.ids) - len(list_intersect(ta.ids, tb.ids)) AS uni
+       |  FROM m JOIN t ta ON ta.doc_id = m.a_id JOIN t tb ON tb.doc_id = m.b_id),
+       |pp AS (SELECT matches, inter * 1000000 // uni AS true_ppm FROM tj)
+       |SELECT CAST(matches AS BIGINT) AS matches,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(true_ppm) // count(*) AS BIGINT) AS avg_true_ppm,
+       |  CAST(min(true_ppm) AS BIGINT) AS min_true_ppm,
+       |  CAST(max(true_ppm) AS BIGINT) AS max_true_ppm
+       |FROM pp GROUP BY matches""".stripMargin
+
   /** Mirror of [[Dedup.lshRecall]]: the [[minhashCtes]] candidate relation
     * left-joined from the exact n-gram-Jaccard truth pairs ([[dedupNgram]]
     * body as a CTE), one integer-ppm summary row.

@@ -958,6 +958,12 @@ object SparkEntry {
     // precision per width, b=31 is the full-width baseline row
     "dedup_minhash_bbit" -> ((s, dir) =>
       Dedup.bbitSweep(Tables.read(s, dir, "documents"))),
+    // estimator calibration: TRUE shingle Jaccard (exact ppm) grouped by
+    // matching-signature count over the banded candidates — the measured
+    // proof that matches/16 estimates Jaccard (the degenerate pre-fix
+    // family put every pair at matches ∈ {0,16} regardless of overlap)
+    "dedup_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables.read(s, dir, "documents"))),
     // duplicate-CLUSTER resolution: min-label propagation over the MinHash
     // pair edges — every doc mapped to the min doc_id reachable through any
     // pair chain (singletons → self). The step between pairwise dedup output
@@ -3596,6 +3602,8 @@ object SparkEntry {
       thrNum = 1, thrDen = 2),
     "dedup_soft" -> OracleSql.dedupSoft(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_minhash_calibration" -> OracleSql.dedupMinhashCalibration(
+      n = 3, numHashes = 16, bands = 4),
     "dedup_lsh_recall" -> OracleSql.dedupLshRecall(
       n = 3, thrNum = 1, thrDen = 5, numHashes = 16, bands = 4),
     "dedup_incremental" -> OracleSql.dedupIncremental(n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

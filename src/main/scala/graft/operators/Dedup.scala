@@ -680,6 +680,55 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** MinHash estimator CALIBRATION — matches/numHashes is only an unbiased
+    * Jaccard estimate if the hash family actually permutes; this measures
+    * it on the data instead of assuming it: for every banded candidate
+    * pair, the TRUE shingle Jaccard (exact ppm) grouped by the matching-
+    * signature count. A healthy family shows avg_true_ppm rising ~linearly
+    * with matches (matches = 16 → near 10⁶); the degenerate pre-fix family
+    * put every candidate at matches ∈ {0, 16} regardless of true overlap.
+    * One row per observed matches value: pair count, mean/min/max true
+    * Jaccard ppm (integer-exact: per-pair `inter·10⁶ div union`, mean as
+    * `Σ div n`).
+    *
+    * Scale shape: candidates from the band equi-join (never all-pairs);
+    * the truth join fetches two bounded id arrays per CANDIDATE pair via
+    * doc_id equi-joins — truth is priced only on the candidate set, the
+    * lshRecall discipline.
+    */
+  def minhashCalibration(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val bs = bandedSignatures(docs, n, numHashes, bands)
+    val x = bs.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("siga"))
+    val y = bs.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("sigb"))
+    val cand = x.join(y, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "siga", "sigb")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("matches",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("long"))
+      .select("a_id", "b_id", "matches")
+    val ids = docs.select(col("doc_id"),
+      graft.plans.native.shingle_ids(col("text"), n).as("ids"))
+    val truth = cand
+      .join(ids.select(col("doc_id").as("a_id"), col("ids").as("ia")), "a_id")
+      .join(ids.select(col("doc_id").as("b_id"), col("ids").as("ib")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ia"), col("ib"))).cast("long"))
+      .withColumn("uni",
+        size(col("ia")).cast("long") + size(col("ib")) - col("inter"))
+      .withColumn("true_ppm", expr("inter * 1000000 div uni"))
+    truth.groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"), sum("true_ppm").as("s"),
+        min("true_ppm").as("min_true_ppm"), max("true_ppm").as("max_true_ppm"))
+      .select(col("matches"), col("n_pairs"),
+        expr("s div n_pairs").as("avg_true_ppm"),
+        col("min_true_ppm"), col("max_true_ppm"))
+  }
+
   /** Measured RECALL of the MinHash LSH blocking against the exact n-gram
     * Jaccard ground truth — the other half of [[lshTuning]]'s
     * precision/volume sweep, and the number that actually licenses

@@ -131,6 +131,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashCalibration: identical docs land at matches = numHashes with " +
+      "true Jaccard exactly 10⁶; every row's stats are ordered and in range") {
+    val got = Dedup.minhashCalibration(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // the exact dup (1,2) shares every signature and every shingle
+    assert(got.contains(16L) && got(16L)._4 == 1000000L,
+      s"identical docs must calibrate at (16, 1e6): $got")
+    got.foreach { case (m, (n, avg, mn, mx)) =>
+      assert(m >= 0 && m <= 16 && n >= 1)
+      assert(mn <= avg && avg <= mx && mn >= 0 && mx <= 1000000L,
+        s"stats out of order at matches=$m: $got")
+    }
+  }
+
   test("incrementalDedup: delta matches corpus and earlier delta; new docs get null") {
     // corpus keeps ids 1,3,4; delta = 10,12,20 (10 dups corpus-1, 12 dups
     // delta-10 AND corpus-1, 20 is genuinely new)
