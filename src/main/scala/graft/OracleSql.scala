@@ -1233,6 +1233,95 @@ object OracleSql {
        |FROM m""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Events.attributionMarkov]]: the
+    * [[eventsTransitions]] sessionization, journeys truncated at the first
+    * conversion, START/CONV/NULL framing, ppm transition matrix, and the
+    * bounded integer value-iteration UNROLLED as `iters` CTE steps — run
+    * once per variant (base + one redirect-to-NULL variant per channel,
+    * the variant dimension data-driven via a cross join, so the SQL never
+    * hard-codes the channel set).
+    */
+  def eventsAttributionMarkov(conv: String = "purchase",
+      gapMinutes: Int = 30, iters: Int = 20): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+              |f AS (SELECT user_id, event_id, event_type, us,
+              |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL THEN 1
+              |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > $gapUs THEN 1
+              |         ELSE 0 END AS new_s
+              |  FROM e),
+              |g AS (SELECT user_id, event_type, us, event_id,
+              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM f),
+              |r AS (SELECT user_id, session_id, event_type,
+              |    row_number() OVER (PARTITION BY user_id, session_id
+              |      ORDER BY us, event_id) AS rn
+              |  FROM g),
+              |cp AS (SELECT user_id, session_id, min(rn) AS cpos FROM r
+              |  WHERE event_type = '$conv' GROUP BY 1, 2),
+              |st AS (SELECT r.user_id, r.session_id, r.rn, cp.cpos,
+              |    CASE WHEN r.rn = cp.cpos THEN 'CONV' ELSE r.event_type END AS state
+              |  FROM r LEFT JOIN cp ON cp.user_id = r.user_id
+              |    AND cp.session_id = r.session_id
+              |  WHERE cp.cpos IS NULL OR r.rn <= cp.cpos),
+              |w1 AS (SELECT coalesce(lag(state) OVER (PARTITION BY user_id, session_id
+              |      ORDER BY rn), 'START') AS from_state, state AS to_state
+              |  FROM st),
+              |tm AS (SELECT state AS from_state, 'NULL' AS to_state FROM (
+              |    SELECT state, rn, cpos,
+              |      max(rn) OVER (PARTITION BY user_id, session_id) AS mx FROM st) z
+              |  WHERE cpos IS NULL AND rn = mx),
+              |ed AS (SELECT from_state, to_state, count(*) AS cnt FROM (
+              |    SELECT * FROM w1 UNION ALL SELECT * FROM tm) u
+              |  GROUP BY from_state, to_state),
+              |mat AS MATERIALIZED (SELECT from_state, to_state,
+              |    CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+              |  FROM ed),
+              |tr AS MATERIALIZED (SELECT DISTINCT from_state FROM mat),
+              |vars AS (SELECT from_state AS ch FROM tr WHERE from_state <> 'START'
+              |  UNION ALL SELECT ''),
+              |edv AS MATERIALIZED (SELECT v.ch, m.from_state,
+              |    CASE WHEN m.to_state = v.ch THEN 'NULL' ELSE m.to_state END AS to_state,
+              |    m.p_ppm
+              |  FROM mat m CROSS JOIN vars v),
+              |p0 AS MATERIALIZED (SELECT v.ch, s.state,
+              |    CAST(CASE WHEN s.state = 'CONV' THEN 1000000 ELSE 0 END AS BIGINT) AS p
+              |  FROM vars v CROSS JOIN (SELECT from_state AS state FROM tr
+              |    UNION ALL SELECT 'CONV' UNION ALL SELECT 'NULL') s)""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++= s""",
+                |pn$t AS MATERIALIZED (SELECT e.ch, e.from_state AS state,
+                |    CAST(sum(e.p_ppm * pp.p) // 1000000 AS BIGINT) AS p
+                |  FROM edv e JOIN p$p pp ON pp.ch = e.ch AND pp.state = e.to_state
+                |  GROUP BY e.ch, e.from_state),
+                |p$t AS MATERIALIZED (SELECT pv.ch, pv.state,
+                |    CASE WHEN pv.state IN ('CONV', 'NULL') THEN pv.p
+                |    ELSE CAST(coalesce(pn.p, 0) AS BIGINT) END AS p
+                |  FROM p$p pv LEFT JOIN pn$t pn
+                |    ON pn.ch = pv.ch AND pn.state = pv.state)""".stripMargin
+    }
+    sb ++= s""",
+              |base AS MATERIALIZED (SELECT p FROM p$iters WHERE ch = '' AND state = 'START'),
+              |res AS (SELECT ch AS channel, p AS p_without_ppm FROM p$iters
+              |  WHERE ch <> '' AND state = 'START'),
+              |rr AS (SELECT channel, p_without_ppm,
+              |    CASE WHEN (SELECT p FROM base) > 0
+              |      THEN ((SELECT p FROM base) - p_without_ppm) * 1000000
+              |        // (SELECT p FROM base)
+              |      ELSE 0 END AS removal_ppm
+              |  FROM res)
+              |SELECT channel, CAST(p_without_ppm AS BIGINT) AS p_without_ppm,
+              |  CAST(removal_ppm AS BIGINT) AS removal_ppm,
+              |  CAST(CASE WHEN sum(removal_ppm) OVER () > 0
+              |    THEN removal_ppm * 1000000 // sum(removal_ppm) OVER ()
+              |    ELSE 0 END AS BIGINT) AS share_ppm
+              |FROM rr""".stripMargin
+    sb.toString
+  }
+
   /** Mirror of [[operators.TextAnalysis.sourceChi2]]: identical per-term
     * integer floor division and closed-form private-token totals, so the
     * chi-square numerators are engine-exact.
@@ -2473,6 +2562,108 @@ object OracleSql {
        |    // count(*) AS BIGINT) AS recall_ppm
        |FROM ex LEFT JOIN bin ON bin.q_id = ex.q_id AND bin.n_id = ex.n_id
        |GROUP BY ex.q_id""".stripMargin
+
+  /** Mirror of `sim_ivf_fitted` — the WHOLE query including its fit
+    * ([[graft.operators.KMeans.fitBounded]] over the L2-normalized
+    * embeddings + the [[simIvf]] probe over the fitted cells), unrolled:
+    *  - normalize: `x / sqrt(dot(v,v))` per element (zero vectors → 0.0),
+    *    the [[graft.operators.Similarity.normalize]] expressions verbatim;
+    *  - seeding rounds 2..k: the [[kmGapFitted]] pattern over LISTS —
+    *    anti-join by coordinates, `round(min(sqdist)·wScale)` integer
+    *    weights, inclusive windowed cumulative sum in key order, the
+    *    `cw·uD ≥ tw·uN` rational-threshold pick with KMeans.FixedUs;
+    *  - Lloyd steps: the [[kmFitMinibatch]] list machinery on the FULL
+    *    relation — per-(j, dim) `sum(round(Y[d]·fx))` longs, re-averages
+    *    `sfx::DOUBLE / fx / cnt` rebuilt as j-keyed lists, empty clusters
+    *    dropped by the GROUP BY, movement as the j-ordered fold of
+    *    per-centroid `sqrt(sqdist)`, the kmWcrLog movement gate;
+    *  - probe: [[simIvf]]'s cell/probe/candidate chain with the fitted
+    *    centroid relation in place of the fixed `vec_id < nCells` cells.
+    */
+  def simIvfFitted(k: Int = 10, lloydSteps: Int = 3, tol: Double = 0.01,
+      nQueries: Int = 5, nProbe: Int = 3, kOut: Int = 10,
+      fxScale: Double = 1e6, wScale: Double = 1e6): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vr FROM embeddings),
+              |n AS MATERIALIZED (SELECT vec_id AS i,
+              |    list_transform(vr, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS Y
+              |  FROM (SELECT vec_id, vr, sqrt(${dot("vr", "vr")}) AS nrm FROM e0) z),
+              |dims AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS d),
+              |c_1 AS MATERIALIZED (SELECT Y FROM n ORDER BY i LIMIT 1)""".stripMargin
+    for (r <- 2 to k) {
+      val (uN, uD) = operators.KMeans.fixedU(r)
+      val chosen = (1 until r).map(q => s"SELECT Y FROM c_$q")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+                |ch_$r AS MATERIALIZED ($chosen),
+                |w_$r AS (SELECT p.i,
+                |    CAST(round(min(${sqdist("p.Y", "c.Y")}) * $wScale) AS BIGINT) AS w
+                |  FROM n p CROSS JOIN ch_$r c
+                |  WHERE NOT EXISTS (SELECT 1 FROM ch_$r x WHERE x.Y = p.Y)
+                |  GROUP BY p.i),
+                |u_$r AS (SELECT ww.i,
+                |    sum(ww.w) OVER (ORDER BY ww.i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                |    sum(ww.w) OVER () AS tw FROM w_$r ww),
+                |c_$r AS MATERIALIZED (SELECT n.Y FROM u_$r u JOIN n ON n.i = u.i
+                |  WHERE u.cw*$uD >= u.tw*$uN ORDER BY u.cw, u.i LIMIT 1)""".stripMargin
+    }
+    val seed = (1 to k)
+      .map(q => s"SELECT CAST($q AS BIGINT) AS j, Y AS cv FROM c_$q")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+              |f0 AS MATERIALIZED ($seed)""".stripMargin
+    for (t <- 1 to lloydSteps) {
+      val p = t - 1
+      sb ++= s""",
+                |a_$t AS MATERIALIZED (SELECT i, Y, j FROM (
+                |  SELECT n.i, n.Y, c.j,
+                |    row_number() OVER (PARTITION BY n.i
+                |      ORDER BY ${sqdist("n.Y", "c.cv")}, c.j) AS rn
+                |  FROM n CROSS JOIN f$p c) t WHERE rn = 1),
+                |sd_$t AS (SELECT a.j, d.d,
+                |    sum(CAST(round(a.Y[d.d]*$fxScale) AS BIGINT)) AS sfx
+                |  FROM a_$t a CROSS JOIN dims d GROUP BY a.j, d.d),
+                |cn_$t AS (SELECT j, CAST(count(*) AS BIGINT) AS cnt FROM a_$t GROUP BY j),
+                |f$t AS MATERIALIZED (SELECT sd.j,
+                |    list(CAST(sd.sfx AS DOUBLE)/$fxScale/cn.cnt ORDER BY sd.d) AS cv
+                |  FROM sd_$t sd JOIN cn_$t cn ON cn.j = sd.j GROUP BY sd.j),
+                |m_$t AS MATERIALIZED (SELECT coalesce(list_reduce(list_prepend(0.0,
+                |    list(sqrt(${sqdist("nn.cv", "pp.cv")}) ORDER BY nn.j)),
+                |    (x,y) -> x+y), 0.0) AS mv
+                |  FROM f$t nn JOIN f$p pp ON pp.j = nn.j)""".stripMargin
+    }
+    val fin = (1 to lloydSteps).map { t =>
+      val gates = (1 until t).map(u => s"(SELECT mv FROM m_$u) >= $tol")
+      val stop =
+        if (t < lloydSteps) Seq(s"(SELECT mv FROM m_$t) < $tol") else Nil
+      val conds = gates ++ stop
+      val where = if (conds.isEmpty) "" else s" WHERE ${conds.mkString(" AND ")}"
+      s"SELECT j, cv FROM f$t$where"
+    }.mkString("\nUNION ALL ")
+    sb ++= s""",
+              |fin AS MATERIALIZED (
+              |$fin),
+              |cells AS (SELECT i, Y, cell FROM (
+              |  SELECT n.i, n.Y, f.j AS cell,
+              |    row_number() OVER (PARTITION BY n.i
+              |      ORDER BY ${sqdist("n.Y", "f.cv")}, f.j) AS rn
+              |  FROM n CROSS JOIN fin f) t WHERE rn = 1),
+              |q AS (SELECT i AS q_id, Y AS qv FROM n WHERE i < $nQueries),
+              |probes AS (SELECT q_id, qv, cell FROM (
+              |  SELECT q.q_id, q.qv, f.j AS cell,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY ${sqdist("q.qv", "f.cv")}, f.j) AS pr
+              |  FROM q CROSS JOIN fin f) t WHERE pr <= $nProbe),
+              |cand AS (SELECT p.q_id, cl.i AS n_id, ${cosine("p.qv", "cl.Y")} AS c
+              |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+              |  WHERE cl.i <> p.q_id)
+              |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+              |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM (
+              |  SELECT q_id, n_id, c,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+              |  FROM cand) x WHERE rnk <= $kOut""".stripMargin
+    sb.toString
+  }
 
   /** Mirror of [[graft.operators.Similarity.matryoshkaRecall]]: one ranked
     * subquery per prefix width (the [[cosine]] fold over `list_slice`d

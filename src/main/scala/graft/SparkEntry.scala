@@ -365,14 +365,20 @@ object SparkEntry {
       try operators.KMeansML.fitBisecting(pts, k = 10) finally pts.unpersist()
     })
 
-  /** Spherical twin of [[embFit]] for cosine ANN: same k-means|| fit, run on
-    * the L2-normalized embeddings (`Similarity.normalize`).
+  /** Spherical twin of [[embFit]] for cosine ANN, in the BOUNDED
+    * oracle-replayable form ([[KMeans.fitBounded]]): exact inverse-CDF
+    * k-means++ seeding + ≤3 movement-gated Lloyd steps over the
+    * L2-normalized embeddings — every stage ANSI-expressible, so
+    * `sim_ivf_fitted` is DuckDB hash-checked end to end (fit included).
+    * weightScale 1e6 lifts the normalized vectors' sub-4.0 D² draw weights
+    * into integer range.
     */
-  private def embFitNorm(s: SparkSession, dir: String): KMeans.FitResult =
-    fitCache.getOrElseUpdate("norm|" + dirKey(dir), {
+  private def embFitBoundedNorm(s: SparkSession, dir: String): KMeans.FitResult =
+    fitCache.getOrElseUpdate("normb|" + dirKey(dir), {
       val pts = Similarity.normalize(Tables.read(s, dir, "embeddings"))
         .select(col("vec_id").as("i"), col("embedding").as("Y")).cache()
-      KMeans.fitAuto(pts, k = 10, dim = 64, parallelSeed = true, seed = 42)
+      KMeans.fitBounded(pts, k = 10, dim = 64, tol = 0.01, lloydSteps = 3,
+        fxScale = 1e6, weightScale = 1e6)
     })
 
   /** `dedup_components` and `dedup_keep` consume the SAME iterative
@@ -1210,14 +1216,15 @@ object SparkEntry {
       Similarity.ivfRecallCurve(emb, Similarity.fixedCentroids(emb, 16))
     }),
     // the production-claimed composition, actually composed: coarse cells
-    // from a REAL k-means|| + Lloyd fit over the L2-NORMALIZED embeddings
+    // from a REAL k-means++ + Lloyd fit over the L2-NORMALIZED embeddings
     // (spherical cells — the geometrically sound blocking for cosine; see
-    // Similarity.normalize). Rows-only at the driver gate (fit centroids
-    // aren't ANSI-expressible); recall >= 0.9 vs brute force is pinned in
-    // SimilaritySpec.
+    // Similarity.normalize). The fit is the BOUNDED oracle-replayable form
+    // (KMeans.fitBounded — the km_gap_fitted discipline), so the whole
+    // query, fit included, is DuckDB hash-checked; fitted-cell recall vs
+    // brute force stays pinned in SimilaritySpec.
     "sim_ivf_fitted" -> ((s, dir) => {
       val embN = Similarity.normalize(Tables.read(s, dir, "embeddings"))
-      Similarity.ivfTopK(embN, embFitNorm(s, dir).centroids, nProbe = 3)
+      Similarity.ivfTopK(embN, embFitBoundedNorm(s, dir).centroids, nProbe = 3)
     }),
     // the build/probe split every vector store runs: cells persisted ONCE as
     // a bucketed-by-cell table (ensureIvfIndex), probes equi-join co-located
@@ -2075,6 +2082,13 @@ object SparkEntry {
     // probability) over within-session consecutive event pairs
     "events_transitions" -> ((s, dir) =>
       Events.transitions(Tables.readEvents(s, dir))),
+
+    // ---- Markov (removal-effect) attribution: journeys truncated at the
+    // first conversion, bounded integer value-iteration per channel-removed
+    // variant — the data-driven credit model next to the linear/U-shaped
+    // heuristics ----
+    "events_attribution_markov" -> ((s, dir) =>
+      Events.attributionMarkov(Tables.readEvents(s, dir))),
 
     // ---- the composed training-data job (quality gate → near-dup
     // clustering over survivors → keep one per cluster): every stage is an
@@ -3679,6 +3693,8 @@ object SparkEntry {
       rerankN = 30),
     "sim_recall_curve" -> OracleSql.simRecallCurve(nCells = 16, nQueries = 5,
       probeLevels = Seq(1, 2, 4, 8), k = 10),
+    "sim_ivf_fitted" -> OracleSql.simIvfFitted(k = 10, lloydSteps = 3,
+      tol = 0.01, nQueries = 5, nProbe = 3, kOut = 10),
     "doc_epochs" -> OracleSql.docEpochs(budget = 15000L, maxEpochs = 4),
     "text_gopher_gate" -> OracleSql.textGopherGate(minTokens = 20,
       maxTokens = 1000, minMeanLen = 3, maxMeanLen = 10, minStops = 2,
@@ -4177,6 +4193,8 @@ object SparkEntry {
       revenueType = "purchase", maxOffset = 3),
     "events_paths" -> OracleSql.eventsPaths(n = 3, k = 20, gapMinutes = 30),
     "events_transitions" -> OracleSql.eventsTransitions(gapMinutes = 30),
+    "events_attribution_markov" -> OracleSql.eventsAttributionMarkov(
+      conv = "purchase", gapMinutes = 30, iters = 20),
     "pipeline_select" -> OracleSql.pipelineSelect(minTokens = 25, maxTokens = 5000),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

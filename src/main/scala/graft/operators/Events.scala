@@ -689,6 +689,90 @@ object Events {
         expr("cnt * 1000000 div row_total").as("p_ppm"))
   }
 
+  /** Markov-chain (removal-effect) attribution — the data-driven model next
+    * to [[attribution]]'s linear and U-shaped heuristics: each session is a
+    * journey START → states → CONV (truncated at its first `conv` event) or
+    * → NULL (no conversion), transition probabilities in integer ppm, and
+    * every channel's credit is its REMOVAL EFFECT — how much of the
+    * chain's START→CONV absorption probability disappears when all
+    * transitions into that channel are redirected to NULL (Anderl et al.
+    * 2014). One row per channel: the chain's conversion probability
+    * without it, the removal effect, and the normalized credit share.
+    *
+    * Absorption runs as `iters` bounded value-iteration steps in PURE
+    * INTEGER ppm — `p'(s) = (Σ_t P_ppm(s,t)·p(t)) div 10⁶`, absorbing
+    * states fixed — so the whole computation (redirect included) replays
+    * as unrolled ANSI CTEs and the oracle is hash-exact. The per-step div
+    * truncation under-counts by < |states| ppm per step; with CONV=10⁶ the
+    * iteration converges from below to the exact absorption probability.
+    *
+    * Scale shape: the corpus-scale work is [[sessionized]]'s one shuffle +
+    * the edge groupBy; the transition matrix is |event types|²-bounded BY
+    * CONTRACT (guarded), and the value iteration is k-sized driver state —
+    * the km-family discipline.
+    */
+  def attributionMarkov(events: DataFrame, conv: String = "purchase",
+      gapMinutes: Int = 30, iters: Int = 20, maxStates: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wS = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us"), col("event_id"))
+    val s = sessionized(events, gapMinutes)
+      .withColumn("rn", row_number().over(wS))
+    val convPos = s.filter(col("event_type") === conv)
+      .groupBy("user_id", "session_id").agg(min("rn").as("cpos"))
+    val st = s.join(convPos, Seq("user_id", "session_id"), "left")
+      .filter(col("cpos").isNull || col("rn") <= col("cpos"))
+      .withColumn("state", when(col("rn") === col("cpos"), lit("CONV"))
+        .otherwise(col("event_type")))
+    val wR = Window.partitionBy("user_id", "session_id").orderBy("rn")
+    val within = st
+      .withColumn("from_state",
+        coalesce(lag("state", 1).over(wR), lit("START")))
+      .select(col("from_state"), col("state").as("to_state"))
+    val terminal = st
+      .withColumn("mx", max("rn").over(
+        Window.partitionBy("user_id", "session_id")))
+      .filter(col("cpos").isNull && col("rn") === col("mx"))
+      .select(col("state").as("from_state"), lit("NULL").as("to_state"))
+    val mat = within.unionByName(terminal)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("cnt"))
+      .withColumn("row_total",
+        sum("cnt").over(Window.partitionBy("from_state")))
+      .select(col("from_state"), col("to_state"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(mat.length <= maxStates * maxStates,
+      s"transition matrix has ${mat.length} edges — event-type cardinality " +
+        s"broke the bounded-state contract (maxStates = $maxStates)")
+    val transient = mat.map(_._1).distinct.sorted
+    def absorb(removed: Option[String]): Long = {
+      val m = mat.map { case (f, t, p) =>
+        (f, if (removed.contains(t)) "NULL" else t, p) }
+      val p = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      p("CONV") = 1000000L
+      (1 to iters).foreach { _ =>
+        val np = transient.map { s0 =>
+          s0 -> m.iterator.filter(_._1 == s0)
+            .map { case (_, t, pp) => pp * p(t) }.sum / 1000000L
+        }
+        np.foreach { case (s0, v) => p(s0) = v }
+      }
+      p("START")
+    }
+    val base = absorb(None)
+    val channels = transient.filter(_ != "START")
+    val rows = channels.map { c =>
+      val pw = absorb(Some(c))
+      (c, pw, if (base > 0) (base - pw) * 1000000L / base else 0L)
+    }
+    val remTot = rows.map(_._3).sum
+    rows.toSeq.map { case (c, pw, rem) =>
+      (c, pw, rem, if (remTot > 0) rem * 1000000L / remTot else 0L)
+    }.toDF("channel", "p_without_ppm", "removal_ppm", "share_ppm")
+  }
+
   /** Cohort retention: users are grouped into epoch-week cohorts by their
     * FIRST `cohortType` event; a cohort member counts as retained at offset
     * k when they have ANY event in cohort_week + k. Weeks are integer

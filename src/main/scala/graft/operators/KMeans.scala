@@ -923,6 +923,132 @@ object KMeans {
       iterate(points, centroids, dim, tol, maxIter, fxScale, startStep)
     }
 
+  /** Fixed rational inverse-CDF draws shared by the ORACLE-REPLAYABLE
+    * bounded fits ([[fitBounded]], Quality.gapStatisticFitted): the u for
+    * k-means++ round r is `FixedUs((r − 2) mod 7)` — small numerators and
+    * denominators keep the integer threshold compare `cw·uDen ≥ tw·uNum`
+    * far from the Long overflow bound.
+    */
+  val FixedUs: Seq[(Long, Long)] = Seq((1L, 2L), (1L, 3L), (2L, 5L),
+    (3L, 7L), (5L, 11L), (7L, 13L), (11L, 17L))
+  def fixedU(r: Int): (Long, Long) = FixedUs((r - 2) % FixedUs.size)
+
+  /** Bounded ORACLE-REPLAYABLE fit — the km_gap_fitted discipline as a
+    * standalone entry point: exact inverse-CDF k-means++ seeding with the
+    * [[FixedUs]] rational draws (first seed = the min-key point, the
+    * reference's deterministic pick), then [[fitFrom]]'s movement-gated
+    * Lloyd bounded at `lloydSteps` iterations. Every stage is
+    * ANSI-expressible (anti-join by coordinates, integer D² weights,
+    * windowed cumulative threshold pick, fixed-point re-averages), so a
+    * query built on the returned centroids can be DuckDB-oracle
+    * hash-checked END TO END (`sim_ivf_fitted`). `weightScale` lifts the
+    * D² draw weights into integer range for small-coordinate data
+    * (L2-normalized vectors: 1e6 — at weightScale 1 their sub-4.0 squared
+    * distances would round to a handful of integer ties and degrade the
+    * draw).
+    *
+    * Bounding the Lloyd loop at `lloydSteps` movement-gated iterations is
+    * the published cost of hash-exactness (the km_wcr_log contract); on
+    * data where Lloyd converges within the budget the bounded and free
+    * fits coincide.
+    */
+  def fitBounded(points: DataFrame, k: Int, dim: Int, tol: Double = 0.01,
+      lloydSteps: Int = 3, fxScale: Double = 1e6,
+      weightScale: Double = 1.0, localMaxCells: Long = 4000000L): FitResult = {
+    // the fitAuto discipline: at sample sizes the ~k·3 seeding jobs plus
+    // the Lloyd scans are pure per-job fixed cost — below the cell
+    // threshold the whole chain runs driver-local with BIT-IDENTICAL
+    // results (pinned in KMeansSpec); past it the distributed chain below
+    // runs unchanged
+    lazy val n = points.count()
+    if (n * dim <= localMaxCells)
+      fitBoundedLocal(points, k, dim, tol, lloydSteps, fxScale, weightScale)
+    else {
+      var seeds = seedFirstK(points, 1)
+      (2 to k).foreach { r =>
+        val (uN, uD) = fixedU(r)
+        val drawn = seedNextInverseCdf(points, seeds, uNum = uN, uDen = uD,
+          weightScale = weightScale).collect()
+        require(drawn.nonEmpty, s"k-means++ draw $r returned no row")
+        seeds = seeds :+ Centroid(drawn.head.getLong(0),
+          drawn.head.getSeq[Double](2))
+      }
+      fitFrom(points, seeds, dim, tol, maxIter = lloydSteps, fxScale = fxScale)
+    }
+  }
+
+  /** Driver-local twin of [[fitBounded]]'s distributed chain — identical
+    * FitResult bit-for-bit (the gapStatisticFitted localW discipline):
+    * ONE key-ordered collect, then the same inverse-CDF draws
+    * (`roundHalfUpLong` ≡ Spark `round`, pinned in PropertySpec; the
+    * cumulative pick walks i order exactly like the windowed prefix sum)
+    * and the same strict-`<` assignment / fixed-point re-average /
+    * j-ordered movement loop as [[fitFrom]].
+    */
+  private def fitBoundedLocal(points: DataFrame, k: Int, dim: Int,
+      tol: Double, lloydSteps: Int, fxScale: Double,
+      weightScale: Double): FitResult = {
+    val rows = points.select(col("i"), col("Y")).orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, "fitBounded on an empty relation")
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { val t = a(d) - b(d); s += t * t; d += 1 }
+      s
+    }
+    def minSq(y: Array[Double], cs: Seq[Array[Double]]): Double =
+      cs.map(c => sqd(y, c)).min
+    def sameY(a: Array[Double], b: Array[Double]): Boolean =
+      (0 until dim).forall(d => a(d) == b(d)) // SQL value equality
+    var chosen = Vector(rows.head._2)
+    (2 to k).foreach { r =>
+      val (uN, uD) = fixedU(r)
+      val surv = rows.filter { case (_, y) => !chosen.exists(c => sameY(c, y)) }
+      val ws = surv.map { case (_, y) =>
+        roundHalfUpLong(minSq(y, chosen) * weightScale) }
+      val total = ws.sum
+      var cw = 0L; var pick = -1; var ix = 0
+      while (ix < surv.length && pick < 0) {
+        cw += ws(ix)
+        if (cw * uD >= total * uN) pick = ix
+        ix += 1
+      }
+      require(pick >= 0, s"k-means++ draw $r returned no row")
+      chosen = chosen :+ surv(pick)._2
+    }
+    var cs: Seq[Centroid] =
+      chosen.zipWithIndex.map { case (c, ix) => Centroid(ix + 1L, c.toSeq) }
+    var log = cs.map(c => LogEntry(0L, c.j, c.c))
+    var step = 0L
+    var move = Double.MaxValue
+    while (move >= tol && step < lloydSteps) {
+      step += 1
+      val js = cs.map(_.j).toArray
+      val css = cs.map(_.c.toArray).toArray
+      val sums = Array.fill(css.length)(new Array[Long](dim))
+      val cnts = new Array[Long](css.length)
+      rows.foreach { case (_, y) =>
+        var bi = -1; var bd = Double.PositiveInfinity; var cix = 0
+        while (cix < css.length) {
+          val d2 = sqd(y, css(cix))
+          if (d2 < bd) { bd = d2; bi = cix } // strict <: earliest j wins
+          cix += 1
+        }
+        val s = sums(bi)
+        var d = 0
+        while (d < dim) { s(d) += roundHalfUpLong(y(d) * fxScale); d += 1 }
+        cnts(bi) += 1
+      }
+      val next = js.indices.filter(cnts(_) > 0).map { ix =>
+        Centroid(js(ix), sums(ix).map(s => s.toDouble / fxScale / cnts(ix)).toSeq)
+      }
+      move = movement(cs, next)
+      cs = next
+      log = log ++ cs.map(c => LogEntry(step, c.j, c.c))
+    }
+    FitResult(cs, log, step, move)
+  }
+
   /** Mini-batch k-means (Sculley 2010, "Web-scale k-means clustering"):
     * each iteration assigns only a deterministic pseudo-random BATCH of
     * points and nudges every touched centroid toward its batch mean with a

@@ -442,11 +442,10 @@ object Quality {
     val spark = points.sparkSession
     import spark.implicits._
     val kMax = ks.max
-    // fixed rational draws for rounds 2..kMax — small uNum/uDen keep the
-    // integer threshold compare far from the Long overflow bound
-    val us = Seq((1L, 2L), (1L, 3L), (2L, 5L), (3L, 7L), (5L, 11L),
-      (7L, 13L), (11L, 17L))
-    def uOf(r: Int): (Long, Long) = us((r - 2) % us.size)
+    // fixed rational draws for rounds 2..kMax — the shared KMeans.FixedUs
+    // sequence (also fitBounded's), so every bounded-replayable fit and its
+    // oracle agree on one u schedule
+    def uOf(r: Int): (Long, Long) = KMeans.fixedU(r)
     val boxAggs = (0 until dim).flatMap { d =>
       Seq(min(element_at(col("Y"), d + 1)).as(s"lo_$d"),
         max(element_at(col("Y"), d + 1)).as(s"hi_$d"))

@@ -210,6 +210,21 @@ class KMeansSpec extends SparkSpec {
     assert(logBits(forced) == logBits(dist))
   }
 
+  test("fitBounded: the driver-local fast path is bit-identical to the " +
+      "distributed seed+Lloyd chain") {
+    def logBits(r: KMeans.FitResult): Seq[(Long, Long, Seq[Long])] =
+      r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))
+    val emb = Tables.yhEmbeddings(spark, sf("0.001")).cache()
+    // localMaxCells = 0 forces the distributed chain on the same input
+    val dist = KMeans.fitBounded(emb, k = 5, dim = 64, tol = 0.01,
+      lloydSteps = 3, fxScale = 1e6, weightScale = 1e6, localMaxCells = 0)
+    val local = KMeans.fitBounded(emb, k = 5, dim = 64, tol = 0.01,
+      lloydSteps = 3, fxScale = 1e6, weightScale = 1e6)
+    assert(logBits(local) == logBits(dist))
+    assert(local.steps == dist.steps &&
+      local.finalMovement == dist.finalMovement)
+  }
+
   test("fitHamerly (bounded acceleration) produces identical assignments and log") {
     def logBits(r: KMeans.FitResult): Seq[(Long, Long, Seq[Long])] =
       r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))

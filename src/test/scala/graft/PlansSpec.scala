@@ -305,7 +305,12 @@ class PlansSpec extends SparkSpec {
       // construction and returns a driver-local picks relation — its real
       // per-round plans (scan + TakeOrdered) never appear in the final
       // plan, so sweeping it would execute the traversal and assert nothing
-      "sim_kcenter")
+      "sim_kcenter",
+      // events_attribution_markov: the sessionized edge matrix collects at
+      // construction (|event types|²-bounded by contract) and the value
+      // iteration is driver state — the result is a driver-local relation,
+      // the sim_kcenter precedent
+      "events_attribution_markov")
     // NOTE (recorded semantics, still gated): doc_curriculum runs eager
     // driver work during construction (globalRankAndCount's partition-size
     // pass + the bucket-sum collect) — the events_survival precedent; its

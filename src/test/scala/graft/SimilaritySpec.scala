@@ -344,13 +344,24 @@ class SimilaritySpec extends SparkSpec {
     val planted = rows.toDF("vec_id", "embedding")
     val embN = Similarity.normalize(planted)
     val pts = embN.select(col("vec_id").as("i"), col("embedding").as("Y")).cache()
-    val cents = KMeans.fitAuto(pts, k = 10, dim = 16, parallelSeed = true, seed = 42).centroids
+    // the BOUNDED oracle-replayable fit sim_ivf_fitted actually ships
+    // (KMeans.fitBounded: exact ++ seeding + <=3 movement-gated Lloyd steps)
+    val cents = KMeans.fitBounded(pts, k = 10, dim = 16, tol = 0.01,
+      lloydSteps = 3, fxScale = 1e6, weightScale = 1e6).centroids
     val bf = Similarity.bruteForceTopK(planted, nQueries = 5, k = 10)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(embN, cents, nQueries = 5, nProbe = 3, k = 10)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.9, s"recall $recall (|bf|=${bf.size}, hit=${(bf & ivf).size})")
+    // the free k-means|| fit remains at least as good on the same corpus —
+    // the bounded form trades nothing essential for replayability here
+    val centsFree = KMeans.fitAuto(pts, k = 10, dim = 16,
+      parallelSeed = true, seed = 42).centroids
+    val ivfFree = Similarity.ivfTopK(embN, centsFree, nQueries = 5,
+      nProbe = 3, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert((bf & ivfFree).size.toDouble / bf.size >= 0.9)
   }
 
   test("persisted IVF index probes identically to on-the-fly cells, no index-side Exchange") {

@@ -881,6 +881,27 @@ class TextEventsSpec extends SparkSpec {
     assert(t.getAs[Long]("did_e6") == 20000000L && t.isNullAt(5))
   }
 
+  test("attributionMarkov: a channel that gates every conversion takes all " +
+      "the credit; a never-converting channel takes none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, minute: Int, t: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), u, t, 1.0, "{}")
+    // u1, u2: A → purchase (conversion only ever follows A); u3: B → nothing
+    val rows = Seq(
+      ev(1, 1, 0, "A"), ev(2, 1, 5, "purchase"),
+      ev(3, 2, 0, "A"), ev(4, 2, 5, "purchase"),
+      ev(5, 3, 0, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Events.attributionMarkov(rows)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // base absorption = P(START→A)·1 = 2/3 → removing A kills everything
+    assert(got("A") == ((0L, 1000000L, 1000000L)), s"got $got")
+    // removing B changes nothing: p_without = base 666666, zero credit
+    assert(got("B") == ((666666L, 0L, 0L)), s"got $got")
+  }
+
   test("ewma: the α=1/2 integer recursion on a hand series; a single day " +
       "smooths to itself") {
     import spark.implicits._
