@@ -3086,6 +3086,35 @@ object OracleSql {
     * stats and the SAME double expression tree for z² (every op
     * correctly-rounded IEEE, so the rounded e6 value is bit-equal).
     */
+  /** Mirror of [[graft.operators.Events.powerMde]]: the [[eventsAbTest]]
+    * conversion rule's pooled rate, then the two-proportion sample-size
+    * closed form per MDE with the identical z² literal and op order.
+    */
+  def eventsPower(goal: String, baseline: String, mdePcts: Seq[Int]): String = {
+    val z = 1.959963984540054 + 0.8416212335729143
+    val z2 = z * z
+    val grid = mdePcts.map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH u AS (SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = '$goal' THEN 1 ELSE 0 END) >
+       |              sum(CASE WHEN event_type = '$baseline' THEN 1 ELSE 0 END)
+       |         THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u),
+       |m AS (SELECT unnest($grid) AS mde_pct),
+       |x AS (SELECT m.mde_pct,
+       |    CAST(s.c AS DOUBLE) / CAST(s.n AS DOUBLE) AS p,
+       |    CAST(m.mde_pct AS DOUBLE) / 100.0 AS md
+       |  FROM s CROSS JOIN m),
+       |y AS (SELECT mde_pct, p, p * (1.0 + md) AS p2, p * md AS delta FROM x)
+       |SELECT mde_pct,
+       |  CAST(round(p * 1e6) AS BIGINT) AS p_base_ppm,
+       |  CAST(round(p2 * 1e6) AS BIGINT) AS p_alt_ppm,
+       |  CAST(CASE WHEN p > 0 AND p2 < 1
+       |       THEN ceil($z2 * (p * (1.0 - p) + p2 * (1.0 - p2)) / (delta * delta))
+       |       END AS BIGINT) AS n_per_arm
+       |FROM y""".stripMargin
+  }
+
   def eventsAbTest(goal: String, baseline: String): String =
     s"""WITH u AS (SELECT user_id, user_id % 2 AS arm,
        |    CASE WHEN sum(CASE WHEN event_type = '$goal' THEN 1 ELSE 0 END) >

@@ -3175,6 +3175,12 @@ object SparkEntry {
     "events_ewma" -> ((s, dir) =>
       operators.Events.ewma(Tables.readEvents(s, dir))),
 
+    // ---- the A/B planner: per relative MDE, the two-proportion sample
+    // size the corpus's measured conversion rate needs at α=0.05 / 80%
+    // power — the question asked BEFORE events_ab_test runs ----
+    "events_power" -> ((s, dir) =>
+      operators.Events.powerMde(Tables.readEvents(s, dir))),
+
     // ---- out-of-vocabulary census: per-doc share of tokens outside the
     // corpus' top-N vocabulary (broadcast anti-join; integer ppm) ----
     "text_oov" -> ((s, dir) =>
@@ -4071,6 +4077,8 @@ object SparkEntry {
     "events_ab_test" -> OracleSql.eventsAbTest(goal = "purchase", baseline = "view"),
     "events_did" -> OracleSql.eventsDid,
     "events_ewma" -> OracleSql.eventsEwma,
+    "events_power" -> OracleSql.eventsPower(goal = "purchase",
+      baseline = "view", mdePcts = Seq(5, 10, 20, 50)),
     "events_cuped" -> OracleSql.eventsCuped,
     "events_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,

@@ -897,6 +897,48 @@ object Events {
         .otherwise(lit(null)).as("srm_chi2_e6"))
   }
 
+  /** A/B sample-size planner — the question asked BEFORE [[abTest]] runs:
+    * at the corpus's measured conversion rate, how many users per arm does
+    * each relative MDE (minimum detectable effect) need at α = 0.05
+    * two-sided / 80% power? The two-proportion closed form
+    * `n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ²` with the z quantiles as
+    * fixed literals (1.959963984540054, 0.8416212335729143 — the public
+    * constants, interpolated identically into both engines), ceil'd to an
+    * integer. One row per MDE: baseline/alternative rates in e6 ppm and
+    * the required n (null when the alternative rate reaches 1 — the effect
+    * is undetectable by a proportion test).
+    *
+    * Determinism: the measured p comes from exact integer sufficient
+    * statistics ([[abTest]]'s conversion rule); everything after is a
+    * fixed double formula in mirrored op order — the q_corr recipe.
+    * One distinct-shuffle pass; the MDE grid is a literal explode.
+    */
+  def powerMde(events: DataFrame, goal: String = "purchase",
+      baseline: String = "view",
+      mdePcts: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    val z = 1.959963984540054 + 0.8416212335729143
+    val z2 = z * z
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === goal, 1L).otherwise(0L)) >
+        sum(when(col("event_type") === baseline, 1L).otherwise(0L)))
+        .cast("long").as("conv"))
+    val s = perUser.agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val mde = col("mde_pct").cast("double") / lit(100.0)
+    val p2 = p * (lit(1.0) + mde)
+    val delta = p * mde
+    val nReq = ceil(lit(z2) * (p * (lit(1.0) - p) + p2 * (lit(1.0) - p2)) /
+      (delta * delta))
+    s.select(explode(typedlit(mdePcts.map(_.toLong))).as("mde_pct"),
+        col("n"), col("c"))
+      .select(col("mde_pct"),
+        round(p * 1e6).cast("long").as("p_base_ppm"),
+        round(p2 * 1e6).cast("long").as("p_alt_ppm"),
+        when(p > 0 && p2 < 1, nReq.cast("long")).otherwise(lit(null))
+          .as("n_per_arm"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each arm's
     * experiment-period metric with the pre-period covariate,
     * `adj = mean(y) − θ·(mean(x) − mean_all(x))` with the pooled

@@ -881,6 +881,39 @@ class TextEventsSpec extends SparkSpec {
     assert(t.getAs[Long]("did_e6") == 20000000L && t.isNullAt(5))
   }
 
+  test("powerMde: closed-form sample size at a hand-built 50% rate; larger " +
+      "effects need fewer users; an alternative rate at 1 yields null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, t: String) =
+      (id, new Timestamp(1700000000000L + id), u, t, 1.0, "{}")
+    // u1 converts (2 purchases > 1 view), u2 does not → p = 1/2
+    val rows = Seq(ev(1, 1, "purchase"), ev(2, 1, "purchase"), ev(3, 1, "view"),
+        ev(4, 2, "purchase"), ev(5, 2, "view"), ev(6, 2, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Events.powerMde(rows,
+        mdePcts = Seq(10, 20, 50, 100))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    val z = 1.959963984540054 + 0.8416212335729143
+    val z2 = z * z
+    def expected(mde: Double): Long = {
+      val p = 0.5; val p2 = p * (1.0 + mde); val d = p * mde
+      math.ceil(z2 * (p * (1.0 - p) + p2 * (1.0 - p2)) / (d * d)).toLong
+    }
+    Seq(10, 20, 50).foreach { m =>
+      val (pb, pa, n) = got(m.toLong)
+      assert(pb == 500000L && pa == (500000L + m * 5000L) &&
+        n.contains(expected(m / 100.0)), s"mde $m: $got")
+    }
+    // monotone: a bigger detectable effect needs fewer users
+    assert(got(10L)._3.get > got(20L)._3.get &&
+      got(20L)._3.get > got(50L)._3.get)
+    // p2 = 1.0 at mde 100%: a proportion test cannot see it → null
+    assert(got(100L)._3.isEmpty, s"got $got")
+  }
+
   test("attributionMarkov: a channel that gates every conversion takes all " +
       "the credit; a never-converting channel takes none") {
     import spark.implicits._
