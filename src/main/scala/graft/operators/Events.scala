@@ -858,17 +858,23 @@ object Events {
     * sqrt are correctly-rounded IEEE, so both engines agree bit-for-bit;
     * no transcendentals). One output row; z2_e6 ≥ ~3.84e6 rejects at 95%.
     */
+  /** The conversion rule shared by [[abTest]] and [[powerMde]] — goal
+    * events outnumber baseline events for the user: a scale-free
+    * behavioral split (a fixed "did X at least once" saturates to 100% on
+    * dense activity streams and degenerates the pooled variance). One
+    * definition so the test and its planner can never disagree on what a
+    * conversion is.
+    */
+  private[operators] def convAgg(goal: String, baseline: String) =
+    (sum(when(col("event_type") === goal, 1L).otherwise(0L)) >
+      sum(when(col("event_type") === baseline, 1L).otherwise(0L)))
+      .cast("long").as("conv")
+
   def abTest(events: DataFrame,
       goal: String = "purchase", baseline: String = "view"): DataFrame = {
-    // conversion = goal events outnumber baseline events for the user — a
-    // scale-free behavioral split (a fixed "did X at least once" saturates
-    // to 100% on dense activity streams and degenerates the pooled
-    // variance)
     val perUser = events
       .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
-      .agg((sum(when(col("event_type") === goal, 1L).otherwise(0L)) >
-        sum(when(col("event_type") === baseline, 1L).otherwise(0L)))
-        .cast("long").as("conv"))
+      .agg(convAgg(goal, baseline))
     val s = perUser.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c_a"),
@@ -920,9 +926,7 @@ object Events {
     val z2 = z * z
     val perUser = events
       .groupBy(col("user_id"))
-      .agg((sum(when(col("event_type") === goal, 1L).otherwise(0L)) >
-        sum(when(col("event_type") === baseline, 1L).otherwise(0L)))
-        .cast("long").as("conv"))
+      .agg(convAgg(goal, baseline))
     val s = perUser.agg(count(lit(1)).as("n"), sum("conv").as("c"))
     val p = col("c").cast("double") / col("n").cast("double")
     val mde = col("mde_pct").cast("double") / lit(100.0)
