@@ -1971,6 +1971,64 @@ object OracleSql {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM surv),
        |${mixPackTail(packBudget)}""".stripMargin
 
+  /** Mirror of `pipeline_provenance`: [[pipelineFull]]'s stage CTE
+    * fragments verbatim (quality gate, components over survivors,
+    * benchmark decontamination of the representatives, source-budget mix
+    * selection), re-joined per corpus doc into the attrition lattice —
+    * later-stage columns NULL where an earlier stage already dropped the
+    * doc.
+    */
+  def pipelineProvenance(minTokens: Int, maxTokens: Int, n: Int,
+      numHashes: Int, bands: Int, thrNum: Int, thrDen: Int, dN: Int,
+      dThrNum: Int, dThrDen: Int): String =
+    s"""WITH RECURSIVE q0 AS (SELECT doc_id, keep FROM (
+       |${textQuality(minTokens, maxTokens)}
+       |) qq WHERE doc_id % 97 <> 0),
+       |qual AS (SELECT doc_id FROM q0 WHERE keep = 1),
+       |clean AS (SELECT d.* FROM documents d JOIN qual ON d.doc_id = qual.doc_id
+       |  WHERE d.doc_id % 97 <> 0),
+       |${componentsCtes(n, numHashes, bands, thrNum, thrDen, src = "clean")},
+       |reps AS (SELECT d.* FROM clean d JOIN comp c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id = c.rep_id),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(${shingles("string_split(text,' ')", dN)},
+       |      s -> ${tokenId("s")})) AS ids
+       |  FROM documents),
+       |bn AS (SELECT DISTINCT unnest(ids) AS id FROM sh WHERE doc_id % 97 = 0),
+       |ex AS (SELECT s2.doc_id, len(s2.ids) AS ns, unnest(s2.ids) AS id
+       |  FROM sh s2 JOIN reps r ON s2.doc_id = r.doc_id),
+       |dm AS (SELECT ex.doc_id, max(ex.ns) AS ns, count(bn.id) AS nsh
+       |  FROM ex LEFT JOIN bn ON ex.id = bn.id GROUP BY ex.doc_id),
+       |cont AS (SELECT dm.doc_id,
+       |    CAST(CASE WHEN dm.nsh*$dThrDen >= dm.ns*$dThrNum THEN 1 ELSE 0 END
+       |      AS BIGINT) AS contaminated
+       |  FROM dm),
+       |surv AS (SELECT r.* FROM reps r JOIN cont ON r.doc_id = cont.doc_id
+       |  WHERE cont.contaminated = 0),
+       |kt AS (SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM surv),
+       |bgt AS (SELECT source,
+       |    CAST(400*(1 + CAST(substr(source, 4) AS BIGINT) % 3) AS BIGINT)
+       |      AS budget
+       |  FROM (SELECT DISTINCT source FROM kt)),
+       |mx AS (SELECT kt.doc_id, kt.n_tok, bgt.budget,
+       |    sum(kt.n_tok) OVER (PARTITION BY kt.source ORDER BY kt.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS scum
+       |  FROM kt JOIN bgt ON kt.source = bgt.source),
+       |sel AS (SELECT doc_id FROM mx WHERE scum - n_tok < budget)
+       |SELECT q0.doc_id, CAST(q0.keep AS BIGINT) AS quality_pass,
+       |  comp.rep_id,
+       |  CASE WHEN comp.rep_id IS NOT NULL
+       |    THEN CAST(comp.rep_id = q0.doc_id AS BIGINT) END AS is_rep,
+       |  cont.contaminated,
+       |  CASE WHEN cont.contaminated = 0
+       |    THEN CAST(coalesce(s1.one, 0) AS BIGINT) END AS mixed,
+       |  CAST(coalesce(s1.one, 0) AS BIGINT) AS survived
+       |FROM q0
+       |LEFT JOIN comp ON comp.doc_id = q0.doc_id
+       |LEFT JOIN cont ON cont.doc_id = q0.doc_id
+       |LEFT JOIN (SELECT doc_id, 1 AS one FROM sel) s1 ON s1.doc_id = q0.doc_id""".stripMargin
+
   def dedupSimhash(bits: Int, maxHamming: Int): String = {
     val fpExpr = (0 until bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN ((id >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"

@@ -2187,6 +2187,47 @@ object SparkEntry {
       TextAnalysis.packBatches(surv.join(mixed, "doc_id"))
     }),
 
+    // ---- per-document pipeline PROVENANCE: the audit table release
+    // reviews ask for — for EVERY corpus doc, which pipeline_full stage
+    // kept or dropped it (quality gate, duplicate cluster + representative,
+    // contamination, budget mix) and whether it survived end to end. Stage
+    // relations are the exact pipeline_full fragments; later-stage columns
+    // are NULL for docs an earlier stage already dropped (a stage never
+    // judged them), so the table reads as the true attrition lattice. ----
+    "pipeline_provenance" -> ((s, dir) => {
+      val all = Tables.read(s, dir, "documents")
+      val docs = all.filter(col("doc_id") % 97 =!= 0)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val qual = TextAnalysis.qualityScore(docs, minTokens = 25)
+        .select(col("doc_id"), col("keep").as("quality_pass"))
+      val kept = qual.filter(col("quality_pass") === 1)
+        .select("doc_id").persist()
+      val clean = docs.join(kept, "doc_id")
+      val comps = Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
+        .select(col("doc_id"), col("rep_id")).persist()
+      val reps = clean.join(
+        comps.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+      val cont = Dedup.decontaminate(reps, bench)
+        .select(col("doc_id"), col("contaminated")).persist()
+      val surv = reps.join(
+        cont.filter(col("contaminated") === 0).select("doc_id"), "doc_id")
+      val budgets = surv.select(col("source")).distinct()
+        .withColumn("budget", sourceBudget)
+      val mixedIds = TextAnalysis.mixCorpus(surv, budgets)
+        .select(col("doc_id"), lit(1L).as("mx"))
+      qual
+        .join(comps, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(mixedIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_pass"), col("rep_id"),
+          when(col("rep_id").isNotNull,
+            (col("rep_id") === col("doc_id")).cast("long")).as("is_rep"),
+          col("contaminated"),
+          when(col("contaminated") === 0, coalesce(col("mx"), lit(0L)))
+            .as("mixed"),
+          coalesce(col("mx"), lit(0L)).as("survived"))
+    }),
+
     // ---- window-function breadth (W-family): lag/lead neighbors, ntile
     // quartiles, running sum — one shuffle on the partition key, integer
     // cents so every windowed value is exact on both engines ----
@@ -4213,6 +4254,9 @@ object SparkEntry {
     "pipeline_full" -> OracleSql.pipelineFull(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       dN = 3, dThrNum = 1, dThrDen = 10, packBudget = 256),
+    "pipeline_provenance" -> OracleSql.pipelineProvenance(minTokens = 25,
+      maxTokens = 5000, n = 3, numHashes = 16, bands = 4, thrNum = 1,
+      thrDen = 2, dN = 3, dThrNum = 1, dThrDen = 10),
     "doc_interleave" ->
       """SELECT doc_id, source,
         |  ((doc_id % 2147483647)*1103515245 + 12345) % 2147483647 AS shuf,

@@ -131,6 +131,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_provenance: the attrition lattice is consistent — later " +
+      "stages are null past a drop, and survivors equal pipeline_full's docs") {
+    val prov = SparkEntry.queries("pipeline_provenance")(spark, sf("0.001"))
+      .collect().map { r =>
+        def opt(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Long])
+        (r.getLong(0), r.getLong(1), opt(2), opt(3), opt(4), opt(5), r.getLong(6))
+      }
+    assert(prov.nonEmpty && prov.forall(_._1 % 97 != 0))
+    prov.foreach { case (id, q, rep, isRep, cont, mixed, surv) =>
+      if (q == 0) // quality-dropped: no later stage ever judged the doc
+        assert(rep.isEmpty && isRep.isEmpty && cont.isEmpty &&
+          mixed.isEmpty && surv == 0, s"doc $id")
+      else assert(rep.nonEmpty && isRep.nonEmpty, s"doc $id")
+      if (isRep.contains(0L)) // cluster non-representative: dropped there
+        assert(cont.isEmpty && mixed.isEmpty && surv == 0, s"doc $id")
+      if (cont.contains(1L)) // contaminated rep: never reaches the mix
+        assert(mixed.isEmpty && surv == 0, s"doc $id")
+      if (surv == 1)
+        assert(q == 1 && isRep.contains(1L) && cont.contains(0L) &&
+          mixed.contains(1L), s"doc $id")
+      assert(surv == (if (mixed.contains(1L)) 1L else 0L), s"doc $id")
+    }
+    // end-to-end cross-check: the survivors ARE pipeline_full's output docs
+    val full = SparkEntry.queries("pipeline_full")(spark, sf("0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = prov.filter(_._7 == 1).map(_._1).toSet
+    assert(survivors == full,
+      s"provenance survivors must equal pipeline_full: ${survivors.size} vs ${full.size}")
+  }
+
   test("minhashCalibration: identical docs land at matches = numHashes with " +
       "true Jaccard exactly 10⁶; every row's stats are ordered and in range") {
     val got = Dedup.minhashCalibration(docs).collect()

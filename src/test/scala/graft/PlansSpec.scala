@@ -293,6 +293,9 @@ class PlansSpec extends SparkSpec {
       // construction runs training/fit loops: BPE merge training, the full
       // un-memoized pipeline (LSH + label propagation), per-subspace PQ fits
       "text_bpe_train", "text_bpe_apply", "pipeline_full", "emb_pq_fitted",
+      // pipeline_provenance re-runs pipeline_full's un-memoized LSH +
+      // label-propagation stages at construction — same exemption
+      "pipeline_provenance",
       "doc_quality_lr", // LBFGS fit runs during construction
       "km_fit_minibatch", // the mini-batch loop runs during construction
       "km_fit_bisecting", // the MLlib bisecting fit runs during construction
