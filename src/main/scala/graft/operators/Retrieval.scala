@@ -121,6 +121,13 @@ object Retrieval {
   def prfBm25FromTf(tf: DataFrame, nQueries: Int = 5, nTerms: Int = 3,
       nFb: Int = 3, nExp: Int = 2, kOut: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the tf input is deliberately NOT persisted here: the direct caller
+    // persists its freshly-computed relation (six consumers would re-run
+    // the corpus tokenize), but the INDEXED caller hands in the bucketed
+    // index table, and the scan-audit follow-up MEASURED that
+    // materializing it costs more than its 11 bucketed re-scans
+    // (2.72 s → 2.94 s at sf0.1) — the round-12 "never cache corpus-scale
+    // projections" counter-case again
     val scal = tf.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     // persisted: the vocabulary df rollup re-aggregates the whole tf
