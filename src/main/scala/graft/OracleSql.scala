@@ -2777,6 +2777,9 @@ object OracleSql {
        |  FROM probes p JOIN cells cl ON p.cell = cl.cell
        |  WHERE cl.vec_id <> p.q_id),
        |lv AS (SELECT unnest($lvList) AS n_probe),
+       |cst AS (SELECT l.n_probe, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cand CROSS JOIN lv l WHERE cand.pr <= l.n_probe
+       |  GROUP BY l.n_probe),
        |apx AS (SELECT n_probe, q_id, n_id FROM (
        |  SELECT l.n_probe, cand.q_id, cand.n_id,
        |    row_number() OVER (PARTITION BY l.n_probe, cand.q_id
@@ -2787,15 +2790,17 @@ object OracleSql {
        |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
        |  FROM xs) t WHERE rnk <= $k),
-       |exl AS (SELECT l.n_probe, ex.q_id, ex.n_id FROM ex CROSS JOIN lv l)
-       |SELECT exl.n_probe,
-       |  CAST(sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       |  CAST(count(*) AS BIGINT) AS k_exact,
-       |  CAST((sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
-       |    // count(*) AS BIGINT) AS recall_ppm
-       |FROM exl LEFT JOIN apx ON apx.n_probe = exl.n_probe
-       |  AND apx.q_id = exl.q_id AND apx.n_id = exl.n_id
-       |GROUP BY exl.n_probe""".stripMargin
+       |exl AS (SELECT l.n_probe, ex.q_id, ex.n_id FROM ex CROSS JOIN lv l),
+       |rc AS (SELECT exl.n_probe,
+       |    CAST(sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |    CAST(count(*) AS BIGINT) AS k_exact,
+       |    CAST((sum(CASE WHEN apx.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+       |      // count(*) AS BIGINT) AS recall_ppm
+       |  FROM exl LEFT JOIN apx ON apx.n_probe = exl.n_probe
+       |    AND apx.q_id = exl.q_id AND apx.n_id = exl.n_id
+       |  GROUP BY exl.n_probe)
+       |SELECT rc.n_probe, cst.n_cand, rc.n_hit, rc.k_exact, rc.recall_ppm
+       |FROM rc JOIN cst ON cst.n_probe = rc.n_probe""".stripMargin
   }
 
   /** Mirror of [[Dedup.embeddingCosineBlocked]] with fixed coarse centroids

@@ -271,10 +271,12 @@ object Similarity {
     * top-k search): every candidate carries the probe rank `pr` of its
     * cell in the query's cell ranking, so the level-p ranking is just the
     * (cos desc, id) window over candidates with `pr ≤ p`, and the whole
-    * curve (which probe count buys which recall@k) comes from one candidate
-    * relation instead of |levels| separate searches. Recall denominates on
-    * the EXACT top-k (a low probe level can surface fewer than k
-    * candidates — the approximate side never inflates its own recall).
+    * curve comes from one candidate relation instead of |levels| separate
+    * searches — each row carrying BOTH sides of the trade: `n_cand` (the
+    * candidates that probe level pays to score — the cost) next to
+    * recall@k (what it buys). Recall denominates on the EXACT top-k (a
+    * low probe level can surface fewer than k candidates — the
+    * approximate side never inflates its own recall).
     *
     * Scale shape: candidates via the cell equi-join at the MAX probe level
     * only; the level explode multiplies the tiny candidate relation, never
@@ -308,9 +310,14 @@ object Similarity {
             sqrt(native.dot(col("v"), col("v"))))).as("c"))
     val levels = typedlit(probeLevels.map(_.toLong))
     val wr = Window.partitionBy("n_probe", "q_id").orderBy(desc("c"), col("n_id"))
-    val approx = cand.select(col("q_id"), col("n_id"), col("c"), col("pr"),
+    // persisted: the per-level candidate relation feeds both the COST
+    // census (n_cand — what each probe level pays) and the rank cut
+    val lv = cand.select(col("q_id"), col("n_id"), col("c"), col("pr"),
         explode(levels).as("n_probe"))
       .filter(col("pr") <= col("n_probe"))
+      .persist()
+    val cost = lv.groupBy("n_probe").agg(count(lit(1)).as("n_cand"))
+    val approx = lv
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("n_probe"), col("q_id"), col("n_id"), lit(1L).as("hit"))
@@ -320,7 +327,8 @@ object Similarity {
       .groupBy("n_probe")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
         count(lit(1)).as("k_exact"))
-      .select(col("n_probe"), col("n_hit"), col("k_exact"),
+      .join(cost, "n_probe")
+      .select(col("n_probe"), col("n_cand"), col("n_hit"), col("k_exact"),
         expr("n_hit * 1000000 div k_exact").as("recall_ppm"))
   }
 

@@ -310,15 +310,17 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.fixedCentroids(embr, 16)
     val got = Similarity.ivfRecallCurve(embr, cents, nQueries = 3,
         probeLevels = Seq(1, 2, 4, 16), k = 5)
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 16L))
     // denominated on the exact side: k_exact is always nQueries·k
-    assert(got.forall(_._3 == 15L))
-    // more probes can only ADD candidates → recall monotone
-    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted,
+    assert(got.forall(_._4 == 15L))
+    // more probes can only ADD candidates → cost AND recall monotone
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted &&
+      got.head._2 < got.last._2, s"candidate cost must grow: $got")
+    assert(got.map(_._5).toSeq == got.map(_._5).toSeq.sorted,
       s"recall must be nondecreasing: $got")
-    // probing all 16 cells IS brute force → exactly 1e6
-    assert(got.last._4 == 1000000L, s"full probe must be exact: $got")
+    // probing all 16 cells IS brute force → exactly 1e6, at full cost
+    assert(got.last._5 == 1000000L, s"full probe must be exact: $got")
   }
 
   test("IVF over REAL fitted centroids reaches recall >= 0.9 vs brute force") {
