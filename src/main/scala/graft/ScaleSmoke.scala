@@ -98,6 +98,16 @@ object ScaleSmoke {
   /** The corpus workloads under measurement — the VERDICT-prescribed trio:
     * the end-to-end pipeline, the MinHash LSH banding pass, and the two
     * persisted-index probes (lexical-dedup and ANN).
+    *
+    * Deliberately NOT extended to the declared-scan / scalar-crossJoin
+    * queries (sim_binary, retrieval_prf): measured at 10×, their WALLS
+    * scale fine (2.0× / 1.5×) but their broadcast-join flavors legitimately
+    * shift with relation statistics (a 1-row-scalar BNLJ here, an
+    * auto-broadcast flip there), so the smoke's strict shape-equality
+    * criterion — the right bar for index probes and the pipeline — would
+    * have to be weakened case by case to admit them. Their scale posture
+    * is asserted where it belongs: the PlansSpec allow-lists that DECLARE
+    * those shapes, and the per-query floors.
     */
   val workloads: Seq[String] =
     Seq("pipeline_full", "dedup_minhash", "dedup_incremental", "sim_ivf_indexed")

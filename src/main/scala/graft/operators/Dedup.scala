@@ -635,6 +635,8 @@ object Dedup {
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(bitsList.forall(b => b >= 1 && b <= 31),
+      s"bit widths must be in [1, 31] (31 = raw full width): $bitsList")
     val rows = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
     val sigs = minhashSignatures(docs, n, numHashes)

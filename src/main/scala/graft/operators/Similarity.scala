@@ -145,6 +145,8 @@ object Similarity {
     */
   def binaryTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       rerankN: Int = 30): DataFrame = {
+    require(rerankN >= k,
+      s"rerankN ($rerankN) < k ($k): the shortlist could not fill the top-k")
     import graft.plans.native
     val e = emb2v(emb)
     def word(lo: Int): Column =
