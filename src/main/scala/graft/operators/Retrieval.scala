@@ -136,6 +136,11 @@ object Retrieval {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df")).persist()
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
+    // qterms is deliberately NOT persisted: its tf-read + df-join + window
+    // subtree does re-run per consumer (the 10× smoke trial counted 5
+    // scalar-BNLJ subtrees), but materializing it MEASURED slower at sf0.1
+    // (the persist barrier costs more than the tiny recomputes) — the same
+    // verdict as the tf-input persist trial recorded above
     val qterms = tf.filter(col("doc_id") < nQueries)
       .join(df, "token").crossJoin(broadcast(scal))
       .withColumn("score_e6",
