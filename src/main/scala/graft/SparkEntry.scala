@@ -253,6 +253,23 @@ object SparkEntry {
     tbl
   }
 
+  /** Persisted 1-bit sign-code table for `sim_binary_indexed`: the pack
+    * (two 32-bit words per vector, 16 bytes + id) paid once at build —
+    * probes Hamming-scan the stored codes with zero query-time packing.
+    */
+  private def ensureBinaryIndex(s: SparkSession, dir: String): String = {
+    val key = dirKey(dir)
+    val tag = tagOf(key)
+    val tbl = s"graft_bin_idx_$tag"
+    bucketedCache.getOrElseUpdate("binidx|" + key, {
+      pruneStaleTables(s, "graft_bin_idx")
+      sources.Sinks.writeBucketed(
+        Similarity.binaryCodes(Tables.read(s, dir, "embeddings")),
+        tbl, 8, Seq("vec_id"), Some(taggedTmpPath("graft_bin_idx", tag)))
+    })
+    tbl
+  }
+
   /** Persisted lexical TF inverted index for `text_tfidf_indexed` /
     * `text_bm25_indexed`: the aggregated (doc_id, dl, token, tf) relation —
     * the corpus tokenize + explode + groupBy paid ONCE at build time —
@@ -492,6 +509,7 @@ object SparkEntry {
     ensurePartitionedEvents(s, dir); ensureMinhashIndex(s, dir)
     ensureIvfIndex(s, dir); ensureIvfPqIndex(s, dir)
     ensureIvfSq8Index(s, dir); ensureTfIndex(s, dir)
+    ensureBinaryIndex(s, dir)
   }
 
   /** Build only the documents/embeddings-backed persisted indexes for
@@ -1199,6 +1217,11 @@ object SparkEntry {
     // shortlist via xor-popcount, exact cosine re-rank of the top 30
     "sim_binary" -> ((s, dir) =>
       Similarity.binaryTopK(Tables.read(s, dir, "embeddings"))),
+    // the same ranking off the PERSISTED code table (build/probe split):
+    // the pack paid once, probes scan stored 16-byte codes — same oracle
+    "sim_binary_indexed" -> ((s, dir) =>
+      Similarity.binaryTopKIndexed(Tables.read(s, dir, "embeddings"),
+        ensureBinaryIndex(s, dir))),
     // the measured price of 1 bit/dim: recall@10 of the binary ranking vs
     // exact cosine, per query, exact ppm — the gauge before anyone ships it
     "sim_binary_recall" -> ((s, dir) => {
@@ -3736,6 +3759,8 @@ object SparkEntry {
     "retrieval_prf_indexed" -> OracleSql.retrievalPrf(nQueries = 5, nTerms = 3,
       nFb = 3, nExp = 2, kOut = 10, k1 = 1.2, b = 0.75),
     "sim_binary" -> OracleSql.simBinary(nQueries = 5, k = 10, rerankN = 30),
+    "sim_binary_indexed" -> OracleSql.simBinary(nQueries = 5, k = 10,
+      rerankN = 30),
     "sim_binary_recall" -> OracleSql.simBinaryRecall(nQueries = 5, k = 10,
       rerankN = 30),
     "sim_recall_curve" -> OracleSql.simRecallCurve(nCells = 16, nQueries = 5,

@@ -143,32 +143,59 @@ object Similarity {
     * query through the shortlist join — never a full-precision corpus
     * scan.
     */
+  /** The sign-bit pack shared by the direct and indexed binary searches —
+    * two 32-bit words per vector (the stored unit of `ensureBinaryIndex`).
+    */
+  def binaryCodes(emb: DataFrame): DataFrame = {
+    def word(lo: Int): Column =
+      (0 until 32).map(i => when(element_at(col("v"), lo + i + 1) > 0.0,
+        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    emb2v(emb).select(col("vec_id"), word(0).as("c0"), word(32).as("c1"))
+  }
+
   def binaryTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-      rerankN: Int = 30): DataFrame = {
+      rerankN: Int = 30): DataFrame =
+    binaryTopKFrom(binaryCodes(emb), emb, nQueries, k, rerankN)
+
+  /** [[binaryTopK]] probing a PERSISTED code table — the build/probe split
+    * extends to the 1-bit ladder rung: the pack is paid once at build, and
+    * a probe's Hamming scan reads the stored 16-byte codes with zero
+    * query-time packing. Same oracle (longs roundtrip parquet exactly).
+    */
+  def binaryTopKIndexed(emb: DataFrame, table: String, nQueries: Int = 5,
+      k: Int = 10, rerankN: Int = 30): DataFrame =
+    binaryTopKFrom(emb.sparkSession.table(table), emb, nQueries, k, rerankN)
+
+  /** The shared search over ANY `(vec_id, c0, c1)` code relation: Hamming
+    * shortlist over the CODES ONLY (the 16-byte scan IS the point — raw
+    * vectors never ride through it), then full vectors fetched for the
+    * rerankN shortlist via the id equi-join and exact-cosine re-ranked.
+    */
+  private def binaryTopKFrom(codes: DataFrame, emb: DataFrame,
+      nQueries: Int, k: Int, rerankN: Int): DataFrame = {
     require(rerankN >= k,
       s"rerankN ($rerankN) < k ($k): the shortlist could not fill the top-k")
     import graft.plans.native
     val e = emb2v(emb)
-    def word(lo: Int): Column =
-      (0 until 32).map(i => when(element_at(col("v"), lo + i + 1) > 0.0,
-        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val coded = e.select(col("vec_id"), col("v"),
-      word(0).as("c0"), word(32).as("c1"))
-    val q = coded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("c0").as("qc0"), col("c1").as("qc1"))
-    val ham = coded.crossJoin(broadcast(q))
+    val qc = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("c0").as("qc0"), col("c1").as("qc1"))
+    val ham = codes.crossJoin(broadcast(qc))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"),
+      .select(col("q_id"), col("vec_id").as("n_id"),
         expr("bit_count(qc0 ^ c0) + bit_count(qc1 ^ c1)")
           .cast("long").as("hamming"))
     val wh = Window.partitionBy("q_id").orderBy(asc("hamming"), col("n_id"))
     val short = ham.withColumn("hr", row_number().over(wh))
       .filter(col("hr") <= rerankN)
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = native.dot(col("qv"), col("v")) /
       (sqrt(native.dot(col("qv"), col("qv"))) * sqrt(native.dot(col("v"), col("v"))))
     val wr = Window.partitionBy("q_id").orderBy(desc("c"), col("n_id"))
-    short.withColumn("c", c)
+    short
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("c", c)
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"),

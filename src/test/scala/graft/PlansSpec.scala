@@ -247,6 +247,7 @@ class PlansSpec extends SparkSpec {
       // precedent); sim_binary_recall embeds it plus the sim_topk exact
       // baseline BY PURPOSE (the sim_recall precedent)
       "sim_binary", "sim_binary_recall",
+      "sim_binary_indexed", // the persisted-code twin of the same scan
       // sim_recall_curve embeds the sim_topk exact baseline BY PURPOSE
       // (the sim_recall precedent); its approximate side is the cell
       // equi-join at the max probe level

@@ -304,6 +304,21 @@ class SimilaritySpec extends SparkSpec {
       s"exact copy must be (rank 1, hamming 0, cos 1): $top")
   }
 
+  test("binaryTopKIndexed probes identically to the on-the-fly pack") {
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val direct = Similarity.binaryTopK(embr).collect().map(_.toSeq).toSet
+    // the index layout's one source of truth — the same builder
+    // ensureBinaryIndex materializes
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    graft.sources.Sinks.writeBucketed(Similarity.binaryCodes(embr),
+      "spec_bin_idx", 4, Seq("vec_id"), Some(s"$tmp/spec_bin_idx"))
+    try {
+      val indexed = Similarity.binaryTopKIndexed(embr, "spec_bin_idx")
+        .collect().map(_.toSeq).toSet
+      assert(indexed == direct)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_bin_idx")
+  }
+
   test("ivfRecallCurve: recall is nondecreasing in probe count and reaches " +
       "exactly 10⁶ when every cell is probed") {
     val embr = Tables.read(spark, sf("0.001"), "embeddings")
