@@ -2602,6 +2602,50 @@ object OracleSql {
     s"""WITH ${binaryCtes(nQueries, k, rerankN)}
        |SELECT q_id, n_id, rnk, hamming, cos_e6 FROM bin""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.ivfBinaryTopK]]: the
+    * [[simIvf]] cell/probe chain composed with [[simBinary]]'s sign words
+    * — Hamming candidates from the cell equi-join only, then the shared
+    * shortlist → exact-cosine re-rank tail.
+    */
+  def simIvfBinary(nCells: Int, nQueries: Int, nProbe: Int, k: Int,
+      rerankN: Int): String = {
+    def word(lo: Int): String =
+      (0 until 32).map(i =>
+        s"CASE WHEN v[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |coded AS (SELECT vec_id, v, CAST(${word(0)} AS BIGINT) AS c0,
+       |    CAST(${word(32)} AS BIGINT) AS c1 FROM e),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |cells AS (SELECT vec_id, c0, c1, cell FROM (
+       |  SELECT cd.vec_id, cd.c0, cd.c1, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY cd.vec_id ORDER BY ${sqdist("cd.v", "c.cv")}, c.cid) AS rn
+       |  FROM coded cd CROSS JOIN cent c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |bq AS (SELECT vec_id AS q_id, c0 AS qc0, c1 AS qc1 FROM coded
+       |  WHERE vec_id < $nQueries),
+       |ham AS (SELECT p.q_id, cl.vec_id AS n_id,
+       |    CAST(bit_count(xor(bq.qc0, cl.c0)) +
+       |      bit_count(xor(bq.qc1, cl.c1)) AS BIGINT) AS hamming
+       |  FROM probes p JOIN cells cl ON cl.cell = p.cell
+       |  JOIN bq ON bq.q_id = p.q_id
+       |  WHERE cl.vec_id <> p.q_id),
+       |short AS (SELECT q_id, n_id, hamming FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hr
+       |  FROM ham) t WHERE hr <= $rerankN)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, hamming,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM (
+       |  SELECT s.q_id, s.n_id, s.hamming, ${cosine("q.qv", "e.v")} AS c,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY ${cosine("q.qv", "e.v")} DESC, s.n_id) AS rnk
+       |  FROM short s JOIN e ON e.vec_id = s.n_id
+       |    JOIN q ON q.q_id = s.q_id) x WHERE rnk <= $k""".stripMargin
+  }
+
   /** Mirror of `sim_binary_recall`: [[simBinary]]'s chain measured against
     * the exact cosine top-k ([[graft.operators.Similarity.annRecall]]'s
     * rollup, the [[simRecall]] shape).

@@ -1222,6 +1222,13 @@ object SparkEntry {
     "sim_binary_indexed" -> ((s, dir) =>
       Similarity.binaryTopKIndexed(Tables.read(s, dir, "embeddings"),
         ensureBinaryIndex(s, dir))),
+    // IVF + 1-bit (FAISS IndexBinaryIVF shape) — the compression×blocking
+    // matrix's last cell next to IVF-PQ and IVF-SQ8: probes Hamming-scan
+    // only the probed cells' 16-byte codes, exact rerank on the shortlist
+    "sim_ivfbin" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ivfBinaryTopK(emb, Similarity.fixedCentroids(emb, 16))
+    }),
     // the measured price of 1 bit/dim: recall@10 of the binary ranking vs
     // exact cosine, per query, exact ppm — the gauge before anyone ships it
     "sim_binary_recall" -> ((s, dir) => {
@@ -3761,6 +3768,8 @@ object SparkEntry {
     "sim_binary" -> OracleSql.simBinary(nQueries = 5, k = 10, rerankN = 30),
     "sim_binary_indexed" -> OracleSql.simBinary(nQueries = 5, k = 10,
       rerankN = 30),
+    "sim_ivfbin" -> OracleSql.simIvfBinary(nCells = 16, nQueries = 5,
+      nProbe = 2, k = 10, rerankN = 30),
     "sim_binary_recall" -> OracleSql.simBinaryRecall(nQueries = 5, k = 10,
       rerankN = 30),
     "sim_recall_curve" -> OracleSql.simRecallCurve(nCells = 16, nQueries = 5,

@@ -175,8 +175,6 @@ object Similarity {
       nQueries: Int, k: Int, rerankN: Int): DataFrame = {
     require(rerankN >= k,
       s"rerankN ($rerankN) < k ($k): the shortlist could not fill the top-k")
-    import graft.plans.native
-    val e = emb2v(emb)
     val qc = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("c0").as("qc0"), col("c1").as("qc1"))
     val ham = codes.crossJoin(broadcast(qc))
@@ -184,6 +182,60 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         expr("bit_count(qc0 ^ c0) + bit_count(qc1 ^ c1)")
           .cast("long").as("hamming"))
+    binaryRerank(ham, emb, nQueries, k, rerankN)
+  }
+
+  /** IVF + 1-bit composition — the FAISS IndexBinaryIVF shape, completing
+    * the compression × blocking matrix next to IVF-PQ and IVF-SQ8: each
+    * vector stores its coarse cell and the two sign words; a probe
+    * Hamming-scans ONLY the nProbe probed cells' 16-byte codes (an
+    * equi-join on cell id, never the full code scan `binaryTopK` runs),
+    * then the rerankN shortlist fetches full vectors for the exact-cosine
+    * re-rank. At 100 TB the code table is hash-partitioned by cell and a
+    * probe touches nProbe/nCells of 16 bytes/vector — the cheapest scan in
+    * the ladder.
+    */
+  def ivfBinaryTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nQueries: Int = 5, nProbe: Int = 2, k: Int = 10,
+      rerankN: Int = 30): DataFrame = {
+    require(rerankN >= k,
+      s"rerankN ($rerankN) < k ($k): the shortlist could not fill the top-k")
+    val e = emb2v(emb)
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val coded = binaryCodes(emb)
+      .join(e.select(col("vec_id"),
+        nearestId(col("v"), ids, cs).as("cell")), "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cellDists = q.select(col("q_id"),
+        explode(zip_with(typedlit(ids), typedlit(cs),
+          (j, c) => struct(j.as("cid"), sqDist(c, col("qv")).as("d")))).as("x"))
+      .select(col("q_id"), col("x.cid").as("cell"), col("x.d").as("d"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("cell"))
+    val probes = cellDists.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val qc = binaryCodes(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("c0").as("qc0"), col("c1").as("qc1"))
+    val ham = probes.join(coded, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qc), "q_id")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr("bit_count(qc0 ^ c0) + bit_count(qc1 ^ c1)")
+          .cast("long").as("hamming"))
+    binaryRerank(ham, emb, nQueries, k, rerankN)
+  }
+
+  /** The shared shortlist → exact-rerank tail of the binary searches: cut
+    * the Hamming candidates to rerankN per query, fetch full vectors for
+    * the shortlist only (id equi-join — raw vectors never ride the scan),
+    * re-rank by exact cosine.
+    */
+  private def binaryRerank(ham: DataFrame, emb: DataFrame, nQueries: Int,
+      k: Int, rerankN: Int): DataFrame = {
+    import graft.plans.native
+    val e = emb2v(emb)
     val wh = Window.partitionBy("q_id").orderBy(asc("hamming"), col("n_id"))
     val short = ham.withColumn("hr", row_number().over(wh))
       .filter(col("hr") <= rerankN)

