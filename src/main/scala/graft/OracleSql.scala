@@ -1664,7 +1664,8 @@ object OracleSql {
        |    len(list_intersect(ta.ids, tb.ids)) AS inter,
        |    len(ta.ids) + len(tb.ids) - len(list_intersect(ta.ids, tb.ids)) AS uni
        |  FROM m JOIN t ta ON ta.doc_id = m.a_id JOIN t tb ON tb.doc_id = m.b_id),
-       |pp AS (SELECT matches, inter * 1000000 // uni AS true_ppm FROM tj)
+       |pp AS (SELECT matches, inter * 1000000 // uni AS true_ppm FROM tj
+       |  WHERE uni > 0)
        |SELECT CAST(matches AS BIGINT) AS matches,
        |  CAST(count(*) AS BIGINT) AS n_pairs,
        |  CAST(sum(true_ppm) // count(*) AS BIGINT) AS avg_true_ppm,
@@ -3668,6 +3669,85 @@ object OracleSql {
     sb.toString
   }
 
+  /** Mirror of `km_fit_bounded` — [[graft.operators.KMeans.fitBounded]] over
+    * the 2-D orders YH, END TO END: the flagship fit path cross-engine
+    * hash-checked (closing the round-14 verdict's only reference-visible
+    * oracle gap; reference k-means.sh:16-33 is this loop).
+    *  - seeding rounds 2..k: the [[simIvfFitted]] machinery specialized to
+    *    scalar (x, y) — anti-join by coordinates (NOT EXISTS), integer
+    *    `round(min(sqdist))` D² weights (weightScale 1: orders coordinates
+    *    are large), inclusive key-ordered windowed cumulative sum, the
+    *    `cw·uD ≥ tw·uN` rational-threshold pick with KMeans.FixedUs;
+    *  - Lloyd steps: [[kmWcrLog]]'s assign/re-average CTEs (fixed-point 1e4)
+    *    with the movement gate as the j-ORDERED fold (the kmFitMinibatch
+    *    form — plain `sum` would sum in engine order);
+    *  - fin: the movement-gated union picking the stopped step's centroids;
+    *  - tail: assign ALL points to fin and emit the (j, n, cx, cy) census —
+    *    `km_fit_bounded`'s projection.
+    */
+  def kmFitBounded(k: Int = 4, steps: Int = 3, tol: Double = 0.01): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${Tables.yhOrdersSql},\n"
+    sb ++= "c_1 AS MATERIALIZED (SELECT x, y FROM yh ORDER BY i LIMIT 1)"
+    for (r <- 2 to k) {
+      val (uN, uD) = operators.KMeans.fixedU(r)
+      val chosen = (1 until r).map(q => s"SELECT x, y FROM c_$q")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+                |ch_$r AS MATERIALIZED ($chosen),
+                |w_$r AS (SELECT p.i,
+                |    CAST(round(min((p.x-c.x)*(p.x-c.x)+(p.y-c.y)*(p.y-c.y))) AS BIGINT) AS w
+                |  FROM yh p CROSS JOIN ch_$r c
+                |  WHERE NOT EXISTS (SELECT 1 FROM ch_$r q WHERE q.x = p.x AND q.y = p.y)
+                |  GROUP BY p.i),
+                |u_$r AS (SELECT ww.i,
+                |    sum(ww.w) OVER (ORDER BY ww.i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                |    sum(ww.w) OVER () AS tw FROM w_$r ww),
+                |c_$r AS MATERIALIZED (SELECT yh.x, yh.y FROM u_$r u JOIN yh ON yh.i = u.i
+                |  WHERE u.cw*$uD >= u.tw*$uN ORDER BY u.cw, u.i LIMIT 1)""".stripMargin
+    }
+    val seed = (1 to k)
+      .map(q => s"SELECT CAST($q AS BIGINT) AS j, x, y FROM c_$q")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+              |f0 AS MATERIALIZED ($seed)""".stripMargin
+    for (t <- 1 to steps) {
+      val p = t - 1
+      sb ++= s""",
+                |a_$t AS MATERIALIZED (SELECT i, x, y, j FROM (
+                |  SELECT s.i, s.x, s.y, c.j,
+                |    row_number() OVER (PARTITION BY s.i
+                |      ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y), c.j) AS rn
+                |  FROM yh s CROSS JOIN f$p c) t WHERE rn = 1),
+                |f$t AS MATERIALIZED (SELECT j,
+                |  CAST(sum(CAST(round(x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS x,
+                |  CAST(sum(CAST(round(y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS y
+                |  FROM a_$t GROUP BY j),
+                |m_$t AS MATERIALIZED (SELECT coalesce(list_reduce(list_prepend(0.0,
+                |    list(sqrt((n.x-p.x)*(n.x-p.x)+(n.y-p.y)*(n.y-p.y)) ORDER BY n.j)),
+                |    (a,b) -> a+b), 0.0) AS mv
+                |  FROM f$t n JOIN f$p p ON p.j = n.j)""".stripMargin
+    }
+    val fin = (1 to steps).map { t =>
+      val gates = (1 until t).map(u => s"(SELECT mv FROM m_$u) >= $tol")
+      val stop = if (t < steps) Seq(s"(SELECT mv FROM m_$t) < $tol") else Nil
+      val conds = gates ++ stop
+      val where = if (conds.isEmpty) "" else s" WHERE ${conds.mkString(" AND ")}"
+      s"SELECT j, x, y FROM f$t$where"
+    }.mkString("\nUNION ALL ")
+    sb ++= s""",
+              |fin AS MATERIALIZED (
+              |$fin)
+              |SELECT t.j, CAST(count(*) AS BIGINT) AS n,
+              |  any_value(t.x) AS cx, any_value(t.y) AS cy FROM (
+              |  SELECT s.i, f.j, f.x, f.y,
+              |    row_number() OVER (PARTITION BY s.i
+              |      ORDER BY (s.x-f.x)*(s.x-f.x)+(s.y-f.y)*(s.y-f.y), f.j) AS rn
+              |  FROM yh s CROSS JOIN fin f) t
+              |WHERE rn = 1 GROUP BY t.j""".stripMargin
+    sb.toString
+  }
+
   /** Mirror of `km_fit_minibatch` ([[graft.operators.KMeans.fitMiniBatch]],
     * Sculley 2010) as an UNROLLED CTE chain — the km_fit2_exact / kmWcrLog
     * discipline applied to the mini-batch loop. Every step t replays:
@@ -3949,15 +4029,20 @@ object OracleSql {
 
   /** Mirror of `dedup_soft`: the [[dedupComponents]] map joined with its
     * per-representative cluster sizes, every doc weighted `10⁶ // size`.
+    * The iterative component chain is hoisted into ONE shared MATERIALIZED
+    * CTE (DuckDB inlines plain CTEs per reference — two references would
+    * run the whole label-propagation chain twice), mirroring the Spark
+    * side's memoized reuse.
     */
   def dedupSoft(n: Int, numHashes: Int, bands: Int,
       thrNum: Int, thrDen: Int): String =
-    s"""SELECT comp.doc_id, comp.rep_id, sizes.cluster_size,
+    s"""WITH comp AS MATERIALIZED (
+       |${dedupComponents(n, numHashes, bands, thrNum, thrDen)})
+       |SELECT comp.doc_id, comp.rep_id, sizes.cluster_size,
        |  CAST(1000000 // sizes.cluster_size AS BIGINT) AS weight_ppm
-       |FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) comp
+       |FROM comp
        |JOIN (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
-       |  FROM (${dedupComponents(n, numHashes, bands, thrNum, thrDen)}) c2
-       |  GROUP BY rep_id) sizes ON comp.rep_id = sizes.rep_id""".stripMargin
+       |  FROM comp GROUP BY rep_id) sizes ON comp.rep_id = sizes.rep_id""".stripMargin
 
   /** Mirror of [[operators.Similarity.cellBalance]]: [[simIvf]]'s cell
     * assignment CTEs, one occupancy rollup, the window total for the exact

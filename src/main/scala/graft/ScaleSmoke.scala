@@ -50,12 +50,29 @@ object ScaleSmoke {
     * residues per replica rather than mapping them all to one class.
     */
   def writeScaled(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, tables: Set[String] = Set("documents", "embeddings")): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val docs = Tables.read(spark, baseDir, "documents")
     val emb = Tables.read(spark, baseDir, "embeddings")
-    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1L
     val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    if (tables("documents")) writeScaledDocs(spark, baseDir, outDir, factor)
+    if (!tables("embeddings")) return
+    val embReps = (0 until factor).map { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"),
+          (v, d) => (v + ((lit(r) * 31 + d) % 7 - 3).cast("float") * 1e-3f)
+            .cast("float"))
+      emb.select((col("vec_id") + lit(r * vecStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    embReps.reduce(_ unionAll _).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def writeScaledDocs(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val docs = Tables.read(spark, baseDir, "documents")
+    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1L
     val docReps = (0 until factor).map { r =>
       val s = r + 1
       val text =
@@ -82,17 +99,6 @@ object ScaleSmoke {
     }
     docReps.reduce(_ unionAll _).repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val embReps = (0 until factor).map { r =>
-      val vec =
-        if (r == 0) col("embedding")
-        else transform(col("embedding"),
-          (v, d) => (v + ((lit(r) * 31 + d) % 7 - 3).cast("float") * 1e-3f)
-            .cast("float"))
-      emb.select((col("vec_id") + lit(r * vecStride)).as("vec_id"),
-        vec.as("embedding"), col("label"))
-    }
-    embReps.reduce(_ unionAll _).repartition(8)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   /** The corpus workloads under measurement — the VERDICT-prescribed trio:
@@ -128,22 +134,45 @@ object ScaleSmoke {
   }
 
   def runOne(spark: SparkSession, dir: String, name: String,
-      reps: Int): (Double, PlanShape) = {
-    val fn = SparkEntry.queries(name)
-    val shape = planShape(fn(spark, dir))
+      reps: Int): (Double, PlanShape) =
+    runFn(spark, name, reps, () => SparkEntry.queries(name)(spark, dir))
+
+  private def runFn(spark: SparkSession, name: String, reps: Int,
+      mk: () => DataFrame): (Double, PlanShape) = {
+    val shape = planShape(mk())
     val walls = (1 to reps).map { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     (walls.min, shape)
+  }
+
+  /** The mutual k-NN GRAPH BUILD, invoked directly on the operator (not
+    * through the `sim_knn_graph` binding, whose bounded memo would collect
+    * the result at suite sizes and hide the distributed plan) with the
+    * volume-derived coarse-cell count ([[operators.Similarity.autoCells]]).
+    * This is the 100×-scale exhibit for the auto-scaled quantizer: with the
+    * old pinned 16 cells, within-cell candidate work grows ~n²/16; with
+    * nCells = √n/4 it stays ~n^1.5.
+    */
+  def knnLive(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val n = emb.count()
+    operators.Similarity.knnGraph(emb,
+      operators.Similarity.fixedCentroids(emb, operators.Similarity.autoCells(n)))
   }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("target/scale")
+    // "full" = the prescribed four corpus workloads (documents+embeddings
+    // fixture); "ann" = the 100×-scale ANN exhibits only (sim_ivf_indexed
+    // probe + the live knn graph build) over an embeddings-only fixture —
+    // the verdict-15 measurement for the auto-scaled coarse quantizer
+    val mode = args.lift(3).getOrElse("full")
     val reps = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -155,21 +184,39 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val scaledDir = s"$workDir/x$factor"
-    System.err.println(s"[scale] writing ${factor}x fixture to $scaledDir")
+    System.err.println(s"[scale] writing ${factor}x fixture to $scaledDir (mode=$mode)")
     val tGen0 = System.nanoTime()
-    writeScaled(spark, baseDir, scaledDir, factor)
+    writeScaled(spark, baseDir, scaledDir, factor,
+      tables = if (mode == "ann") Set("embeddings")
+               else Set("documents", "embeddings"))
     val genSec = (System.nanoTime() - tGen0) / 1e9
     // untimed warm-up (JIT/codegen/parquet footers), then the amortized
     // index builds, timed per dir — the Bench warm-up contract
     SparkEntry.queries("q1_agg")(spark, baseDir)
       .write.format("noop").mode("overwrite").save()
-    val buildBase = SparkEntry.prewarmDocIndexes(spark, baseDir)
-    val buildScaled = SparkEntry.prewarmDocIndexes(spark, scaledDir)
+    val (buildBase, buildScaled) =
+      if (mode == "ann")
+        (SparkEntry.prewarmAnnIndex(spark, baseDir),
+          SparkEntry.prewarmAnnIndex(spark, scaledDir))
+      else
+        (SparkEntry.prewarmDocIndexes(spark, baseDir),
+          SparkEntry.prewarmDocIndexes(spark, scaledDir))
     def jnum(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val rows = workloads.map { name =>
-      val (wBase, sBase) = runOne(spark, baseDir, name, reps)
-      val (wScaled, sScaled) = runOne(spark, scaledDir, name, reps)
+    // (name, base-run, scaled-run): queries through the binding; the knn
+    // graph build through the operator directly (see knnLive)
+    val cases: Seq[(String, String => (Double, PlanShape))] =
+      if (mode == "ann")
+        Seq(
+          "sim_ivf_indexed" ->
+            ((d: String) => runOne(spark, d, "sim_ivf_indexed", reps)),
+          "knn_graph_live" ->
+            ((d: String) => runFn(spark, "knn_graph_live", reps,
+              () => knnLive(spark, d))))
+      else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+    val rows = cases.map { case (name, run) =>
+      val (wBase, sBase) = run(baseDir)
+      val (wScaled, sScaled) = run(scaledDir)
       val ratio = wScaled / wBase
       val shapeOk = sBase == sScaled && sBase.nestedLoops == 0
       println(s"""{"workload":"$name","base_sec":${jnum(wBase)},""" +

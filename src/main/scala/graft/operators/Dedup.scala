@@ -574,9 +574,10 @@ object Dedup {
     // sandbox noise band; at corpus scale the saved scans dominate).
     // Lifecycle is caller-owned, the connectedComponents convention.
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-    val sigs = minhashSignatures(docs, n, numHashes)
-      .select(col("doc_id"), sigArr.as("sig"))
-      .cache()
+    val sigs = graft.TransientCaches.register(
+      minhashSignatures(docs, n, numHashes)
+        .select(col("doc_id"), sigArr.as("sig"))
+        .cache())
     bandsList.map { bands =>
       val bs = bandSigs(sigs, numHashes, bands)
       val x = bs.select(col("band"), col("key"),
@@ -639,9 +640,10 @@ object Dedup {
       s"bit widths must be in [1, 31] (31 = raw full width): $bitsList")
     val rows = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"s$i")): _*)
-    val sigs = minhashSignatures(docs, n, numHashes)
-      .select(col("doc_id"), sigArr.as("sig"))
-      .cache()
+    val sigs = graft.TransientCaches.register(
+      minhashSignatures(docs, n, numHashes)
+        .select(col("doc_id"), sigArr.as("sig"))
+        .cache())
     bitsList.map { b =>
       def kept(i: Int) = {
         val v = element_at(col("sig"), i + 1)
@@ -722,6 +724,12 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("ia"), col("ib"))).cast("long"))
       .withColumn("uni",
         size(col("ia")).cast("long") + size(col("ib")) - col("inter"))
+      // two sub-n-token docs both shingle to empty id arrays, band together
+      // on all-null keys, and yield uni = 0 — Spark would emit a NULL ppm
+      // where DuckDB's `//` raises Division by zero. Degenerate pairs carry
+      // no calibration signal; drop them identically on both sides (the
+      // oracle's pp CTE mirrors this filter).
+      .filter(col("uni") > 0)
       .withColumn("true_ppm", expr("inter * 1000000 div uni"))
     truth.groupBy("matches")
       .agg(count(lit(1)).as("n_pairs"), sum("true_ppm").as("s"),

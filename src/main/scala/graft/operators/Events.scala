@@ -745,6 +745,19 @@ object Events {
     require(mat.length <= maxStates * maxStates,
       s"transition matrix has ${mat.length} edges — event-type cardinality " +
         s"broke the bounded-state contract (maxStates = $maxStates)")
+    // the framing states are SENTINELS: an event_type literally named
+    // 'START'/'CONV'/'NULL' (or '', the oracle's base-variant marker) would
+    // silently merge with the framing — and Spark would value-iterate a
+    // literal 'NULL' as a transient from-state while the oracle pins it
+    // absorbing at 0. One pushed-filter limit-1 probe fails loudly instead
+    // of diverging (the maxStates-guard discipline).
+    val clash = events.select(col("event_type"))
+      .filter(col("event_type").isin("START", "CONV", "NULL", ""))
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"event_type '${clash.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "collides with a reserved Markov sentinel state (START/CONV/NULL/''); " +
+        "rename it upstream")
     val transient = mat.map(_._1).distinct.sorted
     def absorb(removed: Option[String]): Long = {
       val m = mat.map { case (f, t, p) =>
@@ -1059,9 +1072,11 @@ object Events {
     * by contract (|days| rows after the daily rollup — the corpus never
     * reaches it), so it folds as one sorted array on a single row: the
     * km_seed_next bounded-relation discipline. The corpus-scale work is
-    * the map-side-combined daily groupBy. Cents are nonnegative by the
-    * fixture contract — integer `div` (truncate) and the oracle's `//`
-    * (floor) agree only on nonnegative operands.
+    * the map-side-combined daily groupBy. The halving step is written as a
+    * FLOOR division (`(v − 1) div 2` on negative v — Spark's `div`
+    * truncates toward zero, DuckDB's `//` floors; they diverge on negative
+    * odd operands), so a negative daily total (refunds in a future fixture)
+    * keeps both engines bit-identical instead of silently hash-diverging.
     */
   def ewma(events: DataFrame): DataFrame = {
     val daily = events
@@ -1071,7 +1086,8 @@ object Events {
       .select(explode(expr(
         "transform(a, (x, i) -> struct(x.d AS d, x.cents AS cents, " +
           "aggregate(slice(a, 2, i), element_at(a, 1).cents, " +
-          "(s, y) -> (y.cents + s) div 2) AS ewma_cents))")).as("r"))
+          "(s, y) -> if(y.cents + s >= 0, (y.cents + s) div 2, " +
+          "(y.cents + s - 1) div 2)) AS ewma_cents))")).as("r"))
       .select(col("r.d").as("d"), col("r.cents").as("cents"),
         col("r.ewma_cents").as("ewma_cents"))
   }

@@ -142,10 +142,16 @@ object Quality {
     * Value-identity: each per-k silhouette regroups the same `round(d·dScale)`
     * longs that [[silhouetteSimplified]] sums, and long sums are associative,
     * so each per-k row is bit-identical to running the single-k operators.
+    *
+    * The sample collect is GUARDED like [[silhouettePairStats]]'s: a
+    * `take(maxCollectRows + 1)` instead of a blind collect, and past the
+    * bound every per-k silhouette runs [[silhouettePairStatsJoin]]'s fully
+    * distributed kernel over the (cached) distributed sample — bit-identical
+    * results (long-sum associativity), no O(n) driver materialization ever.
     */
   def optimalKNested(points: DataFrame, sample: DataFrame, seeds: Seq[Centroid],
       ks: Seq[Int], d1Scale: Double = 1e6, d2Scale: Double = 1e6,
-      dScale: Double = 1e3): DataFrame = {
+      dScale: Double = 1e3, maxCollectRows: Int = 1000000): DataFrame = {
     require(ks.nonEmpty && ks.max <= seeds.size, s"need ${ks.max} seeds, got ${seeds.size}")
     val spark = points.sparkSession
     // -- elbows: one scan, 2·ks.size fixed-point sums, stack() to rows
@@ -157,17 +163,31 @@ object Quality {
       .select(expr(s"stack(${ks.size}, " +
         ks.map(k => s"CAST($k AS BIGINT), d1_$k, d2_$k").mkString(", ") +
         ") AS (k, elbow_d1, elbow_d2)"))
-    // -- silhouettes: collect the sample once, one kernel pass per k over the
-    // local relation (assignment is the same argmin fold as KMeans.assign)
+    // -- silhouettes: collect the sample once (guarded take), one kernel pass
+    // per k over the local relation (assignment is the same argmin fold as
+    // KMeans.assign); past the bound, the distributed join kernel per k over
+    // the cached distributed sample — same integer sums, zero driver rows
     val selSample = sample.select(col("i"), col("Y"))
-    val sampleLocal = spark.createDataFrame(
-      java.util.Arrays.asList(selSample.collect(): _*), selSample.schema)
-    val sil = ks.map { k =>
-      val stats = silhouettePairStats(
-        KMeans.assign(sampleLocal, seeds.take(k)), dScale)
-      silhouetteSimplifiedFromStats(stats, dScale)
-        .select(lit(k.toLong).as("sk"), col("si"))
-    }.reduce(_ unionAll _)
+    val sampleRows = selSample.take(maxCollectRows + 1)
+    val sil =
+      if (sampleRows.length > maxCollectRows) {
+        val dist = selSample.cache()
+        ks.map { k =>
+          val stats = silhouettePairStatsJoin(
+            KMeans.assign(dist, seeds.take(k)), dScale)
+          silhouetteSimplifiedFromStats(stats, dScale)
+            .select(lit(k.toLong).as("sk"), col("si"))
+        }.reduce(_ unionAll _)
+      } else {
+        val sampleLocal = spark.createDataFrame(
+          java.util.Arrays.asList(sampleRows: _*), selSample.schema)
+        ks.map { k =>
+          val stats = silhouettePairStats(
+            KMeans.assign(sampleLocal, seeds.take(k)), dScale)
+          silhouetteSimplifiedFromStats(stats, dScale)
+            .select(lit(k.toLong).as("sk"), col("si"))
+        }.reduce(_ unionAll _)
+      }
     elbows.join(sil, col("k") === col("sk"))
       .select(col("k"), col("elbow_d1"), col("elbow_d2"), col("si"))
   }
@@ -307,11 +327,23 @@ object Quality {
     * repartitioned sample instead of serializing through a
     * BroadcastNestedLoopJoin over a single-partition stream side.
     * Value-identity with the join form is pinned in QualitySpec.
+    *
+    * The "tiny by contract" clause is ENFORCED, not assumed: the collect is
+    * a `take(maxCollectRows + 1)`, and if the sample overflows the bound the
+    * operator falls back to [[silhouettePairStatsJoin]]'s fully distributed
+    * kernel (same integer pair stats — long sums are associative, so the
+    * two forms are bit-identical; ScaleSpec pins the seam). A caller that
+    * mis-sizes its sample gets a slower distributed plan, never an O(n)
+    * driver materialization — the `memoMaxRows` discipline of
+    * SparkEntry.docComponents applied to the kernel itself.
     */
-  def silhouettePairStats(assigned: DataFrame, dScale: Double = 1e3): DataFrame = {
+  def silhouettePairStats(assigned: DataFrame, dScale: Double = 1e3,
+      maxCollectRows: Int = 1000000): DataFrame = {
     val spark = assigned.sparkSession
     val sel = assigned.select(col("i"), col("j"), col("Y"))
-    val rows = sel.collect()
+    val rows = sel.take(maxCollectRows + 1)
+    if (rows.length > maxCollectRows)
+      return silhouettePairStatsJoin(assigned, dScale)
     val ids = rows.map(_.getLong(0))
     val js = rows.map(_.getLong(1))
     val ys = rows.map(_.getSeq[Double](2).toArray)

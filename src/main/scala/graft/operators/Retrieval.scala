@@ -106,8 +106,9 @@ object Retrieval {
   def prfBm25(docs: DataFrame, nQueries: Int = 5, nTerms: Int = 3,
       nFb: Int = 3, nExp: Int = 2, kOut: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    prfBm25FromTf(TextAnalysis.tfRelation(docs).persist(), nQueries, nTerms,
-      nFb, nExp, kOut, k1, b)
+    prfBm25FromTf(
+      graft.TransientCaches.register(TextAnalysis.tfRelation(docs).persist()),
+      nQueries, nTerms, nFb, nExp, kOut, k1, b)
 
   /** [[prfBm25]] over an ALREADY-MATERIALIZED `(doc_id, dl, token, tf)`
     * relation — the probe half of the build/probe split: with the
@@ -133,7 +134,8 @@ object Retrieval {
     // persisted: the vocabulary df rollup re-aggregates the whole tf
     // relation and feeds THREE consumers (initial terms, expansion-term df
     // lookup, and the round-2 union's recompute of qterms)
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df")).persist()
+    val df = graft.TransientCaches.register(
+      tf.groupBy("token").agg(count(lit(1)).as("df")).persist())
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score_e6"), asc("token"))
     // qterms is deliberately NOT persisted: its tf-read + df-join + window

@@ -295,9 +295,10 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("s.dims").as("dims"),
         col("s.c").as("c"))
     val w = Window.partitionBy("dims", "q_id").orderBy(desc("c"), col("n_id"))
-    val ranked = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k).select("dims", "q_id", "n_id")
-      .persist()
+    val ranked = graft.TransientCaches.register(
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k).select("dims", "q_id", "n_id")
+        .persist())
     val ex = ranked.filter(col("dims") === full.toLong)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     ranked.join(ex, Seq("q_id", "n_id"), "left")
@@ -393,10 +394,11 @@ object Similarity {
     val wr = Window.partitionBy("n_probe", "q_id").orderBy(desc("c"), col("n_id"))
     // persisted: the per-level candidate relation feeds both the COST
     // census (n_cand — what each probe level pays) and the rank cut
-    val lv = cand.select(col("q_id"), col("n_id"), col("c"), col("pr"),
-        explode(levels).as("n_probe"))
-      .filter(col("pr") <= col("n_probe"))
-      .persist()
+    val lv = graft.TransientCaches.register(
+      cand.select(col("q_id"), col("n_id"), col("c"), col("pr"),
+          explode(levels).as("n_probe"))
+        .filter(col("pr") <= col("n_probe"))
+        .persist())
     val cost = lv.groupBy("n_probe").agg(count(lit(1)).as("n_cand"))
     val approx = lv
       .withColumn("rnk", row_number().over(wr))
@@ -488,7 +490,8 @@ object Similarity {
     // ONE corpus scan: the total folds from the |cells|-row rollup itself
     // (the oracle's sum(n_vecs) OVER ()), which persists for its two
     // consumers — never a second pass over the vectors
-    val occ = cells.groupBy("cell").agg(count(lit(1)).as("n_vecs")).persist()
+    val occ = graft.TransientCaches.register(
+      cells.groupBy("cell").agg(count(lit(1)).as("n_vecs")).persist())
     val tot = occ.agg(sum("n_vecs").as("n_total"))
     occ.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),
@@ -966,6 +969,21 @@ object Similarity {
     emb2v(emb).select(col("vec_id"),
       transform(col("v"), x => when(n > 0, x / n).otherwise(0.0)).as("embedding"))
   }
+
+  /** Volume-derived coarse-cell count for the IVF/blocking family:
+    * `max(floorCells, ⌊√n / 4⌋)`. A CONSTANT cell count is the classic
+    * IVF scale-killer — cell population is n/nCells, so within-cell
+    * candidate equi-joins grow quadratically in n; growing nCells with √n
+    * keeps cell population ~4√n and the probe cost ~n^1.5 / nCells·nProbe —
+    * sub-quadratic at any corpus size (the FAISS nlist ≈ c·√n rule). The
+    * floor pins the HISTORICAL 16 cells at every oracle/bench fixture
+    * (n ≤ 2000 ⇒ √n/4 ≤ 11 < 16), so all hash pins and floors survive;
+    * the formula engages at the scale smokes (n = 20k ⇒ 35 cells,
+    * n = 200k ⇒ 111 cells) and beyond. Build and probe sides derive the
+    * count from the same data, so they always agree on the cell geometry.
+    */
+  def autoCells(n: Long, floorCells: Int = 16): Int =
+    math.max(floorCells, (math.sqrt(n.toDouble) / 4.0).toInt)
 
   /** Deterministic fixed coarse centroids for the oracle: the vectors with
     * vec_id < nCells, cell id = vec_id + 1 in vec_id order.

@@ -80,6 +80,66 @@ class ScaleSpec extends SparkSpec {
         s"banding-accident rate $baseRate — replication leaks similarity")
   }
 
+  test("silhouette pair kernel: past maxCollectRows the collect is refused and " +
+      "the distributed join kernel takes over, bit-identically") {
+    val yh = Tables.yhOrders(spark, sf("0.001"))
+    val sample = yh.filter(col("i") % 29 === 0)
+    val assigned = operators.KMeans.assign(
+      sample, operators.KMeans.seedFirstK(yh, 4)).cache()
+    val kernel = operators.Quality.silhouettePairStats(assigned)
+    val guarded = operators.Quality.silhouettePairStats(assigned, maxCollectRows = 3)
+    // the guard must actually engage: the fallback plans a distributed join,
+    // the kernel path a collected local relation (no Join anywhere)
+    assert(!kernel.queryExecution.optimizedPlan.toString.contains("Join"),
+      "kernel path unexpectedly plans a join")
+    assert(guarded.queryExecution.optimizedPlan.toString.contains("Join"),
+      "guard did not engage the distributed fallback")
+    val a = kernel.orderBy("i1", "j2").collect().toSeq
+    val b = guarded.orderBy("i1", "j2").collect().toSeq
+    assigned.unpersist()
+    assert(a.nonEmpty && a == b, "fallback diverged from the kernel")
+  }
+
+  test("optimalKNested: past maxCollectRows the per-k silhouettes run the " +
+      "distributed join kernel, bit-identically") {
+    val yh = Tables.yhOrders(spark, sf("0.001")).cache()
+    val sample = yh.filter(col("i") % 29 === 0)
+    val seeds = operators.KMeans.seedFirstK(yh, 5)
+    def run(bound: Int) = operators.Quality.optimalKNested(yh, sample, seeds,
+        ks = 2 to 5, d1Scale = 1e4, d2Scale = 0.01, maxCollectRows = bound)
+      .orderBy("k").collect().toSeq
+    val local = run(1000000)
+    val dist = run(3)
+    assert(local.nonEmpty && local == dist,
+      "distributed optimalKNested fallback diverged from the local-sample path")
+  }
+
+  test("shared-stage memos are row-identical to their live distributed plans " +
+      "(the memoMaxRows seam can never silently diverge)") {
+    // the memo/live seam exists in docComponents, cleanComponents and
+    // knnEdges; each consumer below exercises one of the three. The memo
+    // path collects the SAME live plan, so parity should be trivial — this
+    // spec exists so a future edit to either side trips loudly.
+    val dir = sf("0.001")
+    def results(): Map[String, Set[String]] =
+      Seq("dedup_components", "pipeline_clean", "sim_knn_graph").map { name =>
+        name -> SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.toString).toSet
+      }.toMap
+    SparkEntry.clearMemos()
+    val memo = results() // populates + reads memos (small fixture)
+    SparkEntry.clearMemos()
+    SparkEntry.memoMaxRowsOverride = Some(0L) // every consumer goes live
+    val live = try results() finally {
+      SparkEntry.memoMaxRowsOverride = None
+      SparkEntry.clearMemos()
+    }
+    memo.foreach { case (name, rows) =>
+      assert(rows.nonEmpty && rows == live(name),
+        s"$name: memo path diverged from the live distributed plan")
+    }
+  }
+
   test("plan shape is invariant under corpus scale-up for every smoke workload") {
     ScaleSmoke.workloads.foreach { name =>
       val fn = SparkEntry.queries(name)
