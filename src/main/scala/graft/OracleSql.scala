@@ -4014,6 +4014,209 @@ object OracleSql {
       |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes
       |FROM b GROUP BY kind""".stripMargin
 
+  // ------------------------------------------------------------- mm hashes
+  //
+  // The media fixtures are DETERMINISTIC functions of (doc_id, n_chars)
+  // (Multimodal.mediaTable), so the binary-decode queries have closed-form
+  // ANSI mirrors after all: the oracle re-derives each expected feature from
+  // the generator arithmetic directly, while the Spark side must encode the
+  // container, parse it back with the real RIFF/BMP/AVI walkers, and decode
+  // pixels/PCM — a hash match pins the entire encode→decode→feature loop
+  // against an independent derivation that never touches a byte buffer.
+  //
+  // Exactness discipline for the image/frame hashes: `resizeDibLuma`
+  // accumulates per-cell luma in row-major order with per-step double
+  // rounding, so the mirror uses DuckDB's ordered `list(... ORDER BY y, x)`
+  // + `list_reduce` left fold — the bit-exact replay of Scala's `sum += l`
+  // loop (plain SUM() reassociates and could flip the float cast on a
+  // boundary). Cell values then round through FLOAT exactly like `.toFloat`,
+  // and the 64-bit hash is assembled as a BIGINT sum of powers of two (bit
+  // 63 contributes Long.MinValue — two's complement built by addition).
+
+  /** The shared image-aHash CTE chain: `ih(id, ahash)` for every image row
+    * (doc_id % 3 = 0), mirroring [[operators.Multimodal.aHashOf]] over the
+    * [[operators.Multimodal.bmpPixel]] gradient — an 8×8 box filter over the
+    * w×h geometry (w = id%24+8, h = id%16+8), cell bounds `t·dim/8` in
+    * integer division, Rec.601 luma in the exact source evaluation order.
+    */
+  private val mmImageHashCtes: String =
+    """img AS (SELECT doc_id AS id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |icell AS (SELECT img.id, c.c AS ci,
+      |    (c.c % 8) * img.w // 8 AS x0, (c.c % 8 + 1) * img.w // 8 AS x1,
+      |    (c.c // 8) * img.h // 8 AS y0, (c.c // 8 + 1) * img.h // 8 AS y1
+      |  FROM img, (SELECT unnest(range(0, 64)) AS c) c),
+      |icsum AS (SELECT icell.id, icell.ci, icell.x0, icell.x1, icell.y0, icell.y1,
+      |    list_reduce(list(
+      |      0.299 * CAST((p.x*37 + icell.id) % 256 AS DOUBLE)
+      |      + 0.587 * CAST((p.y*53 + icell.id*7) % 256 AS DOUBLE)
+      |      + 0.114 * CAST((p.x + p.y + icell.id*13) % 256 AS DOUBLE)
+      |      ORDER BY p.y, p.x), (a, b) -> a + b) AS s
+      |  FROM icell, LATERAL (SELECT x.x, y.y
+      |    FROM (SELECT unnest(range(icell.x0, icell.x1)) AS x) x,
+      |         (SELECT unnest(range(icell.y0, icell.y1)) AS y) y) p
+      |  GROUP BY ALL),
+      |igval AS (SELECT id, ci,
+      |    CAST(s / ((y1 - y0) * (x1 - x0)) / 255.0 AS FLOAT) AS g FROM icsum),
+      |igmean AS (SELECT id,
+      |    list_reduce(list(CAST(g AS DOUBLE) ORDER BY ci), (a, b) -> a + b) / 64 AS m
+      |  FROM igval GROUP BY id),
+      |ih AS (SELECT igval.id,
+      |    CAST(sum(CASE WHEN CAST(igval.g AS DOUBLE) > igmean.m THEN
+      |      CASE WHEN igval.ci = 63 THEN -9223372036854775807::BIGINT - 1
+      |           ELSE 1::BIGINT << igval.ci END ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM igval JOIN igmean ON igval.id = igmean.id GROUP BY igval.id)""".stripMargin
+
+  /** The shared video-frame-aHash CTE chain: `vfh(id, f, ahash)` for every
+    * (video, frame), mirroring [[operators.Multimodal.frameAHashesOf]]: the
+    * [[operators.Multimodal.aviPixel]] pan (frame f reads the base gradient
+    * at (x+2f, y+f)), the 8×min(8,h) grid clamp for short clips
+    * (h = id%12+6 can dip below 8 rows), and the identical ordered-fold
+    * luma accumulation as [[mmImageHashCtes]].
+    */
+  private val mmFrameHashCtes: String =
+    """vid AS (SELECT doc_id AS id, doc_id % 16 + 8 AS w, doc_id % 12 + 6 AS h,
+      |    doc_id % 5 + 2 AS nf, least(8, doc_id % 12 + 6) AS th
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |vfr AS (SELECT vid.*, f.f
+      |  FROM vid, LATERAL (SELECT unnest(range(0, vid.nf)) AS f) f),
+      |vcell AS (SELECT vfr.id, vfr.f, vfr.th, c.c AS ci,
+      |    (c.c % 8) * vfr.w // 8 AS x0, (c.c % 8 + 1) * vfr.w // 8 AS x1,
+      |    (c.c // 8) * vfr.h // vfr.th AS y0, (c.c // 8 + 1) * vfr.h // vfr.th AS y1
+      |  FROM vfr, LATERAL (SELECT unnest(range(0, 8 * vfr.th)) AS c) c),
+      |vcsum AS (SELECT vcell.id, vcell.f, vcell.th, vcell.ci,
+      |    vcell.x0, vcell.x1, vcell.y0, vcell.y1,
+      |    list_reduce(list(
+      |      0.299 * CAST(((p.x + 2*vcell.f)*37 + vcell.id) % 256 AS DOUBLE)
+      |      + 0.587 * CAST(((p.y + vcell.f)*53 + vcell.id*7) % 256 AS DOUBLE)
+      |      + 0.114 * CAST(((p.x + 2*vcell.f) + (p.y + vcell.f) + vcell.id*13) % 256
+      |          AS DOUBLE)
+      |      ORDER BY p.y, p.x), (a, b) -> a + b) AS s
+      |  FROM vcell, LATERAL (SELECT x.x, y.y
+      |    FROM (SELECT unnest(range(vcell.x0, vcell.x1)) AS x) x,
+      |         (SELECT unnest(range(vcell.y0, vcell.y1)) AS y) y) p
+      |  GROUP BY ALL),
+      |vgval AS (SELECT id, f, th, ci,
+      |    CAST(s / ((y1 - y0) * (x1 - x0)) / 255.0 AS FLOAT) AS g FROM vcsum),
+      |vgmean AS (SELECT id, f,
+      |    list_reduce(list(CAST(g AS DOUBLE) ORDER BY ci), (a, b) -> a + b)
+      |      / (8 * any_value(th)) AS m
+      |  FROM vgval GROUP BY id, f),
+      |vfh AS (SELECT vgval.id, vgval.f,
+      |    CAST(sum(CASE WHEN CAST(vgval.g AS DOUBLE) > vgmean.m THEN
+      |      CASE WHEN vgval.ci = 63 THEN -9223372036854775807::BIGINT - 1
+      |           ELSE 1::BIGINT << vgval.ci END ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM vgval JOIN vgmean ON vgval.id = vgmean.id AND vgval.f = vgmean.f
+      |  GROUP BY vgval.id, vgval.f)""".stripMargin
+
+  /** Mirror of `mm_thumbs`: output SIZES of the fixed-budget resamples —
+    * images always emit the 4×4 = 16-value luma grid
+    * ([[operators.Multimodal.thumbnails]]), videos keep min(nf, 4) frame
+    * lumas ([[operators.Multimodal.frameSamples]]: uniform k-spacing, every
+    * frame when the clip is shorter than k). Closed form from the generator
+    * geometry; the Spark side must decode the real containers to count.
+    */
+  val mmThumbs: String =
+    """SELECT doc_id AS media_id, 'image' AS kind, 16::BIGINT AS n_vals
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, 'video', least(doc_id % 5 + 2, 4)::BIGINT
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+
+  /** Mirror of `mm_audio_seg`: [[operators.Multimodal.audioActivity]]'s
+    * exact-integer window energies re-derived from the PCM generator —
+    * sample t is `trunc(sin(2π·440(1+id%5)·t/16000) · (8000+(id%7)·3000))`
+    * ([[operators.Multimodal.pcmSamples]] via Short truncation), windows of
+    * 64 samples (the tail window partial), window active when
+    * `e·10⁶ ≥ 250000·peak`, and the longest active run via the
+    * gaps-and-islands inactive-prefix-count. sin() agreement across engines
+    * is safe here: a last-ulp divergence only matters within ~3e-12 of an
+    * integer boundary before truncation.
+    */
+  val mmAudioSeg: String =
+    """WITH au AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) % 480 + 48 AS n,
+      |    440.0 * (1 + doc_id % 5) AS freq, 8000 + (doc_id % 7) * 3000 AS amp
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |smp AS (SELECT au.id, t.t, t.t // 64 AS wi,
+      |    CAST(trunc(sin(2 * pi() * au.freq * t.t / 16000) * au.amp) AS BIGINT) AS s
+      |  FROM au, LATERAL (SELECT unnest(range(0, au.n)) AS t) t),
+      |win AS (SELECT id, wi, sum(s * s)::BIGINT AS e FROM smp GROUP BY id, wi),
+      |pk AS (SELECT id, max(e) AS peak FROM win GROUP BY id),
+      |act AS (SELECT win.id, win.wi, win.e, pk.peak,
+      |    (win.e * 1000000 >= 250000 * pk.peak AND pk.peak > 0) AS is_active
+      |  FROM win JOIN pk ON win.id = pk.id),
+      |grp AS (SELECT id, wi, peak, is_active,
+      |    sum(CASE WHEN is_active THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY id ORDER BY wi ROWS UNBOUNDED PRECEDING) AS g
+      |  FROM act),
+      |runs AS (SELECT id, g, count(*)::BIGINT AS run_len
+      |  FROM grp WHERE is_active GROUP BY id, g)
+      |SELECT a.id AS media_id, 16000::BIGINT AS sample_rate,
+      |  count(*)::BIGINT AS n_windows,
+      |  sum(CASE WHEN a.is_active THEN 1 ELSE 0 END)::BIGINT AS n_active,
+      |  coalesce((SELECT max(run_len) FROM runs r WHERE r.id = a.id), 0)::BIGINT
+      |    AS max_run,
+      |  any_value(a.peak)::BIGINT AS peak_win_e
+      |FROM grp a GROUP BY a.id""".stripMargin
+
+  /** Mirror of `mm_keyframes`: per-frame hashes from [[mmFrameHashCtes]],
+    * the lag/XOR/popcount cut detector (frame 0 keys; a cut is a ≥33-bit
+    * hamming delta), and the per-video census with `max_cut_hamming` = the
+    * strongest CUT (0 for single-shot clips — sub-threshold deltas are not
+    * cuts, the documented contract).
+    */
+  val mmKeyframes: String =
+    s"""WITH $mmFrameHashCtes,
+       |lagd AS (SELECT id, f, ahash,
+       |    lag(ahash) OVER (PARTITION BY id ORDER BY f) AS prev
+       |  FROM vfh),
+       |kd AS (SELECT id, f,
+       |    CASE WHEN prev IS NULL THEN NULL
+       |         ELSE bit_count(xor(ahash, prev))::BIGINT END AS dh
+       |  FROM lagd)
+       |SELECT id AS media_id, count(*)::BIGINT AS n_frames,
+       |  sum(CASE WHEN dh IS NULL OR dh >= 33 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_keyframes,
+       |  coalesce(max(CASE WHEN dh >= 33 THEN dh END), 0)::BIGINT
+       |    AS max_cut_hamming
+       |FROM kd GROUP BY id""".stripMargin
+
+  /** Mirror of `mm_phash`: image aHashes from [[mmImageHashCtes]] plus the
+    * byte-identical id%5=0 copies under shifted ids, then the hamming-≤3
+    * partner count. The Spark side generates candidates through the
+    * pigeonhole chunk blocking; the mirror joins ALL pairs directly —
+    * semantically identical because the 4-chunk split is COMPLETE for
+    * hamming ≤ 3 (3 differing bits cannot touch all 4 chunks), so a hash
+    * match also certifies the blocking loses no qualifying pair.
+    */
+  val mmPhash: String =
+    s"""WITH $mmImageHashCtes,
+       |hs AS (SELECT id AS media_id, ahash FROM ih
+       |  UNION ALL SELECT id + 1000000, ahash FROM ih WHERE id % 5 = 0),
+       |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM hs a JOIN hs b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+       |du AS (SELECT id, count(*)::BIGINT AS n_dups FROM (
+       |    SELECT a_id AS id FROM pr UNION ALL SELECT b_id FROM pr) u GROUP BY id)
+       |SELECT hs.media_id, hs.ahash, coalesce(du.n_dups, 0)::BIGINT AS n_dups
+       |FROM hs LEFT JOIN du ON hs.media_id = du.id""".stripMargin
+
+  /** Mirror of `mm_frame_dedup`: frame hashes from [[mmFrameHashCtes]] keyed
+    * by the composite media_id·100+frame_ix (copies of id%5=1 clips ride in
+    * under +10⁶ shifted ids), exact-equality pairs (maxHamming = 0), rolled
+    * up to matched-frame counts per video pair.
+    */
+  val mmFrameDedup: String =
+    s"""WITH $mmFrameHashCtes,
+       |fh2 AS (SELECT id * 100 + f AS media_id, ahash FROM vfh
+       |  UNION ALL SELECT (id + 1000000) * 100 + f, ahash FROM vfh
+       |  WHERE id % 5 = 1),
+       |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM fh2 a JOIN fh2 b ON a.ahash = b.ahash AND a.media_id < b.media_id)
+       |SELECT a_id // 100 AS a_vid, b_id // 100 AS b_vid,
+       |  count(*)::BIGINT AS n_frames
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   /** Mirror of the `dedup_cluster_sizes` rollup: [[dedupComponents]]'s
     * label propagation nested as a subquery, sizes per representative,
     * then the (size → clusters, docs) histogram.

@@ -1939,17 +1939,23 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (all three kinds decode their REAL
-    // containers — WAV/BMP/AVI, values pinned in MultimodalSpec; rows-only
-    // check because binary container decode has no ANSI mirror) ----
+    // containers — WAV/BMP/AVI, values pinned in MultimodalSpec). The media
+    // fixtures are deterministic in (doc_id, n_chars), so every feature has
+    // a CLOSED-FORM DuckDB mirror that re-derives it from the generator
+    // arithmetic (OracleSql mm*) — the hash compare pins the whole
+    // encode→parse→decode→feature loop without the oracle touching a byte
+    // buffer ----
     "mm_features" -> ((s, dir) => {
       val media = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
       Multimodal.featureStats(Multimodal.decodeFeatures(media))
         .select(col("kind"), col("n"), col("total_bytes"))
     }),
-    // resize + frame-sample (rows-only: the decode isn't SQL-expressible):
-    // box-filtered luma thumbnails per image, k uniformly-spaced frame
-    // lumas per video — the fixed-budget preprocessing both vision and
-    // video training pipelines run before the encoder
+    // resize + frame-sample: box-filtered luma thumbnails per image, k
+    // uniformly-spaced frame lumas per video — the fixed-budget
+    // preprocessing both vision and video training pipelines run before
+    // the encoder. Oracle re-derives the output sizes from the generator
+    // geometry (the grids themselves are float arrays — their VALUES are
+    // pinned cell by cell in MultimodalSpec)
     "mm_thumbs" -> ((s, dir) => {
       val media = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
       val th = Multimodal.thumbnails(media).toDF()
@@ -1960,18 +1966,12 @@ object SparkEntry {
           size(col("lumas")).cast("long").as("n_vals"))
       th.unionByName(fr)
     }),
-    // perceptual image dedup (rows-only: BMP decode isn't SQL-expressible):
-    // aHash per image plus the hamming-≤3 partner count off the pigeonhole
-    // chunk join. Every 5th image rides in twice (byte-identical copy under
-    // a shifted id), so the pairing path runs against real duplicates;
-    // planted-near-dup recall and blocking completeness are pinned in
-    // MultimodalSpec
     // frame-level video near-dup (re-encoded clips, shared intros): every
     // frame aHashed with the image hasher's exact loop, composite
     // (video, frame) keys through the same pigeonhole blocking, rolled up
     // to matched-frame counts per video pair. Planted copies (id-shifted
-    // re-encodes) guarantee real positives; rows-only like the rest of the
-    // mm family (binary container decode has no ANSI mirror)
+    // re-encodes) guarantee real positives; hash-checked against the
+    // closed-form frame-hash mirror (OracleSql.mmFrameDedup)
     "mm_frame_dedup" -> ((s, dir) => {
       val vids = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
         .filter(col("kind") === "video")
@@ -1990,18 +1990,18 @@ object SparkEntry {
         .groupBy("a_vid", "b_vid").agg(count(lit(1)).as("n_frames"))
     }),
 
-    // shot-boundary keyframe census per video (rows-only: AVI decode isn't
-    // SQL-expressible): per-frame aHash deltas, frame 0 + every cut at or
-    // above the default 33-bit threshold keys; golden-pinned in
-    // MultimodalSpec
+    // shot-boundary keyframe census per video: per-frame aHash deltas,
+    // frame 0 + every cut at or above the default 33-bit threshold keys;
+    // golden-pinned in MultimodalSpec AND hash-checked against the
+    // closed-form frame-hash mirror (OracleSql.mmKeyframes)
     "mm_keyframes" -> ((s, dir) =>
       Multimodal.keyframes(
         Multimodal.mediaTable(Tables.read(s, dir, "documents")))),
 
-    // energy-based audio activity segmentation (rows-only: WAV decode isn't
-    // SQL-expressible): real RIFF/PCM parse, exact-integer window energies,
-    // active-window census + longest speech run per clip relative to the
-    // clip's own loudest window
+    // energy-based audio activity segmentation: real RIFF/PCM parse,
+    // exact-integer window energies, active-window census + longest speech
+    // run per clip relative to the clip's own loudest window; hash-checked
+    // against the closed-form PCM mirror (OracleSql.mmAudioSeg)
     "mm_audio_seg" -> ((s, dir) =>
       Multimodal.audioActivity(
         Multimodal.mediaTable(Tables.read(s, dir, "documents"))).toDF()),
@@ -3605,6 +3605,11 @@ object SparkEntry {
          |FROM a2 GROUP BY j""".stripMargin,
     "km_wcr_log" -> OracleSql.kmWcrLog(k = 4, steps = 3, tol = 0.01),
     "mm_features" -> OracleSql.mmFeatures,
+    "mm_thumbs" -> OracleSql.mmThumbs,
+    "mm_audio_seg" -> OracleSql.mmAudioSeg,
+    "mm_keyframes" -> OracleSql.mmKeyframes,
+    "mm_phash" -> OracleSql.mmPhash,
+    "mm_frame_dedup" -> OracleSql.mmFrameDedup,
     "emb_pca" -> OracleSql.embPca(dim = 64, iters = 100),
     "km_elbow" ->
       s"""WITH $YH, $C4,
