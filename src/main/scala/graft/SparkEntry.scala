@@ -603,6 +603,27 @@ object SparkEntry {
     Similarity.fixedCentroids(emb, Similarity.autoCells(n))
   }
 
+  /** The blocked-vs-exact recall curve over the embeddings at a given
+    * cosine threshold: one [[operators.Dedup.blockedFirstProbe]] indexing
+    * pass prices every probe level {1,2,4,8} at once. Shared by
+    * `dedup_semantic_recall` (the 0.35 near-dup threshold) and
+    * `dedup_semantic_probe` (semanticDedup's own 0.50 production
+    * threshold).
+    */
+  private def semanticRecallCurve(s: SparkSession, dir: String,
+      thrE6: Long): DataFrame = {
+    val emb = Tables.read(s, dir, "embeddings")
+    Dedup.blockedFirstProbe(emb, embCells(s, dir), thrE6 = thrE6, maxProbe = 8)
+      .select(col("first_probe"),
+        explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("n_probe"))
+      .groupBy("n_probe")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(when(col("first_probe") <= col("n_probe"), 1L).otherwise(0L))
+          .cast("long").as("n_hit"))
+      .select(col("n_probe"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   /** Both silhouette queries derive exactly from ONE O(n²) pair-stats stage
     * (Quality.silhouettePairStats) — n_sample × k rows of pure integers, so
     * memoizing the collected rows is deterministic and tiny. The quadratic
@@ -1199,19 +1220,15 @@ object SparkEntry {
     // so ONE indexing pass prices every probe level and the curve (24% ->
     // 54% -> 93% -> 100% at sf0.01) is the instrument that picks
     // nCells/nProbe before anyone trusts the pruning
-    "dedup_semantic_recall" -> ((s, dir) => {
-      val emb = Tables.read(s, dir, "embeddings")
-      val cents = embCells(s, dir)
-      Dedup.blockedFirstProbe(emb, cents, thrE6 = 350000L, maxProbe = 8)
-        .select(col("first_probe"),
-          explode(typedlit(Seq(1L, 2L, 4L, 8L))).as("n_probe"))
-        .groupBy("n_probe")
-        .agg(count(lit(1)).cast("long").as("n_exact"),
-          sum(when(col("first_probe") <= col("n_probe"), 1L).otherwise(0L))
-            .cast("long").as("n_hit"))
-        .select(col("n_probe"), col("n_exact"), col("n_hit"),
-          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
-    }),
+    "dedup_semantic_recall" -> ((s, dir) =>
+      semanticRecallCurve(s, dir, thrE6 = 350000L)),
+    // the SAME curve at dedup_semantic's own production threshold (0.50
+    // cosine) — the instrument that adjudicates semanticDedup's single-cell
+    // (nProbe = 1) blocking: at the tighter threshold near-dups co-assign
+    // far more often than at 0.35, and the recorded decision lives in
+    // Dedup.semanticDedup's scaladoc next to the knob it prices
+    "dedup_semantic_probe" -> ((s, dir) =>
+      semanticRecallCurve(s, dir, thrE6 = 500000L)),
 
     // ---- similarity search (beyond-reference) ----
     "sim_topk" -> ((s, dir) =>
@@ -3822,6 +3839,8 @@ object SparkEntry {
     "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
     "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16,
       thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
+    "dedup_semantic_probe" -> OracleSql.dedupSemanticRecall(nCells = 16,
+      thrE6 = 500000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
     "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),

@@ -292,6 +292,27 @@ class DedupSpec extends SparkSpec {
     assert(real.count() == realEmb.count()) // one verdict row per vector
   }
 
+  test("semanticDedup multi-probe: nProbe widens merges, nProbe=1 is the default") {
+    import graft.operators.Similarity
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    val p1 = Dedup.semanticDedup(emb, cents, thrE6 = 500000L)
+    val p1Default = Dedup.semanticDedup(emb, cents, thrE6 = 500000L, nProbe = 1)
+    assert(p1.collect().map(_.toSeq).toSet == p1Default.collect().map(_.toSeq).toSet)
+    // the recorded production setting (dedup_semantic_probe curve: 21% ->
+    // 57% -> 100% recall at probes 1/2/4, sf0.1): deeper probes only ever
+    // ADD duplicate pairs, so clusters merge — keepers can't increase, and
+    // every vector still gets exactly one verdict row with one keeper per
+    // cluster
+    val p4 = Dedup.semanticDedup(emb, cents, thrE6 = 500000L, nProbe = 4)
+    assert(p4.count() == emb.count())
+    val kept1 = p1.filter(col("kept") === 1L).count()
+    val kept4 = p4.filter(col("kept") === 1L).count()
+    assert(kept4 <= kept1)
+    assert(p4.groupBy("rep_id").agg(sum("kept").as("nk"))
+      .filter(col("nk") =!= 1L).count() == 0)
+  }
+
   test("semantic-recall curve: monotone in nProbe, hits bound by exact pairs") {
     val rows = SparkEntry.queries("dedup_semantic_recall")(spark, sf("0.001"))
       .orderBy("n_probe")
