@@ -3685,9 +3685,13 @@ object OracleSql {
     *  - tail: assign ALL points to fin and emit the (j, n, cx, cy) census —
     *    `km_fit_bounded`'s projection.
     */
-  def kmFitBounded(k: Int = 4, steps: Int = 3, tol: Double = 0.01): String = {
+  /** The exact inverse-CDF k-means++ seed chain over `yh` (rounds 2..k
+    * with the [[operators.KMeans.FixedUs]] rational draws), shared by
+    * [[kmFitBounded]] and [[kmFitFree]]: emits CTEs `c_1..c_k` (one seed
+    * point each). Must follow a `yh AS (...)` CTE.
+    */
+  private def kmSeedCtes(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH ${Tables.yhOrdersSql},\n"
     sb ++= "c_1 AS MATERIALIZED (SELECT x, y FROM yh ORDER BY i LIMIT 1)"
     for (r <- 2 to k) {
       val (uN, uD) = operators.KMeans.fixedU(r)
@@ -3706,11 +3710,20 @@ object OracleSql {
                 |c_$r AS MATERIALIZED (SELECT yh.x, yh.y FROM u_$r u JOIN yh ON yh.i = u.i
                 |  WHERE u.cw*$uD >= u.tw*$uN ORDER BY u.cw, u.i LIMIT 1)""".stripMargin
     }
-    val seed = (1 to k)
-      .map(q => s"SELECT CAST($q AS BIGINT) AS j, x, y FROM c_$q")
-      .mkString(" UNION ALL ")
+    sb.toString
+  }
+
+  /** The `f0` union labelling [[kmSeedCtes]]'s picks `j = 1..k`. */
+  private def kmSeedUnion(k: Int): String = (1 to k)
+    .map(q => s"SELECT CAST($q AS BIGINT) AS j, x, y FROM c_$q")
+    .mkString(" UNION ALL ")
+
+  def kmFitBounded(k: Int = 4, steps: Int = 3, tol: Double = 0.01): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${Tables.yhOrdersSql},\n"
+    sb ++= kmSeedCtes(k)
     sb ++= s""",
-              |f0 AS MATERIALIZED ($seed)""".stripMargin
+              |f0 AS MATERIALIZED (${kmSeedUnion(k)})""".stripMargin
     for (t <- 1 to steps) {
       val p = t - 1
       sb ++= s""",
@@ -3746,6 +3759,73 @@ object OracleSql {
               |  FROM yh s CROSS JOIN fin f) t
               |WHERE rn = 1 GROUP BY t.j""".stripMargin
     sb.toString
+  }
+
+  /** Mirror of `km_fit_free` — the FREE-RUNNING fit: the reference's actual
+    * lifecycle (k-means.sh:16-33 loops `while delta ≥ tol` with no step
+    * budget) replayed as a RECURSIVE CTE, where every prior fit oracle
+    * ([[kmFitBounded]], [[kmWcrLog]], [[kmFitMinibatch]]) had to unroll a
+    * bounded chain. The working table carries step t's (j, x, y) plus that
+    * step's total movement `mv`; each recursion assigns all points to the
+    * previous centroids (the strict-< row_number argmin), re-averages with
+    * the fixed-point 1e4 sums, and emits step t+1 only while the previous
+    * movement stayed ≥ tol — data decides the iteration count (43 steps at
+    * sf0.01, far past any practical unroll), both engines stop on the same
+    * predicate, and the census over the LAST step hash-matches.
+    *
+    * Engine notes, hard-won: DuckDB 1.0 allows ONE aggregation level over
+    * the recursive reference — the movement (an aggregate OF the
+    * re-average aggregate) must be a window (`list(...) OVER (ORDER BY j
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`), not a
+    * second grouped CTE (binder: "LATERAL join cannot contain
+    * aggregates"). The j-ordered movement fold is the coalesce-padded
+    * left-assoc chain `(((0+m₁)+m₂)+…` — tail-padding with +0.0 is exact,
+    * so dropped (empty) clusters reproduce Scala's skip-absent fold.
+    * `maxSteps` mirrors the Spark side's safety cap (both engines would
+    * loop forever on a non-converging fixture otherwise); the fixture
+    * converges at 43 ≪ 64, so the gate never decides.
+    */
+  def kmFitFree(k: Int = 4, tol: Double = 0.01, maxSteps: Int = 64): String = {
+    require(k <= 4, s"movement fold is written for k <= 4 (got $k)")
+    val fold = (1 to k).foldLeft("0.0") { (acc, q) =>
+      s"($acc + coalesce(nm.ml[$q], 0.0))" }
+    s"""WITH RECURSIVE ${Tables.yhOrdersSql},
+       |${kmSeedCtes(k)},
+       |f0 AS MATERIALIZED (${kmSeedUnion(k)}),
+       |f(step, j, x, y, mv) AS (
+       |  SELECT CAST(0 AS BIGINT), j, x, y, 1e308 FROM f0
+       |  UNION ALL
+       |  (WITH a AS (
+       |    SELECT t.i, t.x, t.y, t.j, t.ox, t.oy, t.pstep, t.pmv FROM (
+       |      SELECT s.i, s.x, s.y, c.j, c.x AS ox, c.y AS oy,
+       |        c.step AS pstep, c.mv AS pmv,
+       |        row_number() OVER (PARTITION BY s.i
+       |          ORDER BY (s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y), c.j) AS rn
+       |      FROM yh s CROSS JOIN f c) t WHERE rn = 1),
+       |  nw AS (
+       |    SELECT a.j,
+       |      CAST(sum(CAST(round(a.x*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS x,
+       |      CAST(sum(CAST(round(a.y*1e4) AS BIGINT)) AS DOUBLE)/1e4/count(*) AS y,
+       |      any_value(a.ox) AS ox, any_value(a.oy) AS oy,
+       |      any_value(a.pstep) AS pstep, any_value(a.pmv) AS pmv
+       |    FROM a GROUP BY a.j),
+       |  nm AS (
+       |    SELECT nw.*,
+       |      list(sqrt((nw.x-nw.ox)*(nw.x-nw.ox)+(nw.y-nw.oy)*(nw.y-nw.oy)))
+       |        OVER (ORDER BY nw.j
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ml
+       |    FROM nw)
+       |  SELECT nm.pstep + 1, nm.j, nm.x, nm.y, $fold
+       |  FROM nm WHERE nm.pmv >= $tol AND nm.pstep < $maxSteps)
+       |),
+       |last AS (SELECT j, x, y FROM f WHERE step = (SELECT max(step) FROM f))
+       |SELECT t.j, CAST(count(*) AS BIGINT) AS n,
+       |  any_value(t.x) AS cx, any_value(t.y) AS cy FROM (
+       |  SELECT s.i, l.j, l.x, l.y,
+       |    row_number() OVER (PARTITION BY s.i
+       |      ORDER BY (s.x-l.x)*(s.x-l.x)+(s.y-l.y)*(s.y-l.y), l.j) AS rn
+       |  FROM yh s CROSS JOIN last l) t
+       |WHERE rn = 1 GROUP BY t.j""".stripMargin
   }
 
   /** Mirror of `km_fit_minibatch` ([[graft.operators.KMeans.fitMiniBatch]],

@@ -942,6 +942,25 @@ object SparkEntry {
         .select(col("j"), col("n"), col("cx"), col("cy"))
     }),
 
+    // ---- the FREE-RUNNING fit: km_fit_bounded's exact chain with the
+    // step budget lifted to a safety cap, so the loop runs until the
+    // movement gate itself stops it (43 Lloyd steps at sf0.01 — the
+    // reference's while-delta≥tol lifecycle, k-means.sh:16-33) and the
+    // oracle replays it as a RECURSIVE CTE (OracleSql.kmFitFree): data
+    // decides the iteration count on BOTH engines ----
+    "km_fit_free" -> ((s, dir) => {
+      import s.implicits._
+      val yh = Tables.yhOrders(s, dir).cache()
+      val fit = try KMeans.fitBounded(yh, k = 4, dim = 2, tol = 0.01,
+        lloydSteps = 64, fxScale = 1e4) finally yh.unpersist()
+      val cs = fit.centroids.map(c => (c.j, c.c(0), c.c(1)))
+        .toDF("j2", "cx", "cy")
+      KMeans.assign(Tables.yhOrders(s, dir), fit.centroids)
+        .groupBy("j").agg(count(lit(1)).as("n"))
+        .join(broadcast(cs), col("j") === col("j2"))
+        .select(col("j"), col("n"), col("cx"), col("cy"))
+    }),
+
     // ---- full fit loop (E1; no SQL oracle — iterative) ----
     "km_fit" -> ((s, dir) => {
       val fit = embFit(s, dir)
@@ -3606,6 +3625,7 @@ object SparkEntry {
     "km_fit_minibatch" -> OracleSql.kmFitMinibatch(k = 8, dim = 64,
       batchFrac = 0.1, tol = 0.01, maxIter = 20, seed = 42L),
     "km_fit_bounded" -> OracleSql.kmFitBounded(k = 4, steps = 3, tol = 0.01),
+    "km_fit_free" -> OracleSql.kmFitFree(k = 4, tol = 0.01, maxSteps = 64),
     "km_gap_fitted" -> OracleSql.kmGapFitted(ks = 2 to 6, refSets = 3,
       steps = 3, tol = 0.01),
     "km_fit2_exact" ->

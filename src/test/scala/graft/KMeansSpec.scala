@@ -225,6 +225,26 @@ class KMeansSpec extends SparkSpec {
       local.finalMovement == dist.finalMovement)
   }
 
+  test("km_fit_free: the free-running fit CONVERGES before the safety cap " +
+      "and extends the bounded prefix") {
+    val yh = Tables.yhOrders(spark, sf("0.001")).cache()
+    try {
+      val free = KMeans.fitBounded(yh, k = 4, dim = 2, tol = 0.01,
+        lloydSteps = 64, fxScale = 1e4)
+      // the movement gate stopped the loop, not the cap — the recursive
+      // oracle's WHERE pmv >= tol predicate is what decided on both engines
+      assert(free.steps < 64, s"hit the safety cap at ${free.steps}")
+      assert(free.finalMovement < 0.01)
+      // the bounded fit is the same trajectory truncated: identical log
+      // prefix bit-for-bit (same seeds, same per-step arithmetic)
+      val bounded = KMeans.fitBounded(yh, k = 4, dim = 2, tol = 0.01,
+        lloydSteps = 3, fxScale = 1e4)
+      def bits(r: KMeans.FitResult) =
+        r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))
+      assert(bits(free).take(bits(bounded).length) == bits(bounded))
+    } finally yh.unpersist()
+  }
+
   test("fitHamerly (bounded acceleration) produces identical assignments and log") {
     def logBits(r: KMeans.FitResult): Seq[(Long, Long, Seq[Long])] =
       r.log.map(e => (e.step, e.j, e.c.map(java.lang.Double.doubleToLongBits)))
