@@ -152,15 +152,20 @@ object ScaleSmoke {
   /** The mutual k-NN GRAPH BUILD, invoked directly on the operator (not
     * through the `sim_knn_graph` binding, whose bounded memo would collect
     * the result at suite sizes and hide the distributed plan) with the
-    * volume-derived coarse-cell count ([[operators.Similarity.autoCells]]).
-    * This is the 100×-scale exhibit for the auto-scaled quantizer: with the
-    * old pinned 16 cells, within-cell candidate work grows ~n²/16; with
-    * nCells = √n/4 it stays ~n^1.5.
+    * volume-derived coarse-cell count ([[operators.Similarity.autoCells]])
+    * and the BLOCKED per-cell build ([[operators.Similarity
+    * .knnGraphBlocked]] — bit-identical to the join form, proven by the
+    * shared oracle). The round-15 100× attempt measured WHY blocked is the
+    * scale form: the equi-join build materializes |cell|²·nProbe² candidate
+    * ROWS per cell (≈4.5·10¹⁰ shuffled rows at 2M vectors with √n cells —
+    * the run was killed after 30 min of 16-core grinding), while the
+    * blocked build does the same ~10¹² FLOPs as a streamed in-cell loop
+    * and ships only n·k·nProbe candidate rows.
     */
   def knnLive(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.read(spark, dir, "embeddings")
     val n = emb.count()
-    operators.Similarity.knnGraph(emb,
+    operators.Similarity.knnGraphBlocked(emb,
       operators.Similarity.fixedCentroids(emb, operators.Similarity.autoCells(n)))
   }
 

@@ -1414,6 +1414,14 @@ object SparkEntry {
     // transposed directed edge list — the input structure of graph-based
     // clustering/dedup
     "sim_knn_graph" -> ((s, dir) => knnEdges(s, dir)),
+    // the 100×-scale twin: per-cell LOCAL brute force after a sort-within-
+    // partitions by cell (n·k·nProbe candidate rows leave the executors,
+    // vs |cell|²·nProbe² join rows per cell), SAME oracle as sim_knn_graph
+    // — the hash match proves the blocked build is the identical graph
+    "sim_knn_graph_blocked" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.knnGraphBlocked(emb, embCells(s, dir))
+    }),
     // integer fixed-point PageRank over the mutual k-NN graph: 5 exact
     // floor-arithmetic iterations (Pregel shape — one equi-join + one
     // grouped sum per round), replayed by an unrolled-CTE oracle; the
@@ -3862,6 +3870,8 @@ object SparkEntry {
     "dedup_semantic_probe" -> OracleSql.dedupSemanticRecall(nCells = 16,
       thrE6 = 500000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),
     "sim_knn_graph" -> OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
+    "sim_knn_graph_blocked" ->
+      OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
     "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),

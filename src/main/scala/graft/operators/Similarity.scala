@@ -662,6 +662,122 @@ object Similarity {
         col("rnk_ba").cast("long").as("rnk_ba"))
   }
 
+  /** [[knnGraph]]'s 100×-SCALE twin: identical output (bit-for-bit, same
+    * oracle), but the candidate stage never materializes join rows. The
+    * equi-join form emits |cell|²·nProbe² candidate ROWS per cell through a
+    * dedup + window — at 2M vectors with √n-scaled cells that is ~10¹⁰
+    * shuffled rows, hours of per-row overhead for arithmetic that is only
+    * ~10¹² FLOPs. Here vectors are hash-repartitioned by cell and SORTED
+    * within partitions, and one `mapPartitions` pass streams each cell
+    * (memory = one cell's vectors, not the partition): a tight in-cell
+    * loop scores all pairs and keeps only each vector's k best per cell —
+    * so just n·k·nProbe candidate rows ever leave the executors. The
+    * per-cell top-k is lossless for the global cut: any candidate in a
+    * vector's GLOBAL top-k also ranks ≤ k inside its own cell (anything
+    * beating it there beats it globally), so the union of per-cell top-k
+    * lists is a superset of the global top-k, and the same
+    * dedup → window → mutual-join tail as [[knnGraph]] finishes it.
+    *
+    * Bit-compatibility: `nv` is computed by the SAME column expression
+    * upstream of the decode seam; the in-cell loop replays
+    * [[graft.plans.DotExpression]]'s left-to-right `s += a(i)·b(i)`
+    * accumulation and the `dot / (na·nb)` operand order; the selection
+    * comparator is the window's exact (c DESC, b_id ASC) order. Proven by
+    * `sim_knn_graph_blocked` hash-matching `sim_knn_graph`'s mirror.
+    */
+  def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4): DataFrame = {
+    import graft.plans.native
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val e = emb2v(emb)
+      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+    val cellArr = slice(
+      array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+      1, nProbe)
+    val indexed = e
+      .select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
+      .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions("cell")
+      .as[(Long, Long, Seq[Double], Double)]
+    val cand = indexed.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, Double)] {
+        private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+        private def scoreCell(): Unit = {
+          if (!buf.hasNext) return
+          val cell = buf.head._1
+          val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+          while (buf.hasNext && buf.head._1 == cell) {
+            val r = buf.next()
+            rows += ((r._2, r._3.toArray, r._4))
+          }
+          val m = rows.length
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var ai = 0
+          while (ai < m) {
+            val (aId, av, an) = rows(ai)
+            // k best of this cell's candidates for aId, (c DESC, b_id ASC)
+            val best = new Array[(Long, Double)](k)
+            var nBest = 0
+            var bi = 0
+            while (bi < m) {
+              if (bi != ai) {
+                val (bId, bv, bn) = rows(bi)
+                var s = 0.0
+                var d = 0
+                val n = math.min(av.length, bv.length)
+                while (d < n) { s += av(d) * bv(d); d += 1 }
+                val c = s / (an * bn)
+                // insertion into the small sorted-by-(c desc, id asc) array
+                var pos = nBest
+                while (pos > 0 && {
+                  val (pId, pc) = best(pos - 1)
+                  c > pc || (c == pc && bId < pId)
+                }) pos -= 1
+                if (pos < k) {
+                  val last = math.min(nBest, k - 1)
+                  var q = last
+                  while (q > pos) { best(q) = best(q - 1); q -= 1 }
+                  best(pos) = (bId, c)
+                  if (nBest < k) nBest += 1
+                }
+              }
+              bi += 1
+            }
+            var q = 0
+            while (q < nBest) { res += ((aId, best(q)._1, best(q)._2)); q += 1 }
+            ai += 1
+          }
+          out = res.iterator
+        }
+        def hasNext: Boolean = {
+          while (!out.hasNext && buf.hasNext) scoreCell()
+          out.hasNext
+        }
+        def next(): (Long, Long, Double) = { hasNext; out.next() }
+      }
+    }.toDF("a_id", "b_id", "c")
+      .dropDuplicates("a_id", "b_id")
+    val w = Window.partitionBy("a_id").orderBy(desc("c"), col("b_id"))
+    val directed = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(eager = true)
+    val transpose = directed.select(col("b_id").as("ta"), col("a_id").as("tb"),
+      col("rnk").as("rnk_ba"))
+    directed.join(transpose,
+        col("a_id") === col("ta") && col("b_id") === col("tb"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("c") * 1e6).cast("long").as("cos_e6"),
+        col("rnk").cast("long").as("rnk_ab"),
+        col("rnk_ba").cast("long").as("rnk_ba"))
+  }
+
   /** Triangle census over a canonical (a < b) undirected edge list: every
     * triangle enumerated exactly once as a < b < c via two equi-joins
     * (path a→b→c, then the closing a→c edge), per-node triangle counts and

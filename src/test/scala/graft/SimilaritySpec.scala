@@ -121,6 +121,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks <= 4)
   }
 
+  test("knnGraphBlocked: bit-identical to the join-form build across " +
+      "probe depths and k") {
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val realCents = Similarity.fixedCentroids(realEmb, 16)
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for ((np, k) <- Seq((1, 2), (2, 4), (4, 3))) {
+      val join = bits(Similarity.knnGraph(realEmb, realCents, nProbe = np, k = k))
+      val blocked = bits(Similarity.knnGraphBlocked(realEmb, realCents,
+        nProbe = np, k = k))
+      assert(blocked == join, s"nProbe=$np k=$k diverged")
+    }
+  }
+
   test("ivfPqTopK: lossless when probes cover all cells; subset ADC parity otherwise") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
     val cents = Similarity.fixedCentroids(realEmb, 4)
