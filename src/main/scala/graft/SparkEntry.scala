@@ -1222,6 +1222,15 @@ object SparkEntry {
       Dedup.embeddingCosineBlocked(emb, embCells(s, dir),
         thrE6 = 350000L, nProbe = 2)
     }),
+    // the 100×-scale twin: streamed per-cell scoring emits ONLY
+    // over-threshold pairs (the knnGraphBlocked kernel applied to the
+    // near-dup pair stage), SAME oracle as dedup_embcos_blocked — the
+    // hash match proves the local loop is the identical pair set
+    "dedup_embcos_local" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Dedup.embeddingCosineBlockedLocal(emb, embCells(s, dir),
+        thrE6 = 350000L, nProbe = 2)
+    }),
     // SemDeDup (semantic dedup): coarse cells -> within-cell cosine pairs ->
     // transitive duplicate groups -> keep the lowest-centroid-cosine member
     // per group (the paper's keep-the-outlier rule). Composes the IVF cell
@@ -3864,6 +3873,7 @@ object SparkEntry {
     "dedup_simhash_blocked" -> OracleSql.dedupSimhash(bits = 48, maxHamming = 3),
     "dedup_embcos" -> OracleSql.dedupEmbCosine(thrE6 = 350000L),
     "dedup_embcos_blocked" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
+    "dedup_embcos_local" -> OracleSql.dedupEmbCosineBlocked(nCells = 16, nProbe = 2, thrE6 = 350000L),
     "dedup_semantic" -> OracleSql.dedupSemantic(nCells = 16, thrE6 = 500000L),
     "dedup_semantic_recall" -> OracleSql.dedupSemanticRecall(nCells = 16,
       thrE6 = 350000L, maxProbe = 8, probeLevels = Seq(1, 2, 4, 8)),

@@ -999,6 +999,53 @@ object Dedup {
       .distinct()
   }
 
+  /** [[embeddingCosineBlocked]]'s 100×-SCALE twin (the [[Similarity
+    * .knnGraphBlocked]] pattern applied to the near-dup pair stage): the
+    * SAME (a_id, b_id, cos_e6) output — proven by sharing the oracle — but
+    * the within-cell pair space is scored in [[Similarity.mapCells]]'s
+    * streamed per-cell loop and only pairs at or OVER the threshold ever
+    * become rows. The join form materializes |cell|²·nProbe² candidate
+    * rows per cell before its filter; at 2M vectors with √n-scaled cells
+    * that is ~10¹⁰ shuffled rows for a result that is typically orders of
+    * magnitude smaller. Bit-compatibility: the loop replays the codegen'd
+    * dot kernel's left-to-right accumulation, the `dot / (na·nb)` operand
+    * order, and Spark `round` via [[KMeans.roundHalfUpLong]] (pinned ≡ in
+    * PropertySpec); the cross-cell duplicate drop is the same
+    * `.distinct()` the join form ends with.
+    */
+  def embeddingCosineBlockedLocal(emb: DataFrame,
+      centroids: Seq[KMeans.Centroid], thrE6: Long,
+      nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Similarity.mapCells(emb, centroids, nProbe) { rows =>
+      val m = rows.length
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var ai = 0
+      while (ai < m) {
+        val (aId, av, an) = rows(ai)
+        var bi = ai + 1
+        while (bi < m) {
+          val (bId, bv, bn) = rows(bi)
+          // canonical a_id < b_id regardless of in-cell order
+          val (loId, hiId, lov, hiv, lon, hin) =
+            if (aId < bId) (aId, bId, av, bv, an, bn)
+            else (bId, aId, bv, av, bn, an)
+          var s = 0.0
+          var d = 0
+          val n = math.min(lov.length, hiv.length)
+          while (d < n) { s += lov(d) * hiv(d); d += 1 }
+          val cosE6 = KMeans.roundHalfUpLong(s / (lon * hin) * 1e6)
+          if (cosE6 >= thrE6) res += ((loId, hiId, cosE6))
+          bi += 1
+        }
+        ai += 1
+      }
+      res.iterator
+    }.toDF("a_id", "b_id", "cos_e6")
+      .distinct()
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space coarsely, call two vectors semantic
     * duplicates when their cosine crosses `thrE6/1e6` INSIDE a cluster,
@@ -1057,7 +1104,9 @@ object Dedup {
     val b = asn.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
       col("v").as("vb"), col("nv").as("nb"))
     // nProbe = 1 keeps the original single-join plan (the oracle-pinned
-    // fixture); deeper probes delegate to the shared multi-probe kernel
+    // fixture); deeper probes — the recorded nProbe=4 production setting —
+    // take the streamed per-cell kernel, so the production path ships only
+    // over-threshold pairs (bit-identical to the join form, DedupSpec)
     val pairs =
       if (nProbe <= 1)
         a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
@@ -1065,7 +1114,7 @@ object Dedup {
             round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
               .cast("long").as("cos_e6"))
           .filter(col("cos_e6") >= thrE6)
-      else embeddingCosineBlocked(emb, centroids, thrE6, nProbe)
+      else embeddingCosineBlockedLocal(emb, centroids, thrE6, nProbe)
     val comp = connectedComponents(
       asn.select(col("vec_id").as("doc_id")), pairs)
     val wSize = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")

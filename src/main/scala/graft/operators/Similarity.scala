@@ -685,8 +685,23 @@ object Similarity {
     * comparator is the window's exact (c DESC, b_id ASC) order. Proven by
     * `sim_knn_graph_blocked` hash-matching `sim_knn_graph`'s mirror.
     */
-  def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      nProbe: Int = 2, k: Int = 4): DataFrame = {
+  /** The shared per-cell STREAMING seam for pairwise operators ([[
+    * knnGraphBlocked]], [[Dedup.embeddingCosineBlockedLocal]]): index every
+    * vector under its `nProbe` nearest coarse cells (the row-local
+    * sorted-struct pick), hash-repartition by cell, SORT within partitions
+    * by cell, and hand each cell's members — (vec_id, vector, the
+    * column-computed norm) — to `f` as one in-memory group. Memory bound =
+    * ONE cell's vectors (not the partition: cells stream off the sorted
+    * iterator), and only f's output rows ever leave the executor — the
+    * per-row shuffle overhead of the equivalent cell equi-join (|cell|²·
+    * nProbe² materialized rows) never exists. `nv` is computed by the SAME
+    * column expression the join-form operators use, upstream of the seam,
+    * so callbacks that replay the codegen'd arithmetic stay bit-identical.
+    */
+  private[operators] def mapCells[T: org.apache.spark.sql.Encoder](
+      emb: DataFrame, centroids: Seq[KMeans.Centroid], nProbe: Int)(
+      f: collection.IndexedSeq[(Long, Array[Double], Double)] => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] = {
     import graft.plans.native
     val spark = emb.sparkSession
     import spark.implicits._
@@ -698,69 +713,77 @@ object Similarity {
       array_sort(zip_with(typedlit(cs), typedlit(ids),
         (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
       1, nProbe)
-    val indexed = e
-      .select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
+    e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
       .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions("cell")
       .as[(Long, Long, Seq[Double], Double)]
-    val cand = indexed.mapPartitions { it =>
-      val buf = it.buffered
-      new Iterator[(Long, Long, Double)] {
-        private var out: Iterator[(Long, Long, Double)] = Iterator.empty
-        private def scoreCell(): Unit = {
-          if (!buf.hasNext) return
-          val cell = buf.head._1
-          val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-          while (buf.hasNext && buf.head._1 == cell) {
-            val r = buf.next()
-            rows += ((r._2, r._3.toArray, r._4))
-          }
-          val m = rows.length
-          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var ai = 0
-          while (ai < m) {
-            val (aId, av, an) = rows(ai)
-            // k best of this cell's candidates for aId, (c DESC, b_id ASC)
-            val best = new Array[(Long, Double)](k)
-            var nBest = 0
-            var bi = 0
-            while (bi < m) {
-              if (bi != ai) {
-                val (bId, bv, bn) = rows(bi)
-                var s = 0.0
-                var d = 0
-                val n = math.min(av.length, bv.length)
-                while (d < n) { s += av(d) * bv(d); d += 1 }
-                val c = s / (an * bn)
-                // insertion into the small sorted-by-(c desc, id asc) array
-                var pos = nBest
-                while (pos > 0 && {
-                  val (pId, pc) = best(pos - 1)
-                  c > pc || (c == pc && bId < pId)
-                }) pos -= 1
-                if (pos < k) {
-                  val last = math.min(nBest, k - 1)
-                  var q = last
-                  while (q > pos) { best(q) = best(q - 1); q -= 1 }
-                  best(pos) = (bId, c)
-                  if (nBest < k) nBest += 1
-                }
-              }
-              bi += 1
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[T] {
+          private var out: Iterator[T] = Iterator.empty
+          private def nextCell(): Unit = {
+            if (!buf.hasNext) return
+            val cell = buf.head._1
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+            while (buf.hasNext && buf.head._1 == cell) {
+              val r = buf.next()
+              rows += ((r._2, r._3.toArray, r._4))
             }
-            var q = 0
-            while (q < nBest) { res += ((aId, best(q)._1, best(q)._2)); q += 1 }
-            ai += 1
+            out = f(rows)
           }
-          out = res.iterator
+          def hasNext: Boolean = {
+            while (!out.hasNext && buf.hasNext) nextCell()
+            out.hasNext
+          }
+          def next(): T = { hasNext; out.next() }
         }
-        def hasNext: Boolean = {
-          while (!out.hasNext && buf.hasNext) scoreCell()
-          out.hasNext
-        }
-        def next(): (Long, Long, Double) = { hasNext; out.next() }
       }
+  }
+
+  def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = mapCells(emb, centroids, nProbe) { rows =>
+      val m = rows.length
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var ai = 0
+      while (ai < m) {
+        val (aId, av, an) = rows(ai)
+        // k best of this cell's candidates for aId, (c DESC, b_id ASC)
+        val best = new Array[(Long, Double)](k)
+        var nBest = 0
+        var bi = 0
+        while (bi < m) {
+          if (bi != ai) {
+            val (bId, bv, bn) = rows(bi)
+            var s = 0.0
+            var d = 0
+            val n = math.min(av.length, bv.length)
+            while (d < n) { s += av(d) * bv(d); d += 1 }
+            val c = s / (an * bn)
+            // insertion into the small sorted-by-(c desc, id asc) array
+            var pos = nBest
+            while (pos > 0 && {
+              val (pId, pc) = best(pos - 1)
+              c > pc || (c == pc && bId < pId)
+            }) pos -= 1
+            if (pos < k) {
+              val last = math.min(nBest, k - 1)
+              var q = last
+              while (q > pos) { best(q) = best(q - 1); q -= 1 }
+              best(pos) = (bId, c)
+              if (nBest < k) nBest += 1
+            }
+          }
+          bi += 1
+        }
+        var q = 0
+        while (q < nBest) { res += ((aId, best(q)._1, best(q)._2)); q += 1 }
+        ai += 1
+      }
+      res.iterator
     }.toDF("a_id", "b_id", "c")
       .dropDuplicates("a_id", "b_id")
     val w = Window.partitionBy("a_id").orderBy(desc("c"), col("b_id"))

@@ -259,6 +259,17 @@ class DedupSpec extends SparkSpec {
     val probed = Dedup.embeddingCosineBlocked(emb, cents, thrE6 = 350000L, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probed.subsetOf(brute))
+    // the streamed per-cell kernel is the identical pair set, bit for bit,
+    // at every probe depth (including the lossless nProbe = nCells case)
+    for (np <- Seq(1, 2, 4)) {
+      val join = Dedup.embeddingCosineBlocked(emb, cents, thrE6 = 350000L,
+        nProbe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val local = Dedup.embeddingCosineBlockedLocal(emb, cents,
+        thrE6 = 350000L, nProbe = np).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(local == join, s"nProbe=$np diverged")
+    }
   }
 
   test("semanticDedup: keep-the-outlier rule, per-cluster single keeper") {
