@@ -169,6 +169,23 @@ object ScaleSmoke {
       operators.Similarity.fixedCentroids(emb, operators.Similarity.autoCells(n)))
   }
 
+  /** The LINEAR-pair-work variant: fixed-population cells
+    * ([[operators.Similarity.autoCellsPairwise]] — n/2000 cells, constant
+    * per-cell pair FLOPs) with the broadcast assignment (1000 cells at 2M
+    * vectors would bloat a plan literal; the broadcast path has no
+    * ceiling). Different recall point than [[knnLive]] (smaller cells see
+    * fewer candidates) — the smoke compares COST shapes, the recall
+    * instruments price the knob.
+    */
+  def knnLiveLinear(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val n = emb.count()
+    operators.Similarity.knnGraphBlocked(emb,
+      operators.Similarity.fixedCentroids(emb,
+        operators.Similarity.autoCellsPairwise(n)),
+      broadcastAssign = true)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -217,7 +234,10 @@ object ScaleSmoke {
             ((d: String) => runOne(spark, d, "sim_ivf_indexed", reps)),
           "knn_graph_live" ->
             ((d: String) => runFn(spark, "knn_graph_live", reps,
-              () => knnLive(spark, d))))
+              () => knnLive(spark, d))),
+          "knn_graph_linear" ->
+            ((d: String) => runFn(spark, "knn_graph_linear", reps,
+              () => knnLiveLinear(spark, d))))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)

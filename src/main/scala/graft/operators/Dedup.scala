@@ -1015,10 +1015,10 @@ object Dedup {
     */
   def embeddingCosineBlockedLocal(emb: DataFrame,
       centroids: Seq[KMeans.Centroid], thrE6: Long,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, broadcastAssign: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    Similarity.mapCells(emb, centroids, nProbe) { rows =>
+    Similarity.mapCells(emb, centroids, nProbe, broadcastAssign) { rows =>
       val m = rows.length
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var ai = 0

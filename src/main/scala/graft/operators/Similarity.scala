@@ -699,7 +699,8 @@ object Similarity {
     * so callbacks that replay the codegen'd arithmetic stay bit-identical.
     */
   private[operators] def mapCells[T: org.apache.spark.sql.Encoder](
-      emb: DataFrame, centroids: Seq[KMeans.Centroid], nProbe: Int)(
+      emb: DataFrame, centroids: Seq[KMeans.Centroid], nProbe: Int,
+      broadcastAssign: Boolean = false)(
       f: collection.IndexedSeq[(Long, Array[Double], Double)] => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
     import graft.plans.native
@@ -709,12 +710,50 @@ object Similarity {
     val cs = centroids.map(_.c)
     val e = emb2v(emb)
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
-    val cellArr = slice(
-      array_sort(zip_with(typedlit(cs), typedlit(ids),
-        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
-      1, nProbe)
-    e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
-      .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
+    // Two bit-identical assignment paths (SimilaritySpec pins equality):
+    //  - literal: centroids ride in the plan as a typedlit array and the
+    //    nProbe pick is one codegen'd sorted-struct expression. Ideal up
+    //    to a few hundred cells; past that the literal bloats every task
+    //    binary and codegen falls off a cliff — the LITERAL CEILING.
+    //  - broadcast: centroids ship once per executor as a broadcast
+    //    variable and a mapPartitions loop replays the same arithmetic
+    //    (sqDist's ordered (c−v)² fold, the (d, cid) lexicographic sort).
+    //    No plan bloat at any nCells — the 100 TB form, where a coarse
+    //    quantizer has 10⁴⁺ cells.
+    val indexed =
+      if (broadcastAssign) {
+        val bc = spark.sparkContext.broadcast(
+          (ids.toArray, cs.map(_.toArray).toArray))
+        e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
+          val (jids, cents) = bc.value
+          val m = cents.length
+          val take = math.min(nProbe, m)
+          it.flatMap { case (id, vSeq, nv) =>
+            val v = vSeq.toArray
+            val ds = new Array[Double](m)
+            var ci = 0
+            while (ci < m) {
+              val c = cents(ci)
+              var s = 0.0
+              var d = 0
+              val n = math.min(c.length, v.length)
+              while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+              ds(ci) = s
+              ci += 1
+            }
+            val order = Array.range(0, m).sortBy(ix => (ds(ix), jids(ix)))
+            (0 until take).map(p => (jids(order(p)), id, vSeq, nv))
+          }
+        }.toDF("cell", "vec_id", "v", "nv")
+      } else {
+        val cellArr = slice(
+          array_sort(zip_with(typedlit(cs), typedlit(ids),
+            (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
+          1, nProbe)
+        e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
+          .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
+      }
+    indexed
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions("cell")
       .as[(Long, Long, Seq[Double], Double)]
@@ -742,10 +781,10 @@ object Similarity {
   }
 
   def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      nProbe: Int = 2, k: Int = 4): DataFrame = {
+      nProbe: Int = 2, k: Int = 4, broadcastAssign: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cand = mapCells(emb, centroids, nProbe) { rows =>
+    val cand = mapCells(emb, centroids, nProbe, broadcastAssign) { rows =>
       val m = rows.length
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var ai = 0
@@ -1123,6 +1162,24 @@ object Similarity {
     */
   def autoCells(n: Long, floorCells: Int = 16): Int =
     math.max(floorCells, (math.sqrt(n.toDouble) / 4.0).toInt)
+
+  /** Cell-count policy for PAIRWISE operators ([[knnGraphBlocked]],
+    * [[Dedup.embeddingCosineBlockedLocal]], SemDeDup's pair stage): a
+    * FIXED target cell population instead of [[autoCells]]'s √n scaling.
+    * With √n cells the per-cell pair work is (√n·4)²·nProbe² — total
+    * n^1.5, measured 35× wall at 100× (SCALE.md). With n/targetCell cells
+    * the pair work per cell is constant and the TOTAL pair FLOPs are
+    * linear in n; the trade is the coarse ASSIGNMENT (n·nCells dots),
+    * which the [[mapCells]] broadcast path keeps off the plan but still
+    * pays in FLOPs — past ~10⁴ cells a two-level quantizer (assign to √c
+    * super-cells, then within) is the standard next step, recorded here
+    * as the known lever rather than built speculatively. Recall shrinks
+    * with cell size; `dedup_semantic_probe` / `sim_recall_curve` are the
+    * instruments that re-price nProbe after a policy change.
+    */
+  def autoCellsPairwise(n: Long, targetCell: Int = 2000,
+      floorCells: Int = 16): Int =
+    math.max(floorCells, (n / targetCell).toInt)
 
   /** Deterministic fixed coarse centroids for the oracle: the vectors with
     * vec_id < nCells, cell id = vec_id + 1 in vec_id order.

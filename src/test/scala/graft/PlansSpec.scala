@@ -232,7 +232,11 @@ class PlansSpec extends SparkSpec {
     // is the point; the cell path composes via the ivf equi-join).
     val allowed = Set("dedup_embcos", "sim_topk", "sim_topk_native",
       "sim_pq_adc", "sim_pq_rerank", "sim_recall", "text_tfidf", "text_cms",
-      "text_bm25", "dedup_semantic_recall", "q_hll", "q_kmv_overlap",
+      // dedup_semantic_probe is the SAME instrument at semanticDedup's own
+      // 0.50 threshold — identical blockedFirstProbe plan, same declared
+      // all-pairs exact side
+      "text_bm25", "dedup_semantic_recall", "dedup_semantic_probe",
+      "q_hll", "q_kmv_overlap",
       // retrieval_hybrid crossJoins the SAME one-row scalar aggregate as
       // text_bm25 (corpus N + total length); its corpus-scale joins are
       // broadcast equi-joins on token and the IVF cell equi-join

@@ -134,6 +134,13 @@ class SimilaritySpec extends SparkSpec {
         nProbe = np, k = k))
       assert(blocked == join, s"nProbe=$np k=$k diverged")
     }
+    // the broadcast assignment path (no plan literal — the beyond-the-
+    // literal-ceiling form) is the same graph bit for bit
+    val lit = bits(Similarity.knnGraphBlocked(realEmb, realCents,
+      nProbe = 2, k = 4))
+    val bcast = bits(Similarity.knnGraphBlocked(realEmb, realCents,
+      nProbe = 2, k = 4, broadcastAssign = true))
+    assert(bcast == lit)
   }
 
   test("ivfPqTopK: lossless when probes cover all cells; subset ADC parity otherwise") {
