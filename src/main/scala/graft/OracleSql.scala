@@ -4327,6 +4327,42 @@ object OracleSql {
        |JOIN (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM comp GROUP BY rep_id) sizes ON comp.rep_id = sizes.rep_id""".stripMargin
 
+  /** Mirror of `sim_cells_twolevel` ([[operators.Similarity
+    * .assignTwoLevel]]): the child mapping (each centroid to its nearest
+    * super by (d, sid)), the per-vector super pick, the within-children
+    * argmin, and the flat argmin — every stage the same (d, id)
+    * lexicographic row_number the Spark sorted-struct picks run, so the
+    * per-vector agreement table hash-matches.
+    */
+  def simCellsTwoLevel(nCells: Int, nSuper: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |sup AS (SELECT cid AS sid, cv AS sv FROM cent WHERE cid <= $nSuper),
+       |ch AS (SELECT cid, cv, sid FROM (
+       |  SELECT c.cid, c.cv, s.sid,
+       |    row_number() OVER (PARTITION BY c.cid
+       |      ORDER BY ${sqdist("c.cv", "s.sv")}, s.sid) AS rn
+       |  FROM cent c CROSS JOIN sup s) t WHERE rn = 1),
+       |vs AS (SELECT vec_id, v, sid FROM (
+       |  SELECT e.vec_id, e.v, s.sid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.v", "s.sv")}, s.sid) AS rn
+       |  FROM e CROSS JOIN sup s) t WHERE rn = 1),
+       |two AS (SELECT vec_id, sid, cid FROM (
+       |  SELECT vs.vec_id, vs.sid, ch.cid,
+       |    row_number() OVER (PARTITION BY vs.vec_id
+       |      ORDER BY ${sqdist("vs.v", "ch.cv")}, ch.cid) AS rn
+       |  FROM vs JOIN ch ON ch.sid = vs.sid) t WHERE rn = 1),
+       |flat AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1)
+       |SELECT f.vec_id, f.cid AS cell_flat, t.cid AS cell_two,
+       |  t.sid AS super_cell,
+       |  CAST(CASE WHEN f.cid = t.cid THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM flat f JOIN two t ON t.vec_id = f.vec_id""".stripMargin
+
   /** Mirror of [[operators.Similarity.cellBalance]]: [[simIvf]]'s cell
     * assignment CTEs, one occupancy rollup, the window total for the exact
     * ppm share and load factor.

@@ -1284,6 +1284,13 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.cellBalance(emb, embCells(s, dir))
     }),
+    // two-level coarse assignment (the FAISS-IMI shape past ~10⁴ flat
+    // cells): per-vector flat pick vs super→child pick plus the agreement
+    // flag — the operator IS its own accuracy instrument, hash-exact
+    "sim_cells_twolevel" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.assignTwoLevel(emb, embCells(s, dir), nSuper = 4)
+    }),
     // hybrid retrieval fusion — the composition a RAG data pipeline ships:
     // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
     // IVF ANN over the query vector (dense), fused per query with
@@ -3851,6 +3858,7 @@ object SparkEntry {
     "dedup_cluster_sizes" -> OracleSql.dedupClusterSizes(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "sim_cell_balance" -> OracleSql.simCellBalance(nCells = 16),
+    "sim_cells_twolevel" -> OracleSql.simCellsTwoLevel(nCells = 16, nSuper = 4),
     "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       trainPct = 80, valPct = 10),

@@ -1163,6 +1163,72 @@ object Similarity {
   def autoCells(n: Long, floorCells: Int = 16): Int =
     math.max(floorCells, (math.sqrt(n.toDouble) / 4.0).toInt)
 
+  /** TWO-LEVEL coarse assignment — the recorded lever for the assignment
+    * cost term ([[autoCellsPairwise]]'s scaladoc): a flat argmin over c
+    * cells costs n·c distance folds; routing through √c-ish SUPER-cells
+    * costs n·(nSuper + |children|) ≈ n·2√c. Super-centroids are the first
+    * `nSuper` centroids in id order; every centroid maps (driver-side, k×
+    * nSuper dots — tiny by contract) to its nearest super, and a vector is
+    * assigned by nearest super THEN nearest centroid among that super's
+    * children. Approximate by construction — the globally nearest centroid
+    * may live under a different super — so the operator emits BOTH picks
+    * per vector plus the agreement flag: it is its own accuracy
+    * instrument (`sim_cells_twolevel`), hash-checked end to end. The same
+    * (d, id) lexicographic tie order as every other assignment in the
+    * engine; the FAISS-IMI-shaped next step past ~10⁴ flat cells.
+    *
+    * MEASURED (round 15, sf0.01, the FIXED first-16 centroids, nSuper=4):
+    * 50.6% agreement with the flat argmin — arbitrary untrained centroids
+    * have no super-cell structure to exploit, so the router loses half
+    * the exact picks. The instrument exists precisely to price this:
+    * production two-level quantizers route through TRAINED supers (fit
+    * the supers, then fit children within each — `fitBounded` composes),
+    * where the hierarchy reflects real geometry and agreement climbs with
+    * cluster separation. Do not deploy the two-level path without reading
+    * this table on your own centroids.
+    */
+  def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nSuper: Int): DataFrame = {
+    require(nSuper >= 1 && nSuper <= centroids.length,
+      s"nSuper $nSuper out of range for ${centroids.length} centroids")
+    val sorted = centroids.sortBy(_.j)
+    val supers = sorted.take(nSuper)
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // nearest super per centroid, (d, sid) tie order — the exact fold the
+    // column expressions run, so the mirror's argmin CTE reproduces it
+    val children: Map[Long, Seq[KMeans.Centroid]] = sorted
+      .map(c => supers.map(s => (sqd(c.c, s.c), s.j)).min -> c)
+      .groupBy(_._1._2).map { case (sj, cs) => sj -> cs.map(_._2) }
+    def argmin(cs: Seq[KMeans.Centroid]): Column =
+      element_at(array_sort(zip_with(
+        typedlit(cs.map(_.c)), typedlit(cs.map(_.j)),
+        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))), 1)
+        .getField("cid")
+    val superPick = element_at(array_sort(zip_with(
+      typedlit(supers.map(_.c)), typedlit(supers.map(_.j)),
+      (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))), 1)
+      .getField("cid")
+    // nSuper-way CASE: each branch is the argmin over that super's children
+    val cellTwo = supers.foldLeft(lit(-1L)) { (acc, s) =>
+      when(col("super_cell") === s.j,
+        argmin(children.getOrElse(s.j, Seq(s)))).otherwise(acc)
+    }
+    emb2v(emb)
+      .withColumn("super_cell", superPick)
+      .withColumn("cell_two", cellTwo)
+      .withColumn("cell_flat", argmin(sorted))
+      .select(col("vec_id"), col("cell_flat"), col("cell_two"),
+        col("super_cell"),
+        when(col("cell_flat") === col("cell_two"), 1L).otherwise(0L)
+          .as("agree"))
+  }
+
   /** Cell-count policy for PAIRWISE operators ([[knnGraphBlocked]],
     * [[Dedup.embeddingCosineBlockedLocal]], SemDeDup's pair stage): a
     * FIXED target cell population instead of [[autoCells]]'s √n scaling.

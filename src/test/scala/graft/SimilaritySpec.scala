@@ -143,6 +143,23 @@ class SimilaritySpec extends SparkSpec {
     assert(bcast == lit)
   }
 
+  test("assignTwoLevel: exact when every centroid is its own super; " +
+      "agreement flag is honest otherwise") {
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(realEmb, 8)
+    // nSuper = nCells: the router degenerates to the flat argmin — every
+    // vector must agree with itself
+    val full = Similarity.assignTwoLevel(realEmb, cents, nSuper = 8)
+    assert(full.filter(col("agree") === 0L).count() == 0)
+    assert(full.filter(col("cell_flat") =!= col("cell_two")).count() == 0)
+    // a real hierarchy: one row per vector, agree == (flat == two) per row,
+    // and the two-level pick always lands inside the picked super's family
+    val two = Similarity.assignTwoLevel(realEmb, cents, nSuper = 2)
+    assert(two.count() == realEmb.count())
+    assert(two.filter((col("cell_flat") === col("cell_two")) =!=
+      (col("agree") === 1L)).count() == 0)
+  }
+
   test("ivfPqTopK: lossless when probes cover all cells; subset ADC parity otherwise") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
     val cents = Similarity.fixedCentroids(realEmb, 4)
