@@ -2450,6 +2450,39 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of `sim_ivf_delta` ([[operators.Similarity.ivfTopKDelta]]):
+    * [[simIvf]] with the searchable set = base cells UNION the un-indexed
+    * delta batch. The fixture delta re-keys every vec_id % `deltaMod` =
+    * `deltaRem` vector under +10⁶ with the SAME coordinates, so its cell
+    * assignment is derivable from the base `cells` CTE verbatim — the
+    * oracle proves the freshness path surfaces new vectors (cos 1e6
+    * duplicates of their originals) without an index rebuild.
+    */
+  def simIvfDelta(nCells: Int, nQueries: Int, nProbe: Int, k: Int,
+      deltaMod: Int, deltaRem: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < $nCells),
+       |base AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqdist("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+       |cells AS (SELECT vec_id, v, cell FROM base
+       |  UNION ALL SELECT vec_id + 1000000, v, cell FROM base
+       |  WHERE vec_id % $deltaMod = $deltaRem),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, qv, cell FROM (
+       |  SELECT q.q_id, q.qv, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ${sqdist("q.qv", "c.cv")}, c.cid) AS pr
+       |  FROM q CROSS JOIN cent c) t WHERE pr <= $nProbe),
+       |cand AS (SELECT p.q_id, cl.vec_id AS n_id, ${cosine("p.qv", "cl.v")} AS c
+       |  FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |  WHERE cl.vec_id <> p.q_id)
+       |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(round(c*1e6) AS BIGINT) AS cos_e6 FROM (
+       |  SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
+       |WHERE rnk <= $k""".stripMargin
+
   /** Mirror of [[operators.Similarity.ivfRange]]: [[simIvf]]'s cell/probe
     * CTEs verbatim, but the final cut is the e6 fixed-point threshold
     * (`round(c·1e6) ≥ minCosE6`) instead of a rank window — membership is

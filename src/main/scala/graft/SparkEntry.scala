@@ -1398,6 +1398,17 @@ object SparkEntry {
       val idx = ensureIvfIndex(s, dir)
       Similarity.ivfTopKIndexed(emb, idx, cents)
     }),
+    // index FRESHNESS: the persisted index plus an un-indexed delta batch
+    // (every 10th vector re-keyed under +1e6 — "new docs since the build"),
+    // searchable immediately with zero rebuild and zero corpus shuffle;
+    // the oracle proves the delta's cos=1e6 duplicates surface in top-k
+    "sim_ivf_delta" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val delta = emb.filter(col("vec_id") % 10 === 7)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.ivfTopKDelta(emb, ensureIvfIndex(s, dir), delta,
+        embCells(s, dir))
+    }),
     // the same brute-force ranking planned through the NATIVE two-phase
     // top-k-per-group operator (plans/TopKPerGroupPlan.scala): candidates
     // pruned to k per (query, partition) BELOW the shuffle — same oracle
@@ -3948,6 +3959,8 @@ object SparkEntry {
     "doc_curriculum" -> OracleSql.docCurriculum(phases = 4),
     "sim_kcenter" -> OracleSql.simKcenter(k = 6),
     "sim_ivf_indexed" -> OracleSql.simIvf(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
+    "sim_ivf_delta" -> OracleSql.simIvfDelta(nCells = 16, nQueries = 5,
+      nProbe = 2, k = 10, deltaMod = 10, deltaRem = 7),
     "emb_normalize" -> OracleSql.embNormalize(qDims = 4),
     "sim_lsh" -> OracleSql.simLsh(nQueries = 5, bits = 8, tables = 4, dim = 64, k = 10),
     "sim_range" -> OracleSql.simRange(nCells = 16, nQueries = 5, nProbe = 2,

@@ -528,6 +528,32 @@ object Similarity {
       centroids.map(_.j), centroids.map(_.c), nProbe, k)
   }
 
+  /** INDEX FRESHNESS — search the persisted index PLUS an un-indexed
+    * delta batch without any rebuild: the delta is assigned to the
+    * EXISTING cells with the index's own rule ([[buildIvfIndex]]'s
+    * `nearestId`) and unioned under the probe join, so new vectors are
+    * searchable the moment they land while the corpus-scale build stays
+    * amortized (the vector-store ingest path; the ANN twin of
+    * `dedup_incremental`'s probe-only posture). Cost: the probe equi-join
+    * reads the bucketed index co-located as before plus one delta-sized
+    * side — no corpus shuffle, delta assignment is |delta|·nCells folds.
+    * Compaction (folding the delta into the bucketed table) is the same
+    * amortized build step [[buildIvfIndex]] already is.
+    */
+  def ivfTopKDelta(emb: DataFrame, table: String, delta: DataFrame,
+      centroids: Seq[KMeans.Centroid], nQueries: Int = 5, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val assigned = emb2v(delta).withColumn("cell",
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+      .select(col("cell"), col("vec_id"), col("v"))
+    val cells = emb.sparkSession.table(table)
+      .select(col("cell"), col("vec_id"), col("v"))
+      .unionByName(assigned)
+    val q = emb2v(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfSearch(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe, k)
+  }
+
   /** Deterministic ±1 hyperplane sign vectors for [[lshTopK]], drawn from
     * the MinHash family (`Dedup.mhA/mhB`) with a Fibonacci bit-mix on top:
     * the sign is bit 16 of `v·2654435761` rather than the raw parity of

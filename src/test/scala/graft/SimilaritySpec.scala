@@ -143,6 +143,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bcast == lit)
   }
 
+  test("ivfTopKDelta: empty delta equals the indexed search; planted " +
+      "duplicates surface at cos 1e6 without a rebuild") {
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(realEmb, 16)
+    val tbl = "graft_test_ivf_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Similarity.buildIvfIndex(realEmb, cents, tbl, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val empty = realEmb.filter(col("vec_id") < 0)
+    assert(rows(Similarity.ivfTopKDelta(realEmb, tbl, empty, cents)) ==
+      rows(Similarity.ivfTopKIndexed(realEmb, tbl, cents)))
+    // re-keyed copies of the query vectors themselves MUST surface as
+    // rank-1 cos=1e6 neighbors (identical coordinates, same cell)
+    val delta = realEmb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val got = Similarity.ivfTopKDelta(realEmb, tbl, delta, cents)
+      .filter(col("n_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 5)
+    got.foreach { case (q, n, rnk, cos) =>
+      assert(n == q + 1000000L && rnk == 1L && cos == 1000000L)
+    }
+  }
+
   test("assignTwoLevel: exact when every centroid is its own super; " +
       "agreement flag is honest otherwise") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
