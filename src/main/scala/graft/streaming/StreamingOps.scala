@@ -141,6 +141,51 @@ object StreamingOps {
       .select(col("doc_id"), col("dup_of"), col("n_dups"))
   }
 
+  /** Streaming ANN probe (twin of `Similarity.ivfTopKIndexed` — the
+    * real-time retrieval half of the vector store): each arriving QUERY
+    * vector picks its nProbe nearest cells ROW-LOCALLY (the sorted-struct
+    * slice — value-identical to the batch window rank, no streaming
+    * window needed), stream-static equi-joins the persisted index's
+    * matching cell buckets (stateless on the stream side, no join state),
+    * and the per-query top-k folds through one watermark-bounded
+    * aggregation: collect the (−cos, n_id) structs, array_sort, slice k —
+    * the exact (cos DESC, n_id ASC) order of the batch ranking, double
+    * negation is bit-exact. Output (q_id, n_id, rnk, cos_e6) matches the
+    * batch search row for row (StreamingSpec pins set equality on the
+    * same fixture). The ingest half of the same store is
+    * `Similarity.ivfTopKDelta`; together: new vectors searchable at
+    * landing, new queries answered at arrival, one amortized index.
+    */
+  def annProbeStream(queries: DataFrame, index: DataFrame,
+      centroids: Seq[Centroid], nProbe: Int = 2, k: Int = 10,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.plans.native
+    val ids = centroids.map(_.j)
+    val cs = centroids.map(_.c)
+    val cellArr = slice(
+      array_sort(zip_with(typedlit(cs), typedlit(ids),
+        (c, j) => struct(VectorOps.sqDist(c, col("qv")).as("d"), j.as("cid")))),
+      1, nProbe)
+    val probes = queries
+      .select(col("ts"), col("q_id"), col("qv"), explode(cellArr).as("x"))
+      .select(col("ts"), col("q_id"), col("qv"), col("x.cid").as("cell"))
+    val idx = index.select(col("cell").as("i_cell"), col("vec_id"), col("v"))
+    val cand = probes.join(idx, col("cell") === col("i_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("ts"), col("q_id"), col("vec_id").as("n_id"),
+        (native.dot(col("qv"), col("v")) /
+          (sqrt(native.dot(col("qv"), col("qv"))) *
+            sqrt(native.dot(col("v"), col("v"))))).as("c"))
+    cand.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), watermark), col("q_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("c")).as("negc"), col("n_id")))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        round((-col("col.negc")) * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Watermarked tumbling-window counts per event type (streaming twin of
     * `Events.windowAgg`). Late data beyond 10 minutes is dropped; state is
     * bounded by watermark × type cardinality.

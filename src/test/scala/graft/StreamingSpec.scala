@@ -122,6 +122,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN probe matches the batch indexed search row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = graft.operators.Similarity.fixedCentroids(emb, 16)
+    val tbl = "graft_test_ann_stream_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Similarity.buildIvfIndex(emb, cents, tbl, buckets = 4)
+    val batch = graft.operators.Similarity
+      .ivfTopKIndexed(emb, tbl, cents, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // stream the same five query vectors
+    val qs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 5)
+      .as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val out = StreamingOps.annProbeStream(
+      in.toDF().toDF("ts", "q_id", "qv"), spark.table(tbl), cents)
+    val q = out.writeStream.format("memory").queryName("ann_out")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      in.addData(qs.map { case (id, v) => (ts(1), id, v) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData((ts(3), 999999L, qs.head._2)) // watermark flush marker
+      q.processAllAvailable()
+      val got = spark.table("ann_out")
+        .filter(col("q_id") < 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream/batch diverged: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("per-row batch operators run UNCHANGED on a stream: PII redact") {
     // the zero-shuffle text operators are stream-agnostic by construction —
     // the same function object serves both planes, no streaming twin needed
