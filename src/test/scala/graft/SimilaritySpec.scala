@@ -148,8 +148,11 @@ class SimilaritySpec extends SparkSpec {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
     val cents = Similarity.fixedCentroids(realEmb, 16)
     val tbl = "graft_test_ivf_delta"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    Similarity.buildIvfIndex(realEmb, cents, tbl, buckets = 4)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    // external location (the spec_ivf_idx pattern): overwrite mode tolerates
+    // the dir a previous standalone run left behind
+    Similarity.buildIvfIndex(realEmb, cents, tbl, buckets = 4,
+      Some(s"$tmp/$tbl"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet

@@ -127,8 +127,11 @@ class StreamingSpec extends SparkSpec {
     val emb = Tables.read(spark, sf("0.001"), "embeddings")
     val cents = graft.operators.Similarity.fixedCentroids(emb, 16)
     val tbl = "graft_test_ann_stream_idx"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    graft.operators.Similarity.buildIvfIndex(emb, cents, tbl, buckets = 4)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    // external location (the spec_ivf_idx pattern): overwrite mode tolerates
+    // the dir a previous standalone run left behind
+    graft.operators.Similarity.buildIvfIndex(emb, cents, tbl, buckets = 4,
+      Some(s"$tmp/$tbl"))
     val batch = graft.operators.Similarity
       .ivfTopKIndexed(emb, tbl, cents, nQueries = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
