@@ -554,6 +554,28 @@ object Similarity {
     ivfSearch(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe, k)
   }
 
+  /** The COMPACTION step [[ivfTopKDelta]]'s contract promises: fold an
+    * ingested delta into the bucketed index — the delta assigned with the
+    * index's own rule, unioned with the current generation, one bucketed
+    * rewrite into `toTable` (a NEW generation name: Spark correctly
+    * refuses to overwrite a table it is reading, and the
+    * generation-swap-then-prune dance is the binding layer's
+    * `pruneStaleTables` job). After compaction, probing the new
+    * generation with zero delta equals probing the old one WITH the
+    * delta — the equivalence SimilaritySpec pins.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      fromTable: String, delta: DataFrame, centroids: Seq[KMeans.Centroid],
+      toTable: String, buckets: Int = 8, path: Option[String] = None): Unit = {
+    val assigned = emb2v(delta).withColumn("cell",
+      nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+      .select(col("cell"), col("vec_id"), col("v"))
+    graft.sources.Sinks.writeBucketed(
+      spark.table(fromTable).select(col("cell"), col("vec_id"), col("v"))
+        .unionByName(assigned),
+      toTable, buckets, Seq("cell"), path)
+  }
+
   /** Deterministic ±1 hyperplane sign vectors for [[lshTopK]], drawn from
     * the MinHash family (`Dedup.mhA/mhB`) with a Fibonacci bit-mix on top:
     * the sign is bit 16 of `v·2654435761` rather than the raw parity of

@@ -143,6 +143,36 @@ class SimilaritySpec extends SparkSpec {
     assert(bcast == lit)
   }
 
+  test("knnGraphBlocked: tie stress — duplicate vectors (exact cosine " +
+      "ties) and centroid-equidistant points keep all three paths identical") {
+    // 0/1/2 identical (cos 1.0 both ways — the b_id tiebreak decides),
+    // 3 exactly between the two centroids (assignment (d, cid) tie),
+    // 4/5 a second duplicate pair on the other axis
+    val tie = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(KMeans.Centroid(1, Seq(1.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0)))
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for ((np, k) <- Seq((1, 1), (1, 2), (2, 3))) {
+      val join = bits(Similarity.knnGraph(tie, cents, nProbe = np, k = k))
+      val blocked = bits(Similarity.knnGraphBlocked(tie, cents,
+        nProbe = np, k = k))
+      val bcast = bits(Similarity.knnGraphBlocked(tie, cents,
+        nProbe = np, k = k, broadcastAssign = true))
+      assert(blocked == join, s"blocked diverged at nProbe=$np k=$k")
+      assert(bcast == join, s"broadcast diverged at nProbe=$np k=$k")
+    }
+    // the duplicate triple is fully mutual at k=2 regardless of path
+    val got = bits(Similarity.knnGraphBlocked(tie, cents, nProbe = 1, k = 2))
+      .map(t => (t._1, t._2))
+    assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got))
+  }
+
   test("ivfTopKDelta: empty delta equals the indexed search; planted " +
       "duplicates surface at cos 1e6 without a rebuild") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
@@ -170,6 +200,14 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (q, n, rnk, cos) =>
       assert(n == q + 1000000L && rnk == 1L && cos == 1000000L)
     }
+    // compaction closes the loop: probing the NEW generation with no delta
+    // equals probing the OLD generation with the delta attached
+    val tbl2 = "graft_test_ivf_delta_g2"
+    Similarity.compactIvfIndex(spark, tbl, delta, cents, tbl2, buckets = 4,
+      Some(s"$tmp/$tbl2"))
+    val compacted = rows(Similarity.ivfTopKDelta(realEmb, tbl2,
+      realEmb.filter(col("vec_id") < 0), cents))
+    assert(compacted == rows(Similarity.ivfTopKDelta(realEmb, tbl, delta, cents)))
   }
 
   test("assignTwoLevel: exact when every centroid is its own super; " +
