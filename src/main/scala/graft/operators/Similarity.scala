@@ -1226,21 +1226,39 @@ object Similarity {
     * engine; the FAISS-IMI-shaped next step past ~10⁴ flat cells.
     *
     * MEASURED (round 15, sf0.01, the FIXED first-16 centroids, nSuper=4):
-    * 50.6% agreement with the flat argmin — arbitrary untrained centroids
-    * have no super-cell structure to exploit, so the router loses half
-    * the exact picks. The instrument exists precisely to price this:
-    * production two-level quantizers route through TRAINED supers (fit
-    * the supers, then fit children within each — `fitBounded` composes),
-    * where the hierarchy reflects real geometry and agreement climbs with
-    * cluster separation. Do not deploy the two-level path without reading
-    * this table on your own centroids.
+    * 50.6% agreement with the flat argmin — and the trained-supers sweep
+    * (SimilaritySpec, sf0.001) shows training does NOT rescue it on this
+    * corpus: the synthetic embeddings are near-uniform, so every
+    * hierarchy configuration lands in the same ~43–52% band. The lesson
+    * the instrument delivers: two-level agreement is a property of the
+    * data's cluster structure first and the router second — it climbs
+    * with cluster separation on real corpora and no training regime can
+    * manufacture separation that is not there. Do not deploy the
+    * two-level path without reading this table on your own corpus.
     */
   def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       nSuper: Int): DataFrame = {
     require(nSuper >= 1 && nSuper <= centroids.length,
       s"nSuper $nSuper out of range for ${centroids.length} centroids")
+    assignTwoLevel(emb, centroids, centroids.sortBy(_.j).take(nSuper))
+  }
+
+  /** [[assignTwoLevel]] with an EXPLICIT super set — the production form:
+    * supers from a coarse fit over the corpus (`KMeans.fitBounded`
+    * composes), not an arbitrary prefix of the fine centroids. MEASURED
+    * on sf0.001 (SimilaritySpec): on the near-uniform synthetic corpus
+    * EVERY configuration lands at ~43–52% agreement (arb fine + prefix
+    * supers 52.2%, arb fine + trained supers 43.2%, trained fine +
+    * trained supers 48.0%) — there is no cluster structure for any
+    * hierarchy to exploit, and training either level cannot manufacture
+    * it. The honest reading the instrument exists to deliver: two-level
+    * routing accuracy is a property of the DATA's cluster structure
+    * first and the router second; read `sim_cells_twolevel` on your own
+    * corpus before buying the assignment speedup.
+    */
+  def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid]): DataFrame = {
     val sorted = centroids.sortBy(_.j)
-    val supers = sorted.take(nSuper)
     def sqd(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -1253,6 +1271,10 @@ object Similarity {
     val children: Map[Long, Seq[KMeans.Centroid]] = sorted
       .map(c => supers.map(s => (sqd(c.c, s.c), s.j)).min -> c)
       .groupBy(_._1._2).map { case (sj, cs) => sj -> cs.map(_._2) }
+    // a childless super would have no fine cell to assign — loud, not a
+    // silent mis-label (can only happen with degenerate/duplicate supers)
+    require(children.size == supers.size,
+      s"${supers.size - children.size} super(s) attracted no fine centroid")
     def argmin(cs: Seq[KMeans.Centroid]): Column =
       element_at(array_sort(zip_with(
         typedlit(cs.map(_.c)), typedlit(cs.map(_.j)),
@@ -1265,7 +1287,7 @@ object Similarity {
     // nSuper-way CASE: each branch is the argmin over that super's children
     val cellTwo = supers.foldLeft(lit(-1L)) { (acc, s) =>
       when(col("super_cell") === s.j,
-        argmin(children.getOrElse(s.j, Seq(s)))).otherwise(acc)
+        argmin(children(s.j))).otherwise(acc)
     }
     emb2v(emb)
       .withColumn("super_cell", superPick)
