@@ -173,6 +173,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got))
   }
 
+  test("per-cell kernels: empty and singleton inputs produce empty results, " +
+      "not failures") {
+    val cents = Seq(KMeans.Centroid(1, Seq(1.0, 0.0)),
+      KMeans.Centroid(2, Seq(0.0, 1.0)))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.knnGraphBlocked(empty, cents).count() == 0)
+    assert(graft.operators.Dedup.embeddingCosineBlockedLocal(empty, cents,
+      thrE6 = 0L).count() == 0)
+    // one vector: no pair to score anywhere, on either assignment path
+    val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnGraphBlocked(one, cents).count() == 0)
+    assert(Similarity.knnGraphBlocked(one, cents,
+      broadcastAssign = true).count() == 0)
+    assert(graft.operators.Dedup.embeddingCosineBlockedLocal(one, cents,
+      thrE6 = 0L).count() == 0)
+  }
+
   test("ivfTopKDelta: empty delta equals the indexed search; planted " +
       "duplicates surface at cos 1e6 without a rebuild") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
