@@ -2450,6 +2450,37 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk FROM cand) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of `retrieval_ndcg` ([[operators.Similarity.ndcgAtK]] over the
+    * [[simIvf]] ranking): label-relevance joins plus the SAME integer
+    * discount-weight literals the Spark plan inlines
+    * ([[operators.Similarity.ndcgWeights]] — neither engine computes a
+    * log), IDCG as the prefix-sum literal at min(k, n_rel), ppm by
+    * integer division.
+    */
+  def retrievalNdcg(nCells: Int, nQueries: Int, nProbe: Int, k: Int): String = {
+    val w = operators.Similarity.ndcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    s"""WITH rk AS (${simIvf(nCells, nQueries, nProbe, k)}),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+       |nrel AS (SELECT q.vec_id AS q_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM lab q JOIN lab o ON o.lab = q.lab AND o.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries GROUP BY q.vec_id),
+       |d AS (SELECT rk.q_id,
+       |    CAST(sum(CASE WHEN ln.lab = lq.lab
+       |      THEN (${w.mkString("[", ", ", "]")})[rk.rnk] ELSE 0 END) AS BIGINT)
+       |      AS dcg_e6,
+       |    CAST(sum(CASE WHEN ln.lab = lq.lab THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits
+       |  FROM rk JOIN lab lq ON lq.vec_id = rk.q_id
+       |  JOIN lab ln ON ln.vec_id = rk.n_id GROUP BY rk.q_id)
+       |SELECT d.q_id, coalesce(n.n_rel, 0) AS n_rel, d.hits,
+       |  CAST(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0
+       |    ELSE d.dcg_e6 * 1000000 //
+       |      (${prefix.mkString("[", ", ", "]")})[least(n.n_rel, $k)]
+       |    END AS BIGINT) AS ndcg_ppm
+       |FROM d LEFT JOIN nrel n ON n.q_id = d.q_id""".stripMargin
+  }
+
   /** Mirror of `sim_ivf_delta` ([[operators.Similarity.ivfTopKDelta]]):
     * [[simIvf]] with the searchable set = base cells UNION the un-indexed
     * delta batch. The fixture delta re-keys every vec_id % `deltaMod` =

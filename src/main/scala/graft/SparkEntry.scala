@@ -1328,6 +1328,13 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb),
         Similarity.ivfTopK(emb, embCells(s, dir)))
     }),
+    // label-relevance nDCG@10 of the IVF ranking — the graded
+    // retrieval-quality metric next to MRR; integer discount-weight
+    // literals shared with the oracle, so neither engine computes a log
+    "retrieval_ndcg" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      Similarity.ndcgAtK(emb, Similarity.ivfTopK(emb, embCells(s, dir)))
+    }),
     // matryoshka (prefix-dimension) recall curve: rank on only the first
     // 8/16/32/64 dims and measure each truncation against the full-dim
     // top-k — the MRL storage/recall gauge (a d-dim probe reads d/64 of
@@ -3928,6 +3935,8 @@ object SparkEntry {
     "emb_pq_fitted" -> OracleSql.embPqFitted(m = 8, k = 16, dim = 64, iters = 2),
     "sim_recall" -> OracleSql.simRecall(nCells = 16, nQueries = 5, nProbe = 2, k = 10),
     "retrieval_mrr" -> OracleSql.retrievalMrr(nCells = 16, nQueries = 5,
+      nProbe = 2, k = 10),
+    "retrieval_ndcg" -> OracleSql.retrievalNdcg(nCells = 16, nQueries = 5,
       nProbe = 2, k = 10),
     "emb_matryoshka" -> OracleSql.embMatryoshka(dims = Seq(8, 16, 32, 64),
       nQueries = 5, k = 10),

@@ -115,6 +115,50 @@ object Similarity {
     * Scale shape: a |queries|-row equi-join against the approximate
     * ranking's k·|queries| rows — negligible next to the searches.
     */
+  /** Per-rank nDCG discount weights as INTEGER literals: w(i) =
+    * round(10⁶/log₂(i+1)) for ranks 1..k, computed ONCE driver-side and
+    * inlined into both the Spark plan and the oracle SQL (the [[lshSigns]]
+    * shared-literal discipline) — cross-engine log ulp differences can
+    * never flip a rounding because neither engine ever computes a log.
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Label-relevance nDCG@k of a ranking — the graded retrieval-quality
+    * metric next to [[mrr]]: a retrieved neighbor is RELEVANT when it
+    * shares the query's ground-truth label; DCG sums the integer discount
+    * weights at the relevant ranks; IDCG is the best achievable with the
+    * corpus's own relevant count (min(k, n_rel) top weights — the metric
+    * never rewards a ranking for relevance the corpus cannot supply).
+    * Pure integer arithmetic end to end ([[ndcgWeights]]), so the oracle
+    * hash-matches. One row per query: (q_id, n_rel, hits, ndcg_ppm).
+    */
+  def ndcgAtK(emb: DataFrame, ranking: DataFrame, k: Int = 10): DataFrame = {
+    val w = ndcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail // prefix(j) = sum of top-j weights
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("lab"))
+    val qLab = labels.select(col("vec_id").as("q_id"), col("lab").as("q_lab"))
+    val nLab = labels.select(col("vec_id").as("n_id"), col("lab").as("n_lab"))
+    // corpus-side relevant count per query (exclude the query itself)
+    val nRel = qLab.join(labels,
+        col("lab") === col("q_lab") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val dcg = ranking.join(qLab, "q_id").join(nLab, "n_id")
+      .groupBy("q_id")
+      .agg(sum(when(col("n_lab") === col("q_lab"),
+          element_at(typedlit(w), col("rnk").cast("int"))).otherwise(0L))
+          .as("dcg_e6"),
+        sum(when(col("n_lab") === col("q_lab"), 1L).otherwise(0L)).as("hits"))
+    dcg.join(nRel, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, 0L)
+          .otherwise(expr(s"dcg_e6 * 1000000 div " +
+            s"element_at(array(${prefix.mkString(",")}), " +
+            s"int(least(n_rel, $k)))"))
+          .as("ndcg_ppm"))
+  }
+
   def mrr(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.filter(col("rnk") === 1)
       .select(col("q_id"), col("n_id").as("relevant_id"))

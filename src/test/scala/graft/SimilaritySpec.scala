@@ -173,6 +173,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got))
   }
 
+  test("ndcgAtK: perfect ranking scores exactly 1e6; irrelevant ranking 0; " +
+      "ideal truncates to the corpus's relevant supply") {
+    // labels: q0 has 3 same-label partners (1,2,3); vec 9 is its own class
+    val embL = Seq((0L, 7), (1L, 7), (2L, 7), (3L, 7), (9L, 5))
+      .map { case (id, l) => (id, Array(0.0f), l) }
+      .toDF("vec_id", "embedding", "label")
+    def ranking(rows: (Long, Long, Long)*) =
+      rows.toDF("q_id", "n_id", "rnk").withColumn("cos_e6", lit(0L))
+    val w = Similarity.ndcgWeights(3)
+    // all three retrieved are relevant and n_rel = 3 = k -> exactly 1e6
+    val perfect = Similarity.ndcgAtK(embL,
+      ranking((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(perfect == ((0L, 3L, 3L, 1000000L)))
+    // nothing relevant retrieved -> 0 (not null, not negative)
+    val none = Similarity.ndcgAtK(embL,
+      ranking((0L, 9L, 1L)), k = 3).collect().head
+    assert(none.getLong(2) == 0L && none.getLong(3) == 0L)
+    // n_rel < k: the ideal truncates — one relevant hit at rank 1 with
+    // n_rel = 3 but k = 10 weights: idcg = prefix(3), dcg = w(1)
+    val w10 = Similarity.ndcgWeights(10)
+    val partial = Similarity.ndcgAtK(embL,
+      ranking((0L, 1L, 1L), (0L, 9L, 2L)), k = 10).collect().head
+    val idcg = w10.take(3).sum
+    assert(partial.getLong(3) == w10.head * 1000000L / idcg)
+  }
+
   test("per-cell kernels: empty and singleton inputs produce empty results, " +
       "not failures") {
     val cents = Seq(KMeans.Centroid(1, Seq(1.0, 0.0)),
