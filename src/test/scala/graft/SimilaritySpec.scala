@@ -173,6 +173,14 @@ class SimilaritySpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got))
   }
 
+  test("ndcgWeights: golden values pin the shared-literal contract") {
+    // these literals are inlined into BOTH the Spark plan and the oracle
+    // SQL — a silent change here would hash-diverge every ndcg row, so the
+    // definition is pinned to its computed values
+    assert(Similarity.ndcgWeights(10) == Seq(1000000L, 630930L, 500000L,
+      430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L))
+  }
+
   test("ndcgAtK: perfect ranking scores exactly 1e6; irrelevant ranking 0; " +
       "ideal truncates to the corpus's relevant supply") {
     // labels: q0 has 3 same-label partners (1,2,3); vec 9 is its own class
