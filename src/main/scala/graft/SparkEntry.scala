@@ -494,7 +494,11 @@ object SparkEntry {
   private def knnEdges(s: SparkSession, dir: String,
       memoMaxRows: Long = 1000000L): DataFrame = {
     val emb = Tables.read(s, dir, "embeddings")
-    def live = Similarity.knnGraph(emb, embCells(s, dir))
+    // the live path IS the at-scale path (it only engages past the memo
+    // bound), so it runs the BLOCKED build — bit-identical to the join
+    // form (SimilaritySpec) without the |cell|²·nProbe² candidate-row
+    // materialization the round-15 100× smoke measured as the scale killer
+    def live = Similarity.knnGraphBlocked(emb, embCells(s, dir))
     // memo first: once populated, a consumer must not pay even the count
     // job (four graph queries each charged one redundant embeddings count).
     // The bound is on the EDGE count the memo would collect (≤ n·k, k = 4 —
