@@ -161,7 +161,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ORDER=reverse runs the suite back-to-front — the
+    // adversarial-order leg (round-16 task 8) that bounds the run-order
+    // contention class: if per-family ratios hold under the reversed
+    // neighborhood, a floor adjudication can cite order-independence
+    // instead of re-litigating contention per round
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "name")
+    val byName = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = if (order == "reverse") byName.reverse else byName
     val unknown = args.filterNot(a => all.exists(_._1 == a))
     if (unknown.nonEmpty)
       System.err.println(s"[bench] WARNING: unknown query name(s) ignored: ${unknown.mkString(", ")}")

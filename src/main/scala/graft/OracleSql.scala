@@ -4445,6 +4445,17 @@ object OracleSql {
        |  CAST(n_vecs * $nCells * 100 // sum(n_vecs) OVER () AS BIGINT) AS load_x100
        |FROM occ""".stripMargin
 
+  /** Mirror of [[operators.Similarity.rebalanceDecision]]: the
+    * [[simCellBalance]] census aggregated to the one-row re-fit verdict.
+    */
+  def simCellRebalance(nCells: Int, boundX100: Long): String =
+    s"""SELECT CAST(max(load_x100) AS BIGINT) AS max_load_x100,
+       |  CAST(min(load_x100) AS BIGINT) AS min_load_x100,
+       |  CAST(count(*) AS BIGINT) AS n_occupied,
+       |  CAST($boundX100 AS BIGINT) AS bound_x100,
+       |  CAST(CASE WHEN max(load_x100) > $boundX100 THEN 1 ELSE 0 END AS BIGINT) AS refit
+       |FROM (${simCellBalance(nCells)}) AS bal""".stripMargin
+
   /** Mirror of [[operators.TextAnalysis.corpusDatasheet]]: the fused
     * per-doc (token count, quality keep, fingerprint) projection, the >1
     * fingerprint rollup joined back, one per-source aggregate. The keep
@@ -4605,5 +4616,26 @@ object OracleSql {
        |SELECT CAST(1 AS BIGINT) AS rnk, CAST(0 AS BIGINT) AS vec_id,
        |  CAST(0 AS BIGINT) AS cover_d2_e6
        |${picks.map(p => "UNION ALL\n|" + p).mkString("\n|")}""".stripMargin
+  }
+
+  /** PINNED-FIXTURE oracle (the mm_* graduation pattern, applied round 16
+    * to the three remaining rows-only fits): an expected per-cluster
+    * assignment census `(j, n)` captured ONCE from the committed sf0.01
+    * fixture and inlined as a VALUES literal. These fits (MLlib k-means‖ /
+    * bisecting, and the engine's k-means‖ with its seeded driver-PRNG
+    * refine) are structurally un-mirrorable in ANSI SQL — no DuckDB CTE
+    * replays MLlib's internal float path — but they ARE deterministic:
+    * measured identical across fresh JVMs and across local[4]/local[7]/
+    * local[32] (round 16; the input is one parquet file, so split planning
+    * and every aggregation tree are data-deterministic). The pin therefore
+    * upgrades "rows-only" to a real hash gate against the committed
+    * fixture. If /root/testdata regenerates, recapture with:
+    * `tools/run.sh graft.Verify <sf0.01> /tmp/fit km_fit km_fit_mllib
+    * km_fit_bisecting` and transcribe the censuses.
+    */
+  def pinnedCensus(pairs: Seq[(Int, Long)]): String = {
+    val values = pairs.map { case (j, n) => s"($j, $n)" }.mkString(", ")
+    s"SELECT CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n " +
+      s"FROM (VALUES $values) AS t(j, n)"
   }
 }

@@ -118,6 +118,72 @@ object ScaleSmoke {
   val workloads: Seq[String] =
     Seq("pipeline_full", "dedup_minhash", "dedup_incremental", "sim_ivf_indexed")
 
+  /** PLANTED hierarchical mixture-of-Gaussians embeddings (round-16 task 2:
+    * the synthetic sf fixtures are near-uniform, which made every
+    * two-level-quantizer measurement read ~50% agreement as a FIXTURE
+    * property — this corpus has the cluster structure the reference's own
+    * test data plants, k-means.sql:3-4, so the lever is finally testable).
+    * Deterministic (splitmix64-fed Box-Muller, no RNG object): `nSuper`
+    * super-centers at scale 10, `childrenPerSuper` child-centers each at
+    * offset scale 2, per-point noise 0.4 — separation cleanly hierarchical
+    * by construction. Returns (vec_id, embedding float[], label = fine
+    * cluster id). [[plantedCenters]] exposes the construction's true
+    * (super, child) centers so routing accuracy is measured against a
+    * perfect fit, isolating the ROUTER from fit quality.
+    */
+  def plantedEmbeddings(spark: SparkSession, n: Long, dim: Int,
+      nSuper: Int, childrenPerSuper: Int, seed: Long = 16L): DataFrame = {
+    import spark.implicits._
+    val (_, fines) = plantedCenters(dim, nSuper, childrenPerSuper, seed)
+    val fArr = fines.map(_.c.toArray).toArray
+    val c = nSuper * childrenPerSuper
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val g = (i % c).toInt
+        val base = fArr(g)
+        val v = new Array[Float](dim)
+        var d = 0
+        while (d < dim) {
+          v(d) = (base(d) + gauss(seed * 7919L + i * dim + d) * 0.4).toFloat
+          d += 1
+        }
+        (i, v, g.toLong)
+      }
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  /** The planted construction's true centers: (super centers with ids
+    * 1..nSuper, fine centers with ids 1..nSuper·childrenPerSuper in
+    * (super, child) order). Fine center = super center + child offset.
+    */
+  def plantedCenters(dim: Int, nSuper: Int, childrenPerSuper: Int,
+      seed: Long = 16L): (Seq[operators.KMeans.Centroid], Seq[operators.KMeans.Centroid]) = {
+    val supers = (0 until nSuper).map { s =>
+      operators.KMeans.Centroid(s + 1L,
+        (0 until dim).map(d => gauss(seed + s * dim + d) * 10.0))
+    }
+    val fines = for {
+      s <- 0 until nSuper
+      ch <- 0 until childrenPerSuper
+    } yield operators.KMeans.Centroid(s * childrenPerSuper + ch + 1L,
+      supers(s).c.zipWithIndex.map { case (x, d) =>
+        x + gauss(seed + 31337L + (s * childrenPerSuper + ch) * dim + d) * 2.0
+      })
+    (supers, fines)
+  }
+
+  /** Deterministic standard normal from a key: Box-Muller over two
+    * splitmix64 uniforms — the no-RNG-object discipline the replication
+    * fixtures use, applied to Gaussians.
+    */
+  private def gauss(key: Long): Double = {
+    def unit(k: Long): Double =
+      ((operators.Similarity.mix64(k) >>> 11).toDouble + 1.0) / 9007199254740994.0
+    val u1 = unit(key)
+    val u2 = unit(key + 0x632BE59BD9B4E019L)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
   final case class PlanShape(exchanges: Int, nestedLoops: Int,
       singlePartitionExchanges: Int)
 
@@ -186,14 +252,92 @@ object ScaleSmoke {
       broadcastAssign = true)
   }
 
+  /** [[knnLiveLinear]] with the wired TWO-LEVEL routed assignment (round
+    * 16): supers = the ⌈√c⌉-prefix of the fine cells, so the per-vector
+    * assignment cost falls from c folds to ~2√c. On THIS near-uniform
+    * fixture routing trades recall (the planted-fixture spec records where
+    * it doesn't); the smoke measures the COST term the lever exists to
+    * kill — compare against knn_graph_linear's wall.
+    */
+  def knnLiveTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val n = emb.count()
+    val fines = operators.Similarity.fixedCentroids(emb,
+      operators.Similarity.autoCellsPairwise(n))
+    val supers = fines.take(math.ceil(math.sqrt(fines.size.toDouble)).toInt)
+    operators.Similarity.knnGraphBlocked(emb, fines,
+      broadcastAssign = true, supers = supers)
+  }
+
+  /** SEMANTIC DEDUP at its recorded production posture (nProbe = 4 — the
+    * `dedup_semantic_probe` recall decision): the pair stage runs the
+    * hot-cell-capped blocked kernel, cells from the pairwise policy. The
+    * oracle-pinned `dedup_semantic` binding keeps the nProbe=1 join form
+    * at fixture scale; THIS is the form a 100 TB run ships, so this is
+    * the form the 100× smoke prices.
+    */
+  def semanticDedupProd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.read(spark, dir, "embeddings")
+    val n = emb.count()
+    operators.Dedup.semanticDedup(emb,
+      operators.Similarity.fixedCentroids(emb,
+        operators.Similarity.autoCellsPairwise(n)),
+      thrE6 = 500000L, nProbe = 4)
+  }
+
+  /** One timed micro-batch of the STREAMING ANN probe against the
+    * per-dir persisted IVF index (round-16 task 6: the freshness/ingest
+    * plane measured under the scaled index, not just at oracle scale).
+    * Build is untimed (the amortization contract); wall = one 5-query
+    * batch through `processAllAvailable` after an untimed warm-up batch.
+    * Plan-shape column reports the BATCH probe twin's shape (a streaming
+    * plan only materializes per-batch; the twin is the row-identical
+    * batch form StreamingSpec pins).
+    */
+  def annStreamCase(spark: SparkSession, dir: String, tag: String,
+      workDir: String): (Double, PlanShape) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.read(spark, dir, "embeddings")
+    val n = emb.count()
+    val cents = operators.Similarity.fixedCentroids(emb,
+      operators.Similarity.autoCells(n))
+    val tbl = s"graft_smoke_stream_idx_$tag"
+    operators.Similarity.buildIvfIndex(emb, cents, tbl, buckets = 8,
+      Some(s"$workDir/$tbl"))
+    val shape = planShape(
+      operators.Similarity.ivfTopKIndexed(emb, tbl, cents, nQueries = 5))
+    val qs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 5).as[(Long, Seq[Double])].collect()
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val out = streaming.StreamingOps.annProbeStream(
+      in.toDF().toDF("ts", "q_id", "qv"), spark.table(tbl), cents)
+    val q = out.writeStream.format("memory").queryName(s"smoke_ann_$tag")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      in.addData(qs.map { case (id, v) => (ts(1), id, v) }.toSeq: _*)
+      q.processAllAvailable() // warm-up batch (codegen, index footers)
+      val t0 = System.nanoTime()
+      in.addData(qs.map { case (id, v) => (ts(2), id, v) }.toSeq: _*)
+      q.processAllAvailable()
+      ((System.nanoTime() - t0) / 1e9, shape)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("target/scale")
     // "full" = the prescribed four corpus workloads (documents+embeddings
-    // fixture); "ann" = the 100×-scale ANN exhibits only (sim_ivf_indexed
-    // probe + the live knn graph build) over an embeddings-only fixture —
-    // the verdict-15 measurement for the auto-scaled coarse quantizer
+    // fixture); "ann" = the 100×-scale ANN exhibits (sim_ivf_indexed probe
+    // + the live knn graph builds, incl. the round-16 two-level routed
+    // leg) over an embeddings-only fixture; "dedup" = the round-16 100×
+    // dedup-family exhibit (minhash banding, banded-index probe, semantic
+    // dedup at its production posture); "fresh" = the freshness/ingest
+    // plane (persisted-index + delta search, one streamed probe batch)
     val mode = args.lift(3).getOrElse("full")
     val reps = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -208,16 +352,26 @@ object ScaleSmoke {
     val scaledDir = s"$workDir/x$factor"
     System.err.println(s"[scale] writing ${factor}x fixture to $scaledDir (mode=$mode)")
     val tGen0 = System.nanoTime()
-    writeScaled(spark, baseDir, scaledDir, factor,
-      tables = if (mode == "ann") Set("embeddings")
-               else Set("documents", "embeddings"))
+    val genTables =
+      if (mode == "ann" || mode == "fresh") Set("embeddings")
+      else Set("documents", "embeddings")
+    // past 100× the single-pass union plan grows a branch per replica;
+    // stage as 100× then factor/100× (replica-of-replica ids stay
+    // collision-free — each stage strides past its input's max id)
+    if (factor <= 100) writeScaled(spark, baseDir, scaledDir, factor, genTables)
+    else {
+      require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
+      val mid = s"$workDir/x100_stage"
+      writeScaled(spark, baseDir, mid, 100, genTables)
+      writeScaled(spark, mid, scaledDir, factor / 100, genTables)
+    }
     val genSec = (System.nanoTime() - tGen0) / 1e9
     // untimed warm-up (JIT/codegen/parquet footers), then the amortized
     // index builds, timed per dir — the Bench warm-up contract
     SparkEntry.queries("q1_agg")(spark, baseDir)
       .write.format("noop").mode("overwrite").save()
     val (buildBase, buildScaled) =
-      if (mode == "ann")
+      if (mode == "ann" || mode == "fresh")
         (SparkEntry.prewarmAnnIndex(spark, baseDir),
           SparkEntry.prewarmAnnIndex(spark, scaledDir))
       else
@@ -237,7 +391,26 @@ object ScaleSmoke {
               () => knnLive(spark, d))),
           "knn_graph_linear" ->
             ((d: String) => runFn(spark, "knn_graph_linear", reps,
-              () => knnLiveLinear(spark, d))))
+              () => knnLiveLinear(spark, d))),
+          "knn_graph_twolevel" ->
+            ((d: String) => runFn(spark, "knn_graph_twolevel", reps,
+              () => knnLiveTwoLevel(spark, d))))
+      else if (mode == "dedup")
+        Seq(
+          "dedup_minhash" ->
+            ((d: String) => runOne(spark, d, "dedup_minhash", reps)),
+          "dedup_incremental" ->
+            ((d: String) => runOne(spark, d, "dedup_incremental", reps)),
+          "dedup_semantic_prod" ->
+            ((d: String) => runFn(spark, "dedup_semantic_prod", reps,
+              () => semanticDedupProd(spark, d))))
+      else if (mode == "fresh")
+        Seq(
+          "sim_ivf_delta" ->
+            ((d: String) => runOne(spark, d, "sim_ivf_delta", reps)),
+          "ann_probe_stream" ->
+            ((d: String) => annStreamCase(spark, d,
+              if (d == baseDir) "base" else "scaled", workDir)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)

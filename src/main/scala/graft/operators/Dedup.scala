@@ -1015,10 +1015,15 @@ object Dedup {
     */
   def embeddingCosineBlockedLocal(emb: DataFrame,
       centroids: Seq[KMeans.Centroid], thrE6: Long,
-      nProbe: Int = 2, broadcastAssign: Boolean = false): DataFrame = {
+      nProbe: Int = 2, broadcastAssign: Boolean = false,
+      maxCellRows: Int = Similarity.defaultMaxCellRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    Similarity.mapCells(emb, centroids, nProbe, broadcastAssign) { rows =>
+    // split-safe: every within-cell pair co-occurs in its block-pair group
+    // (identical candidate set); the re-covered intra-block pairs are
+    // byte-identical rows the trailing distinct() already removes
+    Similarity.mapCells(emb, centroids, nProbe, broadcastAssign,
+        maxCellRows) { rows =>
       val m = rows.length
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var ai = 0

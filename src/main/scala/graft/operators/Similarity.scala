@@ -543,6 +543,48 @@ object Similarity {
         expr(s"n_vecs * $n * 100 div n_total").as("load_x100"))
   }
 
+  /** Occupancy-driven quantizer REBALANCE decision — the consumer the
+    * [[cellBalance]] census was missing (round-16 task: mirror the
+    * recall-driven-nProbe pattern, where an instrument's measured number
+    * gets a wired decision rule). One row: the corpus's worst cell load vs
+    * the documented bound, and the verdict. `boundX100 = 300` (a cell
+    * holding 3× its even share) is the recorded default: below it the
+    * probe-cost spread between cells stays within the nProbe head-room the
+    * recall curves price; above it one cell dominates every probe that
+    * touches it and a re-fit is cheaper than the permanent probe tax.
+    * Scale: the census's |cells|-row rollup aggregated to ONE row.
+    */
+  def rebalanceDecision(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      boundX100: Long = 300L): DataFrame =
+    cellBalance(emb, centroids)
+      .agg(max("load_x100").as("max_load_x100"),
+        min("load_x100").as("min_load_x100"),
+        count(lit(1)).as("n_occupied"))
+      .select(col("max_load_x100"), col("min_load_x100"), col("n_occupied"),
+        lit(boundX100).as("bound_x100"),
+        when(col("max_load_x100") > boundX100, 1L).otherwise(0L)
+          .as("refit"))
+
+  /** ACT on [[rebalanceDecision]]: keep the quantizer if the worst cell
+    * load is within bound, otherwise re-fit the same number of cells over
+    * the corpus ([[KMeans.fitBounded]] — deterministic seeds, bounded
+    * steps) and return the new centroids. The collect is ONE decision row;
+    * the re-fit is the engine's own bounded fit chain. ScaleSpec proves the
+    * trigger on a skewed planted corpus: misaligned fixed cells trip the
+    * bound, the re-fit brings max load back under it.
+    */
+  def cellsRebalanced(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      boundX100: Long = 300L, lloydSteps: Int = 2): Seq[KMeans.Centroid] = {
+    val d = rebalanceDecision(emb, centroids, boundX100).head()
+    if (d.getLong(d.fieldIndex("refit")) == 0L) centroids
+    else {
+      val dim = centroids.head.c.length
+      val pts = emb2v(emb).select(col("vec_id").as("i"), col("v").as("Y"))
+      KMeans.fitBounded(pts, k = centroids.size, dim = dim,
+        lloydSteps = lloydSteps).centroids
+    }
+  }
+
   /** BUILD the IVF index once: assign cells and persist as a table BUCKETED
     * BY CELL — the build/probe split every vector store runs. The one
     * all-rows shuffle happens here, at write time; after that each probe
@@ -557,6 +599,65 @@ object Similarity {
     graft.sources.Sinks.writeBucketed(
       cells.select(col("cell"), col("vec_id"), col("v")), table, buckets,
       Seq("cell"), path)
+  }
+
+  /** [[buildIvfIndex]] with TWO-LEVEL ROUTED assignment — the build-side
+    * form of the `supers` lever, targeting the measured 1000×-smoke
+    * finding: the flat build over 2M×353 cells×64d is ~4·10¹³ codegen'd
+    * mult-adds (638 s of pure assignment FLOPs, SCALE.md r16). Routing
+    * costs n·(nSuper + |children|) folds instead of n·nCells — ~16× fewer
+    * at √c supers. APPROXIMATE by construction (a boundary vector may
+    * index under a neighboring super's cell), hence opt-in and
+    * instrument-gated like every routed path: on clustered corpora
+    * (`sim_cells_twolevel` high) the routed index is IDENTICAL to the
+    * flat one — SimilaritySpec pins table-content equality on the planted
+    * fixture — and the probe side needs no change at all (probes route
+    * through the same centroid set either way).
+    */
+  def buildIvfIndexRouted(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid], table: String, buckets: Int = 8,
+      path: Option[String] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val kids = superChildren(centroids, supers)
+    val bc = spark.sparkContext.broadcast((
+      supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
+      supers.map(s => kids(s.j).map(_.j).toArray).toArray,
+      supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray))
+    val cells = emb2v(emb).as[(Long, Seq[Double])].mapPartitions { it =>
+      val (sids, scents, cidsBy, ccentsBy) = bc.value
+      val ns = scents.length
+      def sq(c: Array[Double], v: Array[Double]): Double = {
+        var s = 0.0; var d = 0
+        val n = math.min(c.length, v.length)
+        while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+        s
+      }
+      it.map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var bestS = 0; var bestD = Double.MaxValue; var bestJ = Long.MaxValue
+        var si = 0
+        while (si < ns) {
+          val d = sq(scents(si), v)
+          if (d < bestD || (d == bestD && sids(si) < bestJ)) {
+            bestS = si; bestD = d; bestJ = sids(si)
+          }
+          si += 1
+        }
+        val cids = cidsBy(bestS); val ccents = ccentsBy(bestS)
+        var bestC = 0L; var bcd = Double.MaxValue; var bcj = Long.MaxValue
+        var ci = 0
+        while (ci < ccents.length) {
+          val d = sq(ccents(ci), v)
+          if (d < bcd || (d == bcd && cids(ci) < bcj)) {
+            bestC = cids(ci); bcd = d; bcj = cids(ci)
+          }
+          ci += 1
+        }
+        (bestC, id, vSeq)
+      }
+    }.toDF("cell", "vec_id", "v")
+    graft.sources.Sinks.writeBucketed(cells, table, buckets, Seq("cell"), path)
   }
 
   /** Probe a persisted [[buildIvfIndex]] table: same probes + exact re-rank
@@ -789,12 +890,105 @@ object Similarity {
     * nProbe² materialized rows) never exists. `nv` is computed by the SAME
     * column expression the join-form operators use, upstream of the seam,
     * so callbacks that replay the codegen'd arithmetic stay bit-identical.
+    *
+    * HOT-CELL CAP (round 16; the skew bound the per-cell kernel was
+    * missing): "memory = one cell" is exactly the wrong bound for the
+    * dedup workload — a duplicate-heavy corpus concentrates near-identical
+    * vectors into FEW hot cells, so at 100 TB one cell holds millions of
+    * rows → one straggler task with O(|cell|²) work. When `maxCellRows > 0`
+    * the indexed set is locally checkpointed (one assignment pass, not
+    * two), per-cell counts — at most nCells rows, the same census
+    * [[cellBalance]] publishes — come back to the driver, and any cell over
+    * the cap is split into `B = ceil(count/maxCellRows)` sub-blocks by a
+    * splitmix64 hash of vec_id. Each row is replicated to the B block-PAIRS
+    * containing its block ((blk,blk) plus (min(blk,j),max(blk,j)) for every
+    * other j), the shuffle key widens to (cell, blo, bhi), and `f` runs per
+    * block-pair group: every within-cell pair (a,b) still co-occurs in at
+    * least one group (the pair (blockOf(a), blockOf(b))), so the CANDIDATE
+    * SET IS IDENTICAL — split groups merely re-cover intra-block pairs,
+    * which is why both callers end in distinct()/dropDuplicates and all
+    * callback arithmetic is deterministic (same float op order regardless
+    * of grouping). Cost: shuffled rows go m → m·B = O(m²/maxCellRows) for a
+    * hot cell — still far under the join form's m² materialized pairs —
+    * and per-task memory/work drop to ~2·maxCellRows rows (hash-balance,
+    * not a hard cap) / O(maxCellRows²) pair ops, restoring parallelism
+    * across the straggler. `maxCellRows <= 0` keeps the uncapped legacy
+    * bound (one group per cell, no count pass) — the spec pins split ≡
+    * unsplit row-for-row on an adversarial all-dupes fixture.
+    */
+  /** Hash-balanced sub-block pick for split cells: splitmix64 finalizer —
+    * deterministic, uniform even for sequential vec_ids. */
+  private[graft] def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Default hot-cell cap: 16k rows/group ≈ 2.7e8 pair-ops per task at the
+    * quadratic kernels — seconds per task, ~8 MB of 64-dim vectors. Far
+    * above every oracle-scale cell (no splits → published hashes and plans
+    * unchanged below the cap), far below the million-row hot cells a
+    * dupe-heavy corpus produces at 100 TB. */
+  val defaultMaxCellRows: Int = 16384
+
+  /** The LITERAL CEILING, now measured and ENFORCED (round 16): the
+    * typedlit sorted-struct assignment stays in whole-stage codegen up to
+    * a few hundred cells; past that the generated method blows the JVM
+    * limit and Catalyst silently drops to INTERPRETED `ZipWith`/`ArraySort`
+    * eval — measured on the 1000× smoke as a >40-minute stall at 353
+    * cells × 2M vectors (thread dumps parked in `ArrayAggregate.eval`)
+    * where the bit-identical broadcast loop finishes in seconds. Above
+    * this many centroids [[mapCells]] switches to the broadcast path on
+    * its own; both paths are spec-pinned identical, so the switch is
+    * invisible in results and only visible in plans (which PlansSpec
+    * allow-lists assert at oracle scale, safely under the ceiling).
+    */
+  val literalAssignCeiling: Int = 256
+
+  /** Driver-side child map for two-level routing: each fine centroid under
+    * its nearest super, (d, sid) lexicographic tie order — k·nSuper dots,
+    * tiny by contract. Shared by [[assignTwoLevel]] and the [[mapCells]]
+    * routed assignment so the two paths can never disagree on ownership.
+    */
+  private[operators] def superChildren(centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid]): Map[Long, Seq[KMeans.Centroid]] = {
+    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val children = centroids.sortBy(_.j)
+      .map(c => supers.map(s => (sqd(c.c, s.c), s.j)).min -> c)
+      .groupBy(_._1._2).map { case (sj, cs) => sj -> cs.map(_._2) }
+    require(children.size == supers.size,
+      s"${supers.size - children.size} super(s) attracted no fine centroid")
+    children
+  }
+
+  /** `supers` (round 16, the wired two-level lever): when non-empty, the
+    * BROADCAST assignment routes each vector through its nearest super-cell
+    * and probes only that super's children — nSuper + |children| distance
+    * folds per vector instead of nCells, killing the n·nCells assignment
+    * term `autoCellsPairwise` documents. APPROXIMATE by construction (the
+    * flat-nearest cell may live under another super), so it is opt-in:
+    * published oracle queries keep the flat pick; the planted-cluster
+    * measurement in SimilaritySpec records where routing is trustworthy
+    * (hierarchically clustered corpora: 100% agreement) and where it is
+    * not (near-uniform corpora: ~50%), and `sim_cells_twolevel` is the
+    * per-corpus instrument. Requires `broadcastAssign` (the literal path
+    * is for small nCells, where routing buys nothing).
     */
   private[operators] def mapCells[T: org.apache.spark.sql.Encoder](
       emb: DataFrame, centroids: Seq[KMeans.Centroid], nProbe: Int,
-      broadcastAssign: Boolean = false)(
+      broadcastAssign: Boolean = false,
+      maxCellRows: Int = defaultMaxCellRows,
+      supers: Seq[KMeans.Centroid] = Nil)(
       f: collection.IndexedSeq[(Long, Array[Double], Double)] => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
+    require(supers.isEmpty || broadcastAssign,
+      "two-level routing is a broadcast-assignment lever; literal plans stay flat")
     import graft.plans.native
     val spark = emb.sparkSession
     import spark.implicits._
@@ -812,8 +1006,54 @@ object Similarity {
     //    (sqDist's ordered (c−v)² fold, the (d, cid) lexicographic sort).
     //    No plan bloat at any nCells — the 100 TB form, where a coarse
     //    quantizer has 10⁴⁺ cells.
+    // auto-switch past the literal ceiling: the two paths are bit-identical
+    // (spec-pinned), and an interpreted 353-struct sort per row is the
+    // measured alternative (literalAssignCeiling scaladoc)
+    val useBroadcast = broadcastAssign || centroids.size > literalAssignCeiling
     val indexed =
-      if (broadcastAssign) {
+      if (useBroadcast && supers.nonEmpty) {
+        // two-level ROUTED assignment: nearest super first (nSuper folds),
+        // then nProbe best among only that super's children — same sqDist
+        // fold and (d, id) tie order as the flat path at every level
+        val kids = superChildren(centroids, supers)
+        val bc = spark.sparkContext.broadcast((
+          supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
+          supers.map(s => kids(s.j).map(_.j).toArray).toArray,
+          supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray))
+        e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
+          val (sids, scents, cidsBy, ccentsBy) = bc.value
+          val ns = scents.length
+          def sq(c: Array[Double], v: Array[Double]): Double = {
+            var s = 0.0; var d = 0
+            val n = math.min(c.length, v.length)
+            while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+            s
+          }
+          it.flatMap { case (id, vSeq, nv) =>
+            val v = vSeq.toArray
+            var bestS = 0
+            var bestD = Double.MaxValue
+            var bestJ = Long.MaxValue
+            var si = 0
+            while (si < ns) {
+              val d = sq(scents(si), v)
+              if (d < bestD || (d == bestD && sids(si) < bestJ)) {
+                bestS = si; bestD = d; bestJ = sids(si)
+              }
+              si += 1
+            }
+            val cids = cidsBy(bestS)
+            val ccents = ccentsBy(bestS)
+            val m = ccents.length
+            val take = math.min(nProbe, m)
+            val ds = new Array[Double](m)
+            var ci = 0
+            while (ci < m) { ds(ci) = sq(ccents(ci), v); ci += 1 }
+            val order = Array.range(0, m).sortBy(ix => (ds(ix), cids(ix)))
+            (0 until take).map(p => (cids(order(p)), id, vSeq, nv))
+          }
+        }.toDF("cell", "vec_id", "v", "nv")
+      } else if (useBroadcast) {
         val bc = spark.sparkContext.broadcast(
           (ids.toArray, cs.map(_.toArray).toArray))
         e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
@@ -845,26 +1085,55 @@ object Similarity {
         e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
           .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
       }
-    indexed
-      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-      .sortWithinPartitions("cell")
-      .as[(Long, Long, Seq[Double], Double)]
+    val capped = maxCellRows > 0
+    // one assignment pass: the checkpoint feeds BOTH the count job and the
+    // keyed emission (without it the n·nCells assignment FLOPs run twice)
+    val src = if (capped) indexed.localCheckpoint(eager = true) else indexed
+    // split factors for cells over the cap — at most nCells entries (the
+    // centroid set already lives on the driver, so this collect is bounded
+    // by construction); cells at/under the cap don't appear
+    val blocks: Map[Long, Int] =
+      if (!capped) Map.empty
+      else src.groupBy("cell").count().as[(Long, Long)].collect()
+        .map { case (c, n) =>
+          c -> math.max(1L, (n + maxCellRows - 1) / maxCellRows).toInt }
+        .filter(_._2 > 1).toMap
+    val bcBlocks = spark.sparkContext.broadcast(blocks)
+    val keyed = src.as[(Long, Long, Seq[Double], Double)].mapPartitions { it =>
+      val bs = bcBlocks.value
+      it.flatMap { case (cell, id, v, nv) =>
+        val b = bs.getOrElse(cell, 1)
+        if (b <= 1) Iterator.single((cell, 0, 0, id, v, nv))
+        else {
+          val blk = java.lang.Math.floorMod(mix64(id), b.toLong).toInt
+          (0 until b).iterator.map(j =>
+            (cell, math.min(blk, j), math.max(blk, j), id, v, nv))
+        }
+      }
+    }.toDF("cell", "blo", "bhi", "vec_id", "v", "nv")
+    keyed
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("cell"), col("blo"), col("bhi"))
+      .sortWithinPartitions("cell", "blo", "bhi")
+      .as[(Long, Int, Int, Long, Seq[Double], Double)]
       .mapPartitions { it =>
         val buf = it.buffered
         new Iterator[T] {
           private var out: Iterator[T] = Iterator.empty
-          private def nextCell(): Unit = {
+          private def nextGroup(): Unit = {
             if (!buf.hasNext) return
-            val cell = buf.head._1
+            val key = (buf.head._1, buf.head._2, buf.head._3)
             val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-            while (buf.hasNext && buf.head._1 == cell) {
+            while (buf.hasNext &&
+                buf.head._1 == key._1 && buf.head._2 == key._2 &&
+                buf.head._3 == key._3) {
               val r = buf.next()
-              rows += ((r._2, r._3.toArray, r._4))
+              rows += ((r._4, r._5.toArray, r._6))
             }
             out = f(rows)
           }
           def hasNext: Boolean = {
-            while (!out.hasNext && buf.hasNext) nextCell()
+            while (!out.hasNext && buf.hasNext) nextGroup()
             out.hasNext
           }
           def next(): T = { hasNext; out.next() }
@@ -872,11 +1141,32 @@ object Similarity {
       }
   }
 
-  def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      nProbe: Int = 2, k: Int = 4, broadcastAssign: Boolean = false): DataFrame = {
+  /** The [[mapCells]] group-size census (one row per streamed group): the
+    * instrument behind the hot-cell cap — at `maxCellRows <= 0` it reads
+    * raw per-(cell·probe) occupancy (the skew [[cellBalance]] gauges), with
+    * a cap it proves every task-level group is bounded. ScaleSpec pins the
+    * bound on an adversarial all-dupes fixture. */
+  def cellGroupCensus(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, broadcastAssign: Boolean = false,
+      maxCellRows: Int = defaultMaxCellRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cand = mapCells(emb, centroids, nProbe, broadcastAssign) { rows =>
+    mapCells(emb, centroids, nProbe, broadcastAssign, maxCellRows)(rows =>
+      Iterator.single(rows.length)).toDF("group_rows")
+  }
+
+  def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      nProbe: Int = 2, k: Int = 4, broadcastAssign: Boolean = false,
+      maxCellRows: Int = defaultMaxCellRows,
+      supers: Seq[KMeans.Centroid] = Nil): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // split-safe: a's per-group top-k is a superset of its per-cell top-k
+    // restricted to that group (smaller candidate pool → rank only
+    // improves), so the union over block-pairs still contains every
+    // global top-k neighbor; dropDuplicates + the window cut finish it
+    val cand = mapCells(emb, centroids, nProbe, broadcastAssign,
+        maxCellRows, supers) { rows =>
       val m = rows.length
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var ai = 0
@@ -1279,6 +1569,17 @@ object Similarity {
     * with cluster separation on real corpora and no training regime can
     * manufacture separation that is not there. Do not deploy the
     * two-level path without reading this table on your own corpus.
+    *
+    * RESOLVED (round 16, the planted-cluster fixture the adjudication
+    * called for — [[graft.ScaleSmoke.plantedEmbeddings]], 4 super-clusters
+    * × 8 children): true hierarchy routes 4000/4000 (100%), arbitrary
+    * prefix supers 3969/4000 (99.2%), and the routed knnGraphBlocked build
+    * is EDGE-IDENTICAL to the flat broadcast build (SimilaritySpec pins
+    * all three). The ~50% sf-fixture band was the fixture, not the router.
+    * DECISION: the lever is wired as the opt-in `supers` param of
+    * [[mapCells]]/[[knnGraphBlocked]] — deploy when `sim_cells_twolevel`
+    * reads high on the target corpus; keep flat assignment on
+    * near-uniform data where routing trades recall for nothing.
     */
   def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       nSuper: Int): DataFrame = {
@@ -1303,22 +1604,11 @@ object Similarity {
   def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       supers: Seq[KMeans.Centroid]): DataFrame = {
     val sorted = centroids.sortBy(_.j)
-    def sqd(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     // nearest super per centroid, (d, sid) tie order — the exact fold the
-    // column expressions run, so the mirror's argmin CTE reproduces it
-    val children: Map[Long, Seq[KMeans.Centroid]] = sorted
-      .map(c => supers.map(s => (sqd(c.c, s.c), s.j)).min -> c)
-      .groupBy(_._1._2).map { case (sj, cs) => sj -> cs.map(_._2) }
-    // a childless super would have no fine cell to assign — loud, not a
-    // silent mis-label (can only happen with degenerate/duplicate supers)
-    require(children.size == supers.size,
-      s"${supers.size - children.size} super(s) attracted no fine centroid")
+    // column expressions run, so the mirror's argmin CTE reproduces it;
+    // shared with the mapCells routed assignment (superChildren) so the
+    // instrument and the wired lever can never disagree on ownership
+    val children = superChildren(centroids, supers)
     def argmin(cs: Seq[KMeans.Centroid]): Column =
       element_at(array_sort(zip_with(
         typedlit(cs.map(_.c)), typedlit(cs.map(_.j)),
@@ -1352,8 +1642,9 @@ object Similarity {
     * linear in n; the trade is the coarse ASSIGNMENT (n·nCells dots),
     * which the [[mapCells]] broadcast path keeps off the plan but still
     * pays in FLOPs — past ~10⁴ cells a two-level quantizer (assign to √c
-    * super-cells, then within) is the standard next step, recorded here
-    * as the known lever rather than built speculatively. Recall shrinks
+    * super-cells, then within) is the standard next step, wired round 16
+    * as [[mapCells]]'s opt-in `supers` routing (planted-cluster evidence
+    * in [[assignTwoLevel]]'s scaladoc). Recall shrinks
     * with cell size; `dedup_semantic_probe` / `sim_recall_curve` are the
     * instruments that re-price nProbe after a policy change.
     */

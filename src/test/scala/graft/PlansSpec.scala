@@ -285,6 +285,9 @@ class PlansSpec extends SparkSpec {
       // sim_cell_balance crossJoins the ONE-row total against the
       // |cells|-row occupancy rollup — the same scalar-subquery shape
       "sim_cell_balance",
+      // sim_cell_rebalance aggregates that census to its one-row decision —
+      // the identical inherited scalar crossJoin, nothing corpus-scale added
+      "sim_cell_rebalance",
       // the indexed probe twins share their direct forms' ONE-row scalar
       // crossJoin (corpus N / (n_docs, total_len)) — same declared shape
       "text_tfidf_indexed", "text_bm25_indexed", "retrieval_hybrid_indexed")

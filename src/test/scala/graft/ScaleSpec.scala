@@ -140,6 +140,63 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hot-cell cap: an adversarial all-dupes corpus splits into bounded " +
+      "block-pair groups with results identical to the uncapped kernel") {
+    import spark.implicits._
+    // the dedup worst case the per-cell kernels exist for: EVERY vector is
+    // near-identical (tiny monotone jitter keeps cosines distinct), so the
+    // whole corpus lands in ONE coarse cell — uncapped, that is one
+    // straggler task doing all n² work over n resident rows
+    val n = 240
+    val emb = (0 until n).map(i =>
+        (i.toLong, Array(1.0f, (i * 1e-4).toFloat, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      operators.KMeans.Centroid(1, Seq(1.0, 0.0, 0.0, 0.0)),
+      operators.KMeans.Centroid(2, Seq(-1.0, 0.0, 0.0, 0.0)),
+      operators.KMeans.Centroid(3, Seq(0.0, -1.0, 0.0, 0.0)),
+      operators.KMeans.Centroid(4, Seq(0.0, 0.0, -1.0, 0.0)))
+    // uncapped census at nProbe=1: exactly the straggler — one group, n rows
+    val raw = operators.Similarity.cellGroupCensus(emb, cents, nProbe = 1,
+      maxCellRows = 0).collect().map(_.getInt(0)).sorted
+    assert(raw.toSeq == Seq(n), s"expected one hot group of $n, got ${raw.toSeq}")
+    // capped: B = ceil(240/32) = 8 sub-blocks -> 36 block-pair groups, each
+    // holding at most two hash-balanced blocks (bound is probabilistic, so
+    // assert 3x the cap, far under the n straggler)
+    val cap = 32
+    val capped = operators.Similarity.cellGroupCensus(emb, cents, nProbe = 1,
+      maxCellRows = cap).collect().map(_.getInt(0))
+    assert(capped.length == 36,
+      s"expected 36 block-pair groups, got ${capped.length}")
+    assert(capped.max <= 3 * cap,
+      s"group of ${capped.max} rows exceeds the split bound")
+    assert(capped.sum >= n, "split groups must cover every row")
+    // results are IDENTICAL through the split (knn graph and the
+    // threshold-pair kernel, literal and broadcast assignment)
+    def knnBits(maxCell: Int, bcast: Boolean = false) =
+      operators.Similarity.knnGraphBlocked(emb, cents, nProbe = 1, k = 3,
+          broadcastAssign = bcast, maxCellRows = maxCell)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val knnUnsplit = knnBits(0)
+    assert(knnUnsplit.nonEmpty && knnBits(cap) == knnUnsplit,
+      "split knn graph diverged from the uncapped kernel")
+    assert(knnBits(cap, bcast = true) == knnUnsplit,
+      "split+broadcast knn graph diverged")
+    // join-form ground truth (the shared-oracle discipline, in-suite)
+    val joinForm = operators.Similarity.knnGraph(emb, cents, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(knnUnsplit == joinForm)
+    def cosBits(maxCell: Int) =
+      operators.Dedup.embeddingCosineBlockedLocal(emb, cents,
+          thrE6 = 999000L, nProbe = 2, maxCellRows = maxCell)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cosUnsplit = cosBits(0)
+    assert(cosUnsplit.nonEmpty && cosBits(cap) == cosUnsplit,
+      "split threshold-pair kernel diverged from the uncapped kernel")
+  }
+
   test("plan shape is invariant under corpus scale-up for every smoke workload") {
     ScaleSmoke.workloads.foreach { name =>
       val fn = SparkEntry.queries(name)

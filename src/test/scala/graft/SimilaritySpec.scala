@@ -263,6 +263,61 @@ class SimilaritySpec extends SparkSpec {
     assert(compacted == rows(Similarity.ivfTopKDelta(realEmb, tbl, delta, cents)))
   }
 
+  test("IVF compaction under CHURN: interleaved deltas and compactions " +
+      "equal a fresh rebuild at every point") {
+    // round-16 task 7: the single delta+compact equivalence above, now
+    // under the lifecycle a live ingest runs — pending deltas accumulate
+    // (two at once), a compaction folds them, more arrive, another
+    // compaction — with the invariant pinned at EVERY step: search through
+    // (current generation + pending deltas) == search through an index
+    // freshly rebuilt over everything ingested so far
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(realEmb, 16)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def build(corpus: org.apache.spark.sql.DataFrame, tbl: String): String = {
+      Similarity.buildIvfIndex(corpus, cents, tbl, buckets = 4,
+        Some(s"$tmp/$tbl"))
+      tbl
+    }
+    def delta(r: Int) = realEmb.filter(col("vec_id") % 7 === r % 7)
+      .withColumn("vec_id", col("vec_id") + r * 1000000L)
+    val none = realEmb.filter(col("vec_id") < 0)
+    var corpus = realEmb.select(col("vec_id"), col("embedding"))
+    var gen = build(corpus, "graft_churn_g0")
+    var pending = none.select(col("vec_id"), col("embedding"))
+    var step = 0
+    def checkAgainstFresh(): Unit = {
+      step += 1
+      val fresh = build(corpus.unionByName(pending), s"graft_churn_fresh_$step")
+      val got = rows(Similarity.ivfTopKDelta(realEmb, gen, pending, cents))
+      val want = rows(Similarity.ivfTopKDelta(realEmb, fresh, none, cents))
+      assert(got.nonEmpty && got == want,
+        s"churn step $step: generation+pending diverged from fresh rebuild")
+    }
+    // ingest d1 -> probe; ingest d2 on top (two pending) -> probe
+    pending = delta(1).select(col("vec_id"), col("embedding"))
+    checkAgainstFresh()
+    pending = pending.unionByName(delta(2).select(col("vec_id"), col("embedding")))
+    checkAgainstFresh()
+    // compact both, probe the new generation clean
+    Similarity.compactIvfIndex(spark, gen, pending, cents, "graft_churn_g1",
+      buckets = 4, Some(s"$tmp/graft_churn_g1"))
+    corpus = corpus.unionByName(pending); pending = none.select(col("vec_id"), col("embedding"))
+    gen = "graft_churn_g1"
+    checkAgainstFresh()
+    // third delta onto the compacted generation, then a second compaction
+    pending = delta(3).select(col("vec_id"), col("embedding"))
+    checkAgainstFresh()
+    Similarity.compactIvfIndex(spark, gen, pending, cents, "graft_churn_g2",
+      buckets = 4, Some(s"$tmp/graft_churn_g2"))
+    corpus = corpus.unionByName(pending); pending = none.select(col("vec_id"), col("embedding"))
+    gen = "graft_churn_g2"
+    checkAgainstFresh()
+  }
+
   test("assignTwoLevel: a coherent trained hierarchy routes better than " +
       "mismatched levels") {
     val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
@@ -295,6 +350,91 @@ class SimilaritySpec extends SparkSpec {
     for (a <- Seq(arbArb, arbTrained, coherent))
       assert(a > 300000L && a < 700000L,
         s"agreement left the unclustered-fixture band: $a")
+  }
+
+  test("assignTwoLevel + routed mapCells: a PLANTED hierarchical corpus " +
+      "resolves the two-level decision — 100% agreement, routed knn graph " +
+      "bit-identical to flat") {
+    // the round-15 verdict's open adjudication: ~50% agreement on the sf
+    // fixtures is a FIXTURE property (near-uniform data has no coarse
+    // structure to route by) — untestable there. This corpus plants the
+    // structure (4 super-clusters × 8 children, the reference's own
+    // planted-clusters test philosophy, k-means.sql:3-4); measured round
+    // 16 and PINNED (deterministic generator):
+    //   true supers + true fines  -> 4000/4000 agreement (100%)
+    //   prefix supers (arbitrary) -> 3969/4000 (99.2%)
+    //   routed knnGraphBlocked    -> identical edge set to flat broadcast
+    // RECORDED DECISION: the two-level lever is wired as the opt-in
+    // `supers` param of mapCells/knnGraphBlocked — deploy it when
+    // sim_cells_twolevel reads high on YOUR corpus (clustered data), keep
+    // the flat broadcast otherwise (near-uniform data: ~50%, recall loss).
+    val (supers, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    val emb = ScaleSmoke.plantedEmbeddings(spark, 4000, 16, 4, 8).cache()
+    def agree(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("agree")).head().getLong(0)
+    assert(agree(Similarity.assignTwoLevel(emb, fines, supers)) == 4000L,
+      "true-hierarchy routing must be exact on planted clusters")
+    assert(agree(Similarity.assignTwoLevel(emb, fines, 4)) == 3969L,
+      "prefix-supers planted agreement moved off the pinned measurement")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val flat = bits(Similarity.knnGraphBlocked(emb, fines, nProbe = 2,
+      k = 4, broadcastAssign = true))
+    val routed = bits(Similarity.knnGraphBlocked(emb, fines, nProbe = 2,
+      k = 4, broadcastAssign = true, supers = supers))
+    assert(flat.nonEmpty && routed == flat,
+      "routed build diverged from flat on the planted corpus")
+    emb.unpersist()
+  }
+
+  test("buildIvfIndexRouted: on a clustered corpus the routed build writes " +
+      "the IDENTICAL index as the flat build, and probes need no change") {
+    // the build-side two-level lever (SCALE.md r16: the 2M-vector flat
+    // build is ~4e13 pure assignment mult-adds): on the planted corpus
+    // routing agrees 100% with the flat argmin, so the cheap build must
+    // be content-identical — pinned here, probe equality follows for free
+    val (supers, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    val emb = ScaleSmoke.plantedEmbeddings(spark, 2000, 16, 4, 8).cache()
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    Similarity.buildIvfIndex(emb, fines, "graft_routed_flat", buckets = 4,
+      Some(s"$tmp/graft_routed_flat"))
+    Similarity.buildIvfIndexRouted(emb, fines, supers, "graft_routed_two",
+      buckets = 4, Some(s"$tmp/graft_routed_two"))
+    def rows(t: String) = spark.table(t)
+      .select(col("cell"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = rows("graft_routed_flat")
+    assert(flat.nonEmpty && rows("graft_routed_two") == flat,
+      "routed index diverged from the flat build on clustered data")
+    // and the probe through the routed table equals the flat probe
+    def probe(t: String) = Similarity.ivfTopKIndexed(emb, t, fines,
+        nQueries = 4).collect().map(_.toString).toSet
+    assert(probe("graft_routed_two") == probe("graft_routed_flat"))
+    emb.unpersist()
+  }
+
+  test("rebalanceDecision/cellsRebalanced: a misaligned quantizer trips " +
+      "the load bound and the re-fit restores it") {
+    // all 8 cells drawn from ONE super's region -> 3/4 of the corpus
+    // funnels through the boundary cells (max load 6.25x even share);
+    // the decision row and the post-refit row are pinned (deterministic)
+    val emb = ScaleSmoke.plantedEmbeddings(spark, 4000, 16, 4, 8).cache()
+    val mis = Similarity.fixedCentroids(emb.filter(col("label") < 8), 32)
+    assert(mis.size == 8)
+    def dec(cs: Seq[KMeans.Centroid]) = {
+      val r = Similarity.rebalanceDecision(emb, cs).head()
+      (r.getLong(0), r.getLong(3), r.getLong(4)) // (max_load, bound, refit)
+    }
+    assert(dec(mis) == ((625L, 300L, 1L)), "misaligned cells must trip")
+    val reb = Similarity.cellsRebalanced(emb, mis)
+    assert(reb != mis && reb.size == mis.size)
+    assert(dec(reb) == ((200L, 300L, 0L)),
+      "re-fit quantizer must come back under the documented bound")
+    // aligned cells never trigger: acting is idempotent
+    val (_, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    assert(Similarity.cellsRebalanced(emb, fines) == fines)
+    emb.unpersist()
   }
 
   test("assignTwoLevel: exact when every centroid is its own super; " +
