@@ -184,6 +184,32 @@ object ScaleSmoke {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
+  /** ALL-DUPES adversarial corpus for the hot-cell-cap exhibit: every
+    * vector near-identical (monotone last-dim jitter keeps cosines
+    * distinct), so the whole corpus lands in ONE coarse cell — the dedup
+    * worst case the cap exists for. Deterministic, no RNG.
+    */
+  def skewFixture(spark: SparkSession, n: Long, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val v = new Array[Float](dim)
+        v(0) = 1.0f
+        v(1) = (i * 1e-7).toFloat
+        (i, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  def skewCentroids(dim: Int = 16): Seq[operators.KMeans.Centroid] = {
+    def axis(d: Int, sign: Double) = (0 until dim).map(x =>
+      if (x == d) sign else 0.0)
+    Seq(operators.KMeans.Centroid(1, axis(0, 1.0)),
+      operators.KMeans.Centroid(2, axis(0, -1.0)),
+      operators.KMeans.Centroid(3, axis(2, -1.0)),
+      operators.KMeans.Centroid(4, axis(3, -1.0)))
+  }
+
   final case class PlanShape(exchanges: Int, nestedLoops: Int,
       singlePartitionExchanges: Int)
 
@@ -340,6 +366,46 @@ object ScaleSmoke {
     // plane (persisted-index + delta search, one streamed probe batch)
     val mode = args.lift(3).getOrElse("full")
     val reps = 2
+    // "skew" is self-contained (no base/scaled pair): factor = corpus size
+    // in THOUSANDS of all-dupes vectors; the exhibit times the capped vs
+    // uncapped blocked knn build on the one-hot-cell worst case and
+    // reports the group census under both
+    if (mode == "skew") {
+      val cpusS = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkS = SparkSession.builder().master(s"local[$cpusS]")
+        .config("spark.sql.shuffle.partitions", cpusS)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sparkS.sparkContext.setLogLevel("WARN")
+      val n = args.lift(1).map(_.toLong).getOrElse(50L) * 1000L
+      val emb = skewFixture(sparkS, n).cache()
+      emb.count() // materialize: time kernels, not generation
+      val cents = skewCentroids()
+      def wall(maxCell: Int, rep: Int): Double = (1 to rep).map { _ =>
+        val t0 = System.nanoTime()
+        operators.Similarity.knnGraphBlocked(emb, cents, nProbe = 1, k = 4,
+            maxCellRows = maxCell)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def census(maxCell: Int): (Int, Long) = {
+        val g = operators.Similarity.cellGroupCensus(emb, cents, nProbe = 1,
+          maxCellRows = maxCell).collect().map(_.getInt(0).toLong)
+        (g.length, g.max)
+      }
+      def jnum(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val (gUncap, maxUncap) = census(0)
+      val (gCap, maxCap) = census(operators.Similarity.defaultMaxCellRows)
+      val wCap = wall(operators.Similarity.defaultMaxCellRows, reps)
+      val wUncap = wall(0, 1) // the straggler: one rep is the point
+      println(s"""{"metric":"skew_exhibit","n":$n,""" +
+        s""""uncapped_sec":${jnum(wUncap)},"capped_sec":${jnum(wCap)},""" +
+        s""""speedup":${jnum(wUncap / wCap)},""" +
+        s""""groups_uncapped":$gUncap,"max_group_uncapped":$maxUncap,""" +
+        s""""groups_capped":$gCap,"max_group_capped":$maxCap}""")
+      sparkS.stop()
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

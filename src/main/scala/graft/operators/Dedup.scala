@@ -1088,22 +1088,76 @@ object Dedup {
     * cost scales linearly in nProbe via the equi-join, never all-pairs.
     */
   def semanticDedup(emb: DataFrame, centroids: Seq[KMeans.Centroid],
-      thrE6: Long, nProbe: Int = 1): DataFrame = {
+      thrE6: Long, nProbe: Int = 1,
+      broadcastAssign: Boolean = false): DataFrame = {
     import graft.plans.native
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
-    // nearest cell + cosine to that centroid, all row-local: sort the
-    // (distance, cid, centroid-cos) structs, take the head (ties → lowest
-    // cid; the cos field never decides, (d, cid) is unique)
-    val asn = e.select(col("vec_id"), col("v"), col("nv"),
-      element_at(array_sort(zip_with(typedlit(cs), typedlit(ids),
-        (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid"),
-          (native.dot(col("v"), c) / (col("nv") * sqrt(native.dot(c, c))))
-            .as("cc")))), 1).as("x"))
-      .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"),
-        round(col("x.cc") * 1e6).cast("long").as("cent_cos_e6"))
+    // the literal-ceiling discipline (Similarity.literalAssignCeiling):
+    // past ~256 cells the typedlit sorted-struct below silently drops out
+    // of codegen into interpreted eval — the measured 1000×-smoke stall —
+    // so the assignment auto-switches to a bit-identical broadcast loop
+    // (same (c−v)² fold, (d, cid) tie order, v·c/(‖v‖·‖c‖) operand order,
+    // roundHalfUpLong ≡ Spark round; DedupSpec pins row equality)
+    val useBroadcast =
+      broadcastAssign || centroids.size > Similarity.literalAssignCeiling
+    val asn = if (useBroadcast) {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(
+        (ids.toArray, cs.map(_.toArray).toArray))
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Seq[Double])].mapPartitions { it =>
+          val (jids, cents) = bc.value
+          val m = cents.length
+          it.map { case (id, vSeq) =>
+            val v = vSeq.toArray
+            var nv2 = 0.0
+            var i = 0
+            while (i < v.length) { nv2 += v(i) * v(i); i += 1 }
+            val nv = math.sqrt(nv2)
+            var bi = 0
+            var bd = Double.MaxValue
+            var bj = Long.MaxValue
+            var ci = 0
+            while (ci < m) {
+              val c = cents(ci)
+              var s = 0.0
+              var d = 0
+              val n = math.min(c.length, v.length)
+              while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+              if (s < bd || (s == bd && jids(ci) < bj)) {
+                bi = ci; bd = s; bj = jids(ci)
+              }
+              ci += 1
+            }
+            val c = cents(bi)
+            val n = math.min(c.length, v.length)
+            var dotVC = 0.0
+            var d = 0
+            while (d < n) { dotVC += v(d) * c(d); d += 1 }
+            var cc2 = 0.0
+            d = 0
+            while (d < c.length) { cc2 += c(d) * c(d); d += 1 }
+            val cc = dotVC / (nv * math.sqrt(cc2))
+            (id, vSeq, nv, jids(bi), KMeans.roundHalfUpLong(cc * 1e6))
+          }
+        }.toDF("vec_id", "v", "nv", "cell", "cent_cos_e6")
+    } else {
+      val e = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
+      // nearest cell + cosine to that centroid, all row-local: sort the
+      // (distance, cid, centroid-cos) structs, take the head (ties → lowest
+      // cid; the cos field never decides, (d, cid) is unique)
+      e.select(col("vec_id"), col("v"), col("nv"),
+        element_at(array_sort(zip_with(typedlit(cs), typedlit(ids),
+          (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid"),
+            (native.dot(col("v"), c) / (col("nv") * sqrt(native.dot(c, c))))
+              .as("cc")))), 1).as("x"))
+        .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"),
+          round(col("x.cc") * 1e6).cast("long").as("cent_cos_e6"))
+    }
     val a = asn.select(col("cell"), col("vec_id").as("a_id"),
       col("v").as("va"), col("nv").as("na"))
     val b = asn.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
@@ -1119,7 +1173,8 @@ object Dedup {
             round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
               .cast("long").as("cos_e6"))
           .filter(col("cos_e6") >= thrE6)
-      else embeddingCosineBlockedLocal(emb, centroids, thrE6, nProbe)
+      else embeddingCosineBlockedLocal(emb, centroids, thrE6, nProbe,
+        broadcastAssign)
     val comp = connectedComponents(
       asn.select(col("vec_id").as("doc_id")), pairs)
     val wSize = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")

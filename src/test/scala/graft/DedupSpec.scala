@@ -272,6 +272,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: broadcast assignment twin is row-identical to the " +
+      "literal plan (the literal-ceiling seam)") {
+    // past ~256 cells the literal sorted-struct assignment drops out of
+    // codegen (the measured 1000x-smoke stall) and semanticDedup switches
+    // to a broadcast loop replaying the same folds — this pins the seam
+    // bit-identical on the real fixture AND on clustered planted data,
+    // at the oracle probe depth and the production one
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    for (np <- Seq(1, 4)) {
+      val lit = rows(Dedup.semanticDedup(emb, cents, thrE6 = 500000L,
+        nProbe = np))
+      val bc = rows(Dedup.semanticDedup(emb, cents, thrE6 = 500000L,
+        nProbe = np, broadcastAssign = true))
+      assert(lit.nonEmpty && bc == lit, s"nProbe=$np diverged")
+    }
+    val (_, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    val planted = ScaleSmoke.plantedEmbeddings(spark, 1000, 16, 4, 8)
+    val lit = rows(Dedup.semanticDedup(planted, fines, thrE6 = 900000L))
+    assert(lit.nonEmpty &&
+      rows(Dedup.semanticDedup(planted, fines, thrE6 = 900000L,
+        broadcastAssign = true)) == lit)
+  }
+
   test("semanticDedup: keep-the-outlier rule, per-cluster single keeper") {
     import graft.operators.{KMeans, Similarity}
     val cents = Seq(
