@@ -370,6 +370,54 @@ object ScaleSmoke {
     // in THOUSANDS of all-dupes vectors; the exhibit times the capped vs
     // uncapped blocked knn build on the one-hot-cell worst case and
     // reports the group census under both
+    // "build" is also self-contained: regenerates the factor× embeddings
+    // fixture and times the FLAT IVF index build (n·nCells assignment
+    // FLOPs — the measured 638 s term at 2M×353 cells) against the
+    // ROUTED build (n·(nSuper+|children|) folds) at the same cell set,
+    // reporting both walls and whether the two indexes agree cell-for-cell
+    if (mode == "build") {
+      val cpusB = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkB = SparkSession.builder().master(s"local[$cpusB]")
+        .config("spark.sql.shuffle.partitions", cpusB)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+      sparkB.sparkContext.setLogLevel("WARN")
+      val dir = s"$workDir/x$factor"
+      if (factor <= 100) writeScaled(sparkB, baseDir, dir, factor, Set("embeddings"))
+      else {
+        val mid = s"$workDir/x100_stage"
+        writeScaled(sparkB, baseDir, mid, 100, Set("embeddings"))
+        writeScaled(sparkB, mid, dir, factor / 100, Set("embeddings"))
+      }
+      val emb = Tables.read(sparkB, dir, "embeddings")
+      val n = emb.count()
+      val fines = operators.Similarity.fixedCentroids(emb,
+        operators.Similarity.autoCells(n))
+      val supers = fines.take(
+        math.ceil(math.sqrt(fines.size.toDouble)).toInt)
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val wFlat = time(operators.Similarity.buildIvfIndex(emb, fines,
+        "smoke_build_flat", buckets = 8, Some(s"$workDir/smoke_build_flat")))
+      val wRouted = time(operators.Similarity.buildIvfIndexRouted(emb, fines,
+        supers, "smoke_build_routed", buckets = 8,
+        Some(s"$workDir/smoke_build_routed")))
+      val agree = sparkB.table("smoke_build_flat").select("vec_id", "cell")
+        .join(sparkB.table("smoke_build_routed")
+            .select(col("vec_id"), col("cell").as("cell_r")), "vec_id")
+        .agg(sum(when(col("cell") === col("cell_r"), 1L).otherwise(0L)),
+          count(lit(1))).head()
+      def jnum(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"metric":"build_exhibit","n":$n,""" +
+        s""""cells":${fines.size},"supers":${supers.size},""" +
+        s""""flat_sec":${jnum(wFlat)},"routed_sec":${jnum(wRouted)},""" +
+        s""""speedup":${jnum(wFlat / wRouted)},""" +
+        s""""agree":${agree.getLong(0)},"total":${agree.getLong(1)}}""")
+      sparkB.stop()
+      return
+    }
     if (mode == "skew") {
       val cpusS = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val sparkS = SparkSession.builder().master(s"local[$cpusS]")
