@@ -167,6 +167,10 @@ object Bench {
     // neighborhood, a floor adjudication can cite order-independence
     // instead of re-litigating contention per round
     val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "name")
+    // fail fast on a typo ("reversed", "rev") — a silent fallback to name
+    // order would let an adversarial-order leg unknowingly run forward
+    require(Set("name", "reverse").contains(order),
+      s"SPARK_GRAFT_ORDER must be 'name' or 'reverse', got '$order'")
     val byName = SparkEntry.queries.toSeq.sortBy(_._1)
     val all = if (order == "reverse") byName.reverse else byName
     val unknown = args.filterNot(a => all.exists(_._1 == a))

@@ -385,6 +385,9 @@ object ScaleSmoke {
       val dir = s"$workDir/x$factor"
       if (factor <= 100) writeScaled(sparkB, baseDir, dir, factor, Set("embeddings"))
       else {
+        // same guard as the main path: integer division would silently
+        // build a 100× corpus into a directory labeled x$factor
+        require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
         val mid = s"$workDir/x100_stage"
         writeScaled(sparkB, baseDir, mid, 100, Set("embeddings"))
         writeScaled(sparkB, mid, dir, factor / 100, Set("embeddings"))

@@ -619,43 +619,10 @@ object Similarity {
       path: Option[String] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val kids = superChildren(centroids, supers)
-    val bc = spark.sparkContext.broadcast((
-      supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
-      supers.map(s => kids(s.j).map(_.j).toArray).toArray,
-      supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray))
+    val bc = spark.sparkContext.broadcast(routedPicker(centroids, supers))
     val cells = emb2v(emb).as[(Long, Seq[Double])].mapPartitions { it =>
-      val (sids, scents, cidsBy, ccentsBy) = bc.value
-      val ns = scents.length
-      def sq(c: Array[Double], v: Array[Double]): Double = {
-        var s = 0.0; var d = 0
-        val n = math.min(c.length, v.length)
-        while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
-        s
-      }
-      it.map { case (id, vSeq) =>
-        val v = vSeq.toArray
-        var bestS = 0; var bestD = Double.MaxValue; var bestJ = Long.MaxValue
-        var si = 0
-        while (si < ns) {
-          val d = sq(scents(si), v)
-          if (d < bestD || (d == bestD && sids(si) < bestJ)) {
-            bestS = si; bestD = d; bestJ = sids(si)
-          }
-          si += 1
-        }
-        val cids = cidsBy(bestS); val ccents = ccentsBy(bestS)
-        var bestC = 0L; var bcd = Double.MaxValue; var bcj = Long.MaxValue
-        var ci = 0
-        while (ci < ccents.length) {
-          val d = sq(ccents(ci), v)
-          if (d < bcd || (d == bcd && cids(ci) < bcj)) {
-            bestC = cids(ci); bcd = d; bcj = cids(ci)
-          }
-          ci += 1
-        }
-        (bestC, id, vSeq)
-      }
+      val rp = bc.value
+      it.map { case (id, vSeq) => (rp.pick(vSeq.toArray, 1)(0), id, vSeq) }
     }.toDF("cell", "vec_id", "v")
     graft.sources.Sinks.writeBucketed(cells, table, buckets, Seq("cell"), path)
   }
@@ -896,8 +863,12 @@ object Similarity {
     * dedup workload — a duplicate-heavy corpus concentrates near-identical
     * vectors into FEW hot cells, so at 100 TB one cell holds millions of
     * rows → one straggler task with O(|cell|²) work. When `maxCellRows > 0`
-    * the indexed set is locally checkpointed (one assignment pass, not
-    * two), per-cell counts — at most nCells rows, the same census
+    * AND the corpus row count exceeds the cap (an under-cap corpus cannot
+    * have an over-cap cell, so suite-scale callers skip all of this behind
+    * one cheap count), the indexed set is locally checkpointed (one
+    * assignment pass, not two; `checkpointAssigned = false` trades that
+    * saved pass back for intact lineage — see the seam comment below),
+    * per-cell counts — at most nCells rows, the same census
     * [[cellBalance]] publishes — come back to the driver, and any cell over
     * the cap is split into `B = ceil(count/maxCellRows)` sub-blocks by a
     * splitmix64 hash of vec_id. Each row is replicated to the B block-PAIRS
@@ -967,6 +938,54 @@ object Similarity {
     children
   }
 
+  /** The ONE two-level routed argmin, shared by [[buildIvfIndexRouted]]
+    * and [[mapCells]]'s routed branch so the two copies can never drift
+    * and break the never-disagree-on-ownership contract [[superChildren]]
+    * exists to protect (r16 advice): nearest super by (d, sid)
+    * lexicographic order, then the `take` nearest of ONLY that super's
+    * children by (d, cid) — the same ordered sqDist fold and tie order as
+    * the flat path at every level. Plain serializable value: built once on
+    * the driver from [[superChildren]], shipped by broadcast, `pick`
+    * called per vector on executors.
+    */
+  private[operators] final case class RoutedPicker(
+      sids: Array[Long], scents: Array[Array[Double]],
+      cidsBy: Array[Array[Long]], ccentsBy: Array[Array[Array[Double]]]) {
+    private def sq(c: Array[Double], v: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      val n = math.min(c.length, v.length)
+      while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+      s
+    }
+    /** ids of the `take` nearest children under the nearest super. */
+    def pick(v: Array[Double], take: Int): Array[Long] = {
+      var bestS = 0; var bestD = Double.MaxValue; var bestJ = Long.MaxValue
+      var si = 0
+      while (si < scents.length) {
+        val d = sq(scents(si), v)
+        if (d < bestD || (d == bestD && sids(si) < bestJ)) {
+          bestS = si; bestD = d; bestJ = sids(si)
+        }
+        si += 1
+      }
+      val cids = cidsBy(bestS); val ccents = ccentsBy(bestS)
+      val m = ccents.length
+      val ds = new Array[Double](m)
+      var ci = 0
+      while (ci < m) { ds(ci) = sq(ccents(ci), v); ci += 1 }
+      Array.range(0, m).sortBy(ix => (ds(ix), cids(ix)))
+        .take(math.min(take, m)).map(cids(_))
+    }
+  }
+
+  private[operators] def routedPicker(centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid]): RoutedPicker = {
+    val kids = superChildren(centroids, supers)
+    RoutedPicker(supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
+      supers.map(s => kids(s.j).map(_.j).toArray).toArray,
+      supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray)
+  }
+
   /** `supers` (round 16, the wired two-level lever): when non-empty, the
     * BROADCAST assignment routes each vector through its nearest super-cell
     * and probes only that super's children — nSuper + |children| distance
@@ -984,7 +1003,8 @@ object Similarity {
       emb: DataFrame, centroids: Seq[KMeans.Centroid], nProbe: Int,
       broadcastAssign: Boolean = false,
       maxCellRows: Int = defaultMaxCellRows,
-      supers: Seq[KMeans.Centroid] = Nil)(
+      supers: Seq[KMeans.Centroid] = Nil,
+      checkpointAssigned: Boolean = true)(
       f: collection.IndexedSeq[(Long, Array[Double], Double)] => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
     require(supers.isEmpty || broadcastAssign,
@@ -1013,44 +1033,15 @@ object Similarity {
     val indexed =
       if (useBroadcast && supers.nonEmpty) {
         // two-level ROUTED assignment: nearest super first (nSuper folds),
-        // then nProbe best among only that super's children — same sqDist
-        // fold and (d, id) tie order as the flat path at every level
-        val kids = superChildren(centroids, supers)
-        val bc = spark.sparkContext.broadcast((
-          supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
-          supers.map(s => kids(s.j).map(_.j).toArray).toArray,
-          supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray))
+        // then nProbe best among only that super's children — the shared
+        // [[RoutedPicker]], so this branch and the routed build can never
+        // disagree on ownership
+        val bc = spark.sparkContext.broadcast(routedPicker(centroids, supers))
         e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
-          val (sids, scents, cidsBy, ccentsBy) = bc.value
-          val ns = scents.length
-          def sq(c: Array[Double], v: Array[Double]): Double = {
-            var s = 0.0; var d = 0
-            val n = math.min(c.length, v.length)
-            while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
-            s
-          }
+          val rp = bc.value
           it.flatMap { case (id, vSeq, nv) =>
-            val v = vSeq.toArray
-            var bestS = 0
-            var bestD = Double.MaxValue
-            var bestJ = Long.MaxValue
-            var si = 0
-            while (si < ns) {
-              val d = sq(scents(si), v)
-              if (d < bestD || (d == bestD && sids(si) < bestJ)) {
-                bestS = si; bestD = d; bestJ = sids(si)
-              }
-              si += 1
-            }
-            val cids = cidsBy(bestS)
-            val ccents = ccentsBy(bestS)
-            val m = ccents.length
-            val take = math.min(nProbe, m)
-            val ds = new Array[Double](m)
-            var ci = 0
-            while (ci < m) { ds(ci) = sq(ccents(ci), v); ci += 1 }
-            val order = Array.range(0, m).sortBy(ix => (ds(ix), cids(ix)))
-            (0 until take).map(p => (cids(order(p)), id, vSeq, nv))
+            rp.pick(vSeq.toArray, nProbe).iterator
+              .map(c => (c, id, vSeq, nv))
           }
         }.toDF("cell", "vec_id", "v", "nv")
       } else if (useBroadcast) {
@@ -1085,10 +1076,24 @@ object Similarity {
         e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
           .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
       }
-    val capped = maxCellRows > 0
+    // under-cap short-circuit (r16 advice): if the whole corpus fits under
+    // the cap, no cell can possibly exceed it — skip the count pass (and
+    // the checkpoint) entirely. One cheap input count (metadata/columnar)
+    // vs materializing the nProbe-replicated assignment to executor disk;
+    // every suite/oracle-scale caller lands here, so the capped default
+    // costs them nothing.
+    val capped = maxCellRows > 0 && emb.count() > maxCellRows
     // one assignment pass: the checkpoint feeds BOTH the count job and the
-    // keyed emission (without it the n·nCells assignment FLOPs run twice)
-    val src = if (capped) indexed.localCheckpoint(eager = true) else indexed
+    // keyed emission (without it the n·nCells assignment FLOPs run twice).
+    // `checkpointAssigned = false` keeps the lineage instead — the count
+    // pass and the emission each recompute the assignment, trading one
+    // extra assignment pass for (a) no O(n·nProbe) executor-disk
+    // materialization and (b) fault tolerance (a lost executor recomputes
+    // instead of failing the job past a truncated lineage). ScaleSmoke's
+    // skew mode measures both; see SCALE.md for the recorded decision.
+    val src =
+      if (capped && checkpointAssigned) indexed.localCheckpoint(eager = true)
+      else indexed
     // split factors for cells over the cap — at most nCells entries (the
     // centroid set already lives on the driver, so this collect is bounded
     // by construction); cells at/under the cap don't appear
@@ -1158,7 +1163,8 @@ object Similarity {
   def knnGraphBlocked(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       nProbe: Int = 2, k: Int = 4, broadcastAssign: Boolean = false,
       maxCellRows: Int = defaultMaxCellRows,
-      supers: Seq[KMeans.Centroid] = Nil): DataFrame = {
+      supers: Seq[KMeans.Centroid] = Nil,
+      checkpointAssigned: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // split-safe: a's per-group top-k is a superset of its per-cell top-k
@@ -1166,7 +1172,7 @@ object Similarity {
     // improves), so the union over block-pairs still contains every
     // global top-k neighbor; dropDuplicates + the window cut finish it
     val cand = mapCells(emb, centroids, nProbe, broadcastAssign,
-        maxCellRows, supers) { rows =>
+        maxCellRows, supers, checkpointAssigned) { rows =>
       val m = rows.length
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var ai = 0
