@@ -627,6 +627,86 @@ object Similarity {
     graft.sources.Sinks.writeBucketed(cells, table, buckets, Seq("cell"), path)
   }
 
+  /** DECISION instrument for the routed build (round-17: apply the
+    * builder's own decision-consumer pattern — [[rebalanceDecision]],
+    * recall-driven nProbe — to its biggest measured lever, the 160×
+    * routed-build win SCALE.md r16 records, instead of deploying it by a
+    * human reading `sim_cells_twolevel`). On a deterministic sample of
+    * `sampleN` vectors (xxhash64 order — uniform, seedless, reproducible)
+    * it computes BOTH picks per vector — the flat argmin over all cells
+    * and the [[RoutedPicker]] two-level pick, same sqDist fold and (d, id)
+    * tie order — and returns ONE row: (n_sampled, n_agree, agree_ppm,
+    * threshold_ppm, routed 0/1).
+    *
+    * Threshold rationale (990,000 ppm = 99.0%, recorded): the two planted
+    * measurement points are 100% agreement on hierarchically clustered
+    * corpora and ~33% on near-uniform ones — three orders of magnitude of
+    * separation against a sampling std of ~0.2% at 2048 samples, so the
+    * bar only has to sit far from both. 99% admits at most 1% of vectors
+    * indexing under a neighboring cell, below the recall step the nProbe
+    * curve already prices between probe levels (`sim_recall_curve`).
+    * Cost: one scan + top-`sampleN` by hash, then (nCells + nSuper +
+    * |children|) folds on sampleN vectors — negligible next to the
+    * n·nCells build it gates.
+    */
+  def routeDecision(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid], sampleN: Int = 2048,
+      agreePpm: Long = 990000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((
+      centroids.map(_.j).toArray, centroids.map(_.c.toArray).toArray,
+      routedPicker(centroids, supers)))
+    val sample = emb2v(emb)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
+    sample.as[(Long, Seq[Double])].mapPartitions { it =>
+      val (jids, cents, rp) = bc.value
+      it.map { case (_, vSeq) =>
+        val v = vSeq.toArray
+        var bj = Long.MaxValue
+        var bd = Double.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val c = cents(ci)
+          var s = 0.0
+          var d = 0
+          val n = math.min(c.length, v.length)
+          while (d < n) { val t = c(d) - v(d); s += t * t; d += 1 }
+          if (s < bd || (s == bd && jids(ci) < bj)) { bd = s; bj = jids(ci) }
+          ci += 1
+        }
+        if (rp.pick(v, 1)(0) == bj) 1L else 0L
+      }
+    }.toDF("agree")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("agree")).cast("long").as("n_agree"))
+      .select(col("n_sampled"), col("n_agree"),
+        expr("n_agree * 1000000 div n_sampled").as("agree_ppm"),
+        lit(agreePpm).as("threshold_ppm"),
+        when(expr("n_agree * 1000000 div n_sampled") >= agreePpm, 1L)
+          .otherwise(0L).as("routed"))
+  }
+
+  /** ACT on [[routeDecision]] — the routed-or-flat build chooser: routed
+    * ([[buildIvfIndexRouted]], n·(nSuper+|children|) assignment folds)
+    * when the sampled agreement clears the threshold, flat
+    * ([[buildIvfIndex]], n·nCells folds) otherwise. Returns whether it
+    * routed. SimilaritySpec pins both arms: the planted hierarchical
+    * corpus routes AND writes the content-identical index; the
+    * near-uniform fixture falls back to flat. The collect is ONE decision
+    * row.
+    */
+  def buildIvfIndexAuto(emb: DataFrame, centroids: Seq[KMeans.Centroid],
+      supers: Seq[KMeans.Centroid], table: String, buckets: Int = 8,
+      path: Option[String] = None, sampleN: Int = 2048,
+      agreePpm: Long = 990000L): Boolean = {
+    val d = routeDecision(emb, centroids, supers, sampleN, agreePpm).head()
+    val routed = d.getLong(d.fieldIndex("routed")) == 1L
+    if (routed) buildIvfIndexRouted(emb, centroids, supers, table, buckets, path)
+    else buildIvfIndex(emb, centroids, table, buckets, path)
+    routed
+  }
+
   /** Probe a persisted [[buildIvfIndex]] table: same probes + exact re-rank
     * as [[ivfTopK]], identical results (the stored doubles roundtrip parquet
     * exactly), zero assignment work at query time.

@@ -7,6 +7,11 @@ import graft.operators.KMeans.Centroid
 
 /** Unit + property coverage for the k-means operators (SURVEY.md §5 plan). */
 class KMeansSpec extends SparkSpec {
+  /** Absolute WCSS ceiling for the pinned-census quality gate (see the
+    * "pinned-census quality gate" test): captured round 17 on the sf0.01
+    * fixture — ours 457.5, MLlib 461.7, bisecting 462.0 — pinned at the
+    * worst flat cost +10%. */
+  private val PinnedFitWcssCeiling = 508.0
   import spark.implicits._
 
   private def pts(rows: (Long, Seq[Double])*): DataFrame =
@@ -407,6 +412,43 @@ class KMeansSpec extends SparkSpec {
     assert(ours.centroids.size == 10)
     assert(ourCost <= ml.cost * 1.05,
       s"our WCSS $ourCost vs MLlib ${ml.cost} — more than 5% worse")
+  }
+
+  test("pinned-census quality gate: the three self-pinned fits clear " +
+      "independent WCSS bounds on the pin fixture (sf0.01)") {
+    // r16 verdict task 5: OracleSql.pinnedCensus verifies DETERMINISM of
+    // km_fit / km_fit_mllib / km_fit_bisecting, not quality — a regression
+    // that shifts all three censuses together could pass by re-pinning.
+    // This gate is the independent supplement: the same fits, the same
+    // fixture the censuses were captured from, judged on WCSS (the
+    // km_fit_mllib-lineage cross-check) against (a) each other and (b) a
+    // pinned absolute ceiling ~10% above the captured cost. A re-pin after
+    // a quality regression fails HERE. QUERIES.md carries the permanent
+    // footnote: 289 independent oracles + 3 determinism pins + this gate.
+    val data = Tables.yhEmbeddings(spark, sf("0.01")).cache()
+    def wcss(cs: Seq[KMeans.Centroid]): Double =
+      operators.Quality.elbow(data, cs).select("elbow_d2").as[Double].head()
+    // km_fit's exact fit (SparkEntry.embFit): k-means|| seeded fitAuto
+    val ours = wcss(KMeans.fitAuto(data, k = 10, dim = 64,
+      parallelSeed = true, seed = 42).centroids)
+    val ml = operators.KMeansML.fit(data, k = 10)
+    val bi = operators.KMeansML.fitBisecting(data, k = 10)
+    info(s"sf0.01 WCSS: ours=$ours mllib=${ml.cost} bisecting=${bi.cost}")
+    // relative gates: the two flat fits within 5% of each other, divisive
+    // splits within 2x (the documented stability-for-cost trade)
+    assert(ours <= ml.cost * 1.05,
+      s"km_fit WCSS $ours vs MLlib ${ml.cost} — more than 5% worse")
+    assert(bi.cost <= ml.cost * 2.0,
+      s"bisecting cost ${bi.cost} vs flat ${ml.cost} — more than 2x worse")
+    // absolute ceilings pinned ~10% above the captured round-17 costs —
+    // the re-pin tripwire (update ONLY with a recorded quality adjudication)
+    assert(ours < PinnedFitWcssCeiling,
+      s"km_fit WCSS $ours broke the pinned ceiling $PinnedFitWcssCeiling")
+    assert(ml.cost < PinnedFitWcssCeiling,
+      s"km_fit_mllib cost ${ml.cost} broke the pinned ceiling")
+    assert(bi.cost < PinnedFitWcssCeiling * 2.0,
+      s"km_fit_bisecting cost ${bi.cost} broke 2x the pinned ceiling")
+    data.unpersist()
   }
 
   test("bisecting fit: k leaves, full coverage, cost within 2x of flat MLlib") {

@@ -414,6 +414,48 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("buildIvfIndexAuto: the routed-or-flat chooser routes the planted " +
+      "clustered corpus (content-identical index) and falls back to flat " +
+      "on the near-uniform fixture") {
+    // r16 verdict task 2: the 160x routed-build win deployed only by a
+    // human reading sim_cells_twolevel — this is its decision consumer.
+    // Threshold 99.0% (routeDecision scaladoc): planted corpora measure
+    // 100% sampled agreement, near-uniform ones ~33% — the chooser must
+    // separate the two ends without a human in the loop.
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val (supers, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    val planted = ScaleSmoke.plantedEmbeddings(spark, 2000, 16, 4, 8).cache()
+    val dPlanted = Similarity.routeDecision(planted, fines, supers).head()
+    assert(dPlanted.getLong(dPlanted.fieldIndex("agree_ppm")) == 1000000L,
+      "planted sampled agreement moved off 100%")
+    val routed = Similarity.buildIvfIndexAuto(planted, fines, supers,
+      "graft_auto_planted", buckets = 4, Some(s"$tmp/graft_auto_planted"))
+    assert(routed, "chooser must route the planted clustered corpus")
+    Similarity.buildIvfIndex(planted, fines, "graft_auto_planted_flat",
+      buckets = 4, Some(s"$tmp/graft_auto_planted_flat"))
+    def rows(t: String) = spark.table(t)
+      .select(col("cell"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = rows("graft_auto_planted_flat")
+    assert(flat.nonEmpty && rows("graft_auto_planted") == flat,
+      "auto-routed index diverged from the flat build on clustered data")
+    planted.unpersist()
+    // near-uniform corpus: sampled agreement sits in the ~33-50% band,
+    // far under the bar — the chooser keeps the exact flat build
+    val realEmb = Tables.read(spark, sf("0.001"), "embeddings")
+    val arb = Similarity.fixedCentroids(realEmb, 16)
+    val arbSupers = arb.take(4)
+    val dReal = Similarity.routeDecision(realEmb, arb, arbSupers).head()
+    assert(dReal.getLong(dReal.fieldIndex("agree_ppm")) < 990000L,
+      "near-uniform fixture unexpectedly cleared the routing bar")
+    val routedReal = Similarity.buildIvfIndexAuto(realEmb, arb, arbSupers,
+      "graft_auto_real", buckets = 4, Some(s"$tmp/graft_auto_real"))
+    assert(!routedReal, "chooser must fall back to flat on near-uniform data")
+    Similarity.buildIvfIndex(realEmb, arb, "graft_auto_real_flat",
+      buckets = 4, Some(s"$tmp/graft_auto_real_flat"))
+    assert(rows("graft_auto_real") == rows("graft_auto_real_flat"))
+  }
+
   test("rebalanceDecision/cellsRebalanced: a misaligned quantizer trips " +
       "the load bound and the re-fit restores it") {
     // all 8 cells drawn from ONE super's region -> 3/4 of the corpus
