@@ -80,27 +80,52 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  /** Wait out CPU-burst throttling: probe every 10 s, stop when two
-    * consecutive probes show no ≥10% improvement over the best seen (i.e.
-    * the machine has stopped speeding up), or after `capSec`. On an
-    * unthrottled machine this exits in ~20 s; on a freshly-drained one it
-    * waits until credits refill.
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  /** Wait out CPU-burst throttling AND require a genuinely cool machine
+    * before timing (round-17 protocol change — the r16 official bench ran
+    * on a box still warm from a 40-minute smoke: the relative
+    * stopped-improving rule alone exited after 20.9 s at a still-inflated
+    * probe, and the whole suite read ~1.3× its floors). Two ABSOLUTE
+    * gates now hold the start line, probing every 10 s until both pass or
+    * `capSec` expires:
+    *  - probe best ≤ 1.3 × `SPARK_GRAFT_PROBE_REF_MS` (default 190 — the
+    *    8-thread probe unit measured on this hardware idle; the 1.3×
+    *    slack absorbs JIT/run-to-run jitter, a post-smoke machine reads
+    *    well above it);
+    *  - 1-minute system load average ≤ `SPARK_GRAFT_MAX_LOAD` (default 8
+    *    on the 32-core box — a concurrent build/verify shows up here even
+    *    when throttle credits look fine).
+    * The relative stopped-improving rule still applies on top (two
+    * consecutive probes within 10% of best). The JSON records the final
+    * probe, load, and whether the gates were MET — a record taken with
+    * `cool:false` is self-labeled hot and needs a floor adjudication.
+    * Default cap raised 150 → 600 s: an idle machine still exits in
+    * ~20 s, a credits-drained one gets the time refill actually takes.
     */
-  private def quiesce(capSec: Int): Double = {
-    if (capSec <= 0) return 0.0
+  private def quiesce(capSec: Int): (Double, Boolean, Double, Double) = {
+    if (capSec <= 0) return (0.0, true, -1.0, loadAvg())
+    val refMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_MS", "190").toDouble
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8").toDouble
     val t0 = System.nanoTime()
     probeMs() // JIT warm-up, untimed
     var best = probeMs()
     var stable = 0
-    while ((System.nanoTime() - t0) / 1e9 < capSec && stable < 2) {
+    def cool(): Boolean = best <= refMs * 1.3 && loadAvg() <= maxLoad
+    while ((System.nanoTime() - t0) / 1e9 < capSec &&
+        (stable < 2 || !cool())) {
       Thread.sleep(10000)
       val cur = probeMs()
       if (cur < best * 0.9) { best = cur; stable = 0 }
       else stable += 1
     }
     val waited = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[bench] quiesce ${waited}%.1f s (probe best $best%.0f ms)")
-    waited
+    val l = loadAvg()
+    System.err.println(f"[bench] quiesce ${waited}%.1f s (probe best $best%.0f ms, " +
+      f"load $l%.1f, cool ${cool()})")
+    (waited, cool(), best, l)
   }
 
   /** Per-query floor times (sec) from `BASELINE_BENCH.json` — the committed
@@ -151,7 +176,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val quiesced = quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "150").toInt)
+    val (quiesced, coolStart, probeBest, loadStart) =
+      quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "600").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -285,7 +311,7 @@ object Bench {
       .filter(r => overFloor(r._1, r._2) && !errors.contains(r._1)).map(_._1)
       ++ clusterFlagged(immediate)).distinct
     val results = if (stillOver.isEmpty) immediate else {
-      quiesce(30)
+      quiesce(60)
       rerunMin(immediate, stillOver)
     }
     def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -321,7 +347,7 @@ object Bench {
     val vsb = jmap(ratios)
     val over = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"vs_baseline":$vsb,"over_2x":$over,"quiesce_sec":${jnum(quiesced)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"vs_baseline":$vsb,"over_2x":$over,"quiesce_sec":${jnum(quiesced)},"cool":$coolStart,"probe_ms":${jnum(probeBest)},"load_avg":${jnum(loadStart)}}"""
     // Full per-query record: stderr + a local file (the harness captures only
     // a bounded stdout tail; this keeps the complete map inspectable). A
     // name-filtered run writes bench_partial.json so single-query iteration
@@ -339,7 +365,7 @@ object Bench {
     // fast tail is summarized so the line still accounts for every second.
     val budget = 1600
     val desc = results.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"n_errors":$nErrors,"n_over_2x":${over2x.size},"sf":"$sfDir","queries":"""
+    val prefix = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","nqueries":${results.size},"n_errors":$nErrors,"n_over_2x":${over2x.size},"cool":$coolStart,"sf":"$sfDir","queries":"""
     var kept = List.empty[(String, Double)]
     var len = prefix.length + 60 // headroom for the omitted-summary suffix
     desc.foreach { r =>

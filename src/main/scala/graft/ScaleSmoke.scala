@@ -52,10 +52,11 @@ object ScaleSmoke {
   def writeScaled(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int, tables: Set[String] = Set("documents", "embeddings")): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val emb = Tables.read(spark, baseDir, "embeddings")
-    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    if (tables("events")) writeScaledEvents(spark, baseDir, outDir, factor)
     if (tables("documents")) writeScaledDocs(spark, baseDir, outDir, factor)
     if (!tables("embeddings")) return
+    val emb = Tables.read(spark, baseDir, "embeddings")
+    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
     val embReps = (0 until factor).map { r =>
       val vec =
         if (r == 0) col("embedding")
@@ -67,6 +68,29 @@ object ScaleSmoke {
     }
     embReps.reduce(_ unionAll _).repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Events replication for the events-family exhibit (r16 verdict task
+    * 7): replica `r` offsets event_id and user_id by their strides and
+    * keeps ts/type/value/props VERBATIM. Per-replica user key spaces are
+    * disjoint, so sessionization, attribution and funnels produce exactly
+    * factor× the base rows (no cross-replica session can merge), the
+    * per-user event-count skew is preserved replica-for-replica (the skew
+    * the exhibit must catch is the base corpus's own), and the time range
+    * is unchanged (window/as-of shapes see the same span, denser).
+    */
+  private def writeScaledEvents(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val ev = Tables.read(spark, baseDir, "events")
+    val eidStride = ev.agg(max("event_id")).head().getLong(0) + 1L
+    val uidStride = ev.agg(max("user_id")).head().getLong(0) + 1L
+    val reps = (0 until factor).map { r =>
+      ev.select((col("event_id") + lit(r * eidStride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * uidStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    reps.reduce(_ unionAll _).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   private def writeScaledDocs(spark: SparkSession, baseDir: String,
@@ -363,7 +387,12 @@ object ScaleSmoke {
     // leg) over an embeddings-only fixture; "dedup" = the round-16 100×
     // dedup-family exhibit (minhash banding, banded-index probe, semantic
     // dedup at its production posture); "fresh" = the freshness/ingest
-    // plane (persisted-index + delta search, one streamed probe batch)
+    // plane (persisted-index + delta search, one streamed probe batch);
+    // "retrieval" = the round-17 100× lexical/hybrid exhibit (BM25 / PRF /
+    // hybrid-RRF, indexed vs live twins); "events" = the round-17 100×
+    // events-family exhibit (sessionize / session stats / attribution /
+    // funnel); "rebalance" = the round-17 refit-vs-probe-tax pricing
+    // (self-contained, see the mode block)
     val mode = args.lift(3).getOrElse("full")
     val reps = 2
     // "skew" is self-contained (no base/scaled pair): factor = corpus size
@@ -421,6 +450,77 @@ object ScaleSmoke {
       sparkB.stop()
       return
     }
+    // "rebalance" is self-contained: regenerates the factor× embeddings
+    // fixture, plants a MISALIGNED quantizer (all centroids drawn from one
+    // label's region — the SimilaritySpec construction at scale), and
+    // prices the r16-verdict question: what does the refit COST at the
+    // 2M-vector tier vs the per-probe TAX of keeping the skewed layout?
+    // Reported: load before/after, refit wall, both index-build walls,
+    // both probe walls (min of 2), and the break-even probe count
+    // refit_sec / (probe_mis_sec - probe_re_sec) that the boundX100
+    // constant has to be consistent with.
+    if (mode == "rebalance") {
+      val cpusR = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkR = SparkSession.builder().master(s"local[$cpusR]")
+        .config("spark.sql.shuffle.partitions", cpusR)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+      sparkR.sparkContext.setLogLevel("WARN")
+      val dir = s"$workDir/x$factor"
+      if (factor <= 100) writeScaled(sparkR, baseDir, dir, factor, Set("embeddings"))
+      else {
+        require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
+        val mid = s"$workDir/x100_stage"
+        writeScaled(sparkR, baseDir, mid, 100, Set("embeddings"))
+        writeScaled(sparkR, mid, dir, factor / 100, Set("embeddings"))
+      }
+      val emb = Tables.read(sparkR, dir, "embeddings")
+      val n = emb.count()
+      val nCells = operators.Similarity.autoCells(n)
+      val lbl = emb.agg(min("label")).head().getLong(0)
+      val mis = emb.filter(col("label") === lbl)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .orderBy("vec_id").limit(nCells).collect().zipWithIndex
+        .map { case (r, i) =>
+          operators.KMeans.Centroid(i + 1L, r.getSeq[Double](1)) }.toSeq
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      def load(cs: Seq[operators.KMeans.Centroid]): Long = {
+        val d = operators.Similarity.rebalanceDecision(emb, cs).head()
+        d.getLong(d.fieldIndex("max_load_x100"))
+      }
+      val loadMis = load(mis)
+      val (re, refitSec) = time(operators.Similarity.cellsRebalanced(emb, mis))
+      val loadRe = load(re)
+      val (_, buildMisSec) = time(operators.Similarity.buildIvfIndex(emb, mis,
+        "smoke_reb_mis", buckets = 8, Some(s"$workDir/smoke_reb_mis")))
+      val (_, buildReSec) = time(operators.Similarity.buildIvfIndex(emb, re,
+        "smoke_reb_re", buckets = 8, Some(s"$workDir/smoke_reb_re")))
+      def probe(tbl: String, cs: Seq[operators.KMeans.Centroid]): Double =
+        (1 to reps).map { _ =>
+          sparkR.catalog.clearCache()
+          val t0 = System.nanoTime()
+          operators.Similarity.ivfTopKIndexed(emb, tbl, cs)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val pMis = probe("smoke_reb_mis", mis)
+      val pRe = probe("smoke_reb_re", re)
+      def jnum(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val breakeven =
+        if (pMis > pRe) refitSec / (pMis - pRe) else Double.PositiveInfinity
+      println(s"""{"metric":"rebalance_exhibit","n":$n,"cells":$nCells,""" +
+        s""""load_mis_x100":$loadMis,"load_refit_x100":$loadRe,""" +
+        s""""refit_sec":${jnum(refitSec)},""" +
+        s""""build_mis_sec":${jnum(buildMisSec)},"build_refit_sec":${jnum(buildReSec)},""" +
+        s""""probe_mis_sec":${jnum(pMis)},"probe_refit_sec":${jnum(pRe)},""" +
+        s""""breakeven_probes":${if (breakeven.isInfinity) "null" else jnum(breakeven)}}""")
+      sparkR.stop()
+      return
+    }
     if (mode == "skew") {
       val cpusS = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val sparkS = SparkSession.builder().master(s"local[$cpusS]")
@@ -431,10 +531,11 @@ object ScaleSmoke {
       val emb = skewFixture(sparkS, n).cache()
       emb.count() // materialize: time kernels, not generation
       val cents = skewCentroids()
-      def wall(maxCell: Int, rep: Int): Double = (1 to rep).map { _ =>
+      def wall(maxCell: Int, rep: Int, ckpt: Boolean = true): Double =
+        (1 to rep).map { _ =>
         val t0 = System.nanoTime()
         operators.Similarity.knnGraphBlocked(emb, cents, nProbe = 1, k = 4,
-            maxCellRows = maxCell)
+            maxCellRows = maxCell, checkpointAssigned = ckpt)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
@@ -448,9 +549,15 @@ object ScaleSmoke {
       val (gUncap, maxUncap) = census(0)
       val (gCap, maxCap) = census(operators.Similarity.defaultMaxCellRows)
       val wCap = wall(operators.Similarity.defaultMaxCellRows, reps)
+      // the r16-verdict fault/storage question: the same capped run with
+      // the lineage kept (count pass + emission each recompute the
+      // assignment) instead of the eager localCheckpoint
+      val wCapNoCkpt = wall(operators.Similarity.defaultMaxCellRows, reps,
+        ckpt = false)
       val wUncap = wall(0, 1) // the straggler: one rep is the point
       println(s"""{"metric":"skew_exhibit","n":$n,""" +
         s""""uncapped_sec":${jnum(wUncap)},"capped_sec":${jnum(wCap)},""" +
+        s""""capped_nockpt_sec":${jnum(wCapNoCkpt)},""" +
         s""""speedup":${jnum(wUncap / wCap)},""" +
         s""""groups_uncapped":$gUncap,"max_group_uncapped":$maxUncap,""" +
         s""""groups_capped":$gCap,"max_group_capped":$maxCap}""")
@@ -471,6 +578,7 @@ object ScaleSmoke {
     val tGen0 = System.nanoTime()
     val genTables =
       if (mode == "ann" || mode == "fresh") Set("embeddings")
+      else if (mode == "events") Set("events")
       else Set("documents", "embeddings")
     // past 100× the single-pass union plan grows a branch per replica;
     // stage as 100× then factor/100× (replica-of-replica ids stay
@@ -491,6 +599,11 @@ object ScaleSmoke {
       if (mode == "ann" || mode == "fresh")
         (SparkEntry.prewarmAnnIndex(spark, baseDir),
           SparkEntry.prewarmAnnIndex(spark, scaledDir))
+      else if (mode == "retrieval")
+        (SparkEntry.prewarmRetrievalIndexes(spark, baseDir),
+          SparkEntry.prewarmRetrievalIndexes(spark, scaledDir))
+      else if (mode == "events") // window/groupBy shapes — no index to build
+        (Map.empty[String, Double], Map.empty[String, Double])
       else
         (SparkEntry.prewarmDocIndexes(spark, baseDir),
           SparkEntry.prewarmDocIndexes(spark, scaledDir))
@@ -528,6 +641,22 @@ object ScaleSmoke {
           "ann_probe_stream" ->
             ((d: String) => annStreamCase(spark, d,
               if (d == baseDir) "base" else "scaled", workDir)))
+      else if (mode == "retrieval")
+        // r16 verdict task 3: the token-bucketed index exists to be
+        // volume-bounded — each indexed probe vs its live (corpus
+        // tokenize / corpus assign) twin, the sim_ivf_indexed protocol
+        Seq("text_bm25", "text_bm25_indexed", "retrieval_prf",
+          "retrieval_prf_indexed", "retrieval_hybrid",
+          "retrieval_hybrid_indexed")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+      else if (mode == "events")
+        // r16 verdict task 7: the last family with no SCALE row —
+        // sessionization / attribution / funnel are window/groupBy shapes
+        // that must scale embarrassingly; per-user skew is preserved
+        // replica-for-replica by the events replication
+        Seq("events_sessionize", "events_session_stats",
+          "events_attribution", "events_funnel")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)

@@ -554,6 +554,18 @@ object SparkEntry {
     Map("ivf_index" -> ((System.nanoTime() - t0) / 1e9))
   }
 
+  /** The retrieval-family subset — the token-bucketed TF inverted index
+    * (the lexical probes) plus the IVF cell index (the hybrid query's
+    * dense half), timed per index: what the 100× retrieval scale smoke
+    * needs (r16 verdict task 3).
+    */
+  def prewarmRetrievalIndexes(s: SparkSession, dir: String): Map[String, Double] = {
+    def time(f: => Any): Double =
+      { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    Map("tf_index" -> time(ensureTfIndex(s, dir)),
+      "ivf_index" -> time(ensureIvfIndex(s, dir)))
+  }
+
   /** Build the shared-stage memos — the duplicate-component map (LSH edges
     * + label propagation behind `dedup_components` and the `pipeline_*`
     * family), the mutual k-NN edge list (the four graph queries), and the

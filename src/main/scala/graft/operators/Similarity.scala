@@ -580,8 +580,21 @@ object Similarity {
     else {
       val dim = centroids.head.c.length
       val pts = emb2v(emb).select(col("vec_id").as("i"), col("v").as("Y"))
-      KMeans.fitBounded(pts, k = centroids.size, dim = dim,
-        lloydSteps = lloydSteps).centroids
+      val k = centroids.size
+      // refit ENGINE by k (round 17, found pricing the trigger at 2M×353):
+      // fitBounded's exact sequential k-means++ seeding is k-1 corpus
+      // scans — fine at quantizer-census k (≤ tens, the spec-pinned
+      // suite path), quadratic-feeling at scale-grade k where it would
+      // dwarf the probe tax it exists to remove. Past 64 cells the
+      // k-means|| parallel seeding (rounds+1 scans) takes over — same
+      // bounded movement-gated Lloyd budget, different (equally valid)
+      // seeds; the decision bound, not seed identity, is the contract.
+      if (k <= 64)
+        KMeans.fitBounded(pts, k = k, dim = dim,
+          lloydSteps = lloydSteps).centroids
+      else
+        KMeans.fit(pts, k = k, dim = dim, tol = 0.01, maxIter = lloydSteps,
+          parallelSeed = true).centroids
     }
   }
 
@@ -980,8 +993,40 @@ object Similarity {
     * quadratic kernels — seconds per task, ~8 MB of 64-dim vectors. Far
     * above every oracle-scale cell (no splits → published hashes and plans
     * unchanged below the cap), far below the million-row hot cells a
-    * dupe-heavy corpus produces at 100 TB. */
+    * dupe-heavy corpus produces at 100 TB. Also the FLOOR of
+    * [[derivedMaxCellRows]] — the deployment-adaptive cap the blocked
+    * kernels resolve when given the [[AdaptiveCellRows]] sentinel. */
   val defaultMaxCellRows: Int = 16384
+
+  /** Sentinel accepted by the blocked kernels' `maxCellRows` parameter:
+    * resolve the cap from the deployment via [[derivedMaxCellRows]]. */
+  val AdaptiveCellRows: Int = -1
+
+  /** Deployment-derived hot-cell cap (r16 stretch task: tie the cap to
+    * executor memory/cores instead of hard-coding it), floored at
+    * [[defaultMaxCellRows]] so sf-scale behavior — and every published
+    * oracle hash — is unchanged (cells at those sizes never split under
+    * either bound). Two constraints, take the smaller:
+    *  - MEMORY: a split group holds ~2·cap rows of (id, dim-double
+    *    vector, norm) ≈ 2·cap·(8·dim+24) bytes, kept under 1/16 of
+    *    per-core heap so ~cores concurrent groups plus shuffle buffers
+    *    coexist without spill;
+    *  - TIME: cap² pair-ops at ~dim fused mult-adds each, kept under
+    *    ~6e10 FLOPs (≈30 s/task at ~2 GFLOP/s/core) so a straggling
+    *    group stays re-schedulable — the property the cap exists for.
+    * In local mode driver heap = executor heap; on a heterogeneous
+    * cluster pass an explicit cap sized to the SMALLEST executor class.
+    */
+  def derivedMaxCellRows(dim: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory,
+      cores: Int = Runtime.getRuntime.availableProcessors): Int = {
+    val perCore = heapBytes / math.max(1, cores)
+    val bytesPerRow = 2L * (8L * dim + 24L)
+    val memCap = perCore / 16L / bytesPerRow
+    val timeCap = math.sqrt(6e10 / math.max(1, dim)).toLong
+    math.max(defaultMaxCellRows.toLong,
+      math.min(memCap, timeCap)).min(Int.MaxValue.toLong).toInt
+  }
 
   /** The LITERAL CEILING, now measured and ENFORCED (round 16): the
     * typedlit sorted-struct assignment stays in whole-stage codegen up to
@@ -1156,13 +1201,19 @@ object Similarity {
         e.select(col("vec_id"), col("v"), col("nv"), explode(cellArr).as("x"))
           .select(col("x.cid").as("cell"), col("vec_id"), col("v"), col("nv"))
       }
+    // AdaptiveCellRows sentinel -> deployment-derived bound (floored at
+    // the default, so resolution never loosens below the committed cap)
+    val capRows =
+      if (maxCellRows == AdaptiveCellRows)
+        derivedMaxCellRows(centroids.head.c.length)
+      else maxCellRows
     // under-cap short-circuit (r16 advice): if the whole corpus fits under
     // the cap, no cell can possibly exceed it — skip the count pass (and
     // the checkpoint) entirely. One cheap input count (metadata/columnar)
     // vs materializing the nProbe-replicated assignment to executor disk;
     // every suite/oracle-scale caller lands here, so the capped default
     // costs them nothing.
-    val capped = maxCellRows > 0 && emb.count() > maxCellRows
+    val capped = capRows > 0 && emb.count() > capRows
     // one assignment pass: the checkpoint feeds BOTH the count job and the
     // keyed emission (without it the n·nCells assignment FLOPs run twice).
     // `checkpointAssigned = false` keeps the lineage instead — the count
@@ -1181,7 +1232,7 @@ object Similarity {
       if (!capped) Map.empty
       else src.groupBy("cell").count().as[(Long, Long)].collect()
         .map { case (c, n) =>
-          c -> math.max(1L, (n + maxCellRows - 1) / maxCellRows).toInt }
+          c -> math.max(1L, (n + capRows - 1) / capRows).toInt }
         .filter(_._2 > 1).toMap
     val bcBlocks = spark.sparkContext.broadcast(blocks)
     val keyed = src.as[(Long, Long, Seq[Double], Double)].mapPartitions { it =>

@@ -414,6 +414,28 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("derivedMaxCellRows: deployment-adaptive cap is floored at the " +
+      "default, bounded by the per-task FLOP budget, monotone in heap") {
+    import Similarity.{defaultMaxCellRows, derivedMaxCellRows}
+    // tiny heap -> the floor wins (oracle-scale behavior unchanged)
+    assert(derivedMaxCellRows(dim = 64, heapBytes = 256L << 20, cores = 32)
+      == defaultMaxCellRows)
+    // big heap at dim 64 -> the time constraint binds: sqrt(6e10/64)
+    val t64 = derivedMaxCellRows(dim = 64, heapBytes = 64L << 30, cores = 32)
+    assert(t64 == math.sqrt(6e10 / 64).toLong.toInt, s"got $t64")
+    // smaller dim -> cheaper pairs -> higher cap
+    assert(derivedMaxCellRows(dim = 16, heapBytes = 64L << 30, cores = 32)
+      > t64)
+    // monotone in heap below the time bound
+    val small = derivedMaxCellRows(dim = 64, heapBytes = 2L << 30, cores = 32)
+    val big = derivedMaxCellRows(dim = 64, heapBytes = 8L << 30, cores = 32)
+    assert(small >= defaultMaxCellRows && big >= small)
+    // every derived cap is at least the floor (published hashes safe:
+    // sf-scale cells never reach even the floor)
+    for (d <- Seq(8, 64, 512, 4096); h <- Seq(1L << 30, 32L << 30))
+      assert(derivedMaxCellRows(d, h, 32) >= defaultMaxCellRows)
+  }
+
   test("buildIvfIndexAuto: the routed-or-flat chooser routes the planted " +
       "clustered corpus (content-identical index) and falls back to flat " +
       "on the near-uniform fixture") {
