@@ -467,17 +467,20 @@ object ScaleSmoke {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
       sparkR.sparkContext.setLogLevel("WARN")
       val dir = s"$workDir/x$factor"
-      if (factor <= 100) writeScaled(sparkR, baseDir, dir, factor, Set("embeddings"))
-      else {
-        require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
-        val mid = s"$workDir/x100_stage"
-        writeScaled(sparkR, baseDir, mid, 100, Set("embeddings"))
-        writeScaled(sparkR, mid, dir, factor / 100, Set("embeddings"))
+      // the deterministic fixture is reusable across exhibit reruns
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
+        if (factor <= 100) writeScaled(sparkR, baseDir, dir, factor, Set("embeddings"))
+        else {
+          require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
+          val mid = s"$workDir/x100_stage"
+          writeScaled(sparkR, baseDir, mid, 100, Set("embeddings"))
+          writeScaled(sparkR, mid, dir, factor / 100, Set("embeddings"))
+        }
       }
       val emb = Tables.read(sparkR, dir, "embeddings")
       val n = emb.count()
       val nCells = operators.Similarity.autoCells(n)
-      val lbl = emb.agg(min("label")).head().getLong(0)
+      val lbl = emb.agg(min(col("label").cast("long"))).head().getLong(0)
       val mis = emb.filter(col("label") === lbl)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .orderBy("vec_id").limit(nCells).collect().zipWithIndex

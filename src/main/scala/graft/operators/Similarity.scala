@@ -1220,8 +1220,15 @@ object Similarity {
     // pass and the emission each recompute the assignment, trading one
     // extra assignment pass for (a) no O(n·nProbe) executor-disk
     // materialization and (b) fault tolerance (a lost executor recomputes
-    // instead of failing the job past a truncated lineage). ScaleSmoke's
-    // skew mode measures both; see SCALE.md for the recorded decision.
+    // instead of failing the job past a truncated lineage).
+    // MEASURED (r17, ScaleSmoke skew mode, 150k all-dupes rows, cheap
+    // 4-cell assignment — the recompute-friendliest shape): checkpoint
+    // 98.4 s vs recompute 121.6 s (+24%); with a scale-grade assignment
+    // (10²⁺ cells × 64 dims) the recompute premium only grows. DECISION:
+    // checkpoint stays the default (faster everywhere measured); pass
+    // false when fault tolerance or executor-disk pressure outweigh ~24%
+    // wall — the recovery contract is that a lost executor then recomputes
+    // its partitions instead of failing the job.
     val src =
       if (capped && checkpointAssigned) indexed.localCheckpoint(eager = true)
       else indexed
