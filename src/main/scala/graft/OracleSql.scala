@@ -4427,6 +4427,21 @@ object OracleSql {
        |  CAST(CASE WHEN f.cid = t.cid THEN 1 ELSE 0 END AS BIGINT) AS agree
        |FROM flat f JOIN two t ON t.vec_id = f.vec_id""".stripMargin
 
+  /** Mirror of [[operators.Similarity.routeDecision]] at oracle scale,
+    * where the deterministic xxhash64 sample covers the whole corpus
+    * (n ≤ sampleN): the [[simCellsTwoLevel]] per-vector agreement
+    * aggregated to the one-row routed-or-flat verdict that
+    * `buildIvfIndexAuto` acts on.
+    */
+  def simRouteDecision(nCells: Int, nSuper: Int, thresholdPpm: Long): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       |  CAST(sum(agree) AS BIGINT) AS n_agree,
+       |  CAST(sum(agree) * 1000000 // count(*) AS BIGINT) AS agree_ppm,
+       |  CAST($thresholdPpm AS BIGINT) AS threshold_ppm,
+       |  CAST(CASE WHEN sum(agree) * 1000000 // count(*) >= $thresholdPpm
+       |    THEN 1 ELSE 0 END AS BIGINT) AS routed
+       |FROM (${simCellsTwoLevel(nCells, nSuper)}) AS tl""".stripMargin
+
   /** Mirror of [[operators.Similarity.cellBalance]]: [[simIvf]]'s cell
     * assignment CTEs, one occupancy rollup, the window total for the exact
     * ppm share and load factor.

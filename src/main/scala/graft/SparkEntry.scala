@@ -1319,6 +1319,19 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       Similarity.assignTwoLevel(emb, embCells(s, dir), nSuper = 4)
     }),
+    // the routed-build CHOOSER's gate as a published query (round 17):
+    // sampled flat-vs-routed agreement aggregated to the one-row decision
+    // buildIvfIndexAuto acts on. At oracle scale the deterministic
+    // xxhash64 sample covers the whole corpus (n <= sampleN), so the
+    // DuckDB mirror replays the full two-level agreement and aggregates —
+    // hash-exact; the sub-corpus sampling path is spec-pinned at scale
+    // (SimilaritySpec planted/near-uniform arms).
+    "sim_route_decision" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val cells = embCells(s, dir)
+      Similarity.routeDecision(emb, cells, cells.sortBy(_.j).take(4),
+        sampleN = 2048)
+    }),
     // hybrid retrieval fusion — the composition a RAG data pipeline ships:
     // BM25 over each query doc's top-TFIDF pseudo-query terms (sparse) +
     // IVF ANN over the query vector (dense), fused per query with
@@ -3927,6 +3940,8 @@ object SparkEntry {
     "sim_cell_rebalance" -> OracleSql.simCellRebalance(nCells = 16,
       boundX100 = 300L),
     "sim_cells_twolevel" -> OracleSql.simCellsTwoLevel(nCells = 16, nSuper = 4),
+    "sim_route_decision" -> OracleSql.simRouteDecision(nCells = 16,
+      nSuper = 4, thresholdPpm = 990000L),
     "doc_split_leakproof" -> OracleSql.docSplitLeakproof(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2,
       trainPct = 80, valPct = 10),
