@@ -450,6 +450,50 @@ object ScaleSmoke {
       sparkB.stop()
       return
     }
+    // "route" is self-contained and cheap: times the routed-build
+    // chooser's gate (routeDecision — one scan + top-sampleN by hash +
+    // sampleN·(nCells+nSuper+|children|) folds) at the factor× tier, the
+    // number that belongs next to the 702 s flat / 5.2 s routed builds it
+    // chooses between. Reuses the factor× fixture if present.
+    if (mode == "route") {
+      val cpusQ = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkQ = SparkSession.builder().master(s"local[$cpusQ]")
+        .config("spark.sql.shuffle.partitions", cpusQ)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+      sparkQ.sparkContext.setLogLevel("WARN")
+      val dir = s"$workDir/x$factor"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
+        if (factor <= 100) writeScaled(sparkQ, baseDir, dir, factor, Set("embeddings"))
+        else {
+          require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
+          val mid = s"$workDir/x100_stage"
+          writeScaled(sparkQ, baseDir, mid, 100, Set("embeddings"))
+          writeScaled(sparkQ, mid, dir, factor / 100, Set("embeddings"))
+        }
+      }
+      val emb = Tables.read(sparkQ, dir, "embeddings")
+      val n = emb.count()
+      val fines = operators.Similarity.fixedCentroids(emb,
+        operators.Similarity.autoCells(n))
+      val supers = fines.take(
+        math.ceil(math.sqrt(fines.size.toDouble)).toInt)
+      val walls = (1 to reps).map { _ =>
+        sparkQ.catalog.clearCache()
+        val t0 = System.nanoTime()
+        operators.Similarity.routeDecision(emb, fines, supers).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val d = operators.Similarity.routeDecision(emb, fines, supers).head()
+      def jnum(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"metric":"route_exhibit","n":$n,"cells":${fines.size},""" +
+        s""""supers":${supers.size},"decision_sec":${jnum(walls.min)},""" +
+        s""""agree_ppm":${d.getLong(d.fieldIndex("agree_ppm"))},""" +
+        s""""routed":${d.getLong(d.fieldIndex("routed"))}}""")
+      sparkQ.stop()
+      return
+    }
     // "rebalance" is self-contained: regenerates the factor× embeddings
     // fixture, plants a MISALIGNED quantizer (all centroids drawn from one
     // label's region — the SimilaritySpec construction at scale), and
