@@ -299,7 +299,16 @@ object SparkEntry {
     bucketedCache.getOrElseUpdate("ivf|" + key, {
       pruneStaleTables(s, "graft_ivf_idx")
       val emb = Tables.read(s, dir, "embeddings")
-      Similarity.buildIvfIndex(emb, embCells(s, dir),
+      // the production build path ships the r17 CHOOSER: routed build
+      // (n·(nSuper+|children|) assignment folds — the 160× lever) when the
+      // sampled flat-vs-routed agreement clears 99%, flat otherwise. On
+      // the near-uniform fixtures the gate reads ~33-50% and this is the
+      // flat build bit-for-bit (published hashes untouched); the gate
+      // itself costs one top-2048 scan (0.80 s at 2M, SCALE.md r17).
+      val cells = embCells(s, dir)
+      val supers = cells.sortBy(_.j)
+        .take(math.ceil(math.sqrt(cells.size.toDouble)).toInt)
+      Similarity.buildIvfIndexAuto(emb, cells, supers,
         tbl, buckets = 8, Some(taggedTmpPath("graft_ivf_idx", tag)))
     })
     tbl
