@@ -319,6 +319,20 @@ object ScaleSmoke {
       broadcastAssign = true, supers = supers)
   }
 
+  /** The flagship 64-dim k-means‖ FIT, run live (not through the binding,
+    * whose per-dir memo would let a second rep read the first rep's fit):
+    * fitAuto goes distributed past the local-twin threshold (200k×64 ≫
+    * 4M cells), so this times the real k-means‖ seeding + movement-gated
+    * Lloyd loop at scale, then the assignment census over the corpus.
+    */
+  def kmFitLive(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.yhEmbeddings(spark, dir).cache()
+    val fit = operators.KMeans.fitAuto(pts, k = 10, dim = 64,
+      parallelSeed = true, seed = 42)
+    operators.KMeans.assign(pts, fit.centroids)
+      .groupBy("j").agg(count(lit(1)).as("n"))
+  }
+
   /** SEMANTIC DEDUP at its recorded production posture (nProbe = 4 — the
     * `dedup_semantic_probe` recall decision): the pair stage runs the
     * hot-cell-capped blocked kernel, cells from the pairwise policy. The
@@ -649,7 +663,7 @@ object ScaleSmoke {
       else if (mode == "retrieval")
         (SparkEntry.prewarmRetrievalIndexes(spark, baseDir),
           SparkEntry.prewarmRetrievalIndexes(spark, scaledDir))
-      else if (mode == "events") // window/groupBy shapes — no index to build
+      else if (mode == "events" || mode == "families") // no index to build
         (Map.empty[String, Double], Map.empty[String, Double])
       else
         (SparkEntry.prewarmDocIndexes(spark, baseDir),
@@ -704,6 +718,16 @@ object ScaleSmoke {
         Seq("events_sessionize", "events_session_stats",
           "events_attribution", "events_funnel")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+      else if (mode == "families")
+        // round-17 completion sweep: one representative per family still
+        // without a SCALE row — multimodal decode kernels, doc/corpus
+        // packing + mixing, text core, and the flagship fit run LIVE
+        // (kmFitLive — the binding memoizes per dir)
+        Seq("mm_features", "mm_phash", "doc_pack", "doc_mix_temperature",
+          "text_quality", "text_langid_ngram")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps))) :+
+          ("km_fit_live" -> ((d: String) => runFn(spark, "km_fit_live",
+            reps, () => kmFitLive(spark, d))))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)
