@@ -4345,6 +4345,38 @@ object OracleSql {
        |SELECT hs.media_id, hs.ahash, coalesce(du.n_dups, 0)::BIGINT AS n_dups
        |FROM hs LEFT JOIN du ON hs.media_id = du.id""".stripMargin
 
+  /** Mirror of `mm_phash_capped`: unlike [[mmPhash]] (which may join all
+    * pairs because the pigeonhole blocking is COMPLETE at hamming ≤ 3),
+    * the capped form's semantics are defined BY the blocking — so the
+    * mirror replays it: the 4×16-bit chunk decomposition (`(ahash >>
+    * 16·chunk) & 0xFFFF` — the mask kills DuckDB's arithmetic-shift fill
+    * bits, matching Spark's `shiftrightunsigned`), the bucket census, the
+    * `HAVING count(*) <= cap` drop, DISTINCT pairs from surviving
+    * buckets, the exact popcount refine, and the same n_dups rollup.
+    */
+  def mmPhashCapped(cap: Int): String =
+    s"""WITH $mmImageHashCtes,
+       |hs AS (SELECT id AS media_id, ahash FROM ih
+       |  UNION ALL SELECT id + 1000000, ahash FROM ih WHERE id % 5 = 0),
+       |blocked AS (SELECT media_id, ahash, c.chunk,
+       |    (ahash >> (c.chunk * 16)) & 65535 AS v
+       |  FROM hs, (VALUES (0),(1),(2),(3)) c(chunk)),
+       |ok AS (SELECT chunk, v FROM blocked GROUP BY chunk, v
+       |  HAVING count(*) <= $cap),
+       |bl2 AS (SELECT b.media_id, b.ahash, b.chunk, b.v
+       |  FROM blocked b JOIN ok USING (chunk, v)),
+       |pr AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id,
+       |    x.ahash AS ha, y.ahash AS hb
+       |  FROM bl2 x JOIN bl2 y
+       |    ON x.chunk = y.chunk AND x.v = y.v AND x.media_id < y.media_id),
+       |prh AS (SELECT a_id, b_id FROM pr
+       |  WHERE bit_count(xor(ha, hb)) <= 3),
+       |du AS (SELECT id, count(*)::BIGINT AS n_dups FROM (
+       |    SELECT a_id AS id FROM prh UNION ALL SELECT b_id FROM prh) u
+       |  GROUP BY id)
+       |SELECT hs.media_id, hs.ahash, coalesce(du.n_dups, 0)::BIGINT AS n_dups
+       |FROM hs LEFT JOIN du ON hs.media_id = du.id""".stripMargin
+
   /** Mirror of `mm_frame_dedup`: frame hashes from [[mmFrameHashCtes]] keyed
     * by the composite media_id·100+frame_ix (copies of id%5=1 clips ride in
     * under +10⁶ shifted ids), exact-equality pairs (maxHamming = 0), rolled

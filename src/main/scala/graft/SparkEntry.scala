@@ -2154,6 +2154,27 @@ object SparkEntry {
         .select(col("media_id"), col("ahash"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
     }),
+    // the df-capped twin (r17): hot aHash chunk buckets — the web-scale
+    // near-black/constant-motif class, measured as the 100×-sweep's
+    // heaviest mm term — dropped from candidate generation at bucket cap
+    // 16 (the fixture's four 32-38-row hot buckets engage it). Recall
+    // trade stated in aHashPairs' scaladoc; oracle mirrors the chunk
+    // blocking + cap exactly, so the drop itself is hash-verified.
+    "mm_phash_capped" -> ((s, dir) => {
+      val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+        .filter(col("kind") === "image")
+      val copies = imgs.filter(col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val hashes = TransientCaches.register(
+        Multimodal.aHashes(imgs.unionByName(copies)).toDF().persist())
+      val pairs = Multimodal.aHashPairs(hashes, maxBucketRows = 16)
+      val dups = pairs.select(col("a_id").as("id"))
+        .unionAll(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_dups"))
+      hashes.join(dups, hashes("media_id") === dups("id"), "left")
+        .select(col("media_id"), col("ahash"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+    }),
 
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>
@@ -3758,6 +3779,7 @@ object SparkEntry {
     "mm_audio_seg" -> OracleSql.mmAudioSeg,
     "mm_keyframes" -> OracleSql.mmKeyframes,
     "mm_phash" -> OracleSql.mmPhash,
+    "mm_phash_capped" -> OracleSql.mmPhashCapped(cap = 16),
     "mm_frame_dedup" -> OracleSql.mmFrameDedup,
     "emb_pca" -> OracleSql.embPca(dim = 64, iters = 100),
     "km_elbow" ->

@@ -892,8 +892,21 @@ object Multimodal {
     * self-equi-join on (chunk, value), then the exact popcount refine. The
     * only join is a hash join on the chunk key — no all-pairs anywhere, the
     * same candidate-generation shape at any corpus size.
+    *
+    * `maxBucketRows` (round 17 — the df-cap pattern of
+    * `dedup_ngram_capped` at the pixel plane): a pathological chunk
+    * bucket — near-black thumbnails, constant frames, any dominant visual
+    * motif at web scale — contributes |bucket|² candidate rows. With the
+    * cap set, buckets over it are dropped from candidate generation
+    * entirely. RECALL TRADE, stated precisely: a qualifying pair is missed
+    * only if EVERY chunk the two images share equally is hot — pairs
+    * whose difference avoids at least one cool chunk still surface
+    * through it. `mm_phash_capped` publishes the capped form hash-exact
+    * (the sf fixture's four hot buckets engage the cap), `mm_phash` keeps
+    * the exact uncapped contract.
     */
-  def aHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def aHashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucketRows: Int = 0): DataFrame = {
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
     val entries = array((0 until nChunks).map { c =>
@@ -902,10 +915,21 @@ object Multimodal {
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("ahash"), bounds(c)).bitwiseAND(lit(mask)).as("v"))
     }: _*)
-    val blocked = hashes
+    val all = hashes
       .select(col("media_id"), col("ahash"), explode(entries).as("b"))
       .select(col("media_id"), col("ahash"),
         col("b.chunk").as("chunk"), col("b.v").as("v"))
+    val blocked =
+      if (maxBucketRows <= 0) all
+      else {
+        // bucket census + cap: one extra aggregation over the blocked
+        // relation (4·n rows), the quadratic term bounded at cap²
+        val sizes = all.groupBy("chunk", "v")
+          .agg(count(lit(1)).as("bucket_n"))
+        all.join(sizes, Seq("chunk", "v"))
+          .filter(col("bucket_n") <= maxBucketRows)
+          .select(col("media_id"), col("ahash"), col("chunk"), col("v"))
+      }
     blocked.alias("x").join(blocked.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
           col("x.media_id") < col("y.media_id"))
