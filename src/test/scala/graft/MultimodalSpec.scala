@@ -349,6 +349,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // hamming 4 excluded
   }
 
+  test("aHashPairs df-cap: capped pairs are a subset; a hot bucket's " +
+      "exclusive pairs drop, cool-chunk pairs survive") {
+    import spark.implicits._
+    // every hash shares chunk 0 (value 0 — a 40-row bucket, hot at cap 8);
+    // ids 1/2 also share the COOL chunk 1 (value 5, bucket of 2) and
+    // differ by 1 bit in chunk 2 → their pair must SURVIVE the cap;
+    // ids 3/4 differ by exactly 1 bit in EACH of chunks 1-3 (hamming 3,
+    // no shared cool chunk) → their pair exists uncapped via the hot
+    // chunk only and must DROP
+    def mk(c1: Long, c2: Long, c3: Long): Long =
+      (c3 << 48) | (c2 << 32) | (c1 << 16)
+    val rows = (Seq(
+      1L -> mk(5, 0x10, 0x20),
+      2L -> mk(5, 0x11, 0x20),
+      3L -> mk(0x30, 0x40, 0x50),
+      4L -> mk(0x31, 0x41, 0x51)
+    ) ++ (5L to 40L).map(i =>
+      i -> mk(0x100 + i * 4, 0x1000 + i * 4, 0x2000 + i * 4)))
+      .toDF("media_id", "ahash")
+    val uncapped = Multimodal.aHashPairs(rows, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = Multimodal.aHashPairs(rows, maxHamming = 3,
+        maxBucketRows = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "cap may only remove pairs")
+    assert(capped.contains((1L, 2L, 1L)),
+      "pair sharing a cool chunk must survive the hot-bucket drop")
+    assert(uncapped.contains((3L, 4L, 3L)) && !capped.contains((3L, 4L, 3L)),
+      "pair whose only shared chunk is hot must drop")
+  }
+
   test("aHash pipeline: planted duplicate images pair; distinct ones don't") {
     import spark.implicits._
     val rows = Seq(
