@@ -391,6 +391,42 @@ object ScaleSmoke {
     } finally q.stop()
   }
 
+  /** One stateful pass of the STREAMING sessionizer over the whole dir's
+    * events via the parquet FILE source (timeoutMs = 0 — the
+    * deterministic mode, so `processAllAvailable` settles): measures the
+    * `flatMapGroupsWithState` state plane at corpus scale — shuffled rows
+    * ∝ events, state rows ∝ users (150k at 100×) — the streaming twin of
+    * the batch `events_sessionize` row. Fresh checkpoint per call (a
+    * reused one would resume and time nothing); plan column reports the
+    * batch twin's shape.
+    */
+  def sessionStreamCase(spark: SparkSession, dir: String): (Double, PlanShape) = {
+    import spark.implicits._
+    val shape = planShape(operators.Events.sessionize(Tables.readEvents(spark, dir)))
+    val schema = Tables.read(spark, dir, "events").schema
+    // the base fixture's events.parquet is ONE file (driver-written); the
+    // file stream source wants a directory, so glob-filter the parent
+    val p = s"$dir/events.parquet"
+    val src =
+      if (new java.io.File(p).isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      else spark.readStream.schema(schema).parquet(p)
+    val evs = src
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[streaming.StreamingOps.Ev]
+    val out = streaming.StreamingOps.sessionizeStream(evs, timeoutMs = 0)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt")
+    val q = out.writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      ((System.nanoTime() - t0) / 1e9, shape)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -717,7 +753,9 @@ object ScaleSmoke {
         // replica-for-replica by the events replication
         Seq("events_sessionize", "events_session_stats",
           "events_attribution", "events_funnel")
-          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps))) :+
+          ("events_sessionize_stream" -> ((d: String) =>
+            sessionStreamCase(spark, d)))
       else if (mode == "families")
         // round-17 completion sweep: one representative per family still
         // without a SCALE row — multimodal decode kernels, doc/corpus
