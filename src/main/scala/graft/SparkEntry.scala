@@ -301,15 +301,24 @@ object SparkEntry {
       val emb = Tables.read(s, dir, "embeddings")
       // the production build path ships the r17 CHOOSER: routed build
       // (n·(nSuper+|children|) assignment folds — the 160× lever) when the
-      // sampled flat-vs-routed agreement clears 99%, flat otherwise. On
-      // the near-uniform fixtures the gate reads ~33-50% and this is the
-      // flat build bit-for-bit (published hashes untouched); the gate
-      // itself costs one top-2048 scan (0.80 s at 2M, SCALE.md r17).
+      // sampled flat-vs-routed agreement clears the gate, flat otherwise.
+      // THIS call site requires 100% sampled agreement (r17 advice): the
+      // production index contents must not be data-dependent on a <100%
+      // recall trade the user never opted into — a corpus at 99.5%
+      // agreement gets the flat build here, and the routed speedup stays
+      // available to explicit buildIvfIndexAuto callers at the default
+      // 99% gate. On the near-uniform fixtures the gate reads ~33-50% and
+      // this is the flat build bit-for-bit (published hashes untouched);
+      // the gate itself costs one top-2048 scan (0.80 s at 2M, SCALE.md
+      // r17). Degenerate supers (bit-identical early corpus vectors — the
+      // dupe-heavy target workload) fall back to flat inside
+      // buildIvfIndexAuto instead of crashing (r17 advice, medium).
       val cells = embCells(s, dir)
       val supers = cells.sortBy(_.j)
         .take(math.ceil(math.sqrt(cells.size.toDouble)).toInt)
       Similarity.buildIvfIndexAuto(emb, cells, supers,
-        tbl, buckets = 8, Some(taggedTmpPath("graft_ivf_idx", tag)))
+        tbl, buckets = 8, Some(taggedTmpPath("graft_ivf_idx", tag)),
+        agreePpm = 1000000L)
     })
     tbl
   }

@@ -713,8 +713,17 @@ object Similarity {
       supers: Seq[KMeans.Centroid], table: String, buckets: Int = 8,
       path: Option[String] = None, sampleN: Int = 2048,
       agreePpm: Long = 990000L): Boolean = {
-    val d = routeDecision(emb, centroids, supers, sampleN, agreePpm).head()
-    val routed = d.getLong(d.fieldIndex("routed")) == 1L
+    // DEGENERATE-SUPER guard (r17 advice, medium): duplicate-coordinate
+    // supers are collapsed pick-preservingly inside routedPicker, but a
+    // TRAINED super set can still leave some super with zero children —
+    // the chooser must fall back to the flat build (routed = false), not
+    // crash a path that previously could not fail. The probe is the same
+    // driver-side k·nSuper-dot superChildren the routed arm would run.
+    val routable = scala.util.Try(superChildren(centroids, supers)).isSuccess
+    val routed = routable && {
+      val d = routeDecision(emb, centroids, supers, sampleN, agreePpm).head()
+      d.getLong(d.fieldIndex("routed")) == 1L
+    }
     if (routed) buildIvfIndexRouted(emb, centroids, supers, table, buckets, path)
     else buildIvfIndex(emb, centroids, table, buckets, path)
     routed
@@ -1042,10 +1051,29 @@ object Similarity {
     */
   val literalAssignCeiling: Int = 256
 
+  /** Drop duplicate-coordinate supers, keeping the min-id twin (r17
+    * advice). A higher-id twin of a duplicated coordinate can NEVER win
+    * any (d, sid)-lexicographic pick — its distance to every vector is
+    * bit-identical to the kept twin's and its id loses the tie — so
+    * removing it preserves every super pick, every child mapping, and
+    * every routed result exactly, while restoring [[superChildren]]'s
+    * each-super-attracts-a-child invariant on dupe-heavy corpora (two
+    * bit-identical vectors among the first ceil(√nCells) corpus rows
+    * previously crashed the production index build instead of routing).
+    */
+  private[operators] def dedupSupers(
+      supers: Seq[KMeans.Centroid]): Seq[KMeans.Centroid] =
+    supers.sortBy(_.j).distinctBy(_.c)
+
   /** Driver-side child map for two-level routing: each fine centroid under
     * its nearest super, (d, sid) lexicographic tie order — k·nSuper dots,
     * tiny by contract. Shared by [[assignTwoLevel]] and the [[mapCells]]
     * routed assignment so the two paths can never disagree on ownership.
+    * Duplicate-coordinate supers are collapsed via [[dedupSupers]] (pick-
+    * preserving); the require remains as the backstop for TRAINED supers
+    * that genuinely attract no fine centroid — that case is a caller
+    * configuration error, except in [[buildIvfIndexAuto]], which catches
+    * it and falls back to the flat build.
     */
   private[operators] def superChildren(centroids: Seq[KMeans.Centroid],
       supers: Seq[KMeans.Centroid]): Map[Long, Seq[KMeans.Centroid]] = {
@@ -1055,11 +1083,12 @@ object Similarity {
       while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
       s
     }
+    val ss = dedupSupers(supers)
     val children = centroids.sortBy(_.j)
-      .map(c => supers.map(s => (sqd(c.c, s.c), s.j)).min -> c)
+      .map(c => ss.map(s => (sqd(c.c, s.c), s.j)).min -> c)
       .groupBy(_._1._2).map { case (sj, cs) => sj -> cs.map(_._2) }
-    require(children.size == supers.size,
-      s"${supers.size - children.size} super(s) attracted no fine centroid")
+    require(children.size == ss.size,
+      s"${ss.size - children.size} super(s) attracted no fine centroid")
     children
   }
 
@@ -1073,7 +1102,7 @@ object Similarity {
     * the driver from [[superChildren]], shipped by broadcast, `pick`
     * called per vector on executors.
     */
-  private[operators] final case class RoutedPicker(
+  private[graft] final case class RoutedPicker(
       sids: Array[Long], scents: Array[Array[Double]],
       cidsBy: Array[Array[Long]], ccentsBy: Array[Array[Array[Double]]]) {
     private def sq(c: Array[Double], v: Array[Double]): Double = {
@@ -1095,6 +1124,19 @@ object Similarity {
       }
       val cids = cidsBy(bestS); val ccents = ccentsBy(bestS)
       val m = ccents.length
+      if (take == 1) {
+        // single-pass O(m) argmin, same (d, cid) tie order as the sort
+        // below — the routed BUILD calls pick(v, 1) per corpus vector, so
+        // this path must not pay the boxed sortBy allocation (r17 advice)
+        var bd = Double.MaxValue; var bj = Long.MaxValue
+        var ci = 0
+        while (ci < m) {
+          val d = sq(ccents(ci), v)
+          if (d < bd || (d == bd && cids(ci) < bj)) { bd = d; bj = cids(ci) }
+          ci += 1
+        }
+        return Array(bj)
+      }
       val ds = new Array[Double](m)
       var ci = 0
       while (ci < m) { ds(ci) = sq(ccents(ci), v); ci += 1 }
@@ -1103,12 +1145,13 @@ object Similarity {
     }
   }
 
-  private[operators] def routedPicker(centroids: Seq[KMeans.Centroid],
+  private[graft] def routedPicker(centroids: Seq[KMeans.Centroid],
       supers: Seq[KMeans.Centroid]): RoutedPicker = {
-    val kids = superChildren(centroids, supers)
-    RoutedPicker(supers.map(_.j).toArray, supers.map(_.c.toArray).toArray,
-      supers.map(s => kids(s.j).map(_.j).toArray).toArray,
-      supers.map(s => kids(s.j).map(_.c.toArray).toArray).toArray)
+    val ss = dedupSupers(supers) // pick-preserving (see dedupSupers)
+    val kids = superChildren(centroids, ss)
+    RoutedPicker(ss.map(_.j).toArray, ss.map(_.c.toArray).toArray,
+      ss.map(s => kids(s.j).map(_.j).toArray).toArray,
+      ss.map(s => kids(s.j).map(_.c.toArray).toArray).toArray)
   }
 
   /** `supers` (round 16, the wired two-level lever): when non-empty, the
@@ -1748,22 +1791,25 @@ object Similarity {
   def assignTwoLevel(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       supers: Seq[KMeans.Centroid]): DataFrame = {
     val sorted = centroids.sortBy(_.j)
+    // duplicate-coordinate supers collapsed pick-preservingly (see
+    // dedupSupers) so the when-fold below never looks up a dropped twin
+    val ss = dedupSupers(supers)
     // nearest super per centroid, (d, sid) tie order — the exact fold the
     // column expressions run, so the mirror's argmin CTE reproduces it;
     // shared with the mapCells routed assignment (superChildren) so the
     // instrument and the wired lever can never disagree on ownership
-    val children = superChildren(centroids, supers)
+    val children = superChildren(centroids, ss)
     def argmin(cs: Seq[KMeans.Centroid]): Column =
       element_at(array_sort(zip_with(
         typedlit(cs.map(_.c)), typedlit(cs.map(_.j)),
         (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))), 1)
         .getField("cid")
     val superPick = element_at(array_sort(zip_with(
-      typedlit(supers.map(_.c)), typedlit(supers.map(_.j)),
+      typedlit(ss.map(_.c)), typedlit(ss.map(_.j)),
       (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))), 1)
       .getField("cid")
     // nSuper-way CASE: each branch is the argmin over that super's children
-    val cellTwo = supers.foldLeft(lit(-1L)) { (acc, s) =>
+    val cellTwo = ss.foldLeft(lit(-1L)) { (acc, s) =>
       when(col("super_cell") === s.j,
         argmin(children(s.j))).otherwise(acc)
     }

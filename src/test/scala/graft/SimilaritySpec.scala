@@ -478,6 +478,55 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("graft_auto_real") == rows("graft_auto_real_flat"))
   }
 
+  test("degenerate supers: bit-identical twins collapse pick-preservingly " +
+      "and a no-child trained super falls back to flat instead of crashing") {
+    // r17 advice (medium): ensureIvfIndex takes supers from raw corpus
+    // vectors, so two bit-identical rows among the first ceil(sqrt(nCells))
+    // previously crashed superChildren's require — on dupe-heavy corpora,
+    // this framework's stated target workload. The fix collapses duplicate
+    // coordinates to the min-id twin, which can never change a pick: the
+    // higher-id twin's distances are bit-identical and it loses every
+    // (d, sid) tie.
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val (supers0, fines) = ScaleSmoke.plantedCenters(16, 4, 8)
+    val dupSupers = supers0 :+ KMeans.Centroid(
+      supers0.map(_.j).max + 100L, supers0.head.c)
+    val rp = Similarity.routedPicker(fines, supers0)
+    val rpDup = Similarity.routedPicker(fines, dupSupers)
+    // pick equality on a deterministic probe grid, take=1 (the argmin fast
+    // path) and take=3 (the sort path) — also pins the r17-advice take==1
+    // specialization against the general sort's (d, cid) tie order
+    val probes = fines.map(_.c.toArray) ++
+      fines.take(8).map(_.c.toArray.map(_ + 0.37))
+    probes.foreach { v =>
+      assert(rpDup.pick(v, 1).toSeq == rp.pick(v, 1).toSeq)
+      assert(rpDup.pick(v, 3).toSeq == rp.pick(v, 3).toSeq)
+    }
+    // the production-shaped path end to end: the chooser must not throw on
+    // duplicated supers and must write the content-identical index
+    val planted = ScaleSmoke.plantedEmbeddings(spark, 1000, 16, 4, 8).cache()
+    val routedDup = Similarity.buildIvfIndexAuto(planted, fines, dupSupers,
+      "graft_auto_dup", buckets = 4, Some(s"$tmp/graft_auto_dup"))
+    assert(routedDup, "dup-super corpus must still route (picks unchanged)")
+    Similarity.buildIvfIndex(planted, fines, "graft_auto_dup_flat",
+      buckets = 4, Some(s"$tmp/graft_auto_dup_flat"))
+    def rows(t: String) = spark.table(t)
+      .select(col("cell"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("graft_auto_dup").nonEmpty &&
+      rows("graft_auto_dup") == rows("graft_auto_dup_flat"))
+    // a TRAINED super that attracts no fine centroid (not a duplicate —
+    // just far from every child): buildIvfIndexAuto must fall back to the
+    // flat build (routed = false), never crash
+    val farSupers = supers0 :+ KMeans.Centroid(
+      supers0.map(_.j).max + 200L, Seq.fill(16)(1e9))
+    val routedFar = Similarity.buildIvfIndexAuto(planted, fines, farSupers,
+      "graft_auto_far", buckets = 4, Some(s"$tmp/graft_auto_far"))
+    assert(!routedFar, "no-child super set must fall back to flat")
+    assert(rows("graft_auto_far") == rows("graft_auto_dup_flat"))
+    planted.unpersist()
+  }
+
   test("rebalanceDecision/cellsRebalanced: a misaligned quantizer trips " +
       "the load bound and the re-fit restores it") {
     // all 8 cells drawn from ONE super's region -> 3/4 of the corpus
