@@ -4393,6 +4393,28 @@ object OracleSql {
        |  count(*)::BIGINT AS n_frames
        |FROM pr GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of the CAPPED `mm_frame_dedup` production form: at
+    * maxHamming = 0 the pigeonhole decomposition is one chunk spanning all
+    * 64 bits, so a bucket is an exact-equal-hash group — the mirror
+    * replays the bucket census and the `HAVING count(*) <= cap` drop
+    * before the equality pair join. At fixture scale no frame-hash bucket
+    * exceeds 4 rows (census in `Multimodal.defaultMaxBucketRows`
+    * scaladoc), so this equals [[mmFrameDedup]] row-for-row while still
+    * verifying the capped plumbing end to end.
+    */
+  def mmFrameDedupCapped(cap: Int): String =
+    s"""WITH $mmFrameHashCtes,
+       |fh2 AS (SELECT id * 100 + f AS media_id, ahash FROM vfh
+       |  UNION ALL SELECT (id + 1000000) * 100 + f, ahash FROM vfh
+       |  WHERE id % 5 = 1),
+       |ok AS (SELECT ahash FROM fh2 GROUP BY ahash HAVING count(*) <= $cap),
+       |pr AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+       |  FROM fh2 a JOIN ok ON a.ahash = ok.ahash
+       |  JOIN fh2 b ON a.ahash = b.ahash AND a.media_id < b.media_id)
+       |SELECT a_id // 100 AS a_vid, b_id // 100 AS b_vid,
+       |  count(*)::BIGINT AS n_frames
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   /** Mirror of the `dedup_cluster_sizes` rollup: [[dedupComponents]]'s
     * label propagation nested as a subquery, sizes per representative,
     * then the (size → clusters, docs) histogram.

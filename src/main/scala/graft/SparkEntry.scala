@@ -2121,7 +2121,14 @@ object SparkEntry {
           .select((col("media_id") * 100L + col("frame_ix")).as("media_id"),
             col("ahash"))
           .persist())
-      val pairs = Multimodal.aHashPairs(fh, maxHamming = 0)
+      // production default is the df-capped join (r17 verdict task 3): at
+      // fixture scale frame-hash buckets max out at 4 rows so the cap is
+      // inert (results bit-identical to uncapped — bucket census in
+      // defaultMaxBucketRows' scaladoc), but the capped plumbing is what
+      // the oracle mirror verifies, and at web scale it bounds the
+      // constant-frame |bucket|² term
+      val pairs = Multimodal.aHashPairs(fh, maxHamming = 0,
+        maxBucketRows = Multimodal.defaultMaxBucketRows)
       pairs.select(expr("a_id div 100").as("a_vid"),
           expr("b_id div 100").as("b_vid"))
         .groupBy("a_vid", "b_vid").agg(count(lit(1)).as("n_frames"))
@@ -2154,8 +2161,18 @@ object SparkEntry {
       val hashes = TransientCaches.register(
         Multimodal.aHashes(imgs.unionByName(copies)).toDF().persist())
       // pairs arrive once as (a_id < b_id); count BOTH endpoints so the
-      // larger-id twin of a duplicate pair reports its partner too
-      val pairs = Multimodal.aHashPairs(hashes)
+      // larger-id twin of a duplicate pair reports its partner too.
+      // PRODUCTION DEFAULT IS THE DF-CAPPED JOIN (r17 verdict task 3 —
+      // the live-vs-indexed pattern applied to the mm family): hot aHash
+      // chunk buckets — the web-scale near-black/constant-motif class,
+      // measured as the 100×-sweep's heaviest mm term (334.6 s uncapped
+      // vs 8.7 s capped at 100×) — are dropped from candidate generation
+      // at the bucket cap. The fixture's four 32-38-row hot buckets
+      // engage it (recall trade oracle-verified 88→76 partners at
+      // sf0.01); the exact uncapped semantics reference is published as
+      // `mm_phash_exact` below.
+      val pairs = Multimodal.aHashPairs(hashes,
+        maxBucketRows = Multimodal.defaultMaxBucketRows)
       val dups = pairs.select(col("a_id").as("id"))
         .unionAll(pairs.select(col("b_id").as("id")))
         .groupBy("id").agg(count(lit(1)).as("n_dups"))
@@ -2163,20 +2180,20 @@ object SparkEntry {
         .select(col("media_id"), col("ahash"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
     }),
-    // the df-capped twin (r17): hot aHash chunk buckets — the web-scale
-    // near-black/constant-motif class, measured as the 100×-sweep's
-    // heaviest mm term — dropped from candidate generation at bucket cap
-    // 16 (the fixture's four 32-38-row hot buckets engage it). Recall
-    // trade stated in aHashPairs' scaladoc; oracle mirrors the chunk
-    // blocking + cap exactly, so the drop itself is hash-verified.
-    "mm_phash_capped" -> ((s, dir) => {
+    // the EXACT uncapped twin (was the production form until r18): every
+    // hamming-≤3 pair, candidates through the complete 4-chunk pigeonhole
+    // — hash-matched against the closed-form ALL-pairs mirror, so the
+    // match also certifies the blocking loses no qualifying pair. The
+    // semantics/oracle reference for `mm_phash`'s capped production
+    // default; unbounded |bucket|² term, so NOT the web-scale path.
+    "mm_phash_exact" -> ((s, dir) => {
       val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
         .filter(col("kind") === "image")
       val copies = imgs.filter(col("media_id") % 5 === 0)
         .withColumn("media_id", col("media_id") + 1000000L)
       val hashes = TransientCaches.register(
         Multimodal.aHashes(imgs.unionByName(copies)).toDF().persist())
-      val pairs = Multimodal.aHashPairs(hashes, maxBucketRows = 16)
+      val pairs = Multimodal.aHashPairs(hashes)
       val dups = pairs.select(col("a_id").as("id"))
         .unionAll(pairs.select(col("b_id").as("id")))
         .groupBy("id").agg(count(lit(1)).as("n_dups"))
@@ -3787,9 +3804,11 @@ object SparkEntry {
     "mm_thumbs" -> OracleSql.mmThumbs,
     "mm_audio_seg" -> OracleSql.mmAudioSeg,
     "mm_keyframes" -> OracleSql.mmKeyframes,
-    "mm_phash" -> OracleSql.mmPhash,
-    "mm_phash_capped" -> OracleSql.mmPhashCapped(cap = 16),
-    "mm_frame_dedup" -> OracleSql.mmFrameDedup,
+    "mm_phash" -> OracleSql.mmPhashCapped(
+      cap = operators.Multimodal.defaultMaxBucketRows),
+    "mm_phash_exact" -> OracleSql.mmPhash,
+    "mm_frame_dedup" -> OracleSql.mmFrameDedupCapped(
+      cap = operators.Multimodal.defaultMaxBucketRows),
     "emb_pca" -> OracleSql.embPca(dim = 64, iters = 100),
     "km_elbow" ->
       s"""WITH $YH, $C4,

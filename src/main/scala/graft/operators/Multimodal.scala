@@ -901,10 +901,27 @@ object Multimodal {
     * entirely. RECALL TRADE, stated precisely: a qualifying pair is missed
     * only if EVERY chunk the two images share equally is hot — pairs
     * whose difference avoids at least one cool chunk still surface
-    * through it. `mm_phash_capped` publishes the capped form hash-exact
-    * (the sf fixture's four hot buckets engage the cap), `mm_phash` keeps
-    * the exact uncapped contract.
+    * through it. `mm_phash` publishes the capped form hash-exact as the
+    * PRODUCTION default (the sf fixture's four hot buckets engage the
+    * cap); `mm_phash_exact` keeps the exact uncapped contract as the
+    * semantics/oracle reference (r17 verdict task 3 flipped the roles).
     */
+  /** Production bucket cap for [[aHashPairs]] consumers (r17 verdict task:
+    * the capped form IS the production default, mirroring the
+    * live-vs-indexed pattern — uncapped stays the exact semantics/oracle
+    * reference). 16 bounds any bucket's quadratic term at 256 candidate
+    * pairs; a chunk value shared by MORE than 16 images/frames is a
+    * constant-motif artifact (near-black thumbnails, freeze frames,
+    * boilerplate intros) whose pairs identify the motif, not a re-encode.
+    * MEASURED (SCALE.md r17): 8.7 s capped vs 334.6 s uncapped at 100×
+    * images — the uncapped |bucket|² term is the mm family's scale-killer.
+    * At fixture scale the cap engages only on the image fixture's four
+    * hot buckets (recall trade oracle-verified 88→76 partners at sf0.01);
+    * frame-hash buckets max out at 4 rows, so `mm_frame_dedup` results
+    * are bit-identical capped or not (bucket census, DuckDB, r18).
+    */
+  val defaultMaxBucketRows: Int = 16
+
   def aHashPairs(hashes: DataFrame, maxHamming: Int = 3,
       maxBucketRows: Int = 0): DataFrame = {
     val nChunks = maxHamming + 1
