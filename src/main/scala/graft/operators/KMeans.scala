@@ -109,10 +109,14 @@ object KMeans {
     * NOTE overflow: the integer-domain compare needs `total·uNum` and
     * `cw·uDen` to fit in a signed 64-bit long (cw ≤ total). With this
     * binding's per-row weights (~2.5e11) that bound is approached around
-    * sf1+; the `require` below fails fast instead of silently flipping the
-    * draw. Shrink `weightScale` (weights are only sampling weights — scaling
-    * them down uniformly preserves the distribution up to rounding) to stay
-    * inside the bound at larger scale factors.
+    * sf1+. Round 18 (r17 verdict task 4): instead of require-failing and
+    * asking the caller to shrink `weightScale` by hand, the pass now
+    * AUTO-DERIVES the shrink from the observed double-domain total
+    * (weights are only sampling weights — scaling them down uniformly
+    * preserves the distribution up to rounding), so the exact seeding
+    * path survives any sf without a knob; the `require` below remains as
+    * the backstop. The adaptive branch never fires at oracle scale, so
+    * published hashes are untouched.
     *
     * `d1Weights = true` is the BUG-COMPAT mode: weight by plain L2 distance
     * exactly as the reference's `centroidsInit` actually computes it
@@ -140,15 +144,46 @@ object KMeans {
       else antiJoined
     val d2 = graft.plans.native.nearest_sq_dist(col("Y"), coords(chosen))
     val weight = if (d1Weights) sqrt(d2) else d2
-    val weighted = surviving.withColumn(
-      "w", round(weight * weightScale).cast("long"))
-    // one scalar-aggregate pass: total weight (integer sum — order-independent,
-    // identical to the oracle's windowed total) + the key range for bucketing
-    val head = weighted.agg(sum("w"), min("i"), max("i"), count(lit(1))).head()
+    // per-row long cast clamped at 2^62 so ANSI cast can never throw: the
+    // clamp is provably inert whenever the adaptive branch below does NOT
+    // fire (every row ≤ the double total ≤ bound/2 ≤ 2^62), and after the
+    // branch fires the rescaled rows are tiny — the clamped value is only
+    // ever read on in-bounds weights
+    def weightedAt(s: Double) = surviving.withColumn(
+      "w", least(round(weight * s), lit((1L << 62).toDouble)).cast("long"))
+    // ONE scalar-aggregate pass: the exact integer total rides as a
+    // decimal(38,0) sum (exact at any magnitude — a long sum would ANSI-
+    // throw exactly when the adaptive rescale is needed), the UNCLAMPED
+    // double-domain sum is the overflow sentinel the rescale derives its
+    // shrink from, plus the key range for bucketing.
+    def headAt(s: Double) = weightedAt(s).agg(
+      sum(col("w").cast("decimal(38,0)")), min("i"), max("i"),
+      count(lit(1)), sum(round(weight * s))).head()
+    val bound = Long.MaxValue / math.max(uNum, math.max(uDen, 1L))
+    var effScale = weightScale
+    var head = headAt(effScale)
     if (head.isNullAt(0)) // no surviving points — empty draw
-      return weighted.select(lit(chosen.map(_.j).max + 1).as("j"), col("i"), col("Y")).limit(0)
-    val (total, minI, maxI) = (head.getLong(0), head.getLong(1), head.getLong(2))
-    require(total >= 0 && total <= Long.MaxValue / math.max(uNum, uDen),
+      return weightedAt(effScale)
+        .select(lit(chosen.map(_.j).max + 1).as("j"), col("i"), col("Y")).limit(0)
+    // ADAPTIVE weightScale (r17 verdict task 4): the integer-domain compare
+    // needs total·uNum and cw·uDen in-bounds (cw ≤ total). Instead of
+    // require-failing near sf1+ and asking the caller to shrink
+    // `weightScale` by hand, derive the shrink from the OBSERVED unclamped
+    // total: target total ≈ bound/4, so post-rescale sum(round(w·s')) ≤
+    // dblTotal·(s'/s) + n/2 ≤ bound/4 + n/2 — in-bounds at any sf. Scaling
+    // all weights uniformly preserves the sampling distribution up to
+    // rounding (they are only sampling weights); the branch never fires at
+    // oracle scale (sf0.01 totals sit orders of magnitude under the
+    // trigger), so published hashes are untouched. Cost: one extra scalar
+    // agg pass, only when the corpus actually approaches the bound.
+    if (head.getDouble(4) > bound.toDouble * 0.5) {
+      effScale = weightScale * (bound.toDouble * 0.25) / head.getDouble(4)
+      head = headAt(effScale)
+    }
+    val weighted = weightedAt(effScale)
+    val total = head.getDecimal(0).toBigInteger.longValueExact()
+    val (minI, maxI) = (head.getLong(1), head.getLong(2))
+    require(total >= 0 && total <= bound,
       s"k-means++ draw would overflow Long: total weight $total × u=$uNum/$uDen; " +
         "reduce weightScale")
     // two-level prefix sum over deterministic key-range buckets (see scaladoc)

@@ -90,6 +90,33 @@ class KMeansSpec extends SparkSpec {
     assert(got == exp && got.size == 1)
   }
 
+  test("seedNextInverseCdf auto-derives weightScale past the overflow bound " +
+      "and preserves the draw") {
+    // r17 verdict task 4: a nominal weightScale whose integer total would
+    // overflow total·uNum must adapt instead of require-failing. Planted
+    // huge weights: distances ~1e8 squared = 1e16 per row; at
+    // weightScale = 1e4 the nominal total (~5.25e20) exceeds
+    // Long.MaxValue/uDen, which previously threw. The draw itself is
+    // scale-invariant here by construction (the adapted uniform rescale
+    // preserves relative weights exactly up to rounding, and the planted
+    // weights are far apart), so the adapted pick must equal the
+    // weightScale = 1 pick.
+    val chosen = Seq(Centroid(1, Seq(0.0, 0.0)))
+    val data = pts(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(1e8, 0.0), 3L -> Seq(0.0, 2e8),
+      4L -> Seq(5e7, 0.0))
+    def draw(ws: Double): Long =
+      KMeans.seedNextInverseCdf(data, chosen, uNum = 1, uDen = 2,
+        weightScale = ws).select("i").as[Long].head()
+    val base = draw(1.0)          // in-bounds: adaptive branch must not fire
+    assert(base == 3L)            // cum 1e16, 5e16, 5.25e16; u=1/2 -> p3
+    assert(draw(1e4) == base,     // previously: require failure
+      "adaptive rescale changed the draw on well-separated weights")
+    // d1/dedup modes share the same head pass — exercise one combined
+    assert(KMeans.seedNextInverseCdf(data, chosen, 1, 2, weightScale = 1e4,
+      d1Weights = true).select("i").as[Long].head() == 3L)
+  }
+
   test("seedFirstRandom mirrors the reference's randomized offset pick, reproducibly") {
     val data = pts((1L to 200L).map(i => i -> Seq(i.toDouble, -i.toDouble)): _*)
     val a = KMeans.seedFirstRandom(data, seed = 9)
