@@ -1262,11 +1262,20 @@ object SparkEntry {
     // the 100×-scale twin: streamed per-cell scoring emits ONLY
     // over-threshold pairs (the knnGraphBlocked kernel applied to the
     // near-dup pair stage), SAME oracle as dedup_embcos_blocked — the
-    // hash match proves the local loop is the identical pair set
+    // hash match proves the local loop is the identical pair set.
+    // PRODUCTION CALLER of the AdaptiveCellRows sentinel (r17 verdict
+    // task 6): the hot-cell cap resolves from the deployment's heap/cores
+    // via derivedMaxCellRows instead of the fixed default. The derivation
+    // is floored AT the default, so the adaptive cap can only be looser —
+    // sf-scale cells never split under either bound (oracle hash
+    // untouched; result-equality spec-pinned on this hardware in
+    // DedupSpec), while a beefier executor class lifts the cap without a
+    // redeploy.
     "dedup_embcos_local" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
       Dedup.embeddingCosineBlockedLocal(emb, embCells(s, dir),
-        thrE6 = 350000L, nProbe = 2)
+        thrE6 = 350000L, nProbe = 2,
+        maxCellRows = Similarity.AdaptiveCellRows)
     }),
     // SemDeDup (semantic dedup): coarse cells -> within-cell cosine pairs ->
     // transitive duplicate groups -> keep the lowest-centroid-cosine member

@@ -272,6 +272,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("AdaptiveCellRows production path: derived cap is exercised, looser-" +
+      "or-equal on this hardware, and result-identical at sf scale") {
+    // r17 verdict task 6: the sentinel's shipped caller is
+    // dedup_embcos_local (SparkEntry passes AdaptiveCellRows). The
+    // derivation is floored at the fixed default, so the adaptive cap can
+    // only be looser — pinned here against THIS hardware's runtime
+    // heap/cores (the exact resolution mapCells performs), then the
+    // production call itself is pinned result-identical to the
+    // fixed-default form on the real fixture (sf-scale cells never split
+    // under either bound → the published oracle hash is safe).
+    import graft.operators.Similarity
+    val resolved = Similarity.derivedMaxCellRows(dim = 64)
+    assert(resolved >= Similarity.defaultMaxCellRows,
+      s"derived cap $resolved under the committed floor on this hardware")
+    val emb = Tables.read(spark, sf("0.001"), "embeddings")
+    val cents = Similarity.fixedCentroids(emb, 4)
+    def pairs(cap: Int) = Dedup.embeddingCosineBlockedLocal(emb, cents,
+      thrE6 = 350000L, nProbe = 2, maxCellRows = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fixed = pairs(Similarity.defaultMaxCellRows)
+    assert(fixed.nonEmpty && pairs(Similarity.AdaptiveCellRows) == fixed,
+      "adaptive-cap production path diverged from the fixed default")
+  }
+
   test("semanticDedup: broadcast assignment twin is row-identical to the " +
       "literal plan (the literal-ceiling seam)") {
     // past ~256 cells the literal sorted-struct assignment drops out of
