@@ -105,15 +105,35 @@ object Bench {
     * Default cap raised 150 → 600 s: an idle machine still exits in
     * ~20 s, a credits-drained one gets the time refill actually takes.
     */
-  private def quiesce(capSec: Int): (Double, Boolean, Double, Double) = {
+  private def quiesce(capSec: Int,
+      official: Boolean): (Double, Boolean, Double, Double) = {
     if (capSec <= 0) return (0.0, true, -1.0, loadAvg())
-    val refMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_MS", "190").toDouble
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8").toDouble
+    // probe reference resolution (r17 advice): env override first, then
+    // the COMMITTED baseline record (probe_ref_ms in BASELINE_BENCH.json —
+    // measured on the same hardware the floors were pinned on), else the
+    // absolute probe gate is NOT APPLICABLE (unknown hardware: a
+    // hard-coded per-host constant would make the gate never pass on a
+    // slower box and silently burn the full cap) — the relative
+    // stopped-improving rule and the load gate still hold the line.
+    val refMs = sys.env.get("SPARK_GRAFT_PROBE_REF_MS").map(_.toDouble)
+      .orElse(baselineProbeRefMs())
+    if (refMs.isEmpty)
+      System.err.println("[bench] WARNING: no probe reference (env unset, " +
+        "no probe_ref_ms in BASELINE_BENCH.json) — absolute probe gate " +
+        "disabled on unknown hardware; cool = load + relative stability only")
+    // official-record load bound (r17 verdict task 2): the r17 record
+    // started at load 6.44 under the old blanket default of 8 and ran ~12%
+    // above its same-day load-0.7 quiet legs — ~25% background load on a
+    // 32-core box is NOT quiet. Full-suite (official) runs now gate at ≤2
+    // (the measured idle band); name-filtered smokes keep 8 so iteration
+    // isn't blocked by a warm neighbor. Env overrides both.
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
+      .getOrElse(if (official) 2.0 else 8.0)
     val t0 = System.nanoTime()
     probeMs() // JIT warm-up, untimed
     var best = probeMs()
     var stable = 0
-    def cool(): Boolean = best <= refMs * 1.3 && loadAvg() <= maxLoad
+    def cool(): Boolean = refMs.forall(r => best <= r * 1.3) && loadAvg() <= maxLoad
     while ((System.nanoTime() - t0) / 1e9 < capSec &&
         (stable < 2 || !cool())) {
       Thread.sleep(10000)
@@ -134,10 +154,12 @@ object Bench {
     * anomaly-rerun-min above), so `wall / floor` is a noise-robust regression
     * ratio: > 2.0 is a real slowdown, not sandbox jitter.
     */
-  private def loadBaseline(): Map[String, Double] = {
-    val f = Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
+  private def baselineFile(): Option[java.io.File] =
+    Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
       .map(new java.io.File(_)).find(_.isFile)
-    f.map { file =>
+
+  private def loadBaseline(): Map[String, Double] = {
+    baselineFile().map { file =>
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
         val b = root.get("baseline")
@@ -151,6 +173,39 @@ object Bench {
       }
     }.getOrElse(Map.empty)
   }
+
+  /** `probe_ref_ms` from the committed baseline record — the 8-thread
+    * probe unit measured idle on the hardware the floors were pinned on,
+    * so the absolute probe gate travels WITH the floors it guards.
+    */
+  private def baselineProbeRefMs(): Option[Double] =
+    baselineFile().flatMap { file =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
+        Option(root.get("probe_ref_ms")).map(_.asDouble()).filter(_ > 0)
+      } catch { case _: Throwable => None }
+    }
+
+  /** The quiet-leg adjudication protocol, encoded (r17 verdict task 7
+    * — stop re-litigating stale-floor drift per round): an official-record
+    * entry whose wall exceeds 2× its floor by RATIO (the excess bar is
+    * irrelevant here — this is about drift, not enforcement) is
+    * environmental noise IFF a same-round quiet leg (the reversed-order
+    * run, or any cool-labeled leg) reads it at ≤ `quietBar` (1.9×).
+    * Returns the names that FAIL that test — over 2× officially and
+    * either over the quiet bar on the quiet leg or missing from it —
+    * i.e. the real regressions a floor adjudication must answer for.
+    * Pure function; BenchGateSpec pins it, `graft.Gate` enforces it.
+    */
+  private[graft] def quietLegViolations(official: Map[String, Double],
+      quiet: Map[String, Double], baseline: Map[String, Double],
+      quietBar: Double = 1.9): Seq[String] =
+    official.toSeq.sorted.collect {
+      case (name, wall)
+        if baseline.get(name).exists(b => b > 0 && wall / b > 2.0) &&
+          !quiet.get(name).exists(qw =>
+            baseline.get(name).exists(b => qw / b <= quietBar)) => name
+    }
 
   /** Run-order CLUSTER trigger (round-13 lesson, unit-tested in
     * BenchGateSpec): returns the names to rerun — every over-2×-floor
@@ -177,7 +232,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val (quiesced, coolStart, probeBest, loadStart) =
-      quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "600").toInt)
+      quiesce(sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "600").toInt,
+        official = args.isEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -311,7 +367,7 @@ object Bench {
       .filter(r => overFloor(r._1, r._2) && !errors.contains(r._1)).map(_._1)
       ++ clusterFlagged(immediate)).distinct
     val results = if (stillOver.isEmpty) immediate else {
-      quiesce(60)
+      quiesce(60, official = args.isEmpty)
       rerunMin(immediate, stillOver)
     }
     def jnum(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -344,10 +400,19 @@ object Bench {
         .filter(b => wall / b > 2.0 && wall - b > (if (b >= 0.5) 1.0 else 2.0))
         .map(b => name -> wall / b) }
       .sortBy(-_._2).map(_._1)
+    // over_2x_ratio: over 2× floor by RATIO alone, no excess bar — the
+    // drift-watch list the quiet-leg protocol (quietLegViolations / Gate)
+    // cross-checks against the reversed-order leg. over_2x above stays the
+    // enforceable bar.
+    val over2xRatio = results
+      .flatMap { case (name, wall, _, _) => baseline.get(name).filter(_ > 0)
+        .filter(b => wall / b > 2.0).map(b => name -> wall / b) }
+      .sortBy(-_._2).map(_._1)
     val vsb = jmap(ratios)
     val over = over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val overRatio = over2xRatio.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"vs_baseline":$vsb,"over_2x":$over,"quiesce_sec":${jnum(quiesced)},"cool":$coolStart,"probe_ms":${jnum(probeBest)},"load_avg":${jnum(loadStart)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n_errors":$nErrors,"queries":$qs,"sf":"$sfDir","gc":$gc,"cpu":$cpu,"reruns":$reruns,"errors":$errs,"vs_baseline":$vsb,"over_2x":$over,"over_2x_ratio":$overRatio,"quiesce_sec":${jnum(quiesced)},"cool":$coolStart,"probe_ms":${jnum(probeBest)},"load_avg":${jnum(loadStart)}}"""
     // Full per-query record: stderr + a local file (the harness captures only
     // a bounded stdout tail; this keeps the complete map inspectable). A
     // name-filtered run writes bench_partial.json so single-query iteration

@@ -50,6 +50,52 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.clusterFlaggedNames(walls, floors, errored).isEmpty)
   }
 
+  test("every declared query has a pinned bench floor (r17 task 1: the " +
+      "over-2x gate must never be blind to new work)") {
+    // r17 shipped three queries without floors; the over-2×-floor gate,
+    // the anomaly-rerun trigger and vs_baseline were all blind to them.
+    // This assertion makes the blindness class unrepresentable: declaring
+    // a query without pinning its floor (gated quiet protocol, min of N
+    // runs — see BASELINE_BENCH.json note) now fails the suite.
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(
+        Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
+          .find(p => new java.io.File(p).isFile).get))
+    val floors = {
+      val it = root.get("baseline").fieldNames()
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) out += it.next()
+      out.toSet
+    }
+    val missing = SparkEntry.queries.keySet -- floors
+    assert(missing.isEmpty,
+      s"declared queries without a pinned floor: ${missing.toSeq.sorted}")
+    // and the probe reference travels with the floors (r17 advice: no
+    // hard-coded per-host constant as the only source)
+    assert(Option(root.get("probe_ref_ms")).exists(_.asDouble() > 0))
+  }
+
+  test("quietLegViolations: official over-2x-ratio entries are noise iff " +
+      "the quiet leg clears them (r17 task 7 protocol, encoded)") {
+    val floors = Map("a" -> 0.4, "b" -> 0.5, "c" -> 1.0, "d" -> 0.3)
+    val official = Map(
+      "a" -> 0.92,  // 2.3x officially
+      "b" -> 1.15,  // 2.3x officially
+      "c" -> 1.5,   // 1.5x — not over, never a violation
+      "d" -> 0.9)   // 3.0x officially, missing from the quiet leg
+    val quiet = Map(
+      "a" -> 0.6,   // 1.5x quiet → laundered (environmental)
+      "b" -> 1.05,  // 2.1x quiet → STILL over the 1.9 bar → real
+      "c" -> 2.6)   // quiet reading irrelevant — official was clean
+    val got = Bench.quietLegViolations(official, quiet, floors)
+    assert(got == Seq("b", "d"), got)
+    // boundary: exactly at the quiet bar clears
+    assert(Bench.quietLegViolations(Map("a" -> 0.92),
+      Map("a" -> 0.4 * 1.9), floors).isEmpty)
+    // floorless names never participate
+    assert(Bench.quietLegViolations(Map("x" -> 99.0), Map.empty, floors).isEmpty)
+  }
+
   test("window boundary: positions exactly window-1 apart still cluster; window apart do not") {
     val floors = Map("p" -> 0.3, "q" -> 0.3, "r" -> 0.3)
     def walls(gap: Int) = Seq("p" -> 1.0) ++
