@@ -4345,7 +4345,8 @@ object OracleSql {
        |SELECT hs.media_id, hs.ahash, coalesce(du.n_dups, 0)::BIGINT AS n_dups
        |FROM hs LEFT JOIN du ON hs.media_id = du.id""".stripMargin
 
-  /** Mirror of `mm_phash_capped`: unlike [[mmPhash]] (which may join all
+  /** Mirror of the capped `mm_phash` (the r18 production default; was
+    * published as `mm_phash_capped` in r17): unlike [[mmPhash]] (which may join all
     * pairs because the pigeonhole blocking is COMPLETE at hamming ≤ 3),
     * the capped form's semantics are defined BY the blocking — so the
     * mirror replays it: the 4×16-bit chunk decomposition (`(ahash >>

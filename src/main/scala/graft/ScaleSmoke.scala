@@ -544,6 +544,66 @@ object ScaleSmoke {
       sparkQ.stop()
       return
     }
+    // "fit" is self-contained (r17 verdict task 5): the LIKE-FOR-LIKE
+    // distributed base for the fit-family scale row. The r17 families row
+    // compared a 0.45 s driver-local twin (fitAuto under the 4M-cell
+    // threshold at 1×) against the real distributed loop at 100× — an
+    // honest adjudication but not a scaling measurement. Here BOTH tiers
+    // run KMeans.fit DIRECTLY — the distributed k-means‖ seeding +
+    // movement-gated Lloyd loop; fitLocal is spec-pinned bit-identical,
+    // so bypassing fitAuto's tier choice changes nothing but the engine
+    // under test — at x(factor/10) and x(factor), then the assignment
+    // census. The ratio prices the distributed engine against a true 10×
+    // volume step, with the census plan shape pinned invariant.
+    if (mode == "fit") {
+      val cpusF = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkF = SparkSession.builder().master(s"local[$cpusF]")
+        .config("spark.sql.shuffle.partitions", cpusF)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+      sparkF.sparkContext.setLogLevel("WARN")
+      require(factor % 10 == 0 && factor >= 100 && factor <= 1000,
+        s"fit mode wants 100 <= factor <= 1000, divisible by 10: $factor")
+      def jnum(v: Double): String =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      def tier(f: Int): (Double, PlanShape) = {
+        val dir = s"$workDir/x$f"
+        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile)
+          writeScaled(sparkF, baseDir, dir, f, Set("embeddings"))
+        val pts = Tables.yhEmbeddings(sparkF, dir).cache()
+        val n = pts.count() // also materializes the cache, untimed
+        var steps = 0L
+        val walls = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val fit = operators.KMeans.fit(pts, k = 10, dim = 64,
+            parallelSeed = true, seed = 42)
+          steps = fit.steps
+          operators.KMeans.assign(pts, fit.centroids)
+            .groupBy("j").agg(count(lit(1)).as("n"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val fitS = operators.KMeans.fit(pts, k = 10, dim = 64,
+          parallelSeed = true, seed = 42)
+        val shape = planShape(operators.KMeans.assign(pts, fitS.centroids)
+          .groupBy("j").agg(count(lit(1)).as("n")))
+        println(s"""{"metric":"fit_exhibit","factor":$f,"n":$n,""" +
+          s""""wall_sec":${jnum(walls.min)},"steps":$steps,""" +
+          s""""exchanges":${shape.exchanges},""" +
+          s""""nested_loops":${shape.nestedLoops},""" +
+          s""""single_partition":${shape.singlePartitionExchanges}}""")
+        pts.unpersist()
+        (walls.min, shape)
+      }
+      val (wBase, sBase) = tier(factor / 10)
+      val (wScaled, sScaled) = tier(factor)
+      println(s"""{"metric":"fit_scale_row","base_factor":${factor / 10},""" +
+        s""""scaled_factor":$factor,"base_sec":${jnum(wBase)},""" +
+        s""""scaled_sec":${jnum(wScaled)},"ratio":${jnum(wScaled / wBase)},""" +
+        s""""shape_invariant":${sBase == sScaled && sScaled.nestedLoops == 0}}""")
+      sparkF.stop()
+      return
+    }
     // "rebalance" is self-contained: regenerates the factor× embeddings
     // fixture, plants a MISALIGNED quantizer (all centroids drawn from one
     // label's region — the SimilaritySpec construction at scale), and
