@@ -568,8 +568,17 @@ object ScaleSmoke {
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       def tier(f: Int): (Double, PlanShape) = {
         val dir = s"$workDir/x$f"
-        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile)
-          writeScaled(sparkF, baseDir, dir, f, Set("embeddings"))
+        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
+          if (f <= 100) writeScaled(sparkF, baseDir, dir, f, Set("embeddings"))
+          else {
+            // stage through x100 like the build mode: writeScaled unions
+            // `factor` plans, and a 1000-way union is plan bloat for nothing
+            require(f % 100 == 0, s"staged factor must be a multiple of 100: $f")
+            val mid = s"$workDir/x100_stage"
+            writeScaled(sparkF, baseDir, mid, 100, Set("embeddings"))
+            writeScaled(sparkF, mid, dir, f / 100, Set("embeddings"))
+          }
+        }
         val pts = Tables.yhEmbeddings(sparkF, dir).cache()
         val n = pts.count() // also materializes the cache, untimed
         var steps = 0L
