@@ -154,11 +154,11 @@ object Bench {
     * anomaly-rerun-min above), so `wall / floor` is a noise-robust regression
     * ratio: > 2.0 is a real slowdown, not sandbox jitter.
     */
-  private def baselineFile(): Option[java.io.File] =
+  private[graft] def baselineFile(): Option[java.io.File] =
     Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
       .map(new java.io.File(_)).find(_.isFile)
 
-  private def loadBaseline(): Map[String, Double] = {
+  private[graft] def loadBaseline(): Map[String, Double] = {
     baselineFile().map { file =>
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)
@@ -178,7 +178,7 @@ object Bench {
     * probe unit measured idle on the hardware the floors were pinned on,
     * so the absolute probe gate travels WITH the floors it guards.
     */
-  private def baselineProbeRefMs(): Option[Double] =
+  private[graft] def baselineProbeRefMs(): Option[Double] =
     baselineFile().flatMap { file =>
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(file)

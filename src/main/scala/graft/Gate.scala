@@ -34,22 +34,28 @@ object Gate {
     out.toMap
   }
 
+  /** Fail with a usage error — not a bare NPE — when handed something
+    * that is not a full bench record (e.g. BASELINE_BENCH.json itself,
+    * the other JSON in the repo root, or a truncated partial record).
+    */
+  private def requireRecord(rec: JsonNode, path: String): Unit =
+    require(Seq("queries", "n_errors", "cool", "value").forall(rec.has),
+      s"$path is not a full bench record (expected the bench_full.json " +
+        "shape with queries/n_errors/cool/value)")
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Gate <official-record.json> [quiet-record.json]")
     val om = new ObjectMapper()
     val official = om.readTree(new java.io.File(args(0)))
-    val quiet = args.lift(1).map(p => om.readTree(new java.io.File(p)))
-    val baselineRoot = om.readTree(new java.io.File(
-      Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
-        .find(p => new java.io.File(p).isFile)
-        .getOrElse(sys.error("BASELINE_BENCH.json not found"))))
-    val floors = {
-      val b = baselineRoot.get("baseline")
-      val out = scala.collection.mutable.Map.empty[String, Double]
-      val it = b.fieldNames()
-      while (it.hasNext) { val k = it.next(); out(k) = b.get(k).asDouble() }
-      out.toMap
+    requireRecord(official, args(0))
+    val quiet = args.lift(1).map { p =>
+      val rec = om.readTree(new java.io.File(p))
+      requireRecord(rec, p)
+      rec
     }
+    // same loader the bench itself uses — one copy of the resolution+parse
+    val floors = Bench.loadBaseline()
+    require(floors.nonEmpty, "BASELINE_BENCH.json not found or empty")
     val offQ = queries(official)
     var failed = 0
     def check(name: String, ok: Boolean, detail: String): Unit = {

@@ -70,6 +70,30 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Stage-aware scaled-fixture generation shared by every self-contained
+    * exhibit mode (extracted r18 — the idiom existed in five copies):
+    * reuse the deterministic fixture when `reuse` and every requested
+    * table's parquet is complete; generate directly up to 100×; stage
+    * factors past 100 through an x100 hop (the single-pass union plan
+    * grows a branch per replica, and replica-of-replica ids stay
+    * collision-free — each stage strides past its input's max id).
+    */
+  private def ensureScaled(spark: SparkSession, baseDir: String,
+      workDir: String, outDir: String, factor: Int,
+      tables: Set[String], reuse: Boolean): Unit = {
+    if (reuse && tables.forall(t =>
+        new java.io.File(s"$outDir/$t.parquet/_SUCCESS").isFile)) return
+    if (factor <= 100) writeScaled(spark, baseDir, outDir, factor, tables)
+    else {
+      // integer division would silently build a 100× corpus into a
+      // directory labeled x$factor
+      require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
+      val mid = s"$workDir/x100_stage"
+      writeScaled(spark, baseDir, mid, 100, tables)
+      writeScaled(spark, mid, outDir, factor / 100, tables)
+    }
+  }
+
   /** Events replication for the events-family exhibit (r16 verdict task
     * 7): replica `r` offsets event_id and user_id by their strides and
     * keeps ts/type/value/props VERBATIM. Per-replica user key spaces are
@@ -462,15 +486,8 @@ object ScaleSmoke {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
       sparkB.sparkContext.setLogLevel("WARN")
       val dir = s"$workDir/x$factor"
-      if (factor <= 100) writeScaled(sparkB, baseDir, dir, factor, Set("embeddings"))
-      else {
-        // same guard as the main path: integer division would silently
-        // build a 100× corpus into a directory labeled x$factor
-        require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
-        val mid = s"$workDir/x100_stage"
-        writeScaled(sparkB, baseDir, mid, 100, Set("embeddings"))
-        writeScaled(sparkB, mid, dir, factor / 100, Set("embeddings"))
-      }
+      ensureScaled(sparkB, baseDir, workDir, dir, factor, Set("embeddings"),
+        reuse = false)
       val emb = Tables.read(sparkB, dir, "embeddings")
       val n = emb.count()
       val fines = operators.Similarity.fixedCentroids(emb,
@@ -513,15 +530,8 @@ object ScaleSmoke {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
       sparkQ.sparkContext.setLogLevel("WARN")
       val dir = s"$workDir/x$factor"
-      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
-        if (factor <= 100) writeScaled(sparkQ, baseDir, dir, factor, Set("embeddings"))
-        else {
-          require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
-          val mid = s"$workDir/x100_stage"
-          writeScaled(sparkQ, baseDir, mid, 100, Set("embeddings"))
-          writeScaled(sparkQ, mid, dir, factor / 100, Set("embeddings"))
-        }
-      }
+      ensureScaled(sparkQ, baseDir, workDir, dir, factor, Set("embeddings"),
+        reuse = true)
       val emb = Tables.read(sparkQ, dir, "embeddings")
       val n = emb.count()
       val fines = operators.Similarity.fixedCentroids(emb,
@@ -562,39 +572,33 @@ object ScaleSmoke {
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
       sparkF.sparkContext.setLogLevel("WARN")
-      require(factor % 10 == 0 && factor >= 100 && factor <= 1000,
-        s"fit mode wants 100 <= factor <= 1000, divisible by 10: $factor")
+      // % 100 (not % 10): both tiers run, and the scaled tier stages
+      // through x100 — a 250 would burn the whole base tier before the
+      // staging require rejected it
+      require(factor % 100 == 0 && factor >= 100 && factor <= 1000,
+        s"fit mode wants 100 <= factor <= 1000, a multiple of 100: $factor")
       def jnum(v: Double): String =
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       def tier(f: Int): (Double, PlanShape) = {
         val dir = s"$workDir/x$f"
-        if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
-          if (f <= 100) writeScaled(sparkF, baseDir, dir, f, Set("embeddings"))
-          else {
-            // stage through x100 like the build mode: writeScaled unions
-            // `factor` plans, and a 1000-way union is plan bloat for nothing
-            require(f % 100 == 0, s"staged factor must be a multiple of 100: $f")
-            val mid = s"$workDir/x100_stage"
-            writeScaled(sparkF, baseDir, mid, 100, Set("embeddings"))
-            writeScaled(sparkF, mid, dir, f / 100, Set("embeddings"))
-          }
-        }
+        ensureScaled(sparkF, baseDir, workDir, dir, f, Set("embeddings"),
+          reuse = true)
         val pts = Tables.yhEmbeddings(sparkF, dir).cache()
         val n = pts.count() // also materializes the cache, untimed
         var steps = 0L
+        var centroids = Seq.empty[operators.KMeans.Centroid]
         val walls = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val fit = operators.KMeans.fit(pts, k = 10, dim = 64,
             parallelSeed = true, seed = 42)
           steps = fit.steps
+          centroids = fit.centroids // deterministic: same seed every rep
           operators.KMeans.assign(pts, fit.centroids)
             .groupBy("j").agg(count(lit(1)).as("n"))
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val fitS = operators.KMeans.fit(pts, k = 10, dim = 64,
-          parallelSeed = true, seed = 42)
-        val shape = planShape(operators.KMeans.assign(pts, fitS.centroids)
+        val shape = planShape(operators.KMeans.assign(pts, centroids)
           .groupBy("j").agg(count(lit(1)).as("n")))
         println(s"""{"metric":"fit_exhibit","factor":$f,"n":$n,""" +
           s""""wall_sec":${jnum(walls.min)},"steps":$steps,""" +
@@ -631,15 +635,8 @@ object ScaleSmoke {
       sparkR.sparkContext.setLogLevel("WARN")
       val dir = s"$workDir/x$factor"
       // the deterministic fixture is reusable across exhibit reruns
-      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile) {
-        if (factor <= 100) writeScaled(sparkR, baseDir, dir, factor, Set("embeddings"))
-        else {
-          require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
-          val mid = s"$workDir/x100_stage"
-          writeScaled(sparkR, baseDir, mid, 100, Set("embeddings"))
-          writeScaled(sparkR, mid, dir, factor / 100, Set("embeddings"))
-        }
-      }
+      ensureScaled(sparkR, baseDir, workDir, dir, factor, Set("embeddings"),
+        reuse = true)
       val emb = Tables.read(sparkR, dir, "embeddings")
       val n = emb.count()
       val nCells = operators.Similarity.autoCells(n)
@@ -746,16 +743,8 @@ object ScaleSmoke {
       if (mode == "ann" || mode == "fresh") Set("embeddings")
       else if (mode == "events") Set("events")
       else Set("documents", "embeddings")
-    // past 100× the single-pass union plan grows a branch per replica;
-    // stage as 100× then factor/100× (replica-of-replica ids stay
-    // collision-free — each stage strides past its input's max id)
-    if (factor <= 100) writeScaled(spark, baseDir, scaledDir, factor, genTables)
-    else {
-      require(factor % 100 == 0, s"staged factor must be a multiple of 100: $factor")
-      val mid = s"$workDir/x100_stage"
-      writeScaled(spark, baseDir, mid, 100, genTables)
-      writeScaled(spark, mid, scaledDir, factor / 100, genTables)
-    }
+    ensureScaled(spark, baseDir, workDir, scaledDir, factor, genTables,
+      reuse = false)
     val genSec = (System.nanoTime() - tGen0) / 1e9
     // untimed warm-up (JIT/codegen/parquet footers), then the amortized
     // index builds, timed per dir — the Bench warm-up contract

@@ -302,12 +302,15 @@ object SparkEntry {
       // the production build path ships the r17 CHOOSER: routed build
       // (n·(nSuper+|children|) assignment folds — the 160× lever) when the
       // sampled flat-vs-routed agreement clears the gate, flat otherwise.
-      // THIS call site requires 100% sampled agreement (r17 advice): the
-      // production index contents must not be data-dependent on a <100%
-      // recall trade the user never opted into — a corpus at 99.5%
-      // agreement gets the flat build here, and the routed speedup stays
-      // available to explicit buildIvfIndexAuto callers at the default
-      // 99% gate. On the near-uniform fixtures the gate reads ~33-50% and
+      // THIS call site requires 100% SAMPLED agreement (r17 advice) —
+      // 2048 hash-drawn probes, so it bounds rather than proves: a corpus
+      // routing here has <0.05% expected undetected divergence (a 99.5%-
+      // agreement corpus clears the old 99% gate but fails this one with
+      // near-certainty: P[no disagreement in 2048 draws] ≈ 0.5%^… ≈ 3e-5).
+      // Corpora that pass are overwhelmingly the structurally hierarchical
+      // ones where agreement is exactly 100%; the <100% recall trade
+      // stays opt-in for explicit buildIvfIndexAuto callers at the 99%
+      // default gate. On the near-uniform fixtures the gate reads ~33-50% and
       // this is the flat build bit-for-bit (published hashes untouched);
       // the gate itself costs one top-2048 scan (0.80 s at 2M, SCALE.md
       // r17). Degenerate supers (bit-identical early corpus vectors — the

@@ -719,7 +719,12 @@ object Similarity {
     // the chooser must fall back to the flat build (routed = false), not
     // crash a path that previously could not fail. The probe is the same
     // driver-side k·nSuper-dot superChildren the routed arm would run.
-    val routable = scala.util.Try(superChildren(centroids, supers)).isSuccess
+    // ONLY the require's IllegalArgumentException is the fallback signal;
+    // anything else (dimension mismatch, nulls) is a real defect that
+    // must surface, not silently degrade to a flat build.
+    val routable =
+      try { superChildren(centroids, supers); true }
+      catch { case _: IllegalArgumentException => false }
     val routed = routable && {
       val d = routeDecision(emb, centroids, supers, sampleN, agreePpm).head()
       d.getLong(d.fieldIndex("routed")) == 1L

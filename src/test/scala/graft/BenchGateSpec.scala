@@ -57,22 +57,20 @@ class BenchGateSpec extends AnyFunSuite {
     // This assertion makes the blindness class unrepresentable: declaring
     // a query without pinning its floor (gated quiet protocol, min of N
     // runs — see BASELINE_BENCH.json note) now fails the suite.
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new java.io.File(
-        Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
-          .find(p => new java.io.File(p).isFile).get))
-    val floors = {
-      val it = root.get("baseline").fieldNames()
-      val out = scala.collection.mutable.Set.empty[String]
-      while (it.hasNext) out += it.next()
-      out.toSet
-    }
+    // the bench's own loaders — the spec must read the same floors the
+    // gate reads, through the same resolution
+    val floors = Bench.loadBaseline().keySet
     val missing = SparkEntry.queries.keySet -- floors
     assert(missing.isEmpty,
       s"declared queries without a pinned floor: ${missing.toSeq.sorted}")
+    // symmetric: a renamed/deleted query must not leave a stale floor (the
+    // r18 mm_phash_capped -> mm_phash_exact rename is exactly this class)
+    val stale = floors -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"pinned floors without a declared query: ${stale.toSeq.sorted}")
     // and the probe reference travels with the floors (r17 advice: no
     // hard-coded per-host constant as the only source)
-    assert(Option(root.get("probe_ref_ms")).exists(_.asDouble() > 0))
+    assert(Bench.baselineProbeRefMs().exists(_ > 0))
   }
 
   test("quietLegViolations: official over-2x-ratio entries are noise iff " +

@@ -283,9 +283,14 @@ class DedupSpec extends SparkSpec {
     // fixed-default form on the real fixture (sf-scale cells never split
     // under either bound → the published oracle hash is safe).
     import graft.operators.Similarity
+    // floor-regression guard: a 1-byte heap forces min(memCap, timeCap)
+    // to ~0, so this fails the moment anyone removes the max(floor, ...)
+    // from the derivation (asserting resolved >= floor on real hardware
+    // would be a tautology — the floor is applied inside the function)
+    assert(Similarity.derivedMaxCellRows(dim = 64, heapBytes = 1L, cores = 1)
+      == Similarity.defaultMaxCellRows)
     val resolved = Similarity.derivedMaxCellRows(dim = 64)
-    assert(resolved >= Similarity.defaultMaxCellRows,
-      s"derived cap $resolved under the committed floor on this hardware")
+    assert(resolved >= Similarity.defaultMaxCellRows)
     val emb = Tables.read(spark, sf("0.001"), "embeddings")
     val cents = Similarity.fixedCentroids(emb, 4)
     def pairs(cap: Int) = Dedup.embeddingCosineBlockedLocal(emb, cents,
