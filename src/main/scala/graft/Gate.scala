@@ -96,7 +96,10 @@ object Gate {
     }
 
     val total = official.get("value").asDouble()
-    val floorSum = offQ.keys.flatMap(floors.get).sum
+    // keysIterator, NOT keys: a Set's flatMap dedupes equal floor VALUES
+    // before the sum (caught r18 — it under-reported the floor sum 201.8
+    // → 187.1 and overstated the aggregate ratio)
+    val floorSum = offQ.keysIterator.flatMap(floors.get).sum
     println(f"[gate] total ${total}%.1f s vs floor sum ${floorSum}%.1f s = " +
       f"${total / floorSum}%.2fx aggregate")
     println(s"[gate] ${if (failed == 0) "ALL CHECKS PASS" else s"$failed CHECK(S) FAILED"}")
