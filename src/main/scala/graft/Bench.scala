@@ -91,13 +91,16 @@ object Bench {
     * probe, and the whole suite read ~1.3× its floors). Two ABSOLUTE
     * gates now hold the start line, probing every 10 s until both pass or
     * `capSec` expires:
-    *  - probe best ≤ 1.3 × `SPARK_GRAFT_PROBE_REF_MS` (default 190 — the
-    *    8-thread probe unit measured on this hardware idle; the 1.3×
-    *    slack absorbs JIT/run-to-run jitter, a post-smoke machine reads
-    *    well above it);
-    *  - 1-minute system load average ≤ `SPARK_GRAFT_MAX_LOAD` (default 8
-    *    on the 32-core box — a concurrent build/verify shows up here even
-    *    when throttle credits look fine).
+    *  - probe best ≤ 1.3 × the probe reference (resolution r18: env
+    *    `SPARK_GRAFT_PROBE_REF_MS` → committed `probe_ref_ms` in
+    *    BASELINE_BENCH.json (190 — the 8-thread probe unit measured idle
+    *    on the hardware the floors were pinned on) → gate self-disables
+    *    with a warning on unknown hardware; the 1.3× slack absorbs
+    *    JIT/run-to-run jitter, a post-smoke machine reads well above it);
+    *  - 1-minute system load average ≤ `SPARK_GRAFT_MAX_LOAD` (r18
+    *    defaults: 2 for official full-suite records, 8 for name-filtered
+    *    smokes — a concurrent build/verify shows up here even when
+    *    throttle credits look fine).
     * The relative stopped-improving rule still applies on top (two
     * consecutive probes within 10% of best). The JSON records the final
     * probe, load, and whether the gates were MET — a record taken with
