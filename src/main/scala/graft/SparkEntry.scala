@@ -326,6 +326,37 @@ object SparkEntry {
     tbl
   }
 
+  /** Materialize every media payload as a REAL file once per dir — the
+    * multimodal INGEST seam (r18): at 100 TB, blobs arrive as
+    * object-store files, not parquet columns, so the engine must ingest
+    * from a file listing. The write is DISTRIBUTED (foreachPartition on
+    * executors — no driver collect of payload bytes; on a cluster the
+    * destination is the shared object store) and idempotent behind a
+    * _SUCCESS marker, the same amortized one-time-build contract as the
+    * persisted indexes (prewarmIndexes builds it untimed).
+    */
+  private def ensureMediaFiles(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = new java.io.File(
+      taggedTmpPath("graft_media_files", tagOf(dirKey(dir))))
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.isFile) {
+      out.mkdirs()
+      val base = out.getAbsolutePath
+      Multimodal.mediaTable(Tables.read(s, dir, "documents"))
+        .select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(base, s"media_$id.bin"), bytes)
+          }
+        }
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    out.getAbsolutePath
+  }
+
   /** Canonical orders projection for the fingerprint queries. */
   private def fpOrders(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "orders").select(
@@ -548,7 +579,7 @@ object SparkEntry {
     ensurePartitionedEvents(s, dir); ensureMinhashIndex(s, dir)
     ensureIvfIndex(s, dir); ensureIvfPqIndex(s, dir)
     ensureIvfSq8Index(s, dir); ensureTfIndex(s, dir)
-    ensureBinaryIndex(s, dir)
+    ensureBinaryIndex(s, dir); ensureMediaFiles(s, dir)
   }
 
   /** Build only the documents/embeddings-backed persisted indexes for
@@ -2214,6 +2245,27 @@ object SparkEntry {
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
     }),
 
+    // the multimodal INGEST seam through Spark's built-in binaryFile
+    // source (r18): payloads land as real files (ensureMediaFiles —
+    // distributed write, amortized via prewarm), are listed and scanned
+    // back by format("binaryFile"), and the byte census from the SCAN's
+    // length column must hash-match the same closed-form container
+    // arithmetic as mm_features — pinning the encode → file write → list
+    // → scan loop end to end. Column pruning keeps `content` out of the
+    // plan, so lengths come from file status without reading a byte.
+    "mm_binaryfile_ingest" -> ((s, dir) => {
+      val files = ensureMediaFiles(s, dir)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(files)
+        .select(regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"), col("length"))
+        .select(when(col("media_id") % 3 === 0, "image")
+          .when(col("media_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"), col("length"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("length").as("total_bytes"))
+    }),
+
     // ---- events (beyond-reference) ----
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.readEvents(s, dir))),
@@ -3813,6 +3865,8 @@ object SparkEntry {
          |FROM a2 GROUP BY j""".stripMargin,
     "km_wcr_log" -> OracleSql.kmWcrLog(k = 4, steps = 3, tol = 0.01),
     "mm_features" -> OracleSql.mmFeatures,
+    // same closed-form byte census, reached through the file-ingest loop
+    "mm_binaryfile_ingest" -> OracleSql.mmFeatures,
     "mm_thumbs" -> OracleSql.mmThumbs,
     "mm_audio_seg" -> OracleSql.mmAudioSeg,
     "mm_keyframes" -> OracleSql.mmKeyframes,

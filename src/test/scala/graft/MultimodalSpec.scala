@@ -434,6 +434,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pagg.getLong(2) == 3L && pagg.getLong(3) == 3L)
   }
 
+  test("mm_binaryfile_ingest: file-ingest census equals mm_features and " +
+      "prunes content from the scan") {
+    // the ingest seam must reproduce the in-memory byte census exactly —
+    // same rows through encode → file write → binaryFile scan — and the
+    // scan must NOT read payload bytes (length is file-status metadata;
+    // column pruning keeps `content` out of the read schema)
+    val df = SparkEntry.queries("mm_binaryfile_ingest")(spark, sf("0.001"))
+    val viaFiles = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inMemory = SparkEntry.queries("mm_features")(spark, sf("0.001"))
+      .select("kind", "n", "total_bytes").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaFiles.size == 3 && viaFiles == inMemory)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("content"),
+      "binaryFile scan failed to prune the content column")
+  }
+
   test("mm_keyframes: golden-value pin on the sf0.001 fixture") {
     // by-name pin: every video keys at least frame 0, never more frames
     // than it has, and the census splits (the threshold sits mid-
