@@ -4132,6 +4132,70 @@ object OracleSql {
     sb.toString
   }
 
+  /** Mirror of [[graft.operators.Similarity.whiten2]]: the [[embPca]]
+    * sufficient stats and `iters`-round power iteration, then EXACT
+    * rank-one deflation `cov₂ = cov − λ₁·v₁ᵢ·v₁ⱼ` (flip-invariant — v₁ is
+    * flipped before deflating on both engines, and the product cancels the
+    * sign either way) and the same chain again for PC2, then the per-vector
+    * projection `(x − m)·v_c / √λ_c` rounded to e4. Whitened coordinates
+    * are O(1) (unit variance by construction); the contractive-iteration
+    * drift argument from [[embPca]] holds with 5e-5 half-spacing.
+    */
+  def embWhiten(dim: Int = 64, iters: Int = 100): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+              |dims AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS BIGINT) AS d),
+              |mean AS MATERIALIZED (SELECT d.d, sum(e.v[d.d]) / (SELECT n FROM nn) AS m
+              |  FROM e, dims d GROUP BY d.d),
+              |s2 AS MATERIALIZED (SELECT i.d AS di, j.d AS dj, sum(e.v[i.d]*e.v[j.d]) AS ss
+              |  FROM e, dims i, dims j GROUP BY i.d, j.d),
+              |cov AS MATERIALIZED (SELECT s2.di, s2.dj,
+              |    s2.ss / (SELECT n FROM nn) - mi.m * mj.m AS c
+              |  FROM s2 JOIN mean mi ON mi.d = s2.di JOIN mean mj ON mj.d = s2.dj),
+              |a0 AS MATERIALIZED (SELECT d, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |aw$t AS MATERIALIZED (SELECT c.di AS d, sum(c.c * v.v) AS w FROM cov c
+                |  JOIN a${t - 1} v ON v.d = c.dj GROUP BY c.di),
+                |a$t AS MATERIALIZED (SELECT d, w / (SELECT sqrt(sum(w*w)) FROM aw$t) AS v FROM aw$t)""".stripMargin
+    }
+    sb ++= s""",
+              |l1 AS MATERIALIZED (SELECT sqrt(sum(w*w)) AS l FROM aw$iters),
+              |f1 AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM a$iters
+              |    ORDER BY abs(v) DESC, d LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS f),
+              |pc1 AS MATERIALIZED (SELECT d, v * (SELECT f FROM f1) AS v FROM a$iters),
+              |cov2 AS MATERIALIZED (SELECT c.di, c.dj,
+              |    c.c - (SELECT l FROM l1) * p1.v * p2.v AS c
+              |  FROM cov c JOIN pc1 p1 ON p1.d = c.di JOIN pc1 p2 ON p2.d = c.dj),
+              |b0 AS MATERIALIZED (SELECT d, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |bw$t AS MATERIALIZED (SELECT c.di AS d, sum(c.c * v.v) AS w FROM cov2 c
+                |  JOIN b${t - 1} v ON v.d = c.dj GROUP BY c.di),
+                |b$t AS MATERIALIZED (SELECT d, w / (SELECT sqrt(sum(w*w)) FROM bw$t) AS v FROM bw$t)""".stripMargin
+    }
+    sb ++= s""",
+              |l2 AS MATERIALIZED (SELECT sqrt(sum(w*w)) AS l FROM bw$iters),
+              |f2 AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM b$iters
+              |    ORDER BY abs(v) DESC, d LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS f),
+              |pc2 AS MATERIALIZED (SELECT d, v * (SELECT f FROM f2) AS v FROM b$iters),
+              |proj AS (SELECT e.vec_id,
+              |    sum((e.v[d.d] - m.m) * p1.v) / (SELECT sqrt(l) FROM l1) AS w1,
+              |    sum((e.v[d.d] - m.m) * p2.v) / (SELECT sqrt(l) FROM l2) AS w2
+              |  FROM e, dims d
+              |  JOIN mean m ON m.d = d.d
+              |  JOIN pc1 p1 ON p1.d = d.d
+              |  JOIN pc2 p2 ON p2.d = d.d
+              |  GROUP BY e.vec_id)
+              |SELECT vec_id, CAST(round(w1 * 1e4) AS BIGINT) AS w1_e4,
+              |  CAST(round(w2 * 1e4) AS BIGINT) AS w2_e4
+              |FROM proj""".stripMargin
+    sb.toString
+  }
+
   /** Mirror of `mm_features`: the per-kind payload byte accounting, derived
     * in CLOSED FORM from the media generator's arithmetic
     * (Multimodal.mediaTable / bmpBytes / wavBytes / aviBytes) — BMP is
@@ -4302,6 +4366,33 @@ object OracleSql {
       |    AS max_run,
       |  any_value(a.peak)::BIGINT AS peak_win_e
       |FROM grp a GROUP BY a.id""".stripMargin
+
+  /** Mirror of `mm_audio_fingerprint`:
+    * [[operators.Multimodal.audioFingerprint]]'s exact-integer window
+    * energies re-derived from the PCM generator ([[mmAudioSeg]]'s
+    * arithmetic at `win = 16`), the lag-compare delta bits packed into one
+    * BIGINT (bit `t−1` set when window `t`'s energy exceeds window
+    * `t−1`'s, first 64 deltas), and the collision census. sin() agreement
+    * is the [[mmAudioSeg]] argument; everything after trunc() is integer.
+    */
+  val mmAudioFingerprint: String =
+    """WITH au AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) % 480 + 48 AS n,
+      |    440.0 * (1 + doc_id % 5) AS freq, 8000 + (doc_id % 7) * 3000 AS amp
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |smp AS (SELECT au.id, t.t, t.t // 16 AS wi,
+      |    CAST(trunc(sin(2 * pi() * au.freq * t.t / 16000) * au.amp) AS BIGINT) AS s
+      |  FROM au, LATERAL (SELECT unnest(range(0, au.n)) AS t) t),
+      |win AS (SELECT id, wi, sum(s * s)::BIGINT AS e FROM smp GROUP BY id, wi),
+      |del AS (SELECT id, wi, e,
+      |    lag(e) OVER (PARTITION BY id ORDER BY wi) AS prev
+      |  FROM win),
+      |fps AS (SELECT id, coalesce(sum(CASE
+      |      WHEN prev IS NOT NULL AND wi <= 64 AND e > prev
+      |      THEN (CAST(1 AS BIGINT) << CAST(wi - 1 AS INTEGER)) ELSE 0 END),
+      |    0)::BIGINT AS fp
+      |  FROM del GROUP BY id)
+      |SELECT fp, count(*)::BIGINT AS n_clips, min(id)::BIGINT AS min_id
+      |FROM fps GROUP BY fp""".stripMargin
 
   /** Mirror of `mm_keyframes`: per-frame hashes from [[mmFrameHashCtes]],
     * the lag/XOR/popcount cut detector (frame 0 keys; a cut is a ≥33-bit

@@ -1594,6 +1594,13 @@ object SparkEntry {
     // direction parity pinned in SimilaritySpec
     "emb_pca" -> ((s, dir) =>
       Similarity.pca1(Tables.read(s, dir, "embeddings"))),
+    // 2-component PCA whitening (the SemDeDup-style embedding pre-pass):
+    // one treeAggregate sufficient-stats scan (driver holds ONE d+d2
+    // payload at any partition count), driver power iteration + exact
+    // rank-one deflation, zero-shuffle broadcast-literal projection;
+    // hash-exact vs the unrolled-CTE deflated-power-iteration mirror
+    "emb_whiten" -> ((s, dir) =>
+      Similarity.whiten2(Tables.read(s, dir, "embeddings"))),
 
     "emb_pq" -> ((s, dir) => {
       val emb = Tables.read(s, dir, "embeddings")
@@ -2192,6 +2199,16 @@ object SparkEntry {
     "mm_audio_seg" -> ((s, dir) =>
       Multimodal.audioActivity(
         Multimodal.mediaTable(Tables.read(s, dir, "documents"))).toDF()),
+
+    // energy-delta audio fingerprint census (audio near-dup detection):
+    // real RIFF/PCM parse, exact-integer window energies, delta bits packed
+    // into one long, collision census — a groupBy shape BY DESIGN (one
+    // shuffled row per clip; never the |bucket|-squared pair join a
+    // dominant tone would blow up at web scale); hash-checked against the
+    // closed-form PCM mirror
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.mediaTable(Tables.read(s, dir, "documents")))),
 
     "mm_phash" -> ((s, dir) => {
       val imgs = Multimodal.mediaTable(Tables.read(s, dir, "documents"))
@@ -3869,6 +3886,7 @@ object SparkEntry {
     "mm_binaryfile_ingest" -> OracleSql.mmFeatures,
     "mm_thumbs" -> OracleSql.mmThumbs,
     "mm_audio_seg" -> OracleSql.mmAudioSeg,
+    "mm_audio_fingerprint" -> OracleSql.mmAudioFingerprint,
     "mm_keyframes" -> OracleSql.mmKeyframes,
     "mm_phash" -> OracleSql.mmPhashCapped(
       cap = operators.Multimodal.defaultMaxBucketRows),
@@ -3876,6 +3894,7 @@ object SparkEntry {
     "mm_frame_dedup" -> OracleSql.mmFrameDedupCapped(
       cap = operators.Multimodal.defaultMaxBucketRows),
     "emb_pca" -> OracleSql.embPca(dim = 64, iters = 100),
+    "emb_whiten" -> OracleSql.embWhiten(dim = 64, iters = 100),
     "km_elbow" ->
       s"""WITH $YH, $C4,
          |m AS (SELECT y.i, min((y.x-c.x)*(y.x-c.x)+(y.y-c.y)*(y.y-c.y)) AS msq

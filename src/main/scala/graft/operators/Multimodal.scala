@@ -380,6 +380,51 @@ object Multimodal {
       }
   }
 
+  /** Energy-delta audio fingerprint census — the audio near-dup detector
+    * (the shape of Chromaprint/Shazam-style landmark hashing, reduced to
+    * the exact-integer signal this container carries): each clip's PCM is
+    * cut into `win`-sample windows, each window's energy is the EXACT
+    * integer sum of squared samples, and fingerprint bit `t−1` is set when
+    * window `t`'s energy exceeds window `t−1`'s (first 64 deltas; the
+    * generator's clip lengths give ≤32 windows at `win = 16`, so the code
+    * fits a single long). Amplitude scales every window energy by the same
+    * factor, so the fingerprint hears the tone's SHAPE, not its loudness —
+    * same-frequency clips collide by design.
+    *
+    * Deliberately a CENSUS (`groupBy(fp)` → count + min id), never a pair
+    * join: a dominant tone at web scale (hold music, silence, test tones)
+    * costs one shuffled row per clip here, where a within-bucket pair join
+    * would pay |bucket|² — the uncapped-`aHashPairs` lesson applied at
+    * design time. Partial aggregation makes the shuffle |distinct fp| per
+    * partition. All outputs are exact integers, hash-matched against the
+    * closed-form PCM mirror ([[graft.OracleSql.mmAudioFingerprint]]).
+    */
+  def audioFingerprint(media: DataFrame, win: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(32).flatMap(_.map { r =>
+          val (_, s) = wavSamples(r.payload)
+          val energies = s.grouped(win).map { w =>
+            var e = 0L; var i = 0
+            while (i < w.length) { e += w(i).toLong * w(i); i += 1 }
+            e
+          }.toArray
+          var fp = 0L
+          var t = 1
+          while (t < energies.length && t <= 64) {
+            if (energies(t) > energies(t - 1)) fp |= 1L << (t - 1)
+            t += 1
+          }
+          (r.media_id, fp)
+        })
+      }.toDF("media_id", "fp")
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_clips"), min("media_id").as("min_id"))
+  }
+
   /** Audio features from the REAL decode: [sample_rate, n_samples,
     * peak/32767, rms/32767, zero-crossing rate, duration_sec], zero-padded
     * to `dim`.

@@ -1930,6 +1930,93 @@ object Similarity {
     }.toSeq.toDF("dim", "mean_e6", "pc1_e6", "evr_e6")
   }
 
+  /** Two-component PCA whitening — the embedding-space preprocessing a
+    * SemDeDup-style semantic-dedup or an embedding-drift monitor runs
+    * before cosine comparisons: every vector is projected on the top two
+    * principal directions and each coordinate rescaled by `1/√λ`, so the
+    * projected cloud is unit-variance per component.
+    *
+    * One exact-sufficient-stats scan (n, Σx, Σxxᵀ) combined with
+    * `treeAggregate(depth = 2)` — the driver receives ONE `(d + d²)`-double
+    * payload, not one per partition (at the 10⁵-partition tier of a 100 TB
+    * corpus the per-partition collect [[pca1]] uses for its 64-row output
+    * would be a multi-GB driver sink; the tree combine keeps it at ~33 KB
+    * regardless of partition count). Then a driver-local `iters`-round
+    * power iteration for PC1, exact rank-one deflation
+    * (cov₂ = cov − λ₁v₁v₁ᵀ — flip-invariant, so the mirrored sign rule
+    * cannot desynchronize the second chain), and the SAME iteration over
+    * cov₂ for PC2 — both chains start at the deterministic e₁ and apply
+    * [[pca1]]'s dominant-component sign flip, so the DuckDB mirror
+    * ([[graft.OracleSql.embWhiten]]) replays the arithmetic verbatim. The
+    * projection itself is a zero-shuffle per-row map over broadcast
+    * literal `(m, v₁, v₂, λ)` — embarrassingly parallel at any scale.
+    *
+    * Outputs are e4 fixed point: whitened coordinates are O(1) by
+    * construction (unit variance), and engine-order double drift through
+    * the contractive iteration is ≲1e-10 — five orders under the 5e-5
+    * rounding half-spacing (the [[pca1]] rounding-alignment argument, with
+    * a wider margin because every VECTOR lands a rounded cell here, not
+    * just the 64 loadings).
+    */
+  def whiten2(emb: DataFrame, dim: Int = 64, iters: Int = 100): DataFrame = {
+    val d = dim
+    val rdd = emb2v(emb).select(col("v")).queryExecution.toRdd
+    val (n0, s, ss) = rdd.treeAggregate(
+      (0L, new Array[Double](d), new Array[Double](d * d)))(
+      seqOp = { case ((n, ps, pss), row) =>
+        val arr = row.getArray(0)
+        var i = 0
+        while (i < d) {
+          val xi = arr.getDouble(i)
+          ps(i) += xi
+          var j = 0
+          while (j < d) { pss(i * d + j) += xi * arr.getDouble(j); j += 1 }
+          i += 1
+        }
+        (n + 1, ps, pss)
+      },
+      combOp = { case ((n1, s1, ss1), (n2, s2, ss2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        var k = 0
+        while (k < d * d) { ss1(k) += ss2(k); k += 1 }
+        (n1 + n2, s1, ss1)
+      },
+      depth = 2)
+    require(n0 > 0, "whiten2 needs a non-empty embedding table")
+    val n = n0.toDouble
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => ss(i * d + j) / n - mean(i) * mean(j))
+
+    // pca1's chain verbatim: e1 start, lambda = last iterate's pre-norm,
+    // dominant-|component| sign flip (first index on ties, like the
+    // oracle's ORDER BY abs(v) DESC, d LIMIT 1)
+    def powerIter(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      var lambda = 0.0
+      (0 until iters).foreach { _ =>
+        val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        lambda = norm
+        v = w.map(_ / norm)
+      }
+      val flip = if (v(v.map(math.abs).zipWithIndex.maxBy(_._1)._2) < 0) -1.0 else 1.0
+      (v.map(_ * flip), lambda)
+    }
+    val (v1, l1) = powerIter(cov)
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, l2) = powerIter(cov2)
+
+    def proj(v: Array[Double], lam: Double): Column = {
+      val w = (1 to d).map(k =>
+        (element_at(col("v"), k) - lit(mean(k - 1))) * lit(v(k - 1)))
+        .reduce(_ + _) / lit(math.sqrt(lam))
+      round(w * lit(1e4)).cast("long") // half-away-from-zero == DuckDB round
+    }
+    emb2v(emb).select(col("vec_id"),
+      proj(v1, l1).as("w1_e4"), proj(v2, l2).as("w2_e4"))
+  }
+
   // --------------------------------------------- scalar quantization (SQ8)
 
   /** Per-dimension `[min, max]` quantizer bounds for [[sq8TopK]]: one

@@ -114,6 +114,33 @@ class MultimodalSpec extends SparkSpec {
     assert(q.n_active == 0L && q.max_run == 0L && q.peak_win_e == 0L)
   }
 
+  test("audioFingerprint: exact delta bits on a crafted clip; census covers " +
+    "every clip once; amplitude-invariant by construction") {
+    import spark.implicits._
+    // 4-sample windows with energies 0, 4e6, 16e6, 1, 2e6:
+    // deltas up>, up>, down, up -> bits 1,1,0,1 -> fp = 0b1011 = 11
+    val s = Array[Short](
+      0, 0, 0, 0, 1000, 1000, 1000, 1000, 2000, 2000, 2000, 2000,
+      0, 0, 1, 0, 1000, 1000)
+    // the same shape at half amplitude fingerprints identically
+    val half = s.map(x => (x / 2).toShort)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.wavBytes(8000, s), 0, 0, 8000),
+      Multimodal.MediaRow(2L, "audio", Multimodal.wavBytes(8000, half), 0, 0, 8000))
+      .toDF()
+    val got = Multimodal.audioFingerprint(rows, win = 4).collect()
+    assert(got.length == 1, "amplitude-scaled twin must collide")
+    assert(got.head.getLong(0) == 11L && got.head.getLong(1) == 2L &&
+      got.head.getLong(2) == 1L)
+    // real corpus: the census partitions the audio clips exactly
+    val media = Multimodal.mediaTable(Tables.read(spark, sf("0.001"), "documents"))
+    val census = Multimodal.audioFingerprint(media).collect()
+    val nAudio = media.filter($"kind" === "audio").count()
+    assert(census.map(_.getLong(1)).sum == nAudio)
+    assert(census.length > 1, "distinct tone shapes must separate")
+    assert(census.exists(_.getLong(1) > 1L), "same-tone clips must collide")
+  }
+
   test("audio rows decode for real: features come from the container, not metadata") {
     val docs = Tables.read(spark, sf("0.001"), "documents")
     val media = Multimodal.mediaTable(docs)

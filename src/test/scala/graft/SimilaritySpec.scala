@@ -50,6 +50,48 @@ class SimilaritySpec extends SparkSpec {
     assert(cos > 0.999, s"PC1 direction diverges from MLlib: |cos| = $cos")
   }
 
+  test("whiten2: unit variance per component, decorrelated, MLlib PCA(2) " +
+    "projection parity, empty input refused") {
+    import org.apache.spark.ml.feature.{PCA => MLPca}
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val embr = Tables.read(spark, sf("0.001"), "embeddings")
+    val got = Similarity.whiten2(embr).orderBy("vec_id").collect()
+    assert(got.length == 500)
+    val w1 = got.map(_.getLong(1).toDouble / 1e4)
+    val w2 = got.map(_.getLong(2).toDouble / 1e4)
+    def meanOf(a: Array[Double]) = a.sum / a.length
+    def varOf(a: Array[Double]) = { val m = meanOf(a); meanOf(a.map(x => (x - m) * (x - m))) }
+    assert(math.abs(varOf(w1) - 1.0) < 0.02, s"w1 var ${varOf(w1)}")
+    assert(math.abs(varOf(w2) - 1.0) < 0.02, s"w2 var ${varOf(w2)}")
+    val corr12 = {
+      val (m1, m2) = (meanOf(w1), meanOf(w2))
+      w1.zip(w2).map { case (a, b) => (a - m1) * (b - m2) }.sum /
+        (w1.length * math.sqrt(varOf(w1) * varOf(w2)))
+    }
+    assert(math.abs(corr12) < 0.02, s"components correlated: $corr12")
+    // per-row parity with MLlib's 2-component projection (sign-insensitive)
+    val ml = new MLPca().setK(2).setInputCol("features").setOutputCol("p")
+      .fit(embr.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+    val proj = ml.transform(embr.select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features")))
+      .select(col("vec_id"), vector_to_array(col("p")).as("p"))
+      .orderBy("vec_id").collect()
+    val p1 = proj.map(_.getSeq[Double](1).head)
+    val p2 = proj.map(_.getSeq[Double](1)(1))
+    def absCorr(a: Array[Double], b: Array[Double]): Double = {
+      val (ma, mb) = (meanOf(a), meanOf(b))
+      math.abs(a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum) /
+        (a.length * math.sqrt(varOf(a) * varOf(b)))
+    }
+    assert(absCorr(w1, p1) > 0.999, s"w1 vs MLlib pc1: ${absCorr(w1, p1)}")
+    assert(absCorr(w2, p2) > 0.999, s"w2 vs MLlib pc2: ${absCorr(w2, p2)}")
+    // empty input fails loudly instead of dividing by zero
+    val err = intercept[IllegalArgumentException] {
+      Similarity.whiten2(embr.filter(col("vec_id") < 0))
+    }
+    assert(err.getMessage.contains("non-empty"))
+  }
+
   test("sq8: codes span [0,255] hitting both ends; top-1 respects clusters; " +
     "constant dims encode 0") {
     val (mn, mx) = Similarity.sq8Bounds(emb)
