@@ -824,6 +824,13 @@ object ScaleSmoke {
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps))) :+
           ("km_fit_live" -> ((d: String) => runFn(spark, "km_fit_live",
             reps, () => kmFitLive(spark, d))))
+      else if (mode == "new18")
+        // round-18 additions: the whitening pre-pass (treeAggregate stats
+        // + zero-shuffle projection) and the audio-fingerprint census
+        // (groupBy, no pair join) — both should scale ~linearly with a
+        // factor-invariant plan
+        Seq("emb_whiten", "mm_audio_fingerprint")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)

@@ -405,24 +405,30 @@ object Multimodal {
     media.filter(col("kind") === "audio").as[MediaRow]
       .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .mapPartitions { it =>
-        it.grouped(32).flatMap(_.map { r =>
-          val (_, s) = wavSamples(r.payload)
-          val energies = s.grouped(win).map { w =>
-            var e = 0L; var i = 0
-            while (i < w.length) { e += w(i).toLong * w(i); i += 1 }
-            e
-          }.toArray
-          var fp = 0L
-          var t = 1
-          while (t < energies.length && t <= 64) {
-            if (energies(t) > energies(t - 1)) fp |= 1L << (t - 1)
-            t += 1
-          }
-          (r.media_id, fp)
-        })
+        it.grouped(32).flatMap(_.map(r => (r.media_id, audioFp(r.payload, win))))
       }.toDF("media_id", "fp")
       .groupBy("fp")
       .agg(count(lit(1)).as("n_clips"), min("media_id").as("min_id"))
+  }
+
+  /** The [[audioFingerprint]] per-clip kernel: real RIFF/PCM parse, exact
+    * integer window energies, delta bits packed into one long — shared with
+    * the streaming ingest twin so both planes fingerprint identically.
+    */
+  def audioFp(payload: Array[Byte], win: Int): Long = {
+    val (_, s) = wavSamples(payload)
+    val energies = s.grouped(win).map { w =>
+      var e = 0L; var i = 0
+      while (i < w.length) { e += w(i).toLong * w(i); i += 1 }
+      e
+    }.toArray
+    var fp = 0L
+    var t = 1
+    while (t < energies.length && t <= 64) {
+      if (energies(t) > energies(t - 1)) fp |= 1L << (t - 1)
+      t += 1
+    }
+    fp
   }
 
   /** Audio features from the REAL decode: [sample_rate, n_samples,

@@ -808,6 +808,36 @@ object StreamingOps {
       }
   }
 
+  final case class ClipIn(media_id: Long, payload: Array[Byte])
+  final case class FpCensus(fp: Long, n_clips: Long, min_id: Long)
+
+  /** Streaming audio-fingerprint census — the streaming twin of
+    * `mm_audio_fingerprint` and the mm family's ingest seam: clips land as
+    * binary payloads, the per-clip decode + fingerprint is a STATELESS
+    * per-row map (the shared [[graft.operators.Multimodal.audioFp]]
+    * kernel — both planes fingerprint identically by construction), and
+    * the census keeps two longs of state per distinct fingerprint (count +
+    * min id). Both folds are commutative, so the converged state equals
+    * the batch census over the same clips regardless of arrival order or
+    * micro-batch splits (pinned in StreamingSpec). This is the ingest-side
+    * duplicate monitor: an arriving clip is a suspected near-dup iff its
+    * fingerprint's census row was already populated. State is
+    * O(distinct fingerprints) — bounded by tone shapes, not clips.
+    */
+  def audioFpStream(clips: Dataset[ClipIn], win: Int = 16): Dataset[FpCensus] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.map(c => (graft.operators.Multimodal.audioFp(c.payload, win), c.media_id))
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), FpCensus](GroupStateTimeout.NoTimeout) {
+        (fp: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, mn) = state.getOption.getOrElse((0L, Long.MaxValue))
+          it.foreach { case (_, id) => n += 1; if (id < mn) mn = id }
+          state.update((n, mn))
+          FpCensus(fp, n, mn)
+      }
+  }
+
   final case class Cdc(doc_id: Long, gen: Long, op: String, lang: String)
 
   /** Streaming CDC apply — the streaming twin of `q_changefeed`'s inverse

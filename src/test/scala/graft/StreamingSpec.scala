@@ -776,6 +776,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio-fingerprint census converges to the batch census " +
+    "(mm_audio_fingerprint twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.ClipIn
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaTable(Tables.read(spark, sf("0.001"), "documents"))
+    val batch = Multimodal.audioFingerprint(media)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val clips = media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])].collect()
+      .map { case (id, p) => ClipIn(id, p) }.reverse
+    val chunks = clips.grouped(math.max(1, clips.length / 3 + 1)).toSeq
+    val in = MemoryStream[ClipIn]
+    val q = StreamingOps.audioFpStream(in.toDS()).writeStream
+      .format("memory").queryName("afp_out").outputMode("update").start()
+    try {
+      chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("n_clips").desc)
+      val got = spark.table("afp_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("fp", "n_clips", "min_id")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch,
+        "streaming audio-fingerprint census diverged from the batch census")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch MERGE state (q_changefeed twin)") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.Cdc
