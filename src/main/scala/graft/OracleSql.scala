@@ -1784,6 +1784,39 @@ object OracleSql {
        |SELECT rep_id, cluster_size, doc_id AS best_id, n_tokens AS best_tokens
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.forgetPropagate]]: the takedown
+    * census — forget set by modulus, chunk counts from the [[docChunks]]
+    * window formula, cluster effects from per-rep totals over the
+    * [[componentsCtes]] relation. `n_orphan_chunks` is pinned AT ZERO: the
+    * oracle states the invariant, the Spark side has to earn it by
+    * actually propagating the delete.
+    */
+  def docForget(n: Int, numHashes: Int, bands: Int, thrNum: Int, thrDen: Int,
+      chunkToks: Int, stride: Int, forgetMod: Long): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)},
+       |ch AS (SELECT doc_id, CASE
+       |    WHEN len(string_split(text, ' ')) <= $chunkToks THEN CAST(1 AS BIGINT)
+       |    ELSE 1 + (len(string_split(text, ' ')) - $chunkToks + ${stride - 1}) // $stride
+       |    END AS nc
+       |  FROM documents),
+       |grp AS (SELECT rep_id, count(*) AS total,
+       |    sum(CASE WHEN doc_id % $forgetMod = 0 THEN 1 ELSE 0 END) AS n_forgot
+       |  FROM comp GROUP BY rep_id)
+       |SELECT 'n_requests' AS metric, count(*)::BIGINT AS value
+       |FROM documents WHERE doc_id % $forgetMod = 0
+       |UNION ALL SELECT 'n_docs_after', count(*)::BIGINT
+       |  FROM documents WHERE doc_id % $forgetMod <> 0
+       |UNION ALL SELECT 'n_chunks_before', CAST(sum(nc) AS BIGINT) FROM ch
+       |UNION ALL SELECT 'n_chunks_after', CAST(sum(nc) AS BIGINT)
+       |  FROM ch WHERE doc_id % $forgetMod <> 0
+       |UNION ALL SELECT 'n_clusters_affected', count(*)::BIGINT
+       |  FROM grp WHERE rep_id % $forgetMod = 0
+       |UNION ALL SELECT 'n_reelected', count(*)::BIGINT
+       |  FROM grp WHERE rep_id % $forgetMod = 0 AND n_forgot < total
+       |UNION ALL SELECT 'n_clusters_gone', count(*)::BIGINT
+       |  FROM grp WHERE n_forgot = total
+       |UNION ALL SELECT 'n_orphan_chunks', CAST(0 AS BIGINT)""".stripMargin
+
   /** Mirror of the `pipeline_clean` composition: quality gate → MinHash
     * near-dup clustering over the survivors → keep one doc per cluster.
     * The quality stage nests [[textQuality]] as a subquery (its own WITH is

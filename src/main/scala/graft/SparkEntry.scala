@@ -1840,6 +1840,18 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkOverlap(Tables.read(s, dir, "documents"),
         chunkToks = 64, stride = 48)),
+    // right-to-be-forgotten delete propagation (the takedown/GDPR pass):
+    // forget set -> corpus -> derived chunks -> duplicate-cluster keeper
+    // re-election, as broadcast anti-joins + one grouped components pass;
+    // (metric, value) census rows (unions of one-row aggregates, NLJ-free
+    // by construction) ending with the orphan-chunk audit the oracle pins
+    // at zero
+    "doc_forget" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      Dedup.forgetPropagate(docs,
+        TextAnalysis.chunkOverlap(docs, chunkToks = 64, stride = 48),
+        docComponents(s, dir))
+    }),
     // Zipf rank-frequency fit over the top-100 unigrams: slope/intercept/r²
     // in e6 fixed point — the corpus-health gauge next to text_vocab_curve
     "text_zipf" -> ((s, dir) =>
@@ -4102,6 +4114,8 @@ object SparkEntry {
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "dedup_keep" -> OracleSql.dedupKeepOne(
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
+    "doc_forget" -> OracleSql.docForget(n = 3, numHashes = 16, bands = 4,
+      thrNum = 1, thrDen = 2, chunkToks = 64, stride = 48, forgetMod = 97L),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     // the naive pair form IS the blocked query's oracle: pigeonhole chunk
     // blocking is lossless, so the outputs must be identical

@@ -1372,6 +1372,54 @@ object Dedup {
     components.groupBy(col("rep_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
+  /** Right-to-be-forgotten delete propagation — the takedown pass a
+    * training-corpus owner runs when source documents must be erased: the
+    * forget set leaves the corpus, its derived chunk windows leave with it,
+    * and every duplicate cluster whose representative was forgotten
+    * re-elects a keeper from the survivors (a cluster disappears only when
+    * ALL members are forgotten), so the kept-docs relation never serves an
+    * erased doc and never loses a cluster that still has living members.
+    *
+    * Takedown sets are tiny relative to the corpus by nature, so both
+    * deletion passes are BROADCAST anti-joins — one scan of each big
+    * relation, no shuffle of the big side; the re-election reads one
+    * grouped pass over the components relation (rep-forgotten and
+    * all-forgotten are both per-cluster counts). The forget rule is a
+    * transparent modulus of `doc_id` (the leakproofSplit discipline — a
+    * pure function of the data, never a lookup table the oracle can't
+    * replay). Output is an exact-integer `(metric, value)` census — unions
+    * of one-row aggregates, deliberately NOT a crossJoin of scalars, so
+    * the plan stays NLJ-free — closing with the orphan-chunk audit: chunks
+    * whose doc no longer exists after the propagation. The oracle pins
+    * that value AT ZERO (a partial delete is the bug class this op
+    * exists to catch).
+    */
+  def forgetPropagate(docs: DataFrame, chunks: DataFrame,
+      components: DataFrame, forgetMod: Long = 97L): DataFrame = {
+    def isForgot(c: Column): Column = c % forgetMod === 0
+    val forget = docs.filter(isForgot(col("doc_id"))).select("doc_id")
+    val survivors = docs.join(broadcast(forget), Seq("doc_id"), "left_anti")
+    val chunksAfter = chunks.join(broadcast(forget), Seq("doc_id"), "left_anti")
+    val grp = components.groupBy("rep_id").agg(
+        count(lit(1)).as("total"),
+        sum(when(isForgot(col("doc_id")), 1L).otherwise(0L)).as("n_forgot"))
+    val orphans = chunksAfter
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+    def c1(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    c1("n_requests", forget)
+      .unionAll(c1("n_docs_after", survivors))
+      .unionAll(c1("n_chunks_before", chunks))
+      .unionAll(c1("n_chunks_after", chunksAfter))
+      .unionAll(c1("n_clusters_affected", grp.filter(isForgot(col("rep_id")))))
+      .unionAll(c1("n_reelected",
+        grp.filter(isForgot(col("rep_id")) && col("n_forgot") < col("total"))))
+      .unionAll(c1("n_clusters_gone",
+        grp.filter(col("n_forgot") === col("total"))))
+      .unionAll(c1("n_orphan_chunks", orphans))
+  }
+
   /** Leak-proof train/val/test split: assign every doc the split of its
     * duplicate CLUSTER, never of the doc itself. Splitting by raw doc hash
     * is the classic eval-leakage bug — two near-duplicates land in train

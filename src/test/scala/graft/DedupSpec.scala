@@ -419,6 +419,33 @@ class DedupSpec extends SparkSpec {
     assert(keep == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("forgetPropagate: re-election, full-cluster erasure, and the " +
+    "zero-orphan audit on a crafted takedown") {
+    // forgetMod=97 forgets ids 0, 97, 194. Cluster A {0,5,9} rep 0: rep
+    // forgotten, survivors re-elect. Cluster B {97,194} rep 97: ALL
+    // forgotten -> gone. Cluster C {3,7}: untouched.
+    val ids = Seq(0L, 5L, 9L, 97L, 194L, 3L, 7L)
+    val docsF = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val comps = Seq((0L, 0L), (5L, 0L), (9L, 0L), (97L, 97L), (194L, 97L),
+      (3L, 3L), (7L, 3L)).toDF("doc_id", "rep_id")
+    val chunks = (Seq.fill(2)(0L) ++ Seq(5L) ++ Seq.fill(3)(97L) ++
+      Seq(3L, 194L)).zipWithIndex.map { case (d, i) => (d, i.toLong) }
+      .toDF("doc_id", "chunk_id")
+    val got = Dedup.forgetPropagate(docsF, chunks, comps)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "n_requests" -> 3L, "n_docs_after" -> 4L,
+      "n_chunks_before" -> 8L, "n_chunks_after" -> 2L,
+      "n_clusters_affected" -> 2L, "n_reelected" -> 1L,
+      "n_clusters_gone" -> 1L, "n_orphan_chunks" -> 0L), got.toString)
+    // real corpus through the binding: the audit must hold there too
+    val real = SparkEntry.queries("doc_forget")(spark, sf("0.001"))
+      .as[(String, Long)].collect().toMap
+    assert(real("n_orphan_chunks") == 0L && real("n_requests") > 0L)
+    assert(real("n_docs_after") + real("n_requests") >= real("n_docs_after"))
+    assert(real("n_chunks_after") <= real("n_chunks_before"))
+  }
+
   test("connected components: a long chain converges within the iteration bound") {
     val n = 12L
     val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
