@@ -3362,6 +3362,28 @@ object SparkEntry {
       s.read.parquet(taggedTmpPath("graft_compacted", dirTag(dir)))
     }),
 
+    // ---- dynamic partition overwrite (the lakehouse partition-level
+    // replace): a lang-partitioned corpus takes a re-ingest batch touching
+    // two of five partitions; DYNAMIC mode replaces exactly the touched
+    // partitions in place. STATIC mode (the Spark default) would wipe the
+    // other three — the oracle census would catch that as missing rows,
+    // and a non-partitioned rewrite would lose partition pruning ----
+    "q_dpo" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = taggedTmpPath("graft_dpo", dirTag(dir))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      val batch = docs.filter(col("lang").isin("en", "de"))
+        .withColumn("n_chars", col("n_chars") + lit(1000000L))
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try batch.write.mode("overwrite").partitionBy("lang").parquet(path)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(path).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
+
     // ---- DataSource V2 connector for the reference's numbers(N) table
     // (k-means.sql:6): range pushdown tightens the generated interval
     // row-exactly BEFORE split planning, and pruning keeps hex out of the
@@ -4890,6 +4912,20 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",
+
+    // the partition-level replace: touched langs carry the re-ingested
+    // payload, untouched langs keep every original row — a STATIC-mode
+    // wipe or a lost partition fails this census on rows, not just sums
+    "q_dpo" ->
+      """WITH fin AS (
+        |  SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+        |  FROM documents WHERE lang IN ('en', 'de')
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE lang NOT IN ('en', 'de'))
+        |SELECT lang, count(*)::BIGINT AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+        |FROM fin GROUP BY lang""".stripMargin,
 
     "q_schema_evolve" ->
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality, CAST(1 AS BIGINT) AS gen

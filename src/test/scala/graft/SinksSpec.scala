@@ -8,6 +8,31 @@ import scala.jdk.CollectionConverters._
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dynamic partition overwrite replaces only the touched partitions; " +
+    "static mode would wipe the rest (q_dpo semantics)") {
+    val dir = Files.createTempDirectory("graft_dpo_spec").toString
+    val base = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L))
+      .toDF("doc_id", "lang", "n")
+    base.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val batch = Seq((9L, "en", 99L)).toDF("doc_id", "lang", "n")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      batch.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val dyn = spark.read.parquet(dir).select("doc_id", "lang", "n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(dyn == Set((9L, "en", 99L), (2L, "de", 20L), (3L, "fr", 30L)),
+        s"dynamic overwrite must keep untouched partitions: $dyn")
+      // the STATIC default is the trap the query guards against: the same
+      // write erases every other partition
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      batch.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val sta = spark.read.parquet(dir).select("doc_id", "lang", "n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(sta == Set((9L, "en", 99L)), s"static overwrite wipes: $sta")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("TSV sink: header row, tab separation, nulls rendered as a space") {
     val df = Seq((1L, Some(2.5), None: Option[Double]))
       .toDF("i", "c1", "c2")
