@@ -826,10 +826,12 @@ object ScaleSmoke {
             reps, () => kmFitLive(spark, d))))
       else if (mode == "new18")
         // round-18 additions: the whitening pre-pass (treeAggregate stats
-        // + zero-shuffle projection) and the audio-fingerprint census
-        // (groupBy, no pair join) — both should scale ~linearly with a
+        // + zero-shuffle projection), the audio-fingerprint census
+        // (groupBy, no pair join), the takedown propagation (broadcast
+        // anti-joins + one grouped components pass), and the partition-
+        // level replace (write-bound) — all should scale ~linearly with a
         // factor-invariant plan
-        Seq("emb_whiten", "mm_audio_fingerprint")
+        Seq("emb_whiten", "mm_audio_fingerprint", "doc_forget", "q_dpo")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
