@@ -1817,6 +1817,31 @@ object OracleSql {
        |  FROM grp WHERE n_forgot = total
        |UNION ALL SELECT 'n_orphan_chunks', CAST(0 AS BIGINT)""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.prefPairs]]: the chosen/rejected
+    * election per duplicate cluster, spelled as two row_number windows
+    * over the [[componentsCtes]] relation joined to per-doc token counts —
+    * the SQL form of the Spark side's max_by/min_by composite-struct
+    * election (same tie discipline: chosen ties → lowest id, rejected
+    * ties → highest id, so an all-equal cluster yields a distinct pair).
+    */
+  def docPrefPairs(n: Int, numHashes: Int, bands: Int,
+      thrNum: Int, thrDen: Int): String =
+    s"""WITH RECURSIVE ${componentsCtes(n, numHashes, bands, thrNum, thrDen)},
+       |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |r AS (SELECT comp.rep_id, comp.doc_id, tk.n_tokens,
+       |    count(*) OVER (PARTITION BY comp.rep_id) AS cluster_size,
+       |    row_number() OVER (PARTITION BY comp.rep_id
+       |      ORDER BY tk.n_tokens DESC, comp.doc_id) AS rn_c,
+       |    row_number() OVER (PARTITION BY comp.rep_id
+       |      ORDER BY tk.n_tokens, comp.doc_id DESC) AS rn_r
+       |  FROM comp JOIN tk ON comp.doc_id = tk.doc_id)
+       |SELECT c.rep_id, c.cluster_size,
+       |  c.doc_id AS chosen_id, c.n_tokens AS chosen_tokens,
+       |  rj.doc_id AS rejected_id, rj.n_tokens AS rejected_tokens,
+       |  c.n_tokens - rj.n_tokens AS margin
+       |FROM r c JOIN r rj ON c.rep_id = rj.rep_id
+       |WHERE c.rn_c = 1 AND rj.rn_r = 1 AND c.cluster_size >= 2""".stripMargin
+
   /** Mirror of the `pipeline_clean` composition: quality gate → MinHash
     * near-dup clustering over the survivors → keep one doc per cluster.
     * The quality stage nests [[textQuality]] as a subquery (its own WITH is
@@ -3631,6 +3656,35 @@ object OracleSql {
        |       THEN (coalesce(tri, 0) * 2000000) // (deg * (deg - 1))
        |       ELSE 0 END AS BIGINT) AS clustering_ppm
        |FROM dg LEFT JOIN pn ON pn.vec_id = dg.vec_id""".stripMargin
+
+  /** Mirror of [[graft.operators.Similarity.kCoreFromEdges]] over the
+    * [[simKnnGraph]] edge list: exactly `maxRounds` peel layers unrolled
+    * as CTE triples (degrees → alive set → surviving edges) — the same
+    * round cap as the Spark loop, and past the fixpoint each extra layer
+    * is a no-op, so the two engines agree whether or not the fixture
+    * converges at the cap.
+    */
+  def simKcore(nCells: Int, nProbe: Int, k: Int, coreK: Int,
+      maxRounds: Int = 12): String = {
+    // every layer MATERIALIZED: DuckDB inlines plain CTEs, and each layer
+    // references its predecessor three times (direct + twice via the
+    // alive set), so inlining would expand the knn-graph scan ~3^rounds
+    // times — measured as a too-many-open-files blowup at 12 rounds
+    val ctes = Seq.newBuilder[String]
+    ctes += s"e0 AS MATERIALIZED (SELECT a_id, b_id FROM (${simKnnGraph(nCells, nProbe, k)}))"
+    for (i <- 1 to maxRounds) {
+      ctes += s"d$i AS MATERIALIZED (SELECT vec_id, count(*) AS deg FROM (" +
+        s"SELECT unnest([a_id, b_id]) AS vec_id FROM e${i - 1}) GROUP BY 1)"
+      ctes += s"a$i AS MATERIALIZED (SELECT vec_id FROM d$i WHERE deg >= $coreK)"
+      ctes += s"e$i AS MATERIALIZED (SELECT e.a_id, e.b_id FROM e${i - 1} e " +
+        s"JOIN a$i x ON e.a_id = x.vec_id JOIN a$i y ON e.b_id = y.vec_id)"
+    }
+    s"""WITH ${ctes.result().mkString(",\n")}
+       |SELECT vec_id, CAST(deg AS BIGINT) AS core_deg FROM (
+       |  SELECT vec_id, count(*) AS deg FROM (
+       |    SELECT unnest([a_id, b_id]) AS vec_id FROM e$maxRounds)
+       |  GROUP BY 1)""".stripMargin
+  }
 
   /** Mirror of [[graft.operators.Similarity.mmrSelect]]: the greedy MMR
     * rounds unrolled as CTE layers — layer r cross-joins the r−1 one-row

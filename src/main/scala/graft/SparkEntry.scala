@@ -1249,6 +1249,15 @@ object SparkEntry {
             struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best_id"),
           max("n_tokens").as("best_tokens"))
     }),
+    // preference-pair construction (the DPO/RLHF data-prep step): every
+    // near-dup cluster with >=2 members yields one (chosen, rejected)
+    // pair — chosen by the keep_best discipline, rejected its mirror —
+    // one grouped max_by/min_by pass, no window, single rep_id shuffle
+    "doc_pref_pairs" -> ((s, dir) => {
+      val ntok = Tables.read(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Dedup.prefPairs(docComponents(s, dir), ntok)
+    }),
     // incremental (delta-vs-corpus) dedup — the daily-crawl pattern: the
     // corpus's banded signatures persist as a bucketed index built once;
     // the delta batch (doc_id % 5 == 0) probes it with zero corpus re-read
@@ -3492,6 +3501,17 @@ object SparkEntry {
       operators.Similarity.trianglesFromEdges(
         knnEdges(s, dir).select(col("a_id"), col("b_id")))),
 
+    // bounded-round 2-core peel over the mutual-kNN graph — the
+    // dense-community extractor (duplicate cliques / cyclic semantic
+    // clusters survive, pendant chains and star fringes peel away; the
+    // mutual-4NN graph is sparse enough that its 3-core is empty at
+    // fixture scale, so 2 is the working curation threshold); same
+    // 12-round cap on both engines, so the hash compare holds whether
+    // or not the fixture converges at the cap
+    "sim_kcore" -> ((s, dir) =>
+      operators.Similarity.kCoreFromEdges(
+        knnEdges(s, dir).select(col("a_id"), col("b_id")), k = 2)),
+
     // ---- the sketch LAKE: per-(scope, ingest-slice) HLL registers
     // materialized to parquet, then the scope rollup computed from the
     // PERSISTED sketches alone — registers survive serialization and merge
@@ -4138,6 +4158,8 @@ object SparkEntry {
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),
     "doc_forget" -> OracleSql.docForget(n = 3, numHashes = 16, bands = 4,
       thrNum = 1, thrDen = 2, chunkToks = 64, stride = 48, forgetMod = 97L),
+    "doc_pref_pairs" -> OracleSql.docPrefPairs(n = 3, numHashes = 16,
+      bands = 4, thrNum = 1, thrDen = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     // the naive pair form IS the blocked query's oracle: pigeonhole chunk
     // blocking is lossless, so the outputs must be identical
@@ -4154,6 +4176,8 @@ object SparkEntry {
     "sim_knn_graph_blocked" ->
       OracleSql.simKnnGraph(nCells = 16, nProbe = 2, k = 4),
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
+    "sim_kcore" -> OracleSql.simKcore(nCells = 16, nProbe = 2, k = 4,
+      coreK = 2),
     "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_bfs" -> OracleSql.simBfs(nCells = 16, nProbe = 2, k = 4,

@@ -1420,6 +1420,32 @@ object Dedup {
       .unionAll(c1("n_orphan_chunks", orphans))
   }
 
+  /** Preference-pair construction over duplicate clusters — the DPO/RLHF
+    * data-prep step: every near-dup cluster with ≥2 members yields one
+    * (chosen, rejected) pair, chosen = the highest-quality member (most
+    * tokens; ties → lowest id — the [[dedup_keep_best]] keep discipline),
+    * rejected = the lowest-quality member (fewest tokens; ties → highest
+    * id, so an all-equal cluster still yields a distinct pair), margin =
+    * the token-count gap the preference label rests on. ONE grouped pass
+    * with `max_by`/`min_by` over composite structs — partial aggregation
+    * does the per-cluster election map-side, no window, no per-cluster
+    * sort, so the shape is a single shuffle on `rep_id` at any corpus
+    * size (contrast the oracle's two row_number windows, which are the
+    * SQL spelling of the same election, not the plan to run at 100 TB).
+    */
+  def prefPairs(components: DataFrame, docStats: DataFrame): DataFrame =
+    components.join(docStats, "doc_id")
+      .groupBy("rep_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("chosen_id"),
+        max("n_tokens").as("chosen_tokens"),
+        min_by(col("doc_id"),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("rejected_id"),
+        min("n_tokens").as("rejected_tokens"))
+      .filter(col("cluster_size") >= 2)
+      .withColumn("margin", col("chosen_tokens") - col("rejected_tokens"))
+
   /** Leak-proof train/val/test split: assign every doc the split of its
     * duplicate CLUSTER, never of the doc itself. Splitting by raw doc hash
     * is the classic eval-leakage bug — two near-duplicates land in train

@@ -1446,6 +1446,51 @@ object Similarity {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Bounded-round k-core peel over a canonical (a < b) undirected edge
+    * list — the dense-community extractor graph-curation pipelines run on
+    * the mutual-kNN graph (a k-core survivor sits in a region where every
+    * member has ≥ `k` mutual neighbors that themselves survive — the
+    * signature of a duplicate clique or a tight semantic cluster, where a
+    * pendant chain or a star center does not). Each round computes
+    * degrees (one explode + groupBy with map-side partial aggregation),
+    * drops every edge touching a sub-`k` node (two shuffled anti-joins —
+    * the drop set is NOT broadcast: round one can shed a large fraction
+    * of the graph), and localCheckpoints the shrinking edge list so
+    * lineage never compounds across rounds. Rounds are CAPPED at
+    * `maxRounds` with the SAME cap on both engines — the oracle unrolls
+    * exactly `maxRounds` peel layers, so even a fixture that has not
+    * converged at the cap hash-matches; past the fixpoint the peel is
+    * idempotent, so extra unrolled layers are no-ops. The peel count to
+    * fixpoint is bounded by the graph's degeneracy ordering depth, ~10
+    * for mutual-kNN graphs at any corpus size (each round removes the
+    * entire current fringe, not one node — the parallel peel of
+    * Matula–Beck), so the cap is a convergence guarantee, not a
+    * truncation. Output: `(vec_id, core_deg)` degrees over the final
+    * edge set — at fixpoint every survivor has core_deg ≥ k.
+    */
+  def kCoreFromEdges(edges: DataFrame, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a_id"), col("b_id"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    var e = edges.select(col("a_id"), col("b_id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // checkpointed: the drop set feeds BOTH anti-joins — without it each
+      // join would recompute the degree aggregation from the edge scan
+      val drop = degrees(e).filter(col("deg") < k).select("vec_id")
+        .localCheckpoint()
+      if (drop.isEmpty) converged = true
+      else e = e
+        .join(drop.withColumnRenamed("vec_id", "a_id"), Seq("a_id"), "left_anti")
+        .join(drop.withColumnRenamed("vec_id", "b_id"), Seq("b_id"), "left_anti")
+        .localCheckpoint()
+      round += 1
+    }
+    degrees(e).select(col("vec_id"), col("deg").as("core_deg"))
+  }
+
   /** Triangle counting + local clustering coefficients over the mutual
     * k-NN graph — the cohesion signal that separates tight semantic
     * clusters (high coefficient: neighbors also know each other — dup-like

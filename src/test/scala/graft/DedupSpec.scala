@@ -446,6 +446,31 @@ class DedupSpec extends SparkSpec {
     assert(real("n_chunks_after") <= real("n_chunks_before"))
   }
 
+  test("prefPairs: election, tie discipline, and singleton exclusion " +
+    "on crafted clusters") {
+    // cluster A {1,2,3} tokens 5,9,9 -> chosen 2 (max tokens, tie -> lowest
+    // id), rejected 1 (min tokens); cluster B {10,11} equal tokens -> the
+    // all-equal case still yields a DISTINCT pair (chosen lowest id,
+    // rejected highest); C {20} singleton -> excluded
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "rep_id")
+    val stats = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (20L, 7L)).toDF("doc_id", "n_tokens")
+    val got = Dedup.prefPairs(comps, stats)
+      .select("rep_id", "cluster_size", "chosen_id", "chosen_tokens",
+        "rejected_id", "rejected_tokens", "margin")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 9L, 1L, 5L, 4L),
+      (10L, 2L, 10L, 4L, 11L, 4L, 0L)), got.mkString(","))
+    // real corpus through the binding: pairs distinct, margins non-negative
+    val real = SparkEntry.queries("doc_pref_pairs")(spark, sf("0.001"))
+      .select("chosen_id", "rejected_id", "margin")
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty && real.forall(p => p._1 != p._2 && p._3 >= 0),
+      s"${real.length} pairs")
+  }
+
   test("connected components: a long chain converges within the iteration bound") {
     val n = 12L
     val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")

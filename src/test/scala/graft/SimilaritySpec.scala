@@ -1190,6 +1190,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3 * 4)
   }
 
+  test("kCoreFromEdges: clique survives, chain and triangle peel, " +
+      "cascading peel crosses rounds") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every member deg 3 -> the 3-core); node 5 hangs
+    // off 4 propped up by two leaves (4-5, 5-6, 5-11: deg 3 at start, so
+    // it survives round one and falls only AFTER its leaves peel — a true
+    // multi-round cascade); a separate triangle {8,9,10} (deg 2 each ->
+    // gone at k=3, the 2-core at k=2)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 11L),
+      (8L, 9L), (8L, 10L), (9L, 10L)).toDF("a_id", "b_id")
+    val got = Similarity.kCoreFromEdges(edges, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // at k=2 the triangle survives; 5 still cascades out behind its leaves
+    val got2 = Similarity.kCoreFromEdges(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2.keySet == Set(1L, 2L, 3L, 4L, 8L, 9L, 10L), s"got $got2")
+    assert(got2(8L) == 2L && got2(4L) == 3L)
+    // a round cap BELOW the cascade depth truncates deterministically:
+    // one k=3 round peels only the leaves and the triangle, so 5 is still
+    // present at deg 1 — the state the unrolled oracle reproduces layer
+    // for layer
+    val capped = Similarity.kCoreFromEdges(edges, k = 3, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L),
+      s"got $capped")
+  }
+
   test("oodScore: per-cell z in e6, ties to the cell's own distribution, " +
       "degenerate cell goes null") {
     import spark.implicits._
