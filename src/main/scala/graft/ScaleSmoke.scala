@@ -833,6 +833,15 @@ object ScaleSmoke {
         // factor-invariant plan
         Seq("emb_whiten", "mm_audio_fingerprint", "doc_forget", "q_dpo")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+      else if (mode == "new18b")
+        // the graph/pairs additions: preference-pair election (one grouped
+        // max_by/min_by pass over the components relation) and the
+        // bounded-round 2-core peel (per round: degree census + two
+        // anti-joins over a shrinking checkpointed edge list); at 100x
+        // both inputs cross their memo bounds, so the measured thing is
+        // the LIVE distributed build feeding the new operator
+        Seq("doc_pref_pairs", "sim_kcore")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>
       val (wBase, sBase) = run(baseDir)
