@@ -1817,6 +1817,20 @@ object OracleSql {
        |  FROM grp WHERE n_forgot = total
        |UNION ALL SELECT 'n_orphan_chunks', CAST(0 AS BIGINT)""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.editPairs]]: the same length-
+    * bucket blocking spelled as an OR-join (same bucket + id order, or
+    * adjacent bucket), Levenshtein over the same document prefix.
+    */
+  def dedupEdit(prefixLen: Int, bucketChars: Int, maxDist: Int): String =
+    s"""WITH b AS (SELECT doc_id, lang, substring(text, 1, $prefixLen) AS pfx,
+       |    length(text) // $bucketChars AS bkt FROM documents)
+       |SELECT least(a.doc_id, c.doc_id) AS a_id,
+       |  greatest(a.doc_id, c.doc_id) AS b_id,
+       |  CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist
+       |FROM b a JOIN b c ON a.lang = c.lang
+       |  AND (a.bkt = c.bkt AND a.doc_id < c.doc_id OR a.bkt = c.bkt - 1)
+       |WHERE levenshtein(a.pfx, c.pfx) <= $maxDist""".stripMargin
+
   /** Mirror of [[graft.operators.Dedup.prefPairs]]: the chosen/rejected
     * election per duplicate cluster, spelled as two row_number windows
     * over the [[componentsCtes]] relation joined to per-doc token counts —
@@ -3684,6 +3698,38 @@ object OracleSql {
        |  SELECT vec_id, count(*) AS deg FROM (
        |    SELECT unnest([a_id, b_id]) AS vec_id FROM e$maxRounds)
        |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Similarity.labelPropagate]] over the
+    * [[simKnnGraph]] adjacency: the synchronous rounds unrolled as
+    * MATERIALIZED CTE layers (votes → window election with the same
+    * (cnt DESC, lab) total order → clamped relabel), seeds = every fifth
+    * vec_id keeping its stored label.
+    */
+  def simLabelProp(nCells: Int, nProbe: Int, k: Int, seedMod: Long,
+      rounds: Int = 4): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"g AS MATERIALIZED (SELECT a_id, b_id FROM (${simKnnGraph(nCells, nProbe, k)}))"
+    ctes += "adj AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM g " +
+      "UNION ALL SELECT b_id, a_id FROM g)"
+    ctes += s"nodes AS MATERIALIZED (SELECT vec_id, CASE WHEN vec_id % $seedMod = 0 " +
+      "THEN CAST(label AS BIGINT) END AS seed_lab FROM embeddings)"
+    ctes += "l0 AS MATERIALIZED (SELECT vec_id, seed_lab AS lab FROM nodes)"
+    for (r <- 1 to rounds) {
+      ctes += s"v$r AS MATERIALIZED (SELECT adj.src, l.lab, count(*) AS cnt " +
+        s"FROM adj JOIN l${r - 1} l ON l.vec_id = adj.dst " +
+        "WHERE l.lab IS NOT NULL GROUP BY 1, 2)"
+      ctes += s"w$r AS MATERIALIZED (SELECT src, lab FROM (" +
+        s"SELECT src, lab, row_number() OVER (PARTITION BY src " +
+        s"ORDER BY cnt DESC, lab) AS rn FROM v$r) WHERE rn = 1)"
+      ctes += s"l$r AS MATERIALIZED (SELECT n.vec_id, " +
+        s"coalesce(n.seed_lab, w.lab, p.lab) AS lab FROM nodes n " +
+        s"LEFT JOIN w$r w ON w.src = n.vec_id " +
+        s"LEFT JOIN l${r - 1} p ON p.vec_id = n.vec_id)"
+    }
+    s"""WITH ${ctes.result().mkString(",\n")}
+       |SELECT vec_id, CAST(coalesce(lab, -1) AS BIGINT) AS label
+       |FROM l$rounds""".stripMargin
   }
 
   /** Mirror of [[graft.operators.Similarity.mmrSelect]]: the greedy MMR

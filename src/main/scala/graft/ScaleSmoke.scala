@@ -840,7 +840,7 @@ object ScaleSmoke {
         // anti-joins over a shrinking checkpointed edge list); at 100x
         // both inputs cross their memo bounds, so the measured thing is
         // the LIVE distributed build feeding the new operator
-        Seq("doc_pref_pairs", "sim_kcore")
+        Seq("doc_pref_pairs", "sim_kcore", "dedup_edit", "sim_label_prop")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>

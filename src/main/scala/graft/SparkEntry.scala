@@ -1249,6 +1249,12 @@ object SparkEntry {
             struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best_id"),
           max("n_tokens").as("best_tokens"))
     }),
+    // edit-distance near-dup pairs (record linkage): codegen'd built-in
+    // levenshtein over a 96-char prefix, candidates bounded by length-
+    // bucket blocking turned into an EQUI-join via an adjacent-bucket
+    // explode — one (lang, bucket) shuffle, never a cross join
+    "dedup_edit" -> ((s, dir) =>
+      Dedup.editPairs(Tables.read(s, dir, "documents"))),
     // preference-pair construction (the DPO/RLHF data-prep step): every
     // near-dup cluster with >=2 members yields one (chosen, rejected)
     // pair — chosen by the keep_best discipline, rejected its mirror —
@@ -3512,6 +3518,18 @@ object SparkEntry {
       operators.Similarity.kCoreFromEdges(
         knnEdges(s, dir).select(col("a_id"), col("b_id")), k = 2)),
 
+    // semi-supervised label propagation over the mutual-kNN graph: every
+    // fifth vector keeps its audited label, four synchronous majority-
+    // vote rounds (count desc, smallest label — deterministic ties)
+    // spread it along the graph; seeds clamped, unlabeled come out -1
+    "sim_label_prop" -> ((s, dir) => {
+      val nodes = Tables.read(s, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label").cast("long"))
+          .as("seed_lab"))
+      operators.Similarity.labelPropagate(
+        knnEdges(s, dir).select(col("a_id"), col("b_id")), nodes)
+    }),
+
     // ---- the sketch LAKE: per-(scope, ingest-slice) HLL registers
     // materialized to parquet, then the scope rollup computed from the
     // PERSISTED sketches alone — registers survive serialization and merge
@@ -4160,6 +4178,8 @@ object SparkEntry {
       thrNum = 1, thrDen = 2, chunkToks = 64, stride = 48, forgetMod = 97L),
     "doc_pref_pairs" -> OracleSql.docPrefPairs(n = 3, numHashes = 16,
       bands = 4, thrNum = 1, thrDen = 2),
+    "dedup_edit" -> OracleSql.dedupEdit(prefixLen = 96, bucketChars = 64,
+      maxDist = 12),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     // the naive pair form IS the blocked query's oracle: pigeonhole chunk
     // blocking is lossless, so the outputs must be identical
@@ -4178,6 +4198,8 @@ object SparkEntry {
     "sim_triangles" -> OracleSql.simTriangles(nCells = 16, nProbe = 2, k = 4),
     "sim_kcore" -> OracleSql.simKcore(nCells = 16, nProbe = 2, k = 4,
       coreK = 2),
+    "sim_label_prop" -> OracleSql.simLabelProp(nCells = 16, nProbe = 2,
+      k = 4, seedMod = 5L),
     "sim_mmr" -> OracleSql.simMmr(queryId = 0L, poolSize = 20, k = 5),
     "sim_graph_rank" -> OracleSql.simGraphRank(nCells = 16, nProbe = 2, k = 4),
     "sim_bfs" -> OracleSql.simBfs(nCells = 16, nProbe = 2, k = 4,

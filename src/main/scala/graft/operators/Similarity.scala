@@ -1491,6 +1491,49 @@ object Similarity {
     degrees(e).select(col("vec_id"), col("deg").as("core_deg"))
   }
 
+  /** Synchronous label propagation with clamped seeds over a canonical
+    * (a < b) undirected edge list — the semi-supervised labeler a
+    * training-data pipeline runs to spread a small audited label set
+    * (domain, topic, quality tier) across an unlabeled corpus along the
+    * kNN structure. `nodes` carries `(vec_id, seed_lab)` with seed_lab
+    * null for the unlabeled; each of the `rounds` synchronous updates
+    * recomputes every NON-seed node's label as the majority vote over its
+    * neighbors' previous-round labels (count desc, then smallest label —
+    * a total order, so ties are deterministic), keeps the previous label
+    * when no neighbor is labeled yet, and leaves seeds clamped. Per
+    * round: one join of the adjacency against the labeled frontier, one
+    * (node, label) count with map-side partial aggregation, one grouped
+    * `min_by` election, and a checkpointed relabel join — every step
+    * shuffle-parallel on the node key, the adjacency checkpointed ONCE
+    * and reused across rounds. Unlabeled nodes come out as −1.
+    */
+  def labelPropagate(edges: DataFrame, nodes: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col("vec_id"), col("seed_lab").cast("long").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(labels.filter(col("lab").isNotNull)
+          .select(col("vec_id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy("src").agg(
+        min_by(col("lab"),
+          struct((-col("cnt")).as("nc"), col("lab"))).as("new_lab"))
+      labels = nodes
+        .select(col("vec_id"), col("seed_lab").cast("long").as("seed_lab"))
+        .join(winner.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left_outer")
+        .join(labels.select(col("vec_id"), col("lab").as("prev_lab")),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("seed_lab"), col("new_lab"), col("prev_lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("vec_id"), coalesce(col("lab"), lit(-1L)).as("label"))
+  }
+
   /** Triangle counting + local clustering coefficients over the mutual
     * k-NN graph — the cohesion signal that separates tight semantic
     * clusters (high coefficient: neighbors also know each other — dup-like

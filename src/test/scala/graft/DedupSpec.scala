@@ -446,6 +446,27 @@ class DedupSpec extends SparkSpec {
     assert(real("n_chunks_after") <= real("n_chunks_before"))
   }
 
+  test("editPairs: same-bucket and adjacent-bucket hits, lang blocking, " +
+    "threshold cut, each unordered pair once") {
+    val docs = Seq(
+      (1L, "a" * 70, "en"),          // bkt 1
+      (2L, "a" * 68 + "bb", "en"),   // bkt 1, dist 2 to doc 1
+      (3L, "c" * 63, "en"),          // bkt 0
+      (4L, "c" * 66, "en"),          // bkt 1, dist 3 to doc 3 (adjacent)
+      (5L, "a" * 70, "de"),          // identical to 1 but lang-blocked
+      (6L, "z" * 70, "en"),          // bkt 1, dist 70 to doc 1 -> cut
+      (7L, "c" * 64, "en")           // bkt 1: dist 1 to 3 (adj), 2 to 4
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editPairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (3L, 4L, 3L), (3L, 7L, 1L),
+      (4L, 7L, 2L)), s"got $got")
+    // real corpus through the binding: canonical ids, threshold respected
+    val real = SparkEntry.queries("dedup_edit")(spark, sf("0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(real.forall(p => p._1 < p._2 && p._3 <= 12), real.mkString(","))
+  }
+
   test("prefPairs: election, tie discipline, and singleton exclusion " +
     "on crafted clusters") {
     // cluster A {1,2,3} tokens 5,9,9 -> chosen 2 (max tokens, tie -> lowest

@@ -1219,6 +1219,27 @@ class SimilaritySpec extends SparkSpec {
       s"got $capped")
   }
 
+  test("labelPropagate: clamped seeds, deterministic tie-break, isolated " +
+      "node stays unlabeled") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds 1->10 and 5->20, node 6 isolated. Hand-traced:
+    // r1 labels 2->10, 4->20; r2 labels 3 (tie 10 vs 20 -> smallest = 10);
+    // r3 flips 4 (neighbors 3:10, 5:20 -> tie -> 10); r4 stable. Seeds
+    // never move, 6 comes out -1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a_id", "b_id")
+    val nodes = Seq((1L, Some(10L)), (2L, None), (3L, None), (4L, None),
+      (5L, Some(20L)), (6L, None)).toDF("vec_id", "seed_lab")
+    val got = Similarity.labelPropagate(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L,
+      5L -> 20L, 6L -> -1L), s"got $got")
+    // fewer rounds: the r3 flip must NOT have happened yet at rounds = 2
+    val r2 = Similarity.labelPropagate(edges, nodes, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(4L) == 20L && r2(3L) == 10L && r2(6L) == -1L, s"got $r2")
+  }
+
   test("oodScore: per-cell z in e6, ties to the cell's own distribution, " +
       "degenerate cell goes null") {
     import spark.implicits._
