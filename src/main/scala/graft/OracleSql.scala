@@ -733,6 +733,74 @@ object OracleSql {
       |  CAST(CASE WHEN v_close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
       |FROM j""".stripMargin
 
+  /** Mirror of [[operators.Events.attributionShapley]]: the same per-user
+    * exposure bitmask + conversion census, then the exact Shapley
+    * combination spelled over a generated all-masks table — coalition
+    * coefficients s!(C−1−s)! precomputed in Scala as CASE arms over
+    * `bit_count`, coalition values in the same e6 floor division.
+    */
+  def eventsAttributionShapley(channels: Seq[String],
+      conv: String = "purchase"): String = {
+    val n = channels.size
+    val maskExpr = channels.zipWithIndex.map { case (ch, i) =>
+      s"max(CASE WHEN event_type = '$ch' THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val chValues = channels.zipWithIndex
+      .map { case (ch, i) => s"('$ch', $i)" }.mkString(", ")
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val coefArms = (0 until n)
+      .map(s => s"WHEN $s THEN ${fact(s) * fact(n - s - 1)}").mkString(" ")
+    s"""WITH pu AS (SELECT user_id, $maskExpr AS mask,
+       |    max(CASE WHEN event_type = '$conv' THEN 1 ELSE 0 END) AS cv
+       |  FROM events GROUP BY 1),
+       |cen AS (SELECT mask, count(*) AS users, sum(cv) AS convs
+       |  FROM pu GROUP BY 1),
+       |am AS (SELECT range AS mask FROM range(${1 << n})),
+       |v AS (SELECT am.mask, coalesce(users, 0) AS users,
+       |    CASE WHEN coalesce(users, 0) = 0 THEN 0
+       |         ELSE convs * 1000000 // users END AS v_e6
+       |  FROM am LEFT JOIN cen ON cen.mask = am.mask),
+       |ch AS (SELECT * FROM (VALUES $chValues) AS t(channel, bit))
+       |SELECT ch.channel,
+       |  CAST((SELECT coalesce(sum(users), 0) FROM v
+       |    WHERE (v.mask >> ch.bit) & 1 = 1) AS BIGINT) AS users_exposed,
+       |  CAST((SELECT sum((CASE bit_count(v0.mask) $coefArms END)
+       |      * (v1.v_e6 - v0.v_e6))
+       |    FROM v v0 JOIN v v1 ON v1.mask = v0.mask + (1 << ch.bit)
+       |    WHERE (v0.mask >> ch.bit) & 1 = 0) AS BIGINT) AS shapley_scaled_e6
+       |FROM ch""".stripMargin
+  }
+
+  /** Mirror of [[operators.Events.bootstrapCi]]: the SAME LCG constants
+    * and Poisson inverse-CDF thresholds (read from the one shared
+    * definition, never re-derived), the same e6 floor-division replicate
+    * means, and the same order-statistic CI rule spelled as row_number
+    * picks.
+    */
+  def eventsBootstrapCi(b: Int = 32, conv: String = "purchase"): String = {
+    import operators.Events._
+    val arms = BootPoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN uu < $t THEN $k" }.mkString(" ")
+    s"""WITH p AS (SELECT event_id % $BootLcgM AS eid,
+       |    CAST(round(value * 100.0) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = '$conv'),
+       |reps AS (SELECT range AS rep FROM range($b)),
+       |w AS (SELECT rep, cents, CASE $arms ELSE 8 END AS w FROM (
+       |  SELECT rep, cents,
+       |    (eid * $BootLcgA + $BootLcgC0 + rep * $BootLcgCStep) % $BootLcgM AS uu
+       |  FROM p CROSS JOIN reps)),
+       |m AS (SELECT rep, CASE WHEN sum(w) = 0 THEN 0
+       |    ELSE sum(w * cents) * 10000 // sum(w) END AS m_e6
+       |  FROM w GROUP BY rep),
+       |r AS (SELECT m_e6, row_number() OVER (ORDER BY m_e6) AS rn FROM m)
+       |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n,
+       |  CAST((SELECT CASE WHEN count(*) = 0 THEN 0
+       |    ELSE sum(cents) * 10000 // count(*) END FROM p) AS BIGINT) AS mean_e6,
+       |  CAST(coalesce((SELECT m_e6 FROM r WHERE rn = 2), 0) AS BIGINT) AS lo_e6,
+       |  CAST(coalesce((SELECT m_e6 FROM r WHERE rn = ${b - 1}), 0) AS BIGINT)
+       |    AS hi_e6""".stripMargin
+  }
+
   /** Mirror of [[operators.Events.attribution]]: per-user windowed pair
     * join, the same two purchase-partition windows, and the identical
     * integer floor-division credit split (`//` on positive BIGINTs ==
@@ -1821,9 +1889,13 @@ object OracleSql {
     * bucket blocking spelled as an OR-join (same bucket + id order, or
     * adjacent bucket), Levenshtein over the same document prefix.
     */
-  def dedupEdit(prefixLen: Int, bucketChars: Int, maxDist: Int): String =
-    s"""WITH b AS (SELECT doc_id, lang, substring(text, 1, $prefixLen) AS pfx,
-       |    length(text) // $bucketChars AS bkt FROM documents)
+  def dedupEdit(prefixLen: Int, bucketChars: Int, maxDist: Int,
+      maxBlockRows: Int = 2048): String =
+    s"""WITH b0 AS (SELECT doc_id, lang, substring(text, 1, $prefixLen) AS pfx,
+       |    length(text) // $bucketChars AS bkt FROM documents),
+       |hot AS (SELECT lang, bkt FROM b0 GROUP BY 1, 2
+       |  HAVING count(*) > $maxBlockRows),
+       |b AS (SELECT b0.* FROM b0 ANTI JOIN hot USING (lang, bkt))
        |SELECT least(a.doc_id, c.doc_id) AS a_id,
        |  greatest(a.doc_id, c.doc_id) AS b_id,
        |  CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS edit_dist

@@ -741,7 +741,7 @@ object ScaleSmoke {
     val tGen0 = System.nanoTime()
     val genTables =
       if (mode == "ann" || mode == "fresh") Set("embeddings")
-      else if (mode == "events") Set("events")
+      else if (mode == "events" || mode == "new18c") Set("events")
       else Set("documents", "embeddings")
     ensureScaled(spark, baseDir, workDir, scaledDir, factor, genTables,
       reuse = false)
@@ -757,8 +757,8 @@ object ScaleSmoke {
       else if (mode == "retrieval")
         (SparkEntry.prewarmRetrievalIndexes(spark, baseDir),
           SparkEntry.prewarmRetrievalIndexes(spark, scaledDir))
-      else if (mode == "events" || mode == "families") // no index to build
-        (Map.empty[String, Double], Map.empty[String, Double])
+      else if (mode == "events" || mode == "families" || mode == "new18c")
+        (Map.empty[String, Double], Map.empty[String, Double]) // no index
       else
         (SparkEntry.prewarmDocIndexes(spark, baseDir),
           SparkEntry.prewarmDocIndexes(spark, scaledDir))
@@ -841,6 +841,13 @@ object ScaleSmoke {
         // both inputs cross their memo bounds, so the measured thing is
         // the LIVE distributed build feeding the new operator
         Seq("doc_pref_pairs", "sim_kcore", "dedup_edit", "sim_label_prop")
+          .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
+      else if (mode == "new18c")
+        // the events-table additions: the Shapley mask census (one
+        // groupBy(user) + groupBy(mask), <=2^C rows to the driver) and
+        // the Poisson bootstrap (one scan, 32 partial-aggregated
+        // replicate sums) — both should be plan-invariant scans
+        Seq("events_attribution_shapley", "events_bootstrap")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else workloads.map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
     val rows = cases.map { case (name, run) =>

@@ -2485,6 +2485,20 @@ object SparkEntry {
     "events_attribution_markov" -> ((s, dir) =>
       Events.attributionMarkov(Tables.readEvents(s, dir))),
 
+    // Poisson-bootstrap CI for the mean purchase value: all 32 replicates
+    // accumulate in ONE scan (per-row Poisson(1) replicate weights from
+    // the shared transparent LCG — no per-replicate shuffle), 32 replicate
+    // means reach the driver, order-statistic 5/95 band
+    "events_bootstrap" -> ((s, dir) =>
+      Events.bootstrapCi(Tables.readEvents(s, dir))),
+    // exact Shapley channel attribution (the trio's third member): one
+    // distributed per-user bitmask+conversion census (<=2^C rows reach
+    // the driver), exact integer coalition combination there; channels
+    // are explicit config so the bit layout can never drift with data
+    "events_attribution_shapley" -> ((s, dir) =>
+      Events.attributionShapley(Tables.readEvents(s, dir),
+        channels = Seq("click", "error", "signup", "view"))),
+
     // ---- the composed training-data job (quality gate → near-dup
     // clustering over survivors → keep one per cluster): every stage is an
     // operator above; this query is the proof they compose into the actual
@@ -4750,6 +4764,9 @@ object SparkEntry {
     "events_transitions" -> OracleSql.eventsTransitions(gapMinutes = 30),
     "events_attribution_markov" -> OracleSql.eventsAttributionMarkov(
       conv = "purchase", gapMinutes = 30, iters = 20),
+    "events_attribution_shapley" -> OracleSql.eventsAttributionShapley(
+      channels = Seq("click", "error", "signup", "view")),
+    "events_bootstrap" -> OracleSql.eventsBootstrapCi(),
     "pipeline_select" -> OracleSql.pipelineSelect(minTokens = 25, maxTokens = 5000),
     "pipeline_clean" -> OracleSql.pipelineClean(minTokens = 25, maxTokens = 5000,
       n = 3, numHashes = 16, bands = 4, thrNum = 1, thrDen = 2),

@@ -1434,14 +1434,31 @@ object Dedup {
     * cross join), each unordered pair surfaces exactly once (same
     * bucket → id order; adjacent → the lower-bucket side is canonical),
     * and ids are canonicalized `least/greatest`. One shuffle on the
-    * block key at any corpus size; the quadratic term is per-block and
-    * bounded by the band width times the language's length density.
+    * block key at any corpus size.
+    *
+    * The quadratic term is per-block, and block population grows
+    * LINEARLY with the corpus at a fixed length range — so the pair
+    * count grows with its square (measured: 1.1M pairs at sf0.1 became
+    * a ~1e10-pair, multi-hour grind at 100×). `maxBlockRows` is the
+    * df-cap (the `mm_phash_capped` discipline, r17 verdict task 3):
+    * a `(lang, bucket)` band denser than the cap is a degenerate block
+    * where pairwise edit distance is the wrong tool — those DOCS are
+    * excluded via a broadcast anti-join against the tiny hot-band
+    * census, and the right tool for dense bands is the MinHash banded
+    * index. The cap is stated IN the oracle too (inert at fixture
+    * scale — the largest sf0.1 band is 304 rows — so published hashes
+    * are unchanged), and 2048²/2 banded-DP calls keep the worst
+    * surviving block to seconds per task.
     */
   def editPairs(docs: DataFrame, prefixLen: Int = 96, bucketChars: Int = 64,
-      maxDist: Int = 12): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lang"),
+      maxDist: Int = 12, maxBlockRows: Int = 2048): DataFrame = {
+    val base0 = docs.select(col("doc_id"), col("lang"),
       substring(col("text"), 1, prefixLen).as("pfx"),
       expr(s"CAST(length(text) AS BIGINT) div $bucketChars").as("bkt"))
+    val hot = base0.groupBy("lang", "bkt")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBlockRows)
+      .select("lang", "bkt")
+    val base = base0.join(broadcast(hot), Seq("lang", "bkt"), "left_anti")
     val probe = base.select(col("doc_id").as("p_id"), col("lang").as("p_lang"),
       col("pfx").as("p_pfx"), col("bkt").as("p_bkt"),
       explode(array(col("bkt"), col("bkt") - 1)).as("key_bkt"))

@@ -489,6 +489,145 @@ object Events {
     }.reduce(_.unionAll(_))
   }
 
+  /** Exact SHAPLEY-value channel attribution — the third member of the
+    * attribution trio (next to the Markov removal-effect and the
+    * positional rule): each channel's credit is its average marginal
+    * contribution to the conversion rate over every coalition ordering
+    * (Shapley 1953, the unique symmetric/efficient/dummy-free split).
+    * The coalition value is observational: v(S) = conversion rate (e6
+    * fixed point) of the users whose EXPOSED CHANNEL SET is exactly S.
+    * `channels` is the campaign's channel taxonomy — explicit config by
+    * design (sorted, distinct, ≤ `maxChannels`, never the conversion
+    * type), not data-derived, so the bit layout and the oracle's subset
+    * table can never drift with a new event type.
+    *
+    * Shape: ONE distributed pass — per-user bitmask + conversion flag
+    * (groupBy user_id with map-side partial max), then the ≤ 2^C-row
+    * mask census — and an exact driver-side combination over the 2^C
+    * subsets (the silhouette/assign discipline: the collected thing is
+    * the bounded census, never rows). All integer math: the output
+    * `shapley_scaled_e6` is the Shapley value × C! × 1e6 (the C!
+    * absorbs the s!(C−1−s)!/C! ordering weights into exact integers;
+    * negative values are real — a channel can depress conversion).
+    */
+  def attributionShapley(events: DataFrame, channels: Seq[String],
+      conv: String = "purchase", maxChannels: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(channels.nonEmpty && channels.size <= maxChannels,
+      s"channels must be 1..$maxChannels, got ${channels.size}")
+    require(channels == channels.sorted && channels.distinct == channels,
+      "channels must be sorted and distinct (the bit-layout contract)")
+    require(!channels.contains(conv), "conversion type cannot be a channel")
+    val nCh = channels.size
+    val nMasks = 1 << nCh
+    val flagCols = channels.zipWithIndex.map { case (ch, i) =>
+      max(when(col("event_type") === ch, lit(1L << i)).otherwise(0L))
+        .as(s"b$i")
+    } :+ max(when(col("event_type") === conv, 1L).otherwise(0L)).as("cv")
+    val perUser = events.groupBy("user_id")
+      .agg(flagCols.head, flagCols.tail: _*)
+      .select((0 until nCh).map(i => col(s"b$i")).reduce(_ + _).as("mask"),
+        col("cv"))
+    val census = perUser.groupBy("mask")
+      .agg(count(lit(1)).as("users"), sum("cv").as("convs"))
+      .as[(Long, Long, Long)].collect()
+    val users = new Array[Long](nMasks)
+    val convs = new Array[Long](nMasks)
+    census.foreach { case (m, u, c) => users(m.toInt) = u; convs(m.toInt) = c }
+    def vE6(m: Int): Long =
+      if (users(m) == 0L) 0L else convs(m) * 1000000L / users(m)
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      var phi = 0L
+      var exposed = 0L
+      var m = 0
+      while (m < nMasks) {
+        if ((m & bit) == 0) {
+          val s = java.lang.Integer.bitCount(m)
+          phi += fact(s) * fact(nCh - s - 1) * (vE6(m | bit) - vE6(m))
+        } else exposed += users(m)
+        m += 1
+      }
+      (ch, exposed, phi)
+    }
+    spark.createDataset(rows)
+      .toDF("channel", "users_exposed", "shapley_scaled_e6")
+  }
+
+  /** LCG constants and integer Poisson(1) inverse-CDF thresholds for
+    * [[bootstrapCi]] — the SINGLE source both engines read (the oracle
+    * builder emits these exact literals), so the per-(row, replicate)
+    * weight can never drift between Spark and SQL. Thresholds are
+    * floor(CDF_Poisson(1)(k)·M) for k = 0..7; a uniform u ∈ [0, M) maps
+    * to the count of thresholds ≤ u, tail capped at 8 (mass ≈ 1.1e-5
+    * merged into the cap — declared semantics, not an approximation
+    * drift). The row id is reduced mod M BEFORE the multiply, so
+    * `eid·A + C` stays < 2^63 for ANY id space (DuckDB errors on BIGINT
+    * overflow rather than wrapping — the gap-LCG lesson).
+    */
+  val BootLcgA = 1103515245L
+  val BootLcgM = 2147483647L
+  val BootLcgC0 = 12345L
+  val BootLcgCStep = 999983L
+  val BootPoissonThresholds: Seq[Long] = {
+    val p0 = math.exp(-1.0)
+    val pdf = (1 to 7).scanLeft(p0)((p, k) => p / k)
+    pdf.scanLeft(0.0)(_ + _).drop(1)
+      .map(c => (c * BootLcgM.toDouble).toLong)
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean conversion value —
+    * the DISTRIBUTED bootstrap: classical resampling draws n rows WITH
+    * replacement per replicate (a global shuffle per replicate — dead at
+    * 100 TB), while the Poisson approximation gives every row an
+    * independent Poisson(1) weight per replicate, so all `b` replicates
+    * accumulate in ONE scan with map-side partial aggregation (shuffle
+    * volume = b rows per partition, never data; the b× pre-aggregation
+    * row inflation from the replicate explode never crosses the wire).
+    * Weights are TRANSPARENT — the [[BootPoissonThresholds]] inverse CDF
+    * over the shared LCG uniform — so the oracle replays them exactly.
+    * Replicate means in exact e6 fixed point (value cents × 1e4, floor
+    * division; Σw·cents·1e4 bounds the exact range to ~9e14 rows of
+    * $100 events); the interval is the declared order-statistic rule
+    * lo = sorted(1), hi = sorted(b−2) — the ~5th/95th percentile band at
+    * b = 32 — over the b collected replicate means (b rows reach the
+    * driver, never data: the silhouette/assign discipline).
+    */
+  def bootstrapCi(events: DataFrame, conv: String = "purchase",
+      b: Int = 32): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(b >= 4, s"need at least 4 replicates for the CI rule, got $b")
+    val p = events.filter(col("event_type") === conv)
+      .select((col("event_id") % BootLcgM).as("eid"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val u = ((col("eid") * BootLcgA + BootLcgC0 +
+      col("rep") * BootLcgCStep) % BootLcgM).as("u")
+    val wExpr = BootPoissonThresholds.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
+        acc.when(col("u") < t, k.toLong)
+      }.otherwise(8L)
+    val (n, sumCents) = p.agg(count(lit(1)), coalesce(sum("cents"), lit(0L)))
+      .as[(Long, Long)].head()
+    if (n == 0L)
+      return Seq((0L, 0L, 0L, 0L)).toDF("n", "mean_e6", "lo_e6", "hi_e6")
+    val reps = p
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .select(col("rep"), col("cents"), u)
+      .select(col("rep"), col("cents"), wExpr.as("w"))
+      .groupBy("rep")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
+      .as[(Int, Long, Long)].collect()
+    val means = reps
+      .map { case (_, swc, sw) => if (sw == 0L) 0L else swc * 10000L / sw }
+      .sorted
+    val meanE6 = sumCents * 10000L / n
+    Seq((n, meanE6, means(1), means(b - 2)))
+      .toDF("n", "mean_e6", "lo_e6", "hi_e6")
+  }
+
   /** Multi-touch attribution — the credit assignment every conversion
     * pipeline runs: each purchase distributes exactly 1 000 000 ppm of
     * credit over the SAME user's clicks in the preceding `windowHours`.

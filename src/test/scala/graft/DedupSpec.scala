@@ -461,6 +461,12 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 2L), (3L, 4L, 3L), (3L, 7L, 1L),
       (4L, 7L, 2L)), s"got $got")
+    // df-cap: the (en, bkt 1) band (5 docs) over a cap of 3 leaves BOTH
+    // sides — no same-bucket pairs AND no adjacent probes into it, so
+    // even under-cap doc 3's pairs die with the hot band it probed
+    val capped = Dedup.editPairs(docs, maxBlockRows = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set.empty, s"got $capped")
     // real corpus through the binding: canonical ids, threshold respected
     val real = SparkEntry.queries("dedup_edit")(spark, sf("0.001"))
       .as[(Long, Long, Long)].collect()

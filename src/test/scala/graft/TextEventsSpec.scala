@@ -914,6 +914,62 @@ class TextEventsSpec extends SparkSpec {
     assert(got(100L)._3.isEmpty, s"got $got")
   }
 
+  test("bootstrapCi: constant corpus collapses the band, empty conversion " +
+      "set is the zero row, thresholds strictly monotone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, minute: Int, t: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), u, t, 1.0, "{}")
+    // 20 purchases all at value 1.00: every replicate mean is exactly
+    // 100 cents * 1e4 (a zero-total-weight replicate would need all 20
+    // Poisson draws = 0 — the deterministic LCG draws don't do that), so
+    // the order-statistic band collapses onto the point estimate
+    val rows = (1L to 20L).map(i => ev(i, i, (i % 60).toInt, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Events.bootstrapCi(rows)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((20L, 1000000L, 1000000L, 1000000L)), s"got $got")
+    val none = graft.operators.Events.bootstrapCi(
+      rows.withColumn("event_type", lit("view")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(none == ((0L, 0L, 0L, 0L)), s"got $none")
+    val t = graft.operators.Events.BootPoissonThresholds
+    assert(t.size == 8 && t == t.sorted && t.distinct == t &&
+      t.head > 0 && t.last < graft.operators.Events.BootLcgM, t.toString)
+  }
+
+  test("attributionShapley: hand-computed two-channel values, negative " +
+      "credit, efficiency, and the taxonomy guards") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, minute: Int, t: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), u, t, 1.0, "{}")
+    // exposure sets: u1 {a}+conv, u2 {a}, u3 {b}, u4 {a,b}+conv, u5 {}+conv
+    // v(∅)=1e6, v(a)=500000, v(b)=0, v(ab)=1e6; C=2 so scale = 2! = 2:
+    // φ_a·2 = (v(a)−v(∅)) + (v(ab)−v(b)) =  500000
+    // φ_b·2 = (v(b)−v(∅)) + (v(ab)−v(a)) = −500000  (negative is real)
+    val rows = Seq(
+      ev(1, 1, 0, "a"), ev(2, 1, 1, "purchase"),
+      ev(3, 2, 0, "a"), ev(4, 3, 0, "b"),
+      ev(5, 4, 0, "a"), ev(6, 4, 1, "b"), ev(7, 4, 2, "purchase"),
+      ev(8, 5, 0, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.operators.Events.attributionShapley(rows, Seq("a", "b"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((3L, 500000L)), "b" -> ((2L, -500000L))),
+      s"got $got")
+    // efficiency at the scaled grain: Σφ·C! = C!·(v(full) − v(∅)) = 0 here
+    assert(got.values.map(_._2).sum == 0L)
+    // taxonomy guards: unsorted channels and a conv-as-channel both refuse
+    intercept[IllegalArgumentException] {
+      graft.operators.Events.attributionShapley(rows, Seq("b", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Events.attributionShapley(rows, Seq("a", "purchase"))
+    }
+  }
+
   test("attributionMarkov: a channel that gates every conversion takes all " +
       "the credit; a never-converting channel takes none") {
     import spark.implicits._
