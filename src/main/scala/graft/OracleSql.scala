@@ -1903,6 +1903,36 @@ object OracleSql {
        |  AND (a.bkt = c.bkt AND a.doc_id < c.doc_id OR a.bkt = c.bkt - 1)
        |WHERE levenshtein(a.pfx, c.pfx) <= $maxDist""".stripMargin
 
+  /** Mirror of [[graft.operators.TextAnalysis.kAnonLattice]]: the same
+    * four generalization levels as per-level census CTEs, the same
+    * Samarati suppression-budget rule, chosen = the minimum qualifying
+    * level (NULL → no level flagged, matching the Spark −1 sentinel).
+    */
+  def docKanon(k: Int, maxSuppressedPct: Int): String = {
+    val levels = Seq(("lang", "source", 256), ("lang", "source", 1024),
+      ("lang", "'*'", 1024), ("'*'", "'*'", 4096))
+    val ctes = levels.zipWithIndex.map { case ((l, s, div), i) =>
+      s"""s$i AS (SELECT $i AS level, count(*) AS n_classes,
+         |    coalesce(min(c), 0) AS min_class,
+         |    coalesce(sum(CASE WHEN c < $k THEN c ELSE 0 END), 0) AS suppressed_rows,
+         |    coalesce(sum(c), 0) AS n_rows
+         |  FROM (SELECT count(*) AS c FROM documents
+         |        GROUP BY $l, $s, n_chars // $div))""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       |u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+       |ch AS (SELECT min(level) AS lv FROM u
+       |  WHERE suppressed_rows * 100 <= n_rows * $maxSuppressedPct)
+       |SELECT CAST(level AS BIGINT) AS level,
+       |  CAST(n_classes AS BIGINT) AS n_classes,
+       |  CAST(min_class AS BIGINT) AS min_class,
+       |  CAST(suppressed_rows AS BIGINT) AS suppressed_rows,
+       |  CAST(CASE WHEN level = (SELECT lv FROM ch) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS chosen
+       |FROM u""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Dedup.prefPairs]]: the chosen/rejected
     * election per duplicate cluster, spelled as two row_number windows
     * over the [[componentsCtes]] relation joined to per-doc token counts —

@@ -1867,6 +1867,12 @@ object SparkEntry {
         TextAnalysis.chunkOverlap(docs, chunkToks = 64, stride = 48),
         docComponents(s, dir))
     }),
+    // k-anonymity generalization-lattice search (the governance release
+    // gate next to doc_forget): Samarati rule — suppress sub-k classes,
+    // climb the (lang, source, length-bucket) lattice until suppression
+    // fits the 5% budget; |levels| grouped censuses, 4 rows to the driver
+    "doc_kanon" -> ((s, dir) =>
+      TextAnalysis.kAnonLattice(Tables.read(s, dir, "documents"))),
     // Zipf rank-frequency fit over the top-100 unigrams: slope/intercept/r²
     // in e6 fixed point — the corpus-health gauge next to text_vocab_curve
     "text_zipf" -> ((s, dir) =>
@@ -4194,6 +4200,7 @@ object SparkEntry {
       bands = 4, thrNum = 1, thrDen = 2),
     "dedup_edit" -> OracleSql.dedupEdit(prefixLen = 96, bucketChars = 64,
       maxDist = 12),
+    "doc_kanon" -> OracleSql.docKanon(k = 5, maxSuppressedPct = 5),
     "dedup_simhash" -> OracleSql.dedupSimhash(bits = 32, maxHamming = 6),
     // the naive pair form IS the blocked query's oracle: pigeonhole chunk
     // blocking is lossless, so the outputs must be identical

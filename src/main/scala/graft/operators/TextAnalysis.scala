@@ -318,6 +318,52 @@ object TextAnalysis {
       .select(col("rnk"), col("doc_id"), col("dl"), col("n_hit"), col("score_e6"))
   }
 
+  /** k-anonymity generalization-lattice search — the governance pass a
+    * corpus owner runs before releasing doc-level metadata (the
+    * [[Dedup.forgetPropagate]] sibling): quasi-identifiers
+    * (lang, source, length bucket) are generalized level by level
+    * (coarser length buckets, then source wildcarded, then lang) until
+    * the release meets k-anonymity with at most `maxSuppressedPct`% of
+    * rows suppressed (the Samarati rule: suppress classes smaller than
+    * `k`, climb the lattice while suppression exceeds the budget; the
+    * chosen level is the LOWEST acceptable one — least generalization).
+    * Each level is one groupBy census collapsed to one stats row, so
+    * the per-level relation reaching the driver is 4 rows total — the
+    * census discipline: climbing the lattice costs |levels| shuffled
+    * aggregations over the corpus, never a per-row sort or a collect.
+    * Output one row per level (class count, smallest class, suppressed
+    * rows) with the chosen level flagged; `chosen` is 0 everywhere if
+    * even the coarsest level fails the budget (k larger than the corpus).
+    */
+  def kAnonLattice(docs: DataFrame, k: Int = 5,
+      maxSuppressedPct: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val levels: Seq[(Column, Column, Column)] = Seq(
+      (col("lang"), col("source"), expr("CAST(n_chars AS BIGINT) div 256")),
+      (col("lang"), col("source"), expr("CAST(n_chars AS BIGINT) div 1024")),
+      (col("lang"), lit("*"), expr("CAST(n_chars AS BIGINT) div 1024")),
+      (lit("*"), lit("*"), expr("CAST(n_chars AS BIGINT) div 4096")))
+    val stats = levels.zipWithIndex.map { case ((l, s, bkt), i) =>
+      docs.groupBy(l.as("ql"), s.as("qs"), bkt.as("qb"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_classes"),
+          coalesce(min("c"), lit(0L)).as("min_class"),
+          coalesce(sum(when(col("c") < k, col("c")).otherwise(0L)), lit(0L))
+            .as("suppressed_rows"),
+          coalesce(sum("c"), lit(0L)).as("n_rows"))
+        .select(lit(i.toLong).as("level"), col("n_classes"),
+          col("min_class"), col("suppressed_rows"), col("n_rows"))
+    }.reduce(_.unionAll(_))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val chosen = stats
+      .find(s => s._4 * 100L <= s._5 * maxSuppressedPct).map(_._1)
+      .getOrElse(-1L)
+    spark.createDataset(stats.toSeq.map(s =>
+        (s._1, s._2, s._3, s._4, if (s._1 == chosen) 1L else 0L)))
+      .toDF("level", "n_classes", "min_class", "suppressed_rows", "chosen")
+  }
+
   /** Deterministic stratified sample: exactly ⌈n_stratum·num/den⌉ docs per
     * language, chosen by a per-doc LCG hash so the draw is a pure function
     * of the data (reruns, partitionings, and the DuckDB oracle all agree).

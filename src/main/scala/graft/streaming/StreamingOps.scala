@@ -838,6 +838,47 @@ object StreamingOps {
       }
   }
 
+  final case class BootIn(event_id: Long, event_type: String, value: Double)
+  final case class BootRep(rep: Int, swc: Long, sw: Long)
+
+  /** Streaming twin of [[graft.operators.Events.bootstrapCi]]'s replicate
+    * accumulation: the Poisson bootstrap is COMMUTATIVE state by
+    * construction — each row's replicate weight is a pure function of
+    * `(event_id, rep)` through the SAME shared LCG thresholds the batch
+    * form and the oracle read — so the streaming form is a
+    * mapGroupsWithState over replicate ids holding exactly `b` state
+    * rows (two Longs each) at ANY stream length. Every arrival folds
+    * its `w·cents / w` into the running sums and the group emits its
+    * updated sums; the CI tail (sorted replicate means, order-statistic
+    * band) stays a driver fold over the `b` final emissions, and
+    * StreamingSpec pins the final state to the batch query's replicate
+    * sums on the same rows.
+    */
+  def bootstrapStream(events: Dataset[BootIn], conv: String = "purchase",
+      b: Int = 32): Dataset[BootRep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.operators.Events._
+    events.filter(_.event_type == conv)
+      .flatMap { e =>
+        val eid = e.event_id % BootLcgM
+        val cents = math.round(e.value * 100) // values nonneg: == HALF_UP
+        (0 until b).map { rep =>
+          val u = (eid * BootLcgA + BootLcgC0 + rep * BootLcgCStep) % BootLcgM
+          val w = BootPoissonThresholds.count(_ <= u).toLong
+          (rep, w * cents, w)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), BootRep](GroupStateTimeout.NoTimeout) {
+        (rep: Int, it: Iterator[(Int, Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (swc, sw) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, dwc, dw) => swc += dwc; sw += dw }
+          state.update((swc, sw))
+          BootRep(rep, swc, sw)
+      }
+  }
+
   final case class Cdc(doc_id: Long, gen: Long, op: String, lang: String)
 
   /** Streaming CDC apply — the streaming twin of `q_changefeed`'s inverse

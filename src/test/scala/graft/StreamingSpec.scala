@@ -804,6 +804,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Poisson bootstrap converges to the batch replicate sums " +
+      "and the oracle-checked CI (events_bootstrap twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.BootIn
+    import graft.operators.Events._
+    val rows = (1L to 40L).map(i => BootIn(i,
+      if (i % 4 == 0) "view" else "purchase", (i % 7).toDouble + 0.25))
+    // plain-Scala executable spec of the same LCG/threshold fold
+    val purch = rows.filter(_.event_type == "purchase")
+    val expected = (0 until 32).map { rep =>
+      val (swc, sw) = purch.foldLeft((0L, 0L)) { case ((a, c), e) =>
+        val eid = e.event_id % BootLcgM
+        val u = (eid * BootLcgA + BootLcgC0 + rep * BootLcgCStep) % BootLcgM
+        val w = BootPoissonThresholds.count(_ <= u).toLong
+        (a + w * math.round(e.value * 100), c + w)
+      }
+      rep -> ((swc, sw))
+    }.toMap
+    val in = MemoryStream[BootIn]
+    val q = StreamingOps.bootstrapStream(in.toDS()).writeStream
+      .format("memory").queryName("boot_out").outputMode("update").start()
+    try {
+      rows.grouped(15).foreach { c => in.addData(c); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rep").orderBy(col("swc").desc, col("sw").desc)
+      val got = spark.table("boot_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("rep", "swc", "sw")
+        .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected,
+        "streaming bootstrap state diverged from the batch replicate sums")
+      // CI parity with the oracle-checked batch query on the same rows
+      val ms = expected.values.toSeq
+        .map { case (swc, sw) => if (sw == 0L) 0L else swc * 10000L / sw }
+        .sorted
+      val ci = graft.operators.Events.bootstrapCi(rows.toDF())
+        .as[(Long, Long, Long, Long)].head()
+      assert(ci._3 == ms(1) && ci._4 == ms(30),
+        s"CI band mismatch: $ci vs ${ms(1)}..${ms(30)}")
+    } finally q.stop()
+  }
+
   test("streaming CDC apply converges to the batch MERGE state (q_changefeed twin)") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.Cdc

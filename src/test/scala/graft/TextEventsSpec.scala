@@ -914,6 +914,27 @@ class TextEventsSpec extends SparkSpec {
     assert(got(100L)._3.isEmpty, s"got $got")
   }
 
+  test("kAnonLattice: lattice climbs past per-source suppression, chosen " +
+      "is the lowest qualifying level, impossible k flags nothing") {
+    import spark.implicits._
+    // (en, s1) has 10 docs, (en, s2) only 2 — levels 0 and 1 must
+    // suppress the s2 class (2 rows > the 5% budget of a 12-row corpus);
+    // level 2 wildcards source and merges everyone into one 12-row class
+    val docs = ((1L to 10L).map(i => (i, "en", "s1", 100L)) ++
+      Seq((11L, "en", "s2", 100L), (12L, "en", "s2", 100L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.kAnonLattice(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 0L), (1L, 2L, 2L, 2L, 0L),
+      (2L, 1L, 12L, 0L, 1L), (3L, 1L, 12L, 0L, 0L)), got.mkString(","))
+    // k larger than the corpus: every level suppresses everything, no
+    // level is flagged (the -1 sentinel)
+    val none = graft.operators.TextAnalysis.kAnonLattice(docs, k = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(none.forall(_._5 == 0L), none.mkString(","))
+  }
+
   test("bootstrapCi: constant corpus collapses the band, empty conversion " +
       "set is the zero row, thresholds strictly monotone") {
     import spark.implicits._
