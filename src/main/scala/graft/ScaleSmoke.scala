@@ -840,7 +840,8 @@ object ScaleSmoke {
         // anti-joins over a shrinking checkpointed edge list); at 100x
         // both inputs cross their memo bounds, so the measured thing is
         // the LIVE distributed build feeding the new operator
-        Seq("doc_pref_pairs", "sim_kcore", "dedup_edit", "sim_label_prop")
+        Seq("doc_pref_pairs", "sim_kcore", "dedup_edit", "sim_label_prop",
+          "doc_kanon")
           .map(n => n -> ((d: String) => runOne(spark, d, n, reps)))
       else if (mode == "new18c")
         // the events-table additions: the Shapley mask census (one

@@ -1512,8 +1512,12 @@ object Similarity {
     val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = nodes
-      .select(col("vec_id"), col("seed_lab").cast("long").as("lab"))
+    // checkpointed once: the seed relation feeds every round's clamped
+    // relabel — without it each round re-reads the source scan
+    val seeds = nodes
+      .select(col("vec_id"), col("seed_lab").cast("long").as("seed_lab"))
+      .localCheckpoint()
+    var labels = seeds.select(col("vec_id"), col("seed_lab").as("lab"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val votes = adj.join(labels.filter(col("lab").isNotNull)
@@ -1522,8 +1526,7 @@ object Similarity {
       val winner = votes.groupBy("src").agg(
         min_by(col("lab"),
           struct((-col("cnt")).as("nc"), col("lab"))).as("new_lab"))
-      labels = nodes
-        .select(col("vec_id"), col("seed_lab").cast("long").as("seed_lab"))
+      labels = seeds
         .join(winner.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left_outer")
         .join(labels.select(col("vec_id"), col("lab").as("prev_lab")),
           Seq("vec_id"), "left_outer")
