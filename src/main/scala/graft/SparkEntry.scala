@@ -3464,6 +3464,8 @@ object SparkEntry {
     // sketches, not rows). n_exact rides alongside so the row itself shows
     // the sketch error; denominators stay exact integers (see HllSketch) ----
     "q_hll" -> ((s, dir) => {
+      // not widened (r18 measured +1.0 s): the sketch map work is light and
+      // the repartition's pre-sort of 600k lineitem rows dominates it
       val li = Tables.read(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag").as("scope"))
         .agg(plans.native.hll_sketch(col("l_orderkey"), p = 8).as("regs"),

@@ -33,6 +33,9 @@ object Tables {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // NOT widened (r18 measured): the events family's per-row work is
+    // cheap — Par.widen here cost +0.3..+1.7 s per query (the exchange +
+    // its sort-before-repartition) with no compute win. See Par scaladoc.
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

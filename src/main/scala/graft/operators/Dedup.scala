@@ -53,7 +53,10 @@ object Dedup {
     * as the executable spec the native expressions are tested against.
     */
   def shingled(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
+    // Par.widen: the shingle kernel (tokenize + n-gram assembly per row)
+    // is the compute-dense head of every inverted-index path; a
+    // byte-starved scan serializes it (r18). Identity at real scale.
+    Par.widenBy(docs, col("doc_id")).select(col("doc_id"), col("lang"),
       graft.plans.native.word_shingles(col("text"), n).as("sh"))
 
   // ---------------------------------------------------------- exact dedup
@@ -163,7 +166,7 @@ object Dedup {
     val toks = split(col(name), " ")
     val pfx = concat_ws(" ",
       (0 until blockTokens).map(i => toks.getItem(i)): _*)
-    val d = recs.select(col(key).as("k"), col(name).as("nm"),
+    val d = Par.widen(recs).select(col(key).as("k"), col(name).as("nm"),
       pfx.as("blk"),
       // identical-prefix invariance: lev(P·x, P·y) = lev(x, y), so the
       // refine compares only the post-prefix tails — the DP cost drops
@@ -244,7 +247,7 @@ object Dedup {
     * ADD span coverage, they cannot drop a true duplicate).
     */
   private def gramPostings(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    Par.widenBy(docs, col("doc_id")).select(col("doc_id"), // gram kernel + posexplode (r18)
         posexplode(graft.plans.native.word_grams(col("text"), n)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
@@ -478,7 +481,7 @@ object Dedup {
     val sigs = (0 until numHashes).map { i =>
       element_at(col("sigs"), i + 1).as(s"s$i")
     }
-    docs
+    Par.widenBy(docs, col("doc_id")) // numHashes × shingles of hashing per row (r18)
       .select(col("doc_id"), graft.plans.native.minhash_sigs(
         graft.plans.native.shingle_ids(col("text"), n), numHashes).as("sigs"))
       .select((col("doc_id") +: sigs): _*)
@@ -869,6 +872,8 @@ object Dedup {
     * per-row nested folds.
     */
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame = {
+    // not widened (r18 measured): the widen exchange lost to the kernel
+    // win here twice (+0.25/+2.15 s) — the pair join downstream dominates
     val exploded = docs
       .select(col("doc_id"), col("lang"),
         graft.plans.native.token_ids(col("text")).as("ids"))
@@ -903,7 +908,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, bits: Int = 32, maxHamming: Int = 6,
       chunkBlocked: Boolean = true): DataFrame = {
-    val fp = simhashFingerprints(docs, bits)
+    // Par.widen (narrow post-kernel rows): the pair probe runs in the
+    // stream side's stage — byte-starved it is one task (r18). A persist
+    // of the fingerprints was tried and LOST (+0.3 s): materializing the
+    // relation serializes the kernel pass harder than the duplicate
+    // subtree costs at this size.
+    val fp = Par.widen(simhashFingerprints(docs, bits))
     if (!chunkBlocked) {
       val a = fp.select(col("doc_id").as("a_id"), col("lang"), col("fp").as("fa"))
       val b = fp.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("fp").as("fb"))
@@ -945,8 +955,11 @@ object Dedup {
   def embeddingCosine(emb: DataFrame, thrE6: Long): DataFrame = {
     import graft.plans.native
     // norms precomputed once per vector; the native dot kernel keeps the
-    // per-pair cost one fused loop (bit-identical to the HOF/oracle form)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // per-pair cost one fused loop (bit-identical to the HOF/oracle form).
+    // Par.widen: the O(n²) dot products run in the STREAM side's stage of
+    // the pair join — a byte-starved scan serializes them (r18)
+    val e = Par.widen(emb)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nv").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nv").as("nb"))
@@ -1458,7 +1471,14 @@ object Dedup {
     val hot = base0.groupBy("lang", "bkt")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBlockRows)
       .select("lang", "bkt")
-    val base = base0.join(broadcast(hot), Seq("lang", "bkt"), "left_anti")
+    // width adapter (r18): the banded-DP projection runs in the STREAMED
+    // side's stage of the broadcast join below — on a byte-starved scan
+    // that stage is one task and the whole DP pass serializes (measured
+    // 6.4 s of levenshtein in a single task at sf0.1). Par.widen spreads
+    // the stream side to the configured width when (and only when) the
+    // scan can't fill it; identity at real scale.
+    val base = Par.widen(
+      base0.join(broadcast(hot), Seq("lang", "bkt"), "left_anti"))
     val probe = base.select(col("doc_id").as("p_id"), col("lang").as("p_lang"),
       col("pfx").as("p_pfx"), col("bkt").as("p_bkt"),
       explode(array(col("bkt"), col("bkt") - 1)).as("key_bkt"))

@@ -69,7 +69,8 @@ object TextAnalysis {
     * profile; guess = most hits, declaration-order tie-break, `und` when
     * nothing scores. Per-row HOFs only — zero shuffle.
     */
-  def langIdNgram(docs: DataFrame): DataFrame = {
+  def langIdNgram(docs0: DataFrame): DataFrame = {
+    val docs = Par.widen(docs0) // trigram kernel is compute-dense per row
     // native kernel: the HOF form (array_distinct over per-window substring
     // lambdas) is CodegenFallback and was the bench's top cost; the fused
     // expression computes identical values (PlansSpec parity test)
