@@ -116,13 +116,15 @@ class ScaleSpec extends SparkSpec {
 
   test("shared-stage memos are row-identical to their live distributed plans " +
       "(the memoMaxRows seam can never silently diverge)") {
-    // the memo/live seam exists in docComponents, cleanComponents and
-    // knnEdges; each consumer below exercises one of the three. The memo
-    // path collects the SAME live plan, so parity should be trivial — this
-    // spec exists so a future edit to either side trips loudly.
+    // the memo/live seam exists in docComponents, cleanComponents,
+    // pipeComponents (r18) and knnEdges; each consumer below exercises one
+    // of them. The memo path collects the SAME live plan, so parity should
+    // be trivial — this spec exists so a future edit to either side trips
+    // loudly.
     val dir = sf("0.001")
     def results(): Map[String, Set[String]] =
-      Seq("dedup_components", "pipeline_clean", "sim_knn_graph").map { name =>
+      Seq("dedup_components", "pipeline_clean", "sim_knn_graph",
+          "pipeline_provenance").map { name =>
         name -> SparkEntry.queries(name)(spark, dir)
           .collect().map(_.toString).toSet
       }.toMap
