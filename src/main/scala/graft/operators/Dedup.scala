@@ -1104,6 +1104,9 @@ object Dedup {
       thrE6: Long, nProbe: Int = 1,
       broadcastAssign: Boolean = false): DataFrame = {
     import graft.plans.native
+    // not widened (r18 measured +0.5 s twice): the capped mapCells kernel
+    // downstream does its own cell-local partitioning work — an input
+    // widen only adds an exchange in front of it
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
     // the literal-ceiling discipline (Similarity.literalAssignCeiling):
@@ -1220,7 +1223,8 @@ object Dedup {
         (c, j) => struct(sqDist(c, col("v")).as("d"), j.as("cid")))),
         1, maxProbe),
       x => x.getField("cid"))
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Par.widenBy(emb, col("vec_id")) // all-pairs probe stage (r18)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
       .withColumn("cells", cellList)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),

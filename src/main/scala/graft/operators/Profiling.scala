@@ -326,8 +326,10 @@ object Profiling {
     import spark.implicits._
     // persisted: each layout's globalNtile makes two passes (count +
     // zipWithIndex rank) — without the cache that is 2×|layouts| scans of
-    // the input; with it, one scan feeds all of them
-    val cached = rows.persist()
+    // the input; with it, one scan feeds all of them. Par.widen (r18): the
+    // cache build (z-value bit interleave) and each layout's range-exchange
+    // write otherwise run single-task on a byte-starved scan.
+    val cached = Par.widen(rows).persist()
     val stats = layouts.map { case (name, order) =>
       Ranking.globalNtile(cached, order, nFiles, "__zs_file")
         .groupBy("__zs_file")

@@ -1738,7 +1738,7 @@ object Similarity {
   def oodScore(emb: DataFrame, centroids: Seq[KMeans.Centroid]): DataFrame = {
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
-    val a = emb2v(emb).select(col("vec_id"),
+    val a = Par.widenBy(emb2v(emb), col("vec_id")).select(col("vec_id"),
       nearestId(col("v"), ids, cs).as("cell"),
       round(nearestSqDist(col("v"), cs) * 1e6).cast("long").as("d2_e6"))
     val st = a.groupBy("cell").agg(count(lit(1)).as("cell_n"),
@@ -1770,7 +1770,8 @@ object Similarity {
     import graft.plans.native
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
-    val e = emb.select(col("vec_id"),
+    val e = Par.widenBy(emb, col("vec_id")) // assign + pair re-rank (r18)
+      .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
         col("label").cast("long").as("label"))
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))

@@ -30,7 +30,7 @@ object TextAnalysis {
     * bit-identical across engines.
     */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    Par.widenBy(docs, col("doc_id")).select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"),
@@ -146,7 +146,8 @@ object TextAnalysis {
     * global sort of the vocabulary.
     */
   def topkTokens(docs: DataFrame, k: Int = 50): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    Par.widenBy(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
@@ -187,7 +188,11 @@ object TextAnalysis {
     * corpus can carry NULLs; the fixture cannot).
     */
   def tfRelation(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Par.widenBy (r18): tokenize + explode + the (doc, token) partial
+    // aggregate all run in the scan stage; byte-starved single-file scans
+    // serialize the whole TF build. Keyed spread — no pre-sort of text.
+    Par.widenBy(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
@@ -240,7 +245,8 @@ object TextAnalysis {
     */
   def bm25(docs: DataFrame, nTerms: Int = 3, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = Par.widenBy(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("dl"))
     // persisted: the aggregated per-doc term counts feed the query-term
@@ -578,7 +584,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     // longest run over sorted tokens == the most frequent token's count
     val topRun = topTokenRun(toks)
-    docs.select(
+    Par.widenBy(docs, col("doc_id")).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
@@ -655,7 +661,8 @@ object TextAnalysis {
     require(topN >= 2, s"need topN >= 2, got $topN")
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+    val tf = Par.widenBy(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val tot = tf.agg(count(lit(1)).as("vocab"), sum("freq").as("total")).head()
     val top = tf.orderBy(desc("freq"), asc("token")).limit(topN)
@@ -905,7 +912,8 @@ object TextAnalysis {
     * doc-key groupBy — the TF-IDF plan's shape, no collect, no driver state.
     */
   def unigramLm(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tok = Par.widenBy(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     tok.join(vocab, "token")
       .groupBy("doc_id").agg(
@@ -958,7 +966,8 @@ object TextAnalysis {
     * cumulative window are 10 rows.
     */
   def vocabCurve(docs: DataFrame): DataFrame = {
-    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+    val counts = Par.widenBy(docs, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val dec = Ranking.globalNtile(counts,
         Seq(col("cnt").desc, col("token")), 10, "decile")
@@ -1019,7 +1028,8 @@ object TextAnalysis {
     // persisted: the (source, token) count relation is |S|×|vocab|-sized
     // and feeds the totals plus both pair sides — without the cache the
     // corpus explode+shuffle re-runs for every consumer
-    val ct = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+    val ct = Par.widenBy(docs, col("doc_id"))
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
       .persist()
     val tot = ct.groupBy("source").agg(sum("c").as("n"))
@@ -1372,7 +1382,7 @@ object TextAnalysis {
     val segs = filter(
       transform(split(col("text"), "[.!?]+"), s => trim(s)),
       s => length(s) > 0)
-    docs.select(col("doc_id"),
+    Par.widenBy(docs, col("doc_id")).select(col("doc_id"),
       size(segs).cast("long").as("n_sentences"),
       aggregate(segs, lit(0L), (acc, s) => acc + length(s)).as("sent_chars"),
       coalesce(array_max(transform(segs, s => length(s))), lit(0))
