@@ -989,7 +989,8 @@ object Dedup {
     import graft.plans.native
     val ids = centroids.map(_.j)
     val cs = centroids.map(_.c)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Par.widenBy(emb, col("vec_id")) // assign + pair re-rank (r18)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", sqrt(native.dot(col("v"), col("v"))))
     // nProbe nearest cells, ties -> lowest cell id: array_sort on
     // (distance, cid) structs orders lexicographically, all row-local

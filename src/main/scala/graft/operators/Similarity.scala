@@ -507,7 +507,12 @@ object Similarity {
   def ivfTopK(emb: DataFrame, centroids: Seq[KMeans.Centroid],
       nQueries: Int = 5, nProbe: Int = 2, k: Int = 10): DataFrame = {
     val e = emb2v(emb)
-    val cells = e.withColumn("cell", nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
+    // Par.widenBy (r18): the corpus-side argmin assignment and the probe
+    // join's per-candidate dot products run in this relation's stage; a
+    // byte-starved scan serializes both. Identity at real scale, where the
+    // assignment stays the zero-extra-shuffle scan-stage fold.
+    val cells = Par.widenBy(e, col("vec_id"))
+      .withColumn("cell", nearestId(col("v"), centroids.map(_.j), centroids.map(_.c)))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     ivfSearch(cells, q, centroids.map(_.j), centroids.map(_.c), nProbe, k)
@@ -2391,7 +2396,8 @@ object Similarity {
         (0L until k.toLong).toSeq, codebook(s)).as(s"c$s")
     }
     val factors = Seq.iterate(1L, m)(_ * k)
-    emb2v(emb).select(col("vec_id") +: codes: _*)
+    Par.widenBy(emb2v(emb), col("vec_id")) // m fused argmin kernels per row (r18)
+      .select(col("vec_id") +: codes: _*)
       .withColumn("packed",
         (0 until m).map(s => col(s"c$s") * factors(s)).reduce(_ + _))
   }
