@@ -61,6 +61,35 @@ object Explain {
       }
       spark.stop(); return
     }
+    // --dump-dir <dir>: write each named query's formatted plan to
+    // <dir>/<name><suffix>.txt in ONE JVM (plan-capture batching, r18);
+    // optional --suffix _before/_after names the round deliverables.
+    val dumpIx = args.indexOf("--dump-dir")
+    if (dumpIx >= 0) {
+      val outDir = new java.io.File(args(dumpIx + 1))
+      outDir.mkdirs()
+      val sufIx = args.indexOf("--suffix")
+      val suffix = if (sufIx >= 0) args(sufIx + 1) else ""
+      val names = args.toSeq.filterNot(_.startsWith("--"))
+        .filterNot(a => new java.io.File(a).isDirectory)
+        .filterNot(a => dumpIx >= 0 && (a == args(dumpIx + 1)))
+        .filterNot(a => sufIx >= 0 && (a == args(sufIx + 1)))
+      names.foreach { qn =>
+        spark.catalog.clearCache()
+        try {
+          val plan = SparkEntry.queries(qn)(spark, sfDir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(
+            new java.io.File(outDir, s"$qn$suffix.txt").toPath,
+            plan.getBytes("UTF-8"))
+          println(s"[explain] dumped $qn")
+        } catch { case e: Throwable =>
+          println(s"[explain] $qn FAILED: ${e.getMessage}")
+        }
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (run) {
