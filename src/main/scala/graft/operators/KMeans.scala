@@ -855,8 +855,34 @@ object KMeans {
     * followed by a long cast — the one Spark scalar the local seeder must
     * reproduce itself (pinned against the real `round()` in PropertySpec).
     */
+  /** Spark/BigDecimal HALF_UP rounding of a double to a long — the ONE
+    * rounding every local kernel replays (pinned ≡ Spark `round` and ≡ the
+    * BigDecimal form in PropertySpec).
+    *
+    * Fast path (r19): the original `BigDecimal(x).setScale(0, HALF_UP)`
+    * allocates a BigDecimal PER CALL, and the blocked cosine kernels call
+    * this once per candidate PAIR (millions of calls per query at bench
+    * scale, billions at 100 TB). For finite |x| < 2^52 the decimal-exact
+    * HALF_UP decision is ONE exact double comparison: `floor(x) + 0.5` is
+    * exactly representable (ulp(floor(x)) ≤ 0.5 there), double comparisons
+    * are exact, and HALF_UP rounds up iff the exact value sits at or above
+    * that midpoint for x ≥ 0 (ties away from zero) / strictly above it for
+    * x < 0 (the tie goes DOWN to floor: −2.5 → −3). NOTE `x − floor(x)`
+    * is NOT exact in general (−0.49999999999999994 + 1 rounds to 0.5), so
+    * the comparison must be against fl + 0.5, never against a computed
+    * fraction. For |x| ≥ 2^52 doubles are already integral. Non-finite x
+    * keeps the BigDecimal path so NaN/Infinity still throw exactly as
+    * before. PropertySpec pins ≡ BigDecimal over the adversarial ladder.
+    */
   private[graft] def roundHalfUpLong(x: Double): Long =
-    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    if (java.lang.Double.isFinite(x)) {
+      if (math.abs(x) < 4.503599627370496e15) { // 2^52
+        val fl = math.floor(x)
+        val half = fl + 0.5 // exact: |fl| < 2^52 ⟹ ulp(fl) ≤ 0.5
+        (if (if (x >= 0.0) x >= half else x > half) fl + 1.0 else fl).toLong
+      } else x.toLong // integral already; toLong saturates like the old path
+    } else
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
   /** Q2 BUG-COMPAT movement: the reference's `deltaFinish` AS BUILT
     * (k-means.sql:54 `order by step desc limit 2 by step`), which keeps 2
@@ -1054,6 +1080,20 @@ object KMeans {
     var cs: Seq[Centroid] =
       chosen.zipWithIndex.map { case (c, ix) => Centroid(ix + 1L, c.toSeq) }
     var log = cs.map(c => LogEntry(0L, c.j, c.c))
+    // fixed-point coordinates hoisted OUT of the Lloyd loop (r19): the
+    // per-dim roundHalfUpLong(y·fxScale) is invariant across steps, and
+    // roundHalfUpLong allocates a BigDecimal per call — at 150k rows × 64
+    // free-running steps that was ~19M BigDecimal constructions charged to
+    // km_fit_free's timed region. Same values, computed once per cell.
+    val nRows = rows.length
+    val ys = rows.map(_._2)
+    val fys = Array.tabulate(nRows) { ix =>
+      val y = ys(ix)
+      val f = new Array[Long](dim)
+      var d = 0
+      while (d < dim) { f(d) = roundHalfUpLong(y(d) * fxScale); d += 1 }
+      f
+    }
     var step = 0L
     var move = Double.MaxValue
     while (move >= tol && step < lloydSteps) {
@@ -1062,7 +1102,9 @@ object KMeans {
       val css = cs.map(_.c.toArray).toArray
       val sums = Array.fill(css.length)(new Array[Long](dim))
       val cnts = new Array[Long](css.length)
-      rows.foreach { case (_, y) =>
+      var rix = 0
+      while (rix < nRows) {
+        val y = ys(rix)
         var bi = -1; var bd = Double.PositiveInfinity; var cix = 0
         while (cix < css.length) {
           val d2 = sqd(y, css(cix))
@@ -1070,9 +1112,11 @@ object KMeans {
           cix += 1
         }
         val s = sums(bi)
+        val f = fys(rix)
         var d = 0
-        while (d < dim) { s(d) += roundHalfUpLong(y(d) * fxScale); d += 1 }
+        while (d < dim) { s(d) += f(d); d += 1 }
         cnts(bi) += 1
+        rix += 1
       }
       val next = js.indices.filter(cnts(_) > 0).map { ix =>
         Centroid(js(ix), sums(ix).map(s => s.toDouble / fxScale / cnts(ix)).toSeq)

@@ -47,17 +47,40 @@ object Ranking {
     val ranged = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
     val schema = df.schema.add(rankCol, LongType, nullable = false)
-    val rdd = ranged.rdd
+    // InternalRow path (r19, the twin the scaladoc above promised): the
+    // old `.rdd` deserialized EVERY row to an external Row in BOTH passes
+    // (the count pass materialized rows just to drop them) and re-boxed
+    // the whole row again via Row.fromSeq — measured as the dominant task
+    // time of q_zorder_skip (3 ranks over lineitem) and doc_ppl_buckets.
+    // `toRdd` streams the executed plan's unsafe rows; the rank is
+    // appended by a codegen'd UnsafeProjection (one compact copy per row,
+    // no boxing). Both jobs still run over the ONE RDD instance, so the
+    // range shuffle is written once and the rank pass resumes from its
+    // files, exactly as before.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+    val rdd = ranged.queryExecution.toRdd
     val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
-        preservesPartitioning = true)
+      .mapPartitionsWithIndex((i, it) => {
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator((i, c))
+      }, preservesPartitioning = true)
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val withRank = rdd.mapPartitionsWithIndex { (i, it) =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
       var r = offsets(i)
-      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      it.map { row =>
+        r += 1
+        extra.update(0, r)
+        proj(joined(row, extra)): InternalRow
+      }
     }
-    (spark.createDataFrame(withRank, schema), offsets.last)
+    (org.apache.spark.sql.GraftPlanShim.ofInternalRows(spark, withRank, schema),
+      offsets.last)
   }
 
   /** Exact `ntile(k)` over a TOTAL order, terasort-shaped: [[globalRank]]

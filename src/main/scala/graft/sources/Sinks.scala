@@ -112,7 +112,37 @@ object Sinks {
 
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String], path: Option[String] = None): Unit = {
-    val w = df.write
+    import org.apache.spark.sql.functions.col
+    // ONE FILE PER BUCKET for small relations (r19): a bucketed write emits
+    // one file per (writer task × bucket present in it), so a WIDE input
+    // relation — e.g. the r18 Par.widenBy'd TF/MinHash kernels at 32
+    // shuffle partitions — fragments each 8-bucket index into 32×8 = 256
+    // tiny files, and every PROBE of the index pays 32× the file
+    // opens/footers (measured r18→r19: the tf index landed at 256 files and
+    // the indexed retrieval probes regressed 20-30% in the driver's leg).
+    // Repartitioning by the bucket keys to exactly `buckets` partitions
+    // uses the same Murmur3 hash the bucket assignment uses, so each writer
+    // task holds exactly one bucket: `buckets` files, whatever the upstream
+    // width. SCALE GATE (same posture as Par.starvedWidth): only collapse
+    // when the source bytes fit `buckets` scan splits — at 100 TB the
+    // un-collapsed many-tasks-×-buckets layout is the right one (bounded
+    // file sizes, parallel write), and this is the identity. Guide §6:
+    // output file sizing is the writer's job, never an accident of
+    // upstream parallelism.
+    val conf = df.sparkSession.sessionState.conf
+    val smallSource =
+      try {
+        val bytes = df.inputFiles.map { f =>
+          val uri = new java.net.URI(f)
+          if (uri.getScheme == null || uri.getScheme == "file")
+            new java.io.File(uri.getPath).length
+          else -1L // remote store: unknowable — keep the parallel write
+        }
+        bytes.nonEmpty && bytes.forall(_ >= 0) &&
+          bytes.sum < buckets.toLong * conf.filesMaxPartitionBytes
+      } catch { case scala.util.control.NonFatal(_) => false }
+    val src = if (smallSource) df.repartition(buckets, keys.map(col): _*) else df
+    val w = src.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")

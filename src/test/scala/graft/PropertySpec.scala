@@ -362,6 +362,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("roundHalfUpLong fast path ≡ the BigDecimal HALF_UP definition") {
+    // r19: the hot kernels call the branch-only fast path; this pins it to
+    // the original BigDecimal form over the adversarial ladder — exact
+    // midpoints, near-midpoints one ulp off, and the 2^52 integrality
+    // boundary where the fast path switches to plain truncation
+    def viaBigDecimal(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    val p52 = 4503599627370496.0 // 2^52
+    val ladder = Seq(0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      0.49999999999999994, -0.49999999999999994,
+      1.4999999999999998, -1.4999999999999998,
+      3.0000000000000004, -3.0000000000000004,
+      p52, -p52, p52 - 0.5, -(p52 - 0.5), p52 - 1.0, p52 + 1.0,
+      1e15 + 0.5, -1e15 - 0.5, 9.9e18, -9.9e18, 0.0, -0.0)
+    val rnd = new scala.util.Random(7)
+    val xs = ladder ++
+      Seq.fill(2000)(rnd.nextDouble() * math.pow(10, rnd.nextInt(16)) *
+        (if (rnd.nextBoolean()) 1 else -1)) ++
+      Seq.fill(500)(rnd.nextInt(2000000) - 1000000 + 0.5) // exact midpoints
+    xs.foreach { x =>
+      assert(graft.operators.KMeans.roundHalfUpLong(x) == viaBigDecimal(x),
+        s"x=$x")
+    }
+  }
+
   test("semi and anti joins partition the probe side exactly") {
     val semi = SparkEntry.queries("q_semijoin")(spark, sf("0.001"))
       .select("c_custkey").as[Long].collect().toSet
