@@ -66,14 +66,23 @@ object Explain {
     // optional --suffix _before/_after names the round deliverables.
     val dumpIx = args.indexOf("--dump-dir")
     if (dumpIx >= 0) {
-      val outDir = new java.io.File(args(dumpIx + 1))
+      // r19 advice: a flag with no value must fail loudly, and a partial
+      // dump must exit non-zero — a scripted plan-capture run otherwise
+      // silently produces an incomplete plans/ directory
+      def flagValue(ix: Int, flag: String): String = {
+        require(ix + 1 < args.length && !args(ix + 1).startsWith("--"),
+          s"$flag requires a value")
+        args(ix + 1)
+      }
+      val outDir = new java.io.File(flagValue(dumpIx, "--dump-dir"))
       outDir.mkdirs()
       val sufIx = args.indexOf("--suffix")
-      val suffix = if (sufIx >= 0) args(sufIx + 1) else ""
+      val suffix = if (sufIx >= 0) flagValue(sufIx, "--suffix") else ""
       val names = args.toSeq.filterNot(_.startsWith("--"))
         .filterNot(a => new java.io.File(a).isDirectory)
-        .filterNot(a => dumpIx >= 0 && (a == args(dumpIx + 1)))
+        .filterNot(a => a == args(dumpIx + 1))
         .filterNot(a => sufIx >= 0 && (a == args(sufIx + 1)))
+      var failed = List.empty[String]
       names.foreach { qn =>
         spark.catalog.clearCache()
         try {
@@ -85,10 +94,17 @@ object Explain {
             plan.getBytes("UTF-8"))
           println(s"[explain] dumped $qn")
         } catch { case e: Throwable =>
+          failed ::= qn
           println(s"[explain] $qn FAILED: ${e.getMessage}")
         }
       }
-      spark.stop(); return
+      spark.stop()
+      if (failed.nonEmpty) {
+        System.err.println(
+          s"[explain] ${failed.size} dump(s) failed: ${failed.reverse.mkString(", ")}")
+        sys.exit(1)
+      }
+      return
     }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")

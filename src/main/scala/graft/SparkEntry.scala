@@ -484,11 +484,6 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** Shared stage of `pipeline_clean` / `pipeline_corpus`: components over
-    * the quality-kept subset. Same memo discipline as [[docComponents]] —
-    * collected rows are one per kept doc, the memo only engages below
-    * `memoMaxRows`, and Bench's clearMemos keeps re-runs honest.
-    */
   /** Shared stage of `pipeline_full` / `pipeline_provenance` (r18): both
     * build the IDENTICAL components relation — quality-kept over the
     * %97 benchmark split — and without sharing, the suite pays the
@@ -508,8 +503,15 @@ object SparkEntry {
       Dedup.connectedComponents(clean, Dedup.minhashLSH(clean))
         .select(col("doc_id"), col("rep_id"))
     }
+    // live path PERSISTED (r19 advice): past the memo bound each query
+    // consumes comps several times (pipeline_full: reps + svn;
+    // provenance: reps + svn + the final audit join); connectedComponents'
+    // localCheckpoint is non-reliable storage, so without this persist the
+    // LSH + label-propagation chain recomputes per consumer on executor
+    // loss at real scale
     if (!componentsCache.contains("pipe|" + dirKey(dir)) &&
-        docs.count() > bound) return live
+        docs.count() > bound)
+      return TransientCaches.register(live.persist())
     val rows = componentsCache.getOrElseUpdate("pipe|" + dirKey(dir), live.collect())
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -517,6 +519,11 @@ object SparkEntry {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Shared stage of `pipeline_clean` / `pipeline_corpus`: components over
+    * the quality-kept subset. Same memo discipline as [[docComponents]] —
+    * collected rows are one per kept doc, the memo only engages below
+    * `memoMaxRows`, and Bench's clearMemos keeps re-runs honest.
+    */
   private def cleanComponents(s: SparkSession, dir: String,
       memoMaxRows: Long = 1000000L): DataFrame = {
     val bound = memoMaxRowsOverride.getOrElse(memoMaxRows)
@@ -2594,11 +2601,20 @@ object SparkEntry {
       val reps = cleanComponents(s, dir)
         .filter(col("doc_id") === col("rep_id")).select("doc_id")
       val kept = docs.join(reps, "doc_id")
-      val budgets = kept.select(col("source")).distinct()
+      // r19: tokenize the kept docs ONCE into a narrow persisted census —
+      // the budget distinct, the mix, and the packing all read counts
+      // (this query paid two full tokenize passes; mixed ⊆ kept, so
+      // packing kept⋈mixed ≡ the old docs⋈mixed row-for-row)
+      val keptN = TransientCaches.register(
+        kept.select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")).persist())
+      val budgets = keptN.select(col("source")).distinct()
         .withColumn("budget",
           sourceBudget)
-      val mixed = TextAnalysis.mixCorpus(kept, budgets).select("doc_id")
-      TextAnalysis.packBatches(docs.join(mixed, "doc_id"))
+      val mixed = TextAnalysis.mixCorpusFromCounts(
+        keptN.select("doc_id", "source", "n_tok"), budgets).select("doc_id")
+      TextAnalysis.packBatchesFromCounts(
+        keptN.select("doc_id", "lang", "n_tok").join(mixed, "doc_id"))
     }),
 
     // THE complete curation chain, decontamination included: benchmark
@@ -2614,11 +2630,17 @@ object SparkEntry {
       // (sub-corpus by construction) consumed by several downstream stages
       // — without them, every consumer re-runs the whole upstream chain
       // (quality scoring, LSH, decontamination) while the corpus itself
-      // correctly stays as pruned parquet re-scans
+      // correctly stays as pruned parquet re-scans.
+      // r19: `kept` additionally CARRIES the quality pass's n_tokens —
+      // the same size(tokens(text)) every downstream stage needs — so the
+      // mix and the packing read counts instead of re-tokenizing the
+      // corpus (this query paid THREE full tokenize passes: quality gate,
+      // mixCorpus, packBatches; now exactly one).
       val kept = TransientCaches.register(
         TextAnalysis.qualityScore(docs, minTokens = 25)
-          .filter(col("keep") === 1).select("doc_id").persist())
-      val clean = docs.join(kept, "doc_id")
+          .filter(col("keep") === 1)
+          .select(col("doc_id"), col("n_tokens")).persist())
+      val clean = docs.join(kept.select("doc_id"), "doc_id")
       // shared with pipeline_provenance (r18): the identical components
       // relation was built twice per suite run — see pipeComponents
       val comps = pipeComponents(s, dir)
@@ -2626,13 +2648,27 @@ object SparkEntry {
         comps.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
       val ok = TransientCaches.register(Dedup.decontaminate(reps, bench)
         .filter(col("contaminated") === 0).select("doc_id").persist())
-      val surv = reps.join(ok, "doc_id")
-      val budgets = surv.select(col("source")).distinct()
+      // NARROW survivor relation (r19): (doc_id, lang, source, n_tok) —
+      // every post-decontamination consumer (budget census, mix, packing)
+      // re-derived docs⋈kept⋈reps⋈ok from the parquet scans; one persisted
+      // 4-column relation now feeds all three, and the heavy text column
+      // never travels past the decontamination stage
+      val svn = TransientCaches.register(
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(kept, "doc_id")
+          .join(comps.filter(col("doc_id") === col("rep_id"))
+            .select("doc_id"), "doc_id")
+          .join(ok, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tokens").as("n_tok"))
+          .persist())
+      val budgets = svn.select(col("source")).distinct()
         .withColumn("budget",
           sourceBudget)
-      val mixed = TransientCaches.register(
-        TextAnalysis.mixCorpus(surv, budgets).select("doc_id").persist())
-      TextAnalysis.packBatches(surv.join(mixed, "doc_id"))
+      val mixed = TextAnalysis.mixCorpusFromCounts(
+        svn.select("doc_id", "source", "n_tok"), budgets).select("doc_id")
+      TextAnalysis.packBatchesFromCounts(
+        svn.select("doc_id", "lang", "n_tok").join(mixed, "doc_id"))
     }),
 
     // ---- per-document pipeline PROVENANCE: the audit table release
@@ -2646,10 +2682,15 @@ object SparkEntry {
       val all = Tables.read(s, dir, "documents")
       val docs = all.filter(col("doc_id") % 97 =!= 0)
       val bench = all.filter(col("doc_id") % 97 === 0)
-      val qual = TextAnalysis.qualityScore(docs, minTokens = 25)
-        .select(col("doc_id"), col("keep").as("quality_pass"))
-      val kept = TransientCaches.register(qual.filter(col("quality_pass") === 1)
-        .select("doc_id").persist())
+      // r19: qual is persisted NARROW with the quality pass's n_tokens —
+      // it feeds the kept gate, the final audit join (which previously
+      // re-ran the whole qualityScore tokenize+regex pass), and the token
+      // counts the mix stage needs (no mixCorpus re-tokenize)
+      val qual = TransientCaches.register(
+        TextAnalysis.qualityScore(docs, minTokens = 25)
+          .select(col("doc_id"), col("keep").as("quality_pass"),
+            col("n_tokens")).persist())
+      val kept = qual.filter(col("quality_pass") === 1).select("doc_id")
       val clean = docs.join(kept, "doc_id")
       // shared components memo (r18) — see pipeComponents; already a local
       // relation when memoized, so no persist needed around it
@@ -2658,13 +2699,23 @@ object SparkEntry {
         comps.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
       val cont = TransientCaches.register(Dedup.decontaminate(reps, bench)
         .select(col("doc_id"), col("contaminated")).persist())
-      val surv = reps.join(
-        cont.filter(col("contaminated") === 0).select("doc_id"), "doc_id")
-      val budgets = surv.select(col("source")).distinct()
+      // narrow survivors with counts (r19) — the pipeline_full svn shape
+      val svn = TransientCaches.register(
+        docs.select(col("doc_id"), col("source"))
+          .join(qual.filter(col("quality_pass") === 1)
+            .select(col("doc_id"), col("n_tokens")), "doc_id")
+          .join(comps.filter(col("doc_id") === col("rep_id"))
+            .select("doc_id"), "doc_id")
+          .join(cont.filter(col("contaminated") === 0).select("doc_id"),
+            "doc_id")
+          .select(col("doc_id"), col("source"), col("n_tokens").as("n_tok"))
+          .persist())
+      val budgets = svn.select(col("source")).distinct()
         .withColumn("budget", sourceBudget)
-      val mixedIds = TextAnalysis.mixCorpus(surv, budgets)
+      val mixedIds = TextAnalysis.mixCorpusFromCounts(
+        svn.select("doc_id", "source", "n_tok"), budgets)
         .select(col("doc_id"), lit(1L).as("mx"))
-      qual
+      qual.select(col("doc_id"), col("quality_pass"))
         .join(comps, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left")
         .join(mixedIds, Seq("doc_id"), "left")

@@ -1269,7 +1269,81 @@ object Dedup {
     * per-round shapes.)
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localMaxRows: Long = 2000000L): DataFrame = {
+    // DRIVER-LOCAL TWIN under `localMaxRows` (r19, the fitAuto/fitBounded
+    // discipline applied to the component loop): at sample sizes the
+    // distributed loop is pure per-round fixed cost — each of the 2-6
+    // label-propagation rounds pays a join+groupBy plan, an eager
+    // localCheckpoint job, and a convergence-sum job, which profiled as
+    // the bulk of dedup_semantic's wall and of pipeline_full's first
+    // pipeComponents build (~0.3-0.5 s/round of scheduling for microseconds
+    // of labeling work). Below the bound, the nodes and pairs are collected
+    // ONCE and the EXACT same bounded synchronous min-label iteration runs
+    // on the driver — same initial multiset sum, same per-round
+    // (labels ∪ propagated).groupBy(id).min fold (edge targets absent from
+    // `nodes` enter at round 1 exactly like the distributed unionAll), same
+    // Σrep convergence test, same maxIter truncation — so the result is
+    // bit-identical BY CONSTRUCTION in every case, including an
+    // unconverged truncation (DedupSpec pins local ≡ distributed on
+    // chains, dupe cliques, and a truncated run). Past the bound — i.e. at
+    // real scale — the distributed loop below runs unchanged; the pair
+    // probe is a LocalLimit short-circuit, not a full evaluation.
+    if (localMaxRows > 0 && {
+      val probe = math.min(localMaxRows, Int.MaxValue - 2L).toInt
+      nodes.limit(probe + 1).count() <= probe
+    }) {
+      val bound = math.min(localMaxRows, Int.MaxValue - 2L).toInt
+      val pairRows = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .limit(bound + 1).collect()
+      if (pairRows.length <= bound) {
+        val nodeIds = nodes.select(col("doc_id").cast("long"))
+          .collect().map(_.getLong(0))
+        val edgesArr = new Array[Long](pairRows.length * 4) // both directions
+        var i = 0
+        while (i < pairRows.length) {
+          val a = pairRows(i).getLong(0); val b = pairRows(i).getLong(1)
+          edgesArr(4 * i) = a; edgesArr(4 * i + 1) = b
+          edgesArr(4 * i + 2) = b; edgesArr(4 * i + 3) = a
+          i += 1
+        }
+        var lab = new java.util.HashMap[Long, Long]()
+        var sum = 0L
+        nodeIds.foreach { id => lab.put(id, id); sum += id } // multiset sum, like sum("rep") over the initial rows
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIter) {
+          val next = new java.util.HashMap[Long, Long](lab) // labels ∪ …
+          var e = 0
+          while (e < edgesArr.length) {
+            val s = edgesArr(e); val t = edgesArr(e + 1)
+            if (lab.containsKey(s)) { // prop joins edges to CURRENT labels
+              val rep = lab.get(s)
+              if (!next.containsKey(t) || rep < next.get(t)) next.put(t, rep)
+            }
+            e += 2
+          }
+          var nextSum = 0L
+          val it = next.values().iterator()
+          while (it.hasNext) nextSum += it.next()
+          lab = next
+          converged = nextSum == sum
+          sum = nextSum
+          iter += 1
+        }
+        val spark = nodes.sparkSession
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](lab.size)
+        val lit = lab.entrySet().iterator()
+        while (lit.hasNext) {
+          val en = lit.next()
+          out.add(org.apache.spark.sql.Row(en.getKey, en.getValue))
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        return spark.createDataFrame(out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", lt),
+            org.apache.spark.sql.types.StructField("rep_id", lt))))
+      }
+    }
     val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
       .unionAll(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
       .cache()

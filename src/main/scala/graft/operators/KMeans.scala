@@ -852,12 +852,9 @@ object KMeans {
   }
 
   /** Spark's `round(x)` for doubles (`BigDecimal(x).setScale(0, HALF_UP)`)
-    * followed by a long cast — the one Spark scalar the local seeder must
-    * reproduce itself (pinned against the real `round()` in PropertySpec).
-    */
-  /** Spark/BigDecimal HALF_UP rounding of a double to a long — the ONE
-    * rounding every local kernel replays (pinned ≡ Spark `round` and ≡ the
-    * BigDecimal form in PropertySpec).
+    * followed by a long cast — the ONE Spark scalar the local kernels must
+    * reproduce themselves (pinned ≡ Spark `round` and ≡ the BigDecimal
+    * form in PropertySpec).
     *
     * Fast path (r19): the original `BigDecimal(x).setScale(0, HALF_UP)`
     * allocates a BigDecimal PER CALL, and the blocked cosine kernels call

@@ -76,20 +76,64 @@ object QualityModel {
     * 500000, and both engines make the identical call there.
     */
   def trainScore(docs: DataFrame, iters: Int = 20, lrNum: Long = 3L,
-      lrDen: Long = 10000000L, minTokens: Int = 5, maxTokens: Int = 5000)
-      : DataFrame = {
+      lrDen: Long = 10000000L, minTokens: Int = 5, maxTokens: Int = 5000,
+      localMaxRows: Long = 2000000L): DataFrame = {
     val feats = features(docs, minTokens, maxTokens).cache()
     try {
       val n = BigInt(feats.count())
       require(n > 0, "quality-filter training needs at least one document")
       var w = Seq.fill(4)(BigInt(0))
-      for (_ <- 0 until iters) {
-        def g(f: String) =
-          sum(expr(s"(${pSql(w)} - y * 1000000) * $f").cast("decimal(38,0)"))
-        val row = feats.agg(g("1000"), g("f1"), g("f2"), g("f3")).head()
-        val gs = (0 until 4).map(i => BigInt(row.getDecimal(i).toBigInteger))
-        w = w.zip(gs).map { case (wi, gi) =>
-          wi - (gi * 1000000 * lrNum) / (n * lrDen)
+      if (localMaxRows > 0 && n <= localMaxRows) {
+        // DRIVER-LOCAL GD TWIN under `localMaxRows` (r19, the
+        // fitAuto/fitBounded discipline applied to the training loop): the
+        // distributed loop below pays one aggregate JOB plus one fresh
+        // Catalyst plan + codegen compile PER ITERATION — profiled as the
+        // bulk of doc_quality_lr's wall at bench scale (45 jobs, ~0.15 s of
+        // scheduling/planning per step for microseconds of arithmetic over
+        // 4 collected integers). Below the bound the integer feature rows
+        // are collected ONCE and the identical fixed-point arithmetic runs
+        // on the driver: int64 margin/clamp with truncating division
+        // (Scala Long `/` ≡ Spark BIGINT `div` — both truncate toward
+        // zero), gradient sums in int64 (bounded by n·1e9 ≤ 2e15 under the
+        // 2M-row bound, far inside int64 — the DECIMAL(38,0) distributed
+        // accumulator exists for UNBOUNDED n), and the exact BigInt weight
+        // update. Weights are bit-identical by construction (QualitySpec
+        // pins local ≡ distributed on the fixture corpus); the final
+        // scoring projection below is the same distributed plan either
+        // way. Past the bound — real scale — the distributed loop runs
+        // unchanged.
+        val rows = feats.select(col("y"), col("f1"), col("f2"), col("f3"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        for (_ <- 0 until iters) {
+          // the SQL path embeds weights as int64 literals (`${w}L`), so the
+          // long narrowing here lives in the same no-overflow envelope
+          require(w.forall(_.isValidLong), s"weights left int64: $w")
+          val w0 = w(0).toLong; val w1 = w(1).toLong
+          val w2 = w(2).toLong; val w3 = w(3).toLong
+          var g0 = 0L; var g1 = 0L; var g2 = 0L; var g3 = 0L
+          var i = 0
+          while (i < rows.length) {
+            val (y, f1, f2, f3) = rows(i)
+            val z = w0 * 1000L + w1 * f1 + w2 * f2 + w3 * f3
+            val p = math.max(0L, math.min(1000000L, 500000L + z / 4000000L))
+            val d = p - y * 1000000L
+            g0 += d * 1000L; g1 += d * f1; g2 += d * f2; g3 += d * f3
+            i += 1
+          }
+          w = Seq(g0, g1, g2, g3).zip(w).map { case (gi, wi) =>
+            wi - (BigInt(gi) * 1000000 * lrNum) / (n * lrDen)
+          }
+        }
+      } else {
+        for (_ <- 0 until iters) {
+          def g(f: String) =
+            sum(expr(s"(${pSql(w)} - y * 1000000) * $f").cast("decimal(38,0)"))
+          val row = feats.agg(g("1000"), g("f1"), g("f2"), g("f3")).head()
+          val gs = (0 until 4).map(i => BigInt(row.getDecimal(i).toBigInteger))
+          w = w.zip(gs).map { case (wi, gi) =>
+            wi - (gi * 1000000 * lrNum) / (n * lrDen)
+          }
         }
       }
       feats.select(col("doc_id"), col("y").as("label"),

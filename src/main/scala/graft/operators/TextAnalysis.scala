@@ -70,7 +70,10 @@ object TextAnalysis {
     * nothing scores. Per-row HOFs only — zero shuffle.
     */
   def langIdNgram(docs0: DataFrame): DataFrame = {
-    val docs = Par.widen(docs0) // trigram kernel is compute-dense per row
+    // keyed spread (r19 advice): every caller carries doc_id, and the
+    // round-robin form pays the SPARK-23207 pre-sort of the full text rows
+    // Par's own scaladoc warns about — widenBy is the documented-safe form
+    val docs = Par.widenBy(docs0, col("doc_id")) // compute-dense trigram kernel
     // native kernel: the HOF form (array_distinct over per-window substring
     // lambdas) is CodegenFallback and was the bench's top cost; the fused
     // expression computes identical values (PlansSpec parity test)
@@ -698,9 +701,29 @@ object TextAnalysis {
     * window); at larger scale the partition key extends to (lang, shard)
     * and the same plan holds.
     */
+  /** `size(tokens(text))` as a long — THE token count every pipeline stage
+    * shares ([[qualityScore]]'s `n_tokens`, [[packBatches]]' and
+    * [[mixCorpus]]'s `n_tok` are all this one expression), exposed so a
+    * pipeline can compute it once and feed the `FromCounts` variants.
+    */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
   def packBatches(docs: DataFrame, budget: Int = 256): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    packBatchesFromCounts(
+      docs.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok")),
+      budget)
+
+  /** [[packBatches]] over an ALREADY-TOKEN-COUNTED `(doc_id, lang, n_tok)`
+    * relation (r19): a pipeline that has token counts in hand — e.g. the
+    * quality gate already computed `size(tokens(text))` per doc — must not
+    * pay a second corpus tokenize just to pack batches. Same window, same
+    * output, same oracle; the count column must be the SAME `tokens`
+    * expression ([[qualityScore]]'s `n_tokens` qualifies by construction).
+    */
+  def packBatchesFromCounts(counted: DataFrame, budget: Int = 256): DataFrame =
+    counted.select(col("doc_id"), col("lang"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy("doc_id")
@@ -770,8 +793,18 @@ object TextAnalysis {
     * with per-shard budget splits and the same plan holds.
     */
   def mixCorpus(docs: DataFrame, budgets: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    mixCorpusFromCounts(
+      docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok")),
+      budgets)
+
+  /** [[mixCorpus]] over an ALREADY-TOKEN-COUNTED `(doc_id, source, n_tok)`
+    * relation (r19) — the [[packBatchesFromCounts]] twin, same contract:
+    * the count column must be the same `tokens` expression the direct form
+    * computes. Same fill, same output, same oracle.
+    */
+  def mixCorpusFromCounts(counted: DataFrame, budgets: DataFrame): DataFrame =
+    counted.select(col("doc_id"), col("source"), col("n_tok"))
       .join(broadcast(budgets), "source")
       .withColumn("cum", sum(col("n_tok")).over(
         org.apache.spark.sql.expressions.Window

@@ -419,6 +419,37 @@ class DedupSpec extends SparkSpec {
     assert(keep == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("connected components: driver-local twin ≡ the distributed loop, " +
+    "including under maxIter truncation") {
+    // r19: below localMaxRows the loop runs on the driver; localMaxRows=0
+    // forces the distributed path. Both must agree on chains (multi-round
+    // convergence), dupe cliques, isolated nodes, edge endpoints absent
+    // from `nodes` — and on a TRUNCATED run (maxIter smaller than the
+    // chain diameter), where both must report the same partial labels.
+    val nodes = (1L to 12L).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L)) ++ // long chain
+      Seq((9L, 10L), (10L, 9L), (9L, 10L)) ++ // dupe edges, both orders
+      Seq((11L, 13L))) // 13 is NOT in nodes — enters via propagation
+      .toDF("a_id", "b_id")
+    for (cap <- Seq(25, 2)) { // converged AND truncated
+      val local = Dedup.connectedComponents(nodes, pairs, maxIter = cap)
+        .as[(Long, Long)].collect().toSet
+      val dist = Dedup.connectedComponents(nodes, pairs, maxIter = cap,
+        localMaxRows = 0L).as[(Long, Long)].collect().toSet
+      assert(local == dist, s"maxIter=$cap")
+    }
+    // and on the real LSH pair relation of the fixture corpus
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val lsh = Dedup.minhashLSH(docs).cache()
+    val local = Dedup.connectedComponents(docs, lsh)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(docs, lsh, localMaxRows = 0L)
+      .as[(Long, Long)].collect().toSet
+    lsh.unpersist()
+    assert(local == dist)
+  }
+
   test("forgetPropagate: re-election, full-cluster erasure, and the " +
     "zero-orphan audit on a crafted takedown") {
     // forgetMod=97 forgets ids 0, 97, 194. Cluster A {0,5,9} rep 0: rep

@@ -1059,6 +1059,20 @@ class TextEventsSpec extends SparkSpec {
     }
   }
 
+  test("quality-filter GD: driver-local loop ≡ the distributed loop") {
+    import spark.implicits._
+    // r19: below localMaxRows the 20 fixed-point GD iterations run on the
+    // driver over the collected integer feature rows; localMaxRows=0
+    // forces the per-iteration distributed aggregates. Same weights, same
+    // scores, bit-for-bit — on the real fixture corpus.
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val local = graft.operators.QualityModel.trainScore(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dist = graft.operators.QualityModel.trainScore(docs, localMaxRows = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(local == dist)
+  }
+
   test("cuped: a perfectly-explained metric (y = 2x) gives rho² = 1, " +
       "theta = 2, and both arms' adjusted means collapse to the global mean") {
     import spark.implicits._
