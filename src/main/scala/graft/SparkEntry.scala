@@ -3545,9 +3545,13 @@ object SparkEntry {
     // sketches, not rows). n_exact rides alongside so the row itself shows
     // the sketch error; denominators stay exact integers (see HllSketch) ----
     "q_hll" -> ((s, dir) => {
-      // not widened (r18 measured +1.0 s): the sketch map work is light and
-      // the repartition's pre-sort of 600k lineitem rows dominates it
-      val li = Tables.read(s, dir, "lineitem")
+      // KEYED widen (r19): the r18 round-robin widen lost +1.0 s to its
+      // SPARK-23207 pre-sort of 600k rows and was reverted; widenBy has no
+      // pre-sort, and the profile shows the whole sketch build serialized
+      // in the single-file scan task (crit ≈ wall). Register merge is a
+      // max — order-free — so the spread is value-identical.
+      val li = operators.Par.widenBy(
+        Tables.read(s, dir, "lineitem"), col("l_orderkey"))
       val perFlag = li.groupBy(col("l_returnflag").as("scope"))
         .agg(plans.native.hll_sketch(col("l_orderkey"), p = 8).as("regs"),
           countDistinct(col("l_orderkey")).as("n_exact"))

@@ -1175,23 +1175,17 @@ object Dedup {
         .select(col("vec_id"), col("v"), col("nv"), col("x.cid").as("cell"),
           round(col("x.cc") * 1e6).cast("long").as("cent_cos_e6"))
     }
-    val a = asn.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = asn.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
-      col("v").as("vb"), col("nv").as("nb"))
-    // nProbe = 1 keeps the original single-join plan (the oracle-pinned
-    // fixture); deeper probes — the recorded nProbe=4 production setting —
-    // take the streamed per-cell kernel, so the production path ships only
-    // over-threshold pairs (bit-identical to the join form, DedupSpec)
-    val pairs =
-      if (nProbe <= 1)
-        a.join(b, col("cell") === col("cell_b") && col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            round(native.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
-              .cast("long").as("cos_e6"))
-          .filter(col("cos_e6") >= thrE6)
-      else embeddingCosineBlockedLocal(emb, centroids, thrE6, nProbe,
-        broadcastAssign)
+    // ALL probe depths take the streamed per-cell kernel (r19; nProbe = 1
+    // previously kept a cell self-JOIN, bit-identical by the same DedupSpec
+    // pin the deeper probes rely on). Two reasons: (a) at bench scale AQE
+    // byte-coalesces the join's exchanges to ONE task, so the whole
+    // |cell|²-pair dot-product pass ran serially (measured: taskSum ≈ crit
+    // ≈ 2.5 s — zero parallelism) while mapCells' explicit repartition
+    // keeps the per-cell groups spread; (b) at 100 TB the join form
+    // materializes |cell|²·nProbe² candidate rows where the kernel ships
+    // only over-threshold pairs — the kernel IS the scale path.
+    val pairs = embeddingCosineBlockedLocal(emb, centroids, thrE6,
+      math.max(nProbe, 1), broadcastAssign)
     val comp = connectedComponents(
       asn.select(col("vec_id").as("doc_id")), pairs)
     val wSize = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
@@ -1395,7 +1389,70 @@ object Dedup {
     * iterative-lineage discipline as label propagation).
     */
   def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localMaxRows: Long = 2000000L): DataFrame = {
+    // DRIVER-LOCAL TWIN under `localMaxRows` (r19) — the same gate and
+    // rationale as [[connectedComponents]]'s: every per-round relation here
+    // is a SET (distinct after each fold), so the large-star/small-star
+    // rounds, the (count, Σu, Σv) signature, the exact set-equality
+    // confirmation, AND the under-convergence min-collapse replay exactly
+    // over driver-side sets — bit-identical output by construction
+    // (ComponentsSpec pins local ≡ distributed, converged and truncated).
+    // At bench scale the distributed loop was ~50 jobs of
+    // join/groupBy/checkpoint scheduling per query; past the bound the
+    // O(log n)-round distributed loop below runs unchanged.
+    if (localMaxRows > 0 && {
+      val probe = math.min(localMaxRows, Int.MaxValue - 2L).toInt
+      nodes.limit(probe + 1).count() <= probe
+    }) {
+      val bound = math.min(localMaxRows, Int.MaxValue - 2L).toInt
+      val pairRows = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .limit(bound + 1).collect()
+      if (pairRows.length <= bound) {
+        var edges: Set[(Long, Long)] = pairRows.iterator.map { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          (math.max(a, b), math.min(a, b))
+        }.filter(e => e._1 != e._2).toSet
+        def checksumL(e: Set[(Long, Long)]): (Long, Long, Long) =
+          (e.size.toLong, e.iterator.map(_._1).sum, e.iterator.map(_._2).sum)
+        var sig = checksumL(edges)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          val sym = edges.iterator.flatMap(e => Iterator(e, e.swap)).toSeq
+          val mins = sym.groupBy(_._1).map { case (x, ys) =>
+            x -> math.min(ys.iterator.map(_._2).min, x) }
+          val ls = sym.iterator.collect {
+            case (x, y) if y > x => (y, mins(x)) }.toSet
+          val mins2 = ls.groupBy(_._1).map { case (u, vs) =>
+            u -> vs.iterator.map(_._2).min }
+          val ss = (ls.iterator.collect {
+            case (u, v) if v != mins2(u) => (v, mins2(u)) } ++
+            mins2.iterator).toSet
+          val nsig = checksumL(ss)
+          converged = nsig == sig && ss == edges
+          edges = ss
+          sig = nsig
+          iter += 1
+        }
+        val rep = new java.util.HashMap[Long, Long]()
+        if (converged) edges.foreach { case (u, v) => rep.put(u, v) }
+        else edges.foreach { case (u, v) =>
+          if (!rep.containsKey(u) || v < rep.get(u)) rep.put(u, v) }
+        val nodeIds = nodes.select(col("doc_id").cast("long"))
+          .collect().map(_.getLong(0))
+        val spark = nodes.sparkSession
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeIds.length)
+        nodeIds.foreach { id =>
+          val r = if (rep.containsKey(id)) rep.get(id) else id
+          out.add(org.apache.spark.sql.Row(id, r))
+        }
+        val lt = org.apache.spark.sql.types.LongType
+        return spark.createDataFrame(out,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", lt),
+            org.apache.spark.sql.types.StructField("rep_id", lt))))
+      }
+    }
     var edges = pairs
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))

@@ -1151,11 +1151,65 @@ object KMeans {
     */
   def fitMiniBatch(points: DataFrame, k: Int, dim: Int,
       batchFrac: Double = 0.1, tol: Double = 0.01, maxIter: Int = 20,
-      seed: Long = 42L): FitResult = withIterConf(points.sparkSession) {
+      seed: Long = 42L, localMaxCells: Long = 4000000L): FitResult =
+      withIterConf(points.sparkSession) {
     require(batchFrac > 0 && batchFrac <= 1, s"batchFrac $batchFrac not in (0,1]")
     val mod = 2147483647L
     val cut = (batchFrac * mod).toLong
-    var cs = seedFirstK(points, k)
+    // DRIVER-LOCAL TWIN under `localMaxCells` (r19, the fitBounded gate
+    // verbatim): each distributed iteration is one sufficient-stats job —
+    // 20 steps × (fresh batch-filter plan + job dispatch) profiled as
+    // ~2 s of fixed cost for microseconds of argmin/sum work at sample
+    // sizes. Below the bound the points are collected ONCE and every step
+    // replays the exact distributed arithmetic: the LCG batch draw (same
+    // int64 `(i·a + c) % m < cut`), the strict-< (d, j) argmin
+    // [[fitBoundedLocal]] already pins, the per-dim `round(v·1e6)` fixed-
+    // point sums ([[roundHalfUpLong]] ≡ Spark round, PropertySpec), and
+    // the same driver-side learning-rate fold below — so the FitResult is
+    // bit-identical (KMeansSpec pins local ≡ distributed). Past the bound
+    // the distributed loop runs unchanged.
+    lazy val nRows = points.count()
+    val localRows: Option[Array[(Long, Array[Double])]] =
+      if (localMaxCells > 0 && nRows * dim <= localMaxCells)
+        Some(points.select(col("i"), col("Y")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+      else None
+    def localStats(rows: Array[(Long, Array[Double])], step: Long,
+        cs: Seq[Centroid]): scala.collection.mutable.LongMap[(Array[Long], Long)] = {
+      val js = cs.map(_.j).toArray
+      val css = cs.map(_.c.toArray).toArray
+      val acc = scala.collection.mutable.LongMap.empty[(Array[Long], Long)]
+      val salt = 12345L + seed + step
+      var rix = 0
+      while (rix < rows.length) {
+        val (i, y) = rows(rix)
+        if ((i * 1103515245L + salt) % mod < cut) {
+          var bi = -1; var bd = Double.PositiveInfinity; var cix = 0
+          while (cix < css.length) {
+            var s = 0.0; var d = 0
+            val c = css(cix)
+            val n = math.min(c.length, y.length)
+            while (d < n) { val t = c(d) - y(d); s += t * t; d += 1 }
+            if (s < bd) { bd = s; bi = cix } // strict <: earliest j wins
+            cix += 1
+          }
+          val cur = acc.getOrElse(js(bi), (new Array[Long](dim), 0L))
+          val sums = cur._1
+          var d = 0
+          while (d < dim) { sums(d) += roundHalfUpLong(y(d) * 1e6); d += 1 }
+          acc.update(js(bi), (sums, cur._2 + 1))
+        }
+        rix += 1
+      }
+      acc
+    }
+    var cs = localRows match {
+      case Some(rows) => // seedFirstK: k smallest keys, j = 1..k in key order
+        rows.sortBy(_._1).take(k).zipWithIndex.map { case ((_, y), ix) =>
+          Centroid(ix + 1L, y.toSeq)
+        }.toSeq
+      case None => seedFirstK(points, k)
+    }
     var log = cs.map(c => LogEntry(0L, c.j, c.c))
     val absorbed = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
@@ -1163,9 +1217,13 @@ object KMeans {
     var move = Double.MaxValue
     while (move >= tol && step < maxIter) {
       step += 1
-      val batch = points.filter(
-        (col("i") * 1103515245L + lit(12345L + seed + step)) % mod < cut)
-      val stats = onePassStats(batch, cs, dim, fxScale = 1e6)
+      val stats = localRows match {
+        case Some(rows) => localStats(rows, step, cs)
+        case None =>
+          val batch = points.filter(
+            (col("i") * 1103515245L + lit(12345L + seed + step)) % mod < cut)
+          onePassStats(batch, cs, dim, fxScale = 1e6)
+      }
       val next = cs.map { c =>
         stats.get(c.j) match {
           case Some((sums, cnt)) =>

@@ -330,15 +330,30 @@ object Profiling {
     // cache build (z-value bit interleave) and each layout's range-exchange
     // write otherwise run single-task on a byte-starved scan.
     val cached = Par.widen(rows).persist()
-    val stats = layouts.map { case (name, order) =>
-      Ranking.globalNtile(cached, order, nFiles, "__zs_file")
-        .groupBy("__zs_file")
-        .agg(min("pk").as("mn_pk"), max("pk").as("mx_pk"),
-          min("sk").as("mn_sk"), max("sk").as("mx_sk"),
-          count(lit(1)).as("n"))
-        .select(lit(name).as("layout"), col("mn_pk"), col("mx_pk"),
-          col("mn_sk"), col("mx_sk"), col("n"))
-    }.reduce(_.unionByName(_))
+    // materialize the cache ONCE before fanning out (below) — concurrent
+    // first-touch from several threads would compute overlapping partitions
+    cached.count()
+    // CONCURRENT layout builds (r19, guide §2.6 — overlap independent
+    // jobs): each layout's globalNtile runs its range-sample and
+    // partition-count jobs at CONSTRUCTION, so building the three layouts
+    // sequentially serialized ~6 driver-blocking jobs whose tasks leave
+    // the machine idle; the layouts are fully independent (each reads only
+    // the materialized cache), so their jobs overlap. Result order is the
+    // caller's layout order (Future.sequence preserves it) and each branch
+    // is deterministic on its own, so the union is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stats = Await.result(Future.sequence(layouts.map { case (name, order) =>
+      Future {
+        Ranking.globalNtile(cached, order, nFiles, "__zs_file")
+          .groupBy("__zs_file")
+          .agg(min("pk").as("mn_pk"), max("pk").as("mx_pk"),
+            min("sk").as("mn_sk"), max("sk").as("mx_sk"),
+            count(lit(1)).as("n"))
+          .select(lit(name).as("layout"), col("mn_pk"), col("mx_pk"),
+            col("mn_sk"), col("mx_sk"), col("n"))
+      }
+    }), scala.concurrent.duration.Duration.Inf).reduce(_.unionByName(_))
     val predDf = preds.toDF("pred", "lo_pk", "hi_pk", "lo_sk", "hi_sk")
     val scanned = col("mn_pk") <= col("hi_pk") && col("mx_pk") >= col("lo_pk") &&
       col("mn_sk") <= col("hi_sk") && col("mx_sk") >= col("lo_sk")

@@ -581,6 +581,36 @@ class DedupSpec extends SparkSpec {
     } finally pairs.unpersist()
   }
 
+  test("star contraction: driver-local twin ≡ the distributed loop, " +
+    "including under maxIter truncation") {
+    // r19: same gate as connectedComponents' local twin; localMaxRows=0
+    // forces the distributed rounds. The truncated case (maxIter=1 on a
+    // long chain) must agree too — both sides collapse multi-center edges
+    // by min before the node join.
+    val n = 64L
+    val nodes = (1L to n).map(i => (i, s"d$i", "en")).toDF("doc_id", "text", "lang")
+    val pairs = ((1L until n).map(i => (i, i + 1)) ++
+      Seq((70L, 80L))) // endpoints outside `nodes`: must be dropped by both
+      .toDF("a_id", "b_id")
+    for (cap <- Seq(50, 1)) {
+      val local = Dedup.connectedComponentsStar(nodes, pairs, maxIter = cap)
+        .as[(Long, Long)].collect().toSet
+      val dist = Dedup.connectedComponentsStar(nodes, pairs, maxIter = cap,
+        localMaxRows = 0L).as[(Long, Long)].collect().toSet
+      assert(local == dist, s"maxIter=$cap")
+    }
+    // and on the real LSH pair relation of the fixture corpus
+    val docs = Tables.read(spark, sf("0.001"), "documents")
+    val lsh = Dedup.minhashLSH(docs).cache()
+    try {
+      val local = Dedup.connectedComponentsStar(docs, lsh)
+        .as[(Long, Long)].collect().toSet
+      val dist = Dedup.connectedComponentsStar(docs, lsh, localMaxRows = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(local == dist)
+    } finally lsh.unpersist()
+  }
+
   test("CDC chunks follow content boundaries and survive a prefix shift") {
     import org.apache.spark.sql.functions.col
     // tokenId("x") = 120, 120 % 8 == 0 -> "x" is a boundary token;

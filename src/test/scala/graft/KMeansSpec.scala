@@ -424,6 +424,13 @@ class KMeansSpec extends SparkSpec {
     assert(again.centroids == mb.centroids && again.steps == mb.steps)
     // the log carries every step (seeds at 0 plus k rows per step)
     assert(mb.log.size == ((mb.steps + 1) * 8).toInt)
+    // r19: the driver-local twin (default gate) must be BIT-IDENTICAL to
+    // the distributed loop (localMaxCells=0 forces it) — centroids, step
+    // count, movement, and the full WCR log
+    val dist = KMeans.fitMiniBatch(data, k = 8, dim = 64,
+      batchFrac = 0.2, maxIter = 20, seed = 42, localMaxCells = 0L)
+    assert(dist.centroids == mb.centroids && dist.steps == mb.steps &&
+      dist.finalMovement == mb.finalMovement && dist.log == mb.log)
   }
 
   test("fit quality matches MLlib KMeans (WCSS cross-check)") {
