@@ -469,7 +469,18 @@ object Quality {
   def gapStatisticFitted(points: DataFrame, dim: Int, ks: Seq[Int],
       refSets: Int = 3, scale: Double = 0.01, tol: Double = 0.01,
       lloydSteps: Int = 3, fxScale: Double = 1e4,
-      localMaxRows: Long = 100000L): DataFrame = {
+      localMaxRows: Long = -1L): DataFrame = {
+    // localMaxRows = -1 (default) → derive from the fitBounded CELL budget
+    // (r19): the collected thing is rows × dim doubles, so the row bound
+    // should scale with 1/dim, not sit at a constant — the old 100k-row
+    // default left the sf0.1 2-D orders binding (150k rows, 300k cells) on
+    // the ~130-job distributed path this local twin exists to avoid, for
+    // the sake of a bound meant to protect against 64-D collects.
+    // localMaxRows = 0 still forces the distributed chain (the QualitySpec
+    // parity seam); an explicit positive bound is honored as before.
+    val localRowBound =
+      if (localMaxRows >= 0) localMaxRows
+      else 4000000L / math.max(dim, 1)
     require(ks.nonEmpty && ks == ks.sorted, "need ascending ks")
     val spark = points.sparkSession
     import spark.implicits._
@@ -503,8 +514,11 @@ object Quality {
     def localW(): Seq[Seq[Double]] = {
       val base = points.select(col("i"), col("Y")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      def rnd(x: Double): Long = new java.math.BigDecimal(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      // KMeans.roundHalfUpLong ≡ the BigDecimal HALF_UP form (PropertySpec
+      // pin) — the old per-call BigDecimal here ran millions of times per
+      // sweep (every point, every Lloyd step, every set) and dominated the
+      // local path's wall (r19)
+      def rnd(x: Double): Long = KMeans.roundHalfUpLong(x)
       def sqd(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var d = 0
         while (d < dim) { val t = a(d) - b(d); s += t * t; d += 1 }
@@ -603,7 +617,7 @@ object Quality {
       } finally df.unpersist()
     }
     val ws: Seq[Seq[Double]] =
-      if (points.count() <= localMaxRows) localW()
+      if (points.count() <= localRowBound) localW()
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(sets.size)
         try {
